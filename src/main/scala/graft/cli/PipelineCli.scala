@@ -1,0 +1,79 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Pipeline
+import graft.policy.{EngineConfig, PolicyCatalog}
+import graft.validate.Validate
+
+/** End-to-end pipeline CLI — the Spark equivalent of the reference's
+  * `make run` + `make validate` flow (reference: Makefile:53-61 +
+  * src/dbt_gdpr_anonymizer/scripts/validate_anonymization.py:311-370):
+  * seed CSV -> staging -> anonymized -> enriched -> mart, then the
+  * compliance gate (PII scan + quality metrics + k-anonymity), exiting
+  * non-zero on any violation.
+  *
+  * Usage: PipelineCli <input.csv> <outputDir> [saltKey]
+  */
+object PipelineCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PipelineCli <input.csv> <outputDir> [saltKey]")
+    val Array(input, outDir) = args.take(2)
+    val cfg = if (args.length > 2) EngineConfig(saltKey = args(2)) else EngineConfig()
+
+    val spark = SparkSession
+      .builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Seed semantics: all-varchar CSV (dbt seed with column_types overrides,
+    // dbt_project.yml:125-137); staging does the typing casts.
+    val raw = spark.read.option("header", "true").csv(input)
+
+    val staged   = Pipeline.staging(raw)
+    val anon     = Pipeline.anonymize(staged, PolicyCatalog.reference, cfg)
+    val enriched = Pipeline.enrich(anon, cfg.gpsPrecision)
+    val mart     = Pipeline.mart(enriched, cfg)
+
+    mart.write.mode("overwrite").parquet(s"$outDir/mart_services_open_data")
+    val martBack = spark.read.parquet(s"$outDir/mart_services_open_data")
+
+    println(s"[pipeline] staged=${staged.count()} mart=${martBack.count()}")
+    martBack
+      .select("service_id", "contact_email", "contact_phone", "latitude",
+        "longitude", "geohash", "region", "data_quality_level")
+      .show(10, truncate = false)
+
+    // Compliance gate (validate_anonymization.py:253-364)
+    val piiViolations  = Validate.assertNoPiiInMart(martBack).cache()
+    val scanHits       = Validate.piiScan(martBack).cache()
+    val quality        = Validate.qualityMetrics(enriched).head()
+    val kViol          = Validate
+      .kAnonymityViolations(enriched, "organization_category", cfg.kAnonymityMin)
+      .cache()
+
+    println(s"[validate] quality: $quality")
+    val nPii  = piiViolations.count()
+    val nScan = scanHits.count()
+    val nK    = kViol.count()
+    if (nPii > 0) { println(s"[validate] PII violations: $nPii"); piiViolations.show(5, false) }
+    if (nScan > 0) { println(s"[validate] regex scan hits: $nScan"); scanHits.show(5, false) }
+    if (nK > 0) { println(s"[validate] k-anonymity violations (k=${cfg.kAnonymityMin}): $nK"); kViol.show(5, false) }
+
+    val report = Validate.piiReport(spark, PolicyCatalog.reference)
+    report.coalesce(1).write.mode("overwrite").json(s"$outDir/pii_report")
+
+    spark.stop()
+    if (nPii + nScan > 0 || nK > 0) {
+      println("[validate] FAILED — PII or k-anonymity violations detected")
+      sys.exit(1)
+    } else println("[validate] PASSED — mart is GDPR-compliant")
+  }
+}

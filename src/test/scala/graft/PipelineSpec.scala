@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Pipeline
+import graft.policy.{ColumnPolicy, EngineConfig, MaskMethod, PolicyCatalog}
+import graft.validate.Validate
+
+/** End-to-end pipeline tests on the reference CI fixture
+  * (reference: .github/workflows/ci.yml:61-64; FIXTURES.md §1) plus edge rows
+  * exercising every dispatcher branch (NULLs, empty strings, unknown org
+  * types, >2-decimal coordinates).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Seq(
+    "service_id", "service_name", "parent_organization", "organization_type",
+    "contact_email", "contact_phone", "website", "street_address",
+    "postal_code", "city", "commune", "latitude", "longitude", "insee_code",
+    "last_updated"
+  )
+
+  /** Golden 2-row CI fixture + edge rows. latitude/longitude arrive as
+    * strings (seed semantics: everything varchar until staging casts).
+    */
+  private def fixture: DataFrame =
+    Seq(
+      ("TEST001", "Service Test 1", "Ministère A", "ministere",
+        "test1@example.fr", "+33 1 23 45 67 89", "https://example.fr",
+        "10 rue de Paris", "75001", "Paris", "Paris", "48.8566", "2.3522",
+        "75056", "2025-01-01"),
+      ("TEST002", "Service Test 2", "Agence B", "etablissement-public",
+        "test2@example.fr", "+33 2 98 76 54 32", "https://example2.fr",
+        "20 rue de Marseille", "13001", "Marseille", "Marseille", "43.2965",
+        "5.3698", "13055", "2025-01-02"),
+      // NULL service_id -> dropped by staging filter
+      (null, "Dropped", null, "ministere", null, null, null, null, null,
+        null, null, null, null, null, "2025-01-03"),
+      // empty-string email/phone -> NULL after masking; unknown org type
+      ("TEST003", "Service Test 3", null, "unknown-slug", "", "",
+        null, null, "59000", "Lille", null, "50.62925", "3.057256", "59350",
+        "2025-01-04"),
+      // no contacts at all -> completeness 0 -> filtered from mart
+      ("TEST004", "Service Test 4", null, "institution", null, null, null,
+        null, null, null, null, null, null, null, "2025-01-05")
+    ).toDF(cols: _*)
+
+  private val cfg     = EngineConfig()
+  private def staged  = Pipeline.staging(fixture)
+  private def anon    = Pipeline.anonymize(staged, PolicyCatalog.reference, cfg)
+  private def enr     = Pipeline.enrich(anon)
+  private def martDf  = Pipeline.mart(enr, cfg)
+
+  test("staging filters NULL keys, casts, adds surrogate key + flags") {
+    val s = staged.orderBy("service_id").collect()
+    assert(s.length == 4) // NULL service_id row dropped
+    val r = staged.filter($"service_id" === "TEST001").head()
+    assert(r.getAs[String]("service_key").length == 32)
+    assert(r.getAs[Double]("latitude") == 48.8566)
+    assert(r.getAs[java.sql.Date]("last_updated").toString == "2025-01-01")
+    assert(r.getAs[Int]("has_email") == 1 && r.getAs[Int]("has_coordinates") == 1)
+    // empty string is NOT null -> has_email = 1 for TEST003 (reference CASE
+    // checks IS NOT NULL only, stg_services_publics.sql:86-89)
+    val t3 = staged.filter($"service_id" === "TEST003").head()
+    assert(t3.getAs[Int]("has_email") == 1)
+  }
+
+  test("anonymize: every column renamed _anon; policy-driven masking applied") {
+    val a = anon
+    assert(a.columns.count(_.endsWith("_anon")) == staged.columns.length)
+    val r = a.filter($"service_id_anon" === "TEST001").head()
+    assert(r.getAs[String]("contact_email_anon").startsWith("user_"))
+    assert(r.getAs[String]("contact_email_anon").endsWith("@anonymized.gouv.fr"))
+    assert(r.getAs[String]("contact_phone_anon") == "+33 1  XX XX XX XX")
+    assert(r.getAs[java.math.BigDecimal]("latitude_anon").toString == "48.86")
+    // fail-open passthrough: street_address (aggregate_to_city has no
+    // dispatcher branch) leaks verbatim, renamed (SURVEY.md §2.6)
+    assert(r.getAs[String]("street_address_anon") == "10 rue de Paris")
+    // empty-string guard: TEST003's empty email/phone -> NULL
+    val t3 = a.filter($"service_id_anon" === "TEST003").head()
+    assert(t3.isNullAt(t3.fieldIndex("contact_email_anon")))
+    assert(t3.isNullAt(t3.fieldIndex("contact_phone_anon")))
+  }
+
+  test("enrich: category buckets, department, geohash, quality flags") {
+    val r = enr.filter($"service_id_anon" === "TEST002").head()
+    assert(r.getAs[String]("organization_category") == "operateurs")
+    assert(r.getAs[String]("department_code_anon") == "13")
+    assert(r.getAs[String]("geohash_anon") == "geo_43.30_5.37")
+    assert(r.getAs[Int]("is_email_properly_anonymized") == 1)
+    assert(r.getAs[Int]("is_phone_properly_anonymized") == 1)
+    val t3 = enr.filter($"service_id_anon" === "TEST003").head()
+    assert(t3.getAs[String]("organization_category") == "autres")
+    assert(t3.getAs[Int]("is_email_properly_anonymized") == 0) // NULL email
+  }
+
+  test("mart: renames, labels, region, completeness, publication filter") {
+    val m = martDf
+    assert(m.count() == 3) // TEST004 has completeness 0 -> filtered
+    val r = m.filter($"service_id" === "TEST001").head()
+    assert(r.getAs[String]("organization_type_label") == "Ministère")
+    assert(r.getAs[String]("region") == "Île-de-France")
+    assert(r.getAs[Int]("data_completeness_score") == 4)
+    assert(r.getAs[String]("data_quality_level") == "Complet")
+    assert(r.getAs[String]("processing_pipeline") == "GDPR Anonymizer v1.0.0")
+    val t3 = m.filter($"service_id" === "TEST003").head()
+    // TEST003: empty email/phone masked to NULL but has_* flags were 1
+    // (reference CASE checks IS NOT NULL only) -> email+phone+coords = 3
+    assert(t3.getAs[String]("region") == "Hauts-de-France")
+    assert(t3.getAs[Int]("data_completeness_score") == 3)
+    assert(t3.getAs[String]("data_quality_level") == "Complet")
+  }
+
+  test("golden invariant: assert_no_pii_in_marts returns 0 rows") {
+    assert(Validate.assertNoPiiInMart(martDf).count() == 0)
+  }
+
+  test("quality metrics count properly-anonymized contacts") {
+    val q = Validate.qualityMetrics(enr).head()
+    assert(q.getAs[Long]("total_emails") == 2)
+    assert(q.getAs[Long]("emails_properly_anonymized") == 2)
+    assert(q.getAs[Long]("phones_properly_masked") == 2)
+    assert(q.getAs[Long]("coords_properly_rounded") == q.getAs[Long]("total_coords"))
+  }
+
+  test("pii scan flags raw fixture but not the mart") {
+    val rawHits = Validate.piiScan(
+      fixture.select($"contact_email", $"contact_phone", $"street_address")
+    )
+    assert(rawHits.count() > 0)
+    val martHits = Validate.piiScan(
+      martDf.select($"contact_email", $"contact_phone")
+    )
+    assert(martHits.count() == 0)
+  }
+
+  test("policy catalog rejects unsecured PII columns (validate_pii_metadata)") {
+    val ex = intercept[IllegalArgumentException] {
+      PolicyCatalog(Map("m" -> Map("c" -> ColumnPolicy(pii = true))))
+    }
+    assert(ex.getMessage.contains("Unsecured PII columns"))
+  }
+
+  test("pii report lists the 5 reference PII columns ordered") {
+    val rpt = Validate.piiReport(spark, PolicyCatalog.reference).collect()
+    assert(rpt.length == 5)
+    assert(rpt.map(_.getAs[String]("column_name")).toSeq ==
+      Seq("contact_email", "contact_phone", "latitude", "longitude", "street_address"))
+  }
+
+  test("suppress method nulls the column; unknown method passes through") {
+    val cat = PolicyCatalog(Map("stg_services_publics" -> Map(
+      "contact_email" -> ColumnPolicy(pii = true,
+        anonymizationMethod = Some(MaskMethod.Suppress)),
+      "city" -> ColumnPolicy(pii = false,
+        anonymizationMethod = Some(MaskMethod.Unknown("rot13")))
+    )))
+    val a = Pipeline.anonymize(staged, cat, cfg)
+    val r = a.filter($"service_id_anon" === "TEST001").head()
+    assert(r.isNullAt(r.fieldIndex("contact_email_anon")))
+    assert(r.getAs[String]("city_anon") == "Paris")
+  }
+}
