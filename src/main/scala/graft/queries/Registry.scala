@@ -1,0 +1,457 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.masking.Masking
+import graft.pipeline.Pipeline
+import graft.policy.PolicyCatalog
+import graft.validate.Validate
+
+/** The driver-contract query registry: every implemented operator from
+  * SURVEY.md §2 (plus extensions) as a named Spark query with, where
+  * SQL-expressible, a DuckDB oracle twin. Column names/types are aligned
+  * between both sides; every query ends in a deterministic ORDER BY.
+  */
+object Registry {
+
+  final case class Q(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String]
+  )
+
+  private val salt = OracleSql.salt
+
+  // ---- pipeline-stage queries (SURVEY §2.1 #13-14, §2.2) -----------------
+
+  private def stagedDf(s: SparkSession, dir: String): DataFrame =
+    Pipeline.staging(Tables.services(s, dir))
+
+  private def enrichedDf(s: SparkSession, dir: String): DataFrame =
+    Pipeline.enrich(Pipeline.anonymize(stagedDf(s, dir), PolicyCatalog.reference))
+
+  val pipelineQueries: ListMap[String, Q] = ListMap(
+    "q_stage_services" -> Q(
+      (s, dir) => stagedDf(s, dir).drop("loaded_at").orderBy("service_id"),
+      Some(OracleSql.staging)
+    ),
+    "q_anonymize_services" -> Q(
+      (s, dir) =>
+        Pipeline
+          .anonymize(stagedDf(s, dir), PolicyCatalog.reference)
+          .drop("loaded_at_anon", "anonymized_at")
+          .orderBy("service_id_anon"),
+      Some(OracleSql.anonymize)
+    ),
+    "q_enrich_services" -> Q(
+      (s, dir) =>
+        enrichedDf(s, dir)
+          .drop("loaded_at_anon", "anonymized_at")
+          .orderBy("service_id_anon"),
+      Some(OracleSql.enrich)
+    ),
+    "q_mart_services" -> Q(
+      (s, dir) =>
+        Pipeline
+          .mart(enrichedDf(s, dir))
+          .drop("anonymized_at", "mart_created_at")
+          .orderBy("service_id"),
+      Some(OracleSql.mart)
+    )
+  )
+
+  // ---- masking expression operators (SURVEY §2.1 #1-#12) -----------------
+
+  val maskingQueries: ListMap[String, Q] = ListMap(
+    "q_mask_email" -> Q(
+      (s, dir) =>
+        Tables
+          .read(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            Masking.maskEmail(col("c_name"), salt).as("email_anon")
+          )
+          .orderBy("c_custkey"),
+      Some(s"""
+        select c_custkey,
+          case when c_name is not null and c_name != ''
+               then 'user_' || substr(to_hex(sha256(lower(trim(c_name)) || '$salt')), 1, 16) || '@anonymized.gouv.fr'
+               else null end as email_anon
+        from customer order by c_custkey""")
+    ),
+    "q_email_ops" -> Q(
+      (s, dir) =>
+        Tables
+          .services(s, dir)
+          .select(
+            col("service_id"),
+            col("contact_email"),
+            Masking.isValidEmail(col("contact_email")).as("is_valid"),
+            Masking.extractEmailDomain(col("contact_email")).as("email_domain")
+          )
+          .orderBy("service_id"),
+      Some(s"""
+        with services as (${ServicesSynth.sql})
+        select service_id, contact_email,
+          (contact_email like '%@%.%' and contact_email not like '%@%.@%'
+           and length(contact_email) >= 5) as is_valid,
+          case when (contact_email like '%@%.%' and contact_email not like '%@%.@%'
+                     and length(contact_email) >= 5)
+               then lower(substr(contact_email, instr(contact_email, '@') + 1))
+               else null end as email_domain
+        from services order by service_id""")
+    ),
+    "q_phone_ops" -> Q(
+      (s, dir) =>
+        Tables
+          .services(s, dir)
+          .select(
+            col("service_id"),
+            col("contact_phone"),
+            Masking.maskPhone(col("contact_phone")).as("phone_anon"),
+            Masking.extractCountryCode(col("contact_phone")).as("country_code"),
+            Masking.normalizePhone(col("contact_phone")).as("phone_normalized"),
+            Masking.isValidPhone(col("contact_phone")).as("is_valid")
+          )
+          .orderBy("service_id"),
+      Some(s"""
+        with services as (${ServicesSynth.sql})
+        select service_id, contact_phone,
+          case when contact_phone is not null and contact_phone != ''
+               then substr(trim(contact_phone), 1, 6) || ' XX XX XX XX'
+               else null end as phone_anon,
+          case when contact_phone like '+%'
+               then substr(contact_phone, 1, instr(contact_phone, ' '))
+               else null end as country_code,
+          replace(replace(replace(replace(trim(contact_phone), ' ', ''), '-', ''), '.', ''), '(', '') as phone_normalized,
+          ((contact_phone like '+%' or contact_phone like '0%')
+           and length(replace(replace(replace(replace(trim(contact_phone), ' ', ''), '-', ''), '.', ''), '(', '')) >= 10) as is_valid
+        from services order by service_id""")
+    ),
+    "q_coords_ops" -> Q(
+      (s, dir) =>
+        Tables
+          .services(s, dir)
+          .select(
+            col("service_id"),
+            col("latitude"),
+            col("longitude"),
+            Masking.maskCoordinates(col("latitude")).as("latitude_anon"),
+            Masking.maskCoordinates(col("longitude")).as("longitude_anon"),
+            Masking
+              .areValidCoordinates(col("latitude"), col("longitude"))
+              .as("coords_valid"),
+            Masking.createGeohash(col("latitude"), col("longitude")).as("geohash")
+          )
+          .orderBy("service_id"),
+      Some(s"""
+        with services as (${ServicesSynth.sql})
+        select service_id, latitude, longitude,
+          round(cast(latitude as numeric), 2) as latitude_anon,
+          round(cast(longitude as numeric), 2) as longitude_anon,
+          (latitude is not null and longitude is not null
+           and latitude between -90 and 90 and longitude between -180 and 180) as coords_valid,
+          concat('geo_', cast(round(cast(latitude as numeric), 2) as string), '_',
+                 cast(round(cast(longitude as numeric), 2) as string)) as geohash
+        from services order by service_id""")
+    ),
+    "q_haversine" -> Q(
+      (s, dir) =>
+        Tables
+          .services(s, dir)
+          .select(
+            col("service_id"),
+            Masking
+              .haversineDistance(
+                lit(48.8566),
+                lit(2.3522),
+                col("latitude"),
+                col("longitude")
+              )
+              .cast("decimal(12,3)")
+              .as("dist_from_paris_km")
+          )
+          .orderBy("service_id"),
+      Some(s"""
+        with services as (${ServicesSynth.sql})
+        select service_id,
+          cast(6371 * 2 * asin(sqrt(
+            pow(sin(radians((latitude - 48.8566)) / 2), 2) +
+            cos(radians(48.8566)) * cos(radians(latitude)) *
+            pow(sin(radians((longitude - 2.3522)) / 2), 2)
+          )) as decimal(12,3)) as dist_from_paris_km
+        from services order by service_id""")
+    ),
+    "q_pii_report" -> Q(
+      (s, _) => Validate.piiReport(s, PolicyCatalog.reference),
+      Some("""
+        select * from (
+          select 'stg_services_publics' as model_name, 'contact_email' as column_name,
+                 'direct_identifier' as pii_type, 'hash_sha256' as anonymization_method,
+                 'legitimate_interest' as legal_basis, 'high' as sensitivity
+          union all
+          select 'stg_services_publics', 'contact_phone', 'direct_identifier',
+                 'mask_partial', 'legitimate_interest', 'high'
+          union all
+          select 'stg_services_publics', 'latitude', 'quasi_identifier',
+                 'round_2_decimals', 'legitimate_interest', 'medium'
+          union all
+          select 'stg_services_publics', 'longitude', 'quasi_identifier',
+                 'round_2_decimals', 'legitimate_interest', 'medium'
+          union all
+          select 'stg_services_publics', 'street_address', 'quasi_identifier',
+                 'aggregate_to_city', 'legitimate_interest', 'medium'
+        ) r order by model_name, column_name""")
+    )
+  )
+
+  // ---- validators / declarative tests (SURVEY §2.3-2.4) ------------------
+
+  val validatorQueries: ListMap[String, Q] = ListMap(
+    "q_quality_metrics" -> Q(
+      (s, dir) =>
+        Validate
+          .qualityMetrics(enrichedDf(s, dir))
+          .select(
+            col("total_emails"),
+            col("emails_properly_anonymized").cast("long").as("emails_properly_anonymized"),
+            col("emails_improperly_anonymized").cast("long").as("emails_improperly_anonymized"),
+            col("total_phones"),
+            col("phones_properly_masked").cast("long").as("phones_properly_masked"),
+            col("phones_improperly_masked").cast("long").as("phones_improperly_masked"),
+            col("total_coords"),
+            col("coords_properly_rounded").cast("long").as("coords_properly_rounded")
+          ),
+      Some(OracleSql.pipelineCtes + """
+        select
+          count(case when contact_email_anon is not null then 1 end) as total_emails,
+          cast(sum(case when contact_email_anon like '%@anonymized.gouv.fr' then 1 else 0 end) as bigint) as emails_properly_anonymized,
+          cast(sum(case when contact_email_anon is not null and contact_email_anon not like '%@anonymized.gouv.fr' then 1 else 0 end) as bigint) as emails_improperly_anonymized,
+          count(case when contact_phone_anon is not null then 1 end) as total_phones,
+          cast(sum(case when contact_phone_anon like '%XX XX XX XX' then 1 else 0 end) as bigint) as phones_properly_masked,
+          cast(sum(case when contact_phone_anon is not null and contact_phone_anon not like '%XX XX XX XX' then 1 else 0 end) as bigint) as phones_improperly_masked,
+          count(case when latitude_anon is not null and longitude_anon is not null then 1 end) as total_coords,
+          cast(sum(case when latitude_anon is not null and longitude_anon is not null
+                         and (latitude_anon * 100) = floor(latitude_anon * 100)
+                         and (longitude_anon * 100) = floor(longitude_anon * 100)
+                    then 1 else 0 end) as bigint) as coords_properly_rounded
+        from enriched""")
+    ),
+    "q_k_anonymity" -> Q(
+      (s, dir) =>
+        Validate
+          .kAnonymityViolations(
+            stagedDf(s, dir).filter(col("postal_code").isNotNull),
+            "postal_code",
+            5
+          )
+          .orderBy(col("group_size"), col("postal_code")),
+      Some(OracleSql.pipelineCtes + """
+        select postal_code, count(*) as group_size
+        from staged
+        where postal_code is not null
+        group by postal_code
+        having count(*) < 5
+        order by group_size, postal_code""")
+    ),
+    "q_no_pii_in_mart" -> Q(
+      (s, dir) =>
+        Validate
+          .assertNoPiiInMart(
+            Pipeline.mart(enrichedDf(s, dir)).drop("anonymized_at", "mart_created_at")
+          )
+          .orderBy("column_name", "value"),
+      Some(OracleSql.pipelineCtes + """
+        select * from (
+          select 'mart_services_open_data' as table_name, 'contact_email' as column_name,
+                 contact_email as value, 'Non-anonymized email detected' as issue_type
+          from mart
+          where contact_email is not null and contact_email not like '%@anonymized.gouv.fr'
+          union all
+          select 'mart_services_open_data', 'contact_phone', contact_phone,
+                 'Non-masked phone number detected'
+          from mart
+          where contact_phone is not null and contact_phone not like '%XX%'
+          union all
+          select 'mart_services_open_data', 'latitude/longitude',
+                 concat(cast(latitude as string), ', ', cast(longitude as string)),
+                 'GPS coordinates too precise'
+          from mart
+          where latitude is not null and longitude is not null
+            and (length(split_part(cast(latitude as string), '.', 2)) > 2
+                 or length(split_part(cast(longitude as string), '.', 2)) > 2)
+        ) v order by column_name, value""")
+    ),
+    "q_schema_tests" -> Q(
+      (s, dir) => {
+        val staged = stagedDf(s, dir)
+        val unique = Validate
+          .uniquenessViolations(staged, "service_id")
+          .select(
+            lit("unique_service_id").as("test_name"),
+            col("service_id").cast("string").as("value")
+          )
+        val notnull = Validate
+          .notNullViolations(staged, "last_updated")
+          .select(
+            lit("not_null_last_updated").as("test_name"),
+            col("service_id").cast("string").as("value")
+          )
+        val accepted = Validate
+          .acceptedValuesViolations(staged, "has_email", Seq(0, 1))
+          .select(
+            lit("accepted_values_has_email").as("test_name"),
+            col("service_id").cast("string").as("value")
+          )
+        val range = Validate
+          .acceptedRangeViolations(staged, "latitude", -90, 90)
+          .select(
+            lit("accepted_range_latitude").as("test_name"),
+            col("service_id").cast("string").as("value")
+          )
+        unique
+          .unionAll(notnull)
+          .unionAll(accepted)
+          .unionAll(range)
+          .orderBy("test_name", "value")
+      },
+      Some(OracleSql.pipelineCtes + """
+        select * from (
+          select 'unique_service_id' as test_name, cast(service_id as string) as value
+          from (select service_id from staged where service_id is not null
+                group by service_id having count(*) > 1) u
+          union all
+          select 'not_null_last_updated', cast(service_id as string)
+          from staged where last_updated is null
+          union all
+          select 'accepted_values_has_email', cast(service_id as string)
+          from staged where has_email is not null and has_email not in (0, 1)
+          union all
+          select 'accepted_range_latitude', cast(service_id as string)
+          from staged where latitude < -90 or latitude > 90
+        ) v order by test_name, value""")
+    )
+  )
+
+  // ---- relational / aggregate operators on the TPC-H-ish tables ----------
+
+  val relationalQueries: ListMap[String, Q] = ListMap(
+    "q1_agg" -> Q(
+      (s, dir) =>
+        Tables
+          .read(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+            sum(
+              col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+            ).cast("decimal(38,4)").as("sum_disc_price"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""
+        select l_returnflag, l_linestatus,
+          cast(sum(cast(l_quantity as decimal(18,2))) as decimal(38,2)) as sum_qty,
+          cast(sum(cast(l_extendedprice as decimal(18,2))) as decimal(38,2)) as sum_base_price,
+          cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as decimal(38,4)) as sum_disc_price,
+          count(*) as count_order
+        from lineitem
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus""")
+    ),
+    "q_conditional_agg" -> Q(
+      (s, dir) =>
+        Tables
+          .read(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(when(col("o_totalprice") > 100000, 1).otherwise(0))
+              .cast("long")
+              .as("n_big"),
+            sum(when(col("o_orderstatus") === "F", 1).otherwise(0))
+              .cast("long")
+              .as("n_finished")
+          )
+          .orderBy("o_orderpriority"),
+      Some("""
+        select o_orderpriority,
+          count(*) as n_orders,
+          cast(sum(case when o_totalprice > 100000 then 1 else 0 end) as bigint) as n_big,
+          cast(sum(case when o_orderstatus = 'F' then 1 else 0 end) as bigint) as n_finished
+        from orders
+        group by o_orderpriority
+        order by o_orderpriority""")
+    ),
+    "q_distinct_sample" -> Q(
+      (s, dir) =>
+        Tables
+          .read(s, dir, "customer")
+          .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) === "0")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy("c_custkey"),
+      Some("""
+        select c_custkey, c_name, c_mktsegment
+        from customer
+        where substr(md5(cast(c_custkey as string)), 1, 1) = '0'
+        order by c_custkey""")
+    ),
+    "q_union_distinct" -> Q(
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer").select(col("c_mktsegment").as("v")).distinct()
+        val o = Tables.read(s, dir, "orders").select(col("o_orderpriority").as("v")).distinct()
+        c.unionAll(o).orderBy("v").limit(100)
+      },
+      Some("""
+        select v from (
+          select distinct c_mktsegment as v from customer
+          union all
+          select distinct o_orderpriority as v from orders
+        ) u order by v limit 100""")
+    ),
+    "q_events_hourly" -> Q(
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(
+            date_trunc("hour", col("ts")).as("hour"),
+            col("event_type")
+          )
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value")
+          )
+          .orderBy("hour", "event_type"),
+      Some("""
+        select cast(date_trunc('hour', ts) as timestamp) as hour, event_type,
+          count(*) as n,
+          cast(sum(cast(value as decimal(18,2))) as decimal(38,2)) as total_value
+        from events
+        group by 1, 2
+        order by 1, 2""")
+    ),
+    "q_events_json" -> Q(
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .select(
+            col("event_id"),
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k")
+          )
+          .orderBy("event_id"),
+      Some("""
+        select event_id, event_type,
+          cast(json_extract_string(props, '$.k') as int) as k
+        from events
+        order by event_id""")
+    )
+  )
+
+  val all: ListMap[String, Q] =
+    pipelineQueries ++ maskingQueries ++ validatorQueries ++ relationalQueries
+}
