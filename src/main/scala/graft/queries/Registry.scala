@@ -163,12 +163,15 @@ object Registry {
           .services(s, dir)
           .select(
             col("service_id"),
-            Masking
-              .haversineDistance(
-                lit(48.8566),
-                lit(2.3522),
-                col("latitude"),
-                col("longitude")
+            Parity
+              .roundHalfUp(
+                Masking.haversineDistance(
+                  lit(48.8566),
+                  lit(2.3522),
+                  col("latitude"),
+                  col("longitude")
+                ),
+                3
               )
               .cast("decimal(12,3)")
               .as("dist_from_paris_km")
@@ -177,11 +180,13 @@ object Registry {
       Some(s"""
         with services as (${ServicesSynth.sql})
         select service_id,
-          cast(6371 * 2 * asin(sqrt(
-            pow(sin(radians((latitude - 48.8566)) / 2), 2) +
-            cos(radians(48.8566)) * cos(radians(latitude)) *
-            pow(sin(radians((longitude - 2.3522)) / 2), 2)
-          )) as decimal(12,3)) as dist_from_paris_km
+          cast(${Parity.duckRound(
+            "6371 * 2 * asin(sqrt(" +
+              "pow(sin(radians((latitude - 48.8566)) / 2), 2) + " +
+              "cos(radians(48.8566)) * cos(radians(latitude)) * " +
+              "pow(sin(radians((longitude - 2.3522)) / 2), 2)))",
+            3
+          )} as decimal(12,3)) as dist_from_paris_km
         from services order by service_id""")
     ),
     "q_pii_report" -> Q(
@@ -453,5 +458,6 @@ object Registry {
   )
 
   val all: ListMap[String, Q] =
-    pipelineQueries ++ maskingQueries ++ validatorQueries ++ relationalQueries
+    pipelineQueries ++ maskingQueries ++ validatorQueries ++
+      relationalQueries ++ ExtensionQueries.all
 }

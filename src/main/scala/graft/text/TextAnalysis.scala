@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All pure `Column` expressions (codegen-friendly, no UDFs) — at 100 TB
+  * these run as narrow map-only stages inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. `split` on an empty string yields `[""]`, so
+    * blank/empty text maps to an empty token array explicitly.
+    */
+  def tokens(c: Column): Column =
+    when(trim(c) === "", array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alphanumeric symbols — the classic pre-tokenizer regex shape.
+    */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Stopword sets for the n-gram language heuristic. Deliberately tiny —
+    * the operator contract is "deterministic heuristic", not a trained model.
+    */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+  val stopwordsFr: Seq[String] = Seq("le", "la", "de", "et", "les", "des", "un", "une")
+  val stopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "von", "ein", "mit")
+  val stopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "los", "que", "un", "en")
+
+  def stopwordCount(c: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(stopwords: _*)))
+
+  /** Ratio of non-alphanumeric, non-space chars to total length. */
+  def punctRatio(c: Column): Column =
+    when(length(c) > 0,
+      regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double") / length(c).cast("double")
+    ).otherwise(lit(0.0))
+
+  /** Mean token length — long-token gibberish and short-token noise both
+    * deviate from natural-language ~4-6.
+    */
+  def meanTokenLength(c: Column): Column = {
+    val n = tokenCount(c)
+    when(n > 0,
+      aggregate(tokens(c), lit(0L), (acc, t) => acc + length(t)).cast("double") / n.cast("double")
+    ).otherwise(lit(0.0))
+  }
+
+  /** Heuristic document quality score in [0,1]: length sweet-spot, low punct
+    * noise, some stopword mass (fluent prose), sane mean token length.
+    * Deterministic arithmetic only.
+    */
+  def qualityScore(c: Column): Column = {
+    val n         = tokenCount(c).cast("double")
+    val lenScore  = least(n / lit(64.0), lit(1.0))
+    val stopRatio = stopwordCount(c, stopwordsEn).cast("double") / greatest(n, lit(1.0))
+    val stopScore = least(stopRatio * lit(8.0), lit(1.0))
+    val punctPen  = greatest(lit(1.0) - punctRatio(c) * lit(4.0), lit(0.0))
+    val mtl       = meanTokenLength(c)
+    val mtlScore  = when(mtl.between(3.0, 9.0), lit(1.0)).otherwise(lit(0.5))
+    (lenScore * lit(0.3) + stopScore * lit(0.3) + punctPen * lit(0.2) + mtlScore * lit(0.2))
+  }
+
+  /** n-gram/stopword language ID over {en,fr,de,es} + CJK detection.
+    * Ties break in fixed order (en > fr > de > es), unknown when no signal.
+    */
+  def langId(c: Column): Column = {
+    val t  = tokens(c)
+    def hits(sw: Seq[String]) = size(filter(t, x => lower(x).isin(sw: _*)))
+    val en = hits(stopwordsEn); val fr = hits(stopwordsFr)
+    val de = hits(stopwordsDe); val es = hits(stopwordsEs)
+    val best = greatest(en, fr, de, es)
+    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(best === 0, "unknown")
+      .when(en === best, "en")
+      .when(fr === best, "fr")
+      .when(de === best, "de")
+      .otherwise("es")
+  }
+
+  /** Whitespace-normalized md5 content fingerprint. */
+  def fingerprintMd5(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** Rolling (order-sensitive) fingerprint: md5-chain left-fold over tokens,
+    * seeded with the first token — exactly DuckDB's seedless `list_reduce`
+    * semantics so the oracle can reproduce it: f(f(t1,t2),t3)... Documents
+    * with the same bag of words but different order get different rolling
+    * fingerprints (unlike a sorted-bag hash).
+    */
+  def rollingFingerprint(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(null).cast("string"))
+      .when(size(t) === 1, element_at(t, 1))
+      .otherwise(
+        aggregate(
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          element_at(t, 1),
+          (acc, x) => md5(concat(acc, x))
+        )
+      )
+  }
+}

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column <-> Expression converters, needed to
+  * expose custom Catalyst expressions (e.g. graft.dedup.SimHash64) through
+  * the public Column API on Spark 4's ColumnNode-based Column.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

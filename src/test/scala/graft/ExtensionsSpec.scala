@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, SimHash64}
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Specs for the training-data-pipeline extension operators: text analysis,
+  * dedup (exact / MinHash+LSH / SimHash / Jaccard), similarity search, and
+  * multimodal plumbing.
+  */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- text analysis -----------------------------------------------------
+
+  test("tokenCount / bpeTokenCount handle empty and mixed text") {
+    val df = Seq("the cat sat", "", "  ", "ab-cd 12x").toDF("t")
+    val got = df
+      .select(
+        TextAnalysis.tokenCount($"t").as("n"),
+        TextAnalysis.bpeTokenCount($"t").as("b")
+      )
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+      .toSeq
+    assert(got == Seq((3, 3), (0, 0), (0, 0), (2, 5)))
+  }
+
+  test("langId picks the language with most stopword hits; zh via CJK") {
+    val df = Seq(
+      "the cat of the house and a dog",
+      "le chat de la maison et les chiens",
+      "der hund ist von der frau und das kind",
+      "el perro de los gatos y el raton en casa",
+      "你好世界",
+      "xyzzy plugh"
+    ).toDF("t")
+    val got = df.select(TextAnalysis.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "de", "es", "zh", "unknown"))
+  }
+
+  test("qualityScore is in [0,1] and prefers fluent prose") {
+    val prose  = "the quick brown fox jumps over the lazy dog and runs to the house of a friend in the morning"
+    val noise  = "@@@@ #### !!!! %%%% ^^^^ &&&&"
+    val df     = Seq(prose, noise).toDF("t")
+    val Seq(a, b) = df.select(TextAnalysis.qualityScore($"t")).as[Double].collect().toSeq
+    assert(a > b && a <= 1.0 && b >= 0.0)
+  }
+
+  test("fingerprints: md5 normalizes whitespace; rolling hash is order-sensitive") {
+    val df = Seq(
+      ("a", "the  cat \t sat"),
+      ("b", "the cat sat"),
+      ("c", "sat cat the")
+    ).toDF("id", "t")
+    val got = df
+      .select(
+        $"id",
+        TextAnalysis.fingerprintMd5($"t").as("fp"),
+        TextAnalysis.rollingFingerprint($"t").as("rfp")
+      )
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(got(0)._1 == got(1)._1) // whitespace-insensitive
+    assert(got(1)._1 != got(2)._1) // different content
+    assert(got(1)._2 != got(2)._2) // order-sensitive rolling hash
+  }
+
+  // ---- dedup -------------------------------------------------------------
+
+  test("exactDedup groups identical texts and keeps min id") {
+    val df = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc")).toDF("doc_id", "text")
+    val got = Dedup
+      .exactDedup(df, "doc_id", "text")
+      .orderBy("keep_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("wordShingles produces n-k+1 shingles, short docs one shingle") {
+    val df = Seq("a b c d", "a").toDF("t")
+    val got = df
+      .select(Dedup.wordShingles($"t", 3))
+      .as[Seq[String]]
+      .collect()
+      .toSeq
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a"))
+  }
+
+  test("minhash LSH finds near-identical docs, not unrelated ones") {
+    val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d2 = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    val d3 = "completely different words about spark catalyst optimizer and parquet files"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashCandidatePairs(df, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    val verified = Dedup
+      .jaccardFilterPairs(
+        Dedup.minhashCandidatePairs(df, "doc_id", "text"),
+        df, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(verified.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash64: identical tokens -> same hash; near-dup -> small hamming") {
+    val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d2 = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    val d3 = "completely different words about spark catalyst optimizer and parquet files"
+    val df = Seq((1L, d1), (1L, d1), (2L, d2), (3L, d3)).toDF("id", "t")
+    val sigs = df
+      .select(Dedup.simhash(TextAnalysis.tokens($"t")))
+      .as[Long]
+      .collect()
+    assert(sigs(0) == sigs(1))
+    assert(java.lang.Long.bitCount(sigs(0) ^ sigs(2)) < java.lang.Long.bitCount(sigs(0) ^ sigs(3)))
+  }
+
+  test("simhashNearDupPairs blocks+verifies") {
+    val d1 = "the quick brown fox jumps over the lazy dog near the river bank today morning"
+    val d2 = "the quick brown fox jumps over the lazy dog near the river bank today evening"
+    val d3 = "completely different words about spark catalyst optimizer and parquet file formats"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val pairs = Dedup
+      .simhashNearDupPairs(df, "doc_id", "text", maxHamming = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("jaccard set semantics match distinct-element definition") {
+    val df = Seq((Seq("a", "b", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val got = df.select(Dedup.jaccard($"x", $"y")).as[Double].head()
+    assert(math.abs(got - 0.5) < 1e-9) // {a,b,c} vs {b,c,d}: 2/4
+  }
+
+  // ---- similarity --------------------------------------------------------
+
+  test("cosine: orthogonal 0, identical 1") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 2.0f), Seq(2.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0)) < 1e-9)
+    assert(math.abs(got(1) - 1.0) < 1e-9)
+    assert(math.abs(got(2) - 0.8) < 1e-9)
+  }
+
+  test("bruteForceTopK returns k most similar, self first") {
+    val emb = Tables(spark).embeddings
+    val query = emb.filter($"vec_id" === 0).select($"embedding").as[Seq[Float]].head()
+    val top = Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", query.map(_.toDouble), 5)
+      .collect()
+    assert(top.length == 5)
+    assert(top.head.getLong(0) == 0L) // query vector itself
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("SRP ANN recall: top-1 neighbor from brute force appears in SRP candidates for most queries") {
+    val emb = Tables(spark).embeddings.limit(100).cache()
+    val pairs = Similarity
+      .srpCandidatePairs(emb, "vec_id", "embedding", bits = 16, bands = 8)
+      .filter($"cos_sim" > 0.5)
+      .collect()
+    // sanity: produces some candidates and no self/duplicate pairs
+    val ps = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.forall { case (a, b) => a < b })
+    assert(ps.distinct.length == ps.length)
+  }
+
+  private case class Tables(s: org.apache.spark.sql.SparkSession) {
+    val embeddings = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+
+  // ---- multimodal --------------------------------------------------------
+
+  test("multimodal: synthesize -> repartition -> stub decode keeps schema and determinism") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val media = Multimodal.synthesizeFromDocuments(docs)
+    val sized = Multimodal.repartitionForMedia(media, totalBytes = 50L * 16, targetBytesPerPartition = 256)
+    val feats = Multimodal.decodeFeatures(sized, dim = 8).cache()
+    assert(feats.count() == 50)
+    val f0 = feats.filter($"media_id" === 0).head()
+    assert(f0.n_bytes == 16) // md5 -> 16 raw bytes
+    assert(f0.features.length == 8)
+    // determinism: decoding twice yields identical features
+    val again = Multimodal.decodeFeatures(sized, dim = 8)
+      .filter($"media_id" === 0).head()
+    assert(f0.features.toSeq == again.features.toSeq)
+    // kinds are image/audio/video per id % 3
+    val kinds = feats.select("kind").distinct().as[String].collect().toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("multimodal: frameOffsets only for video; resizeMeta preserves aspect") {
+    val docs  = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(9)
+    val media = Multimodal.synthesizeFromDocuments(docs).toDF()
+    val fr = Multimodal.frameOffsets(media, everyMs = 60000)
+    val badRow = fr.filter($"kind" =!= "video" && size($"frame_offsets_ms") > 0).count()
+    val goodRow = fr.filter($"kind" === "video" && size($"frame_offsets_ms") === 0).count()
+    assert(badRow == 0 && goodRow == 0)
+    val rs = Multimodal.resizeMeta(media, maxSide = 100)
+    assert(rs.filter($"resized_width" > 100 || $"resized_height" > 100).count() == 0)
+  }
+}
