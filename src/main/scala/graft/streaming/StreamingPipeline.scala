@@ -1,0 +1,162 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.masking.MaskModel
+import graft.policy.{ColumnPolicy, EngineConfig}
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is batch-only (SURVEY.md §2.6: "Streaming: none"), but the
+  * same policy-driven masking applies unchanged to streams because
+  * [[MaskModel.maskModel]] is a narrow schema-driven projection — a streaming
+  * DataFrame goes through the identical `Column` expressions. On top of that
+  * this module adds the standard streaming analytics a pipeline needs:
+  * watermarked windowed aggregation and stateful sessionization.
+  *
+  * Scale notes: masking adds no state; windowed aggs keep state bounded by
+  * the watermark; sessionization state is per-key and evicted via event-time
+  * timeout — all shapes that run on a 1000-executor cluster with
+  * checkpointing and no driver-side accumulation.
+  */
+object StreamingPipeline {
+
+  /** Policy-driven masking on a streaming DataFrame — identical semantics to
+    * the batch pipeline (stateless, watermark-preserving).
+    */
+  def anonymizeStream(
+      stream: DataFrame,
+      policies: Map[String, ColumnPolicy],
+      cfg: EngineConfig = EngineConfig()
+  ): DataFrame =
+    MaskModel.maskModel(stream, policies, cfg)
+
+  /** Watermarked tumbling-window counts/sums per event type
+    * (append-mode-compatible: late data beyond the watermark is dropped).
+    */
+  def hourlyEventStats(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermark: String = "1 hour",
+      windowLength: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("total_value")
+      )
+
+  // ---- stateful sessionization ------------------------------------------
+
+  final case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double
+  )
+
+  final case class SessionState(
+      start: Long,
+      lastSeen: Long,
+      nEvents: Long,
+      totalValue: Double
+  )
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double
+  )
+
+  /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
+    * timeout: a session closes when no event arrives within `gapMs` of the
+    * last one (by watermark). Emits one row per closed session.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "1 hour"
+  ): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(
+        userId: Long,
+        evts: Iterator[Event],
+        state: GroupState[SessionState]
+    ): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(
+          Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
+            s.nEvents, s.totalValue)
+        )
+      } else {
+        val sorted = evts.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.lastSeen <= gapMs =>
+              cur = Some(
+                SessionState(s.start, math.max(s.lastSeen, t), s.nEvents + 1,
+                  s.totalValue + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, new Timestamp(s.start),
+                new Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastSeen + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()
+      )(update)
+  }
+
+  /** Batch twin of [[sessionize]] for oracle-style validation: classic
+    * gap-based sessions via lag + running session-id window.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val newSession: Column =
+      (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser) > gapMs) ||
+        lag(col("ts"), 1).over(byUser).isNull
+    events
+      .withColumn("is_new", newSession.cast("int"))
+      .withColumn("session_idx", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value")
+      )
+      .drop("session_idx")
+  }
+}

@@ -8,5 +8,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode -> Expression conversion. `ExpressionUtils.expression`
+    * wraps lazily in a ColumnNodeExpression, which never gets converted when
+    * the result is spliced into a FunctionRegistry builder — the eager
+    * converter emits Unresolved* trees the analyzer resolves in place.
+    */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.policy.PolicyCatalog
+import graft.streaming.StreamingPipeline
+import graft.streaming.StreamingPipeline.{Event, Session}
+
+/** Structured Streaming specs: streaming masking, watermarked windows,
+  * stateful sessionization (+ its batch twin).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("streaming maskModel anonymizes a memory stream exactly like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, String)]
+    val df = input.toDF().toDF("service_id", "contact_email", "contact_phone")
+    val masked = StreamingPipeline.anonymizeStream(
+      df, PolicyCatalog.reference.policiesFor("stg_services_publics"))
+    input.addData(("S1", "test1@example.fr", "+33 1 23 45 67 89"))
+    val q = masked.writeStream.format("memory").queryName("masked_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val row = spark.table("masked_stream").head()
+    assert(row.getAs[String]("contact_email_anon") == "user_3438633363386233@anonymized.gouv.fr")
+    assert(row.getAs[String]("contact_phone_anon") == "+33 1  XX XX XX XX")
+    assert(row.getAs[String]("service_id_anon") == "S1")
+  }
+
+  test("watermarked hourly stats aggregate by window and type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val stats = StreamingPipeline.hourlyEventStats(input.toDF())
+    input.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(10), 2, "click", 2.0),
+      Event(3, ts(20), 1, "buy", 5.0)
+    )
+    val q = stats.writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("hourly")
+      .select($"event_type", $"n", $"total_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(("click", 2L, 3.0), ("buy", 1L, 5.0)))
+  }
+
+  test("stateful sessionization closes sessions on gap; batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StreamingPipeline.sessionize(
+      input.toDS(), gapMs = 10 * 60 * 1000, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // user 1: events at 10:00 + 10:05 (one session), then 10:30 (new session)
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(30), 1, "click", 3.0)
+    )
+    q.processAllAvailable()
+    // advance watermark far enough to time out the second session
+    input.addData(Event(9, Timestamp.valueOf("2024-01-01 13:00:00"), 99, "x", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    assert(got.length == 2)
+    assert(got(0).n_events == 2 && got(0).total_value == 3.0)
+    assert(got(0).session_end == ts(5))
+    assert(got(1).n_events == 1 && got(1).total_value == 3.0)
+
+    // batch twin on the same user-1 events
+    val batch = StreamingPipeline.sessionizeBatch(
+      Seq(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(30), 1, "click", 3.0)
+      ).toDF(),
+      gapMs = 10 * 60 * 1000
+    ).orderBy("session_start").collect()
+    assert(batch.length == 2)
+    assert(batch(0).getAs[Long]("n_events") == 2)
+    assert(batch(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("PII-leak linter blocks raw PII columns, passes masked plans") {
+    import graft.plans.PiiLeakLinter
+    val linter = new graft.plans.PiiLeakLinter(PolicyCatalog.reference)
+    val raw = Seq(("a@b.fr", "Paris")).toDF("contact_email", "city")
+    val ex = intercept[IllegalStateException] {
+      PiiLeakLinter.guard {
+        linter(raw.queryExecution.analyzed)
+      }
+    }
+    assert(ex.getMessage.contains("contact_email"))
+    val masked = graft.masking.MaskModel.maskModel(
+      raw,
+      PolicyCatalog.reference.policiesFor("stg_services_publics"),
+      graft.policy.EngineConfig())
+    PiiLeakLinter.guard { linter(masked.queryExecution.analyzed) } // no throw
+    linter(raw.queryExecution.analyzed) // inactive outside guard: no throw
+  }
+
+  test("SQL-registered functions produce identical results to the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("test1@example.fr", "the cat sat", 48.8566, 2.3522))
+      .toDF("email", "text", "lat", "lon")
+      .createOrReplaceTempView("fn_test")
+    val r = spark.sql("""
+      select mask_email(email) as e, is_valid_email(email) as v,
+             token_count(text) as tc, lang_id(text) as lang,
+             simhash64(graft_tokens(text)) as sh,
+             create_geohash(lat, lon) as geo
+      from fn_test""").head()
+    assert(r.getAs[String]("e") == "user_3438633363386233@anonymized.gouv.fr")
+    assert(r.getAs[Boolean]("v"))
+    assert(r.getAs[Int]("tc") == 3)
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[String]("geo") == "geo_48.86_2.35")
+    val viaColumn = Seq("the cat sat").toDF("t")
+      .select(graft.dedup.Dedup.simhash(graft.text.TextAnalysis.tokens($"t")))
+      .as[Long].head()
+    assert(r.getAs[Long]("sh") == viaColumn)
+  }
+}
