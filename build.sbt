@@ -23,7 +23,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Container default locale is ASCII and JDK17's sun.jnu.encoding (file-NAME
+// encoding) is locale-derived at JVM startup — without this, partitioned
+// writes with non-ASCII partition values (region='Autre région') fail with
+// InvalidPathException.
+run / envVars += "LC_ALL" -> "C.utf8"
+Test / envVars += "LC_ALL" -> "C.utf8"
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

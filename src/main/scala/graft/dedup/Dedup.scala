@@ -32,16 +32,13 @@ object Dedup {
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** Word k-shingles as strings; documents shorter than k words yield their
-    * whole token sequence as a single shingle.
+    * whole token sequence as a single shingle. Backed by the native
+    * [[WordShinglesExpr]] (codegen, no interpreted higher-order functions);
+    * value-identical to
+    * `transform(sequence(1, greatest(size(t)-k+1, 1)), i -> concat_ws(' ', slice(t, i, k)))`.
     */
-  def wordShingles(c: Column, k: Int): Column = {
-    val t = TextAnalysis.tokens(c)
-    val nShingles = greatest(size(t) - (k - 1), lit(1))
-    transform(
-      sequence(lit(1), nShingles),
-      i => concat_ws(" ", slice(t, i, lit(k)))
-    )
-  }
+  def wordShingles(c: Column, k: Int): Column =
+    WordShinglesExpr.wordShingles(TextAnalysis.tokens(c), k)
 
   /** MinHash signature: element s = min over shingles of md5(shingle ‖ "#s").
     * md5-as-string min is lexicographic in both Spark and DuckDB, keeping the

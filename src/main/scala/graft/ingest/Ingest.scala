@@ -99,6 +99,21 @@ object Ingest {
   def deterministicSample(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
     df.orderBy(rand(seed)).limit(n)
 
+  /** CSV seed sink (download_data.py:135-148): header, UTF-8. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .csv(path)
+
+  /** Report sinks (export_pii_report.py:167-195): JSON + CSV twins. */
+  def exportReport(df: DataFrame, outDir: String): Unit = {
+    df.coalesce(1).write.mode("overwrite").json(s"$outDir/json")
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$outDir/csv")
+  }
+
   /** Dataset summary aggregates (download_data.py:161-167). */
   def summarize(df: DataFrame): DataFrame =
     df.agg(

@@ -33,7 +33,8 @@ object MaskModel {
       name: String,
       dataType: DataType,
       policy: Option[ColumnPolicy],
-      cfg: EngineConfig
+      cfg: EngineConfig,
+      availableColumns: Set[String] = Set.empty
   ): Column = {
     val method = policy.flatMap(_.anonymizationMethod)
     val masked = method match {
@@ -45,6 +46,11 @@ object MaskModel {
         Masking.maskCoordinates(col(name), cfg.gpsPrecision)
       case Some(MaskMethod.Suppress) =>
         lit(null).cast(dataType)
+      case Some(MaskMethod.AggregateToCity)
+          if cfg.enableAggregateToCity && availableColumns.contains("city") =>
+        // Opt-in implementation of the reference's declared-but-unwired
+        // method (SURVEY.md §2.6): coarsen the address to the city.
+        when(col(name).isNotNull, col("city")).otherwise(lit(null).cast(dataType))
       case _ =>
         // No method, AggregateToCity (no dispatcher branch in the
         // reference), or unknown method: fail-open passthrough.
@@ -62,6 +68,7 @@ object MaskModel {
       cfg: EngineConfig = EngineConfig()
   ): DataFrame =
     df.select(df.schema.fields.toSeq.map { f =>
-      maskColumn(f.name, f.dataType, policies.get(f.name), cfg)
+      maskColumn(f.name, f.dataType, policies.get(f.name), cfg,
+        df.columns.toSet)
     }: _*)
 }

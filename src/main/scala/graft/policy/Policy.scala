@@ -73,7 +73,13 @@ final case class EngineConfig(
     projectName: String = "GDPR Anonymizer",
     projectVersion: String = "1.0.0",
     dataOwner: String = "DPO",
-    outputDomain: String = "anonymized.gouv.fr"
+    outputDomain: String = "anonymized.gouv.fr",
+    /** Off by default: the reference declares `aggregate_to_city` but its
+      * dispatcher has no branch for it, so parity behavior is fail-open
+      * passthrough (SURVEY.md §2.6). Enabling implements the declared
+      * intent: replace the column with the row's `city` value.
+      */
+    enableAggregateToCity: Boolean = false
 )
 
 /** One row of the PII inventory report (generate_pii_report.sql:61-78). */

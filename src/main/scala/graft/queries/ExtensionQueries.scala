@@ -207,9 +207,12 @@ object ExtensionQueries {
     ),
     "q_ngram_jaccard" -> Q(
       (s, dir) => {
+        // distinct md5(shingle) sets: same Jaccard value, but the self-join
+        // shuffles compact fixed-width digests instead of raw shingle text
         val d = docs(s, dir)
           .select(col("doc_id"), col("lang"), col("n_chars"),
-            Dedup.wordShingles(col("text"), 3).as("sh"))
+            array_distinct(transform(Dedup.wordShingles(col("text"), 3), x => md5(x)))
+              .as("sh"))
         val l = d.as("l"); val r = d.as("r")
         l.join(
             r,
@@ -229,8 +232,10 @@ object ExtensionQueries {
         with t as (select doc_id, lang, n_chars, $duckTokens as toks from documents),
         shingled as (
           select doc_id, lang, n_chars,
-            list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
-                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) as sh
+            list_distinct(list_transform(
+              list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+                             i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+              x -> md5(x))) as sh
           from t
         )
         select l.doc_id as id_a, r.doc_id as id_b,

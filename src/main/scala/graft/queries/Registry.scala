@@ -145,6 +145,7 @@ object Registry {
               .as("coords_valid"),
             Masking.createGeohash(col("latitude"), col("longitude")).as("geohash")
           )
+          .select(col("*") +: Masking.maskFullCoordinates("latitude", "longitude"): _*)
           .orderBy("service_id"),
       Some(s"""
         with services as (${ServicesSynth.sql})
@@ -154,7 +155,9 @@ object Registry {
           (latitude is not null and longitude is not null
            and latitude between -90 and 90 and longitude between -180 and 180) as coords_valid,
           concat('geo_', cast(round(cast(latitude as numeric), 2) as string), '_',
-                 cast(round(cast(longitude as numeric), 2) as string)) as geohash
+                 cast(round(cast(longitude as numeric), 2) as string)) as geohash,
+          cast(null as double) as latitude_masked,
+          cast(null as double) as longitude_masked
         from services order by service_id""")
     ),
     "q_haversine" -> Q(
@@ -438,6 +441,40 @@ object Registry {
         from events
         group by 1, 2
         order by 1, 2""")
+    ),
+    "q_sessionize" -> Q(
+      (s, dir) =>
+        graft.streaming.StreamingPipeline
+          .sessionizeBatch(
+            Tables.events(s, dir)
+              .withColumn("value", col("value").cast("decimal(18,2)")),
+            gapMs = 30L * 60 * 1000,
+            tieBreak = Seq("event_id")
+          )
+          .withColumn("total_value", col("total_value").cast("decimal(38,2)"))
+          .orderBy("user_id", "session_start"),
+      Some("""
+        with w as (
+          select user_id, ts, event_id, value,
+            case when lag(ts) over (partition by user_id order by ts, event_id) is null
+                   or epoch_ms(ts) - epoch_ms(lag(ts) over (partition by user_id order by ts, event_id)) > 1800000
+                 then 1 else 0 end as is_new
+          from events
+        ),
+        s as (
+          select user_id, ts, value,
+            sum(is_new) over (partition by user_id order by ts, event_id
+                              rows unbounded preceding) as session_idx
+          from w
+        )
+        select user_id,
+          cast(min(ts) as timestamp) as session_start,
+          cast(max(ts) as timestamp) as session_end,
+          count(*) as n_events,
+          cast(sum(cast(value as decimal(18,2))) as decimal(38,2)) as total_value
+        from s
+        group by user_id, session_idx
+        order by user_id, session_start""")
     ),
     "q_events_json" -> Q(
       (s, dir) =>

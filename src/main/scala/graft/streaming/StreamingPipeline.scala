@@ -140,9 +140,15 @@ object StreamingPipeline {
   /** Batch twin of [[sessionize]] for oracle-style validation: classic
     * gap-based sessions via lag + running session-id window.
     */
-  def sessionizeBatch(events: DataFrame, gapMs: Long = 30L * 60 * 1000): DataFrame = {
+  def sessionizeBatch(
+      events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      tieBreak: Seq[String] = Seq.empty
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts") +: tieBreak.map(col): _*)
     val newSession: Column =
       (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser) > gapMs) ||
         lag(col("ts"), 1).over(byUser).isNull

@@ -62,6 +62,32 @@ object Validate {
     }
   }
 
+  /** Catalog-wide PII scan — the Spark analogue of the reference's
+    * information_schema walk (validate_anonymization.py:43-92): list tables
+    * matching `tablePattern` in the current catalog, scan every string
+    * column of each. Returns (table_name, column_name, value, pattern) hits.
+    */
+  def piiScanCatalog(
+      spark: SparkSession,
+      tablePattern: String = "*",
+      sampleSize: Int = 100
+  ): DataFrame = {
+    import spark.implicits._
+    val tables = spark.catalog.listTables()
+      .collect()
+      .map(_.name)
+      .filter(n => tablePattern == "*" || n.matches(tablePattern.replace("*", ".*")))
+      .toSeq
+    val perTable = tables.map { t =>
+      piiScan(spark.table(t), sampleSize)
+        .select(lit(t).as("table_name"), col("column_name"), col("value"), col("pattern"))
+    }
+    perTable.reduceOption(_.unionAll(_)).getOrElse {
+      Seq.empty[(String, String, String, String)]
+        .toDF("table_name", "column_name", "value", "pattern")
+    }
+  }
+
   /** Anonymization-quality conditional aggregates over the enriched layer
     * (validate_anonymization.py:152-211): one row with the email / phone /
     * coordinate counters. Single map-side-combinable aggregation — one
