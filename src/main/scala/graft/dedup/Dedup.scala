@@ -115,13 +115,15 @@ object Dedup {
       textCol: String,
       shingleK: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 4
+      bands: Int = 4,
+      maxBucket: Option[Int] = None
   ): DataFrame = {
     val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
-    val exploded = b.select(
+    val raw = b.select(
       col(idCol),
       posexplode(array((0 until bands).map(i => col(s"band_$i")): _*)).as(Seq("band", "hash"))
     )
+    val exploded = maxBucket.fold(raw)(capBuckets(raw, idCol, _))
     val l = exploded.as("l")
     val r = exploded.as("r")
     l.join(
@@ -130,6 +132,58 @@ object Dedup {
         col(s"l.$idCol") < col(s"r.$idCol")
     ).select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** Cap pathological LSH buckets (boilerplate that hashes thousands of docs
+    * into one band bucket turns the self-join quadratic). Keeps the first
+    * `maxBucket` members per (band, hash) by id — at 100 TB this bounds the
+    * candidate join at the cost of recall inside degenerate buckets, which
+    * are near-identical anyway.
+    */
+  def capBuckets(exploded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("hash")).orderBy(col(idCol))
+    exploded
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+  }
+
+  /** Cluster assignment from candidate pairs: iterative min-label
+    * propagation (each doc converges to the minimum id reachable through
+    * near-dup edges). Runs `maxIter` alternating join rounds — the standard
+    * large-scale connected-components shape (no driver-side state; each
+    * round is one shuffle keyed by id).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 10
+  ): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels
+        .unionAll(viaNeighbors)
+        .groupBy("id")
+        .agg(min("label").as("label"))
+        .cache()
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") =!= col("p.label"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
   }
 
   // ---- n-gram Jaccard ----------------------------------------------------

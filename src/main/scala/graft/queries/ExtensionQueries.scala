@@ -128,6 +128,71 @@ object ExtensionQueries {
                else 'es' end as lang_guess
         from h order by doc_id""")
     ),
+    "q_text_repetition" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            roundHalfUp(TextAnalysis.repetitionRatio(col("text"), 3), 4)
+              .cast("decimal(10,4)").as("repetition_ratio")
+          )
+          .orderBy("doc_id"),
+      Some(s"""
+        with t as (select doc_id, text, $duckTokens as toks from documents),
+        shingled as (
+          select doc_id,
+            list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) as sh
+          from t
+        )
+        select doc_id,
+          cast(${duckRound(
+            "case when len(sh) > 0 " +
+              "then cast(len(sh) - len(list_distinct(sh)) as double) / cast(len(sh) as double) " +
+              "else 0.0 end",
+            4
+          )} as decimal(10,4)) as repetition_ratio
+        from shingled order by doc_id""")
+    ),
+    "q_redact_pii" -> Q(
+      (s, dir) => {
+        val txt = concat(
+          lit("contact: "),
+          coalesce(col("contact_email"), lit("-")),
+          lit(" tel: "),
+          coalesce(col("contact_phone"), lit("-"))
+        )
+        Tables
+          .services(s, dir)
+          .select(
+            col("service_id"),
+            txt.as("raw_text"),
+            TextAnalysis.redactPii(txt).as("redacted")
+          )
+          .orderBy("service_id")
+      },
+      Some(s"""
+        with services as (${ServicesSynth.sql}),
+        t as (
+          select service_id,
+            'contact: ' || coalesce(contact_email, '-') || ' tel: ' || coalesce(contact_phone, '-') as raw_text
+          from services
+        )
+        select service_id, raw_text,
+          regexp_replace(
+            regexp_replace(raw_text, '${TextAnalysis.RedactEmailPattern}', '[EMAIL]', 'g'),
+            '${TextAnalysis.RedactPhonePattern}', '[PHONE]', 'g') as redacted
+        from t order by service_id""")
+    ),
+    "q_dedup_clusters" -> Q(
+      (s, dir) =>
+        Dedup
+          .connectedComponents(
+            Dedup.minhashCandidatePairs(docs(s, dir), "doc_id", "text",
+              maxBucket = Some(64)))
+          .orderBy("id"),
+      None // iterative fixpoint; verified against pair structure in specs
+    ),
     "q_fingerprint" -> Q(
       (s, dir) =>
         docs(s, dir)

@@ -84,6 +84,32 @@ object TextAnalysis {
       .otherwise("es")
   }
 
+  /** Gopher-style repetition signal: fraction of k-shingles that are
+    * duplicates within the document (0 = all distinct, →1 = highly
+    * repetitive boilerplate). Pure expression over the native shingler.
+    */
+  def repetitionRatio(c: Column, k: Int = 3): Column = {
+    val sh = graft.dedup.WordShinglesExpr.wordShingles(tokens(c), k)
+    val n  = size(sh)
+    when(n > 0,
+      (n - size(array_distinct(sh))).cast("double") / n.cast("double")
+    ).otherwise(lit(0.0))
+  }
+
+  /** In-text PII redaction for corpora cleaning: replaces emails and
+    * FR-shaped phone numbers with placeholder tags. RE2-compatible patterns
+    * (no lookahead) so the operation is reproducible on any regex engine.
+    */
+  val RedactEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val RedactPhonePattern = "\\+33\\s*[1-9](\\s*\\d{2}){4}|0[1-9](\\s*\\d{2}){4}"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, RedactEmailPattern, "[EMAIL]"),
+      RedactPhonePattern,
+      "[PHONE]"
+    )
+
   /** Whitespace-normalized md5 content fingerprint. */
   def fingerprintMd5(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))

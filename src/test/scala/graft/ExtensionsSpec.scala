@@ -69,6 +69,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(1)._2 != got(2)._2) // order-sensitive rolling hash
   }
 
+  test("repetitionRatio: 0 for distinct shingles, high for boilerplate") {
+    val df = Seq(
+      "one two three four five six",
+      "spam spam spam spam spam spam spam spam"
+    ).toDF("t")
+    val got = df.select(TextAnalysis.repetitionRatio($"t")).as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(got(1) > 0.8)
+  }
+
+  test("redactPii replaces emails and FR phones with tags") {
+    val df = Seq(
+      "write to jean.dupont@mairie.fr or call +33 1 23 45 67 89 today",
+      "mobile 06 12 34 56 78; no email here"
+    ).toDF("t")
+    val got = df.select(TextAnalysis.redactPii($"t")).as[String].collect()
+    assert(got(0) == "write to [EMAIL] or call [PHONE] today")
+    assert(got(1) == "mobile [PHONE]; no email here")
+  }
+
+  test("connectedComponents assigns min-id cluster labels across chains") {
+    // edges: 1-2, 2-3 (one cluster), 5-6 (another)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(5L) == 5L && labels(6L) == 5L)
+  }
+
+  test("capBuckets bounds degenerate LSH buckets") {
+    val exploded = (1L to 100L).map(i => (i, 0, "samehash")).toDF("doc_id", "band", "hash")
+    val capped = Dedup.capBuckets(exploded, "doc_id", 10)
+    assert(capped.count() == 10)
+    // keeps the lowest ids deterministically
+    assert(capped.agg(max($"doc_id")).head().getLong(0) == 10L)
+  }
+
   // ---- dedup -------------------------------------------------------------
 
   test("exactDedup groups identical texts and keeps min id") {
