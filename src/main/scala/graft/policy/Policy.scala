@@ -141,6 +141,64 @@ final case class PolicyCatalog(models: Map[String, Map[String, ColumnPolicy]]) {
 }
 
 object PolicyCatalog {
+
+  /** Round-trip per-column policy through Spark's built-in per-column
+    * metadata (`StructField.metadata`) — the native equivalent of carrying
+    * the reference's `meta:` blocks on the schema itself, so a policy can
+    * travel with a DataFrame through catalogs/parquet footers.
+    */
+  def toFieldMetadata(p: ColumnPolicy): org.apache.spark.sql.types.Metadata = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
+    b.putBoolean("pii", p.pii)
+    p.piiType.foreach(t => b.putString("pii_type", t.name))
+    p.anonymizationMethod.foreach(m => b.putString("anonymization_method", m.name))
+    p.legalBasis.foreach(b.putString("legal_basis", _))
+    p.retentionDays.foreach(d => b.putLong("retention_days", d.toLong))
+    p.dataOwner.foreach(b.putString("data_owner", _))
+    p.sensitivity.foreach(b.putString("sensitivity", _))
+    p.kAnonymityTarget.foreach(k => b.putLong("k_anonymity_target", k.toLong))
+    b.build()
+  }
+
+  def fromFieldMetadata(m: org.apache.spark.sql.types.Metadata): ColumnPolicy =
+    ColumnPolicy(
+      pii = m.contains("pii") && m.getBoolean("pii"),
+      piiType = if (m.contains("pii_type")) m.getString("pii_type") match {
+        case "direct_identifier" => Some(PiiType.DirectIdentifier)
+        case "quasi_identifier"  => Some(PiiType.QuasiIdentifier)
+        case _                   => None
+      } else None,
+      anonymizationMethod =
+        if (m.contains("anonymization_method"))
+          Some(MaskMethod.fromName(m.getString("anonymization_method")))
+        else None,
+      legalBasis = if (m.contains("legal_basis")) Some(m.getString("legal_basis")) else None,
+      retentionDays =
+        if (m.contains("retention_days")) Some(m.getLong("retention_days").toInt) else None,
+      dataOwner = if (m.contains("data_owner")) Some(m.getString("data_owner")) else None,
+      sensitivity = if (m.contains("sensitivity")) Some(m.getString("sensitivity")) else None,
+      kAnonymityTarget =
+        if (m.contains("k_anonymity_target")) Some(m.getLong("k_anonymity_target").toInt)
+        else None
+    )
+
+  /** Attach a model's policies onto a DataFrame's schema metadata. */
+  def attach(df: org.apache.spark.sql.DataFrame, policies: Map[String, ColumnPolicy]): org.apache.spark.sql.DataFrame =
+    df.select(df.schema.fields.toSeq.map { f =>
+      policies.get(f.name) match {
+        case Some(p) =>
+          org.apache.spark.sql.functions.col(f.name).as(f.name, toFieldMetadata(p))
+        case None => org.apache.spark.sql.functions.col(f.name)
+      }
+    }: _*)
+
+  /** Recover a policy map from a DataFrame's schema metadata. */
+  def fromSchema(df: org.apache.spark.sql.DataFrame): Map[String, ColumnPolicy] =
+    df.schema.fields.collect {
+      case f if f.metadata.contains("pii") =>
+        f.name -> fromFieldMetadata(f.metadata)
+    }.toMap
+
   /** The reference project's policy, verbatim from
     * dbt_project/models/staging/schema.yml:57-146. */
   val reference: PolicyCatalog = PolicyCatalog(

@@ -442,6 +442,30 @@ object Registry {
         group by 1, 2
         order by 1, 2""")
     ),
+    "q_snapshot_scd2" -> Q(
+      (s, dir) => {
+        val src = Tables
+          .read(s, dir, "orders")
+          .groupBy(
+            col("o_custkey").as("record_id"),
+            col("o_orderdate").as("updated_at")
+          )
+          .agg(max(col("o_totalprice")).as("payload"))
+        graft.pipeline.Snapshot
+          .initial(src, "record_id", "updated_at")
+          .orderBy("record_id", "updated_at")
+      },
+      Some("""
+        with src as (
+          select o_custkey as record_id, o_orderdate as updated_at,
+                 max(o_totalprice) as payload
+          from orders group by 1, 2
+        )
+        select record_id, updated_at, payload,
+          cast(updated_at as timestamp) as valid_from,
+          cast(lead(updated_at) over (partition by record_id order by updated_at) as timestamp) as valid_to
+        from src order by record_id, updated_at""")
+    ),
     "q_sessionize" -> Q(
       (s, dir) =>
         graft.streaming.StreamingPipeline

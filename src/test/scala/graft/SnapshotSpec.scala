@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Snapshot
+import graft.policy.{ColumnPolicy, MaskMethod, PolicyCatalog}
+
+/** SCD-2 snapshot semantics (the reference's declared timestamp strategy)
+  * and policy <-> StructField.metadata round-trip.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("timestamp-strategy snapshot: supersede on newer updated_at, keep history") {
+    val day1 = Seq(
+      ("R1", "v1", d("2025-01-01")),
+      ("R2", "x1", d("2025-01-01"))
+    ).toDF("record_id", "payload", "updated_at")
+    val snap1 = Snapshot.initial(day1, "record_id", "updated_at")
+    assert(Snapshot.current(snap1).count() == 2)
+
+    val day2 = Seq(
+      ("R1", "v2", d("2025-01-05")), // changed
+      ("R2", "x1", d("2025-01-01")), // unchanged (same updated_at)
+      ("R3", "new", d("2025-01-05")) // new key
+    ).toDF("record_id", "payload", "updated_at")
+    val snap2 = Snapshot.applyTimestampStrategy(snap1, day2, "record_id", "updated_at")
+
+    val cur = Snapshot.current(snap2).orderBy("record_id").collect()
+    assert(cur.map(_.getString(0)).toSeq == Seq("R1", "R2", "R3"))
+    assert(cur.head.getAs[String]("payload") == "v2")
+
+    // R1 history: v1 closed at v2's updated_at
+    val r1 = snap2.filter($"record_id" === "R1").orderBy("valid_from").collect()
+    assert(r1.length == 2)
+    assert(r1(0).getAs[Date]("valid_to") == d("2025-01-05"))
+    assert(r1(1).getAs[Date]("valid_to") == null)
+
+    // as-of query sees v1 on Jan 2
+    val asOf = Snapshot.asOf(snap2, lit(d("2025-01-02")))
+      .filter($"record_id" === "R1").head()
+    assert(asOf.getAs[String]("payload") == "v1")
+  }
+
+  test("policy round-trips through StructField.metadata") {
+    val policies = PolicyCatalog.reference.policiesFor("stg_services_publics")
+    val df = Seq(("a@b.fr", "x", 1.0)).toDF("contact_email", "city", "latitude")
+    val tagged = PolicyCatalog.attach(df, policies)
+    val back = PolicyCatalog.fromSchema(tagged)
+    assert(back.keySet == Set("contact_email", "latitude"))
+    assert(back("contact_email").anonymizationMethod.contains(MaskMethod.HashSha256))
+    assert(back("latitude").kAnonymityTarget.contains(5))
+    // untagged column stays clean
+    assert(!tagged.schema("city").metadata.contains("pii"))
+    // and the recovered map drives maskModel identically
+    val masked = graft.masking.MaskModel.maskModel(df, back)
+    assert(masked.head().getAs[String]("contact_email_anon").endsWith("@anonymized.gouv.fr"))
+  }
+
+  test("piiSummary counts PII columns and models") {
+    assert(PolicyCatalog.reference.piiSummary == ((5, 1)))
+  }
+
+  test("not_null with where-filter (conditional dbt test)") {
+    val df = Seq((1, Some("a@b.fr")), (1, None), (0, None))
+      .toDF("has_email", "contact_email")
+    val viol = graft.validate.Validate.notNullViolations(
+      df, "contact_email", where = Some(col("has_email") === 1))
+    assert(viol.count() == 1)
+  }
+}
