@@ -421,6 +421,70 @@ object Registry {
           select distinct o_orderpriority as v from orders
         ) u order by v limit 100""")
     ),
+    "q_star_join" -> Q(
+      (s, dir) => {
+        // classic star join: fact (orders) x broadcast dims (customer, nation)
+        val o = Tables.read(s, dir, "orders")
+        val c = Tables.read(s, dir, "customer")
+        val n = Tables.read(s, dir, "nation")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("total_price"),
+            countDistinct(col("o_custkey")).as("n_customers")
+          )
+          .orderBy("n_name", "c_mktsegment")
+      },
+      Some("""
+        select n_name, c_mktsegment,
+          count(*) as n_orders,
+          cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)) as total_price,
+          count(distinct o_custkey) as n_customers
+        from orders
+        join customer on o_custkey = c_custkey
+        join nation on c_nationkey = n_nationkey
+        group by n_name, c_mktsegment
+        order by n_name, c_mktsegment""")
+    ),
+    "q_window_funcs" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.read(s, dir, "customer")
+          .withColumn("bal", col("c_acctbal").cast("decimal(18,2)"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("bal").desc, col("c_custkey"))
+        c.select(
+            col("c_mktsegment"),
+            col("c_custkey"),
+            col("bal"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            sum(col("bal")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("decimal(38,2)").as("running_bal")
+          )
+          .filter(col("rn") <= 5)
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some("""
+        select * from (
+          select c_mktsegment, c_custkey,
+            cast(c_acctbal as decimal(18,2)) as bal,
+            row_number() over (partition by c_mktsegment
+                               order by cast(c_acctbal as decimal(18,2)) desc, c_custkey) as rn,
+            rank() over (partition by c_mktsegment
+                         order by cast(c_acctbal as decimal(18,2)) desc, c_custkey) as rnk,
+            cast(sum(cast(c_acctbal as decimal(18,2))) over (
+              partition by c_mktsegment
+              order by cast(c_acctbal as decimal(18,2)) desc, c_custkey
+              rows unbounded preceding) as decimal(38,2)) as running_bal
+          from customer
+        ) t where rn <= 5
+        order by c_mktsegment, rn""")
+    ),
     "q_events_hourly" -> Q(
       (s, dir) =>
         Tables
