@@ -415,6 +415,101 @@ object ExtensionQueries {
     )
   )
 
+  // ---- corpus preparation / IVF ------------------------------------------
+
+  val corpusQueries: ListMap[String, Q] = ListMap(
+    "q_corpus_prepare" -> Q(
+      (s, dir) =>
+        graft.text.CorpusPipeline
+          .prepare(docs(s, dir))
+          .select(
+            col("doc_id"),
+            col("text"),
+            col("lang"),
+            col("source"),
+            col("n_chars"),
+            roundHalfUp(col("quality_score"), 4)
+              .cast("decimal(10,4)").as("quality_score"),
+            roundHalfUp(col("repetition_ratio"), 4)
+              .cast("decimal(10,4)").as("repetition_ratio"),
+            col("lang_guess"),
+            col("n_tokens")
+          )
+          .orderBy("doc_id"),
+      Some(s"""
+        with t as (select doc_id, text, lang, source, n_chars, $duckTokens as toks from documents),
+        m as (
+          select doc_id, text, lang, source, n_chars, toks,
+            cast(len(toks) as double) as n,
+            case when len(toks) > 0
+                 then cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+                 else 0.0 end as mtl,
+            case when length(text) > 0
+                 then cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) as double) / cast(length(text) as double)
+                 else 0.0 end as punct,
+            cast(len(list_filter(toks, x -> x in ('the','a','of','and','to','in','is','that'))) as double) as sw,
+            len(list_filter(toks, x -> lower(x) in ('the','a','of','and','to','in','is','that'))) as en,
+            len(list_filter(toks, x -> lower(x) in ('le','la','de','et','les','des','un','une'))) as fr,
+            len(list_filter(toks, x -> lower(x) in ('der','die','das','und','ist','von','ein','mit'))) as de,
+            len(list_filter(toks, x -> lower(x) in ('el','la','de','y','los','que','un','en'))) as es,
+            list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')) as sh
+          from t
+        ),
+        scored as (
+          select doc_id, text, lang, source, n_chars, n,
+            least(n / 64.0, 1.0) * 0.3 +
+              least(sw / greatest(n, 1.0) * 8.0, 1.0) * 0.3 +
+              greatest(1.0 - punct * 4.0, 0.0) * 0.2 +
+              (case when mtl between 3.0 and 9.0 then cast(1.0 as double) else cast(0.5 as double) end) * 0.2 as q,
+            case when len(sh) > 0
+                 then cast(len(sh) - len(list_distinct(sh)) as double) / cast(len(sh) as double)
+                 else 0.0 end as rep,
+            case when regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') then 'zh'
+                 when greatest(en, fr, de, es) = 0 then 'unknown'
+                 when en = greatest(en, fr, de, es) then 'en'
+                 when fr = greatest(en, fr, de, es) then 'fr'
+                 when de = greatest(en, fr, de, es) then 'de'
+                 else 'es' end as lang_guess
+          from m
+        ),
+        red as (
+          select doc_id,
+            regexp_replace(
+              regexp_replace(text, '${TextAnalysis.RedactEmailPattern}', '[EMAIL]', 'g'),
+              '${TextAnalysis.RedactPhonePattern}', '[PHONE]', 'g') as text,
+            lang, source, n_chars, q, rep, lang_guess, cast(n as int) as n_tokens
+          from scored
+          where q >= 0.5 and rep <= 0.3 and lang_guess in ('en')
+        ),
+        keep as (select min(doc_id) as doc_id from red group by md5(text))
+        select r.doc_id, r.text, r.lang, r.source, r.n_chars,
+          cast(${duckRound("r.q", 4)} as decimal(10,4)) as quality_score,
+          cast(${duckRound("r.rep", 4)} as decimal(10,4)) as repetition_ratio,
+          r.lang_guess, r.n_tokens
+        from red r join keep k on r.doc_id = k.doc_id
+        order by r.doc_id""")
+    ),
+    "q_ann_ivf" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val (centroids, assigned) =
+          graft.similarity.Ivf.build(e, "vec_id", "embedding", k = 16, iters = 2)
+        val query = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble).toSeq
+        graft.similarity.Ivf
+          .search(assigned, centroids, "vec_id", "embedding", query, k = 10,
+            nprobe = 4)
+          .select(
+            col("vec_id"),
+            roundHalfUp(col("cos_sim"), 6).cast("decimal(12,6)").as("cos_sim")
+          )
+      },
+      None // k-means index; recall vs brute force asserted in IvfCorpusSpec
+    )
+  )
+
   // ---- multimodal --------------------------------------------------------
 
   val multimodalQueries: ListMap[String, Q] = ListMap(
@@ -471,5 +566,6 @@ object ExtensionQueries {
   )
 
   val all: ListMap[String, Q] =
-    textQueries ++ dedupQueries ++ similarityQueries ++ multimodalQueries
+    textQueries ++ dedupQueries ++ similarityQueries ++ corpusQueries ++
+      multimodalQueries
 }

@@ -1,0 +1,111 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) index for approximate nearest-neighbor search — the
+  * partition-based alternative to SRP-LSH ([[Similarity]]).
+  *
+  * Build: deterministic Lloyd's k-means entirely in DataFrame ops (no UDFs,
+  * no driver-side math): assignment is a broadcast cross-join + window
+  * argmin; the centroid update is posexplode -> groupBy (cluster, dim) avg
+  * -> array_agg reassembly. Seeds are the first k vectors by id, so the
+  * index is reproducible.
+  *
+  * Search: probe only the `nprobe` nearest centroids (broadcast compare),
+  * then exact cosine inside those clusters — the classic recall/cost dial.
+  * At 100 TB the corpus is hash-partitioned by cluster id so one probe
+  * touches 1/k of the data.
+  */
+object Ivf {
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** Assign each vector to its nearest centroid. Expects `centroids` to be
+    * small (broadcast): (centroid_id, centroid: array<double>).
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col(idCol))
+      .orderBy(col("_dist"), col("centroid_id"))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("_dist", sqDist(col(vecCol), col("centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "centroid")
+  }
+
+  /** Recompute centroids as per-dimension means of their members. */
+  def updateCentroids(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(avg(col("v").cast("double")).as("mean"))
+      .groupBy(col("centroid_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("mean")))),
+          s => s.getField("mean")
+        ).as("centroid")
+      )
+
+  /** Build the index: returns (centroids, assignments). */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 3
+  ): (DataFrame, DataFrame) = {
+    var centroids = df
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(
+        (row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid")
+      )
+    var assigned: DataFrame = null
+    (0 until iters).foreach { _ =>
+      assigned = assign(df, idCol, vecCol, centroids).cache()
+      centroids = updateCentroids(assigned, vecCol).cache()
+    }
+    (centroids, assign(df, idCol, vecCol, centroids))
+  }
+
+  /** ANN search: exact cosine within the `nprobe` clusters nearest to the
+    * query vector.
+    */
+  def search(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val q = typedLit(query)
+    val probes = centroids
+      .withColumn("_dist", sqDist(col("centroid"), q))
+      .orderBy(col("_dist"), col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    assigned
+      .join(broadcast(probes), "centroid_id")
+      .select(
+        col(idCol),
+        Similarity.cosine(col(vecCol), q).as("cos_sim")
+      )
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

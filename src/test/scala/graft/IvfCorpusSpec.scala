@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Ivf, Similarity}
+import graft.text.CorpusPipeline
+
+/** IVF ANN index + corpus-preparation pipeline specs. */
+class IvfCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF: build is deterministic, search recall covers brute-force top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val (centroids, assigned) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(centroids.count() == 8)
+    assert(assigned.count() == emb.count())
+    // deterministic rebuild
+    val (c2, _) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val sig1 = centroids.select(col("centroid_id"), col("centroid")(0)).orderBy("centroid_id").collect().toSeq
+    val sig2 = c2.select(col("centroid_id"), col("centroid")(0)).orderBy("centroid_id").collect().toSeq
+    assert(sig1 == sig2)
+
+    val query = emb.filter($"vec_id" === 7).select($"embedding").as[Seq[Float]].head().map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ivf.search(assigned, centroids, "vec_id", "embedding", query, k = 5, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    // half the clusters probed -> should recover most of the true top-5
+    assert((exact & approx).size >= 3)
+    // probing all clusters == exact
+    val full = Ivf.search(assigned, centroids, "vec_id", "embedding", query, k = 5, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+  }
+
+  test("corpus pipeline gates quality/repetition/language, redacts, dedups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the house of a friend in the morning to see the river"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs to the house of a friend in the morning to see the river"), // exact dup
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam"), // repetitive
+      (4L, "le chat de la maison et les chiens de la ville sont dans le jardin de la mairie avec les enfants du village"), // french
+      (5L, "contact the mayor at jean.dupont@mairie.fr for the meeting of the council in the town hall about the new plan of the city")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(docs).cache()
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 5L)) // 2 deduped, 3 repetitive, 4 non-en
+    val redacted = out.filter($"doc_id" === 5).select("text").as[String].head()
+    assert(redacted.contains("[EMAIL]") && !redacted.contains("@mairie.fr"))
+    assert(out.columns.contains("quality_score") && out.columns.contains("lang_guess"))
+  }
+
+  test("corpus pipeline near-dup stage drops clustered near-duplicates") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today in the morning sun with the birds"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("today", "yesterday")),
+      (3L, "the completely different article talks about the spark engine and the catalyst optimizer in the cluster of the lab")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(docs,
+      cfg = CorpusPipeline.Config(nearDupJaccard = Some(0.5)))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+}
