@@ -482,13 +482,16 @@ object ExtensionQueries {
           from scored
           where q >= 0.5 and rep <= 0.3 and lang_guess in ('en')
         ),
-        keep as (select min(doc_id) as doc_id from red group by md5(text))
-        select r.doc_id, r.text, r.lang, r.source, r.n_chars,
-          cast(${duckRound("r.q", 4)} as decimal(10,4)) as quality_score,
-          cast(${duckRound("r.rep", 4)} as decimal(10,4)) as repetition_ratio,
-          r.lang_guess, r.n_tokens
-        from red r join keep k on r.doc_id = k.doc_id
-        order by r.doc_id""")
+        deduped as (
+          select * from red
+          qualify row_number() over (partition by md5(text) order by doc_id) = 1
+        )
+        select doc_id, text, lang, source, n_chars,
+          cast(${duckRound("q", 4)} as decimal(10,4)) as quality_score,
+          cast(${duckRound("rep", 4)} as decimal(10,4)) as repetition_ratio,
+          lang_guess, n_tokens
+        from deduped
+        order by doc_id""")
     ),
     "q_ann_ivf" -> Q(
       (s, dir) => {

@@ -29,10 +29,12 @@ object CorpusPipeline {
       cfg: Config = Config()
   ): DataFrame = {
     val scored = docs
-      .withColumn("quality_score", TextAnalysis.qualityScore(col(textCol)))
-      .withColumn("repetition_ratio", TextAnalysis.repetitionRatio(col(textCol)))
-      .withColumn("lang_guess", TextAnalysis.langId(col(textCol)))
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("quality_score", TextAnalysis.qualityScoreOf(col(textCol), col("_toks")))
+      .withColumn("repetition_ratio", TextAnalysis.repetitionRatioOf(col("_toks")))
+      .withColumn("lang_guess", TextAnalysis.langIdOf(col(textCol), col("_toks")))
+      .withColumn("n_tokens", TextAnalysis.tokenCountOf(col("_toks")))
+      .drop("_toks")
 
     val gated = scored.filter(
       col("quality_score") >= cfg.minQuality &&
@@ -42,11 +44,15 @@ object CorpusPipeline {
 
     val redacted = gated.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
-    // exact dedup: keep the min-id representative per distinct content
-    val keep = Dedup
-      .exactDedup(redacted, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val exactDeduped = redacted.join(keep, idCol)
+    // exact dedup: keep the min-id representative per distinct content.
+    // Window-ranked (one shuffle keyed by content hash) instead of
+    // groupBy+self-join, which would compute the scored frame twice.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    val exactDeduped = redacted
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
 
     cfg.nearDupJaccard match {
       case None => exactDeduped

@@ -19,6 +19,55 @@ object TextAnalysis {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  // ---- token-column variants ----------------------------------------------
+  // For pipelines computing several text signals per row: tokenize once into
+  // a column and reuse it (a multi-referenced split() stays a separate
+  // projection, so the tokenization runs once per row instead of per signal).
+
+  def tokenCountOf(t: Column): Column = size(t)
+
+  def stopwordCountOf(t: Column, stopwords: Seq[String]): Column =
+    size(filter(t, x => x.isin(stopwords: _*)))
+
+  def meanTokenLengthOf(t: Column): Column = {
+    val n = size(t)
+    when(n > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / n.cast("double")
+    ).otherwise(lit(0.0))
+  }
+
+  def qualityScoreOf(c: Column, t: Column): Column = {
+    val n         = size(t).cast("double")
+    val lenScore  = least(n / lit(64.0), lit(1.0))
+    val stopRatio = stopwordCountOf(t, stopwordsEn).cast("double") / greatest(n, lit(1.0))
+    val stopScore = least(stopRatio * lit(8.0), lit(1.0))
+    val punctPen  = greatest(lit(1.0) - punctRatio(c) * lit(4.0), lit(0.0))
+    val mtl       = meanTokenLengthOf(t)
+    val mtlScore  = when(mtl.between(3.0, 9.0), lit(1.0)).otherwise(lit(0.5))
+    (lenScore * lit(0.3) + stopScore * lit(0.3) + punctPen * lit(0.2) + mtlScore * lit(0.2))
+  }
+
+  def langIdOf(c: Column, t: Column): Column = {
+    def hits(sw: Seq[String]) = size(filter(t, x => lower(x).isin(sw: _*)))
+    val en = hits(stopwordsEn); val fr = hits(stopwordsFr)
+    val de = hits(stopwordsDe); val es = hits(stopwordsEs)
+    val best = greatest(en, fr, de, es)
+    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(best === 0, "unknown")
+      .when(en === best, "en")
+      .when(fr === best, "fr")
+      .when(de === best, "de")
+      .otherwise("es")
+  }
+
+  def repetitionRatioOf(t: Column, k: Int = 3): Column = {
+    val sh = graft.dedup.WordShinglesExpr.wordShingles(t, k)
+    val n  = size(sh)
+    when(n > 0,
+      (n - size(array_distinct(sh))).cast("double") / n.cast("double")
+    ).otherwise(lit(0.0))
+  }
+
   /** BPE-ish subword count: runs of letters, runs of digits, or single
     * non-alphanumeric symbols — the classic pre-tokenizer regex shape.
     */
@@ -34,7 +83,7 @@ object TextAnalysis {
   val stopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "los", "que", "un", "en")
 
   def stopwordCount(c: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isin(stopwords: _*)))
+    stopwordCountOf(tokens(c), stopwords)
 
   /** Ratio of non-alphanumeric, non-space chars to total length. */
   def punctRatio(c: Column): Column =
@@ -45,56 +94,25 @@ object TextAnalysis {
   /** Mean token length — long-token gibberish and short-token noise both
     * deviate from natural-language ~4-6.
     */
-  def meanTokenLength(c: Column): Column = {
-    val n = tokenCount(c)
-    when(n > 0,
-      aggregate(tokens(c), lit(0L), (acc, t) => acc + length(t)).cast("double") / n.cast("double")
-    ).otherwise(lit(0.0))
-  }
+  def meanTokenLength(c: Column): Column = meanTokenLengthOf(tokens(c))
 
   /** Heuristic document quality score in [0,1]: length sweet-spot, low punct
     * noise, some stopword mass (fluent prose), sane mean token length.
     * Deterministic arithmetic only.
     */
-  def qualityScore(c: Column): Column = {
-    val n         = tokenCount(c).cast("double")
-    val lenScore  = least(n / lit(64.0), lit(1.0))
-    val stopRatio = stopwordCount(c, stopwordsEn).cast("double") / greatest(n, lit(1.0))
-    val stopScore = least(stopRatio * lit(8.0), lit(1.0))
-    val punctPen  = greatest(lit(1.0) - punctRatio(c) * lit(4.0), lit(0.0))
-    val mtl       = meanTokenLength(c)
-    val mtlScore  = when(mtl.between(3.0, 9.0), lit(1.0)).otherwise(lit(0.5))
-    (lenScore * lit(0.3) + stopScore * lit(0.3) + punctPen * lit(0.2) + mtlScore * lit(0.2))
-  }
+  def qualityScore(c: Column): Column = qualityScoreOf(c, tokens(c))
 
   /** n-gram/stopword language ID over {en,fr,de,es} + CJK detection.
     * Ties break in fixed order (en > fr > de > es), unknown when no signal.
     */
-  def langId(c: Column): Column = {
-    val t  = tokens(c)
-    def hits(sw: Seq[String]) = size(filter(t, x => lower(x).isin(sw: _*)))
-    val en = hits(stopwordsEn); val fr = hits(stopwordsFr)
-    val de = hits(stopwordsDe); val es = hits(stopwordsEs)
-    val best = greatest(en, fr, de, es)
-    when(c.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
-      .when(best === 0, "unknown")
-      .when(en === best, "en")
-      .when(fr === best, "fr")
-      .when(de === best, "de")
-      .otherwise("es")
-  }
+  def langId(c: Column): Column = langIdOf(c, tokens(c))
 
   /** Gopher-style repetition signal: fraction of k-shingles that are
     * duplicates within the document (0 = all distinct, →1 = highly
     * repetitive boilerplate). Pure expression over the native shingler.
     */
-  def repetitionRatio(c: Column, k: Int = 3): Column = {
-    val sh = graft.dedup.WordShinglesExpr.wordShingles(tokens(c), k)
-    val n  = size(sh)
-    when(n > 0,
-      (n - size(array_distinct(sh))).cast("double") / n.cast("double")
-    ).otherwise(lit(0.0))
-  }
+  def repetitionRatio(c: Column, k: Int = 3): Column =
+    repetitionRatioOf(tokens(c), k)
 
   /** In-text PII redaction for corpora cleaning: replaces emails and
     * FR-shaped phone numbers with placeholder tags. RE2-compatible patterns
