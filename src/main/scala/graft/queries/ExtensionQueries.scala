@@ -36,6 +36,31 @@ object ExtensionQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
+  /** Shared CTE computing 16-hash MinHash signatures + 4 band hashes
+    * (3-word shingles) in DuckDB.
+    */
+  private val duckMinhashCte: String = {
+    val mins = (0 until 16)
+      .map(h => s"list_min(list_transform(sh, x -> md5(x || '#$h')))")
+      .mkString(", ")
+    val bandExprs = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"m[${b * 4 + r + 1}]").mkString(", ")
+      s"md5(concat_ws('|', $parts)) as band_$b"
+    }.mkString(", ")
+    s"""
+    with t as (select doc_id, text, $duckTokens as toks from documents),
+    shingled as (
+      select doc_id,
+        list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')) as sh
+      from t
+    ),
+    sigs as (select doc_id, [$mins] as m from shingled),
+    bands as (select doc_id, $bandExprs from sigs)
+    """
+  }
+
+
   // ---- text analysis -----------------------------------------------------
 
   val textQueries: ListMap[String, Q] = ListMap(
@@ -191,7 +216,31 @@ object ExtensionQueries {
             Dedup.minhashCandidatePairs(docs(s, dir), "doc_id", "text",
               maxBucket = Some(64)))
           .orderBy("id"),
-      None // iterative fixpoint; verified against pair structure in specs
+      Some(
+        // Same pair generation (incl. the 64-cap via QUALIFY), then the
+        // min-reachable-id label via a recursive transitive closure.
+        duckMinhashCte.replaceFirst("with ", "with recursive ") + """,
+        e as (
+          select doc_id, band, hash from bands
+          unpivot (hash for band in (band_0, band_1, band_2, band_3))
+          qualify row_number() over (partition by band, hash order by doc_id) <= 64
+        ),
+        pairs as (
+          select distinct l.doc_id as a, r.doc_id as b
+          from e l join e r on l.band = r.band and l.hash = r.hash and l.doc_id < r.doc_id
+        ),
+        edges as (
+          select a as src, b as dst from pairs
+          union
+          select b, a from pairs
+        ),
+        reach(src, dst) as (
+          select src, dst from edges
+          union
+          select r.src, e.dst from reach r join edges e on r.dst = e.src
+        )
+        select src as id, least(src, min(dst)) as label
+        from reach group by src order by id""")
     ),
     "q_fingerprint" -> Q(
       (s, dir) =>
@@ -214,30 +263,6 @@ object ExtensionQueries {
   )
 
   // ---- dedup -------------------------------------------------------------
-
-  /** Shared CTE computing 16-hash MinHash signatures + 4 band hashes
-    * (3-word shingles) in DuckDB.
-    */
-  private val duckMinhashCte: String = {
-    val mins = (0 until 16)
-      .map(h => s"list_min(list_transform(sh, x -> md5(x || '#$h')))")
-      .mkString(", ")
-    val bandExprs = (0 until 4).map { b =>
-      val parts = (0 until 4).map(r => s"m[${b * 4 + r + 1}]").mkString(", ")
-      s"md5(concat_ws('|', $parts)) as band_$b"
-    }.mkString(", ")
-    s"""
-    with t as (select doc_id, text, $duckTokens as toks from documents),
-    shingled as (
-      select doc_id,
-        list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
-                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')) as sh
-      from t
-    ),
-    sigs as (select doc_id, [$mins] as m from shingled),
-    bands as (select doc_id, $bandExprs from sigs)
-    """
-  }
 
   val dedupQueries: ListMap[String, Q] = ListMap(
     "q_dedup_exact" -> Q(
@@ -411,7 +436,51 @@ object ExtensionQueries {
           .annTopKGraph(emb(s, dir), "vec_id", "embedding", k = 5,
             bits = 24, bands = 2)
           .orderBy("src", "rank"),
-      None // approximate kNN graph; verified vs brute force in unit tests
+      Some {
+        // Full SRP pipeline reproduced with the same literal hyperplanes:
+        // signature bits -> 2x12-bit band keys -> band self-join -> cosine
+        // -> per-source rank. Dot products are identical left folds, so the
+        // raw doubles compare bit-for-bit.
+        val planes = Similarity.hyperplanes(24, 64)
+        val bitExprs = planes.zipWithIndex.map { case (p, h) =>
+          val lits = p.mkString("[", ", ", "]")
+          s"(case when ${duckDot("embedding", lits)} > 0 then ${1L << h} else 0 end)"
+        }.mkString(" + ")
+        def cos(a: String, b: String) =
+          s"case when sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}) > 0 " +
+            s"then ${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})) " +
+            "else 0.0 end"
+        s"""
+        with sig as (
+          select vec_id, embedding, cast($bitExprs as bigint) as sig from embeddings
+        ),
+        blocks as (
+          select vec_id, embedding, b.band, (sig >> (b.band * 12)) & 4095 as key
+          from sig, (values (0), (1)) b(band)
+        ),
+        cand as (
+          select distinct l.vec_id as id_a, r.vec_id as id_b
+          from blocks l join blocks r
+            on l.band = r.band and l.key = r.key and l.vec_id < r.vec_id
+        ),
+        scored as (
+          select c.id_a, c.id_b, ${cos("ea.embedding", "eb.embedding")} as cos_sim
+          from cand c
+          join embeddings ea on c.id_a = ea.vec_id
+          join embeddings eb on c.id_b = eb.vec_id
+        ),
+        sym as (
+          select id_a as src, id_b as dst, cos_sim from scored
+          union all
+          select id_b, id_a, cos_sim from scored
+        )
+        select src, dst, cos_sim, rank from (
+          select src, dst, cos_sim,
+            cast(row_number() over (partition by src order by cos_sim desc, dst) as int) as rank
+          from sym
+        ) r where rank <= 5
+        order by src, rank"""
+      }
     )
   )
 
