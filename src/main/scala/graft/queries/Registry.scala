@@ -506,6 +506,54 @@ object Registry {
         group by 1, 2
         order by 1, 2""")
     ),
+    "q_rollup_agg" -> Q(
+      (s, dir) =>
+        Tables
+          .read(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("sum_qty")
+          )
+          .orderBy(
+            col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first
+          ),
+      Some("""
+        select l_returnflag, l_linestatus, count(*) as n,
+          cast(sum(cast(l_quantity as decimal(18,2))) as decimal(38,2)) as sum_qty
+        from lineitem
+        group by rollup(l_returnflag, l_linestatus)
+        order by l_returnflag asc nulls first, l_linestatus asc nulls first""")
+    ),
+    "q_set_ops" -> Q(
+      (s, dir) => {
+        val custNations  = Tables.read(s, dir, "customer")
+          .select(col("c_nationkey").as("nationkey")).distinct()
+        val suppNations  = Tables.read(s, dir, "supplier")
+          .select(col("s_nationkey").as("nationkey")).distinct()
+        val both    = custNations.intersect(suppNations)
+          .select(lit("both").as("side"), col("nationkey"))
+        val custOnly = custNations.except(suppNations)
+          .select(lit("customer_only").as("side"), col("nationkey"))
+        both.unionAll(custOnly).orderBy("side", "nationkey")
+      },
+      Some("""
+        select * from (
+          select 'both' as side, nationkey from (
+            select distinct c_nationkey as nationkey from customer
+            intersect
+            select distinct s_nationkey from supplier
+          ) a
+          union all
+          select 'customer_only', nationkey from (
+            select distinct c_nationkey as nationkey from customer
+            except
+            select distinct s_nationkey from supplier
+          ) b
+        ) u order by side, nationkey""")
+    ),
     "q_snapshot_scd2" -> Q(
       (s, dir) => {
         val src = Tables
