@@ -165,6 +165,7 @@ object Dedup {
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .cache()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -176,10 +177,12 @@ object Dedup {
         .groupBy("id")
         .agg(min("label").as("label"))
         .cache()
+      next.count() // fully materialize before dropping the parent cache
       converged = next.as("n")
         .join(labels.as("p"), col("n.id") === col("p.id"))
         .filter(col("n.label") =!= col("p.label"))
         .isEmpty
+      labels.unpersist() // superseded iteration state
       labels = next
       i += 1
     }
