@@ -91,6 +91,47 @@ class StreamingSpec extends SparkSpec {
     assert(batch(1).getAs[Long]("n_events") == 1)
   }
 
+  test("property: streaming sessionize == batch twin on randomized event streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    val events = (1 to 300).map { i =>
+      val user = 1L + rnd.nextInt(8)
+      val t = Timestamp.valueOf(f"2024-01-01 ${rnd.nextInt(20)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d")
+      Event(i.toLong, t, user, "e", rnd.nextInt(100).toDouble)
+    }
+    val gap = 15 * 60 * 1000L
+
+    val input = MemoryStream[Event]
+    val q = StreamingPipeline
+      .sessionize(input.toDS(), gapMs = gap, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("rand_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    // sentinel far in the future closes every open session via timeout
+    input.addData(Event(9999L, Timestamp.valueOf("2024-02-01 00:00:00"), 999L, "x", 0.0))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("rand_sessions").as[Session].collect()
+      .filter(_.user_id != 999L)
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime, s.n_events, s.total_value))
+      .toSet
+
+    val batch = StreamingPipeline
+      .sessionizeBatch(events.toDF(), gapMs = gap)
+      .collect()
+      .map(r => (
+        r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").getTime,
+        r.getAs[Timestamp]("session_end").getTime,
+        r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")
+      ))
+      .toSet
+
+    assert(streamed == batch)
+  }
+
   test("PII-leak linter blocks raw PII columns, passes masked plans") {
     import graft.plans.PiiLeakLinter
     val linter = new graft.plans.PiiLeakLinter(PolicyCatalog.reference)
