@@ -41,11 +41,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    SimHash64.eval(arr)
+    SimHash64.compute(arr)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.dedup.SimHash64.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.dedup.SimHash64.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -63,7 +63,7 @@ object SimHash64 {
   private final val Seed2 = 0x85ebca6b
 
   /** Shared by interpreted eval and generated code. */
-  def eval(arr: ArrayData): Long = {
+  def compute(arr: ArrayData): Long = {
     val counters = new Array[Int](64)
     val n = arr.numElements()
     var i = 0

@@ -29,10 +29,10 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    WordShinglesExpr.eval(input.asInstanceOf[ArrayData], k)
+    WordShinglesExpr.compute(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.dedup.WordShinglesExpr.eval($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.dedup.WordShinglesExpr.compute($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)
@@ -49,7 +49,7 @@ object WordShinglesExpr {
     * shingle over whatever tokens exist ('' for empty). `concat_ws`
     * null-skipping is preserved via UTF8String.concatWs.
     */
-  def eval(tokens: ArrayData, k: Int): ArrayData = {
+  def compute(tokens: ArrayData, k: Int): ArrayData = {
     val n = tokens.numElements()
     val nShingles = math.max(n - k + 1, 1)
     val out = new Array[Any](nShingles)

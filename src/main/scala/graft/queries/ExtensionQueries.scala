@@ -40,8 +40,11 @@ object ExtensionQueries {
     * (3-word shingles) in DuckDB.
     */
   private val duckMinhashCte: String = {
+    // Signature elements are 60-bit longs: the first 15 hex chars of the
+    // md5 digest (Spark: conv(substr(md5, 1, 15), 16, 10) — see
+    // Dedup.minhashHash); long mins keep Spark in HashAggregateExec.
     val mins = (0 until 16)
-      .map(h => s"list_min(list_transform(sh, x -> md5(x || '#$h')))")
+      .map(h => s"list_min(list_transform(sh, x -> cast('0x' || substr(md5(x || '#$h'), 1, 15) as bigint)))")
       .mkString(", ")
     val bandExprs = (0 until 4).map { b =>
       val parts = (0 until 4).map(r => s"m[${b * 4 + r + 1}]").mkString(", ")

@@ -6,8 +6,21 @@ import org.apache.spark.sql.functions._
 /** Readers for the driver test tables (`/root/testdata/sf*`; TESTDATA.md). */
 object Tables {
 
+  /** Resolved-relation memo: `spark.read.parquet` lists files and reads
+    * footers for schema inference on every call, which dominates the fixed
+    * per-query cost when one session runs the whole 46-query registry
+    * (Verify/Bench). Logical plans are immutable, so handing back the same
+    * analyzed DataFrame is safe; keyed by session so stopped test sessions
+    * never leak into new ones.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent(
+      (spark, s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2)
+    )
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
     * reader rejects; read nanos as long and convert to a microsecond
@@ -22,8 +35,12 @@ object Tables {
   /** Registers the synthesized GDPR-services view derived from `customer`
     * and returns it (see [[ServicesSynth]]).
     */
-  def services(spark: SparkSession, dir: String): DataFrame = {
-    read(spark, dir, "customer").createOrReplaceTempView("customer")
-    spark.sql(ServicesSynth.sql)
-  }
+  def services(spark: SparkSession, dir: String): DataFrame =
+    cache.computeIfAbsent(
+      (spark, s"$dir#services"),
+      _ => {
+        read(spark, dir, "customer").createOrReplaceTempView("customer")
+        spark.sql(ServicesSynth.sql)
+      }
+    )
 }

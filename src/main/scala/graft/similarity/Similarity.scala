@@ -3,7 +3,6 @@ package graft.similarity
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`):
@@ -110,7 +109,10 @@ object Similarity {
   }
 
   /** k nearest neighbors for every vector among SRP candidates (approximate
-    * kNN graph): candidates -> window top-k per source id.
+    * kNN graph): candidates -> bounded-heap top-k per source id
+    * ([[TopKByScore]], an `ObjectHashAggregateExec` with map-side partial
+    * top-k — each partition forwards at most k pairs per source, vs the
+    * window-function form that shuffles and sorts every candidate edge).
     */
   def annTopKGraph(
       df: DataFrame,
@@ -125,11 +127,11 @@ object Similarity {
     val sym = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("cos_sim"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos_sim")))
-    val w = Window.partitionBy(col("src")).orderBy(col("cos_sim").desc, col("dst"))
     sym
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("src"), col("dst"), col("cos_sim"), col("rank"))
+      .groupBy(col("src"))
+      .agg(TopKByScore.topK(col("dst"), col("cos_sim"), k).as("nbrs"))
+      .select(col("src"), inline(col("nbrs")))
+      .select(col("src"), col("dst"), col("score").as("cos_sim"), col("rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs (the dedup flavor): SRP

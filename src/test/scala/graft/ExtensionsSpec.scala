@@ -255,4 +255,55 @@ class ExtensionsSpec extends SparkSpec {
     val rs = Multimodal.resizeMeta(media, maxSide = 100)
     assert(rs.filter($"resized_width" > 100 || $"resized_height" > 100).count() == 0)
   }
+
+  // ---- codegen + custom aggregate ----------------------------------------
+
+  test("custom expressions really compile under CODEGEN_ONLY (no fallback)") {
+    // A same-name member on the case class suppresses the companion's static
+    // forwarder, which once broke the generated `Expr.compute(...)` call and
+    // silently fell back to interpreted eval — force codegen so a
+    // regression fails loudly instead of running 10x slower.
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+      val row = df
+        .select(
+          Dedup.wordShingles($"t", 3).as("sh"),
+          Dedup.simhash(TextAnalysis.tokens($"t")).as("sig")
+        )
+        .head()
+      assert(row.getSeq[String](0).head == "the quick brown")
+      assert(row.getLong(1) != 0L)
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
+  test("TopKByScore equals the window-function top-k, map-side bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map { i =>
+      (i.toLong % 13, i.toLong, math.floor(rnd.nextDouble() * 100) / 100)
+    }
+    val df = rows.toDF("src", "dst", "score").repartition(8)
+    val viaAgg = df
+      .groupBy($"src")
+      .agg(graft.similarity.TopKByScore.topK($"dst", $"score", 5).as("nbrs"))
+      .select($"src", inline($"nbrs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val w = Window.partitionBy($"src").orderBy($"score".desc, $"dst")
+    val viaWindow = df
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"src", $"dst", $"score", $"rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 13 * 5)
+  }
 }
