@@ -17,10 +17,12 @@ import graft.text.TextAnalysis
   *
   * Oracle strategy: DuckDB's list lambdas (`list_transform`, `list_filter`,
   * `list_reduce`, `list_min`) reproduce Spark's higher-order functions with
-  * identical left-fold order, so even MinHash signatures, rolling hashes and
-  * cosine similarities are oracle-checked bit-for-bit (doubles) or at fixed
-  * decimal precision (trig/ratio outputs). Non-SQL-expressible ops (SimHash
-  * murmur3, stub media decode) ship without oracle -> rows-only check.
+  * identical left-fold order, so even MinHash signatures, rolling hashes,
+  * cosine similarities, the murmur3-lane SimHash and the stub media-decode
+  * features are oracle-checked bit-for-bit (doubles/float32/longs) or at
+  * fixed decimal precision (trig/ratio outputs). Only the k-means IVF index
+  * ships without an oracle (iterative/centroid-seeded; recall asserted in
+  * IvfCorpusSpec instead).
   */
 object ExtensionQueries {
 
@@ -40,11 +42,15 @@ object ExtensionQueries {
     * (3-word shingles) in DuckDB.
     */
   private val duckMinhashCte: String = {
-    // Signature elements are 60-bit longs: the first 15 hex chars of the
-    // md5 digest (Spark: conv(substr(md5, 1, 15), 16, 10) — see
-    // Dedup.minhashHash); long mins keep Spark in HashAggregateExec.
+    // One-hash MinHash family (Dedup.minhashBase/minhashHash): a single
+    // 32-bit md5-prefix base hash per shingle, signature element i =
+    // (a_i * h0 + b_i) mod 2^32 with the coefficients shared from
+    // Dedup.minhashCoeffs — bigint-safe in both engines.
     val mins = (0 until 16)
-      .map(h => s"list_min(list_transform(sh, x -> cast('0x' || substr(md5(x || '#$h'), 1, 15) as bigint)))")
+      .map { h =>
+        val (a, b) = graft.dedup.Dedup.minhashCoeffs(h)
+        s"list_min(list_transform(h0s, x -> ($a * x + $b) % 4294967296))"
+      }
       .mkString(", ")
     val bandExprs = (0 until 4).map { b =>
       val parts = (0 until 4).map(r => s"m[${b * 4 + r + 1}]").mkString(", ")
@@ -58,11 +64,96 @@ object ExtensionQueries {
                        i -> array_to_string(list_slice(toks, i, i + 2), ' ')) as sh
       from t
     ),
-    sigs as (select doc_id, [$mins] as m from shingled),
+    based as (
+      select doc_id,
+        list_transform(sh, x -> cast('0x' || substr(md5(x), 1, 8) as bigint)) as h0s
+      from shingled
+    ),
+    sigs as (select doc_id, [$mins] as m from based),
     bands as (select doc_id, $bandExprs from sigs)
     """
   }
 
+
+  /** DuckDB twin of [[graft.dedup.SimHash64]]: Spark's Murmur3_x86_32
+    * (two lanes, seeds 0x9747b28c / 0x85ebca6b) re-expressed as pure SQL —
+    * UTF-8 bytes via `hex(encode(tok))`, 4-byte little-endian words +
+    * sign-extended tail bytes, the murmur mix as an inlined `list_reduce`
+    * lambda over mod-2^32 HUGEINT arithmetic, finalization (fmix) staged in
+    * CTEs, and the 64 per-bit majority counters as grouped aggregates.
+    * Validated bit-for-bit against the Spark output on sf0.001.
+    */
+  private val duckSimhashSql: String = {
+    val S1 = 0x9747b28cL
+    val S2 = 0x85ebca6bL
+    def mixk1(w: String): String = {
+      val a = s"((($w)::hugeint * 3432918353) % 4294967296)"
+      val rot = s"((($a * 32768) % 4294967296) + ($a // 131072))"
+      s"((($rot) * 461845907) % 4294967296)"
+    }
+    def mixh1(h: String, k: String): String = {
+      val x = s"xor(($h)::bigint, ($k)::bigint)"
+      val rot = s"(((($x)::hugeint * 8192) % 4294967296) + (($x) // 524288))"
+      s"(((($rot) * 5 + 3864292196) % 4294967296)::bigint)"
+    }
+    val lambda = mixh1("h", mixk1("w"))
+    def fmix(h: String): String = {
+      val s1 = s"xor(($h)::bigint, (($h) // 65536)::bigint)"
+      val s2 = s"(((($s1)::hugeint * 2246822507) % 4294967296)::bigint)"
+      val s3 = s"xor($s2, ($s2 // 8192))"
+      val s4 = s"(((($s3)::hugeint * 3266489909) % 4294967296)::bigint)"
+      s"xor($s4, ($s4 // 65536))"
+    }
+    val bitSums = (0 until 64).map { j =>
+      val p = 1L << j
+      val pu = java.lang.Long.toUnsignedString(p)
+      s"(case when sum(case when (h // ${pu}::hugeint) % 2 = 1 then 1 else -1 end) > 0 then ${pu}::hugeint else 0::hugeint end)"
+    }.mkString(" + ")
+    s"""
+    with toks as (
+      select doc_id, unnest($duckTokens) as tok from documents
+    ),
+    b as (
+      select doc_id, tok, hex(encode(tok)) as hx, octet_length(encode(tok)) as n from toks
+    ),
+    bytes as (
+      select doc_id, n,
+        list_transform(range(1, n + 1), i -> cast('0x' || substr(hx, (2*i-1)::int, 2) as bigint)) as bs
+      from b
+    ),
+    words as (
+      select doc_id, n,
+        list_transform(range(1, n // 4 + 1), i ->
+          bs[(4*i-3)::int] + 256*bs[(4*i-2)::int] + 65536*bs[(4*i-1)::int] + 16777216*bs[(4*i)::int])
+        || list_transform(range(n - n % 4 + 1, n + 1), i ->
+          case when bs[i::int] >= 128 then 4294967296 - 256 + bs[i::int] else bs[i::int] end) as ws
+      from bytes
+    ),
+    folded as (
+      select doc_id, n,
+        xor(list_reduce(list_prepend($S1::bigint, ws), (h, w) -> $lambda), n::bigint) as flo,
+        xor(list_reduce(list_prepend($S2::bigint, ws), (h, w) -> $lambda), n::bigint) as fhi
+      from words
+    ),
+    hashes as (
+      select doc_id,
+        (${fmix("fhi")})::hugeint * 4294967296 + (${fmix("flo")})::hugeint as h
+      from folded
+    ),
+    sig as (
+      select doc_id, $bitSums as u from hashes group by doc_id
+    )
+    select d.doc_id,
+      coalesce(case when s.u >= 9223372036854775808::hugeint
+                    then (s.u - 18446744073709551616::hugeint)::bigint
+                    else s.u::bigint end, 0) as simhash,
+      cast(bit_count(coalesce(case when s.u >= 9223372036854775808::hugeint
+                    then (s.u - 18446744073709551616::hugeint)::bigint
+                    else s.u::bigint end, 0)) as int) as popcount
+    from documents d
+    left join sig s using (doc_id)
+    order by d.doc_id"""
+  }
 
   // ---- text analysis -----------------------------------------------------
 
@@ -357,7 +448,7 @@ object ExtensionQueries {
               .as("popcount")
           )
           .orderBy("doc_id"),
-      None // murmur3-based; not DuckDB-expressible -> rows-only check
+      Some(duckSimhashSql)
     )
   )
 
@@ -636,7 +727,35 @@ object ExtensionQueries {
           .select(col("media_id"), col("kind"), col("n_bytes"),
             col("features"))
           .orderBy("media_id"),
-      None // stub decoder (JVM-side deterministic fake) -> rows-only check
+      // The stub decoder's FNV-ish byte fold + per-lane multiply is plain
+      // wraparound integer arithmetic — reproduced in DuckDB as mod-2^64
+      // HUGEINT ops over the md5 payload bytes, features compared as
+      // float32 bit-for-bit.
+      Some("""
+        with m as (
+          select doc_id as media_id,
+            (['image','audio','video'])[cast(doc_id % 3 + 1 as int)] as kind,
+            md5(text) as hx
+          from documents
+        ),
+        bytes as (
+          select media_id, kind,
+            list_transform(range(1, 17), i ->
+              case when cast('0x' || substr(hx, (2*i-1)::int, 2) as bigint) >= 128
+                   then cast('0x' || substr(hx, (2*i-1)::int, 2) as bigint) - 256
+                   else cast('0x' || substr(hx, (2*i-1)::int, 2) as bigint) end) as sbs
+          from m
+        ),
+        h as (
+          select media_id, kind,
+            list_reduce(list_prepend(1125899906842597::hugeint, sbs),
+              (acc, b) -> (acc * 31 + b + 18446744073709551616) % 18446744073709551616) as hu
+          from bytes
+        )
+        select media_id, kind, cast(16 as int) as n_bytes,
+          list_transform(range(0, 8), j ->
+            (((((hu * (j*2654435761 + 1)) % 18446744073709551616) // 1099511627776) % 1000) / 1000.0)::real) as features
+        from h order by media_id""")
     )
   )
 
