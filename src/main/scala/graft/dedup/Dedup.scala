@@ -210,21 +210,26 @@ object Dedup {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
+      // One shuffle + ONE action per round: the same aggregation computes
+      // the new label and carries the previous one, so the convergence
+      // check is a count on the cached result instead of a second join.
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      val next = labels
+        .select(edges("src").as("id"), col("label"), lit(false).as("is_cur"))
+      val nextFull = labels
+        .select(col("id"), col("label"), lit(true).as("is_cur"))
         .unionAll(viaNeighbors)
         .groupBy("id")
-        .agg(min("label").as("label"))
+        .agg(
+          min("label").as("label"),
+          min(when(col("is_cur"), col("label"))).as("prev_label")
+        )
         .cache()
-      next.count() // fully materialize before dropping the parent cache
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.label") =!= col("p.label"))
-        .isEmpty
+      // count() (not isEmpty) so the one action scans — and thus fully
+      // caches — every partition of nextFull before the parent is dropped
+      converged = nextFull.filter(col("label") < col("prev_label")).count() == 0
       labels.unpersist() // superseded iteration state
-      labels = next
+      labels = nextFull.select(col("id"), col("label"))
       i += 1
     }
     labels

@@ -161,14 +161,14 @@ object ExtensionQueries {
     "q_text_stats" -> Q(
       (s, dir) =>
         docs(s, dir)
+          .withColumn("_st", TextAnalysis.textStats(col("text")))
           .select(
             col("doc_id"),
             col("n_chars"),
             length(col("text")).as("text_len"),
-            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-            TextAnalysis.bpeTokenCount(col("text")).cast("int").as("n_bpe_tokens"),
-            TextAnalysis.stopwordCount(col("text"), TextAnalysis.stopwordsEn)
-              .as("n_stopwords_en")
+            TextAnalysis.tokenCountOfStats(col("_st")).as("n_tokens"),
+            TextAnalysis.bpeTokenCountOfStats(col("_st")).cast("int").as("n_bpe_tokens"),
+            TextAnalysis.stopwordCountEnOfStats(col("_st")).as("n_stopwords_en")
           )
           .orderBy("doc_id"),
       Some(s"""
@@ -183,13 +183,14 @@ object ExtensionQueries {
     "q_text_quality" -> Q(
       (s, dir) =>
         docs(s, dir)
+          .withColumn("_st", TextAnalysis.textStats(col("text")))
           .select(
             col("doc_id"),
-            roundHalfUp(TextAnalysis.meanTokenLength(col("text")), 4)
+            roundHalfUp(TextAnalysis.meanTokenLengthOfStats(col("_st")), 4)
               .cast("decimal(10,4)").as("mean_token_len"),
-            roundHalfUp(TextAnalysis.punctRatio(col("text")), 4)
+            roundHalfUp(TextAnalysis.punctRatioOfStats(col("_st")), 4)
               .cast("decimal(10,4)").as("punct_ratio"),
-            roundHalfUp(TextAnalysis.qualityScore(col("text")), 4)
+            roundHalfUp(TextAnalysis.qualityScoreOfStats(col("_st")), 4)
               .cast("decimal(10,4)").as("quality_score")
           )
           .orderBy("doc_id"),
@@ -222,10 +223,11 @@ object ExtensionQueries {
     "q_lang_id" -> Q(
       (s, dir) =>
         docs(s, dir)
+          .withColumn("_st", TextAnalysis.textStats(col("text")))
           .select(
             col("doc_id"),
             col("lang"),
-            TextAnalysis.langId(col("text")).as("lang_guess")
+            TextAnalysis.langIdOfStats(col("_st")).as("lang_guess")
           )
           .orderBy("doc_id"),
       Some(s"""
@@ -250,9 +252,10 @@ object ExtensionQueries {
     "q_text_repetition" -> Q(
       (s, dir) =>
         docs(s, dir)
+          .withColumn("_st", TextAnalysis.textStats(col("text")))
           .select(
             col("doc_id"),
-            roundHalfUp(TextAnalysis.repetitionRatio(col("text"), 3), 4)
+            roundHalfUp(TextAnalysis.repetitionRatioOfStats(col("_st")), 4)
               .cast("decimal(10,4)").as("repetition_ratio")
           )
           .orderBy("doc_id"),

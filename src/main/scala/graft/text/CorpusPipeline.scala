@@ -28,13 +28,15 @@ object CorpusPipeline {
       textCol: String = "text",
       cfg: Config = Config()
   ): DataFrame = {
+    // one codegen'd traversal for all four signals (TextStatsExpr) — the
+    // HOF formulation paid an interpreted pass per signal
     val scored = docs
-      .withColumn("_toks", TextAnalysis.tokens(col(textCol)))
-      .withColumn("quality_score", TextAnalysis.qualityScoreOf(col(textCol), col("_toks")))
-      .withColumn("repetition_ratio", TextAnalysis.repetitionRatioOf(col("_toks")))
-      .withColumn("lang_guess", TextAnalysis.langIdOf(col(textCol), col("_toks")))
-      .withColumn("n_tokens", TextAnalysis.tokenCountOf(col("_toks")))
-      .drop("_toks")
+      .withColumn("_st", TextAnalysis.textStats(col(textCol)))
+      .withColumn("quality_score", TextAnalysis.qualityScoreOfStats(col("_st")))
+      .withColumn("repetition_ratio", TextAnalysis.repetitionRatioOfStats(col("_st")))
+      .withColumn("lang_guess", TextAnalysis.langIdOfStats(col("_st")))
+      .withColumn("n_tokens", TextAnalysis.tokenCountOfStats(col("_st")))
+      .drop("_st")
 
     val gated = scored.filter(
       col("quality_score") >= cfg.minQuality &&

@@ -74,6 +74,63 @@ object TextAnalysis {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  // ---- single-pass stats struct (TextStatsExpr) ---------------------------
+  // All base counts in ONE codegen'd traversal (HOFs are CodegenFallback and
+  // each signal re-walks the tokens); the score formulas below are the SAME
+  // Column arithmetic as the *Of variants, so values stay bit-identical and
+  // the DuckDB oracles keep matching.
+
+  /** Base-count struct — see [[TextStatsExpr]] for fields and semantics. */
+  def textStats(c: Column): Column = TextStatsExpr.textStats(c)
+
+  def tokenCountOfStats(st: Column): Column = st.getField("n_tokens")
+
+  def bpeTokenCountOfStats(st: Column): Column = st.getField("bpe")
+
+  def stopwordCountEnOfStats(st: Column): Column = st.getField("sw_en_cs")
+
+  def meanTokenLengthOfStats(st: Column): Column = {
+    val n = st.getField("n_tokens")
+    when(n > 0,
+      st.getField("sum_tok_len").cast("double") / n.cast("double")
+    ).otherwise(lit(0.0))
+  }
+
+  def punctRatioOfStats(st: Column): Column =
+    when(st.getField("n_chars") > 0,
+      st.getField("punct").cast("double") / st.getField("n_chars").cast("double")
+    ).otherwise(lit(0.0))
+
+  def qualityScoreOfStats(st: Column): Column = {
+    val n         = st.getField("n_tokens").cast("double")
+    val lenScore  = least(n / lit(64.0), lit(1.0))
+    val stopRatio = st.getField("sw_en_cs").cast("double") / greatest(n, lit(1.0))
+    val stopScore = least(stopRatio * lit(8.0), lit(1.0))
+    val punctPen  = greatest(lit(1.0) - punctRatioOfStats(st) * lit(4.0), lit(0.0))
+    val mtl       = meanTokenLengthOfStats(st)
+    val mtlScore  = when(mtl.between(3.0, 9.0), lit(1.0)).otherwise(lit(0.5))
+    (lenScore * lit(0.3) + stopScore * lit(0.3) + punctPen * lit(0.2) + mtlScore * lit(0.2))
+  }
+
+  def langIdOfStats(st: Column): Column = {
+    val en = st.getField("en"); val fr = st.getField("fr")
+    val de = st.getField("de"); val es = st.getField("es")
+    val best = greatest(en, fr, de, es)
+    when(st.getField("cjk"), "zh")
+      .when(best === 0, "unknown")
+      .when(en === best, "en")
+      .when(fr === best, "fr")
+      .when(de === best, "de")
+      .otherwise("es")
+  }
+
+  def repetitionRatioOfStats(st: Column): Column = {
+    val n = st.getField("n_sh")
+    when(n > 0,
+      (n - st.getField("n_sh_distinct")).cast("double") / n.cast("double")
+    ).otherwise(lit(0.0))
+  }
+
   /** Stopword sets for the n-gram language heuristic. Deliberately tiny —
     * the operator contract is "deterministic heuristic", not a trained model.
     */

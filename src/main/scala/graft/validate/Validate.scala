@@ -133,42 +133,40 @@ object Validate {
     * mart, UNION ALL'd; the mart is compliant iff the result is empty.
     */
   def assertNoPiiInMart(mart: DataFrame): DataFrame = {
-    val emailCheck = mart
-      .filter(
+    // Single pass: a UNION ALL of three filters would re-execute the whole
+    // (narrow, regex-heavy) upstream pipeline once per violation class;
+    // instead each row emits an array of at-most-3 violation structs that
+    // is filtered and exploded — one scan regardless of how many checks.
+    def violation(cond: Column, columnName: String, value: Column, issue: String) =
+      when(cond, struct(
+        lit("mart_services_open_data").as("table_name"),
+        lit(columnName).as("column_name"),
+        value.as("value"),
+        lit(issue).as("issue_type")
+      ))
+    val checks = array(
+      violation(
         col("contact_email").isNotNull &&
-          !col("contact_email").like("%@anonymized.gouv.fr")
-      )
-      .select(
-        lit("mart_services_open_data").as("table_name"),
-        lit("contact_email").as("column_name"),
-        col("contact_email").as("value"),
-        lit("Non-anonymized email detected").as("issue_type")
-      )
-    val phoneCheck = mart
-      .filter(col("contact_phone").isNotNull && !col("contact_phone").like("%XX%"))
-      .select(
-        lit("mart_services_open_data").as("table_name"),
-        lit("contact_phone").as("column_name"),
-        col("contact_phone").as("value"),
-        lit("Non-masked phone number detected").as("issue_type")
-      )
-    val gpsCheck = mart
-      .filter(
+          !col("contact_email").like("%@anonymized.gouv.fr"),
+        "contact_email", col("contact_email"), "Non-anonymized email detected"),
+      violation(
+        col("contact_phone").isNotNull && !col("contact_phone").like("%XX%"),
+        "contact_phone", col("contact_phone"), "Non-masked phone number detected"),
+      violation(
         col("latitude").isNotNull && col("longitude").isNotNull &&
           ((length(split_part(col("latitude").cast(StringType), lit("."), lit(2))) > 2) ||
-            (length(split_part(col("longitude").cast(StringType), lit("."), lit(2))) > 2))
-      )
-      .select(
-        lit("mart_services_open_data").as("table_name"),
-        lit("latitude/longitude").as("column_name"),
+            (length(split_part(col("longitude").cast(StringType), lit("."), lit(2))) > 2)),
+        "latitude/longitude",
         concat(
           col("latitude").cast(StringType),
           lit(", "),
           col("longitude").cast(StringType)
-        ).as("value"),
-        lit("GPS coordinates too precise").as("issue_type")
-      )
-    emailCheck.unionAll(phoneCheck).unionAll(gpsCheck)
+        ),
+        "GPS coordinates too precise")
+    )
+    mart
+      .select(explode(filter(checks, v => v.isNotNull)).as("v"))
+      .select(col("v.*"))
   }
 
   /** The PII inventory report (generate_pii_report.sql:20-93): one row per

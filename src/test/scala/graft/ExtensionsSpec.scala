@@ -256,6 +256,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(rs.filter($"resized_width" > 100 || $"resized_height" > 100).count() == 0)
   }
 
+  test("TextStatsExpr matches the HOF formulation on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = TextAnalysis.tokens($"text")
+    val st = TextAnalysis.textStats($"text")
+    val edge = Seq("", "  ", "\tleading tab", "trailing\n", "a\t\tb", "word")
+      .toDF("text")
+    for (df <- Seq(docs.select($"text"), edge)) {
+      val diff = df
+        .select(
+          TextAnalysis.tokenCountOf(toks).as("a1"),
+          TextAnalysis.tokenCountOfStats(st).as("b1"),
+          TextAnalysis.meanTokenLengthOf(toks).as("a2"),
+          TextAnalysis.meanTokenLengthOfStats(st).as("b2"),
+          TextAnalysis.punctRatio($"text").as("a3"),
+          TextAnalysis.punctRatioOfStats(st).as("b3"),
+          TextAnalysis.qualityScoreOf($"text", toks).as("a4"),
+          TextAnalysis.qualityScoreOfStats(st).as("b4"),
+          TextAnalysis.langIdOf($"text", toks).as("a5"),
+          TextAnalysis.langIdOfStats(st).as("b5"),
+          TextAnalysis.repetitionRatioOf(toks).as("a6"),
+          TextAnalysis.repetitionRatioOfStats(st).as("b6"),
+          TextAnalysis.bpeTokenCount($"text").as("a7"),
+          TextAnalysis.bpeTokenCountOfStats(st).as("b7"),
+          TextAnalysis.stopwordCount($"text", TextAnalysis.stopwordsEn).as("a8"),
+          TextAnalysis.stopwordCountEnOfStats(st).as("b8")
+        )
+        .filter(
+          $"a1" =!= $"b1" || $"a2" =!= $"b2" || $"a3" =!= $"b3" ||
+            $"a4" =!= $"b4" || $"a5" =!= $"b5" || $"a6" =!= $"b6" ||
+            $"a7" =!= $"b7" || $"a8" =!= $"b8"
+        )
+      assert(diff.count() == 0, diff.take(3).mkString("\n"))
+    }
+  }
+
   // ---- codegen + custom aggregate ----------------------------------------
 
   test("custom expressions really compile under CODEGEN_ONLY (no fallback)") {
@@ -271,11 +306,13 @@ class ExtensionsSpec extends SparkSpec {
       val row = df
         .select(
           Dedup.wordShingles($"t", 3).as("sh"),
-          Dedup.simhash(TextAnalysis.tokens($"t")).as("sig")
+          Dedup.simhash(TextAnalysis.tokens($"t")).as("sig"),
+          TextAnalysis.textStats($"t").getField("n_tokens").as("nt")
         )
         .head()
       assert(row.getSeq[String](0).head == "the quick brown")
       assert(row.getLong(1) != 0L)
+      assert(row.getInt(2) == 9)
     } finally {
       prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
