@@ -157,7 +157,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = None,
+      salts: Int = 1
   ): DataFrame = {
     val b = minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
     val raw = b.select(
@@ -165,12 +166,33 @@ object Dedup {
       posexplode(array((0 until bands).map(i => col(s"band_$i")): _*)).as(Seq("band", "hash"))
     )
     val exploded = maxBucket.fold(raw)(capBuckets(raw, idCol, _))
-    val l = exploded.as("l")
-    val r = exploded.as("r")
+    selfJoinPairs(exploded, idCol, salts)
+  }
+
+  /** Bucket self-join emitting candidate pairs (id_a < id_b), optionally
+    * salted against bucket skew: with `salts` = s > 1 the left side gets a
+    * deterministic salt from its id and the right side is replicated to all
+    * s salts, so the join key becomes (band, hash, salt) — a pathological
+    * bucket's all-pairs work spreads across s shuffle partitions instead of
+    * serializing on one task. Result-identical to the unsalted join (every
+    * within-bucket pair still meets on exactly one salt); cost is shipping
+    * the right side s times, so salt only the skewed runs.
+    */
+  def selfJoinPairs(exploded: DataFrame, idCol: String, salts: Int = 1): DataFrame = {
+    val (l, r) =
+      if (salts <= 1) (exploded.as("l"), exploded.as("r"))
+      else (
+        exploded.withColumn("salt", pmod(xxhash64(col(idCol)), lit(salts))).as("l"),
+        exploded
+          .withColumn("salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+          .as("r")
+      )
+    val saltCond =
+      if (salts <= 1) lit(true) else col("l.salt") === col("r.salt")
     l.join(
       r,
       col("l.band") === col("r.band") && col("l.hash") === col("r.hash") &&
-        col(s"l.$idCol") < col(s"r.$idCol")
+        saltCond && col(s"l.$idCol") < col(s"r.$idCol")
     ).select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
       .distinct()
   }

@@ -55,6 +55,10 @@ object GraftFunctions {
     register1("quality_score")(TextAnalysis.qualityScore)
     register1("fingerprint_md5")(TextAnalysis.fingerprintMd5)
     register1("rolling_fingerprint")(TextAnalysis.rollingFingerprint)
+    reg.createOrReplaceTempFunction(
+      "text_stats",
+      exprs => graft.text.TextStatsExpr(Cast(exprs.head, StringType)),
+      "scala_udf")
 
     // dedup / similarity
     // Cast defers type resolution: SQL-side children arrive as unresolved

@@ -83,7 +83,7 @@ object ExtensionQueries {
     * CTEs, and the 64 per-bit majority counters as grouped aggregates.
     * Validated bit-for-bit against the Spark output on sf0.001.
     */
-  private val duckSimhashSql: String = {
+  private val duckSimhashCte: String = {
     val S1 = 0x9747b28cL
     val S2 = 0x85ebca6bL
     def mixk1(w: String): String = {
@@ -142,18 +142,41 @@ object ExtensionQueries {
     ),
     sig as (
       select doc_id, $bitSums as u from hashes group by doc_id
-    )
-    select d.doc_id,
-      coalesce(case when s.u >= 9223372036854775808::hugeint
-                    then (s.u - 18446744073709551616::hugeint)::bigint
-                    else s.u::bigint end, 0) as simhash,
-      cast(bit_count(coalesce(case when s.u >= 9223372036854775808::hugeint
-                    then (s.u - 18446744073709551616::hugeint)::bigint
-                    else s.u::bigint end, 0)) as int) as popcount
-    from documents d
-    left join sig s using (doc_id)
-    order by d.doc_id"""
+    ),
+    sig64 as (
+      select d.doc_id,
+        coalesce(s.u, 0::hugeint) as u,
+        coalesce(case when s.u >= 9223372036854775808::hugeint
+                      then (s.u - 18446744073709551616::hugeint)::bigint
+                      else s.u::bigint end, 0) as simhash
+      from documents d
+      left join sig s using (doc_id)
+    )"""
   }
+
+  private val duckSimhashSql: String =
+    duckSimhashCte + """
+    select doc_id, simhash, cast(bit_count(simhash) as int) as popcount
+    from sig64 order by doc_id"""
+
+  /** Pairs twin of [[duckSimhashCte]]: 16-bit quarter blocking + full
+    * Hamming verify (bit_count of two's-complement xor — same as Spark).
+    */
+  private val duckSimhashPairsSql: String =
+    duckSimhashCte + """,
+    blocks as (
+      select doc_id, simhash, b.q, ((u // (1::hugeint << (16 * b.q))) % 65536)::bigint as key
+      from sig64, (values (0), (1), (2), (3)) b(q)
+    ),
+    cand as (
+      select distinct l.doc_id as id_a, r.doc_id as id_b,
+        cast(bit_count(xor(l.simhash, r.simhash)) as int) as hamming
+      from blocks l join blocks r
+        on l.q = r.q and l.key = r.key and l.doc_id < r.doc_id
+    )
+    select id_a, id_b, hamming from cand
+    where hamming <= 3
+    order by id_a, id_b"""
 
   // ---- text analysis -----------------------------------------------------
 
@@ -452,6 +475,13 @@ object ExtensionQueries {
           )
           .orderBy("doc_id"),
       Some(duckSimhashSql)
+    ),
+    "q_simhash_pairs" -> Q(
+      (s, dir) =>
+        Dedup
+          .simhashNearDupPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+          .orderBy("id_a", "id_b"),
+      Some(duckSimhashPairsSql)
     )
   )
 
@@ -525,6 +555,49 @@ object ExtensionQueries {
         s"""
         select vec_id, cast($bitExprs as bigint) as srp_sig
         from embeddings order by vec_id"""
+      }
+    ),
+    "q_embed_near_dup" -> Q(
+      (s, dir) =>
+        Similarity
+          .embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding",
+            threshold = 0.95)
+          .select(
+            col("id_a"),
+            col("id_b"),
+            roundHalfUp(col("cos_sim"), 6).cast("decimal(12,6)").as("cos_sim")
+          )
+          .orderBy("id_a", "id_b"),
+      Some {
+        val planes = Similarity.hyperplanes(16, 64)
+        val bitExprs = planes.zipWithIndex.map { case (p, h) =>
+          val lits = p.mkString("[", ", ", "]")
+          s"(case when ${duckDot("embedding", lits)} > 0 then ${1L << h} else 0 end)"
+        }.mkString(" + ")
+        def cos(a: String, b: String) =
+          s"case when sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}) > 0 " +
+            s"then ${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})) " +
+            "else 0.0 end"
+        s"""
+        with sig as (
+          select vec_id, embedding, cast($bitExprs as bigint) as sig from embeddings
+        ),
+        blocks as (
+          select vec_id, embedding, b.band, (sig >> (b.band * 4)) & 15 as key
+          from sig, (values (0), (1), (2), (3)) b(band)
+        ),
+        cand as (
+          select distinct l.vec_id as id_a, r.vec_id as id_b
+          from blocks l join blocks r
+            on l.band = r.band and l.key = r.key and l.vec_id < r.vec_id
+        )
+        select c.id_a, c.id_b,
+          cast(${duckRound(cos("ea.embedding", "eb.embedding"), 6)} as decimal(12,6)) as cos_sim
+        from cand c
+        join embeddings ea on c.id_a = ea.vec_id
+        join embeddings eb on c.id_b = eb.vec_id
+        where ${cos("ea.embedding", "eb.embedding")} >= 0.95
+        order by id_a, id_b"""
       }
     ),
     "q_ann_topk_graph" -> Q(

@@ -291,6 +291,25 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("salted LSH self-join returns exactly the unsalted pair set") {
+    val boiler = (0L until 60L).map(i => (i, "exact same boilerplate text repeated across many documents here"))
+    val normal = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river"),
+      (101L, "the quick brown fox jumps over the lazy dog near the bank"),
+      (102L, "completely unrelated content about catalyst and tungsten")
+    )
+    val df = (boiler ++ normal).toDF("doc_id", "text")
+    def pairs(s: Int) = Dedup
+      .minhashCandidatePairs(df, "doc_id", "text", salts = s)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val unsalted = pairs(1)
+    assert(pairs(4) == unsalted)
+    assert(unsalted.contains((100L, 101L)))
+    assert(unsalted.exists { case (a, b) => a < 60 && b < 60 }) // boilerplate pairs survive
+  }
+
   // ---- codegen + custom aggregate ----------------------------------------
 
   test("custom expressions really compile under CODEGEN_ONLY (no fallback)") {
