@@ -569,7 +569,7 @@ object ExtensionQueries {
           )
           .orderBy("id_a", "id_b"),
       Some {
-        val planes = Similarity.hyperplanes(16, 64)
+        val planes = Similarity.hyperplanes(32, 64)
         val bitExprs = planes.zipWithIndex.map { case (p, h) =>
           val lits = p.mkString("[", ", ", "]")
           s"(case when ${duckDot("embedding", lits)} > 0 then ${1L << h} else 0 end)"
@@ -583,7 +583,7 @@ object ExtensionQueries {
           select vec_id, embedding, cast($bitExprs as bigint) as sig from embeddings
         ),
         blocks as (
-          select vec_id, embedding, b.band, (sig >> (b.band * 4)) & 15 as key
+          select vec_id, embedding, b.band, (sig >> (b.band * 8)) & 255 as key
           from sig, (values (0), (1), (2), (3)) b(band)
         ),
         cand as (

@@ -19,7 +19,16 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent(
       (spark, s"$dir/$name.parquet"),
-      key => spark.read.parquet(key._2)
+      key => {
+        // The driver testdata ships one single-row-group parquet file per
+        // table, which parquet cannot split — without this every scan (and
+        // the whole narrow stage above it: masking, shingling, murmur,
+        // regexes) runs on ONE core. Fanning the few MB out once unlocks
+        // all cores for the compute-heavy per-row work; a production
+        // deployment reads many splittable files and skips this.
+        val df = spark.read.parquet(key._2)
+        df.repartition(spark.sparkContext.defaultParallelism)
+      }
     )
 
   /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet

@@ -135,15 +135,21 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (the dedup flavor): SRP
-    * candidates filtered at a high similarity threshold.
+    * candidates filtered at a high similarity threshold. Defaults use 8-bit
+    * band keys (32 bits / 4 bands): at 0.95 cosine the per-band collision
+    * probability is ~0.43, so 4 bands still reach ~0.9 recall while keeping
+    * 256 buckets per band — a 4-bit key (16 buckets) makes the candidate
+    * join quadratic long before real scale.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
+      bits: Int = 32,
+      bands: Int = 4,
       dim: Int = 64
   ): DataFrame =
-    srpCandidatePairs(df, idCol, vecCol, dim = dim)
+    srpCandidatePairs(df, idCol, vecCol, bits = bits, bands = bands, dim = dim)
       .filter(col("cos_sim") >= threshold)
 }
