@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two `array<float/double>` columns — left-to-right fold,
-    * deterministic.
+    * deterministic. Backed by the native [[DotProductExpr]] (one fused
+    * codegen loop); [[dotHof]] is the value-identical higher-order-function
+    * formulation it replaced (kept for the parity spec).
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = DotProductExpr.dot(a, b)
+
+  /** HOF twin of [[dot]] — interpreted (CodegenFallback); spec reference. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -337,6 +337,29 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("DotProductExpr matches the HOF dot bit-for-bit; null semantics too") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 1).select($"embedding".as("qv"))
+    val diff = emb
+      .crossJoin(q)
+      .select(
+        Similarity.dot($"embedding", $"qv").as("native"),
+        Similarity.dotHof($"embedding", $"qv").as("hof")
+      )
+      .filter($"native" =!= $"hof" || $"native".isNull =!= $"hof".isNull)
+    assert(diff.count() == 0)
+    // length mismatch and null element -> null, like zip_with padding
+    val edge = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0, 4.0, 5.0)),
+      (Seq(1.0f, 2.0f), Seq(3.0, 4.0))
+    ).toDF("a", "b")
+    val got = edge
+      .select(Similarity.dot($"a", $"b").as("d"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(None, Some(11.0)))
+  }
+
   test("TopKByScore equals the window-function top-k, map-side bounded") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(7)
