@@ -52,6 +52,28 @@ object StreamingPipeline {
         sum(col("value")).as("total_value")
       )
 
+  /** Streaming exact dedup by content hash, watermark-bounded.
+    *
+    * `dropDuplicatesWithinWatermark` keys state on md5(text) and evicts
+    * entries once the watermark passes — the streaming twin of
+    * [[graft.dedup.Dedup.exactDedup]] with state bounded by the watermark
+    * horizon instead of growing with the corpus (the unbounded-state
+    * `dropDuplicates` variant would OOM a long-running 100 TB ingest).
+    * Duplicates separated by more than the watermark delay can reappear;
+    * that residue is the batch dedup's job downstream.
+    */
+  def dedupStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withColumn("_text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_text_hash")
+      .drop("_text_hash")
+
   // ---- stateful sessionization ------------------------------------------
 
   final case class Event(

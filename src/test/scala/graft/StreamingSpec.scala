@@ -53,6 +53,24 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("click", 2L, 3.0), ("buy", 1L, 5.0)))
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val deduped = StreamingPipeline.dedupStream(df, "text", "ts", "10 minutes")
+    input.addData(
+      (1L, ts(0), "alpha"),
+      (2L, ts(1), "alpha"), // dup inside watermark -> dropped
+      (3L, ts(2), "beta")
+    )
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_stream")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "alpha"), (3L, "beta")))
+  }
+
   test("stateful sessionization closes sessions on gap; batch twin agrees") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
