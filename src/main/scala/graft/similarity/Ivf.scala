@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
 /** IVF (inverted-file) index for approximate nearest-neighbor search — the
   * partition-based alternative to SRP-LSH ([[Similarity]]).
   *
-  * Build: deterministic Lloyd's k-means entirely in DataFrame ops (no UDFs,
-  * no driver-side math): assignment is a broadcast cross-join + window
-  * argmin; the centroid update is posexplode -> groupBy (cluster, dim) avg
-  * -> array_agg reassembly. Seeds are the first k vectors by id, so the
-  * index is reproducible.
+  * Build: deterministic Lloyd's k-means. Assignment broadcasts the k x dim
+  * centroid matrix inside a native [[NearestCentroidExpr]] (narrow map-only
+  * argmin, no shuffle — the MLlib KMeans shape); the centroid update is
+  * posexplode -> groupBy (cluster, dim) avg -> array reassembly, whose
+  * shuffle is k*dim partial sums per partition, not n rows. Seeds are the
+  * first k vectors by id, so the index is reproducible.
   *
   * Search: probe only the `nprobe` nearest centroids (broadcast compare),
   * then exact cosine inside those clusters — the classic recall/cost dial.
@@ -30,18 +31,28 @@ object Ivf {
       (acc, v) => acc + v
     )
 
-  /** Assign each vector to its nearest centroid. Expects `centroids` to be
-    * small (broadcast): (centroid_id, centroid: array<double>).
+  /** Assign each vector to its nearest centroid — a narrow map-only pass.
+    *
+    * The centroid matrix is always small (k x dim), so it is collected once
+    * and embedded in a [[NearestCentroidExpr]] broadcast literal; the
+    * per-row argmin runs inside whole-stage codegen with NO shuffle. The
+    * naive formulation (crossJoin + window argmin) shuffles n*k rows per
+    * Lloyd's iteration — the single worst scaling mistake an IVF build can
+    * make at a billion vectors.
     */
   def assign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy(col(idCol))
-      .orderBy(col("_dist"), col("centroid_id"))
-    df.crossJoin(broadcast(centroids))
-      .withColumn("_dist", sqDist(col(vecCol), col("centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "centroid")
+    val collected = centroids
+      .select(col("centroid_id"), col("centroid"))
+      .orderBy(col("centroid_id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+    val mat = collected.map(_._2).toSeq
+    val ids = collected.map(_._1).toSeq
+    df.withColumn("_nc", NearestCentroidExpr.nearestCentroid(col(vecCol), mat))
+      .withColumn("centroid_id",
+        element_at(typedLit(ids), col("_nc").getField("centroid_id") + 1))
+      .withColumn("_dist", col("_nc").getField("dist"))
+      .drop("_nc")
   }
 
   /** Recompute centroids as per-dimension means of their members. */
