@@ -612,6 +612,40 @@ object Registry {
         group by user_id, session_idx
         order by user_id, session_start""")
     ),
+    "q_asof_join" -> Q(
+      (s, dir) => {
+        // point-in-time join: each event gets the user's latest order state
+        // at or before the event timestamp (no future leakage)
+        val orderState = Tables
+          .read(s, dir, "orders")
+          .groupBy(
+            col("o_custkey").as("user_id"),
+            col("o_orderdate").cast("timestamp").as("ots")
+          )
+          .agg(max(col("o_totalprice")).as("last_price"))
+        graft.operators.AsOfJoin
+          .asOf(
+            Tables.events(s, dir).select("event_id", "user_id", "ts"),
+            orderState,
+            keyCols = Seq("user_id"),
+            leftTs = "ts",
+            rightTs = "ots",
+            payloadCols = Seq("last_price")
+          )
+          .orderBy("event_id")
+      },
+      Some("""
+        with r as (
+          select o_custkey as user_id, cast(o_orderdate as timestamp) as ots,
+                 max(o_totalprice) as last_price
+          from orders group by 1, 2
+        )
+        select e.event_id, e.user_id, cast(e.ts as timestamp) as ts,
+               r.ots as asof_ts, r.last_price
+        from events e asof left join r
+          on e.user_id = r.user_id and cast(e.ts as timestamp) >= r.ots
+        order by e.event_id""")
+    ),
     "q_events_json" -> Q(
       (s, dir) =>
         Tables

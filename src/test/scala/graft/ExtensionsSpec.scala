@@ -310,6 +310,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(unsalted.exists { case (a, b) => a < 60 && b < 60 }) // boilerplate pairs survive
   }
 
+  test("asOf join picks latest right row at-or-before, null when none") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = Seq((1L, t(5), "a"), (1L, t(10), "b"), (2L, t(3), "c"))
+      .toDF("k", "ts", "v")
+    val right = Seq((1L, t(4), 4.0), (1L, t(9), 9.0), (1L, t(11), 11.0),
+      (1L, t(5), 5.0), (2L, t(59), 99.0))
+      .toDF("k", "rts", "p")
+    val got = graft.operators.AsOfJoin
+      .asOf(left, right, Seq("k"), "ts", "rts", Seq("p"))
+      .orderBy("k", "ts")
+      .select("k", "v", "p")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq
+    // ties inclusive: left ts=5 matches right ts=5; k=2 has only future rows
+    assert(got == Seq((1L, "a", Some(5.0)), (1L, "b", Some(9.0)), (2L, "c", None)))
+  }
+
   // ---- codegen + custom aggregate ----------------------------------------
 
   test("custom expressions really compile under CODEGEN_ONLY (no fallback)") {
