@@ -646,6 +646,44 @@ object Registry {
           on e.user_id = r.user_id and cast(e.ts as timestamp) >= r.ots
         order by e.event_id""")
     ),
+    "q_range_join" -> Q(
+      (s, dir) => {
+        // balance bands per nation: customers joined to the deterministic
+        // acctbal interval of each nation via bucketized range join
+        // integer band bounds: exact in both engines (computed doubles vs
+        // decimals disagree by 1 ulp at boundaries — a parity hazard)
+        val bands = Tables
+          .read(s, dir, "nation")
+          .select(
+            col("n_name"),
+            (col("n_nationkey") * 450 - 1000).cast("long").as("lo"),
+            (col("n_nationkey") * 450 - 551).cast("long").as("hi")
+          )
+        graft.operators.RangeJoin
+          .pointInInterval(
+            Tables.read(s, dir, "customer")
+              .select(col("c_custkey"), col("c_acctbal").cast("decimal(12,2)").as("bal")),
+            bands,
+            xCol = "bal",
+            startCol = "lo",
+            endCol = "hi",
+            bucketWidth = 450.0
+          )
+          .select(col("c_custkey"), col("bal"), col("n_name"), col("lo"))
+          .orderBy("c_custkey", "n_name")
+      },
+      Some("""
+        with bands as (
+          select n_name,
+            cast(n_nationkey * 450 - 1000 as bigint) as lo,
+            cast(n_nationkey * 450 - 551 as bigint) as hi
+          from nation
+        )
+        select c.c_custkey, cast(c.c_acctbal as decimal(12,2)) as bal, b.n_name, b.lo
+        from customer c
+        join bands b on cast(c.c_acctbal as decimal(12,2)) between b.lo and b.hi
+        order by c.c_custkey, b.n_name""")
+    ),
     "q_events_json" -> Q(
       (s, dir) =>
         Tables

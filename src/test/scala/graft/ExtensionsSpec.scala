@@ -329,6 +329,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", Some(5.0)), (1L, "b", Some(9.0)), (2L, "c", None)))
   }
 
+  test("range join equals the naive inequality join") {
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200)).toDF("pid", "x")
+    val intervals = (1 to 40)
+      .map { i => val s = rnd.nextDouble() * 900 - 200; (i.toLong, s, s + rnd.nextDouble() * 120) }
+      .toDF("iid", "s", "e")
+    val fast = graft.operators.RangeJoin
+      .pointInInterval(points, intervals, "x", "s", "e", bucketWidth = 100.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(intervals, $"x" >= $"s" && $"x" <= $"e")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive && naive.nonEmpty)
+  }
+
   // ---- codegen + custom aggregate ----------------------------------------
 
   test("custom expressions really compile under CODEGEN_ONLY (no fallback)") {
