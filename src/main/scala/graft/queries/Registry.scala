@@ -527,6 +527,70 @@ object Registry {
         group by rollup(l_returnflag, l_linestatus)
         order by l_returnflag asc nulls first, l_linestatus asc nulls first""")
     ),
+    "q_cube_agg" -> Q(
+      (s, dir) =>
+        Tables
+          .read(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("total")
+          )
+          .orderBy(
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first
+          ),
+      Some("""
+        select o_orderstatus, o_orderpriority, count(*) as n,
+          cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)) as total
+        from orders
+        group by cube(o_orderstatus, o_orderpriority)
+        order by o_orderstatus asc nulls first, o_orderpriority asc nulls first""")
+    ),
+    "q_pivot" -> Q(
+      (s, dir) =>
+        Tables
+          .read(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(
+            col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("f_cnt"),
+            coalesce(col("O"), lit(0L)).as("o_cnt"),
+            coalesce(col("P"), lit(0L)).as("p_cnt")
+          )
+          .orderBy("o_orderpriority"),
+      Some("""
+        select o_orderpriority,
+          count(case when o_orderstatus = 'F' then 1 end) as f_cnt,
+          count(case when o_orderstatus = 'O' then 1 end) as o_cnt,
+          count(case when o_orderstatus = 'P' then 1 end) as p_cnt
+        from orders
+        group by o_orderpriority
+        order by o_orderpriority""")
+    ),
+    "q_percentiles" -> Q(
+      (s, dir) =>
+        Tables
+          .read(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            Parity.roundHalfUp(expr("percentile(l_quantity, 0.5)"), 6)
+              .cast("decimal(18,6)").as("p50"),
+            Parity.roundHalfUp(expr("percentile(l_quantity, 0.95)"), 6)
+              .cast("decimal(18,6)").as("p95")
+          )
+          .orderBy("l_returnflag"),
+      Some(s"""
+        select l_returnflag,
+          cast(${Parity.duckRound("quantile_cont(l_quantity, 0.5)", 6)} as decimal(18,6)) as p50,
+          cast(${Parity.duckRound("quantile_cont(l_quantity, 0.95)", 6)} as decimal(18,6)) as p95
+        from lineitem
+        group by l_returnflag
+        order by l_returnflag""")
+    ),
     "q_set_ops" -> Q(
       (s, dir) => {
         val custNations  = Tables.read(s, dir, "customer")
