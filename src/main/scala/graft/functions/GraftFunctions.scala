@@ -72,5 +72,22 @@ object GraftFunctions {
     register2("cosine_similarity")(Similarity.cosine)
     register2("dot_product")(Similarity.dot)
     register1("l2_norm")(Similarity.l2Norm)
+    // aggregate: topk_by_score(id, score, k) with a foldable k
+    reg.createOrReplaceTempFunction(
+      "topk_by_score",
+      exprs => {
+        val k = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score requires a literal k, got $other")
+        }
+        graft.similarity.TopKByScore(
+          Cast(exprs(0), org.apache.spark.sql.types.LongType),
+          Cast(exprs(1), org.apache.spark.sql.types.DoubleType),
+          k
+        ).toAggregateExpression()
+      },
+      "scala_udf")
   }
 }

@@ -47,14 +47,15 @@ object CorpusPipeline {
     val redacted = gated.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
     // exact dedup: keep the min-id representative per distinct content.
-    // Window-ranked (one shuffle keyed by content hash) instead of
-    // groupBy+self-join, which would compute the scored frame twice.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    // min_by(struct(*), id) hash-aggregates with map-side partial combine —
+    // each partition forwards one candidate row per distinct hash, where
+    // the window-ranked form shuffles and SORTS every row (and a
+    // groupBy+self-join would compute the scored frame twice).
+    val cols = redacted.columns
     val exactDeduped = redacted
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      .groupBy(md5(col(textCol)).as("_h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_r"))
+      .select(cols.map(c => col(s"_r.$c")): _*)
 
     cfg.nearDupJaccard match {
       case None => exactDeduped

@@ -329,6 +329,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", Some(5.0)), (1L, "b", Some(9.0)), (2L, "c", None)))
   }
 
+  test("property: asOf join equals the naive formulation on random data") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(23)
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val left = (1 to 300).map(i => (rnd.nextInt(8).toLong, t(rnd.nextInt(500)), i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (1 to 120).map(i => (rnd.nextInt(8).toLong, t(rnd.nextInt(500)), i.toDouble))
+      .toDF("k", "rts", "p")
+      // unique per (k, rts): contract of asOf
+      .groupBy("k", "rts").agg(max("p").as("p"))
+    val fast = graft.operators.AsOfJoin
+      .asOf(left, right, Seq("k"), "ts", "rts", Seq("p"))
+      .select("lid", "asof_ts", "p")
+      .collect()
+      .map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    // naive: all earlier rows, keep the latest by rts
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lid").orderBy($"rts".desc)
+    val naive = left
+      .join(right, left("k") === right("k") && $"ts" >= $"rts", "left")
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .select($"lid", $"rts".as("asof_ts"), $"p")
+      .collect()
+      .map(r => (r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    assert(fast == naive)
+  }
+
   test("range join equals the naive inequality join") {
     val rnd = new scala.util.Random(11)
     val points = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200)).toDF("pid", "x")

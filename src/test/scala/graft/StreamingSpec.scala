@@ -188,5 +188,15 @@ class StreamingSpec extends SparkSpec {
       .select(graft.dedup.Dedup.simhash(graft.text.TextAnalysis.tokens($"t")))
       .as[Long].head()
     assert(r.getAs[Long]("sh") == viaColumn)
+    // struct-returning and aggregate registrations
+    Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.95), (2L, 20L, 0.5))
+      .toDF("src", "dst", "score").createOrReplaceTempView("agg_test")
+    val topk = spark.sql("""
+      select src, inline(topk_by_score(dst, score, 2))
+      from agg_test group by src order by src, rank""").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(3)))
+    assert(topk.toSeq == Seq((1L, 12L, 1), (1L, 10L, 2), (2L, 20L, 1)))
+    val nt = spark.sql("select text_stats(text).n_tokens as n from fn_test").head()
+    assert(nt.getAs[Int]("n") == 3)
   }
 }
