@@ -84,10 +84,12 @@ object Ivf {
         (row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
         transform(col(vecCol), x => x.cast("double")).as("centroid")
       )
-    var assigned: DataFrame = null
+    // no caching: assignment is a narrow map from df + a collected centroid
+    // literal, and each iteration's frames are consumed exactly once (the
+    // next assign() collects the k x dim update), so cached state would
+    // only accumulate executor memory across iterations
     (0 until iters).foreach { _ =>
-      assigned = assign(df, idCol, vecCol, centroids).cache()
-      centroids = updateCentroids(assigned, vecCol).cache()
+      centroids = updateCentroids(assign(df, idCol, vecCol, centroids), vecCol)
     }
     (centroids, assign(df, idCol, vecCol, centroids))
   }
