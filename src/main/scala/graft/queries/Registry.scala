@@ -527,6 +527,50 @@ object Registry {
         group by rollup(l_returnflag, l_linestatus)
         order by l_returnflag asc nulls first, l_linestatus asc nulls first""")
     ),
+    "q_semi_anti_join" -> Q(
+      (s, dir) => {
+        val c = Tables.read(s, dir, "customer")
+        val o = Tables.read(s, dir, "orders")
+          .filter(col("o_totalprice") > 150000)
+        val semi = c
+          .join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(lit("has_big_order").as("side"), col("c_custkey"))
+        val anti = c
+          .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(lit("no_big_order").as("side"), col("c_custkey"))
+        semi.unionAll(anti).orderBy("side", "c_custkey")
+      },
+      Some("""
+        select * from (
+          select 'has_big_order' as side, c_custkey from customer c
+          where exists (select 1 from orders o
+                        where o.o_custkey = c.c_custkey and o.o_totalprice > 150000)
+          union all
+          select 'no_big_order', c_custkey from customer c
+          where not exists (select 1 from orders o
+                            where o.o_custkey = c.c_custkey and o.o_totalprice > 150000)
+        ) v order by side, c_custkey""")
+    ),
+    "q_scalar_subquery" -> Q(
+      (s, dir) => {
+        // scalar threshold via exact max (avg(decimal) returns decimal in
+        // Spark but double in DuckDB — a cross-engine typing trap)
+        val c = Tables.read(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal").cast("decimal(12,2)").as("bal"))
+        val stats = c.agg((max(col("bal")) - lit(1000)).cast("decimal(12,2)").as("threshold"))
+        c.crossJoin(broadcast(stats))
+          .filter(col("bal") > col("threshold"))
+          .select(col("c_custkey"), col("bal"), col("threshold"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        select c_custkey, cast(c_acctbal as decimal(12,2)) as bal,
+               (select cast(max(cast(c_acctbal as decimal(12,2))) - 1000 as decimal(12,2)) from customer) as threshold
+        from customer
+        where cast(c_acctbal as decimal(12,2)) >
+              (select cast(max(cast(c_acctbal as decimal(12,2))) - 1000 as decimal(12,2)) from customer)
+        order by c_custkey""")
+    ),
     "q_cube_agg" -> Q(
       (s, dir) =>
         Tables
