@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import graft.ingest.Ingest
 import graft.masking.MaskModel
+import graft.pipeline.Materialize
 import graft.policy.{EngineConfig, PolicyCatalog}
 
 /** Ingest path specs: JSONL flatten/rename, bad-record tolerance,
@@ -61,6 +62,45 @@ class IngestSpec extends SparkSpec {
     assert(s.getAs[Long]("emails_present") == 2)
     assert(s.getAs[Long]("phones_present") == 1)
     assert(s.getAs[Long]("distinct_org_types") == 2)
+  }
+
+  test("exportReport writes readable JSON and CSV twins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_report").toString
+    val report = Seq(
+      ("stg_services_publics", "contact_email", "direct_identifier"),
+      ("stg_services_publics", "latitude", "quasi_identifier")
+    ).toDF("model_name", "column_name", "pii_type")
+    Ingest.exportReport(report, dir)
+    val js = spark.read.json(s"$dir/json")
+    val cs = spark.read.option("header", "true").csv(s"$dir/csv")
+    assert(js.count() == 2 && cs.count() == 2)
+    assert(cs.columns.sorted.toSeq == Seq("column_name", "model_name", "pii_type"))
+  }
+
+  test("piiScanCatalog walks registered tables and flags raw PII only") {
+    Seq(("raw@real-domain.fr", "+33 1 23 45 67 89"))
+      .toDF("contact_email", "contact_phone")
+      .createOrReplaceTempView("scan_raw")
+    Seq(("user_abc@anonymized.gouv.fr", "+33 1 XX XX XX XX"))
+      .toDF("contact_email", "contact_phone")
+      .createOrReplaceTempView("scan_clean")
+    val hits = graft.validate.Validate.piiScanCatalog(spark, "scan_.*")
+      .collect()
+    assert(hits.map(_.getAs[String]("table_name")).toSet == Set("scan_raw"))
+    assert(hits.length == 2) // raw email + raw phone
+  }
+
+  test("Materialize.asTable pins partitioned parquet; asView stays lazy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "part")
+    val pinned = Materialize.asTable(df, s"$dir/t", partitionBy = Seq("part"))
+    assert(pinned.count() == 3)
+    // partition pruning: reading one partition touches one directory
+    val pruned = pinned.filter($"part" === "a")
+    assert(pruned.count() == 2)
+    assert(new java.io.File(s"$dir/t/part=a").exists())
+    val viewed = Materialize.asView(df.filter($"id" > 1), "mat_view")
+    assert(viewed.count() == 2 && spark.catalog.tableExists("mat_view"))
   }
 
   test("aggregate_to_city: passthrough by default, city-coarsening when enabled") {
