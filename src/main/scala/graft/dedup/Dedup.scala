@@ -53,11 +53,11 @@ object Dedup {
     * a < 2^31 and h0 < 2^32 the product stays under 2^63, so the arithmetic
     * never overflows a signed long — safe under ANSI mode and identical in
     * DuckDB (which errors on BIGINT overflow rather than wrapping).
+    * Derived on demand so any numHashes works (a fixed table would make
+    * signatures wider than its size throw).
     */
-  val minhashCoeffs: IndexedSeq[(Long, Long)] =
-    (0 until 64).map { i =>
-      ((splitmix64(2L * i) >>> 33) | 1L, splitmix64(2L * i + 1) >>> 32)
-    }
+  def minhashCoeff(i: Int): (Long, Long) =
+    ((splitmix64(2L * i) >>> 33) | 1L, splitmix64(2L * i + 1) >>> 32)
 
   /** Per-shingle 32-bit base hash: first 8 hex chars of md5 as a long.
     * ONE digest per shingle — the 16 signature hashes are affine transforms
@@ -68,9 +68,9 @@ object Dedup {
   def minhashBase(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
 
-  /** Signature element i from the base hash (see [[minhashCoeffs]]). */
+  /** Signature element i from the base hash (see [[minhashCoeff]]). */
   def minhashHash(base: Column, i: Int): Column = {
-    val (a, b) = minhashCoeffs(i)
+    val (a, b) = minhashCoeff(i)
     (lit(a) * base + lit(b)) % lit(4294967296L)
   }
 
@@ -225,10 +225,11 @@ object Dedup {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = edges
+    var cached = edges
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
       .cache()
+    var labels = cached
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -250,7 +251,11 @@ object Dedup {
       // count() (not isEmpty) so the one action scans — and thus fully
       // caches — every partition of nextFull before the parent is dropped
       converged = nextFull.filter(col("label") < col("prev_label")).count() == 0
-      labels.unpersist() // superseded iteration state
+      // unpersist the FRAME THAT WAS CACHED: calling it on a projection of
+      // the cached plan is a silent no-op (cache keys on plan sameResult),
+      // which would pile up one cached aggregate per iteration
+      cached.unpersist()
+      cached = nextFull
       labels = nextFull.select(col("id"), col("label"))
       i += 1
     }

@@ -48,7 +48,13 @@ object AsOfJoin {
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_src", lit(1))
+    // SQL equi-join semantics: NULL keys never match and a NULL right
+    // timestamp satisfies no `l.ts >= r.ts` — drop such right rows so the
+    // window formulation can't pair them (partitionBy would group NULL
+    // keys together and a NULL ts sorts first, leaking its payload).
+    // NULL-key/ts LEFT rows still come through with a NULL payload.
     val r = right
+      .filter(col(rightTs).isNotNull && keyCols.map(col(_).isNotNull).reduce(_ && _))
       .select(
         keys :+ col(rightTs).as("_ts") :+ lit(0).as("_src") :+
           struct(col(rightTs).as("asof_ts") +: payloadCols.map(col): _*).as("_p"): _*

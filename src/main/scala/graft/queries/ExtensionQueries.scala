@@ -48,7 +48,7 @@ object ExtensionQueries {
     // Dedup.minhashCoeffs — bigint-safe in both engines.
     val mins = (0 until 16)
       .map { h =>
-        val (a, b) = graft.dedup.Dedup.minhashCoeffs(h)
+        val (a, b) = graft.dedup.Dedup.minhashCoeff(h)
         s"list_min(list_transform(h0s, x -> ($a * x + $b) % 4294967296))"
       }
       .mkString(", ")

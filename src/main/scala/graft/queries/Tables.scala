@@ -8,25 +8,42 @@ object Tables {
 
   /** Resolved-relation memo: `spark.read.parquet` lists files and reads
     * footers for schema inference on every call, which dominates the fixed
-    * per-query cost when one session runs the whole 46-query registry
+    * per-query cost when one session runs the whole query registry
     * (Verify/Bench). Logical plans are immutable, so handing back the same
-    * analyzed DataFrame is safe; keyed by session so stopped test sessions
-    * never leak into new ones.
+    * analyzed DataFrame is safe. Sessions key a WEAK outer map so a stopped
+    * (and dereferenced) session's plans are GC-able instead of pinned for
+    * the JVM lifetime; the inner per-session map is a plain CHM.
     */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def sessionCache(spark: SparkSession) = {
+    var m = cache.get(spark)
+    if (m == null) {
+      cache.synchronized {
+        m = cache.get(spark)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+          cache.put(spark, m)
+        }
+      }
+    }
+    m
+  }
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent(
-      (spark, s"$dir/$name.parquet"),
-      key => {
+    sessionCache(spark).computeIfAbsent(
+      s"$dir/$name.parquet",
+      path => {
         // The driver testdata ships one single-row-group parquet file per
         // table, which parquet cannot split — without this every scan (and
         // the whole narrow stage above it: masking, shingling, murmur,
         // regexes) runs on ONE core. Fanning the few MB out once unlocks
         // all cores for the compute-heavy per-row work; a production
         // deployment reads many splittable files and skips this.
-        val df = spark.read.parquet(key._2)
+        val df = spark.read.parquet(path)
         df.repartition(spark.sparkContext.defaultParallelism)
       }
     )
@@ -44,12 +61,17 @@ object Tables {
   /** Registers the synthesized GDPR-services view derived from `customer`
     * and returns it (see [[ServicesSynth]]).
     */
-  def services(spark: SparkSession, dir: String): DataFrame =
-    cache.computeIfAbsent(
-      (spark, s"$dir#services"),
+  def services(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the customer relation BEFORE entering computeIfAbsent — a
+    // mapping function must not touch other keys of the same CHM (nested
+    // computeIfAbsent can corrupt a shared bin or spin)
+    val customer = read(spark, dir, "customer")
+    sessionCache(spark).computeIfAbsent(
+      s"$dir#services",
       _ => {
-        read(spark, dir, "customer").createOrReplaceTempView("customer")
+        customer.createOrReplaceTempView("customer")
         spark.sql(ServicesSynth.sql)
       }
     )
+  }
 }

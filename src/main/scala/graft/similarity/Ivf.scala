@@ -40,12 +40,21 @@ object Ivf {
     * Lloyd's iteration — the single worst scaling mistake an IVF build can
     * make at a billion vectors.
     */
-  def assign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    val collected = centroids
+  def assign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    assignCollected(df, vecCol, collectCentroids(centroids))
+
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Double])] =
+    centroids
       .select(col("centroid_id"), col("centroid"))
       .orderBy(col("centroid_id"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+
+  private def assignCollected(
+      df: DataFrame,
+      vecCol: String,
+      collected: Array[(Int, Seq[Double])]
+  ): DataFrame = {
     val mat = collected.map(_._2).toSeq
     val ids = collected.map(_._1).toSeq
     df.withColumn("_nc", NearestCentroidExpr.nearestCentroid(col(vecCol), mat))
@@ -91,7 +100,15 @@ object Ivf {
     (0 until iters).foreach { _ =>
       centroids = updateCentroids(assign(df, idCol, vecCol, centroids), vecCol)
     }
-    (centroids, assign(df, idCol, vecCol, centroids))
+    // collect the final matrix ONCE and return a literal centroids frame —
+    // returning the lazy update plan would re-run the whole scan+shuffle
+    // job on every downstream action over `centroids`
+    val finalC = collectCentroids(centroids)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = finalC.toSeq
+      .toDF("centroid_id", "centroid")
+    (centDf, assignCollected(df, vecCol, finalC))
   }
 
   /** ANN search: exact cosine within the `nprobe` clusters nearest to the

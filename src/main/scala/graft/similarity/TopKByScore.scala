@@ -51,9 +51,19 @@ case class TopKByScore(
     containsNull = false
   )
 
-  /** Heap head = the entry to evict first = lowest score, then larger id. */
+  /** Heap head = the entry to evict first = lowest score, then larger id.
+    * Scores compare via java.lang.Double.compare so NaN ranks GREATEST —
+    * exactly how `ORDER BY score DESC` ranks it in the window form this
+    * aggregate replaces (an (-s, id) tuple ordering would flip that: -NaN
+    * is still NaN and would be evicted first).
+    */
   private val evictionOrder: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+    new Ordering[(Double, Long)] {
+      override def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // lower score = worse
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2) // larger id = worse
+      }
+    }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(evictionOrder)
@@ -89,7 +99,8 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, id) => (-s, id) }
+    // ascending eviction order = best first (score desc, NaN first, id asc)
+    val sorted = buf.toArray.sorted(evictionOrder)
     val rows: Array[Any] = sorted.zipWithIndex.map { case ((s, id), i) =>
       InternalRow(id, s, i + 1)
     }
@@ -133,7 +144,10 @@ case class TopKByScore(
 
 object TopKByScore {
 
-  /** Column-API entry point: `topK(id, score, k)` inside an `agg(...)`. */
+  /** Column-API entry point: `topK(id, score, k)` inside an `agg(...)`.
+    * `id` must be numeric (it is cast to long — a non-numeric id would
+    * throw under ANSI mode, or null out and drop rows under legacy mode).
+    */
   def topK(id: Column, score: Column, k: Int): Column =
     GraftColumnBridge.column(
       TopKByScore(

@@ -137,7 +137,10 @@ object TextStatsExpr {
       val t = toks(j)
       sumLen += t.codePointCount(0, t.length)
       if (EnCs.contains(t)) swEnCs += 1
-      val lw = t.toLowerCase(java.util.Locale.ROOT)
+      // lowercase through UTF8String — the exact code path Spark's lower()
+      // takes — so locale-sensitive JVMs (e.g. -Duser.language=tr) can't
+      // make this diverge from the HOF twin
+      val lw = UTF8String.fromString(t).toLowerCase.toString
       if (En.contains(lw)) en += 1
       if (Fr.contains(lw)) fr += 1
       if (De.contains(lw)) de += 1

@@ -363,6 +363,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("TopKByScore ranks NaN first like ORDER BY DESC; asOf drops NULL right keys") {
+    // NaN sorts greatest under Spark's DESC ordering — the heap must agree
+    val df = Seq((1L, 10L, Double.NaN), (1L, 11L, 0.9), (1L, 12L, 0.8))
+      .toDF("src", "dst", "score")
+    val got = df.groupBy($"src")
+      .agg(graft.similarity.TopKByScore.topK($"dst", $"score", 2).as("nbrs"))
+      .select(inline($"nbrs")).collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    assert(got.toSeq == Seq((10L, 1), (11L, 2)))
+    // NULL keys/timestamps on the right must never match (SQL equi-join)
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val left = Seq((Some(1L), t(5), "a"), (None, t(5), "b")).toDF("k", "ts", "v")
+    val right = Seq(
+      (Option.empty[Long], t(1), 1.0), // null key -> never matches
+      (Some(1L), null.asInstanceOf[Timestamp], 2.0), // null ts -> never matches
+      (Some(1L), t(2), 3.0)
+    ).toDF("k", "rts", "p")
+    val out = graft.operators.AsOfJoin
+      .asOf(left, right, Seq("k"), "ts", "rts", Seq("p"))
+      .select("v", "p").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out == Map("a" -> Some(3.0), "b" -> None))
+  }
+
   test("range join equals the naive inequality join") {
     val rnd = new scala.util.Random(11)
     val points = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 1000 - 200)).toDF("pid", "x")
