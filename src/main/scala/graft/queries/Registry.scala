@@ -720,6 +720,41 @@ object Registry {
         group by user_id, session_idx
         order by user_id, session_start""")
     ),
+    "q_sliding_window" -> Q(
+      (s, dir) =>
+        Tables
+          .events(s, dir)
+          .groupBy(
+            window(col("ts"), "2 hours", "1 hour").as("w"),
+            col("event_type")
+          )
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value")
+          )
+          .select(
+            col("w.start").as("w_start"),
+            col("w.end").as("w_end"),
+            col("event_type"),
+            col("n"),
+            col("total_value")
+          )
+          .orderBy("w_start", "event_type"),
+      Some("""
+        with e2 as (
+          select cast(date_trunc('hour', ts) as timestamp) as w_start, event_type, value
+          from events
+          union all
+          select cast(date_trunc('hour', ts) as timestamp) - interval 1 hour, event_type, value
+          from events
+        )
+        select w_start, w_start + interval 2 hour as w_end, event_type,
+          count(*) as n,
+          cast(sum(cast(value as decimal(18,2))) as decimal(38,2)) as total_value
+        from e2
+        group by w_start, event_type
+        order by w_start, event_type""")
+    ),
     "q_asof_join" -> Q(
       (s, dir) => {
         // point-in-time join: each event gets the user's latest order state
