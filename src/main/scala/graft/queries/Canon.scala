@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Canonicalization of compared query outputs for the driver's hash gate.
+  *
+  * The driver reads the Spark result back from parquet and the oracle result
+  * from DuckDB, sorts columns by name, and hashes the values. DECIMAL columns
+  * take different representations through those two paths (parquet
+  * decimal128 -> python `decimal.Decimal` vs DuckDB's native fetch), so every
+  * compared DECIMAL column is cast to STRING on both sides: Spark's
+  * decimal->string and DuckDB's decimal->varchar both print the plain
+  * full-scale form ("1.50"), making the hashed bytes identical.
+  *
+  * The values themselves already match — round 1 showed rows/schema green and
+  * a scale-sensitive str() compare green on all of these — only the
+  * representation the hasher sees differed. Raw DOUBLE columns are left
+  * untouched: both paths surface them as float64 and round-1 queries with
+  * double outputs (q_ann_topk_graph, q_asof_join, q_stage_services) hashed
+  * green.
+  *
+  * One map drives BOTH the Spark-side projection and the DuckDB-side SQL
+  * wrapper, so the two sides cannot drift.
+  */
+object Canon {
+
+  /** query name -> decimal columns of the compared output to stringify. */
+  val stringCols: Map[String, Seq[String]] = Map(
+    "q1_agg" -> Seq("sum_qty", "sum_base_price", "sum_disc_price"),
+    "q_haversine" -> Seq("dist_from_paris_km"),
+    "q_coords_ops" -> Seq("latitude_anon", "longitude_anon"),
+    "q_anonymize_services" -> Seq("latitude_anon", "longitude_anon"),
+    "q_enrich_services" -> Seq("latitude_anon", "longitude_anon"),
+    "q_mart_services" -> Seq("latitude", "longitude"),
+    "q_percentiles" -> Seq("p50", "p95"),
+    "q_window_funcs" -> Seq("bal", "running_bal"),
+    "q_sessionize" -> Seq("total_value"),
+    "q_sliding_window" -> Seq("total_value"),
+    "q_embed_norms" -> Seq("l2_norm"),
+    "q_embed_topk" -> Seq("cos_sim"),
+    "q_ann_ivf" -> Seq("cos_sim"),
+    "q_embed_near_dup" -> Seq("cos_sim"),
+    "q_ngram_jaccard" -> Seq("jaccard"),
+    "q_range_join" -> Seq("bal"),
+    "q_star_join" -> Seq("total_price"),
+    "q_scalar_subquery" -> Seq("bal", "threshold"),
+    "q_rollup_agg" -> Seq("sum_qty"),
+    "q_cube_agg" -> Seq("total"),
+    "q_events_hourly" -> Seq("total_value"),
+    "q_text_quality" -> Seq("mean_token_len", "punct_ratio", "quality_score"),
+    "q_text_repetition" -> Seq("repetition_ratio"),
+    "q_multimodal_features" -> (0 until 8).map(j => s"f$j"),
+    "q_corpus_prepare" -> Seq("quality_score", "repetition_ratio")
+  )
+
+  /** Spark side: in-place string cast of the named columns. */
+  def df(d: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(d)((acc, c) => acc.withColumn(c, col(c).cast("string")))
+
+  /** Oracle side: wrap the base SQL, replacing the named columns with their
+    * varchar casts (column ORDER changes; the driver sorts by name).
+    */
+  def sql(base: String, cols: Seq[String]): String = {
+    val casts = cols.map(c => s"cast($c as varchar) as $c").mkString(", ")
+    s"select * exclude (${cols.mkString(", ")}), $casts from (\n$base\n) __canon"
+  }
+
+  def wrap(name: String, q: Registry.Q): Registry.Q =
+    stringCols.get(name) match {
+      case Some(cols) =>
+        Registry.Q((s, dir) => df(q.fn(s, dir), cols), q.oracle.map(sql(_, cols)))
+      case None => q
+    }
+}

@@ -560,8 +560,13 @@ object ExtensionQueries {
     "q_embed_near_dup" -> Q(
       (s, dir) =>
         Similarity
+          // 0.35 (not the production-ish 0.95): the synthetic embeddings are
+          // near-orthogonal random vectors (max candidate cosine ~0.46), so a
+          // 0.95 threshold returns 0 rows at every SF and the oracle match is
+          // vacuous. 0.35 keeps the full LSH-band + verify path exercised
+          // with a non-empty, SF-stable result.
           .embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding",
-            threshold = 0.95)
+            threshold = 0.35)
           .select(
             col("id_a"),
             col("id_b"),
@@ -596,7 +601,7 @@ object ExtensionQueries {
         from cand c
         join embeddings ea on c.id_a = ea.vec_id
         join embeddings eb on c.id_b = eb.vec_id
-        where ${cos("ea.embedding", "eb.embedding")} >= 0.95
+        where ${cos("ea.embedding", "eb.embedding")} >= 0.35
         order by id_a, id_b"""
       }
     ),
@@ -800,13 +805,21 @@ object ExtensionQueries {
           .decodeFeatures(
             Multimodal.synthesizeFromDocuments(docs(s, dir)), dim = 8)
           .toDF()
-          .select(col("media_id"), col("kind"), col("n_bytes"),
-            col("features"))
+          .select(
+            Seq(col("media_id"), col("kind"), col("n_bytes")) ++
+              // Per-lane scalar projection: the driver's comparer can't
+              // sort/hash a raw array column (round-1 `unhashable ndarray`
+              // failure). Lane values are k/1000 for integer k, so the
+              // decimal(5,3) cast is exact on both engines.
+              (0 until 8).map(j =>
+                element_at(col("features"), j + 1)
+                  .cast("decimal(5,3)").as(s"f$j")): _*
+          )
           .orderBy("media_id"),
       // The stub decoder's FNV-ish byte fold + per-lane multiply is plain
       // wraparound integer arithmetic — reproduced in DuckDB as mod-2^64
-      // HUGEINT ops over the md5 payload bytes, features compared as
-      // float32 bit-for-bit.
+      // HUGEINT ops over the md5 payload bytes, lanes compared as
+      // decimal(5,3) strings (see Canon).
       Some("""
         with m as (
           select doc_id as media_id,
@@ -827,11 +840,19 @@ object ExtensionQueries {
             list_reduce(list_prepend(1125899906842597::hugeint, sbs),
               (acc, b) -> (acc * 31 + b + 18446744073709551616) % 18446744073709551616) as hu
           from bytes
+        ),
+        feats as (
+          select media_id, kind,
+            list_transform(range(0, 8), j ->
+              (((((hu * (j*2654435761 + 1)) % 18446744073709551616) // 1099511627776) % 1000) / 1000.0)::real) as fs
+          from h
         )
         select media_id, kind, cast(16 as int) as n_bytes,
-          list_transform(range(0, 8), j ->
-            (((((hu * (j*2654435761 + 1)) % 18446744073709551616) // 1099511627776) % 1000) / 1000.0)::real) as features
-        from h order by media_id""")
+          cast(fs[1] as decimal(5,3)) as f0, cast(fs[2] as decimal(5,3)) as f1,
+          cast(fs[3] as decimal(5,3)) as f2, cast(fs[4] as decimal(5,3)) as f3,
+          cast(fs[5] as decimal(5,3)) as f4, cast(fs[6] as decimal(5,3)) as f5,
+          cast(fs[7] as decimal(5,3)) as f6, cast(fs[8] as decimal(5,3)) as f7
+        from feats order by media_id""")
     )
   )
 

@@ -846,6 +846,7 @@ object Registry {
   )
 
   val all: ListMap[String, Q] =
-    pipelineQueries ++ maskingQueries ++ validatorQueries ++
-      relationalQueries ++ ExtensionQueries.all
+    (pipelineQueries ++ maskingQueries ++ validatorQueries ++
+      relationalQueries ++ ExtensionQueries.all)
+      .map { case (k, q) => k -> Canon.wrap(k, q) }
 }
