@@ -753,7 +753,62 @@ object ExtensionQueries {
             roundHalfUp(col("cos_sim"), 6).cast("decimal(12,6)").as("cos_sim")
           )
       },
-      None // k-means index; recall vs brute force asserted in IvfCorpusSpec
+      // Full replay of the deterministic build (Ivf.scala:82-140): seeds =
+      // first 16 vec_ids, two Lloyd's rounds, final re-assignment, then the
+      // nprobe=4 search. Distance folds are written as the same ascending-
+      // index left fold from 0.0 that NearestCentroidExpr.compute uses, and
+      // argmin ties break to the lowest centroid id (strict `<` keeps the
+      // first matrix row; the matrix is ordered by centroid_id). Per-dim
+      // means, cosine and the rank-10 cut are bit-stable across engines at
+      // the compared 6-decimal rounding (recall vs brute force is separately
+      // asserted in IvfCorpusSpec).
+      Some {
+        def sq(e: String, c: String) =
+          "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> " +
+            s"(cast($e[i] as double) - $c[i]) * (cast($e[i] as double) - $c[i]))), (x, y) -> x + y)"
+        def assign(cents: String) = s"""
+          select vec_id, embedding, cid from (
+            select e.vec_id, e.embedding, s.cid,
+              row_number() over (partition by e.vec_id
+                order by ${sq("e.embedding", "s.centroid")}, s.cid) as rn
+            from embeddings e cross join $cents s) where rn = 1"""
+        def update(src: String) = s"""
+          select cid, list(m order by dim) as centroid from (
+            select cid, d.dim, avg(cast(embedding[d.dim + 1] as double)) as m
+            from $src cross join range(0, 64) d(dim)
+            group by cid, d.dim) group by cid"""
+        s"""
+        with seeds as (
+          select cast(row_number() over (order by vec_id) - 1 as int) as cid,
+                 list_transform(embedding, x -> cast(x as double)) as centroid
+          from (select vec_id, embedding from embeddings order by vec_id limit 16)
+        ),
+        a1 as (${assign("seeds")}),
+        c1 as (${update("a1")}),
+        a2 as (${assign("c1")}),
+        c2 as (${update("a2")}),
+        a3 as (${assign("c2")}),
+        q as (
+          select list_transform(embedding, x -> cast(x as double)) as qv
+          from embeddings where vec_id = 0
+        ),
+        probes as (
+          select cid from q, c2
+          order by ${sq("c2.centroid", "q.qv")}, cid limit 4
+        ),
+        topk as (
+          select a.vec_id,
+            case when sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("q.qv", "q.qv")}) > 0
+                 then ${duckDot("a.embedding", "q.qv")} /
+                      (sqrt(${duckDot("a.embedding", "a.embedding")}) * sqrt(${duckDot("q.qv", "q.qv")}))
+                 else 0.0 end as cos
+          from a3 a join probes p using (cid) cross join q
+          order by cos desc, vec_id limit 10
+        )
+        select vec_id,
+          cast(${Parity.duckRound("cos", 6)} as decimal(12,6)) as cos_sim
+        from topk order by cos_sim desc, vec_id"""
+      }
     )
   )
 
