@@ -50,7 +50,13 @@ object Bench {
     val results = names.map { name =>
       val a = runOnce(name)
       val b = runOnce(name)
-      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      // a single failed pass must surface as a failure, not be papered over
+      // by the other pass's timing — intermittent errors matter more than
+      // a missing sample
+      name -> (if (a < 0 || b < 0) {
+        System.err.println(s"[bench] WARN: $name failed in a measured pass (a=$a b=$b)")
+        -1.0
+      } else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

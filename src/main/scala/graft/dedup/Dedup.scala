@@ -225,10 +225,18 @@ object Dedup {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var cached = edges
-      .groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("label"))
-      .cache()
+    // cacheOnce: the FINAL round's frame deliberately outlives this call (it
+    // backs the returned labels), so a repeated invocation over the same
+    // input re-derives plans that sameResult the still-cached one — a bare
+    // .cache() then logs "Asked to cache already cached data". The guard
+    // reuses instead of re-caching: at most one resident frame per distinct
+    // input, and intermediate rounds are unpersisted below as before.
+    def cacheOnce(df: DataFrame): DataFrame =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache() else df
+    var cached = cacheOnce(
+      edges
+        .groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), first(col("src"))).as("label")))
     var labels = cached
     var i = 0
     var converged = false
@@ -239,15 +247,15 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"), lit(false).as("is_cur"))
-      val nextFull = labels
-        .select(col("id"), col("label"), lit(true).as("is_cur"))
-        .unionAll(viaNeighbors)
-        .groupBy("id")
-        .agg(
-          min("label").as("label"),
-          min(when(col("is_cur"), col("label"))).as("prev_label")
-        )
-        .cache()
+      val nextFull = cacheOnce(
+        labels
+          .select(col("id"), col("label"), lit(true).as("is_cur"))
+          .unionAll(viaNeighbors)
+          .groupBy("id")
+          .agg(
+            min("label").as("label"),
+            min(when(col("is_cur"), col("label"))).as("prev_label")
+          ))
       // count() (not isEmpty) so the one action scans — and thus fully
       // caches — every partition of nextFull before the parent is dropped
       converged = nextFull.filter(col("label") < col("prev_label")).count() == 0

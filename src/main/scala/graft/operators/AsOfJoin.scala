@@ -44,10 +44,29 @@ object AsOfJoin {
       rightTs: String,
       payloadCols: Seq[String]
   ): DataFrame = {
+    // Internal working names must not capture caller columns (withColumn
+    // REPLACES a same-named column, silently corrupting output). Derive
+    // deterministic fresh names instead of random ones so repeated calls
+    // build sameResult plans (plan caching stays effective).
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String = {
+      var n = base
+      var i = 0
+      while (taken(n)) { i += 1; n = s"${base}_$i" }
+      n
+    }
+    val tsC = fresh("_ts"); val srcC = fresh("_src")
+    val pC = fresh("_p"); val pfC = fresh("_pf")
+    // `asof_ts` is part of the OUTPUT contract and rides inside the payload
+    // struct — a left column or payload field with that name would collide
+    // unrecoverably, so reject it up front rather than corrupt silently.
+    require(
+      !left.columns.contains("asof_ts") && !payloadCols.contains("asof_ts"),
+      "asOf: `asof_ts` is reserved for the output's matched-timestamp column")
     val keys = keyCols.map(col)
     val l = left
-      .withColumn("_ts", col(leftTs))
-      .withColumn("_src", lit(1))
+      .withColumn(tsC, col(leftTs))
+      .withColumn(srcC, lit(1))
     // SQL equi-join semantics: NULL keys never match and a NULL right
     // timestamp satisfies no `l.ts >= r.ts` — drop such right rows so the
     // window formulation can't pair them (partitionBy would group NULL
@@ -56,19 +75,19 @@ object AsOfJoin {
     val r = right
       .filter(col(rightTs).isNotNull && keyCols.map(col(_).isNotNull).reduce(_ && _))
       .select(
-        keys :+ col(rightTs).as("_ts") :+ lit(0).as("_src") :+
-          struct(col(rightTs).as("asof_ts") +: payloadCols.map(col): _*).as("_p"): _*
+        keys :+ col(rightTs).as(tsC) :+ lit(0).as(srcC) :+
+          struct(col(rightTs).as("asof_ts") +: payloadCols.map(col): _*).as(pC): _*
       )
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window
       .partitionBy(keys: _*)
-      .orderBy(col("_ts"), col("_src"))
+      .orderBy(col(tsC), col(srcC))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = unioned.withColumn("_pf", last(col("_p"), ignoreNulls = true).over(w))
+    val carried = unioned.withColumn(pfC, last(col(pC), ignoreNulls = true).over(w))
     val outCols =
       left.columns.map(col) ++
-        (col("_pf").getField("asof_ts").as("asof_ts") +:
-          payloadCols.map(p => col("_pf").getField(p).as(p)))
-    carried.filter(col("_src") === 1).select(outCols: _*)
+        (col(pfC).getField("asof_ts").as("asof_ts") +:
+          payloadCols.map(p => col(pfC).getField(p).as(p)))
+    carried.filter(col(srcC) === 1).select(outCols: _*)
   }
 }

@@ -70,7 +70,13 @@ case class NearestCentroidExpr(child: Expression, centroids: Seq[Seq[Double]])
 
 object NearestCentroidExpr {
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code.
+    *
+    * Fails loudly on malformed input instead of guessing: a vector whose
+    * length differs from the centroids', or one carrying NULL elements,
+    * would silently produce a wrong assignment if truncated/skipped (and
+    * reading a null slot through ArrayData returns garbage, not null).
+    */
   def compute(vec: ArrayData, matrix: Array[Array[Double]], isFloat: Boolean): InternalRow = {
     val n = vec.numElements()
     var best = 0
@@ -78,10 +84,15 @@ object NearestCentroidExpr {
     var c = 0
     while (c < matrix.length) {
       val cent = matrix(c)
-      val m = math.min(n, cent.length)
+      if (n != cent.length)
+        throw new IllegalArgumentException(
+          s"nearest_centroid: vector has $n elements but centroid $c has ${cent.length}")
       var acc = 0.0
       var i = 0
-      while (i < m) {
+      while (i < n) {
+        if (vec.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"nearest_centroid: vector element $i is NULL")
         val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
         val d = v - cent(i)
         acc += d * d

@@ -227,4 +227,24 @@ object Validate {
       max: Double
   ): DataFrame =
     df.filter(col(column) < min || col(column) > max)
+
+  /** dbt `store_failures` twin (dbt_project.yml:144-154): persist a test's
+    * violating rows as a queryable table in the `test_results` schema, one
+    * table per test, overwritten on each run — exactly the audit-trail
+    * contract dbt provides. Returns the re-read persisted frame.
+    */
+  def storeFailures(violations: DataFrame, testName: String): DataFrame = {
+    val spark = violations.sparkSession
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_results")
+    spark.sql(s"DROP TABLE IF EXISTS test_results.`$testName`")
+    // with the default in-memory catalog a warehouse directory can outlive
+    // the catalog entry (session restart); an orphaned location blocks CTAS,
+    // so clear it — this is the "drop + recreate" the dbt config performs
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(testName, Some("test_results"))))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.pipeline.Materialize.saveAsTable(violations, s"test_results.$testName")
+  }
 }

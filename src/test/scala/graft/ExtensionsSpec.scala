@@ -329,6 +329,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Seq((1L, "a", Some(5.0)), (1L, "b", Some(9.0)), (2L, "c", None)))
   }
 
+  test("asOf tolerates caller columns named like its internals; rejects asof_ts") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // left carries _ts/_src/_p/_pf — the old working names — which must NOT
+    // be captured/overwritten by the join's internal bookkeeping
+    val left = Seq((1L, t(10), "keepA", 7, "keepB", "keepC"))
+      .toDF("k", "ts", "_ts", "_src", "_p", "_pf")
+    val right = Seq((1L, t(9), 9.0)).toDF("k", "rts", "p")
+    val row = graft.operators.AsOfJoin
+      .asOf(left, right, Seq("k"), "ts", "rts", Seq("p"))
+      .head()
+    assert(row.getAs[String]("_ts") == "keepA")
+    assert(row.getAs[Int]("_src") == 7)
+    assert(row.getAs[String]("_p") == "keepB")
+    assert(row.getAs[String]("_pf") == "keepC")
+    assert(row.getAs[Double]("p") == 9.0)
+    val badLeft = Seq((1L, t(10), t(1))).toDF("k", "ts", "asof_ts")
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asOf(badLeft, right, Seq("k"), "ts", "rts", Seq("p"))
+    }
+  }
+
   test("property: asOf join equals the naive formulation on random data") {
     import java.sql.Timestamp
     val rnd = new scala.util.Random(23)

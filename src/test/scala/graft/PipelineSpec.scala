@@ -162,4 +162,18 @@ class PipelineSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("contact_email_anon")))
     assert(r.getAs[String]("city_anon") == "Paris")
   }
+
+  test("store_failures persists violating rows to a queryable test_results table") {
+    val dupes = Seq(("A", 1), ("A", 2), ("B", 3)).toDF("service_id", "x")
+    val viol = Validate.uniquenessViolations(dupes, "service_id")
+    val persisted = Validate.storeFailures(viol, "unique_service_id")
+    assert(persisted.count() == 1)
+    // the audit-trail contract: the table survives as a named catalog object
+    val back = spark.table("test_results.unique_service_id").collect()
+    assert(back.length == 1)
+    assert(back.head.getAs[String]("service_id") == "A")
+    assert(back.head.getAs[Long]("n") == 2L)
+    // overwrite on re-run, not append
+    assert(Validate.storeFailures(viol, "unique_service_id").count() == 1)
+  }
 }
