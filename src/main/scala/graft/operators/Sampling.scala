@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling for training-data curation: keep each
+  * row with a per-stratum probability, decided by a content-stable hash of
+  * the row id instead of a RNG.
+  *
+  * Why not `df.sample` / `rand()`: at 100 TB a sample must be REPRODUCIBLE
+  * (same rows on re-run, resumable after failure, auditable) and
+  * JOIN-STABLE (the same id sampled in two tables stays paired). An
+  * md5-derived per-mille bucket gives both, is engine-portable (DuckDB
+  * oracle computes the identical bucket), and the filter is a narrow
+  * map-only pass — no shuffle, fully pushed into the scan stage.
+  */
+object Sampling {
+
+  /** Engine-stable uniform per-mille bucket in [0, 1000). */
+  def hashMille(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000).cast("int")
+
+  /** @param df          input rows
+    * @param idCol       row id (hash key — sampling is a pure function of it)
+    * @param stratum     stratum label column (any expression)
+    * @param rates       stratum label -> keep rate in [0,1]
+    * @param defaultRate keep rate for labels absent from `rates`
+    * @return rows surviving their stratum's rate, plus `stratum` and
+    *         `mille` (the bucket that decided them — audit evidence)
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratum: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0
+  ): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    // integer thresholds (rate per mille) — a double comparison would
+    // reintroduce cross-engine FP boundary surprises for rates like 0.07
+    val thresh = rates.foldLeft(lit((defaultRate * 1000).round.toInt)) {
+      case (acc, (label, rate)) =>
+        when(stratum === label, lit((rate * 1000).round.toInt)).otherwise(acc)
+    }
+    df.withColumn("stratum", stratum)
+      .withColumn("mille", hashMille(col(idCol)))
+      .filter(col("mille") < thresh)
+  }
+}

@@ -51,7 +51,9 @@ object Canon {
     "q_text_quality" -> Seq("mean_token_len", "punct_ratio", "quality_score"),
     "q_text_repetition" -> Seq("repetition_ratio"),
     "q_multimodal_features" -> (0 until 8).map(j => s"f$j"),
-    "q_corpus_prepare" -> Seq("quality_score", "repetition_ratio")
+    "q_corpus_prepare" -> Seq("quality_score", "repetition_ratio"),
+    "q_embed_quantize" -> Seq("scale_q", "recon_err"),
+    "q_tfidf_topk" -> Seq("score")
   )
 
   /** Spark side: in-place string cast of the named columns. */

@@ -911,7 +911,161 @@ object ExtensionQueries {
     )
   )
 
+  // ---- curation (packing / sampling / quantization / tf-idf) -------------
+
+  /** Engine-stable md5 bucket, DuckDB side (SequencePacker.hashBucket /
+    * Sampling.hashMille twin).
+    */
+  private def duckMdBucket(mod: Int): String =
+    s"cast(cast('0x' || substr(md5(cast(doc_id as varchar)), 1, 8) as bigint) % $mod as int)"
+
+  val curationQueries: ListMap[String, Q] = ListMap(
+    "q_seq_pack" -> Q(
+      (s, dir) =>
+        graft.text.SequencePacker
+          .pack(
+            docs(s, dir).select(col("doc_id"), col("text")),
+            "doc_id",
+            TextAnalysis.tokenCount(col("text")),
+            budget = 512,
+            buckets = 8)
+          .select(
+            col("doc_id"),
+            col("bucket"),
+            col("n_tokens"),
+            col("cum_tokens"),
+            col("pack_id"))
+          .orderBy("doc_id"),
+      Some(s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        b as (
+          select doc_id, cast(len(toks) as int) as n_tokens,
+                 ${duckMdBucket(8)} as bucket
+          from t
+        ),
+        w as (
+          select doc_id, bucket, n_tokens,
+            cast(sum(n_tokens) over (partition by bucket order by doc_id
+              rows between unbounded preceding and current row) as bigint) as cum_tokens
+          from b
+        )
+        select doc_id, bucket, n_tokens, cum_tokens,
+          cast(floor((cum_tokens - n_tokens) / 512) as int) as pack_id
+        from w order by doc_id""")
+    ),
+    "q_stratified_sample" -> Q(
+      (s, dir) =>
+        graft.operators.Sampling
+          .stratifiedSample(
+            docs(s, dir).select(col("doc_id"), col("n_chars")),
+            "doc_id",
+            when(col("n_chars") < 200, "short")
+              .when(col("n_chars") < 1000, "medium")
+              .otherwise("long"),
+            rates = Map("short" -> 0.25, "medium" -> 0.5),
+            defaultRate = 0.75)
+          .select(col("doc_id"), col("stratum"), col("mille"))
+          .orderBy("doc_id"),
+      Some(s"""
+        with b as (
+          select doc_id,
+            case when n_chars < 200 then 'short'
+                 when n_chars < 1000 then 'medium'
+                 else 'long' end as stratum,
+            ${duckMdBucket(1000)} as mille
+          from documents
+        )
+        select doc_id, stratum, mille from b
+        where mille < (case stratum when 'short' then 250
+                                    when 'medium' then 500
+                                    else 750 end)
+        order by doc_id""")
+    ),
+    "q_embed_quantize" -> Q(
+      (s, dir) => {
+        import graft.similarity.Quantize
+        emb(s, dir)
+          .withColumn("_scale", Quantize.scaleOf(col("embedding")))
+          .withColumn("_q", Quantize.quantize(col("embedding"), col("_scale")))
+          .select(
+            col("vec_id"),
+            roundHalfUp(col("_scale"), 9).cast("decimal(18,9)").as("scale_q"),
+            Quantize.qNorm2(col("_q")).as("q_norm2"),
+            roundHalfUp(
+              Quantize.reconstructionError(col("embedding"), col("_q"), col("_scale")),
+              6).cast("decimal(14,6)").as("recon_err")
+          )
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        with s as (
+          select vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(cast(x as double)))) / 127.0 as scale
+          from embeddings
+        ),
+        q as (
+          select vec_id, embedding, scale,
+            list_transform(embedding, x ->
+              case when scale > 0
+                   then greatest(-127::bigint, least(127::bigint,
+                          cast(floor(cast(x as double) / scale + 0.5) as bigint)))
+                   else 0::bigint end) as qv
+          from s
+        ),
+        e as (
+          select vec_id, scale, qv,
+            list_reduce(list_prepend(0::bigint, qv), (a, b) -> a + b * b) as q_norm2,
+            sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+              (cast(embedding[i] as double) - qv[i] * scale) *
+              (cast(embedding[i] as double) - qv[i] * scale))), (a, b) -> a + b)) as err
+          from q
+        )
+        select vec_id,
+          cast(${duckRound("scale", 9)} as decimal(18,9)) as scale_q,
+          cast(q_norm2 as bigint) as q_norm2,
+          cast(${duckRound("err", 6)} as decimal(14,6)) as recon_err
+        from e order by vec_id""")
+    ),
+    "q_tfidf_topk" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val n = d.count()
+        graft.text.TfIdf
+          .topTerms(d, "doc_id", col("text"), k = 3, nDocs = n)
+          .select(
+            col("doc_id"),
+            col("term"),
+            col("tf").cast("int").as("tf"),
+            col("df").cast("int").as("df"),
+            roundHalfUp(col("score"), 6).cast("decimal(18,6)").as("score"),
+            col("rank").cast("int").as("rank"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""
+        with toks as (
+          select doc_id, unnest($duckTokens) as term from documents
+        ),
+        tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+        dfreq as (select term, count(*) as df from tf group by term),
+        n as (select count(*) as n from documents),
+        scored as (
+          select tf.doc_id, tf.term, tf.tf, dfreq.df,
+            tf.tf * ln(cast(n.n + 1 as double) / cast(dfreq.df + 1 as double)) as score
+          from tf join dfreq using (term) cross join n
+        ),
+        ranked as (
+          select *, row_number() over (partition by doc_id
+            order by score desc, term) as rank
+          from scored
+        )
+        select doc_id, term, cast(tf as int) as tf, cast(df as int) as df,
+          cast(${duckRound("score", 6)} as decimal(18,6)) as score,
+          cast(rank as int) as rank
+        from ranked where rank <= 3 order by doc_id, rank""")
+    )
+  )
+
   val all: ListMap[String, Q] =
     textQueries ++ dedupQueries ++ similarityQueries ++ corpusQueries ++
-      multimodalQueries
+      multimodalQueries ++ curationQueries
 }

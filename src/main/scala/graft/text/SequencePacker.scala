@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: assign documents to fixed
+  * token-budget training sequences ("packs"), the GPT-style
+  * concatenate-and-chunk shape.
+  *
+  * Scalable formulation: documents are spread over `buckets` independent
+  * streams by a deterministic md5-derived bucket of the id, ordered by id
+  * within each bucket, and cut by running token count — a document starts
+  * pack `floor(tokens_before_it / budget)`. Exactly ONE shuffle (the keyed
+  * window); no driver state; buckets bound window-partition size, so at
+  * 100 TB you set `buckets` ≈ cluster parallelism and each stream packs
+  * independently. Documents longer than the budget overflow their pack —
+  * the downstream chunker splits them (standard concatenation semantics) —
+  * rather than stalling the stream.
+  *
+  * The md5 bucket (not Spark's `hash`) keeps the assignment reproducible
+  * across engines and Spark versions — the same trick the MinHash oracle
+  * uses (docs/ROUND1.md #10).
+  */
+object SequencePacker {
+
+  /** Engine-stable uniform bucket in [0, buckets): first 8 md5 hex digits
+    * of the id, mod buckets.
+    */
+  def hashBucket(id: Column, buckets: Int): Column =
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets).cast("int")
+
+  /** @param docsDf   input documents
+    * @param idCol    unique document id (ordering + bucketing key)
+    * @param nTokens  token-count column (e.g. [[TextAnalysis.tokenCount]])
+    * @param budget   tokens per training sequence
+    * @param buckets  independent packing streams (≈ cluster parallelism)
+    * @return input plus `bucket`, `n_tokens`, `cum_tokens` (inclusive
+    *         running total within the bucket) and `pack_id` (the sequence
+    *         this document starts in; `(bucket, pack_id)` is the global
+    *         sequence key)
+    */
+  def pack(
+      docsDf: DataFrame,
+      idCol: String,
+      nTokens: Column,
+      budget: Int,
+      buckets: Int
+  ): DataFrame = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    val w = Window
+      .partitionBy(col("bucket"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docsDf
+      .withColumn("bucket", hashBucket(col(idCol), buckets))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn(
+        "pack_id",
+        floor((col("cum_tokens") - col("n_tokens")) / budget).cast("int"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.similarity.Quantize
+import graft.text.{SequencePacker, TextAnalysis, TfIdf}
+
+/** Curation-operator specs: sequence packing, deterministic stratified
+  * sampling, int8 embedding quantization, tf-idf keyword extraction.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sequence packing cuts packs at the token budget, single stream") {
+    // buckets=1 -> one ordered stream; budget 10
+    val d = Seq(
+      (1L, 4), (2L, 4), (3L, 4), // cum 4, 8, 12 -> packs 0, 0, 0 (starts at 8)
+      (4L, 25),                  // starts at 12 -> pack 1 (overflows; own span)
+      (5L, 2)                    // starts at 37 -> pack 3
+    ).toDF("doc_id", "n")
+    val packed = SequencePacker
+      .pack(d, "doc_id", col("n"), budget = 10, buckets = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "bucket", "n_tokens", "cum_tokens", "pack_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(packed.map(_._2).toSet == Set(0))
+    assert(packed.map(_._4).toSeq == Seq(4L, 8L, 12L, 37L, 39L))
+    assert(packed.map(_._5).toSeq == Seq(0, 0, 0, 1, 3))
+  }
+
+  test("sequence packing is deterministic and bucket-bounded") {
+    val d = (1L to 200L).map(i => (i, (i % 7 + 1).toInt)).toDF("doc_id", "n")
+    val a = SequencePacker.pack(d, "doc_id", col("n"), 16, 8).collect().toSet
+    val b = SequencePacker.pack(d, "doc_id", col("n"), 16, 8).collect().toSet
+    assert(a == b)
+    val buckets = a.map(_.getAs[Int]("bucket"))
+    assert(buckets.subsetOf((0 until 8).toSet))
+    assert(buckets.size > 1) // md5 actually spreads
+  }
+
+  test("stratified sampling: deterministic, per-stratum rate, join-stable") {
+    val d = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val out = Sampling
+      .stratifiedSample(d, "id", col("s"), Map("a" -> 0.2), defaultRate = 0.9)
+      .collect()
+    val byStratum = out.groupBy(_.getAs[String]("stratum")).view.mapValues(_.length).toMap
+    // 1000 rows per stratum; md5 buckets are uniform so expect ~200 / ~900
+    assert(byStratum("a") > 140 && byStratum("a") < 260, s"a=${byStratum("a")}")
+    assert(byStratum("b") > 840 && byStratum("b") < 960, s"b=${byStratum("b")}")
+    out.foreach { r =>
+      val limit = if (r.getAs[String]("stratum") == "a") 200 else 900
+      assert(r.getAs[Int]("mille") < limit)
+    }
+    // join-stability: the same id sampled from a differently-ordered frame
+    val out2 = Sampling
+      .stratifiedSample(d.orderBy(desc("id")), "id", col("s"), Map("a" -> 0.2), 0.9)
+      .collect()
+    assert(out.map(_.getAs[Long]("id")).toSet == out2.map(_.getAs[Long]("id")).toSet)
+  }
+
+  test("int8 quantization: known lanes, clamp, zero-vector guard") {
+    val d = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val out = d
+      .withColumn("scale", Quantize.scaleOf(col("v")))
+      .withColumn("q", Quantize.quantize(col("v"), col("scale")))
+      .withColumn("q_norm2", Quantize.qNorm2(col("q")))
+      .withColumn("err", Quantize.reconstructionError(col("v"), col("q"), col("scale")))
+      .orderBy("id")
+      .collect()
+    val r1 = out(0)
+    assert(math.abs(r1.getAs[Double]("scale") - 1.0 / 127) < 1e-12)
+    // v/scale = [127, -63.5, 31.75, 0] -> round-half-up = [127, -63, 32, 0]
+    assert(r1.getSeq[Long](r1.fieldIndex("q")).toSeq == Seq(127L, -63L, 32L, 0L))
+    assert(r1.getAs[Long]("q_norm2") == 127L * 127 + 63L * 63 + 32L * 32)
+    assert(r1.getAs[Double]("err") < 0.01) // quantization noise is small
+    val r2 = out(1)
+    assert(r2.getAs[Double]("scale") == 0.0)
+    assert(r2.getSeq[Long](r2.fieldIndex("q")).toSeq == Seq(0L, 0L, 0L, 0L))
+    assert(r2.getAs[Double]("err") == 0.0)
+  }
+
+  test("tf-idf ranks rarer terms above common ones; deterministic tie cut") {
+    val d = Seq(
+      (1L, "a b b"),
+      (2L, "b c"),
+      (3L, "c c c")
+    ).toDF("doc_id", "text")
+    val out = TfIdf
+      .topTerms(d, "doc_id", col("text"), k = 2, nDocs = 3)
+      .orderBy("doc_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Int]("rank")))
+    // doc1: a (tf1, df1 -> ln(2)=0.693) beats b (tf2, df2 -> 2*ln(4/3)=0.575)
+    assert(out.filter(_._1 == 1L).map(t => (t._2, t._4)).toSeq == Seq(("a", 1), ("b", 2)))
+    // doc2: b and c tie exactly (tf1, df2 each) -> lexicographic cut
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._4)).toSeq == Seq(("b", 1), ("c", 2)))
+    // doc3: only c
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._4)).toSeq == Seq(("c", 1)))
+    assert(TextAnalysis.tokenCount(lit("a b b")) != null) // tokenizer shared with stats
+  }
+}
