@@ -53,7 +53,9 @@ object Canon {
     "q_multimodal_features" -> (0 until 8).map(j => s"f$j"),
     "q_corpus_prepare" -> Seq("quality_score", "repetition_ratio"),
     "q_embed_quantize" -> Seq("scale_q", "recon_err"),
-    "q_tfidf_topk" -> Seq("score")
+    "q_tfidf_topk" -> Seq("score"),
+    "q_decontaminate" -> Seq("overlap_frac"),
+    "q_lm_surprisal" -> Seq("surprisal")
   )
 
   /** Spark side: in-place string cast of the named columns. */

@@ -1026,6 +1026,83 @@ object ExtensionQueries {
           cast(${duckRound("err", 6)} as decimal(14,6)) as recon_err
         from e order by vec_id""")
     ),
+    "q_decontaminate" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.text.Decontaminate
+          .overlapStats(
+            corpus = d.filter(col("doc_id") % 50 =!= 0),
+            benchmark = d.filter(col("doc_id") % 50 === 0),
+            "doc_id",
+            col("text"),
+            k = 5)
+          .select(
+            col("doc_id"),
+            col("n_shingles"),
+            col("n_overlap"),
+            roundHalfUp(col("overlap_frac"), 6)
+              .cast("decimal(9,6)").as("overlap_frac"))
+          .orderBy("doc_id")
+      },
+      // 5-shingle twin of the minhash oracle's 3-shingle CTE (same
+      // short-doc whole-sequence clamp); benchmark = every 50th doc id
+      Some(s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        sh as (
+          select doc_id,
+            list_distinct(list_transform(
+              range(1, cast(greatest(len(toks) - 4, 1) as int) + 1),
+              i -> array_to_string(list_slice(toks, i, i + 4), ' '))) as shs
+          from t
+        ),
+        ex as (select doc_id, unnest(shs) as shingle from sh),
+        bench as (select distinct shingle from ex where doc_id % 50 = 0),
+        corp as (select * from ex where doc_id % 50 <> 0),
+        tot as (select doc_id, count(*) as n_shingles from corp group by doc_id),
+        ov as (
+          select c.doc_id, count(*) as n_overlap
+          from corp c join bench b using (shingle) group by c.doc_id
+        )
+        select tot.doc_id, n_shingles,
+          coalesce(n_overlap, 0) as n_overlap,
+          cast(${duckRound("coalesce(n_overlap, 0) / cast(n_shingles as double)", 6)}
+               as decimal(9,6)) as overlap_frac
+        from tot left join ov using (doc_id) order by doc_id""")
+    ),
+    "q_lm_surprisal" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val n = d
+          .select(sum(TextAnalysis.tokenCount(col("text"))).cast("long"))
+          .head()
+          .getLong(0)
+        graft.text.LmScore
+          .surprisal(d, "doc_id", col("text"), n)
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            roundHalfUp(col("surprisal"), 6)
+              .cast("decimal(12,6)").as("surprisal"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        with toks as (
+          select doc_id, unnest($duckTokens) as term from documents
+        ),
+        tf as (select doc_id, term, count(*) as tf from toks group by doc_id, term),
+        cc as (select term, cast(sum(tf) as bigint) as c from tf group by term),
+        n as (select cast(sum(tf) as bigint) as n from tf),
+        agg as (
+          select tf.doc_id,
+            cast(sum(tf.tf) as bigint) as n_tokens,
+            sum(tf.tf * ln(cast(n.n as double) / c)) / sum(tf.tf) as s
+          from tf join cc using (term) cross join n
+          group by tf.doc_id
+        )
+        select doc_id, n_tokens,
+          cast(${duckRound("s", 6)} as decimal(12,6)) as surprisal
+        from agg order by doc_id""")
+    ),
     "q_tfidf_topk" -> Q(
       (s, dir) => {
         val d = docs(s, dir)

@@ -84,6 +84,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("err") == 0.0)
   }
 
+  test("decontamination counts distinct shingle overlap against the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 5-gram
+      (2L, "completely unrelated text with no shared spans at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "x quick brown fox jumps over y")).toDF("doc_id", "text")
+    val out = graft.text.Decontaminate
+      .overlapStats(corpus, bench, "doc_id", col("text"), k = 5)
+      .orderBy("doc_id")
+      .collect()
+    val r1 = out(0)
+    // doc1 has 5 distinct 5-shingles; "quick brown fox jumps over" is in bench
+    assert(r1.getAs[Long]("n_shingles") == 5L)
+    assert(r1.getAs[Long]("n_overlap") == 1L)
+    assert(math.abs(r1.getAs[Double]("overlap_frac") - 0.2) < 1e-12)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_overlap") == 0L && r2.getAs[Double]("overlap_frac") == 0.0)
+  }
+
+  test("unigram surprisal: boilerplate scores low, rare vocabulary high") {
+    val d = Seq(
+      (1L, "common common common common"),
+      (2L, "common rareword")
+    ).toDF("doc_id", "text")
+    // N = 6 tokens; c(common) = 5, c(rareword) = 1
+    val out = graft.text.LmScore
+      .surprisal(d, "doc_id", col("text"), nTokens = 6L)
+      .orderBy("doc_id")
+      .collect()
+    val s1 = out(0).getAs[Double]("surprisal") // ln(6/5) ~ 0.182
+    val s2 = out(1).getAs[Double]("surprisal") // (ln(6/5) + ln(6)) / 2 ~ 0.987
+    assert(math.abs(s1 - math.log(6.0 / 5)) < 1e-12)
+    assert(math.abs(s2 - (math.log(6.0 / 5) + math.log(6.0)) / 2) < 1e-12)
+    assert(s2 > s1)
+    assert(out(0).getAs[Long]("n_tokens") == 4L)
+  }
+
   test("tf-idf ranks rarer terms above common ones; deterministic tie cut") {
     val d = Seq(
       (1L, "a b b"),
