@@ -63,4 +63,26 @@ class PlanGuardSpec extends SparkSpec {
       assert(plan.contains(fragment), s"expected `$fragment` in:\n$plan")
     }
   }
+
+  test("canon guard: no compared output carries decimal or array columns") {
+    // The driver's hasher reads Spark output from parquet (decimal ->
+    // python Decimal) but the oracle via duckdb .df() (decimal -> float64):
+    // equal values, different hash (docs/ROUND2.md #20). And its pandas
+    // sort dies on array columns (round-1 q_multimodal_features). Every
+    // decimal-bearing compared column must therefore be listed in
+    // Canon.stringCols — after Canon.wrap it comes out as a string — and
+    // arrays must be projected to scalars before comparison.
+    import org.apache.spark.sql.types.{ArrayType, DecimalType}
+    val offenders = Registry.all.flatMap { case (name, q) =>
+      q.oracle.toSeq.flatMap { _ =>
+        q.fn(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[DecimalType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString} (add to Canon.stringCols)"
+          case f if f.dataType.isInstanceOf[ArrayType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString} (driver cannot sort arrays)"
+        }
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
