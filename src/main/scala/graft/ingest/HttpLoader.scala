@@ -44,8 +44,8 @@ object HttpLoader {
     Config(
       apiUrl = e.getOrElse("DATAGOUV_API_URL", Config().apiUrl),
       datasetId = e.getOrElse("DATAGOUV_DATASET_ID", Config().datasetId),
-      timeoutSec = e.get("DATAGOUV_HTTP_TIMEOUT").map(_.toInt).getOrElse(30),
-      retries = e.get("DATAGOUV_HTTP_RETRIES").map(_.toInt).getOrElse(3)
+      timeoutSec = e.get("DATAGOUV_HTTP_TIMEOUT").map(_.toInt).getOrElse(Config().timeoutSec),
+      retries = e.get("DATAGOUV_HTTP_RETRIES").map(_.toInt).getOrElse(Config().retries)
     )
   }
 
@@ -79,6 +79,9 @@ object HttpLoader {
         case e: Exception            => last = e
       }
       System.err.println(s"[http] attempt $attempt/${cfg.retries} failed for $url: ${last.getMessage}")
+      // linear backoff between attempts (not after the last): back-to-back
+      // retries would spend the whole budget before a transient recovers
+      if (attempt < cfg.retries) Thread.sleep(200L * attempt)
     }
     throw new HttpFetchException(s"failed after ${cfg.retries} attempts: $url", last)
   }

@@ -16,10 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Engine-stable uniform per-mille bucket in [0, 1000). */
-  def hashMille(id: Column): Column =
-    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long") % 1000).cast("int")
+  /** Engine-stable uniform per-mille bucket in [0, 1000); NULL ids hash
+    * deterministically (as the empty string) instead of being dropped.
+    */
+  def hashMille(id: Column): Column = StableHash.bucket(id, 1000)
 
   /** @param df          input rows
     * @param idCol       row id (hash key — sampling is a pure function of it)
@@ -38,6 +38,11 @@ object Sampling {
   ): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       "rates must be in [0,1]")
+    // `stratum`/`mille` are OUTPUT contract columns — withColumn would
+    // silently overwrite same-named caller columns (the AsOfJoin lesson)
+    require(
+      !df.columns.contains("stratum") && !df.columns.contains("mille"),
+      "stratifiedSample: input must not already have `stratum`/`mille` columns")
     // integer thresholds (rate per mille) — a double comparison would
     // reintroduce cross-engine FP boundary surprises for rates like 0.07
     val thresh = rates.foldLeft(lit((defaultRate * 1000).round.toInt)) {

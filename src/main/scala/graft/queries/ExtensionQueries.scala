@@ -917,7 +917,7 @@ object ExtensionQueries {
     * Sampling.hashMille twin).
     */
   private def duckMdBucket(mod: Int): String =
-    s"cast(cast('0x' || substr(md5(cast(doc_id as varchar)), 1, 8) as bigint) % $mod as int)"
+    s"cast(cast('0x' || substr(md5(coalesce(cast(doc_id as varchar), '')), 1, 8) as bigint) % $mod as int)"
 
   val curationQueries: ListMap[String, Q] = ListMap(
     "q_seq_pack" -> Q(

@@ -79,6 +79,16 @@ object NearestCentroidExpr {
     */
   def compute(vec: ArrayData, matrix: Array[Array[Double]], isFloat: Boolean): InternalRow = {
     val n = vec.numElements()
+    // validation hoisted OUT of the k x dim distance loops: one O(n)
+    // pre-pass per row instead of per-centroid/per-element checks in the
+    // scaling-critical assignment kernel
+    var v = 0
+    while (v < n) {
+      if (vec.isNullAt(v))
+        throw new IllegalArgumentException(
+          s"nearest_centroid: vector element $v is NULL")
+      v += 1
+    }
     var best = 0
     var bestDist = Double.PositiveInfinity
     var c = 0
@@ -90,11 +100,8 @@ object NearestCentroidExpr {
       var acc = 0.0
       var i = 0
       while (i < n) {
-        if (vec.isNullAt(i))
-          throw new IllegalArgumentException(
-            s"nearest_centroid: vector element $i is NULL")
-        val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-        val d = v - cent(i)
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val d = x - cent(i)
         acc += d * d
         i += 1
       }

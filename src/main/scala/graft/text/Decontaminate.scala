@@ -50,15 +50,17 @@ object Decontaminate {
     val benchSh = explodedShingles(benchmark, idCol, textCol, k)
       .select(col("shingle"))
       .distinct()
-    val overlap = corpusSh
-      .join(benchSh, Seq("shingle"), "left_semi")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("_in_bench", lit(1))
+    // single pass over the corpus shingles: the left join marks benchmark
+    // hits and ONE aggregation produces both counts — a separate semi-join
+    // + second groupBy would shingle (explode) the corpus twice and add a
+    // third shuffle to re-join the two aggregates
     corpusSh
+      .join(benchSh, Seq("shingle"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"))
-      .join(overlap, Seq(idCol), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("_in_bench")).as("n_overlap"))
       .withColumn(
         "overlap_frac",
         col("n_overlap").cast("double") / col("n_shingles"))

@@ -24,12 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object SequencePacker {
 
-  /** Engine-stable uniform bucket in [0, buckets): first 8 md5 hex digits
-    * of the id, mod buckets.
+  /** Engine-stable uniform bucket in [0, buckets) — shared md5 base hash
+    * ([[graft.operators.StableHash]]).
     */
   def hashBucket(id: Column, buckets: Int): Column =
-    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets).cast("int")
+    graft.operators.StableHash.bucket(id, buckets)
 
   /** @param docsDf   input documents
     * @param idCol    unique document id (ordering + bucketing key)
@@ -49,6 +48,11 @@ object SequencePacker {
       buckets: Int
   ): DataFrame = {
     require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    // output-contract columns must not silently replace caller columns
+    val reserved = Seq("bucket", "n_tokens", "cum_tokens", "pack_id")
+    require(
+      !reserved.exists(docsDf.columns.contains),
+      s"pack: input must not already have ${reserved.mkString("/")} columns")
     val w = Window
       .partitionBy(col("bucket"))
       .orderBy(col(idCol))

@@ -235,6 +235,11 @@ object Validate {
     */
   def storeFailures(violations: DataFrame, testName: String): DataFrame = {
     val spark = violations.sparkSession
+    // quoted consistently below; backticks themselves can't be escaped
+    // portably, and a dot would silently target another database
+    require(
+      !testName.contains("`") && !testName.contains("."),
+      s"storeFailures: test name must not contain backticks or dots: $testName")
     spark.sql("CREATE DATABASE IF NOT EXISTS test_results")
     spark.sql(s"DROP TABLE IF EXISTS test_results.`$testName`")
     // with the default in-memory catalog a warehouse directory can outlive
@@ -245,6 +250,6 @@ object Validate {
         org.apache.spark.sql.catalyst.TableIdentifier(testName, Some("test_results"))))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    graft.pipeline.Materialize.saveAsTable(violations, s"test_results.$testName")
+    graft.pipeline.Materialize.saveAsTable(violations, s"test_results.`$testName`")
   }
 }

@@ -72,6 +72,11 @@ def main(sf_dir: str, out_dir: str, only) -> int:
             con.sql(f"create view {t} as select * from read_parquet('{p}')")
 
     oracle_sql = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if only:
+        unknown = only - set(oracle_sql)
+        if unknown:  # a typo'd filter must not read as a green gate
+            print(f"FAIL: unknown query name(s): {sorted(unknown)}")
+            return 1
     n_pass = n_fail = 0
     for name, sql in sorted(oracle_sql.items()):
         if only and name not in only:
