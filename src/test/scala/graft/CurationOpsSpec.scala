@@ -84,6 +84,57 @@ class CurationOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("err") == 0.0)
   }
 
+  test("property: threshold sampling is nested — lower rate is a subset of higher") {
+    val d = (1L to 500L).map(i => (i, "x")).toDF("id", "s")
+    def ids(rate: Double) = Sampling
+      .stratifiedSample(d, "id", col("s"), Map.empty, defaultRate = rate)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val s2 = ids(0.2); val s5 = ids(0.5); val s9 = ids(0.9)
+    assert(s2.subsetOf(s5) && s5.subsetOf(s9)) // same hash, higher cut
+    assert(ids(0.0).isEmpty && ids(1.0).size == 500)
+  }
+
+  test("property: pack ids are the floor of the pre-doc running total over budget") {
+    val rnd = new scala.util.Random(11)
+    val d = (1L to 300L).map(i => (i, rnd.nextInt(40) + 1)).toDF("doc_id", "n")
+    val rows = SequencePacker
+      .pack(d, "doc_id", col("n"), budget = 64, buckets = 4)
+      .collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("cum_tokens"), r.getAs[Int]("pack_id")))
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, cumOut, pack) =>
+        assert(pack == cum / 64, "pack = floor(tokens before doc / budget)")
+        cum += n
+        assert(cumOut == cum, "inclusive running total")
+      }
+      // monotone, never skipping backwards
+      assert(sorted.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
+  test("property: quantization lanes bounded and reconstruction within half-step") {
+    val rnd = new scala.util.Random(7)
+    val d = (1 to 50)
+      .map(i => (i.toLong, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 4f)))
+      .toDF("id", "v")
+    d.withColumn("scale", Quantize.scaleOf(col("v")))
+      .withColumn("q", Quantize.quantize(col("v"), col("scale")))
+      .collect()
+      .foreach { r =>
+        val scale = r.getAs[Double]("scale")
+        val v = r.getSeq[Float](r.fieldIndex("v"))
+        val q = r.getSeq[Long](r.fieldIndex("q"))
+        q.foreach(x => assert(math.abs(x) <= 127))
+        v.zip(q).foreach { case (vi, qi) =>
+          assert(math.abs(qi * scale - vi) <= scale / 2 + 1e-9,
+            s"lane error beyond half a quantization step: v=$vi q=$qi scale=$scale")
+        }
+      }
+  }
+
   test("decontamination counts distinct shingle overlap against the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // contains bench 5-gram
