@@ -52,6 +52,43 @@ object StreamingPipeline {
         sum(col("value")).as("total_value")
       )
 
+  /** Streaming corpus-quality monitor: watermarked per-window, per-source
+    * aggregates of the single-pass text signals ([[graft.text.TextAnalysis
+    * .textStats]]) — ingest rate, token throughput, mean quality score and
+    * the low-quality fraction. This is the live gate a training-data intake
+    * runs in front of the batch pipeline: a collapsing quality score or a
+    * token-rate spike on one source shows up within a window, not at the
+    * next batch job.
+    *
+    * State is one row per (window, source) bounded by the watermark; the
+    * quality expressions are the SAME codegen'd columns the batch corpus
+    * pipeline uses, so stream and batch can never disagree on what
+    * "low quality" means.
+    */
+  def qualityMonitor(
+      docsStream: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      windowLength: String = "5 minutes",
+      lowQuality: Double = 0.5
+  ): DataFrame = {
+    import graft.text.TextAnalysis
+    docsStream
+      .withWatermark(tsCol, watermark)
+      .withColumn("_st", TextAnalysis.textStats(col(textCol)))
+      .withColumn("_q", TextAnalysis.qualityScoreOfStats(col("_st")))
+      .groupBy(window(col(tsCol), windowLength), col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountOfStats(col("_st"))).as("n_tokens"),
+        avg(col("_q")).as("mean_quality"),
+        avg(when(col("_q") < lowQuality, 1.0).otherwise(0.0))
+          .as("low_quality_frac")
+      )
+  }
+
   /** Streaming exact dedup by content hash, watermark-bounded.
     *
     * `dropDuplicatesWithinWatermark` keys state on md5(text) and evicts

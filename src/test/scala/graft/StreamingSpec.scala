@@ -53,6 +53,39 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("click", 2L, 3.0), ("buy", 1L, 5.0)))
   }
 
+  test("streaming quality monitor aggregates per window/source; batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "source", "text")
+    val mon = StreamingPipeline.qualityMonitor(df, lowQuality = 0.5)
+    input.addData(
+      (1L, ts(1), "web", "This is a reasonably normal sentence of words."),
+      (2L, ts(2), "web", "!!!! ???? ;;;; ###"), // punctuation junk
+      (3L, ts(3), "crawl", "the quality of the data is in the details and that matters here")
+    )
+    val q = mon.writeStream.format("memory").queryName("qmon")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("qmon")
+      .select($"source", $"n_docs", $"n_tokens", $"mean_quality", $"low_quality_frac")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("web")._1 == 2L && out("crawl")._1 == 1L)
+    assert(out("crawl")._4 == 0.0)           // clean source: nothing low-quality
+    assert(out("web")._4 == 0.5)             // junk doc flagged
+    assert(out("crawl")._3 > out("web")._3)  // junk drags the mean down
+    // stream/batch agreement: same expressions, same numbers
+    import graft.text.TextAnalysis
+    val batch = Seq(
+      (1L, "This is a reasonably normal sentence of words."),
+      (2L, "!!!! ???? ;;;; ###")
+    ).toDF("doc_id", "text")
+      .withColumn("_st", TextAnalysis.textStats($"text"))
+      .agg(avg(TextAnalysis.qualityScoreOfStats($"_st"))).head().getDouble(0)
+    assert(math.abs(batch - out("web")._3) < 1e-12)
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
