@@ -953,6 +953,45 @@ object ExtensionQueries {
           cast(floor((cum_tokens - n_tokens) / 512) as int) as pack_id
         from w order by doc_id""")
     ),
+    "q_seq_pack_chunks" -> Q(
+      (s, dir) =>
+        graft.text.SequencePacker
+          .chunks(
+            graft.text.SequencePacker.pack(
+              docs(s, dir).select(col("doc_id"), col("text")),
+              "doc_id",
+              TextAnalysis.tokenCount(col("text")),
+              budget = 512,
+              buckets = 8),
+            budget = 512)
+          .select(col("doc_id"), col("bucket"), col("pack_id"), col("chunk_tokens"))
+          .orderBy("doc_id", "pack_id"),
+      Some(s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        b as (
+          select doc_id, cast(len(toks) as int) as n_tokens,
+                 ${duckMdBucket(8)} as bucket
+          from t
+        ),
+        w as (
+          select doc_id, bucket, n_tokens,
+            cast(sum(n_tokens) over (partition by bucket order by doc_id
+              rows between unbounded preceding and current row) as bigint) as cum_tokens
+          from b
+        ),
+        c as (
+          select doc_id, bucket, n_tokens, cum_tokens,
+            cum_tokens - n_tokens as strt,
+            unnest(generate_series(
+              cast(floor((cum_tokens - n_tokens) / 512) as int),
+              cast(floor((cum_tokens - 1) / 512) as int))) as pack_id
+          from w where n_tokens > 0
+        )
+        select doc_id, bucket, cast(pack_id as int) as pack_id,
+          cast(least(cum_tokens, (pack_id + 1) * 512)
+               - greatest(strt, pack_id * 512) as int) as chunk_tokens
+        from c order by doc_id, pack_id""")
+    ),
     "q_stratified_sample" -> Q(
       (s, dir) =>
         graft.operators.Sampling

@@ -65,4 +65,29 @@ object SequencePacker {
         "pack_id",
         floor((col("cum_tokens") - col("n_tokens")) / budget).cast("int"))
   }
+
+  /** Chunk spans: one row per (document, pack) it occupies — the exact
+    * shape a trainer consumes. A document starting at token offset
+    * `cum - n` spans every pack boundary it crosses; `chunk_tokens` is its
+    * token count inside that pack. Invariants (spec-pinned): chunk counts
+    * per document sum to `n_tokens`, and every pack except each bucket's
+    * last holds exactly `budget` tokens.
+    *
+    * Narrow on top of [[pack]]'s window output (an explode, no extra
+    * shuffle). Zero-token documents occupy no pack and are dropped.
+    */
+  def chunks(packed: DataFrame, budget: Int): DataFrame = {
+    val start = col("cum_tokens") - col("n_tokens")
+    packed
+      .filter(col("n_tokens") > 0)
+      .withColumn("pack_id",
+        explode(
+          sequence(
+            floor(start / budget).cast("int"),
+            floor((col("cum_tokens") - 1) / budget).cast("int"))))
+      .withColumn(
+        "chunk_tokens",
+        (least(col("cum_tokens"), (col("pack_id") + 1).cast("long") * budget) -
+          greatest(start, col("pack_id").cast("long") * budget)).cast("int"))
+  }
 }

@@ -115,6 +115,26 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("property: chunk spans sum to doc length; every non-final pack is exactly full") {
+    val rnd = new scala.util.Random(29)
+    val d = (1L to 300L).map(i => (i, rnd.nextInt(90) + 1)).toDF("doc_id", "n")
+    val packed = SequencePacker.pack(d, "doc_id", col("n"), budget = 64, buckets = 4)
+    val chunks = SequencePacker.chunks(packed, budget = 64).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
+        r.getAs[Int]("pack_id"), r.getAs[Int]("chunk_tokens")))
+    // per-document: chunks reassemble the full token count
+    val perDoc = chunks.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    d.collect().foreach(r =>
+      assert(perDoc(r.getAs[Long]("doc_id")) == r.getAs[Int]("n")))
+    // per-pack: exactly `budget` tokens except each bucket's final pack
+    chunks.groupBy(c => (c._2, c._3)).foreach { case ((bucket, pack), cs) =>
+      val lastPack = chunks.filter(_._2 == bucket).map(_._3).max
+      val total = cs.map(_._4).sum
+      if (pack < lastPack) assert(total == 64, s"pack ($bucket,$pack) holds $total")
+      else assert(total <= 64)
+    }
+  }
+
   test("property: quantization lanes bounded and reconstruction within half-step") {
     val rnd = new scala.util.Random(7)
     val d = (1 to 50)
