@@ -919,6 +919,24 @@ object ExtensionQueries {
   private def duckMdBucket(mod: Int): String =
     s"cast(cast('0x' || substr(md5(coalesce(cast(doc_id as varchar), '')), 1, 8) as bigint) % $mod as int)"
 
+  /** Shared packing CTE prefix (SequencePacker.pack twin): tokens ->
+    * (n_tokens, bucket) -> running cum_tokens. ONE definition for both
+    * packing oracles so they cannot silently disagree about the grid.
+    */
+  private lazy val duckPackCte: String = s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        b as (
+          select doc_id, cast(len(toks) as int) as n_tokens,
+                 ${duckMdBucket(8)} as bucket
+          from t
+        ),
+        w as (
+          select doc_id, bucket, n_tokens,
+            cast(sum(n_tokens) over (partition by bucket order by doc_id
+              rows between unbounded preceding and current row) as bigint) as cum_tokens
+          from b
+        )"""
+
   val curationQueries: ListMap[String, Q] = ListMap(
     "q_seq_pack" -> Q(
       (s, dir) =>
@@ -936,19 +954,7 @@ object ExtensionQueries {
             col("cum_tokens"),
             col("pack_id"))
           .orderBy("doc_id"),
-      Some(s"""
-        with t as (select doc_id, $duckTokens as toks from documents),
-        b as (
-          select doc_id, cast(len(toks) as int) as n_tokens,
-                 ${duckMdBucket(8)} as bucket
-          from t
-        ),
-        w as (
-          select doc_id, bucket, n_tokens,
-            cast(sum(n_tokens) over (partition by bucket order by doc_id
-              rows between unbounded preceding and current row) as bigint) as cum_tokens
-          from b
-        )
+      Some(s"""$duckPackCte
         select doc_id, bucket, n_tokens, cum_tokens,
           cast(floor((cum_tokens - n_tokens) / 512) as int) as pack_id
         from w order by doc_id""")
@@ -966,19 +972,7 @@ object ExtensionQueries {
             budget = 512)
           .select(col("doc_id"), col("bucket"), col("pack_id"), col("chunk_tokens"))
           .orderBy("doc_id", "pack_id"),
-      Some(s"""
-        with t as (select doc_id, $duckTokens as toks from documents),
-        b as (
-          select doc_id, cast(len(toks) as int) as n_tokens,
-                 ${duckMdBucket(8)} as bucket
-          from t
-        ),
-        w as (
-          select doc_id, bucket, n_tokens,
-            cast(sum(n_tokens) over (partition by bucket order by doc_id
-              rows between unbounded preceding and current row) as bigint) as cum_tokens
-          from b
-        ),
+      Some(s"""$duckPackCte,
         c as (
           select doc_id, bucket, n_tokens, cum_tokens,
             cum_tokens - n_tokens as strt,

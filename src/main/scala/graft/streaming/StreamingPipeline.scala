@@ -75,10 +75,21 @@ object StreamingPipeline {
       lowQuality: Double = 0.5
   ): DataFrame = {
     import graft.text.TextAnalysis
+    // working columns must not capture caller columns (SequencePacker rule)
+    require(
+      !docsStream.columns.contains("_st") && !docsStream.columns.contains("_q"),
+      "qualityMonitor: input must not already have `_st`/`_q` columns")
     docsStream
       .withWatermark(tsCol, watermark)
       .withColumn("_st", TextAnalysis.textStats(col(textCol)))
-      .withColumn("_q", TextAnalysis.qualityScoreOfStats(col("_st")))
+      // NULL text is the WORST quality, not invisible. The guard must be
+      // explicit on the text column: the score formula's least/greatest
+      // SKIP null operands (Spark semantics), so a null-stats row scores
+      // 0.9 — a broken upstream emitting null text would read as pristine
+      // and the gate this monitor exists to be would stay green
+      .withColumn("_q",
+        when(col(textCol).isNull, lit(0.0))
+          .otherwise(TextAnalysis.qualityScoreOfStats(col("_st"))))
       .groupBy(window(col(tsCol), windowLength), col(sourceCol))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -64,7 +64,15 @@ object SequencePacker {
       .withColumn(
         "pack_id",
         floor((col("cum_tokens") - col("n_tokens")) / budget).cast("int"))
+      // stamp the budget so chunks() can refuse a mismatched grid instead
+      // of silently tiling the packs differently than they were cut
+      .withMetadata(
+        "pack_id",
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(BudgetMetaKey, budget.toLong).build())
   }
+
+  private[text] val BudgetMetaKey = "graft.pack.budget"
 
   /** Chunk spans: one row per (document, pack) it occupies — the exact
     * shape a trainer consumes. A document starting at token offset
@@ -77,6 +85,13 @@ object SequencePacker {
     * shuffle). Zero-token documents occupy no pack and are dropped.
     */
   def chunks(packed: DataFrame, budget: Int): DataFrame = {
+    // refuse a grid mismatch: tiling with a budget different from the one
+    // pack() cut with would silently mis-size every training sequence
+    val meta = packed.schema("pack_id").metadata
+    if (meta.contains(BudgetMetaKey))
+      require(
+        meta.getLong(BudgetMetaKey) == budget.toLong,
+        s"chunks: budget $budget != pack() budget ${meta.getLong(BudgetMetaKey)}")
     val start = col("cum_tokens") - col("n_tokens")
     packed
       .filter(col("n_tokens") > 0)

@@ -61,7 +61,8 @@ class StreamingSpec extends SparkSpec {
     input.addData(
       (1L, ts(1), "web", "This is a reasonably normal sentence of words."),
       (2L, ts(2), "web", "!!!! ???? ;;;; ###"), // punctuation junk
-      (3L, ts(3), "crawl", "the quality of the data is in the details and that matters here")
+      (3L, ts(3), "web", null),                 // broken upstream: NULL text
+      (4L, ts(4), "crawl", "the quality of the data is in the details and that matters here")
     )
     val q = mon.writeStream.format("memory").queryName("qmon")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -71,18 +72,21 @@ class StreamingSpec extends SparkSpec {
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
       .toMap
-    assert(out("web")._1 == 2L && out("crawl")._1 == 1L)
-    assert(out("crawl")._4 == 0.0)           // clean source: nothing low-quality
-    assert(out("web")._4 == 0.5)             // junk doc flagged
-    assert(out("crawl")._3 > out("web")._3)  // junk drags the mean down
+    assert(out("web")._1 == 3L && out("crawl")._1 == 1L)
+    assert(out("crawl")._4 == 0.0)                     // clean source: nothing low-quality
+    assert(math.abs(out("web")._4 - 2.0 / 3) < 1e-12)  // junk AND null-text flagged
+    assert(out("crawl")._3 > out("web")._3)            // junk drags the mean down
     // stream/batch agreement: same expressions, same numbers
     import graft.text.TextAnalysis
     val batch = Seq(
       (1L, "This is a reasonably normal sentence of words."),
-      (2L, "!!!! ???? ;;;; ###")
+      (2L, "!!!! ???? ;;;; ###"),
+      (3L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
       .withColumn("_st", TextAnalysis.textStats($"text"))
-      .agg(avg(TextAnalysis.qualityScoreOfStats($"_st"))).head().getDouble(0)
+      .agg(avg(when($"text".isNull, lit(0.0))
+        .otherwise(TextAnalysis.qualityScoreOfStats($"_st"))))
+      .head().getDouble(0)
     assert(math.abs(batch - out("web")._3) < 1e-12)
   }
 
