@@ -29,8 +29,14 @@ object CorpusPipeline {
       cfg: Config = Config()
   ): DataFrame = {
     // one codegen'd traversal for all four signals (TextStatsExpr) — the
-    // HOF formulation paid an interpreted pass per signal
+    // HOF formulation paid an interpreted pass per signal.
+    // NULL text is gated out FIRST: the score formula's least/greatest
+    // skip null operands (Spark null semantics), so a null-stats row would
+    // otherwise score 0.9, langId would fall through to its otherwise
+    // branch, and a null document could survive to the corpus. The
+    // IsNotNull also pushes into the scan.
     val scored = docs
+      .filter(col(textCol).isNotNull)
       .withColumn("_st", TextAnalysis.textStats(col(textCol)))
       .withColumn("quality_score", TextAnalysis.qualityScoreOfStats(col("_st")))
       .withColumn("repetition_ratio", TextAnalysis.repetitionRatioOfStats(col("_st")))

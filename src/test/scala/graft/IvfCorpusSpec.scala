@@ -39,11 +39,12 @@ class IvfCorpusSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog and runs to the house of a friend in the morning to see the river"), // exact dup
       (3L, "spam spam spam spam spam spam spam spam spam spam spam spam"), // repetitive
       (4L, "le chat de la maison et les chiens de la ville sont dans le jardin de la mairie avec les enfants du village"), // french
-      (5L, "contact the mayor at jean.dupont@mairie.fr for the meeting of the council in the town hall about the new plan of the city")
+      (5L, "contact the mayor at jean.dupont@mairie.fr for the meeting of the council in the town hall about the new plan of the city"),
+      (6L, null.asInstanceOf[String]) // broken upstream: NULL text must be gated
     ).toDF("doc_id", "text")
     val out = CorpusPipeline.prepare(docs).cache()
     val ids = out.select("doc_id").as[Long].collect().toSet
-    assert(ids == Set(1L, 5L)) // 2 deduped, 3 repetitive, 4 non-en
+    assert(ids == Set(1L, 5L)) // 2 deduped, 3 repetitive, 4 non-en, 6 null
     val redacted = out.filter($"doc_id" === 5).select("text").as[String].head()
     assert(redacted.contains("[EMAIL]") && !redacted.contains("@mairie.fr"))
     assert(out.columns.contains("quality_score") && out.columns.contains("lang_guess"))
