@@ -55,7 +55,8 @@ object Canon {
     "q_embed_quantize" -> Seq("scale_q", "recon_err"),
     "q_tfidf_topk" -> Seq("score"),
     "q_decontaminate" -> Seq("overlap_frac"),
-    "q_lm_surprisal" -> Seq("surprisal")
+    "q_lm_surprisal" -> Seq("surprisal"),
+    "q_bm25" -> Seq("score")
   )
 
   /** Spark side: in-place string cast of the named columns. */

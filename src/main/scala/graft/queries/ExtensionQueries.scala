@@ -937,6 +937,11 @@ object ExtensionQueries {
           from b
         )"""
 
+  /** Fixed BM25 query vocabulary for `q_bm25` (terms present in the
+    * synthetic corpus at every SF).
+    */
+  private val Bm25QueryTerms = Seq("spark", "hash", "window", "stream")
+
   val curationQueries: ListMap[String, Q] = ListMap(
     "q_seq_pack" -> Q(
       (s, dir) =>
@@ -1172,6 +1177,140 @@ object ExtensionQueries {
           cast(${duckRound("score", 6)} as decimal(18,6)) as score,
           cast(rank as int) as rank
         from ranked where rank <= 3 order by doc_id, rank""")
+    ),
+    "q_bm25" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val st = d
+          .agg(
+            sum(TextAnalysis.tokenCount(col("text"))).cast("long"),
+            count(lit(1)))
+          .head()
+        val (nToks, n) = (st.getLong(0), st.getLong(1))
+        graft.text.Bm25
+          .score(d, "doc_id", col("text"), Bm25QueryTerms, n, nToks.toDouble / n)
+          .select(
+            col("doc_id"),
+            col("n_matched").cast("int").as("n_matched"),
+            roundHalfUp(col("score"), 6).cast("decimal(14,6)").as("score"))
+          .orderBy("doc_id")
+      },
+      // k1=1.2 b=0.75; N and avgdl from the same corpus; expression shapes
+      // mirror Bm25.score exactly (constant-fold-identical FP order)
+      Some(s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        stats as (
+          select count(*) as n, cast(sum(len(toks)) as double) / count(*) as avgdl
+          from t
+        ),
+        dl as (select doc_id, len(toks) as dl from t),
+        tf as (
+          select doc_id, term, count(*) as tf
+          from (select doc_id, unnest(toks) as term from t)
+          where term in (${Bm25QueryTerms.map(t => s"'$t'").mkString(", ")})
+          group by doc_id, term
+        ),
+        dfreq as (select term, count(*) as df from tf group by term),
+        s as (
+          select tf.doc_id,
+            ln(1 + (cast(n as double) - df + 0.5) / (df + 0.5))
+              * (tf * 2.2)
+              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) as ts
+          from tf join dfreq using (term) join dl using (doc_id) cross join stats
+        )
+        select doc_id, cast(count(*) as int) as n_matched,
+          cast(${duckRound("sum(ts)", 6)} as decimal(14,6)) as score
+        from s group by doc_id order by doc_id""")
+    ),
+    "q_substring_dedup" -> Q(
+      (s, dir) =>
+        graft.dedup.SubstringDedup
+          .duplicateSpans(docs(s, dir), "doc_id", col("text"), k = 5)
+          .select(
+            col("doc_id"),
+            col("span_id"),
+            col("start_tok").cast("int").as("start_tok"),
+            col("end_tok").cast("int").as("end_tok"),
+            col("n_tokens"),
+            col("n_shingles"))
+          .orderBy("doc_id", "span_id"),
+      // positioned 5-shingles (clamped like WordShinglesExpr), 60-bit md5
+      // hash, count(*)>1 dup mark, gaps-and-islands merge with gap > k
+      Some(s"""
+        with t as (
+          select doc_id, toks from (select doc_id, $duckTokens as toks from documents
+                                    where text is not null) where len(toks) > 0
+        ),
+        p as (
+          select doc_id, len(toks) as n_toks, toks,
+            unnest(range(1, cast(greatest(len(toks) - 4, 1) as int) + 1)) as i
+          from t
+        ),
+        sh as (
+          select doc_id, n_toks, i - 1 as pos,
+            cast('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15)
+                 as bigint) as h
+          from p
+        ),
+        dup as (select h from sh group by h having count(*) > 1),
+        fl as (
+          select doc_id, n_toks, pos,
+            case when lag(pos) over (partition by doc_id order by pos) is null
+                   or pos - lag(pos) over (partition by doc_id order by pos) > 5
+                 then 1 else 0 end as nw
+          from sh join dup using (h)
+        ),
+        g as (
+          select doc_id, n_toks, pos,
+            sum(nw) over (partition by doc_id order by pos rows unbounded preceding) - 1 as span_id
+          from fl
+        )
+        select doc_id, cast(span_id as int) as span_id,
+          cast(min(pos) as int) as start_tok,
+          cast(max(least(pos + 4, n_toks - 1)) as int) as end_tok,
+          cast(max(least(pos + 4, n_toks - 1)) - min(pos) + 1 as int) as n_tokens,
+          cast(count(*) as int) as n_shingles
+        from g group by doc_id, span_id order by doc_id, span_id""")
+    ),
+    "q_winnow" -> Q(
+      (s, dir) =>
+        graft.text.Winnow
+          .fingerprints(docs(s, dir), "doc_id", col("text"), k = 3, w = 4)
+          .orderBy("doc_id", "pos"),
+      // same folded (hash, -pos) key: h * 2^20 + (2^20-1 - pos); complete
+      // windows of 4, plus the pos-0 window of short docs
+      Some(s"""
+        with t as (
+          select doc_id, toks from (select doc_id, $duckTokens as toks from documents
+                                    where text is not null) where len(toks) > 0
+        ),
+        p as (
+          select doc_id, toks,
+            unnest(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1)) as i
+          from t
+        ),
+        g as (
+          select doc_id, i - 1 as pos,
+            cast('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 2), ' ')), 1, 8)
+                 as bigint) * 1048576 + (1048575 - (i - 1)) as key
+          from p
+        ),
+        wnd as (
+          select doc_id, pos,
+            min(key) over (partition by doc_id order by pos
+                           rows between current row and 3 following) as sel,
+            count(*) over (partition by doc_id order by pos
+                           rows between current row and 3 following) as cnt
+          from g
+        ),
+        chosen as (
+          select distinct doc_id, sel from wnd
+          where cnt = 4 or (pos = 0 and cnt < 4)
+        )
+        select doc_id,
+          cast(1048575 - (sel % 1048576) as int) as pos,
+          cast(sel // 1048576 as bigint) as fp
+        from chosen order by doc_id, pos""")
     )
   )
 

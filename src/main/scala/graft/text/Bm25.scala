@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 relevance scoring of a corpus against a fixed query-term set —
+  * the standard retrieval/curation scorer (topic targeting, boilerplate
+  * down-weighting) a training-data pipeline runs when selecting documents
+  * for a domain mix.
+  *
+  *   idf(t)      = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+  *   score(d, q) = sum over t in q of
+  *                   idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+  *
+  * Scale shape: the `isin(queryTerms)` filter runs on the exploded token
+  * stream BEFORE the first aggregation, so only query-term rows ever reach a
+  * shuffle — the corpus-sized token stream stays a narrow codegen'd stage.
+  * Document-frequency is |queryTerms| rows (broadcast join), document length
+  * is a narrow map joined on the doc key. N and avgdl are passed in
+  * pre-computed so the plan stays a pure function of its inputs (same
+  * contract as [[TfIdf.topTerms]]).
+  */
+object Bm25 {
+
+  /** @param queryTerms fixed query vocabulary (exact whitespace tokens)
+    * @param nDocs      corpus size N
+    * @param avgDl      mean document length in tokens over the corpus
+    * @return one row per document matching at least one query term:
+    *         `n_matched` (distinct query terms present) and `score`
+    */
+  def score(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queryTerms: Seq[String],
+      nDocs: Long,
+      avgDl: Double,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: query must have at least one term")
+    val toks = docsDf.select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
+    val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
+    val tf = toks
+      .select(col(idCol), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // one row per (doc, term) -> count(*) is the document frequency
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(
+      lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * (lit(k1) + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgDl)))
+    tf.join(dfreq, "term")
+      .join(dl, idCol)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        sum(termScore).as("score"))
+  }
+}

@@ -211,4 +211,82 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.filter(_._1 == 3L).map(t => (t._2, t._4)).toSeq == Seq(("c", 1)))
     assert(TextAnalysis.tokenCount(lit("a b b")) != null) // tokenizer shared with stats
   }
+
+  test("bm25: hand-computed score, non-matching docs excluded, tf/length order") {
+    val d = Seq(
+      (1L, "spark spark other"),
+      (2L, "spark other other other"),
+      (3L, "no match here")
+    ).toDF("doc_id", "text")
+    // N=3, avgdl=10/3, df(spark)=2 -> idf = ln(1 + 1.5/2.5) = ln(1.6)
+    val out = graft.text.Bm25
+      .score(d, "doc_id", col("text"), Seq("spark"), nDocs = 3L, avgDl = 10.0 / 3)
+      .orderBy("doc_id")
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L)) // doc3 dropped
+    val expected1 = math.log(1.6) * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / (10.0 / 3)))
+    assert(math.abs(out(0).getAs[Double]("score") - expected1) < 1e-12)
+    assert(out(0).getAs[Long]("n_matched") == 1L)
+    // higher tf + shorter doc must outrank lower tf + longer doc
+    assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
+  }
+
+  test("substring dedup merges shared runs into maximal spans; unique docs drop") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f g h w z"), // shares the 6-token run "c d e f g h"
+      (3L, "totally unique words only appear once here")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.SubstringDedup
+      .duplicateSpans(d, "doc_id", col("text"), k = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_id"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("end_tok"),
+        r.getAs[Int]("n_tokens"), r.getAs[Int]("n_shingles")))
+    // the 6-token run = 4 duplicated 3-shingles at positions 2..5, both docs
+    assert(out.toSeq == Seq((1L, 0, 2, 7, 6, 4), (2L, 0, 2, 7, 6, 4)))
+  }
+
+  test("substring dedup counts repeats WITHIN one document") {
+    val d = Seq((1L, "p q r s p q r s"), (2L, "different words entirely")).toDF("doc_id", "text")
+    // shingles: pqr(0) qrs(1) rsp(2) spq(3) pqr(4) qrs(5); dup at 0,1,4,5;
+    // gap 1->4 is exactly k=3 -> merged, one whole-doc span
+    val out = graft.dedup.SubstringDedup
+      .duplicateSpans(d, "doc_id", col("text"), k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("start_tok"),
+        r.getAs[Int]("end_tok"), r.getAs[Int]("n_shingles")))
+    assert(out.toSeq == Seq((1L, 0, 7, 4)))
+  }
+
+  test("winnow: shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f g h w z") // shared run of 6 = w+k-1 (k=3, w=4)
+    ).toDF("doc_id", "text")
+    val fps = graft.text.Winnow
+      .fingerprints(d, "doc_id", col("text"), k = 3, w = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[Long]("fp")))
+    val f1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert(f1.intersect(f2).nonEmpty, "winnowing guarantee violated")
+    fps.foreach { case (_, pos, fp) =>
+      assert(pos >= 0 && fp >= 0 && fp < (1L << 32))
+    }
+  }
+
+  test("winnow: rightmost tie-break and short-doc global minimum") {
+    // identical shingles everywhere -> every window min ties -> rightmost wins
+    val d = Seq((1L, "t t t t t t t"), (2L, "a b")).toDF("doc_id", "text")
+    val fps = graft.text.Winnow
+      .fingerprints(d, "doc_id", col("text"), k = 3, w = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos")))
+    // doc1: 5 shingles (pos 0-4), complete windows at 0 and 1 -> select 3, 4
+    assert(fps.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(3, 4))
+    // doc2: shorter than k -> one clamped shingle, one fingerprint at pos 0
+    assert(fps.filter(_._1 == 2L).map(_._2).toSeq == Seq(0))
+  }
 }
