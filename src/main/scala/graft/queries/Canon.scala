@@ -56,7 +56,8 @@ object Canon {
     "q_tfidf_topk" -> Seq("score"),
     "q_decontaminate" -> Seq("overlap_frac"),
     "q_lm_surprisal" -> Seq("surprisal"),
-    "q_bm25" -> Seq("score")
+    "q_bm25" -> Seq("score"),
+    "q_drift_psi" -> Seq("psi")
   )
 
   /** Spark side: in-place string cast of the named columns. */

@@ -1311,6 +1311,72 @@ object ExtensionQueries {
           cast(1048575 - (sel % 1048576) as int) as pos,
           cast(sel // 1048576 as bigint) as fp
         from chosen order by doc_id, pos""")
+    ),
+    "q_chunk_sliding" -> Q(
+      (s, dir) =>
+        graft.text.Chunker
+          .slidingChunks(docs(s, dir), "doc_id", col("text"), size = 32, stride = 24)
+          .orderBy("doc_id", "chunk_id"),
+      // starts at multiples of 24; last start = max(ceil((n-32)/24), 0);
+      // list_slice clamps the tail exactly like Spark's slice
+      Some(s"""
+        with t as (
+          select doc_id, toks from (select doc_id, $duckTokens as toks from documents
+                                    where text is not null) where len(toks) > 0
+        ),
+        c as (
+          select doc_id, toks, len(toks) as n,
+            unnest(range(0, greatest(cast(ceil((len(toks) - 32) * 1.0 / 24) as int), 0) + 1))
+              as chunk_id
+          from t
+        )
+        select doc_id, cast(chunk_id as int) as chunk_id,
+          cast(chunk_id * 24 as int) as start_tok,
+          cast(least(32, n - chunk_id * 24) as int) as chunk_tokens,
+          array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+            as chunk_text
+        from c order by doc_id, chunk_id""")
+    ),
+    "q_drift_psi" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val even = d.filter(col("doc_id") % 2 === 0)
+        val odd = d.filter(col("doc_id") % 2 === 1)
+        val (totA, totB) = (even.count(), odd.count())
+        graft.validate.Drift
+          .psiByBucket(
+            even, odd,
+            least(floor(col("n_chars") / 100).cast("long"), lit(9L)).cast("int"),
+            totA, totB, domainSize = 10)
+          .select(
+            col("bucket"),
+            col("cnt_a"),
+            col("cnt_b"),
+            roundHalfUp(col("psi"), 9).cast("decimal(14,9)").as("psi"))
+          .orderBy("bucket")
+      },
+      // add-0.5 smoothing over the fixed 10-bucket domain; totals are exact
+      // integers so the literal-vs-subquery difference cannot drift
+      Some(s"""
+        with d as (
+          select doc_id,
+            cast(least(cast(floor(n_chars / 100) as bigint), 9) as int) as bucket
+          from documents
+        ),
+        a as (select bucket, count(*) as cnt_a from d where doc_id % 2 = 0 group by bucket),
+        b as (select bucket, count(*) as cnt_b from d where doc_id % 2 = 1 group by bucket),
+        ta as (select count(*) as tot_a from d where doc_id % 2 = 0),
+        tb as (select count(*) as tot_b from d where doc_id % 2 = 1),
+        j as (
+          select bucket,
+            coalesce(cnt_a, 0) as cnt_a, coalesce(cnt_b, 0) as cnt_b,
+            (coalesce(cnt_a, 0) + 0.5) / (tot_a + 5.0) as pa,
+            (coalesce(cnt_b, 0) + 0.5) / (tot_b + 5.0) as pb
+          from a full outer join b using (bucket) cross join ta cross join tb
+        )
+        select bucket, cnt_a, cnt_b,
+          cast(${duckRound("(pa - pb) * ln(pa / pb)", 9)} as decimal(14,9)) as psi
+        from j order by bucket""")
     )
   )
 

@@ -289,4 +289,62 @@ class CurationOpsSpec extends SparkSpec {
     // doc2: shorter than k -> one clamped shingle, one fingerprint at pos 0
     assert(fps.filter(_._1 == 2L).map(_._2).toSeq == Seq(0))
   }
+
+  test("sliding chunks: overlap, tail coverage, short-doc single chunk") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, size 4 stride 3
+      (2L, "a b")                                     // shorter than one chunk
+    ).toDF("doc_id", "text")
+    val out = graft.text.Chunker
+      .slidingChunks(d, "doc_id", col("text"), size = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("chunk_tokens"), r.getAs[String]("chunk_text")))
+    // ceil((10-4)/3) = 2 -> chunks at 0, 3, 6: [1..4], [4..7], [7..10]
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 3, 4, "t4 t5 t6 t7"),
+      (1L, 2, 6, 4, "t7 t8 t9 t10")))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 2, "a b")))
+    // every token index is covered by at least one chunk
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0 until 10).toSet)
+  }
+
+  test("psi drift: identical slices score zero, shifted slices positive") {
+    val a = (1L to 100L).map(i => (i, i % 5)).toDF("id", "bucket_val")
+    val bSame = (1L to 100L).map(i => (i, i % 5)).toDF("id", "bucket_val")
+    val bShift = (1L to 100L).map(i => (i, if (i <= 80) 0L else i % 5)).toDF("id", "bucket_val")
+    val same = graft.validate.Drift
+      .psiByBucket(a, bSame, col("bucket_val").cast("int"), 100L, 100L, 5)
+      .collect()
+    same.foreach(r => assert(math.abs(r.getAs[Double]("psi")) < 1e-15))
+    val shifted = graft.validate.Drift
+      .psiByBucket(a, bShift, col("bucket_val").cast("int"), 100L, 100L, 5)
+      .collect()
+    // every contribution is non-negative ((p-q) and ln(p/q) share sign)
+    shifted.foreach(r => assert(r.getAs[Double]("psi") >= 0.0))
+    assert(shifted.map(_.getAs[Double]("psi")).sum > 0.1)
+    // bucket 0 gained mass in B -> largest contribution
+    val byBucket = shifted.map(r => (r.getAs[Int]("bucket"), r.getAs[Double]("psi"))).toMap
+    assert(byBucket(0) == shifted.map(_.getAs[Double]("psi")).max)
+  }
+
+  test("psi drift: buckets empty on one side still well-defined via smoothing") {
+    val a = Seq((1L, 0), (2L, 0), (3L, 1)).toDF("id", "b")
+    val bb = Seq((1L, 0), (2L, 2)).toDF("id", "b")
+    val out = graft.validate.Drift
+      .psiByBucket(a, bb, col("b"), 3L, 2L, 3)
+      .orderBy("bucket")
+      .collect()
+    assert(out.length == 3) // buckets 0, 1, 2 all present via full-outer join
+    out.foreach { r =>
+      val psi = r.getAs[Double]("psi")
+      assert(!psi.isNaN && !psi.isInfinite)
+    }
+    assert(out.map(r => (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"))).toSeq ==
+      Seq((2L, 1L), (1L, 0L), (0L, 1L)))
+  }
 }
