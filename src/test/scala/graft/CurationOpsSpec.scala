@@ -347,4 +347,109 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(r => (r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"))).toSeq ==
       Seq((2L, 1L), (1L, 0L), (0L, 1L)))
   }
+
+  private def bruteShingles(toks: Array[String], k: Int): Array[String] = {
+    val n = math.max(toks.length - k + 1, 1)
+    (0 until n).map(i => toks.slice(i, math.min(i + k, toks.length)).mkString(" ")).toArray
+  }
+
+  test("property: substring dedup spans match a brute-force reference") {
+    val rnd = new scala.util.Random(101)
+    val vocab = Array("a", "b", "c", "d") // tiny vocab -> many real repeats
+    val k = 3
+    val docsSeq = (1L to 30L).map { i =>
+      (i, Array.fill(rnd.nextInt(15) + 3)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // brute force: corpus-wide shingle counts, mark pos, merge gap<=k islands
+    val all = docsSeq.map { case (id, t) => (id, bruteShingles(t.split(" "), k)) }
+    val counts = all.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val expected = all.flatMap { case (id, shs) =>
+      val nToks = docsSeq.find(_._1 == id).get._2.split(" ").length
+      val dupPos = shs.zipWithIndex.collect { case (s, p) if counts(s) > 1 => p }
+      if (dupPos.isEmpty) Seq.empty
+      else {
+        val spans = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]() // start,end,nsh
+        var (start, last, nsh) = (dupPos.head, dupPos.head, 1)
+        dupPos.tail.foreach { p =>
+          if (p - last > k) { spans += ((start, last, nsh)); start = p; nsh = 0 }
+          last = p; nsh += 1
+        }
+        spans += ((start, last, nsh))
+        spans.zipWithIndex.map { case ((s0, e0, n0), sid) =>
+          (id, sid, s0, math.min(e0 + k - 1, nToks - 1), n0)
+        }
+      }
+    }.toSet
+    val got = graft.dedup.SubstringDedup
+      .duplicateSpans(docsSeq.toDF("doc_id", "text"), "doc_id", col("text"), k)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_id"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("end_tok"), r.getAs[Int]("n_shingles")))
+      .toSet
+    assert(got == expected)
+  }
+
+  private def md5Prefix8(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("property: winnow fingerprints match a brute-force reference") {
+    val rnd = new scala.util.Random(202)
+    val vocab = Array("x", "y", "z", "w", "v")
+    val (k, w) = (3, 4)
+    val docsSeq = (1L to 25L).map { i =>
+      (i, Array.fill(rnd.nextInt(20) + 1)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val expected = docsSeq.flatMap { case (id, t) =>
+      val hashes = bruteShingles(t.split(" "), k).map(md5Prefix8)
+      val n = hashes.length
+      val sels = if (n < w) {
+        // global min, rightmost tie
+        Seq(hashes.zipWithIndex.minBy { case (h, p) => (h, -p) })
+      } else {
+        (0 to n - w).map { s =>
+          hashes.slice(s, s + w).zipWithIndex
+            .map { case (h, j) => (h, s + j) }
+            .minBy { case (h, p) => (h, -p) }
+        }
+      }
+      sels.distinct.map { case (h, p) => (id, p, h) }
+    }.toSet
+    val got = graft.text.Winnow
+      .fingerprints(docsSeq.toDF("doc_id", "text"), "doc_id", col("text"), k, w)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[Long]("fp")))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("property: chunks cover every token; stride==size reassembles the doc") {
+    val rnd = new scala.util.Random(303)
+    val docsSeq = (1L to 40L).map { i =>
+      (i, (1 to rnd.nextInt(50) + 1).map(j => s"w$j").mkString(" "))
+    }
+    val d = docsSeq.toDF("doc_id", "text")
+    val out = graft.text.Chunker
+      .slidingChunks(d, "doc_id", col("text"), size = 8, stride = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("chunk_tokens")))
+    docsSeq.foreach { case (id, t) =>
+      val n = t.split(" ").length
+      val chunks = out.filter(_._1 == id)
+      val covered = chunks.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (0 until n).toSet, s"doc $id coverage hole")
+      assert(chunks.map(_._2).sorted.toSeq == chunks.indices.toSeq) // dense ids
+    }
+    // gapless non-overlapping mode reassembles the exact document
+    val exact = graft.text.Chunker
+      .slidingChunks(d, "doc_id", col("text"), size = 8, stride = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"), r.getAs[String]("chunk_text")))
+      .groupBy(_._1)
+      .map { case (id, cs) => (id, cs.sortBy(_._2).map(_._3).mkString(" ")) }
+    docsSeq.foreach { case (id, t) => assert(exact(id) == t) }
+  }
 }
