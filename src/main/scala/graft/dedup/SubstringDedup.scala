@@ -63,6 +63,9 @@ object SubstringDedup {
       k: Int
   ): DataFrame = {
     require(k > 0, "substring dedup: k must be positive")
+    require(!Seq("n_tokens", "pos", "shingle", "h", "_new", "span_id",
+      "start_tok", "end_tok", "n_shingles").contains(idCol),
+      s"substring dedup: idCol '$idCol' collides with a working column")
     val sh = positionedShingles(docsDf, idCol, textCol, k)
     val dup = sh
       .groupBy(col("h"))

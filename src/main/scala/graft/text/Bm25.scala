@@ -39,6 +39,8 @@ object Bm25 {
       b: Double = 0.75
   ): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: query must have at least one term")
+    require(!Seq("_toks", "term", "tf", "df", "dl", "n_matched", "score").contains(idCol),
+      s"bm25: idCol '$idCol' collides with a working column")
     val toks = docsDf.select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
     val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
     val tf = toks

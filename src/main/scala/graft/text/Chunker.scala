@@ -33,6 +33,9 @@ object Chunker {
   ): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       "chunker: need 0 < stride <= size")
+    // output-contract / working names must not silently shadow the id key
+    require(!Seq("_toks", "chunk_id", "start_tok", "chunk_tokens", "chunk_text").contains(idCol),
+      s"chunker: idCol '$idCol' collides with an output column")
     val n = org.apache.spark.sql.functions.size(col("_toks"))
     val lastChunk = greatest(
       ceil((n - size).cast("double") / stride).cast("int"), lit(0))

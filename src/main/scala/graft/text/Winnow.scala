@@ -48,6 +48,8 @@ object Winnow {
       w: Int
   ): DataFrame = {
     require(k > 0 && w > 0, "winnow: k and w must be positive")
+    require(!Seq("pos", "shingle", "fp", "_key", "_sel", "_full").contains(idCol),
+      s"winnow: idCol '$idCol' collides with a working column")
     val grams = docsDf
       .filter(textCol.isNotNull && TextAnalysis.tokenCount(textCol) > 0)
       .select(

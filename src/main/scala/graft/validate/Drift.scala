@@ -43,9 +43,11 @@ object Drift {
     val b = sliceB.groupBy(bucketCol.as("bucket")).agg(count(lit(1)).as("cnt_b"))
     val pa = (coalesce(col("cnt_a"), lit(0L)) + 0.5) / (lit(totA) + 0.5 * domainSize)
     val pb = (coalesce(col("cnt_b"), lit(0L)) + 0.5) / (lit(totB) + 0.5 * domainSize)
-    a.join(b, Seq("bucket"), "full_outer")
+    // null-SAFE join key: a null bucket (out-of-contract but possible from a
+    // malformed feature) must land on ONE row, not two half-counted ones
+    a.join(b, a("bucket") <=> b("bucket"), "full_outer")
       .select(
-        col("bucket"),
+        coalesce(a("bucket"), b("bucket")).as("bucket"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
         ((pa - pb) * log(pa / pb)).as("psi"))

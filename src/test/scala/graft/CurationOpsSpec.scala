@@ -348,6 +348,18 @@ class CurationOpsSpec extends SparkSpec {
       Seq((2L, 1L), (1L, 0L), (0L, 1L)))
   }
 
+  test("psi drift: a null bucket lands on one joined row, not two") {
+    val a = Seq((1L, Some(0)), (2L, None)).toDF("id", "b")
+    val bb = Seq((1L, Option.empty[Int])).toDF("id", "b")
+    val out = graft.validate.Drift
+      .psiByBucket(a, bb, col("b"), 2L, 1L, 2)
+      .collect()
+      .map(r => (Option(r.get(r.fieldIndex("bucket"))),
+        r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b")))
+      .toSet
+    assert(out == Set((Some(0), 1L, 0L), (None, 1L, 1L)))
+  }
+
   private def bruteShingles(toks: Array[String], k: Int): Array[String] = {
     val n = math.max(toks.length - k + 1, 1)
     (0 until n).map(i => toks.slice(i, math.min(i + k, toks.length)).mkString(" ")).toArray
