@@ -57,7 +57,8 @@ object Canon {
     "q_decontaminate" -> Seq("overlap_frac"),
     "q_lm_surprisal" -> Seq("surprisal"),
     "q_bm25" -> Seq("score"),
-    "q_drift_psi" -> Seq("psi")
+    "q_drift_psi" -> Seq("psi"),
+    "q_bm25_topk" -> Seq("score")
   )
 
   /** Spark side: in-place string cast of the named columns. */

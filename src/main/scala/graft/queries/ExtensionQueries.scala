@@ -942,6 +942,12 @@ object ExtensionQueries {
     */
   private val Bm25QueryTerms = Seq("spark", "hash", "window", "stream")
 
+  /** Query set for the multi-query retrieval twin (`q_bm25_topk`). */
+  private val Bm25QuerySet: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "query",
+    2 -> "stream", 2 -> "window", 2 -> "batch",
+    3 -> "vector", 3 -> "hash")
+
   val curationQueries: ListMap[String, Q] = ListMap(
     "q_seq_pack" -> Q(
       (s, dir) =>
@@ -1377,6 +1383,68 @@ object ExtensionQueries {
         select bucket, cnt_a, cnt_b,
           cast(${duckRound("(pa - pb) * ln(pa / pb)", 9)} as decimal(14,9)) as psi
         from j order by bucket""")
+    ),
+    "q_bm25_topk" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir)
+        val st = d
+          .agg(
+            sum(TextAnalysis.tokenCount(col("text"))).cast("long"),
+            count(lit(1)))
+          .head()
+        val (nToks, n) = (st.getLong(0), st.getLong(1))
+        val queries = Bm25QuerySet.toDF("query_id", "term")
+        graft.text.Bm25
+          .retrieveTopK(d, "doc_id", col("text"), queries, n, nToks.toDouble / n, topK = 10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rank"),
+            col("doc_id"),
+            col("n_matched").cast("int").as("n_matched"),
+            col("score").cast("decimal(14,6)").as("score"))
+          .orderBy("query_id", "rank")
+      },
+      // ranking happens on the floor-rounded score in BOTH engines, so the
+      // top-k cut is identical; the decimal cast then has nothing to round
+      Some(s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        stats as (
+          select count(*) as n, cast(sum(len(toks)) as double) / count(*) as avgdl
+          from t
+        ),
+        dl as (select doc_id, len(toks) as dl from t),
+        qs (query_id, term) as (
+          values ${Bm25QuerySet.map { case (q, t) => s"($q, '$t')" }.mkString(", ")}
+        ),
+        tf as (
+          select doc_id, term, count(*) as tf
+          from (select doc_id, unnest(toks) as term from t)
+          where term in (select term from qs)
+          group by doc_id, term
+        ),
+        dfreq as (select term, count(*) as df from tf group by term),
+        sc as (
+          select tf.doc_id, tf.term,
+            ln(1 + (cast(n as double) - df + 0.5) / (df + 0.5))
+              * (tf * 2.2)
+              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) as ts
+          from tf join dfreq using (term) join dl using (doc_id) cross join stats
+        ),
+        pq as (
+          select query_id, doc_id,
+            count(*) as n_matched, ${duckRound("sum(ts)", 6)} as rscore
+          from sc join qs using (term) group by query_id, doc_id
+        ),
+        r as (
+          select query_id, doc_id, n_matched, rscore,
+            row_number() over (partition by query_id order by rscore desc, doc_id) as rank
+          from pq
+        )
+        select query_id, cast(rank as int) as rank, doc_id,
+          cast(n_matched as int) as n_matched,
+          cast(rscore as decimal(14,6)) as score
+        from r where rank <= 10 order by query_id, rank""")
     )
   )
 

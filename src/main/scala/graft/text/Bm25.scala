@@ -62,4 +62,66 @@ object Bm25 {
         count(lit(1)).as("n_matched"),
         sum(termScore).as("score"))
   }
+
+  /** Multi-query top-k retrieval: rank every document against every query of
+    * a query SET and keep the best `topK` per query — the batch "search
+    * engine" shape (eval-set retrieval, domain-mix selection by prompt set).
+    *
+    * `queriesDf` is the exploded form (query_id, term), and is query-set
+    * sized — explicitly broadcast, so the corpus-side token stream is pruned
+    * by a broadcast semi-join BEFORE its first shuffle exactly like
+    * [[score]]'s `isin`. The per-query ranking is a keyed window (never a
+    * global sort). Ranking uses the floor-rounded score (6 decimals, the
+    * [[graft.queries.Parity]] arithmetic) so the cut is reproducible across
+    * engines and runs: a raw FP sum differs in last-ulp across addition
+    * orders, and ranking on it would make top-k membership nondeterministic.
+    */
+  def retrieveTopK(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queriesDf: DataFrame,
+      nDocs: Long,
+      avgDl: Double,
+      topK: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(topK > 0, "bm25: topK must be positive")
+    require(!Seq("_toks", "term", "tf", "df", "dl", "n_matched", "score",
+      "query_id", "rank", "_rounded").contains(idCol),
+      s"bm25: idCol '$idCol' collides with a working column")
+    val qTerms = queriesDf.select(col("term")).distinct()
+    val toks = docsDf.select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
+    val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
+    val tf = toks
+      .select(col(idCol), explode(col("_toks")).as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(
+      lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * (lit(k1) + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgDl)))
+    val perQueryDoc = tf
+      .join(dfreq, "term")
+      .join(dl, idCol)
+      .withColumn("_ts", termScore)
+      .join(broadcast(queriesDf), "term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("_ts")).as("score"))
+    // floor-round in the double domain (Parity.roundHalfUp's formula)
+    val rounded = floor(col("score") * 1e6 + 0.5) / 1e6
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_rounded").desc, col(idCol))
+    perQueryDoc
+      .withColumn("_rounded", rounded)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col(idCol), col("n_matched"),
+        col("_rounded").as("score"))
+  }
 }

@@ -231,6 +231,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("score") > out(1).getAs[Double]("score"))
   }
 
+  test("bm25 retrieval: per-query keyed top-k, rank order, truncation") {
+    val d = Seq(
+      (1L, "spark spark other"),
+      (2L, "spark other other other"),
+      (3L, "window window"),
+      (4L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    val q = Seq((1, "spark"), (2, "window"), (2, "spark")).toDF("query_id", "term")
+    val out = graft.text.Bm25
+      .retrieveTopK(d, "doc_id", col("text"), q, nDocs = 4L, avgDl = 11.0 / 4, topK = 10)
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_matched")))
+    // query 1: only docs 1,2 match; doc1 (tf 2, shorter) outranks doc2
+    assert(out.filter(_._1 == 1).toSeq == Seq((1, 1, 1L, 1L), (1, 2, 2L, 1L)))
+    // query 2: doc3 matches the rarer 'window' term twice in a short doc
+    val q2 = out.filter(_._1 == 2)
+    assert(q2.map(_._3).toSet == Set(1L, 2L, 3L))
+    assert(q2.head._3 == 3L, "rare-term doc must rank first")
+    // truncation
+    val top1 = graft.text.Bm25
+      .retrieveTopK(d, "doc_id", col("text"), q, 4L, 11.0 / 4, topK = 1)
+      .collect()
+    assert(top1.length == 2 && top1.forall(_.getAs[Int]("rank") == 1))
+  }
+
   test("substring dedup merges shared runs into maximal spans; unique docs drop") {
     val d = Seq(
       (1L, "a b c d e f g h i j"),
