@@ -100,6 +100,62 @@ object StreamingPipeline {
       )
   }
 
+  /** Streaming distribution-drift monitor: per-window PSI of a bucketed
+    * feature against a fixed reference histogram — the live twin of
+    * [[graft.validate.Drift.psiByBucket]] (same add-0.5 smoothing over the
+    * same fixed domain, so stream and batch can never disagree on what
+    * "drifted" means).
+    *
+    * PSI needs every bucket of a window at once, which would be a second
+    * aggregation over the windowed counts — illegal in one streaming query.
+    * Instead the whole histogram is built inside ONE aggregation as
+    * `domainSize` conditional counts (the domain is fixed and small by
+    * contract), and the PSI fold is plain column arithmetic on that row.
+    * State: one row per window, bounded by the watermark.
+    *
+    * Rows whose bucket is null or outside [0, domainSize) are NOT silently
+    * dropped — they count into `n_docs` and surface as `n_unbucketed`
+    * (a malformed feature upstream is exactly what a drift monitor must
+    * show, same lesson as the null-text quality gate).
+    *
+    * @param refCounts reference histogram (index = bucket), e.g. from the
+    *                  last accepted batch snapshot
+    */
+  def driftMonitor(
+      stream: DataFrame,
+      bucketCol: Column,
+      refCounts: Seq[Long],
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      windowLength: String = "5 minutes"
+  ): DataFrame = {
+    val d = refCounts.length
+    require(d > 0, "driftMonitor: reference histogram must be non-empty")
+    require(!stream.columns.contains("_bucket"),
+      "driftMonitor: input must not already have a `_bucket` column")
+    val refTot = refCounts.sum
+    val cntAggs = (0 until d).map(i =>
+      sum(when(col("_bucket") === i, 1L).otherwise(0L)).as(s"_cnt_$i"))
+    val agged = stream
+      .withWatermark(tsCol, watermark)
+      .withColumn("_bucket", bucketCol)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(count(lit(1)).as("n_docs"), cntAggs: _*)
+    // p is a distribution over the BUCKETED rows (matching psiByBucket on a
+    // clean slice); unbucketed rows are reported, not mixed into p
+    val bucketed = (0 until d).map(i => col(s"_cnt_$i")).reduce(_ + _)
+    val psi = (0 until d).map { i =>
+      val p = (col(s"_cnt_$i") + 0.5) / (bucketed + 0.5 * d)
+      val q = lit((refCounts(i) + 0.5) / (refTot + 0.5 * d))
+      (p - q) * log(p / q)
+    }.reduce(_ + _)
+    agged.select(
+      col("window"),
+      col("n_docs"),
+      (col("n_docs") - bucketed).as("n_unbucketed"),
+      psi.as("psi"))
+  }
+
   /** Streaming exact dedup by content hash, watermark-bounded.
     *
     * `dropDuplicatesWithinWatermark` keys state on md5(text) and evicts

@@ -90,6 +90,46 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(batch - out("web")._3) < 1e-12)
   }
 
+  test("streaming drift monitor: per-window PSI agrees with the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Int)]
+    val df = input.toDF().toDF("id", "ts", "feature")
+    val ref = Seq(10L, 10L, 10L) // balanced reference histogram
+    val mon = StreamingPipeline.driftMonitor(
+      df, col("feature"), ref, windowLength = "5 minutes")
+    // window 1 (10:00-10:05): skewed to bucket 0; one malformed bucket (9)
+    val w1 = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 9))
+    // window 2 (10:05-10:10): balanced
+    val w2 = Seq((6L, 0), (7L, 1), (8L, 2))
+    input.addData(w1.map { case (i, b) => (i, ts(1), b) } ++
+      w2.map { case (i, b) => (i, ts(6), b) }: _*)
+    val q = mon.writeStream.format("memory").queryName("drift")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("drift")
+      .select(col("window.start"), col("n_docs"), col("n_unbucketed"), col("psi"))
+      .collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val (n1, u1, psi1) = out(Timestamp.valueOf("2024-01-01 10:00:00"))
+    val (n2, u2, psi2) = out(Timestamp.valueOf("2024-01-01 10:05:00"))
+    assert(n1 == 5L && u1 == 1L, "out-of-domain bucket must surface, not vanish")
+    assert(n2 == 3L && u2 == 0L)
+    assert(psi1 > psi2, "skewed window must score higher drift")
+    // batch twin: Drift.psiByBucket over the same window-1 slice vs the
+    // same reference histogram, summed across buckets
+    val sliceA = w1.filter(_._2 < 3).toDF("id", "b")
+    val refDf = ref.zipWithIndex
+      .flatMap { case (c, b) => Seq.fill(c.toInt)(b) }
+      .zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "b")
+    val batchPsi = graft.validate.Drift
+      .psiByBucket(sliceA, refDf, col("b"), 4L, 30L, 3)
+      .orderBy("bucket")
+      .collect().map(_.getAs[Double]("psi")).sum
+    assert(math.abs(psi1 - batchPsi) < 1e-12, s"stream $psi1 vs batch $batchPsi")
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
