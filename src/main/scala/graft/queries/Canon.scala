@@ -58,7 +58,8 @@ object Canon {
     "q_lm_surprisal" -> Seq("surprisal"),
     "q_bm25" -> Seq("score"),
     "q_drift_psi" -> Seq("psi"),
-    "q_bm25_topk" -> Seq("score")
+    "q_bm25_topk" -> Seq("score"),
+    "q_lm_bigram" -> Seq("surprisal2")
   )
 
   /** Spark side: in-place string cast of the named columns. */

@@ -1445,6 +1445,56 @@ object ExtensionQueries {
           cast(n_matched as int) as n_matched,
           cast(rscore as decimal(14,6)) as score
         from r where rank <= 10 order by query_id, rank""")
+    ),
+    "q_lm_bigram" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val n = d
+          .select(sum(TextAnalysis.tokenCount(col("text"))).cast("long"))
+          .head()
+          .getLong(0)
+        graft.text.LmScore
+          .bigramSurprisal(d, "doc_id", col("text"), n, lambda = 0.7)
+          .select(
+            col("doc_id"),
+            col("n_bigrams"),
+            roundHalfUp(col("surprisal2"), 6)
+              .cast("decimal(12,6)").as("surprisal2"))
+          .orderBy("doc_id")
+      },
+      // Jelinek-Mercer interpolation replayed literally: (1 - 0.7) is left
+      // as the expression so both engines produce the same IEEE double
+      Some(s"""
+        with t as (select doc_id, $duckTokens as toks from documents where text is not null),
+        uni as (
+          select t2, cast(sum(1) as bigint) as c2
+          from (select unnest(toks) as t2 from t) group by t2
+        ),
+        n as (select cast(sum(len(toks)) as bigint) as n from t),
+        bg as (
+          select doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') as bigram
+          from (select doc_id, toks, unnest(range(1, cast(len(toks) as int))) as i
+                from t where len(toks) >= 2)
+        ),
+        tf2 as (select doc_id, bigram, count(*) as tf from bg group by doc_id, bigram),
+        c12 as (
+          select bigram, sum(tf) as c12,
+            split_part(bigram, ' ', 1) as t1, split_part(bigram, ' ', 2) as t2
+          from tf2 group by bigram
+        ),
+        c1 as (select t1, sum(c12) as c1 from c12 group by t1),
+        bs as (
+          select bigram, c12.c12, c1.c1, uni.c2
+          from c12 join c1 using (t1) join uni using (t2)
+        ),
+        agg as (
+          select tf2.doc_id, cast(sum(tf) as bigint) as n_bigrams,
+            sum(tf * (-ln(0.7 * c12 / c1 + (1 - 0.7) * c2 / n))) / sum(tf) as s
+          from tf2 join bs using (bigram) cross join n group by tf2.doc_id
+        )
+        select doc_id, n_bigrams,
+          cast(${duckRound("s", 6)} as decimal(12,6)) as surprisal2
+        from agg order by doc_id""")
     )
   )
 

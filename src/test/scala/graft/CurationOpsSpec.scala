@@ -192,6 +192,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_tokens") == 4L)
   }
 
+  test("bigram surprisal: interpolated backoff, hand-computed; 1-token docs drop") {
+    val d = Seq(
+      (1L, "a b a b"),
+      (2L, "b a"),
+      (3L, "x") // no transitions
+    ).toDF("doc_id", "text")
+    // N=7; c(a)=3, c(b)=3; bigram counts: "a b"=2, "b a"=2; contexts a=2, b=2
+    val lam = 0.7
+    val pAb = lam * 2 / 2 + (1.0 - lam) * 3 / 7 // = p("b a") too (c2 symmetric)
+    val out = graft.text.LmScore
+      .bigramSurprisal(d, "doc_id", col("text"), nTokens = 7L, lambda = lam)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("surprisal2")))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._2 == 3L && out(1)._2 == 1L)
+    assert(math.abs(out(0)._3 - -math.log(pAb)) < 1e-12)
+    assert(math.abs(out(1)._3 - -math.log(pAb)) < 1e-12)
+    // a doc of repeated boilerplate must score lower than fresh prose
+    val d2 = Seq(
+      (10L, "the cat sat the cat sat the cat sat"),
+      (11L, "quantum flux harmonics destabilize rapidly")
+    ).toDF("doc_id", "text")
+    val n2 = 14L
+    val s2 = graft.text.LmScore
+      .bigramSurprisal(d2, "doc_id", col("text"), n2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("surprisal2"))).toMap
+    assert(s2(10L) < s2(11L))
+  }
+
   test("tf-idf ranks rarer terms above common ones; deterministic tie cut") {
     val d = Seq(
       (1L, "a b b"),
