@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing: sample each source down so the surviving corpus hits a
+  * token budget at target source weights — the primitive behind every
+  * "x% web, y% books, z% code" training-mix spec.
+  *
+  * For source s with actual token mass tok(s) and target weight w(s):
+  *
+  *   rate(s) = min(1, budgetTokens · w(s) / tok(s))
+  *
+  * then rows are kept by [[Sampling.stratifiedSample]]'s deterministic
+  * md5 per-mille hash — reproducible, resumable, join-stable. Sources with
+  * no weight are dropped (rate 0), and a source too small for its target
+  * keeps everything (rate clamps at 1; the mix under-delivers that source
+  * rather than inventing data — the caller sees it in the returned rates).
+  *
+  * Scale shape: ONE keyed aggregation over the corpus for the per-source
+  * token masses (collected — it is |sources|-sized), then the narrow
+  * hash-filter pass. Nothing else shuffles.
+  */
+object Mixer {
+
+  /** Per-source keep rates for the target mix (driver-side; |sources| rows). */
+  def mixRates(
+      df: DataFrame,
+      sourceCol: String,
+      tokenCol: Column,
+      weights: Map[String, Double],
+      budgetTokens: Long
+  ): Map[String, Double] = {
+    require(budgetTokens > 0, "mixer: budgetTokens must be positive")
+    require(weights.values.forall(_ >= 0), "mixer: weights must be >= 0")
+    val toks = df
+      .groupBy(col(sourceCol))
+      .agg(sum(tokenCol).cast("long").as("_tok"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    weights.flatMap { case (s, w) =>
+      toks.get(s).filter(_ > 0).map(t => s -> math.min(1.0, budgetTokens * w / t))
+    }
+  }
+
+  /** Apply the target mix: returns the surviving rows plus `stratum` (the
+    * source) and `mille` (the hash bucket that decided each row).
+    */
+  def targetMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokenCol: Column,
+      weights: Map[String, Double],
+      budgetTokens: Long
+  ): DataFrame =
+    Sampling.stratifiedSample(
+      df,
+      idCol,
+      col(sourceCol),
+      mixRates(df, sourceCol, tokenCol, weights, budgetTokens),
+      defaultRate = 0.0)
+}

@@ -1495,6 +1495,36 @@ object ExtensionQueries {
         select doc_id, n_bigrams,
           cast(${duckRound("s", 6)} as decimal(12,6)) as surprisal2
         from agg order by doc_id""")
+    ),
+    "q_target_mix" -> Q(
+      (s, dir) =>
+        graft.operators.Mixer
+          .targetMix(
+            docs(s, dir),
+            "doc_id",
+            "source",
+            TextAnalysis.tokenCount(col("text")),
+            Map("src0" -> 0.25, "src1" -> 0.15, "src2" -> 0.10, "src3" -> 0.05),
+            budgetTokens = 2000L)
+          .select(col("doc_id"), col("stratum"), col("mille"))
+          .orderBy("doc_id"),
+      // rate(s) = min(1, budget*w/tok(s)); same floor(x*1000+0.5) per-mille
+      // threshold as the Scala side; unweighted sources drop (rate 0)
+      Some(s"""
+        with t as (select doc_id, source, $duckTokens as toks from documents),
+        ws (source, w) as (
+          values ('src0', 0.25), ('src1', 0.15), ('src2', 0.10), ('src3', 0.05)
+        ),
+        st as (select source, cast(sum(len(toks)) as bigint) as tok from t group by source),
+        r as (
+          select source,
+            cast(floor(least(1.0, 2000 * w / tok) * 1000 + 0.5) as int) as thresh
+          from st join ws using (source) where tok > 0
+        ),
+        d as (select doc_id, source, ${duckMdBucket(1000)} as mille from documents)
+        select doc_id, source as stratum, mille
+        from d join r using (source) where mille < thresh
+        order by doc_id""")
     )
   )
 

@@ -192,6 +192,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_tokens") == 4L)
   }
 
+  test("corpus mixing: rates hit the token budget at target weights; clamp; drop") {
+    val d = (1L to 30L).map { i =>
+      val src = if (i <= 10) "a" else if (i <= 20) "b" else "c"
+      (i, src, Seq.fill(10)("tok").mkString(" ")) // 10 tokens each
+    }.toDF("doc_id", "source", "text")
+    // tok(a)=tok(b)=tok(c)=100; budget 80: a -> 60/100, b -> 20/100, c unweighted
+    val rates = graft.operators.Mixer.mixRates(
+      d, "source", TextAnalysis.tokenCount(col("text")),
+      Map("a" -> 0.75, "b" -> 0.25), budgetTokens = 80L)
+    assert(rates == Map("a" -> 0.6, "b" -> 0.2))
+    val out = graft.operators.Mixer.targetMix(
+      d, "doc_id", "source", TextAnalysis.tokenCount(col("text")),
+      Map("a" -> 0.75, "b" -> 0.25), 80L)
+      .collect()
+    assert(out.forall(r => Set("a", "b").contains(r.getAs[String]("stratum"))))
+    out.foreach { r =>
+      val limit = if (r.getAs[String]("stratum") == "a") 600 else 200
+      assert(r.getAs[Int]("mille") < limit)
+    }
+    // a source too small for its target clamps at keep-everything
+    val clamped = graft.operators.Mixer.mixRates(
+      d, "source", TextAnalysis.tokenCount(col("text")),
+      Map("a" -> 0.9), budgetTokens = 1000L)
+    assert(clamped == Map("a" -> 1.0))
+  }
+
   test("bigram surprisal: interpolated backoff, hand-computed; 1-token docs drop") {
     val d = Seq(
       (1L, "a b a b"),
