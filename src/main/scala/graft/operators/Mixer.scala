@@ -33,11 +33,15 @@ object Mixer {
   ): Map[String, Double] = {
     require(budgetTokens > 0, "mixer: budgetTokens must be positive")
     require(weights.values.forall(_ >= 0), "mixer: weights must be >= 0")
+    // an all-null token column (e.g. every row of a source has null text)
+    // sums to NULL — treat as no mass, don't NPE on the driver
     val toks = df
       .groupBy(col(sourceCol))
       .agg(sum(tokenCol).cast("long").as("_tok"))
       .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .collect { case r if !r.isNullAt(0) && !r.isNullAt(1) =>
+        r.getString(0) -> r.getLong(1)
+      }
       .toMap
     weights.flatMap { case (s, w) =>
       toks.get(s).filter(_ > 0).map(t => s -> math.min(1.0, budgetTokens * w / t))

@@ -1201,8 +1201,10 @@ object ExtensionQueries {
             roundHalfUp(col("score"), 6).cast("decimal(14,6)").as("score"))
           .orderBy("doc_id")
       },
-      // k1=1.2 b=0.75; N and avgdl from the same corpus; expression shapes
-      // mirror Bm25.score exactly (constant-fold-identical FP order)
+      // k1=1.2 b=0.75; N and avgdl from the same corpus. Non-binary-exact
+      // literals multiplying INTEGER columns are cast to double: DuckDB
+      // evaluates bare decimal-literal x integer in EXACT decimal
+      // arithmetic (3*2.2 = 6.6 exactly) while Spark uses IEEE doubles
       Some(s"""
         with t as (select doc_id, $duckTokens as toks from documents),
         stats as (
@@ -1220,7 +1222,7 @@ object ExtensionQueries {
         s as (
           select tf.doc_id,
             ln(1 + (cast(n as double) - df + 0.5) / (df + 0.5))
-              * (tf * 2.2)
+              * (tf * cast(2.2 as double))
               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) as ts
           from tf join dfreq using (term) join dl using (doc_id) cross join stats
         )
@@ -1348,7 +1350,14 @@ object ExtensionQueries {
         val d = docs(s, dir)
         val even = d.filter(col("doc_id") % 2 === 0)
         val odd = d.filter(col("doc_id") % 2 === 1)
-        val (totA, totB) = (even.count(), odd.count())
+        // both totals in ONE scan (two .count() actions would read the
+        // table twice for two numbers)
+        val tot = d
+          .agg(
+            sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)),
+            sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)))
+          .head()
+        val (totA, totB) = (tot.getLong(0), tot.getLong(1))
         graft.validate.Drift
           .psiByBucket(
             even, odd,
@@ -1406,7 +1415,8 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       },
       // ranking happens on the floor-rounded score in BOTH engines, so the
-      // top-k cut is identical; the decimal cast then has nothing to round
+      // top-k cut is identical; the decimal cast then has nothing to round.
+      // tf * 2.2 must be double arithmetic (see q_bm25's literal-cast note)
       Some(s"""
         with t as (select doc_id, $duckTokens as toks from documents),
         stats as (
@@ -1427,7 +1437,7 @@ object ExtensionQueries {
         sc as (
           select tf.doc_id, tf.term,
             ln(1 + (cast(n as double) - df + 0.5) / (df + 0.5))
-              * (tf * 2.2)
+              * (tf * cast(2.2 as double))
               / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) as ts
           from tf join dfreq using (term) join dl using (doc_id) cross join stats
         ),
@@ -1462,8 +1472,9 @@ object ExtensionQueries {
               .cast("decimal(12,6)").as("surprisal2"))
           .orderBy("doc_id")
       },
-      // Jelinek-Mercer interpolation replayed literally: (1 - 0.7) is left
-      // as the expression so both engines produce the same IEEE double
+      // Jelinek-Mercer interpolation in DOUBLE arithmetic on both engines:
+      // bare 0.7/(1-0.7) would be exact DECIMALs in DuckDB (0.3, not
+      // Spark's 0.30000000000000004), so the literals are cast explicitly
       Some(s"""
         with t as (select doc_id, $duckTokens as toks from documents where text is not null),
         uni as (
@@ -1489,7 +1500,7 @@ object ExtensionQueries {
         ),
         agg as (
           select tf2.doc_id, cast(sum(tf) as bigint) as n_bigrams,
-            sum(tf * (-ln(0.7 * c12 / c1 + (1 - 0.7) * c2 / n))) / sum(tf) as s
+            sum(tf * (-ln(cast(0.7 as double) * c12 / c1 + (1 - cast(0.7 as double)) * c2 / n))) / sum(tf) as s
           from tf2 join bs using (bigram) cross join n group by tf2.doc_id
         )
         select doc_id, n_bigrams,

@@ -22,6 +22,46 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** Working/output names shared by both entry points — an idCol matching
+    * any of them would be silently shadowed by a withColumn/select.
+    */
+  private val Reserved = Seq(
+    "_toks", "term", "tf", "df", "dl", "_ts", "n_matched", "score",
+    "query_id", "rank", "_rounded")
+
+  /** Shared scoring pipeline: per-(doc, term) rows with the BM25 term score
+    * `_ts`, the term pruned by `prune` BEFORE the first aggregation (so the
+    * corpus-sized token stream never reaches a shuffle).
+    */
+  private def scoredDocTerms(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      prune: DataFrame => DataFrame,
+      nDocs: Long,
+      avgDl: Double,
+      k1: Double,
+      b: Double
+  ): DataFrame = {
+    require(!Reserved.contains(idCol),
+      s"bm25: idCol '$idCol' collides with a working column")
+    val toks = docsDf.select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
+    val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
+    val tf = prune(toks.select(col(idCol), explode(col("_toks")).as("term")))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // one row per (doc, term) -> count(*) is the document frequency
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(
+      lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * (lit(k1) + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgDl)))
+    tf.join(dfreq, "term")
+      .join(dl, idCol)
+      .withColumn("_ts", termScore)
+  }
+
   /** @param queryTerms fixed query vocabulary (exact whitespace tokens)
     * @param nDocs      corpus size N
     * @param avgDl      mean document length in tokens over the corpus
@@ -39,28 +79,12 @@ object Bm25 {
       b: Double = 0.75
   ): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: query must have at least one term")
-    require(!Seq("_toks", "term", "tf", "df", "dl", "n_matched", "score").contains(idCol),
-      s"bm25: idCol '$idCol' collides with a working column")
-    val toks = docsDf.select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
-    val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
-    val tf = toks
-      .select(col(idCol), explode(col("_toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // one row per (doc, term) -> count(*) is the document frequency
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = log(
-      lit(1.0) +
-        (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val termScore = idf * (col("tf") * (lit(k1) + 1)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgDl)))
-    tf.join(dfreq, "term")
-      .join(dl, idCol)
+    scoredDocTerms(docsDf, idCol, textCol,
+      _.filter(col("term").isin(queryTerms: _*)), nDocs, avgDl, k1, b)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_matched"),
-        sum(termScore).as("score"))
+        sum(col("_ts")).as("score"))
   }
 
   /** Multi-query top-k retrieval: rank every document against every query of
@@ -88,27 +112,9 @@ object Bm25 {
       b: Double = 0.75
   ): DataFrame = {
     require(topK > 0, "bm25: topK must be positive")
-    require(!Seq("_toks", "term", "tf", "df", "dl", "n_matched", "score",
-      "query_id", "rank", "_rounded").contains(idCol),
-      s"bm25: idCol '$idCol' collides with a working column")
     val qTerms = queriesDf.select(col("term")).distinct()
-    val toks = docsDf.select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
-    val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
-    val tf = toks
-      .select(col(idCol), explode(col("_toks")).as("term"))
-      .join(broadcast(qTerms), "term")
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val idf = log(
-      lit(1.0) +
-        (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val termScore = idf * (col("tf") * (lit(k1) + 1)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgDl)))
-    val perQueryDoc = tf
-      .join(dfreq, "term")
-      .join(dl, idCol)
-      .withColumn("_ts", termScore)
+    val perQueryDoc = scoredDocTerms(docsDf, idCol, textCol,
+      _.join(broadcast(qTerms), "term"), nDocs, avgDl, k1, b)
       .join(broadcast(queriesDf), "term")
       .groupBy(col("query_id"), col(idCol))
       .agg(count(lit(1)).as("n_matched"), sum(col("_ts")).as("score"))

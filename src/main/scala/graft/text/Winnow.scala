@@ -28,11 +28,11 @@ object Winnow {
 
   private val PosCap = 1 << 20
 
-  /** 32-bit md5-prefix k-gram hash (engine-stable; same family as
-    * [[graft.dedup.Dedup.minhashBase]]).
+  /** 32-bit md5-prefix k-gram hash — THE engine-stable base hash
+    * ([[graft.dedup.Dedup.minhashBase]]), not a copy, so the cross-operator
+    * hash compatibility cannot drift.
     */
-  def gramHash(shingle: Column): Column =
-    conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
+  def gramHash(shingle: Column): Column = graft.dedup.Dedup.minhashBase(shingle)
 
   /** @param k token n-gram size
     * @param w window size in consecutive k-grams
@@ -58,7 +58,17 @@ object Winnow {
       .select(
         col(idCol),
         col("pos"),
-        (gramHash(col("shingle")) * PosCap + (lit(PosCap - 1) - col("pos"))).as("_key"))
+        // the fold is only injective below the position cap — beyond it the
+        // key would alias into the previous hash's range and silently select
+        // wrong grams, so overflow must FAIL, not corrupt (require() cannot
+        // see data; this is the expression-level equivalent)
+        when(col("pos") < PosCap,
+          gramHash(col("shingle")) * PosCap + (lit(PosCap - 1) - col("pos")))
+          .otherwise(raise_error(concat(
+            lit("winnow: document exceeds 2^20 k-grams at "), col(idCol).cast("string"),
+            lit(" — split upstream")))
+            .cast("long"))
+          .as("_key"))
     val win = Window
       .partitionBy(col(idCol))
       .orderBy(col("pos"))

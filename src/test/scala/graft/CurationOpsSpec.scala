@@ -192,6 +192,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_tokens") == 4L)
   }
 
+  test("winnow: a document beyond the 2^20-gram cap fails loudly, not silently") {
+    val big = (Seq.fill((1 << 20) + 4)("t")).mkString(" ")
+    val d = Seq((1L, big)).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.text.Winnow.fingerprints(d, "doc_id", col("text"), k = 3, w = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exceeds 2^20 k-grams")))
+  }
+
+  test("corpus mixing: an all-null-text source yields no rate instead of an NPE") {
+    val d = Seq(
+      (1L, "a", "ten tokens of text here pad pad pad pad pad"),
+      (2L, "b", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "text")
+    val rates = graft.operators.Mixer.mixRates(
+      d, "source", TextAnalysis.tokenCount(col("text")),
+      Map("a" -> 0.5, "b" -> 0.5), budgetTokens = 100L)
+    assert(rates.keySet == Set("a")) // b has no token mass -> excluded
+  }
+
   test("corpus mixing: rates hit the token budget at target weights; clamp; drop") {
     val d = (1L to 30L).map { i =>
       val src = if (i <= 10) "a" else if (i <= 20) "b" else "c"
