@@ -1536,6 +1536,91 @@ object ExtensionQueries {
         select doc_id, source as stratum, mille
         from d join r using (source) where mille < thresh
         order by doc_id""")
+    ),
+    "q_char_entropy" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            roundHalfUp(TextAnalysis.charEntropy(col("text")), 6)
+              .cast("decimal(10,6)").as("entropy"))
+          .orderBy("doc_id"),
+      // H = sum cnt*ln(N/cnt)/N over code points; DuckDB's
+      // string_split(text,'') yields code points, matching the expression
+      Some(s"""
+        with ch as (
+          select doc_id, unnest(string_split(text, '')) as c
+          from documents where text is not null
+        ),
+        cc as (select doc_id, c, count(*) as cnt from ch group by doc_id, c),
+        n as (select doc_id, cast(sum(cnt) as bigint) as n from cc group by doc_id),
+        e as (
+          select cc.doc_id,
+            sum(cnt * ln(cast(n as double) / cnt)) / n as h
+          from cc join n using (doc_id) group by cc.doc_id, n
+        )
+        select doc_id,
+          cast(${duckRound("h", 6)} as decimal(10,6)) as entropy
+        from e order by doc_id""")
+    ),
+    "q_substring_stats" -> Q(
+      (s, dir) =>
+        graft.dedup.SubstringDedup
+          .dupStats(docs(s, dir), "doc_id", col("text"), k = 5)
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            col("dup_tokens"),
+            roundHalfUp(col("dup_frac"), 6).cast("decimal(9,6)").as("dup_frac"))
+          .orderBy("doc_id"),
+      // the spans CTE of q_substring_dedup + a per-doc rollup with a
+      // zero-fill left join (docs without duplicated spans report 0)
+      Some(s"""
+        with t as (
+          select doc_id, toks from (select doc_id, $duckTokens as toks from documents
+                                    where text is not null) where len(toks) > 0
+        ),
+        p as (
+          select doc_id, len(toks) as n_toks, toks,
+            unnest(range(1, cast(greatest(len(toks) - 4, 1) as int) + 1)) as i
+          from t
+        ),
+        sh as (
+          select doc_id, n_toks, i - 1 as pos,
+            cast('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15)
+                 as bigint) as h
+          from p
+        ),
+        dup as (select h from sh group by h having count(*) > 1),
+        fl as (
+          select doc_id, n_toks, pos,
+            case when lag(pos) over (partition by doc_id order by pos) is null
+                   or pos - lag(pos) over (partition by doc_id order by pos) > 5
+                 then 1 else 0 end as nw
+          from sh join dup using (h)
+        ),
+        g as (
+          select doc_id, n_toks, pos,
+            sum(nw) over (partition by doc_id order by pos rows unbounded preceding) - 1 as span_id
+          from fl
+        ),
+        spans as (
+          select doc_id,
+            max(least(pos + 4, n_toks - 1)) - min(pos) + 1 as span_tokens
+          from g group by doc_id, span_id
+        ),
+        per_doc as (select doc_id, cast(sum(span_tokens) as bigint) as dup_tokens
+                    from spans group by doc_id),
+        base as (
+          select doc_id, cast(len(toks) as bigint) as n_tokens from
+            (select doc_id, $duckTokens as toks from documents where text is not null)
+        )
+        select base.doc_id, n_tokens,
+          coalesce(dup_tokens, 0) as dup_tokens,
+          cast(${duckRound(
+            "case when n_tokens > 0 then coalesce(dup_tokens, 0) / cast(n_tokens as double) else 0.0 end",
+            6)} as decimal(9,6)) as dup_frac
+        from base left join per_doc using (doc_id) order by base.doc_id""")
     )
   )
 

@@ -185,6 +185,13 @@ object TextAnalysis {
       "[PHONE]"
     )
 
+  /** Shannon entropy (nats) of the code-point distribution — gibberish /
+    * padding detector. Native single-pass expression ([[CharEntropyExpr]]);
+    * the explode-per-character Column formulation would shuffle the corpus
+    * by character.
+    */
+  def charEntropy(c: Column): Column = CharEntropyExpr.charEntropy(c)
+
   /** Whitespace-normalized md5 content fingerprint. */
   def fingerprintMd5(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))

@@ -192,6 +192,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_tokens") == 4L)
   }
 
+  test("char entropy: hand values, code-point units, null/empty conventions") {
+    val d = Seq(
+      (1L, "aab"),
+      (2L, "aaaa"),          // zero entropy
+      (3L, ""),              // empty -> 0.0
+      (4L, null.asInstanceOf[String]),
+      (5L, "😀😀a") // two identical emoji + 'a' == "aab" shape
+    ).toDF("doc_id", "text")
+    val out = d
+      .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("h"))
+      .orderBy("doc_id")
+      .collect()
+    val expAab = (2 * math.log(3.0 / 2) + math.log(3.0)) / 3
+    assert(math.abs(out(0).getDouble(1) - expAab) < 1e-12)
+    assert(out(1).getDouble(1) == 0.0)
+    assert(out(2).getDouble(1) == 0.0)
+    assert(out(3).isNullAt(1))
+    assert(math.abs(out(4).getDouble(1) - expAab) < 1e-12,
+      "surrogate pair must count as ONE character")
+  }
+
+  test("substring dup stats: per-doc duplicated-token mass with zero-fill") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f g h w z"),
+      (3L, "totally unique words only appear once here")
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.SubstringDedup
+      .dupStats(d, "doc_id", col("text"), k = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac")))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 6L, 0.6), (2L, 10L, 6L, 0.6), (3L, 7L, 0L, 0.0)))
+  }
+
   test("winnow: a document beyond the 2^20-gram cap fails loudly, not silently") {
     val big = (Seq.fill((1 << 20) + 4)("t")).mkString(" ")
     val d = Seq((1L, big)).toDF("doc_id", "text")

@@ -441,12 +441,14 @@ class ExtensionsSpec extends SparkSpec {
         .select(
           Dedup.wordShingles($"t", 3).as("sh"),
           Dedup.simhash(TextAnalysis.tokens($"t")).as("sig"),
-          TextAnalysis.textStats($"t").getField("n_tokens").as("nt")
+          TextAnalysis.textStats($"t").getField("n_tokens").as("nt"),
+          graft.text.CharEntropyExpr.charEntropy($"t").as("h")
         )
         .head()
       assert(row.getSeq[String](0).head == "the quick brown")
       assert(row.getLong(1) != 0L)
       assert(row.getInt(2) == 9)
+      assert(row.getDouble(3) > 0.0)
     } finally {
       prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
