@@ -61,7 +61,9 @@ object Canon {
     "q_bm25_topk" -> Seq("score"),
     "q_lm_bigram" -> Seq("surprisal2"),
     "q_char_entropy" -> Seq("entropy"),
-    "q_substring_stats" -> Seq("dup_frac")
+    "q_substring_stats" -> Seq("dup_frac"),
+    "q_semdedup" -> Seq("max_cos_lower"),
+    "q_vocab_oov" -> Seq("oov_rate")
   )
 
   /** Spark side: in-place string cast of the named columns. */

@@ -493,6 +493,93 @@ object ExtensionQueries {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> cast($a[i] as double) * cast($b[i] as double)), (x, y) -> x + y)"
 
+  /** DuckDB twin of [[Similarity.cosine]] (0.0 on a zero norm). */
+  private def duckCos(a: String, b: String): String =
+    s"case when sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}) > 0 " +
+      s"then ${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})) " +
+      "else 0.0 end"
+
+  // ---- shared DuckDB replay of the deterministic IVF build ----------------
+  // (Ivf.scala:82-112 at k=16, iters=2, dim=64): distance folds are the same
+  // ascending-index left fold from 0.0 that NearestCentroidExpr.compute
+  // uses, and argmin ties break to the lowest centroid id. Used by both
+  // q_ann_ivf and q_semdedup.
+
+  private def ivfSq(e: String, c: String): String =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> " +
+      s"(cast($e[i] as double) - $c[i]) * (cast($e[i] as double) - $c[i]))), (x, y) -> x + y)"
+
+  private def ivfAssign(cents: String): String = s"""
+    select vec_id, embedding, cid from (
+      select e.vec_id, e.embedding, s.cid,
+        row_number() over (partition by e.vec_id
+          order by ${ivfSq("e.embedding", "s.centroid")}, s.cid) as rn
+      from embeddings e cross join $cents s) where rn = 1"""
+
+  private def ivfUpdate(src: String): String = s"""
+    select cid, list(m order by dim) as centroid from (
+      select cid, d.dim, avg(cast(embedding[d.dim + 1] as double)) as m
+      from $src cross join range(0, 64) d(dim)
+      group by cid, d.dim) group by cid"""
+
+  /** Shared DuckDB replay of the SRP kNN graph
+    * ([[Similarity.annTopKGraph]] at bits=24, bands=2, k=5): CTE chain
+    * `sig, blocks, cand, scored, sym, graph`; `graph` = ranked edges
+    * (src, dst, cos_sim, rank <= 5). Used by q_ann_topk_graph and
+    * q_knn_classify.
+    */
+  private def srpGraphCtes: String = {
+    val planes = Similarity.hyperplanes(24, 64)
+    val bitExprs = planes.zipWithIndex.map { case (p, h) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"(case when ${duckDot("embedding", lits)} > 0 then ${1L << h} else 0 end)"
+    }.mkString(" + ")
+    s"""sig as (
+          select vec_id, embedding, cast($bitExprs as bigint) as sig from embeddings
+        ),
+        blocks as (
+          select vec_id, embedding, b.band, (sig >> (b.band * 12)) & 4095 as key
+          from sig, (values (0), (1)) b(band)
+        ),
+        cand as (
+          select distinct l.vec_id as id_a, r.vec_id as id_b
+          from blocks l join blocks r
+            on l.band = r.band and l.key = r.key and l.vec_id < r.vec_id
+        ),
+        scored as (
+          select c.id_a, c.id_b, ${duckCos("ea.embedding", "eb.embedding")} as cos_sim
+          from cand c
+          join embeddings ea on c.id_a = ea.vec_id
+          join embeddings eb on c.id_b = eb.vec_id
+        ),
+        sym as (
+          select id_a as src, id_b as dst, cos_sim from scored
+          union all
+          select id_b, id_a, cos_sim from scored
+        ),
+        graph as (
+          select src, dst, cos_sim, rank from (
+            select src, dst, cos_sim,
+              cast(row_number() over (partition by src order by cos_sim desc, dst) as int) as rank
+            from sym
+          ) r where rank <= 5
+        )"""
+  }
+
+  /** CTE chain `seeds, a1, c1, a2, c2, a3`; `a3` = final assignment
+    * (vec_id, embedding, cid).
+    */
+  private def ivfReplayCtes: String = s"""seeds as (
+          select cast(row_number() over (order by vec_id) - 1 as int) as cid,
+                 list_transform(embedding, x -> cast(x as double)) as centroid
+          from (select vec_id, embedding from embeddings order by vec_id limit 16)
+        ),
+        a1 as (${ivfAssign("seeds")}),
+        c1 as (${ivfUpdate("a1")}),
+        a2 as (${ivfAssign("c1")}),
+        c2 as (${ivfUpdate("a2")}),
+        a3 as (${ivfAssign("c2")})"""
+
   val similarityQueries: ListMap[String, Q] = ListMap(
     "q_embed_norms" -> Q(
       (s, dir) =>
@@ -611,51 +698,14 @@ object ExtensionQueries {
           .annTopKGraph(emb(s, dir), "vec_id", "embedding", k = 5,
             bits = 24, bands = 2)
           .orderBy("src", "rank"),
-      Some {
-        // Full SRP pipeline reproduced with the same literal hyperplanes:
-        // signature bits -> 2x12-bit band keys -> band self-join -> cosine
-        // -> per-source rank. Dot products are identical left folds, so the
-        // raw doubles compare bit-for-bit.
-        val planes = Similarity.hyperplanes(24, 64)
-        val bitExprs = planes.zipWithIndex.map { case (p, h) =>
-          val lits = p.mkString("[", ", ", "]")
-          s"(case when ${duckDot("embedding", lits)} > 0 then ${1L << h} else 0 end)"
-        }.mkString(" + ")
-        def cos(a: String, b: String) =
-          s"case when sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}) > 0 " +
-            s"then ${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})) " +
-            "else 0.0 end"
-        s"""
-        with sig as (
-          select vec_id, embedding, cast($bitExprs as bigint) as sig from embeddings
-        ),
-        blocks as (
-          select vec_id, embedding, b.band, (sig >> (b.band * 12)) & 4095 as key
-          from sig, (values (0), (1)) b(band)
-        ),
-        cand as (
-          select distinct l.vec_id as id_a, r.vec_id as id_b
-          from blocks l join blocks r
-            on l.band = r.band and l.key = r.key and l.vec_id < r.vec_id
-        ),
-        scored as (
-          select c.id_a, c.id_b, ${cos("ea.embedding", "eb.embedding")} as cos_sim
-          from cand c
-          join embeddings ea on c.id_a = ea.vec_id
-          join embeddings eb on c.id_b = eb.vec_id
-        ),
-        sym as (
-          select id_a as src, id_b as dst, cos_sim from scored
-          union all
-          select id_b, id_a, cos_sim from scored
-        )
-        select src, dst, cos_sim, rank from (
-          select src, dst, cos_sim,
-            cast(row_number() over (partition by src order by cos_sim desc, dst) as int) as rank
-          from sym
-        ) r where rank <= 5
-        order by src, rank"""
-      }
+      // Full SRP pipeline reproduced with the same literal hyperplanes:
+      // signature bits -> 2x12-bit band keys -> band self-join -> cosine
+      // -> per-source rank. Dot products are identical left folds, so the
+      // raw doubles compare bit-for-bit.
+      Some(s"""
+        with $srpGraphCtes
+        select src, dst, cos_sim, rank from graph
+        order by src, rank""")
     )
   )
 
@@ -763,38 +813,15 @@ object ExtensionQueries {
       // the compared 6-decimal rounding (recall vs brute force is separately
       // asserted in IvfCorpusSpec).
       Some {
-        def sq(e: String, c: String) =
-          "list_reduce(list_prepend(0.0, list_transform(range(1, 65), i -> " +
-            s"(cast($e[i] as double) - $c[i]) * (cast($e[i] as double) - $c[i]))), (x, y) -> x + y)"
-        def assign(cents: String) = s"""
-          select vec_id, embedding, cid from (
-            select e.vec_id, e.embedding, s.cid,
-              row_number() over (partition by e.vec_id
-                order by ${sq("e.embedding", "s.centroid")}, s.cid) as rn
-            from embeddings e cross join $cents s) where rn = 1"""
-        def update(src: String) = s"""
-          select cid, list(m order by dim) as centroid from (
-            select cid, d.dim, avg(cast(embedding[d.dim + 1] as double)) as m
-            from $src cross join range(0, 64) d(dim)
-            group by cid, d.dim) group by cid"""
         s"""
-        with seeds as (
-          select cast(row_number() over (order by vec_id) - 1 as int) as cid,
-                 list_transform(embedding, x -> cast(x as double)) as centroid
-          from (select vec_id, embedding from embeddings order by vec_id limit 16)
-        ),
-        a1 as (${assign("seeds")}),
-        c1 as (${update("a1")}),
-        a2 as (${assign("c1")}),
-        c2 as (${update("a2")}),
-        a3 as (${assign("c2")}),
+        with $ivfReplayCtes,
         q as (
           select list_transform(embedding, x -> cast(x as double)) as qv
           from embeddings where vec_id = 0
         ),
         probes as (
           select cid from q, c2
-          order by ${sq("c2.centroid", "q.qv")}, cid limit 4
+          order by ${ivfSq("c2.centroid", "q.qv")}, cid limit 4
         ),
         topk as (
           select a.vec_id,
@@ -809,6 +836,73 @@ object ExtensionQueries {
           cast(${Parity.duckRound("cos", 6)} as decimal(12,6)) as cos_sim
         from topk order by cos_sim desc, vec_id"""
       }
+    ),
+    "q_semdedup" -> Q(
+      (s, dir) =>
+        graft.similarity.SemDedup
+          .semanticDedup(emb(s, dir), "vec_id", "embedding", k = 16,
+            iters = 2, eps = 0.3)
+          .select(
+            col("vec_id"),
+            col("centroid_id"),
+            roundHalfUp(col("max_cos_lower"), 6)
+              .cast("decimal(12,6)").as("max_cos_lower"),
+            col("kept").cast("int").as("kept")
+          )
+          .orderBy("vec_id"),
+      // Replays the shared IVF build (same seeds/rounds as q_ann_ivf), then
+      // the within-cluster low-id->high-id pairwise cosine and the lowest-
+      // id-wins keep rule. `kept` compares the RAW double max against eps on
+      // both engines (identical left-fold dots), so the verdict can't drift
+      // from the rounded evidence column. eps=0.3: the synthetic embeddings
+      // are near-orthogonal, so a production-ish 0.95 would drop nothing
+      // and the oracle would only prove "everything kept".
+      Some(s"""
+        with $ivfReplayCtes,
+        pairs as (
+          select r.vec_id, ${duckCos("l.embedding", "r.embedding")} as c
+          from a3 l join a3 r on l.cid = r.cid and l.vec_id < r.vec_id
+        ),
+        mx as (select vec_id, max(c) as mc from pairs group by vec_id)
+        select a.vec_id, a.cid as centroid_id,
+          cast(${duckRound("mc", 6)} as decimal(12,6)) as max_cos_lower,
+          cast(case when mc is null or mc < 0.3 then 1 else 0 end as int) as kept
+        from a3 a left join mx using (vec_id)
+        order by vec_id""")
+    ),
+    "q_knn_classify" -> Q(
+      (s, dir) =>
+        graft.similarity.KnnClassify
+          .audit(emb(s, dir), "vec_id", "embedding", "label", k = 5,
+            bits = 24, bands = 2)
+          .orderBy("vec_id"),
+      // The SRP kNN graph replay (same planes/bands/rank cut as
+      // q_ann_topk_graph) plus the label join and the (votes desc, label)
+      // majority vote — counts are exact ints, so only the graph's rank-5
+      // boundary could diverge, and that is tie-broken by dst on both sides.
+      Some(s"""
+        with $srpGraphCtes,
+        votes as (
+          select g.src as vec_id, e.label as predicted_label, count(*) as votes
+          from graph g join embeddings e on g.dst = e.vec_id
+          group by g.src, e.label
+        ),
+        best as (
+          select vec_id, predicted_label, votes from (
+            select vec_id, predicted_label, votes,
+              row_number() over (partition by vec_id
+                order by votes desc, predicted_label) as rn
+            from votes) where rn = 1
+        ),
+        totals as (select src as vec_id, count(*) as n_neighbors
+                   from graph group by src)
+        select b.vec_id, b.predicted_label, b.votes, t.n_neighbors,
+          e.label as true_label,
+          cast(case when b.predicted_label = e.label then 1 else 0 end as int) as correct
+        from best b
+        join totals t using (vec_id)
+        join embeddings e on b.vec_id = e.vec_id
+        order by vec_id""")
     )
   )
 
@@ -1621,6 +1715,61 @@ object ExtensionQueries {
             "case when n_tokens > 0 then coalesce(dup_tokens, 0) / cast(n_tokens as double) else 0.0 end",
             6)} as decimal(9,6)) as dup_frac
         from base left join per_doc using (doc_id) order by base.doc_id""")
+    ),
+    "q_vocab" -> Q(
+      (s, dir) =>
+        graft.text.Vocab
+          .build(docs(s, dir), "doc_id", "text", minCount = 5)
+          .orderBy("vocab_id"),
+      // Counts are exact ints and the id assignment is totally ordered by
+      // (count desc, token), so the replay is representation-safe with no
+      // canonicalization.
+      Some(s"""
+        with toks as (
+          select doc_id, unnest($duckTokens) as token
+          from documents where text is not null
+        ),
+        counts as (
+          select token, count(*) as n_occurrences, count(distinct doc_id) as n_docs
+          from toks group by token having count(*) >= 5
+        )
+        select token, n_occurrences, n_docs,
+          cast(row_number() over (order by n_occurrences desc, token) - 1 as bigint) as vocab_id
+        from counts order by vocab_id""")
+    ),
+    "q_vocab_oov" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val vocab = graft.text.Vocab.build(d, "doc_id", "text", minCount = 5)
+        graft.text.Vocab
+          .oovStats(d, vocab, "doc_id", "text")
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            col("n_oov"),
+            roundHalfUp(col("oov_rate"), 6).cast("decimal(9,6)").as("oov_rate")
+          )
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        with toks as (
+          select doc_id, unnest($duckTokens) as token
+          from documents where text is not null
+        ),
+        vocab as (
+          select token from toks group by token having count(*) >= 5
+        ),
+        stats as (
+          select t.doc_id, count(*) as n_tokens,
+            count(case when v.token is null then 1 end) as n_oov
+          from toks t left join vocab v on t.token = v.token
+          group by t.doc_id
+        )
+        select doc_id, n_tokens, n_oov,
+          cast(${duckRound(
+            "case when n_tokens > 0 then n_oov / cast(n_tokens as double) else 0.0 end",
+            6)} as decimal(9,6)) as oov_rate
+        from stats order by doc_id""")
     )
   )
 

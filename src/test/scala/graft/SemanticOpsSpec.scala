@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{KnnClassify, SemDedup}
+import graft.text.Vocab
+
+/** Semantic dedup, kNN label classification, and vocabulary/OOV specs. */
+class SemanticOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(64)(r.nextFloat() * 2f - 1f)
+  }
+
+  test("SemDedup drops exact duplicates, keeps the lowest id per dup group") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // clone vec 3 and 7 under fresh high ids: cos=1.0, same cluster
+    val clones = base
+      .filter($"vec_id".isin(3L, 7L))
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding", $"label")
+    val df = base.unionByName(clones)
+    val verdicts = SemDedup
+      .semanticDedup(df, "vec_id", "embedding", k = 8, iters = 2, eps = 0.9)
+      .cache()
+    assert(verdicts.count() == df.count())
+    val dropped = verdicts.filter(!$"kept").select("vec_id").as[Long].collect().toSet
+    assert(Set(10003L, 10007L).subsetOf(dropped))
+    assert(!dropped.contains(3L) && !dropped.contains(7L))
+    // every drop carries evidence >= eps; every cluster keeps its lowest id
+    assert(verdicts.filter(!$"kept" && $"max_cos_lower" < 0.9).count() == 0)
+    val lowestPerCluster = verdicts
+      .groupBy("centroid_id").agg(min("vec_id").as("vec_id"))
+      .join(verdicts, Seq("vec_id", "centroid_id"))
+    assert(lowestPerCluster.filter(!$"kept").count() == 0)
+    // dedupe() returns exactly the kept rows
+    val kept = SemDedup.dedupe(df, "vec_id", "embedding", k = 8, iters = 2, eps = 0.9)
+    assert(kept.count() == verdicts.filter($"kept").count())
+    verdicts.unpersist()
+  }
+
+  test("SemDedup at eps>1 keeps everything") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val verdicts = SemDedup.semanticDedup(base, "vec_id", "embedding", k = 4, iters = 1, eps = 1.01)
+    assert(verdicts.filter(!$"kept").count() == 0)
+  }
+
+  test("kNN classify: identical-vector groups vote their own label") {
+    // three groups of identical vectors -> SRP signatures collide exactly,
+    // every neighbor is in-group, majority vote must return the group label
+    val rows = for {
+      g <- 0 until 3
+      i <- 0 until 6
+    } yield (g * 10L + i, vec(seed = 100 + g), g)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = KnnClassify
+      .audit(df, "vec_id", "embedding", "label", k = 5, bits = 24, bands = 2)
+      .cache()
+    assert(out.count() == 18)
+    assert(out.filter($"correct" === 0).count() == 0)
+    assert(out.filter($"n_neighbors" =!= 5).count() == 0)
+    out.unpersist()
+  }
+
+  test("kNN classify: vote ties break to the smallest label") {
+    // target 0 sits between two identical pairs with labels 2 and 1:
+    // 2 votes each among its 4 neighbors -> tie -> predict 1
+    val a = vec(7)
+    val rows = Seq(
+      (0L, a, 9),
+      (1L, a, 2), (2L, a, 2),
+      (3L, a, 1), (4L, a, 1)
+    )
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = KnnClassify.predict(df, "vec_id", "embedding", "label", k = 4)
+    val p = out.filter($"vec_id" === 0L).select("predicted_label").as[Int].head()
+    assert(p == 1)
+  }
+
+  test("vocab: ids dense by (count desc, token), min-count floor applied") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b x"),
+      (3L, "a b")
+    ).toDF("doc_id", "text")
+    val v = Vocab.build(docs, "doc_id", "text", minCount = 2)
+      .orderBy("vocab_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // counts: b=5 (3 docs), a=4 (3 docs); c,x below floor
+    assert(v.toSeq == Seq(("b", 5L, 3L, 0L), ("a", 4L, 3L, 1L)))
+  }
+
+  test("vocab maxSize truncates the tail of the id ordering") {
+    val docs = Seq((1L, "a a b b c c d d")).toDF("doc_id", "text")
+    val v = Vocab.build(docs, "doc_id", "text", minCount = 1, maxSize = 2)
+    assert(v.count() == 2)
+    assert(v.agg(max("vocab_id")).head().getLong(0) == 1L)
+  }
+
+  test("oov stats: unknown tokens counted, null/empty text dropped") {
+    val docs = Seq(
+      (1L, "a a b z"),
+      (2L, "z q"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val vocab = Vocab.build(docs, "doc_id", "text", minCount = 2)
+    val stats = Vocab.oovStats(docs, vocab, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vocab = {a(2), z(2)}; doc1: b oov; doc2: q oov; doc3/4 dropped
+    assert(stats.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 2L, 1L, 0.5)))
+  }
+}
