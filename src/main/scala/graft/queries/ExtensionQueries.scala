@@ -870,6 +870,38 @@ object ExtensionQueries {
         from a3 a left join mx using (vec_id)
         order by vec_id""")
     ),
+    "q_coreset" -> Q(
+      (s, dir) =>
+        graft.similarity.Coreset
+          .prototypes(emb(s, dir), "vec_id", "embedding", k = 16, iters = 2,
+            perCluster = 10)
+          .select(
+            col("vec_id"),
+            col("centroid_id"),
+            roundHalfUp(col("sq_dist"), 6).cast("decimal(14,6)").as("sq_dist"),
+            col("rank")
+          )
+          .orderBy("centroid_id", "rank"),
+      // Shared IVF replay + per-cluster re-ranked distance to the FINAL
+      // centroid: assignment already minimized that distance, so the
+      // recomputed fold equals the _dist the heap ranked on, and the heap's
+      // (score desc, id asc) order is exactly (d asc, vec_id asc) here.
+      Some(s"""
+        with $ivfReplayCtes,
+        dists as (
+          select a.vec_id, a.cid, ${ivfSq("a.embedding", "c.centroid")} as d
+          from a3 a join c2 c on a.cid = c.cid
+        ),
+        ranked as (
+          select vec_id, cid, d,
+            cast(row_number() over (partition by cid order by d, vec_id) as int) as rank
+          from dists
+        )
+        select vec_id, cid as centroid_id,
+          cast(${duckRound("d", 6)} as decimal(14,6)) as sq_dist, rank
+        from ranked where rank <= 10
+        order by centroid_id, rank""")
+    ),
     "q_knn_classify" -> Q(
       (s, dir) =>
         graft.similarity.KnnClassify

@@ -78,6 +78,31 @@ class SemanticOpsSpec extends SparkSpec {
     assert(p == 1)
   }
 
+  test("coreset prototypes: per-cluster cap, ranks follow distance, matches window twin") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val protos = graft.similarity.Coreset
+      .prototypes(emb, "vec_id", "embedding", k = 8, iters = 2, perCluster = 5)
+      .cache()
+    val perCluster = protos.groupBy("centroid_id").count()
+    assert(perCluster.filter($"count" > 5).count() == 0)
+    // ranks within a cluster are 1..n and ordered by sq_dist
+    val bad = protos
+      .withColumn("rk2", row_number().over(
+        Window.partitionBy("centroid_id").orderBy($"sq_dist", $"vec_id")))
+      .filter($"rank" =!= $"rk2")
+    assert(bad.count() == 0)
+    // the selected ids are the window twin's top-5 per cluster
+    val (_, assigned) = graft.similarity.Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val twin = assigned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("centroid_id").orderBy($"_dist", $"vec_id")))
+      .filter($"rk" <= 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(protos.select("vec_id").as[Long].collect().toSet == twin)
+    protos.unpersist()
+  }
+
   test("vocab: ids dense by (count desc, token), min-count floor applied") {
     val docs = Seq(
       (1L, "b b b a a c"),
