@@ -344,4 +344,56 @@ object Dedup {
     ).distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---- quality-aware cluster representatives ------------------------------
+
+  /** Canonical document per near-duplicate cluster, chosen by quality.
+    *
+    * Plain dedup keeps the lowest id, which throws away the best copy when a
+    * cluster mixes a clean original with truncated or boilerplate-wrapped
+    * variants. This selects, per connected near-dup cluster, the member with
+    * the highest quality score ([[TextAnalysis.qualityScoreOfStats]]).
+    * Ranking is on the FLOOR-ROUNDED score (scale 6) with an id tie-break —
+    * a raw double rank would not be engine-reproducible.
+    *
+    * Scale: one label join + one cluster-keyed max-struct aggregate
+    * (partial-aggregating, one candidate row per cluster per partition) on
+    * top of [[connectedComponents]]; clusters only contain docs that had
+    * candidate pairs, so everything here is bounded by the near-dup subset,
+    * not the corpus. NULL text scores 0.0 explicitly — the formula's
+    * least/greatest would otherwise skip null operands and score a broken
+    * row 0.9 (the null-text quality-gate lesson).
+    *
+    * @param pairs candidate pairs (id_a, id_b), e.g. from
+    *              [[minhashCandidatePairs]] or [[simhashNearDupPairs]]
+    * @return (label, rep_id, n_members, rep_quality) — one row per cluster
+    */
+  def clusterRepresentatives(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxIter: Int = 10
+  ): DataFrame = {
+    val labels = connectedComponents(pairs, maxIter)
+    val q6 = {
+      val q = when(col(textCol).isNull, lit(0.0)).otherwise(
+        TextAnalysis.qualityScoreOfStats(TextAnalysis.textStats(col(textCol))))
+      floor(q * lit(1e6) + lit(0.5)) / lit(1e6)
+    }
+    docs
+      .select(col(idCol).as("id"), q6.as("_q6"))
+      .join(labels, "id")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("_q6"), (-col("id")).as("_neg_id"), col("id"))).as("_best")
+      )
+      .select(
+        col("label"),
+        col("_best.id").as("rep_id"),
+        col("n_members"),
+        col("_best._q6").as("rep_quality")
+      )
+  }
 }

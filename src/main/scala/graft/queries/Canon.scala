@@ -64,6 +64,7 @@ object Canon {
     "q_substring_stats" -> Seq("dup_frac"),
     "q_semdedup" -> Seq("max_cos_lower"),
     "q_coreset" -> Seq("sq_dist"),
+    "q_dedup_best" -> Seq("rep_quality"),
     "q_vocab_oov" -> Seq("oov_rate")
   )
 

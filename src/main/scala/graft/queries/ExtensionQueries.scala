@@ -362,6 +362,81 @@ object ExtensionQueries {
         select src as id, least(src, min(dst)) as label
         from reach group by src order by id""")
     ),
+    "q_dedup_best" -> Q(
+      (s, dir) =>
+        Dedup
+          .clusterRepresentatives(
+            docs(s, dir),
+            Dedup.minhashCandidatePairs(docs(s, dir), "doc_id", "text",
+              maxBucket = Some(64)))
+          .select(
+            col("label"),
+            col("rep_id"),
+            col("n_members"),
+            col("rep_quality").cast("decimal(10,6)").as("rep_quality")
+          )
+          .orderBy("label"),
+      Some(
+        // Same closure as q_dedup_clusters, then the per-cluster argmax on
+        // the floor-rounded quality score (rounding makes the rank
+        // engine-stable; the rounded value is also the compared output, so
+        // the decimal cast has nothing left to round).
+        duckMinhashCte.replaceFirst("with ", "with recursive ") + s""",
+        e as (
+          select doc_id, band, hash from bands
+          unpivot (hash for band in (band_0, band_1, band_2, band_3))
+          qualify row_number() over (partition by band, hash order by doc_id) <= 64
+        ),
+        p2 as (
+          select distinct l.doc_id as a, r.doc_id as b
+          from e l join e r on l.band = r.band and l.hash = r.hash and l.doc_id < r.doc_id
+        ),
+        edges as (
+          select a as src, b as dst from p2
+          union
+          select b, a from p2
+        ),
+        reach(src, dst) as (
+          select src, dst from edges
+          union
+          select r.src, e.dst from reach r join edges e on r.dst = e.src
+        ),
+        labels as (
+          select src as id, least(src, min(dst)) as label
+          from reach group by src
+        ),
+        qm as (
+          select doc_id as id,
+            cast(len(toks) as double) as n,
+            case when len(toks) > 0
+                 then cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+                 else 0.0 end as mtl,
+            case when length(text) > 0
+                 then cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) as double) / cast(length(text) as double)
+                 else 0.0 end as punct,
+            cast(len(list_filter(toks, x -> x in ('the','a','of','and','to','in','is','that'))) as double) as sw
+          from t
+        ),
+        qual as (
+          select id, ${duckRound(
+            "least(n / 64.0, 1.0) * 0.3 + " +
+              "least(sw / greatest(n, 1.0) * 8.0, 1.0) * 0.3 + " +
+              "greatest(1.0 - punct * 4.0, 0.0) * 0.2 + " +
+              "(case when mtl between 3.0 and 9.0 then cast(1.0 as double) else cast(0.5 as double) end) * 0.2",
+            6)} as q6
+          from qm
+        ),
+        ranked as (
+          select l.label, l.id, q.q6,
+            row_number() over (partition by l.label order by q.q6 desc, l.id) as rn,
+            count(*) over (partition by l.label) as n_members
+          from labels l join qual q using (id)
+        )
+        select label, id as rep_id, n_members,
+          cast(q6 as decimal(10,6)) as rep_quality
+        from ranked where rn = 1
+        order by label""")
+    ),
     "q_fingerprint" -> Q(
       (s, dir) =>
         docs(s, dir)

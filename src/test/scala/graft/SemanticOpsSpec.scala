@@ -103,6 +103,23 @@ class SemanticOpsSpec extends SparkSpec {
     protos.unpersist()
   }
 
+  test("cluster representatives pick the best-quality member, not the lowest id") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to the house " +
+      "of a friend in the morning to see the river and the trees of the town"
+    val docs = Seq(
+      (1L, "zzzz qqqq xxxx"), // low quality, lowest id
+      (2L, good), // high quality
+      (3L, "another unrelated document about the spark engine and the catalyst optimizer in the lab")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val reps = graft.dedup.Dedup
+      .clusterRepresentatives(docs, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one cluster {1,2} labeled by its min id, represented by doc 2
+    assert(reps.toSeq == Seq((1L, 2L, 2L)))
+  }
+
   test("vocab: ids dense by (count desc, token), min-count floor applied") {
     val docs = Seq(
       (1L, "b b b a a c"),
