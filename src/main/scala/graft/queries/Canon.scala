@@ -65,6 +65,7 @@ object Canon {
     "q_semdedup" -> Seq("max_cos_lower"),
     "q_coreset" -> Seq("sq_dist"),
     "q_dedup_best" -> Seq("rep_quality"),
+    "q_funnel_report" -> Seq("conversion"),
     "q_vocab_oov" -> Seq("oov_rate")
   )
 

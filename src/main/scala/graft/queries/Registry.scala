@@ -720,6 +720,86 @@ object Registry {
         group by user_id, session_idx
         order by user_id, session_start""")
     ),
+    "q_funnel" -> Q(
+      (s, dir) =>
+        graft.operators.Funnel
+          .conversions(Tables.events(s, dir), Seq("view", "click", "purchase"))
+          .orderBy("user_id"),
+      // Stepwise replay: t_i = min event of step i strictly after the
+      // user's t_{i-1} — epoch-millis bigints, engine-exact.
+      Some("""
+        with t0 as (
+          select user_id, min(epoch_ms(ts)) as t_view
+          from events where event_type = 'view' group by user_id
+        ),
+        t1 as (
+          select e.user_id, min(epoch_ms(e.ts)) as t_click
+          from events e join t0 using (user_id)
+          where e.event_type = 'click' and epoch_ms(e.ts) > t0.t_view
+          group by e.user_id
+        ),
+        t2 as (
+          select e.user_id, min(epoch_ms(e.ts)) as t_purchase
+          from events e join t1 using (user_id)
+          where e.event_type = 'purchase' and epoch_ms(e.ts) > t1.t_click
+          group by e.user_id
+        )
+        select t0.user_id, t0.t_view, t1.t_click, t2.t_purchase,
+          cast(1 + (case when t1.t_click is not null then 1 else 0 end)
+                 + (case when t2.t_purchase is not null then 1 else 0 end) as int) as steps_completed
+        from t0
+        left join t1 using (user_id)
+        left join t2 using (user_id)
+        order by user_id"""),
+    ),
+    "q_funnel_report" -> Q(
+      (s, dir) =>
+        graft.operators.Funnel
+          .report(Tables.events(s, dir), Seq("view", "click", "purchase"))
+          .select(
+            col("step"),
+            col("event_type"),
+            col("n_users"),
+            graft.queries.Parity.roundHalfUp(col("conversion"), 6)
+              .cast("decimal(9,6)").as("conversion")
+          )
+          .orderBy("step"),
+      Some(s"""
+        with t0 as (
+          select user_id, min(epoch_ms(ts)) as t_view
+          from events where event_type = 'view' group by user_id
+        ),
+        t1 as (
+          select e.user_id, min(epoch_ms(e.ts)) as t_click
+          from events e join t0 using (user_id)
+          where e.event_type = 'click' and epoch_ms(e.ts) > t0.t_view
+          group by e.user_id
+        ),
+        t2 as (
+          select e.user_id, min(epoch_ms(e.ts)) as t_purchase
+          from events e join t1 using (user_id)
+          where e.event_type = 'purchase' and epoch_ms(e.ts) > t1.t_click
+          group by e.user_id
+        ),
+        c as (
+          select (select count(*) from t0) as n0,
+                 (select count(*) from t1) as n1,
+                 (select count(*) from t2) as n2
+        )
+        select step, event_type, n_users,
+          cast(${Parity.duckRound("conv", 6)} as decimal(9,6)) as conversion
+        from (
+          select cast(0 as int) as step, 'view' as event_type, n0 as n_users,
+                 cast(1.0 as double) as conv from c
+          union all
+          select 1, 'click', n1,
+            case when n0 > 0 then cast(n1 as double) / cast(n0 as double) else 0.0 end from c
+          union all
+          select 2, 'purchase', n2,
+            case when n1 > 0 then cast(n2 as double) / cast(n1 as double) else 0.0 end from c
+        )
+        order by step"""),
+    ),
     "q_sliding_window" -> Q(
       (s, dir) =>
         Tables

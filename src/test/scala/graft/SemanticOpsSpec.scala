@@ -120,6 +120,42 @@ class SemanticOpsSpec extends SparkSpec {
     assert(reps.toSeq == Seq((1L, 2L, 2L)))
   }
 
+  test("funnel: greedy in-order completion, strict-after, entrants only") {
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    val events = Seq(
+      // user 1: full funnel in order
+      (1L, ts(1000), "view"), (1L, ts(2000), "click"), (1L, ts(3000), "purchase"),
+      // user 2: click BEFORE the view, purchase after -> click not counted,
+      // so the purchase can't count either
+      (2L, ts(500), "click"), (2L, ts(1000), "view"), (2L, ts(2000), "purchase"),
+      // user 3: click at the SAME ms as the view -> strict-after excludes it
+      (3L, ts(1000), "view"), (3L, ts(1000), "click"),
+      // user 4: never viewed -> not a funnel entrant
+      (4L, ts(1000), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel
+      .conversions(events, Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))
+    assert(out.toSeq == Seq(
+      (1L, Some(1000L), Some(2000L), Some(3000L), 3),
+      (2L, Some(1000L), None, None, 1),
+      (3L, Some(1000L), None, None, 1)
+    ))
+    val rep = graft.operators.Funnel
+      .report(events, Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rep.toSeq == Seq(
+      (0, "view", 3L, 1.0),
+      (1, "click", 1L, 1.0 / 3.0),
+      (2, "purchase", 1L, 1.0)
+    ))
+  }
+
   test("vocab: ids dense by (count desc, token), min-count floor applied") {
     val docs = Seq(
       (1L, "b b b a a c"),
