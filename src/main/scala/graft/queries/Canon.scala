@@ -66,6 +66,8 @@ object Canon {
     "q_coreset" -> Seq("sq_dist"),
     "q_dedup_best" -> Seq("rep_quality"),
     "q_funnel_report" -> Seq("conversion"),
+    "q_retention" -> Seq("retention"),
+    "q_transitions" -> Seq("p"),
     "q_vocab_oov" -> Seq("oov_rate")
   )
 

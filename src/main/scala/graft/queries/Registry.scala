@@ -800,6 +800,74 @@ object Registry {
         )
         order by step"""),
     ),
+    "q_retention" -> Q(
+      (s, dir) =>
+        graft.operators.Retention
+          .cohortRetention(Tables.events(s, dir))
+          .select(
+            col("cohort_day"),
+            col("day_offset"),
+            col("n_active"),
+            col("cohort_size"),
+            graft.queries.Parity.roundHalfUp(col("retention"), 6)
+              .cast("decimal(9,6)").as("retention")
+          )
+          .orderBy("cohort_day", "day_offset"),
+      Some(s"""
+        with first as (
+          select user_id, min(cast(ts as date)) as cohort_day
+          from events group by user_id
+        ),
+        sizes as (
+          select cohort_day, count(*) as cohort_size from first group by cohort_day
+        ),
+        active as (
+          select distinct user_id, cast(ts as date) as day from events
+        ),
+        cells as (
+          select f.cohort_day,
+            cast(date_diff('day', f.cohort_day, a.day) as int) as day_offset,
+            count(distinct a.user_id) as n_active
+          from active a join first f using (user_id)
+          group by f.cohort_day, day_offset
+        )
+        select c.cohort_day, c.day_offset, c.n_active, s.cohort_size,
+          cast(${Parity.duckRound(
+            "cast(n_active as double) / cast(cohort_size as double)", 6
+          )} as decimal(9,6)) as retention
+        from cells c join sizes s using (cohort_day)
+        order by cohort_day, day_offset"""),
+    ),
+    "q_transitions" -> Q(
+      (s, dir) =>
+        graft.operators.Transitions
+          .transitionMatrix(Tables.events(s, dir))
+          .select(
+            col("prev_type"),
+            col("next_type"),
+            col("n"),
+            graft.queries.Parity.roundHalfUp(col("p"), 6)
+              .cast("decimal(9,6)").as("p")
+          )
+          .orderBy("prev_type", "next_type"),
+      Some(s"""
+        with pairs as (
+          select lag(event_type) over (partition by user_id order by ts, event_id) as prev_type,
+                 event_type as next_type
+          from events
+        ),
+        counts as (
+          select prev_type, next_type, count(*) as n
+          from pairs where prev_type is not null
+          group by prev_type, next_type
+        )
+        select prev_type, next_type, n,
+          cast(${Parity.duckRound(
+            "cast(n as double) / cast(sum(n) over (partition by prev_type) as double)", 6
+          )} as decimal(9,6)) as p
+        from counts
+        order by prev_type, next_type"""),
+    ),
     "q_sliding_window" -> Q(
       (s, dir) =>
         Tables

@@ -156,6 +156,47 @@ class SemanticOpsSpec extends SparkSpec {
     ))
   }
 
+  test("retention triangle: cohort by first day, per-offset distinct actives") {
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int = 12) =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(0, 18)), (1L, ts(1)), (1L, ts(3)),
+      (2L, ts(0)), (2L, ts(1)),
+      (3L, ts(1))
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Retention
+      .cohortRetention(events)
+      .orderBy("cohort_day", "day_offset")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 2L, 2L, 1.0),
+      ("2024-01-01", 3, 1L, 2L, 0.5),
+      ("2024-01-02", 0, 1L, 1L, 1.0)
+    ))
+  }
+
+  test("transition matrix: lag pairs per user, row-normalized probabilities") {
+    import java.sql.Timestamp
+    def ts(ms: Long) = new Timestamp(ms)
+    val events = Seq(
+      (1L, 1L, ts(1000), "a"), (1L, 2L, ts(2000), "b"), (1L, 3L, ts(3000), "b"),
+      (2L, 4L, ts(1000), "b"), (2L, 5L, ts(2000), "a")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.operators.Transitions
+      .transitionMatrix(events)
+      .orderBy("prev_type", "next_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L, 1.0),
+      ("b", "a", 1L, 0.5),
+      ("b", "b", 1L, 0.5)
+    ))
+  }
+
   test("vocab: ids dense by (count desc, token), min-count floor applied") {
     val docs = Seq(
       (1L, "b b b a a c"),
