@@ -68,6 +68,7 @@ object Canon {
     "q_funnel_report" -> Seq("conversion"),
     "q_retention" -> Seq("retention"),
     "q_transitions" -> Seq("p"),
+    "q_quality_rank" -> Seq("q6", "pct"),
     "q_vocab_oov" -> Seq("oov_rate")
   )
 

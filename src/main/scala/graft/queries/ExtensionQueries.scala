@@ -1877,6 +1877,110 @@ object ExtensionQueries {
             "case when n_tokens > 0 then n_oov / cast(n_tokens as double) else 0.0 end",
             6)} as decimal(9,6)) as oov_rate
         from stats order by doc_id""")
+    ),
+    "q_profile" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val aggs = cols.flatMap(c =>
+          Seq(count(col(c)).as(s"_nn_$c"), count_distinct(col(c)).as(s"_nd_$c")))
+        val rows = cols.map(c =>
+          struct(lit(c).as("col_name"), col(s"_nn_$c").as("n_nonnull"),
+            col(s"_nd_$c").as("n_distinct")))
+        d.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(rows: _*)).as("r"))
+          .select(col("r.col_name"), col("r.n_nonnull"), col("r.n_distinct"))
+          .orderBy("col_name")
+      },
+      // Column profiling (the ingest summary shape generalized): Spark plans
+      // the multi-distinct agg as one Expand pass; counts are exact ints.
+      Some("""
+        select 'doc_id' as col_name, count(doc_id) as n_nonnull, count(distinct doc_id) as n_distinct from documents
+        union all
+        select 'text', count(text), count(distinct text) from documents
+        union all
+        select 'lang', count(lang), count(distinct lang) from documents
+        union all
+        select 'source', count(source), count(distinct source) from documents
+        union all
+        select 'n_chars', count(n_chars), count(distinct n_chars) from documents
+        order by col_name""")
+    ),
+    "q_lang_confusion" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("_st", TextAnalysis.textStats(col("text")))
+          .groupBy(
+            col("lang"),
+            TextAnalysis.langIdOfStats(col("_st")).as("lang_guess"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "lang_guess"),
+      Some(s"""
+        with t as (select doc_id, lang, text, $duckTokens as toks from documents),
+        h as (
+          select doc_id, lang, text,
+            len(list_filter(toks, x -> lower(x) in ('the','a','of','and','to','in','is','that'))) as en,
+            len(list_filter(toks, x -> lower(x) in ('le','la','de','et','les','des','un','une'))) as fr,
+            len(list_filter(toks, x -> lower(x) in ('der','die','das','und','ist','von','ein','mit'))) as de,
+            len(list_filter(toks, x -> lower(x) in ('el','la','de','y','los','que','un','en'))) as es
+          from t
+        ),
+        g as (
+          select lang,
+            case when regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') then 'zh'
+                 when greatest(en, fr, de, es) = 0 then 'unknown'
+                 when en = greatest(en, fr, de, es) then 'en'
+                 when fr = greatest(en, fr, de, es) then 'fr'
+                 when de = greatest(en, fr, de, es) then 'de'
+                 else 'es' end as lang_guess
+          from h
+        )
+        select lang, lang_guess, count(*) as n
+        from g group by lang, lang_guess
+        order by lang, lang_guess""")
+    ),
+    "q_quality_rank" -> Q(
+      (s, dir) =>
+        graft.text.QualitySelect
+          .ranks(docs(s, dir))
+          .select(
+            col("doc_id"),
+            col("source"),
+            col("q6").cast("decimal(10,6)").as("q6"),
+            col("decile"),
+            roundHalfUp(col("pct"), 6).cast("decimal(9,6)").as("pct")
+          )
+          .orderBy("doc_id"),
+      // Rank key is the floor-rounded score + id tie-break on both engines;
+      // percent_rank/ntile definitions match between Spark and DuckDB.
+      Some(s"""
+        with qm as (
+          select doc_id, source,
+            cast(len(toks) as double) as n,
+            case when len(toks) > 0
+                 then cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+                 else 0.0 end as mtl,
+            case when length(text) > 0
+                 then cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) as double) / cast(length(text) as double)
+                 else 0.0 end as punct,
+            cast(len(list_filter(toks, x -> x in ('the','a','of','and','to','in','is','that'))) as double) as sw
+          from (select doc_id, source, text, $duckTokens as toks from documents)
+        ),
+        qual as (
+          select doc_id, source, ${duckRound(
+            "least(n / 64.0, 1.0) * 0.3 + " +
+              "least(sw / greatest(n, 1.0) * 8.0, 1.0) * 0.3 + " +
+              "greatest(1.0 - punct * 4.0, 0.0) * 0.2 + " +
+              "(case when mtl between 3.0 and 9.0 then cast(1.0 as double) else cast(0.5 as double) end) * 0.2",
+            6)} as q6
+          from qm
+        )
+        select doc_id, source, cast(q6 as decimal(10,6)) as q6,
+          cast(ntile(10) over (partition by source order by q6 desc, doc_id) as int) as decile,
+          cast(${duckRound(
+            "percent_rank() over (partition by source order by q6 desc, doc_id)", 6
+          )} as decimal(9,6)) as pct
+        from qual order by doc_id""")
     )
   )
 

@@ -197,6 +197,26 @@ class SemanticOpsSpec extends SparkSpec {
     ))
   }
 
+  test("quality ranks: per-source ordering, topFraction keeps the best") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to the house " +
+      "of a friend in the morning to see the river and the trees of the town"
+    val docs = Seq(
+      (1L, "zz qq", "s1"), (2L, good, "s1"), (3L, good + " again today", "s1"),
+      (4L, "xx yy", "s2"), (5L, good, "s2")
+    ).toDF("doc_id", "text", "source")
+    val ranks = graft.text.QualitySelect.ranks(docs).cache()
+    // best doc per source has pct 0.0; worst has pct 1.0
+    val bySource = ranks.orderBy("source", "pct").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Double]("pct")))
+    assert(bySource.filter(_._1 == "s1").last._2 == 1L) // gibberish ranks last
+    assert(bySource.filter(_._1 == "s2").head._2 == 5L)
+    val top = graft.text.QualitySelect.topFraction(docs, 0.5)
+    // pct <= 0.5 keeps 2 of 3 in s1 and 1 of 2 in s2
+    assert(top.count() == 3)
+    assert(!top.select("doc_id").as[Long].collect().contains(1L))
+    ranks.unpersist()
+  }
+
   test("vocab: ids dense by (count desc, token), min-count floor applied") {
     val docs = Seq(
       (1L, "b b b a a c"),
