@@ -212,6 +212,40 @@ object Registry {
           select 'stg_services_publics', 'street_address', 'quasi_identifier',
                  'aggregate_to_city', 'legitimate_interest', 'medium'
         ) r order by model_name, column_name""")
+    ),
+    "q_pii_discovery" -> Q(
+      (s, dir) =>
+        Validate
+          .piiDiscovery(
+            Tables.services(s, dir),
+            Seq("service_name", "contact_email", "contact_phone",
+              "street_address", "city"))
+          .orderBy("col_name"),
+      Some {
+        val e = graft.text.TextAnalysis.RedactEmailPattern
+        val p = graft.text.TextAnalysis.RedactPhonePattern
+        val a = Validate.DiscoveryAddressPattern
+        def row(c: String, first: Boolean) = {
+          val alias = if (first)
+            s"'$c' as col_name, count($c) as n_nonnull, " +
+              s"count(case when regexp_matches($c, '$e') then 1 end) as n_email, " +
+              s"count(case when regexp_matches($c, '$p') then 1 end) as n_phone, " +
+              s"count(case when regexp_matches($c, '$a') then 1 end) as n_address"
+          else
+            s"'$c', count($c), " +
+              s"count(case when regexp_matches($c, '$e') then 1 end), " +
+              s"count(case when regexp_matches($c, '$p') then 1 end), " +
+              s"count(case when regexp_matches($c, '$a') then 1 end)"
+          s"select $alias from services"
+        }
+        val cols = Seq("service_name", "contact_email", "contact_phone",
+          "street_address", "city")
+        s"""
+        with services as (${ServicesSynth.sql})
+        ${cols.zipWithIndex.map { case (c, i) => row(c, i == 0) }
+            .mkString("\n        union all\n        ")}
+        order by col_name"""
+      }
     )
   )
 

@@ -252,4 +252,55 @@ object Validate {
     if (fs.exists(loc)) fs.delete(loc, true)
     graft.pipeline.Materialize.saveAsTable(violations, s"test_results.`$testName`")
   }
+
+  // ---- PII discovery ------------------------------------------------------
+
+  /** Lookahead-free address regex for [[piiDiscovery]] — unlike
+    * [[AddressPattern]]'s siblings this must run on BOTH Java regex and
+    * RE2-class engines (the discovery counts are oracle-compared), so no
+    * negative lookaheads.
+    */
+  val DiscoveryAddressPattern =
+    "(?i)\\d+\\s+(?:rue|avenue|boulevard|place|impasse)\\s+[\\w\\s]+"
+
+  /** Generic PII discovery — the data-discovery flavor of the audit: for
+    * each candidate column, EXACT counts of values that look like emails,
+    * FR phone numbers, or street addresses (the redaction patterns, which
+    * are lookahead-free and engine-portable, unlike [[piiScan]]'s
+    * validation patterns).
+    *
+    * Where [[piiScan]] samples distinct values to flag columns cheaply,
+    * this is the full-scan census you run before writing a masking policy.
+    * One aggregation pass computes all columns' counts (map-side combined,
+    * single-row result exploded to one row per column).
+    */
+  def piiDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "piiDiscovery needs at least one column")
+    import graft.text.TextAnalysis
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"_n_$c"),
+        count(when(col(c).rlike(TextAnalysis.RedactEmailPattern), 1)).as(s"_e_$c"),
+        count(when(col(c).rlike(TextAnalysis.RedactPhonePattern), 1)).as(s"_p_$c"),
+        count(when(col(c).rlike(DiscoveryAddressPattern), 1)).as(s"_a_$c")
+      )
+    }
+    val rows = cols.map(c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"_n_$c").as("n_nonnull"),
+        col(s"_e_$c").as("n_email"),
+        col(s"_p_$c").as("n_phone"),
+        col(s"_a_$c").as("n_address")
+      ))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(
+        col("r.col_name"),
+        col("r.n_nonnull"),
+        col("r.n_email"),
+        col("r.n_phone"),
+        col("r.n_address")
+      )
+  }
 }

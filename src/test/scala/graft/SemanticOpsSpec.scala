@@ -217,6 +217,63 @@ class SemanticOpsSpec extends SparkSpec {
     ranks.unpersist()
   }
 
+  test("pii discovery counts email/phone/address lookalikes per column") {
+    val df = Seq(
+      ("alice@corp.fr", "+33 1 22 33 44 55", "10 rue de Paris"),
+      ("not-an-email", "0144556677", "Ville 3"),
+      (null.asInstanceOf[String], "nope", "22 avenue Foch")
+    ).toDF("a", "b", "c")
+    val out = graft.validate.Validate
+      .piiDiscovery(df, Seq("a", "b", "c"))
+      .orderBy("col_name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 1L, 0L, 0L),
+      ("b", 3L, 0L, 2L, 0L),
+      ("c", 3L, 0L, 0L, 2L)
+    ))
+  }
+
+  test("property: funnel conversions match an in-memory greedy fold") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "click", "purchase", "other")
+    val events = (1 to 400).map { i =>
+      (rnd.nextInt(12).toLong, i.toLong,
+        new Timestamp(rnd.nextInt(100000).toLong), types(rnd.nextInt(types.size)))
+    }
+    val df = events.toDF("user_id", "event_id", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val got = graft.operators.Funnel
+      .conversions(df, steps)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .toSet
+    // reference: per user, earliest step-0, then min ms of each next step
+    // strictly after the previous step's time
+    val expected = events
+      .groupBy(_._1)
+      .flatMap { case (u, evs) =>
+        val byType = evs.map(e => (e._4, e._3.getTime))
+        def minAfter(tpe: String, after: Long): Option[Long] = {
+          val c = byType.collect { case (t, ms) if t == tpe && ms > after => ms }
+          if (c.isEmpty) None else Some(c.min)
+        }
+        val t0 = {
+          val v = byType.collect { case (t, ms) if t == steps.head => ms }
+          if (v.isEmpty) None else Some(v.min)
+        }
+        t0.map { s0 =>
+          val s1 = minAfter(steps(1), s0)
+          val s2 = s1.flatMap(minAfter(steps(2), _))
+          (u, Some(s0): Option[Any], s1.map(x => x: Any), s2.map(x => x: Any))
+        }
+      }
+      .toSet
+    assert(got == expected)
+  }
+
   test("vocab: ids dense by (count desc, token), min-count floor applied") {
     val docs = Seq(
       (1L, "b b b a a c"),
