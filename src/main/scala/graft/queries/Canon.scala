@@ -69,6 +69,7 @@ object Canon {
     "q_retention" -> Seq("retention"),
     "q_transitions" -> Seq("p"),
     "q_quality_rank" -> Seq("q6", "pct"),
+    "q_corr_matrix" -> Seq("corr"),
     "q_vocab_oov" -> Seq("oov_rate")
   )
 

@@ -902,6 +902,51 @@ object Registry {
         from counts
         order by prev_type, next_type"""),
     ),
+    "q_corr_matrix" -> Q(
+      (s, dir) =>
+        graft.operators.Stats
+          .corrMatrix(
+            Tables.read(s, dir, "lineitem"),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .select(
+            col("col_a"),
+            col("col_b"),
+            col("n"),
+            graft.queries.Parity.roundHalfUp(col("corr"), 6)
+              .cast("decimal(9,6)").as("corr")
+          )
+          .orderBy("col_a", "col_b"),
+      // Same moment sums + closed form on both engines (not each engine's
+      // own corr() recurrence); the 6-decimal round absorbs the sub-1e-9
+      // summation-order jitter of the raw sums (kmeans-avg precedent).
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols.indices; j <- (i + 1) until cols.size
+        } yield (cols(i), cols(j))
+        val moments =
+          Seq("count(*) as n") ++
+            cols.flatMap(c => Seq(s"sum($c) as s_$c", s"sum($c*$c) as ss_$c")) ++
+            pairs.map { case (a, b) => s"sum($a*$b) as sp_${a}_$b" }
+        def corrExpr(a: String, b: String) = {
+          val va = s"(n*ss_$a - s_$a*s_$a)"
+          val vb = s"(n*ss_$b - s_$b*s_$b)"
+          val cov = s"(n*sp_${a}_$b - s_$a*s_$b)"
+          s"case when $va > 0 and $vb > 0 then $cov / (sqrt($va) * sqrt($vb)) end"
+        }
+        val branches = pairs.zipWithIndex.map { case ((a, b), i) =>
+          val head = if (i == 0)
+            s"'$a' as col_a, '$b' as col_b, n, cast(${Parity.duckRound(corrExpr(a, b), 6)} as decimal(9,6)) as corr"
+          else
+            s"'$a', '$b', n, cast(${Parity.duckRound(corrExpr(a, b), 6)} as decimal(9,6))"
+          s"select $head from m"
+        }
+        s"""
+        with m as (select ${moments.mkString(", ")} from lineitem)
+        ${branches.mkString("\n        union all\n        ")}
+        order by col_a, col_b"""
+      }
+    ),
     "q_sliding_window" -> Q(
       (s, dir) =>
         Tables

@@ -178,6 +178,49 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("_text_hash")
       .drop("_text_hash")
 
+  /** Streaming PII-discovery monitor: watermarked per-window counts of
+    * values that LOOK like raw PII (email / FR phone / street address) in
+    * the monitored columns — the live twin of
+    * [[graft.validate.Validate.piiDiscovery]], using the SAME lookahead-free
+    * patterns, so stream and batch can never disagree on what "looks like
+    * PII". This is the alarm a masking pipeline runs on its OUTPUT: any
+    * non-zero count means a policy gap or a regression upstream.
+    *
+    * State: one row per (window, column) via a stateless windowed
+    * aggregation — the per-column counts are conditional aggregates, and
+    * the row explosion to one-row-per-column happens BEFORE the groupBy so
+    * the whole thing stays one watermark-bounded aggregation.
+    */
+  def piiMonitor(
+      stream: DataFrame,
+      cols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      windowLength: String = "5 minutes"
+  ): DataFrame = {
+    import graft.text.TextAnalysis
+    import graft.validate.Validate
+    require(cols.nonEmpty, "piiMonitor needs at least one column")
+    val perCol = cols.map(c =>
+      struct(
+        lit(c).as("col_name"),
+        col(c).isNotNull.as("_nn"),
+        col(c).rlike(TextAnalysis.RedactEmailPattern).as("_e"),
+        col(c).rlike(TextAnalysis.RedactPhonePattern).as("_p"),
+        col(c).rlike(Validate.DiscoveryAddressPattern).as("_a")
+      ))
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(array(perCol: _*)).as("r"))
+      .groupBy(window(col(tsCol), windowLength), col("r.col_name"))
+      .agg(
+        count(when(col("r._nn"), 1)).as("n_nonnull"),
+        count(when(col("r._e"), 1)).as("n_email"),
+        count(when(col("r._p"), 1)).as("n_phone"),
+        count(when(col("r._a"), 1)).as("n_address")
+      )
+  }
+
   // ---- stateful sessionization ------------------------------------------
 
   final case class Event(

@@ -274,6 +274,25 @@ class SemanticOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("corr matrix: perfect/anti correlation, null rows excluded everywhere") {
+    val df = Seq(
+      (Some(1.0), 2.0, -1.0),
+      (Some(2.0), 4.0, -2.0),
+      (Some(3.0), 6.0, -3.0),
+      (Some(4.0), 8.0, -4.0),
+      (None: Option[Double], 1.0, 1.0) // dropped for ALL pairs
+    ).toDF("x", "y", "z")
+    val out = graft.operators.Stats
+      .corrMatrix(df, Seq("x", "y", "z"))
+      .orderBy("col_a", "col_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.forall(_._3 == 4L))
+    assert(math.abs(out(0)._4 - 1.0) < 1e-12)  // x,y
+    assert(math.abs(out(1)._4 + 1.0) < 1e-12)  // x,z
+    assert(math.abs(out(2)._4 + 1.0) < 1e-12)  // y,z
+  }
+
   test("vocab: ids dense by (count desc, token), min-count floor applied") {
     val docs = Seq(
       (1L, "b b b a a c"),

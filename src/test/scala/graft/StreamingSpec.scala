@@ -90,6 +90,43 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(batch - out("web")._3) < 1e-12)
   }
 
+  test("streaming PII monitor counts lookalike values per window/column; batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val df = input.toDF().toDF("id", "ts", "email_col", "addr_col")
+    val mon = StreamingPipeline.piiMonitor(df, Seq("email_col", "addr_col"))
+    input.addData(
+      (1L, ts(1), "leak@corp.fr", "10 rue de Paris"),
+      (2L, ts(2), "user_ab@anonymized.gouv.fr", "Ville 3"),
+      (3L, ts(3), null, "33 boulevard Haussmann")
+    )
+    val q = mon.writeStream.format("memory").queryName("piimon")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("piimon")
+      .select($"col_name", $"n_nonnull", $"n_email", $"n_address")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the redaction pattern has no anonymized-domain lookahead, so BOTH
+    // email-shaped values count — the monitor flags shapes, not policy
+    assert(out("email_col") == ((2L, 2L, 0L)))
+    assert(out("addr_col") == ((3L, 0L, 2L)))
+    // batch twin agreement on the same rows
+    val batch = graft.validate.Validate
+      .piiDiscovery(
+        Seq(
+          ("leak@corp.fr", "10 rue de Paris"),
+          ("user_ab@anonymized.gouv.fr", "Ville 3"),
+          (null.asInstanceOf[String], "33 boulevard Haussmann")
+        ).toDF("email_col", "addr_col"),
+        Seq("email_col", "addr_col"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(batch == out)
+  }
+
   test("streaming drift monitor: per-window PSI agrees with the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Int)]
