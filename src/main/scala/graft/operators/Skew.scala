@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partition-key skew diagnostics — the "will this key shuffle?" census you
+  * run BEFORE keying a 100 TB join or aggregation: per hot key its row
+  * count and share of the table, ranked. A share far above 1/parallelism
+  * on the planned shuffle key means salting / AQE skew-join territory.
+  *
+  * One hash aggregate (map-side combined) + a top-N cut via
+  * TakeOrderedAndProject on the aggregated key counts — no full sort, no
+  * second pass over the data.
+  */
+object Skew {
+
+  /** (key, n, share, rank) for the `topN` heaviest keys of `keyCol`;
+    * `key` is stringified so the diagnostic works on any key type, and
+    * null keys count as a key of their own (they skew too). `share` is a
+    * raw double for callers to canonicalize.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("_total"))
+    counts
+      .orderBy(col("n").desc, col("key").asc_nulls_last)
+      .limit(topN)
+      .crossJoin(broadcast(total))
+      .select(
+        col("key"),
+        col("n"),
+        (col("n").cast("double") / col("_total").cast("double")).as("share")
+      )
+      .withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("key").asc_nulls_last))
+      )
+  }
+}

@@ -70,6 +70,8 @@ object Canon {
     "q_transitions" -> Seq("p"),
     "q_quality_rank" -> Seq("q6", "pct"),
     "q_corr_matrix" -> Seq("corr"),
+    "q_key_skew" -> Seq("share"),
+    "q_topk_revenue" -> Seq("revenue"),
     "q_vocab_oov" -> Seq("oov_rate")
   )
 

@@ -947,6 +947,75 @@ object Registry {
         order by col_a, col_b"""
       }
     ),
+    "q_key_skew" -> Q(
+      (s, dir) =>
+        graft.operators.Skew
+          .keySkew(Tables.read(s, dir, "lineitem"), "l_suppkey", topN = 10)
+          .select(
+            col("key"),
+            col("n"),
+            graft.queries.Parity.roundHalfUp(col("share"), 6)
+              .cast("decimal(9,6)").as("share"),
+            col("rank")
+          )
+          .orderBy("rank"),
+      Some(s"""
+        with counts as (
+          select cast(l_suppkey as varchar) as key, count(*) as n
+          from lineitem group by 1
+        ),
+        total as (select sum(n) as t from counts),
+        top as (select key, n from counts order by n desc, key limit 10)
+        select key, n,
+          cast(${Parity.duckRound(
+            "cast(n as double) / cast(t as double)", 6)} as decimal(9,6)) as share,
+          cast(row_number() over (order by n desc, key) as int) as rank
+        from top, total
+        order by rank"""),
+    ),
+    "q_topk_revenue" -> Q(
+      (s, dir) => {
+        val customer = Tables.read(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+        val orders = Tables.read(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val lineitem = Tables.read(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        // classic shipping-priority shape: two equi-joins (dimension sides
+        // broadcast at their size), partial-agg revenue, and a top-10 on the
+        // FLOOR-ROUNDED revenue so the cut is engine-reproducible
+        lineitem
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("_rev"))
+          .select(
+            col("l_orderkey"),
+            col("o_orderdate"),
+            col("o_orderpriority"),
+            graft.queries.Parity.roundHalfUp(col("_rev"), 4)
+              .cast("decimal(18,4)").as("revenue")
+          )
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""
+        with agg as (
+          select l_orderkey, o_orderdate, o_orderpriority,
+            sum(l_extendedprice * (cast(1.0 as double) - l_discount)) as rev
+          from lineitem
+          join orders on l_orderkey = o_orderkey
+          join customer on o_custkey = c_custkey
+          where c_mktsegment = 'BUILDING'
+            and o_orderdate < timestamp '1998-01-01'
+            and l_shipdate > timestamp '1998-01-01'
+          group by l_orderkey, o_orderdate, o_orderpriority
+        )
+        select l_orderkey, o_orderdate, o_orderpriority,
+          cast(${Parity.duckRound("rev", 4)} as decimal(18,4)) as revenue
+        from agg
+        order by revenue desc, l_orderkey limit 10"""),
+    ),
     "q_sliding_window" -> Q(
       (s, dir) =>
         Tables

@@ -28,8 +28,11 @@ class PlanGuardSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** single-row broadcast builds: the deliberate scalar-subquery pattern */
-  private val singleRowBroadcast = Set("q_scalar_subquery", "q_embed_topk")
+  /** single-row broadcast builds: the deliberate scalar-subquery pattern
+    * (q_key_skew broadcasts its single-row grand-total against the top-N)
+    */
+  private val singleRowBroadcast =
+    Set("q_scalar_subquery", "q_embed_topk", "q_key_skew")
 
   Registry.all.foreach { case (name, q) =>
     test(s"plan guard: $name") {
