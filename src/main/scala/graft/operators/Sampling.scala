@@ -53,4 +53,33 @@ object Sampling {
       .withColumn("mille", hashMille(col(idCol)))
       .filter(col("mille") < thresh)
   }
+
+  /** Exact-N-per-group balanced downsample: the `n` rows of each group with
+    * the smallest (stable-hash, id) key — deterministic, engine-portable
+    * (same md5 bucket a DuckDB twin computes), and join-stable like
+    * [[stratifiedSample]]. Where the rate-based sampler keeps a
+    * PROPORTIONAL slice, this caps every group at the same absolute budget
+    * — the balanced-classes shape.
+    *
+    * The per-group cut is a keyed window rank, so the sort is bounded by
+    * the largest group; at extreme group sizes pre-filter with
+    * `stratifiedSample` first to shrink the window input.
+    */
+  def exactPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(!df.columns.contains("_rk"),
+      "exactPerGroup: input must not already have a `_rk` column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col(groupCol))
+      .orderBy(StableHash.md5Long(col(idCol)), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
 }
