@@ -61,7 +61,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    // Full contract line first (per-query map is large), then a SHORT
+    // headline line LAST: the driver keeps a bounded tail of stdout, so a
+    // truncation eats the front of the big line — the final short line
+    // guarantees the total survives any tail capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

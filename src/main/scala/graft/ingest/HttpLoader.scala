@@ -52,10 +52,15 @@ object HttpLoader {
   final class HttpFetchException(msg: String, cause: Throwable = null)
       extends RuntimeException(msg, cause)
 
-  /** GET `url`, retrying up to `cfg.retries` attempts; throws
-    * [[HttpFetchException]] carrying the last failure once exhausted.
+  /** Shared GET-with-retries core: sends to `handler`, returns the first
+    * 2xx body, throws [[HttpFetchException]] carrying the last failure once
+    * `cfg.retries` attempts are exhausted.
     */
-  def fetch(url: String, cfg: Config = Config()): String = {
+  private def fetchWith[T](
+      url: String,
+      cfg: Config,
+      handler: HttpResponse.BodyHandler[T]
+  ): T = {
     val client = HttpClient
       .newBuilder()
       .connectTimeout(Duration.ofSeconds(cfg.timeoutSec.toLong))
@@ -71,7 +76,7 @@ object HttpLoader {
     while (attempt < cfg.retries) {
       attempt += 1
       try {
-        val resp = client.send(request, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+        val resp = client.send(request, handler)
         if (resp.statusCode() / 100 == 2) return resp.body()
         last = new HttpFetchException(s"HTTP ${resp.statusCode()} from $url")
       } catch {
@@ -85,6 +90,12 @@ object HttpLoader {
     }
     throw new HttpFetchException(s"failed after ${cfg.retries} attempts: $url", last)
   }
+
+  /** GET `url` as an in-memory string — for SMALL payloads (the metadata
+    * document). Dataset bodies go through [[downloadTo]], which streams.
+    */
+  def fetch(url: String, cfg: Config = Config()): String =
+    fetchWith(url, cfg, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
 
   /** Dataset metadata (download_data.py:40-63); returns the raw JSON body. */
   def fetchDatasetInfo(cfg: Config = Config()): String = fetch(cfg.metadataUrl, cfg)
@@ -102,11 +113,17 @@ object HttpLoader {
     else None
   }
 
-  /** Download the JSONL body to a local staging file for the Spark read. */
+  /** Download the JSONL body to a local staging file for the Spark read —
+    * STREAMED to disk (`BodyHandlers.ofFile`), never buffered as a JVM
+    * string: the reference downloader streams (download_data.py:66-70), and
+    * a multi-GB feed must not hold 3-4x its size in driver heap.
+    * TRUNCATE_EXISTING so a retried (shorter) body never leaves stale tail
+    * bytes from a previous attempt.
+    */
   def downloadTo(url: String, dest: Path, cfg: Config = Config()): Path = {
-    val body = fetch(url, cfg)
     Files.createDirectories(dest.getParent)
-    Files.write(dest, body.getBytes(StandardCharsets.UTF_8))
-    dest
+    import java.nio.file.StandardOpenOption._
+    fetchWith(url, cfg,
+      HttpResponse.BodyHandlers.ofFile(dest, CREATE, WRITE, TRUNCATE_EXISTING))
   }
 }

@@ -34,9 +34,11 @@ object Mixer {
     require(budgetTokens > 0, "mixer: budgetTokens must be positive")
     require(weights.values.forall(_ >= 0), "mixer: weights must be >= 0")
     // an all-null token column (e.g. every row of a source has null text)
-    // sums to NULL — treat as no mass, don't NPE on the driver
+    // sums to NULL — treat as no mass, don't NPE on the driver; the source
+    // key is stringified so a non-varchar source column (int source ids)
+    // still maps onto the string-keyed weights instead of ClassCastException
     val toks = df
-      .groupBy(col(sourceCol))
+      .groupBy(col(sourceCol).cast("string").as("_src"))
       .agg(sum(tokenCol).cast("long").as("_tok"))
       .collect()
       .collect { case r if !r.isNullAt(0) && !r.isNullAt(1) =>

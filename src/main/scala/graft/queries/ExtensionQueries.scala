@@ -1730,7 +1730,7 @@ object ExtensionQueries {
         st as (select source, cast(sum(len(toks)) as bigint) as tok from t group by source),
         r as (
           select source,
-            cast(floor(least(1.0, 2000 * w / tok) * 1000 + 0.5) as int) as thresh
+            cast(floor(least(1.0, 2000 * cast(w as double) / tok) * 1000 + 0.5) as int) as thresh
           from st join ws using (source) where tok > 0
         ),
         d as (select doc_id, source, ${duckMdBucket(1000)} as mille from documents)

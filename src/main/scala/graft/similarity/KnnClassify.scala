@@ -43,17 +43,20 @@ object KnnClassify {
     val totals = graph
       .groupBy(col("src").as(idCol))
       .agg(count(lit(1)).as("n_neighbors"))
-    // argmax by (votes desc, label asc) via max over one comparable struct —
+    // argmax by (votes desc, label asc) via min over one comparable struct —
     // a partial-aggregating shape (vs the row_number window, which would
-    // sort every vote row inside each partition).
+    // sort every vote row inside each partition). Negating the COUNT (always
+    // numeric) instead of the label keeps the tie-break type-agnostic:
+    // string labels order lexicographically, so "smallest label wins" holds
+    // for any orderable label type.
     votes
       .groupBy(col(idCol))
       .agg(
-        max(
+        min(
           struct(
-            col("votes"),
-            (-col("predicted_label")).as("_neg_label"),
-            col("predicted_label")
+            (-col("votes")).as("_neg_votes"),
+            col("predicted_label"),
+            col("votes")
           )
         ).as("_best")
       )

@@ -90,8 +90,12 @@ object Winnow {
       .distinct()
   }
 
-  /** Per-document fingerprint-set summary: count and an order-insensitive
-    * xor-style digest (sum of distinct fps mod 2^32 — engine-portable).
+  /** Per-document fingerprint-set summary: selected-position count and an
+    * order-insensitive SET digest (sum of distinct fp values mod 2^32 —
+    * engine-portable). `n_fp` counts selected (pos, fp) rows; `fp_digest`
+    * deliberately ignores multiplicity (a gram selected at several
+    * positions contributes once), so two documents with equal fingerprint
+    * SETS digest equal even when selection multiplicities differ.
     */
   def fingerprintDigest(
       docsDf: DataFrame,
@@ -104,5 +108,5 @@ object Winnow {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("int").as("n_fp"),
-        (sum(col("fp")) % lit(4294967296L)).cast("long").as("fp_digest"))
+        (sum_distinct(col("fp")) % lit(4294967296L)).cast("long").as("fp_digest"))
 }

@@ -608,4 +608,71 @@ class CurationOpsSpec extends SparkSpec {
       .map { case (id, cs) => (id, cs.sortBy(_._2).map(_._3).mkString(" ")) }
     docsSeq.foreach { case (id, t) => assert(exact(id) == t) }
   }
+
+  test("winnow digest: set semantics — repeated fingerprint selections count once") {
+    // a periodic document selects the same (minimal) gram at many positions;
+    // the digest must equal the sum over DISTINCT fp values, not per-occurrence
+    val d = Seq(
+      (1L, Seq.fill(12)("a b c").mkString(" ")), // one dominant min-gram, many positions
+      (2L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val fps = graft.text.Winnow
+      .fingerprints(d, "doc_id", col("text"), k = 3, w = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+    val digests = graft.text.Winnow
+      .fingerprintDigest(d, "doc_id", col("text"), k = 3, w = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Int]("n_fp"), r.getAs[Long]("fp_digest"))))
+      .toMap
+    Seq(1L, 2L).foreach { id =>
+      val rows = fps.filter(_._1 == id)
+      val setSum = rows.map(_._2).distinct.sum % 4294967296L
+      assert(digests(id) == ((rows.length, setSum)), s"doc $id")
+    }
+    // doc 1 really does select a gram at multiple positions (the case the
+    // per-occurrence digest got wrong)
+    val doc1 = fps.filter(_._1 == 1L)
+    assert(doc1.length > doc1.map(_._2).distinct.length)
+  }
+
+  test("corpus mixing: a non-string source column works via stringified keys") {
+    val d = (1L to 20L).map { i =>
+      (i, (i % 2).toInt, Seq.fill(10)("tok").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val rates = graft.operators.Mixer.mixRates(
+      d, "source", TextAnalysis.tokenCount(col("text")),
+      Map("0" -> 0.5, "1" -> 0.25), budgetTokens = 100L)
+    assert(rates == Map("0" -> 0.5, "1" -> 0.25))
+  }
+
+  test("key skew: est_bytes sums the per-row size estimate in the same pass") {
+    val d = (1L to 100L).map { i =>
+      val k = if (i <= 60) "hot" else s"k$i"
+      (i, k, "x" * (if (k == "hot") 10 else 3))
+    }.toDF("id", "k", "payload")
+    val out = graft.operators.Skew
+      .keySkew(d, "k", topN = 3, rowSizeCol = Some(length(col("payload"))))
+      .collect()
+    val hot = out.find(_.getAs[String]("key") == "hot").get
+    assert(hot.getAs[Long]("n") == 60L)
+    assert(hot.getAs[Long]("est_bytes") == 600L)
+    assert(hot.getAs[Int]("rank") == 1)
+  }
+
+  test("key skew: the rank window's input is the limited top-N frame (plan invariant)") {
+    val d = (1L to 50L).map(i => (i, s"k${i % 5}")).toDF("id", "k")
+    val plan = graft.operators.Skew.keySkew(d, "k", topN = 3)
+      .queryExecution.optimizedPlan
+    // the Window node must sit ABOVE a GlobalLimit: ranking happens on the
+    // <= topN rows, never on the full per-key counts
+    def check(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.child.collectFirst {
+          case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+        }.nonEmpty
+      case other => other.children.exists(check)
+    }
+    assert(check(plan), s"no GlobalLimit under the rank Window:\n$plan")
+  }
 }

@@ -78,6 +78,22 @@ class SemanticOpsSpec extends SparkSpec {
     assert(p == 1)
   }
 
+  test("kNN classify: STRING labels tie-break to the lexicographically smallest") {
+    // same tie construction as above, but labels are strings — the
+    // type-agnostic struct tie-break must pick "apple" over "pear", not
+    // fall through to max-of-largest (the numeric-negation bug shape)
+    val a = vec(7)
+    val rows = Seq(
+      (0L, a, "zzz"),
+      (1L, a, "pear"), (2L, a, "pear"),
+      (3L, a, "apple"), (4L, a, "apple")
+    )
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = KnnClassify.predict(df, "vec_id", "embedding", "label", k = 4)
+    val p = out.filter($"vec_id" === 0L).select("predicted_label").as[String].head()
+    assert(p == "apple")
+  }
+
   test("coreset prototypes: per-cluster cap, ranks follow distance, matches window twin") {
     import org.apache.spark.sql.expressions.Window
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
