@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus the decode / feature-extract / frame-sample
   * plumbing a training-data pipeline needs.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): `StubDecoder` produces deterministic fake features from the
-  * bytes. Everything around it — schema, partition sizing, batch-shaped
-  * `mapPartitions` signature, feature column layout — is real and tested;
-  * a production decoder drops in by replacing one function.
+  * The codec is REAL: [[Codec]] parses actual container bytes — PPM (P6)
+  * images, BMP 24-bit keyframes for the video lane, RIFF/WAVE PCM16 audio —
+  * all decodable with the JVM stdlib alone (this container has no native
+  * image/audio libraries, so formats needing external codecs — JPEG, MP4 —
+  * would slot in behind the same seam). Features come from the DECODED
+  * pixels/samples: a luminance histogram for rasters, a mean-|amplitude|
+  * time profile for audio.
   *
   * Scale design: media blobs dominate partition size, so `repartitionForMedia`
   * targets a byte budget per partition instead of a row budget; decode is a
@@ -42,53 +44,69 @@ object Multimodal {
       features: Array[Float]
   )
 
-  /** The decode seam. A real implementation would batch-decode per
-    * partition (JNI codec, ONNX encoder, ...). The stub derives
-    * deterministic pseudo-features from the payload bytes so tests and
-    * benchmarks exercise the full data path with realistic shapes.
+  /** The decode step: sniff the container from the BYTES, parse it with
+    * [[Codec]], and compute `dim` feature lanes from the decoded content —
+    * luminance histogram for rasters (PPM images, BMP video keyframes),
+    * mean-|amplitude| time profile for PCM audio. Malformed bytes throw;
+    * a corrupt blob must fail the job, not emit garbage features.
     */
-  object StubDecoder {
-    def decode(record: MediaRecord, dim: Int): Array[Float] = {
-      // ??? <- real codec goes here; deterministic fake below.
-      val out = new Array[Float](dim)
-      var h = 1125899906842597L // FNV-ish rolling seed
-      val bs = record.bytes
-      var i = 0
-      while (i < bs.length) { h = h * 31 + bs(i); i += 1 }
-      var j = 0
-      while (j < dim) {
-        val x = h * (j * 2654435761L + 1)
-        out(j) = ((x >>> 40).toInt % 1000) / 1000.0f
-        j += 1
-      }
-      out
+  def decodeOne(record: MediaRecord, dim: Int): Array[Float] =
+    Codec.sniffFormat(record.bytes) match {
+      case "ppm" => Codec.lumaHistogram(Codec.decodePpm(record.bytes), dim)
+      case "bmp" => Codec.lumaHistogram(Codec.decodeBmp(record.bytes), dim)
+      case _     => Codec.energyProfile(Codec.decodeWav(record.bytes), dim)
     }
+
+  /** Deterministic synthetic media corpus derived from `documents` ids (the
+    * container ships no real media files): REAL encoded containers — PPM
+    * image / WAV audio / BMP "keyframe" for the video lane — whose pixel and
+    * sample values are pure integer functions of (doc_id, position), so the
+    * decoded features are replayable by the DuckDB oracle without parsing
+    * bytes. Meta is honest: raster dims and sample rates describe the actual
+    * payload; the video lane carries a container-declared durationMs (the
+    * frame-sampling target) alongside its decoded keyframe dims.
+    */
+  def synthesizeOne(id: Long): MediaRecord = (id % 3) match {
+    case 0 =>
+      val w = (id % 13 + 4).toInt; val h = (id % 7 + 4).toInt
+      val img = Codec.ImagePixels(w, h, rasterPixels(id, w, h))
+      MediaRecord(id, "image", Codec.encodePpm(img), MediaMeta(w, h, 0, 0, "ppm"))
+    case 1 =>
+      val n = (id % 50 + 40).toInt
+      val samples = Array.tabulate(n)(i => (((id * 31 + i * 997L) % 65536L) - 32768L).toShort)
+      MediaRecord(id, "audio", Codec.encodeWav(Codec.AudioPcm(16000, 1, samples)),
+        MediaMeta(0, 0, 16000, (n * 1000L / 16000L).toInt, "wav"))
+    case _ =>
+      val w = (id % 11 + 4).toInt; val h = (id % 5 + 4).toInt
+      val img = Codec.ImagePixels(w, h, rasterPixels(id, w, h))
+      MediaRecord(id, "video", Codec.encodeBmp(img),
+        MediaMeta(w, h, 0, (id % 300000 + 1000).toInt, "bmp"))
   }
 
-  /** Deterministic synthetic media table derived from `documents` (the
-    * container has no real media files): payload bytes from the text,
-    * kind/meta from the id. Exercises binary columns + nested struct schema.
+  /** The shared synthetic pixel formula (also replayed by the oracle):
+    * r,g,b at (x,y) are small affine functions of (id, x, y) mod 256.
     */
+  private def rasterPixels(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        rgb(p) = ((id * 7 + x * 13 + y * 101) % 256).toByte
+        rgb(p + 1) = ((id * 11 + x * 17 + y * 31) % 256).toByte
+        rgb(p + 2) = ((id * 13 + x * 19 + y * 61) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
   def synthesizeFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(
-        col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        to_binary(md5(col("text")), lit("hex")).as("bytes"),
-        struct(
-          (col("doc_id") % 1920 + 1).cast("int").as("width"),
-          (col("doc_id") % 1080 + 1).cast("int").as("height"),
-          element_at(array(lit(16000), lit(44100), lit(48000)),
-            (col("doc_id") % 3 + 1).cast("int")).as("sampleRate"),
-          (col("doc_id") % 300000 + 1000).cast("int").as("durationMs"),
-          element_at(array(lit("jpeg"), lit("wav"), lit("mp4")),
-            (col("doc_id") % 3 + 1).cast("int")).as("format")
-        ).as("meta")
-      )
-      .as[MediaRecord]
+    docs.select(col("doc_id")).as[Long].map(synthesizeOne)
   }
 
   /** Size partitions by a byte budget (blob-aware), not a row count. */
@@ -101,18 +119,19 @@ object Multimodal {
     ds.repartition(parts, col("media_id"))
   }
 
-  /** Batch decode: one pass per partition, stub codec per record. The
-    * mapPartitions shape is what a real vectorized decoder needs (amortized
-    * codec init per partition, streaming iterator, no materialized batch).
+  /** Batch decode: one pass per partition, real [[Codec]] parse per record.
+    * The mapPartitions shape is what a heavier decoder needs too (amortized
+    * codec init per partition, streaming iterator, no materialized batch) —
+    * a JNI/JPEG decoder would initialize here and reuse across the
+    * partition's records.
     */
   def decodeFeatures(ds: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      // real impl: initialize codec/encoder once per partition here
       it.map { rec =>
         MediaFeatures(rec.media_id, rec.kind, rec.bytes.length,
-          StubDecoder.decode(rec, dim))
+          decodeOne(rec, dim))
       }
     }
   }

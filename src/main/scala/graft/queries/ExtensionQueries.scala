@@ -1019,8 +1019,10 @@ object ExtensionQueries {
     "q_multimodal_meta" -> Q(
       (s, dir) => {
         val media = Multimodal.synthesizeFromDocuments(docs(s, dir)).toDF()
+        // maxSide 12 sits inside the synthetic raster dim range (4..16) so
+        // the resize path actually exercises both branches
         Multimodal
-          .resizeMeta(Multimodal.frameOffsets(media, everyMs = 60000), maxSide = 512)
+          .resizeMeta(Multimodal.frameOffsets(media, everyMs = 60000), maxSide = 12)
           .select(
             col("media_id"),
             col("kind"),
@@ -1033,26 +1035,33 @@ object ExtensionQueries {
           )
           .orderBy("media_id")
       },
+      // Meta twin of Multimodal.synthesizeOne: honest per-kind dims/format
+      // (image=PPM raster dims, audio=0x0 wav, video=BMP keyframe dims with
+      // a container-declared durationMs driving the frame grid)
       Some("""
-        with media as (
-          select doc_id as media_id,
-            (['image', 'audio', 'video'])[cast(doc_id % 3 + 1 as int)] as kind,
-            cast(doc_id % 1920 + 1 as int) as width,
-            cast(doc_id % 1080 + 1 as int) as height,
-            (['jpeg', 'wav', 'mp4'])[cast(doc_id % 3 + 1 as int)] as format,
-            cast(doc_id % 300000 + 1000 as int) as duration_ms
-          from documents
+        with m as (select doc_id as media_id, doc_id % 3 as k3 from documents),
+        media as (
+          select media_id,
+            case k3 when 0 then 'image' when 1 then 'audio' else 'video' end as kind,
+            cast(case k3 when 0 then media_id % 13 + 4 when 1 then 0
+                 else media_id % 11 + 4 end as int) as width,
+            cast(case k3 when 0 then media_id % 7 + 4 when 1 then 0
+                 else media_id % 5 + 4 end as int) as height,
+            case k3 when 0 then 'ppm' when 1 then 'wav' else 'bmp' end as format,
+            cast(case k3 when 1 then (media_id % 50 + 40) * 1000 // 16000
+                 when 2 then media_id % 300000 + 1000 else 0 end as int) as duration_ms
+          from m
         )
         select media_id, kind, width, height, format,
           cast(case when kind = 'video'
                     then len(generate_series(0, duration_ms, 60000))
                     else 0 end as int) as n_frames,
-          cast(floor(width * (case when greatest(width, height) > 512
-                                   then 512.0 / cast(greatest(width, height) as double)
-                                   else 1.0 end)) as int) as resized_width,
-          cast(floor(height * (case when greatest(width, height) > 512
-                                    then 512.0 / cast(greatest(width, height) as double)
-                                    else 1.0 end)) as int) as resized_height
+          cast(floor(width * (case when greatest(width, height) > 12
+                                   then cast(12 as double) / greatest(width, height)
+                                   else cast(1 as double) end)) as int) as resized_width,
+          cast(floor(height * (case when greatest(width, height) > 12
+                                    then cast(12 as double) / greatest(width, height)
+                                    else cast(1 as double) end)) as int) as resized_height
         from media order by media_id""")
     ),
     "q_multimodal_features" -> Q(
@@ -1072,43 +1081,79 @@ object ExtensionQueries {
                   .cast("decimal(5,3)").as(s"f$j")): _*
           )
           .orderBy("media_id"),
-      // The stub decoder's FNV-ish byte fold + per-lane multiply is plain
-      // wraparound integer arithmetic — reproduced in DuckDB as mod-2^64
-      // HUGEINT ops over the md5 payload bytes, lanes compared as
-      // decimal(5,3) strings (see Canon).
+      // Decode twin: the synthetic pixels/samples are integer functions of
+      // (id, position), so the oracle recomputes the DECODED features —
+      // 8-bin luminance histogram for rasters (PPM/BMP), 8-segment
+      // mean-|amplitude| profile for WAV — and the exact container byte
+      // sizes, all in integer arithmetic ending in exact k/1000 lanes
+      // compared as decimal(5,3) strings (see Canon). The Scala side parses
+      // real container bytes; the oracle replays the content formulas.
       Some("""
-        with m as (
-          select doc_id as media_id,
-            (['image','audio','video'])[cast(doc_id % 3 + 1 as int)] as kind,
-            md5(text) as hx
-          from documents
+        with m as (select doc_id as media_id, doc_id % 3 as k3 from documents),
+        rast as (
+          select media_id, k3,
+            cast(case k3 when 0 then media_id % 13 + 4 else media_id % 11 + 4 end as int) as w,
+            cast(case k3 when 0 then media_id % 7 + 4 else media_id % 5 + 4 end as int) as h
+          from m where k3 in (0, 2)
         ),
-        bytes as (
-          select media_id, kind,
-            list_transform(range(1, 17), i ->
-              case when cast('0x' || substr(hx, (2*i-1)::int, 2) as bigint) >= 128
-                   then cast('0x' || substr(hx, (2*i-1)::int, 2) as bigint) - 256
-                   else cast('0x' || substr(hx, (2*i-1)::int, 2) as bigint) end) as sbs
-          from m
+        px as (select media_id, k3, w, h, unnest(range(0, w*h)) as p from rast),
+        rbin as (
+          select media_id, k3, w, h,
+            ((((media_id*7 + (p % w)*13 + (p // w)*101) % 256)
+            + ((media_id*11 + (p % w)*17 + (p // w)*31) % 256)
+            + ((media_id*13 + (p % w)*19 + (p // w)*61) % 256)) // 3) * 8 // 256 as bin
+          from px
         ),
-        h as (
-          select media_id, kind,
-            list_reduce(list_prepend(1125899906842597::hugeint, sbs),
-              (acc, b) -> (acc * 31 + b + 18446744073709551616) % 18446744073709551616) as hu
-          from bytes
+        rfeat as (
+          select media_id, k3, max(w) as w, max(h) as h,
+            [sum(case when bin = 0 then 1 else 0 end), sum(case when bin = 1 then 1 else 0 end),
+             sum(case when bin = 2 then 1 else 0 end), sum(case when bin = 3 then 1 else 0 end),
+             sum(case when bin = 4 then 1 else 0 end), sum(case when bin = 5 then 1 else 0 end),
+             sum(case when bin = 6 then 1 else 0 end), sum(case when bin = 7 then 1 else 0 end)] as cnts
+          from rbin group by media_id, k3
         ),
-        feats as (
-          select media_id, kind,
+        rrows as (
+          select media_id,
+            case k3 when 0 then 'image' else 'video' end as kind,
+            cast(case k3
+              when 0 then 9 + len(cast(w as varchar)) + len(cast(h as varchar)) + 3*w*h
+              else 54 + ((3*w + 3) // 4 * 4) * h end as int) as n_bytes,
+            list_transform(cnts, c -> (c * 1000 // (w*h) / 1000.0)::real) as fs
+          from rfeat
+        ),
+        aud as (select media_id, cast(media_id % 50 + 40 as int) as n from m where k3 = 1),
+        smp as (select media_id, n, unnest(range(0, n)) as i from aud),
+        sval as (
+          select media_id, i * 8 // n as seg,
+            abs((media_id*31 + i*997) % 65536 - 32768) as av
+          from smp
+        ),
+        afeat as (
+          select media_id,
+            [sum(case when seg = 0 then av else 0 end), sum(case when seg = 1 then av else 0 end),
+             sum(case when seg = 2 then av else 0 end), sum(case when seg = 3 then av else 0 end),
+             sum(case when seg = 4 then av else 0 end), sum(case when seg = 5 then av else 0 end),
+             sum(case when seg = 6 then av else 0 end), sum(case when seg = 7 then av else 0 end)] as sums,
+            [sum(case when seg = 0 then 1 else 0 end), sum(case when seg = 1 then 1 else 0 end),
+             sum(case when seg = 2 then 1 else 0 end), sum(case when seg = 3 then 1 else 0 end),
+             sum(case when seg = 4 then 1 else 0 end), sum(case when seg = 5 then 1 else 0 end),
+             sum(case when seg = 6 then 1 else 0 end), sum(case when seg = 7 then 1 else 0 end)] as cnts
+          from sval group by media_id
+        ),
+        arows as (
+          select a.media_id, 'audio' as kind,
+            cast(44 + 2*d.n as int) as n_bytes,
             list_transform(range(0, 8), j ->
-              (((((hu * (j*2654435761 + 1)) % 18446744073709551616) // 1099511627776) % 1000) / 1000.0)::real) as fs
-          from h
-        )
-        select media_id, kind, cast(16 as int) as n_bytes,
+              (sums[(j+1)::int] * 1000 // (cnts[(j+1)::int] * 32768) / 1000.0)::real) as fs
+          from afeat a join aud d on a.media_id = d.media_id
+        ),
+        allrows as (select * from rrows union all select * from arows)
+        select media_id, kind, n_bytes,
           cast(fs[1] as decimal(5,3)) as f0, cast(fs[2] as decimal(5,3)) as f1,
           cast(fs[3] as decimal(5,3)) as f2, cast(fs[4] as decimal(5,3)) as f3,
           cast(fs[5] as decimal(5,3)) as f4, cast(fs[6] as decimal(5,3)) as f5,
           cast(fs[7] as decimal(5,3)) as f6, cast(fs[8] as decimal(5,3)) as f7
-        from feats order by media_id""")
+        from allrows order by media_id""")
     )
   )
 

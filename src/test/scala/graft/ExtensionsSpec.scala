@@ -227,14 +227,14 @@ class ExtensionsSpec extends SparkSpec {
 
   // ---- multimodal --------------------------------------------------------
 
-  test("multimodal: synthesize -> repartition -> stub decode keeps schema and determinism") {
+  test("multimodal: synthesize -> repartition -> real decode keeps schema and determinism") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val media = Multimodal.synthesizeFromDocuments(docs)
     val sized = Multimodal.repartitionForMedia(media, totalBytes = 50L * 16, targetBytesPerPartition = 256)
     val feats = Multimodal.decodeFeatures(sized, dim = 8).cache()
     assert(feats.count() == 50)
     val f0 = feats.filter($"media_id" === 0).head()
-    assert(f0.n_bytes == 16) // md5 -> 16 raw bytes
+    assert(f0.n_bytes == 59) // 4x4 PPM: 11-byte header + 48 raster bytes
     assert(f0.features.length == 8)
     // determinism: decoding twice yields identical features
     val again = Multimodal.decodeFeatures(sized, dim = 8)
