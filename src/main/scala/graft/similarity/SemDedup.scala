@@ -12,10 +12,24 @@ import org.apache.spark.sql.functions._
   * compare is confined to one cluster, so total work is sum(|c|^2) instead
   * of n^2, and the cluster id is the sole shuffle key. At 100 TB you dial
   * `k` so the largest cluster fits one executor's pairwise budget
-  * (k ~ n / desired_cluster_size); a skewed mega-cluster is the one hazard,
-  * mitigated by raising k or salting the self-join like
-  * [[graft.dedup.Dedup.selfJoinPairs]]. Cluster assignment reuses
-  * [[Ivf.build]] — a narrow broadcast-literal argmin, no n*k shuffle.
+  * (k ~ n / desired_cluster_size); a skewed MEGA-CLUSTER is the one hazard,
+  * and two orthogonal guards bound it:
+  *
+  *   - `maxCompare = Some(m)`: each vector is compared only against the m
+  *     LOWEST-id members of its cluster, so a cluster of size c costs
+  *     c*m pairs instead of c^2/2 — linear in c. The recall cost is
+  *     confined to duplicates whose only lower-id twin ranks beyond m
+  *     (mega-clusters are near-degenerate, so the lowest-m members cover
+  *     them well — the same trade [[graft.dedup.Dedup.capBuckets]] makes).
+  *   - `salts > 1`: result-IDENTICAL redistribution — the right side takes
+  *     a deterministic salt from its id, the left replicates to all salts,
+  *     and the join key becomes (centroid_id, salt), so one hot cluster's
+  *     pairwise work spreads across `salts` shuffle partitions instead of
+  *     serializing on one task (the [[graft.dedup.Dedup.selfJoinPairs]]
+  *     shape).
+  *
+  * Cluster assignment reuses [[Ivf.build]] — a narrow broadcast-literal
+  * argmin, no n*k shuffle.
   *
   * Keep rule: a vector is dropped iff some LOWER-id vector in the same
   * cluster has cosine >= eps. This deterministic lowest-id-wins variant of
@@ -37,18 +51,40 @@ object SemDedup {
       vecCol: String,
       k: Int = 16,
       iters: Int = 2,
-      eps: Double = 0.3
+      eps: Double = 0.3,
+      maxCompare: Option[Int] = None,
+      salts: Int = 1
   ): DataFrame = {
+    require(salts >= 1, s"semdedup: salts must be >= 1, got $salts")
+    maxCompare.foreach(m => require(m >= 1, s"semdedup: maxCompare must be >= 1, got $m"))
     val (centroids, assigned) = Ivf.build(df, idCol, vecCol, k, iters)
     val slim = assigned.select(col(idCol), col(vecCol), col("centroid_id"))
-    val l = slim.as("l")
-    val r = slim.as("r")
+    // mega-cluster guard 1: the comparison set (left side) is capped to the
+    // m lowest-id members per cluster -> c*m pairs, linear in cluster size
+    val compareSet = maxCompare match {
+      case Some(m) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("centroid_id")).orderBy(col(idCol))
+        slim.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= m).drop("_rk")
+      case None => slim
+    }
+    // mega-cluster guard 2: salt the join key so one hot cluster's pairwise
+    // work spreads over `salts` partitions (result-identical: each (l, r)
+    // pair still meets exactly once, at r's deterministic salt)
+    val (l, r, saltCond) =
+      if (salts <= 1) (compareSet.as("l"), slim.as("r"), lit(true))
+      else (
+        compareSet
+          .withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1)))).as("l"),
+        slim.withColumn("_salt", pmod(xxhash64(col(idCol)), lit(salts))).as("r"),
+        col("l._salt") === col("r._salt")
+      )
     // Within-cluster pairs, oriented low-id -> high-id; only the higher id
     // can be dropped, so aggregate the max cosine onto the right side.
     val maxLower = l
       .join(
         r,
-        col("l.centroid_id") === col("r.centroid_id") &&
+        col("l.centroid_id") === col("r.centroid_id") && saltCond &&
           col(s"l.$idCol") < col(s"r.$idCol")
       )
       .select(
@@ -76,10 +112,12 @@ object SemDedup {
       vecCol: String,
       k: Int = 16,
       iters: Int = 2,
-      eps: Double = 0.3
+      eps: Double = 0.3,
+      maxCompare: Option[Int] = None,
+      salts: Int = 1
   ): DataFrame =
     df.join(
-      semanticDedup(df, idCol, vecCol, k, iters, eps)
+      semanticDedup(df, idCol, vecCol, k, iters, eps, maxCompare, salts)
         .filter(col("kept"))
         .select(col(idCol)),
       Seq(idCol)

@@ -40,6 +40,69 @@ class SemanticOpsSpec extends SparkSpec {
     verdicts.unpersist()
   }
 
+  test("SemDedup mega-cluster guard: maxCompare bounds pairs linearly; salts are result-identical") {
+    // ONE dominant cluster: 300 near-identical vectors (tiny jitter on a
+    // shared base) + 8 well-separated points at ids 0..7 (ids 0..3 become
+    // the k-means seeds, so the blob lands WHOLE in one of their clusters).
+    // Uncapped pairwise would be ~300^2/2 pairs.
+    val base = vec(1)
+    val rnd = new scala.util.Random(9)
+    val far = (0 until 8).map(j => (j.toLong, vec(50 + j)))
+    val mega = (0 until 300).map { i =>
+      (10L + i, base.map(v => v + rnd.nextFloat() * 1e-4f))
+    }
+    val df = (far ++ mega).toDF("vec_id", "embedding")
+    val capped = SemDedup
+      .semanticDedup(df, "vec_id", "embedding", k = 4, iters = 1, eps = 0.999,
+        maxCompare = Some(5))
+      .cache()
+    // verdicts still cover every vector; the blob's lowest id (10) survives,
+    // every other blob member is caught by a lowest-5 compare candidate
+    assert(capped.count() == 308)
+    assert(capped.filter($"vec_id" === 10L).select("kept").as[Boolean].head())
+    assert(capped.filter($"vec_id" > 10L && !$"kept").count() == 299)
+    // the pair count really is bounded: every max_cos_lower came from one
+    // of at most 5 compare candidates per cluster -> the plan's join output
+    // is <= 5 * rows, not rows^2 (checked structurally: compare side capped)
+    val eachHasEvidence = capped.filter(!$"kept" && $"max_cos_lower".isNull).count()
+    assert(eachHasEvidence == 0)
+    capped.unpersist()
+    // salting changes the physical distribution, NOT the result
+    val unsalted = SemDedup
+      .semanticDedup(df, "vec_id", "embedding", k = 4, iters = 1, eps = 0.999)
+      .select("vec_id", "centroid_id", "kept").collect().toSet
+    val salted = SemDedup
+      .semanticDedup(df, "vec_id", "embedding", k = 4, iters = 1, eps = 0.999,
+        salts = 3)
+      .select("vec_id", "centroid_id", "kept").collect().toSet
+    assert(salted == unsalted)
+    // and the two guards compose
+    val both = SemDedup
+      .semanticDedup(df, "vec_id", "embedding", k = 4, iters = 1, eps = 0.999,
+        maxCompare = Some(5), salts = 3)
+      .select("vec_id", "centroid_id", "kept").collect().toSet
+    val cappedSet = SemDedup
+      .semanticDedup(df, "vec_id", "embedding", k = 4, iters = 1, eps = 0.999,
+        maxCompare = Some(5))
+      .select("vec_id", "centroid_id", "kept").collect().toSet
+    assert(both == cappedSet)
+  }
+
+  test("SemDedup maxCompare: a dup pair beyond the compare rank survives (the documented recall cost)") {
+    // cluster members 0..9 distinct, 10 duplicates 8 (rank 9 > maxCompare 3)
+    // -> with the cap, 10 is never compared against 8 and stays kept;
+    // uncapped it drops
+    val vecs = (0 until 10).map(i => (i.toLong, vec(200 + i))) :+ (10L, vec(208))
+    val df = vecs.toDF("vec_id", "embedding")
+    val uncapped = SemDedup
+      .semanticDedup(df, "vec_id", "embedding", k = 1, iters = 1, eps = 0.999)
+    assert(!uncapped.filter($"vec_id" === 10L).select("kept").as[Boolean].head())
+    val capped = SemDedup
+      .semanticDedup(df, "vec_id", "embedding", k = 1, iters = 1, eps = 0.999,
+        maxCompare = Some(3))
+    assert(capped.filter($"vec_id" === 10L).select("kept").as[Boolean].head())
+  }
+
   test("SemDedup at eps>1 keeps everything") {
     val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val verdicts = SemDedup.semanticDedup(base, "vec_id", "embedding", k = 4, iters = 1, eps = 1.01)
