@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-shard writer — the last mile of a training-data
+  * pipeline: turn a curated corpus into `n` reproducible parquet shards
+  * with a stable within-shard row order, so a training job reading shard
+  * files sees the SAME byte stream on every rebuild (resumable data
+  * loading, reproducible runs, diffable reshards).
+  *
+  *   - shard assignment: [[StableHash]] md5 bucket of the id — engine- and
+  *     Spark-version-stable, never `hash()`;
+  *   - within-shard order: `orderCols` then the id as the unique
+  *     tie-break, materialized as a dense 0-based `shard_pos`;
+  *   - layout: `partitionBy("shard")` parquet, ONE file per shard (all of
+  *     a shard's rows meet in one task via `repartition(n, shard)` before
+  *     the sorted write).
+  *
+  * Scale shape: one shuffle keyed by shard (n partitions) + a per-shard
+  * sort — the unavoidable cost of deterministic order. Size `n` so a
+  * shard is a healthy parquet file (hundreds of MB): at 100 TB that is
+  * n in the tens of thousands, and each task sorts only its ~file-sized
+  * slice. The `shard_pos` window partitions by shard, so its sort is the
+  * same per-shard sort the write needs — nothing global.
+  */
+object Shards {
+
+  /** Input plus `shard` (md5 bucket of `idCol` in [0, n)) and `shard_pos`
+    * (dense 0-based ordinal within the shard by `orderCols`, id tie-break).
+    */
+  def assign(
+      df: DataFrame,
+      idCol: String,
+      n: Int,
+      orderCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(n > 0, s"shards: n must be positive, got $n")
+    val reserved = Seq("shard", "shard_pos")
+    require(
+      !reserved.exists(df.columns.contains),
+      s"shards: input must not already have ${reserved.mkString("/")} columns")
+    val ord = ordering(idCol, orderCols)
+    df.withColumn("shard", StableHash.bucket(col(idCol), n))
+      .withColumn(
+        "shard_pos",
+        (row_number().over(
+          Window.partitionBy(col("shard")).orderBy(ord: _*)) - 1).cast("long"))
+  }
+
+  private def ordering(idCol: String, orderCols: Seq[String]): Seq[Column] =
+    (orderCols :+ idCol).distinct.map(col(_).asc)
+
+  /** Write the sharded corpus: `<dir>/shard=<s>/part-*.parquet`, one file
+    * per shard, rows in deterministic (`orderCols`, id) order. Re-running
+    * over the same input produces identical shard membership and order.
+    */
+  def write(
+      df: DataFrame,
+      idCol: String,
+      dir: String,
+      n: Int,
+      orderCols: Seq[String] = Nil
+  ): Unit = {
+    val ord = col("shard").asc +: ordering(idCol, orderCols)
+    assign(df, idCol, n, orderCols)
+      // all rows of a shard into one task; hash collisions only co-locate
+      // several shards in a task, and partitionBy still splits their files
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(ord: _*)
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(dir)
+  }
+}

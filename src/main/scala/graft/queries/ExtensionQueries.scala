@@ -2026,6 +2026,25 @@ object ExtensionQueries {
             "percent_rank() over (partition by source order by q6 desc, doc_id)", 6
           )} as decimal(9,6)) as pct
         from qual order by doc_id""")
+    ),
+    "q_shards" -> Q(
+      (s, dir) =>
+        graft.operators.Shards
+          .assign(
+            docs(s, dir).select(col("doc_id"), col("source")),
+            "doc_id", n = 8, orderCols = Seq("source"))
+          .select(col("doc_id"), col("source"), col("shard"), col("shard_pos"))
+          .orderBy("doc_id"),
+      // Shard assignment is the shared md5 bucket; shard_pos replays the
+      // (source, doc_id) within-shard order as a row_number window
+      Some(s"""
+        with s as (
+          select doc_id, source, ${duckMdBucket(8)} as shard from documents
+        )
+        select doc_id, source, shard,
+          cast(row_number() over (partition by shard order by source, doc_id) - 1
+               as bigint) as shard_pos
+        from s order by doc_id""")
     )
   )
 

@@ -646,6 +646,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(rates == Map("0" -> 0.5, "1" -> 0.25))
   }
 
+  test("shard writer: deterministic membership/order, one file per shard, byte-identical re-run") {
+    import java.nio.file.{Files, Paths}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val dir1 = Files.createTempDirectory("shards1").toString
+    val dir2 = Files.createTempDirectory("shards2").toString
+    graft.operators.Shards.write(docs, "doc_id", dir1, n = 4, orderCols = Seq("source"))
+    graft.operators.Shards.write(docs, "doc_id", dir2, n = 4, orderCols = Seq("source"))
+
+    def shardFiles(dir: String, s: Int) = {
+      import scala.jdk.CollectionConverters._
+      val d = Paths.get(dir, s"shard=$s")
+      assert(Files.isDirectory(d), s"missing shard dir $d")
+      Files.list(d).iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".parquet"))
+    }
+    // expected: the assign() frame, per shard, ordered by (source, doc_id)
+    val expected = graft.operators.Shards.assign(docs, "doc_id", 4, Seq("source"))
+      .select("shard", "shard_pos", "doc_id")
+      .collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    for (s <- 0 until 4) {
+      val files1 = shardFiles(dir1, s)
+      assert(files1.size == 1, s"shard $s has ${files1.size} files, want 1")
+      // within-file row order IS the deterministic (source, doc_id) order
+      val ids1 = spark.read.parquet(files1.head.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids1 == expected(s), s"shard $s order/membership")
+      // re-run: identical membership and order
+      val ids2 = spark.read.parquet(shardFiles(dir2, s).head.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids2 == ids1, s"shard $s not reproducible")
+    }
+    // every row landed in exactly one shard
+    assert(expected.values.map(_.size).sum == docs.count())
+  }
+
   test("key skew: est_bytes sums the per-row size estimate in the same pass") {
     val d = (1L to 100L).map { i =>
       val k = if (i <= 60) "hot" else s"k$i"
