@@ -35,6 +35,22 @@ object ExtensionQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
+  /** Separator for the BPE oracle's symbol-list string encoding — a char
+    * that must not occur in the corpus (U+241F, "symbol for unit sep").
+    */
+  private val BpeSep = "␟"
+
+  /** DuckDB twin of [[graft.text.Bpe]]: the bundled merge table unrolled
+    * into a replace() chain over `'<sep>c1<sep><sep>c2<sep>...'` — one
+    * replace per merge, rank order (== greedy for a well-formed table).
+    */
+  private lazy val duckBpeChain: String =
+    graft.text.Bpe.merges.foldLeft(
+      s"'$BpeSep' || array_to_string(string_split(w, ''), '$BpeSep$BpeSep') || '$BpeSep'"
+    ) { case (acc, (a, b)) =>
+      s"replace($acc, '$BpeSep$a$BpeSep$BpeSep$b$BpeSep', '$BpeSep$a$b$BpeSep')"
+    }
+
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
@@ -2026,6 +2042,36 @@ object ExtensionQueries {
             "percent_rank() over (partition by source order by q6 desc, doc_id)", 6
           )} as decimal(9,6)) as pct
         from qual order by doc_id""")
+    ),
+    "q_bpe_tokens" -> Q(
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            graft.text.Bpe.bpeTokenCount(col("text")).as("n_bpe"),
+            array_join(graft.text.Bpe.bpeTokens(col("text")), " ")
+              .as("bpe_join"))
+          .orderBy("doc_id"),
+      // The DuckDB twin replays the SAME bundled merge table (the chain
+      // below is generated from Bpe.merges) as unrolled replace() calls
+      // over a U+241F-separated char list: the table is well-formed
+      // (rank-sequential == greedy) and replace() is leftmost-first
+      // non-overlapping, which is exactly one BPE merge pass.
+      Some(s"""
+        with pt as (
+          select doc_id,
+            regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') as ws
+          from documents
+        ),
+        seg as (
+          select doc_id,
+            flatten(list_transform(ws, w ->
+              regexp_extract_all($duckBpeChain, '$BpeSep([^$BpeSep]+)$BpeSep', 1))) as toks
+          from pt
+        )
+        select doc_id, cast(len(toks) as int) as n_bpe,
+          array_to_string(toks, ' ') as bpe_join
+        from seg order by doc_id""")
     ),
     "q_shards" -> Q(
       (s, dir) =>

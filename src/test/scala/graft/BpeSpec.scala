@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Bpe
+
+/** Real-BPE specs: hand-computed tokenizations, merge-table well-formedness
+  * (the property the DuckDB oracle's unrolled-replace replay relies on),
+  * greedy == rank-sequential equivalence, and pipeline integration.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed tokenizations (greedy min-rank merges)") {
+    // "theater": t h e a t e r -> th -> the -> er -> at (rank 8 beats t+er)
+    assert(Bpe.bpeWord("theater").toSeq == Seq("the", "at", "er"))
+    // "The": (h,e) outranks (T,h) -> T he
+    assert(Bpe.bpeWord("The").toSeq == Seq("T", "he"))
+    // "nation": (o,n) first blocks the io/ion path -> n at i on
+    assert(Bpe.bpeWord("nation").toSeq == Seq("n", "at", "i", "on"))
+    assert(Bpe.tokenize("The nation is 42% ready!").toSeq ==
+      Seq("T", "he", "n", "at", "i", "on", "is", "4", "2", "%", "re", "a", "d", "y", "!"))
+    assert(Bpe.tokenize("").isEmpty)
+    assert(Bpe.tokenize("   \t\n ").isEmpty)
+  }
+
+  test("merge table is well-formed: sides are chars or earlier outputs, outputs distinct") {
+    val outputs = scala.collection.mutable.Set[String]()
+    Bpe.merges.foreach { case (a, b) =>
+      assert(a.length == 1 || outputs.contains(a), s"left side '$a' not derivable")
+      assert(b.length == 1 || outputs.contains(b), s"right side '$b' not derivable")
+      val out = a + b
+      assert(!outputs.contains(out), s"duplicate output '$out'")
+      outputs += out
+    }
+  }
+
+  test("greedy == rank-sequential application (the oracle's replay strategy)") {
+    // the sequential applier the DuckDB replace() chain implements: one
+    // leftmost-first all-occurrences pass per merge, in rank order
+    def sequential(word: String): Seq[String] = {
+      var syms: Vector[String] = word.map(String.valueOf(_)).toVector
+      Bpe.merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var p = 0
+        while (p < syms.length) {
+          if (p < syms.length - 1 && syms(p) == a && syms(p + 1) == b) {
+            out += (a + b); p += 2
+          } else { out += syms(p); p += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "thequickbrownfxjmpsvlazydgINATON"
+    val words = (1 to 500).map(_ =>
+      (1 to (rnd.nextInt(12) + 1)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    (words ++ Seq("the", "when", "question", "professional", "iitt", "aaaa", "ononon"))
+      .foreach { w =>
+        assert(Bpe.bpeWord(w).toSeq == sequential(w), s"divergence on '$w'")
+      }
+  }
+
+  test("bpe expression: column API matches the Scala tokenizer; nulls pass through") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val rows = docs
+      .select($"text", Bpe.bpeTokens($"text").as("toks"), Bpe.bpeTokenCount($"text").as("n"))
+      .collect()
+    rows.foreach { r =>
+      val expected = Bpe.tokenize(r.getString(0)).toSeq
+      assert(r.getSeq[String](1) == expected)
+      assert(r.getInt(2) == expected.length)
+    }
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, "ok")).toDF("id", "text")
+      .select(Bpe.bpeTokens($"text").as("toks")).collect()
+    assert(nulls.exists(_.isNullAt(0)) && nulls.exists(!_.isNullAt(0)))
+  }
+
+  test("real token counts drive packing and mixing") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val packed = graft.text.SequencePacker
+      .pack(docs, "doc_id", Bpe.bpeTokenCount($"text"), budget = 512, buckets = 4)
+    // n_tokens really is the BPE count, and cum/pack arithmetic holds
+    val sample = packed.select("doc_id", "n_tokens", "cum_tokens", "pack_id").collect()
+    val byId = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> Bpe.tokenize(r.getString(1)).length).toMap
+    sample.foreach { r =>
+      assert(r.getInt(1) == byId(r.getLong(0)))
+      assert(r.getInt(3) == ((r.getLong(2) - r.getInt(1)) / 512).toInt)
+    }
+    val rates = graft.operators.Mixer.mixRates(
+      docs, "source", Bpe.bpeTokenCount($"text"),
+      Map("src0" -> 0.5, "src1" -> 0.5), budgetTokens = 100000L)
+    assert(rates.nonEmpty && rates.values.forall(r => r > 0 && r <= 1.0))
+  }
+}

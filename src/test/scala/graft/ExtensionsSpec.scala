@@ -442,13 +442,15 @@ class ExtensionsSpec extends SparkSpec {
           Dedup.wordShingles($"t", 3).as("sh"),
           Dedup.simhash(TextAnalysis.tokens($"t")).as("sig"),
           TextAnalysis.textStats($"t").getField("n_tokens").as("nt"),
-          graft.text.CharEntropyExpr.charEntropy($"t").as("h")
+          graft.text.CharEntropyExpr.charEntropy($"t").as("h"),
+          graft.text.Bpe.bpeTokens($"t").as("bpe")
         )
         .head()
       assert(row.getSeq[String](0).head == "the quick brown")
       assert(row.getLong(1) != 0L)
       assert(row.getInt(2) == 9)
       assert(row.getDouble(3) > 0.0)
+      assert(row.getSeq[String](4).head == "the")
     } finally {
       prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
