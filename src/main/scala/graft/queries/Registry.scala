@@ -298,6 +298,54 @@ object Registry {
         having count(*) < 5
         order by group_size, postal_code""")
     ),
+    "q_k_enforce" -> Q(
+      (s, dir) => {
+        val dept = substring(col("postal_code"), 1, 2)
+        val ladder = Seq(
+          graft.validate.KAnonymity.Rung("postal_code", col("postal_code")),
+          graft.validate.KAnonymity.Rung("department", dept),
+          graft.validate.KAnonymity.Rung("region", Pipeline.regionFromDepartment(dept)),
+          graft.validate.KAnonymity.Rung("country", lit("FR"))
+        )
+        val (rung, out) =
+          graft.validate.KAnonymity.enforce(stagedDf(s, dir), ladder, k = 5)
+        out
+          .groupBy(col("qi_generalized"))
+          .agg(count(lit(1)).as("group_size"))
+          .select(lit(rung).as("rung"), col("qi_generalized"), col("group_size"))
+          .orderBy("qi_generalized")
+      },
+      // The oracle replays the ladder choice: per-rung group floors in
+      // CTEs, first rung with min >= 5 wins, that rung's groups emitted
+      // (with the coarsest-rung fallback also suppressing < k residues)
+      Some(OracleSql.pipelineCtes + """
+        , g0 as (select postal_code as v, count(*) as n from staged group by 1),
+        g1 as (select substr(postal_code, 1, 2) as v, count(*) as n from staged group by 1),
+        g2 as (select case
+             when substr(postal_code,1,2) in ('75','77','78','91','92','93','94','95') then 'Île-de-France'
+             when substr(postal_code,1,2) in ('59','62') then 'Hauts-de-France'
+             when substr(postal_code,1,2) in ('69','01','42','63') then 'Auvergne-Rhône-Alpes'
+             when substr(postal_code,1,2) in ('13','83','84','04','05','06') then 'Provence-Alpes-Côte d''Azur'
+             when substr(postal_code,1,2) in ('33','24','40','47','64') then 'Nouvelle-Aquitaine'
+             when substr(postal_code,1,2) in ('31','09','12','32','46','65','81','82') then 'Occitanie'
+             else 'Autre région' end as v, count(*) as n from staged group by 1),
+        g3 as (select 'FR' as v, count(*) as n from staged group by 1),
+        choice as (select case when (select min(n) from g0) >= 5 then 0
+                               when (select min(n) from g1) >= 5 then 1
+                               when (select min(n) from g2) >= 5 then 2
+                               else 3 end as rung),
+        sel as (
+          select 0 as rung, v, n from g0 union all
+          select 1 as rung, v, n from g1 union all
+          select 2 as rung, v, n from g2 union all
+          select 3 as rung, v, n from g3
+        )
+        select cast(sel.rung as int) as rung, v as qi_generalized,
+               cast(n as bigint) as group_size
+        from sel join choice on sel.rung = choice.rung
+        where sel.rung < 3 or n >= 5
+        order by qi_generalized""")
+    ),
     "q_no_pii_in_mart" -> Q(
       (s, dir) =>
         Validate
