@@ -63,6 +63,7 @@ object Canon {
     "q_char_entropy" -> Seq("entropy"),
     "q_substring_stats" -> Seq("dup_frac"),
     "q_semdedup" -> Seq("max_cos_lower"),
+    "q_semdedup_guarded" -> Seq("max_cos_lower"),
     "q_coreset" -> Seq("sq_dist"),
     "q_dedup_best" -> Seq("rep_quality"),
     "q_funnel_report" -> Seq("conversion"),

@@ -961,6 +961,44 @@ object ExtensionQueries {
         from a3 a left join mx using (vec_id)
         order by vec_id""")
     ),
+    "q_semdedup_guarded" -> Q(
+      (s, dir) =>
+        graft.similarity.SemDedup
+          .semanticDedup(emb(s, dir), "vec_id", "embedding", k = 16,
+            iters = 2, eps = 0.3, maxCompare = Some(8), salts = 4)
+          .select(
+            col("vec_id"),
+            col("centroid_id"),
+            roundHalfUp(col("max_cos_lower"), 6)
+              .cast("decimal(12,6)").as("max_cos_lower"),
+            col("kept").cast("int").as("kept")
+          )
+          .orderBy("vec_id"),
+      // q_semdedup with BOTH mega-cluster guards live: maxCompare=8 caps
+      // the compare set to the 8 lowest-id members per cluster (the oracle
+      // replays the cap — it is a real recall trade, not an identity), and
+      // salts=4 spreads the hot cluster's pairwise work over 4 shuffle keys
+      // (result-identical, so the oracle doesn't see it). This is the
+      // configuration a 100 TB run would ship with.
+      Some(s"""
+        with $ivfReplayCtes,
+        capped as (
+          select vec_id, embedding, cid,
+            row_number() over (partition by cid order by vec_id) as rk
+          from a3
+        ),
+        pairs as (
+          select r.vec_id, ${duckCos("l.embedding", "r.embedding")} as c
+          from capped l join a3 r on l.cid = r.cid and l.vec_id < r.vec_id
+          where l.rk <= 8
+        ),
+        mx as (select vec_id, max(c) as mc from pairs group by vec_id)
+        select a.vec_id, a.cid as centroid_id,
+          cast(${duckRound("mc", 6)} as decimal(12,6)) as max_cos_lower,
+          cast(case when mc is null or mc < 0.3 then 1 else 0 end as int) as kept
+        from a3 a left join mx using (vec_id)
+        order by vec_id""")
+    ),
     "q_coreset" -> Q(
       (s, dir) =>
         graft.similarity.Coreset
@@ -1378,12 +1416,10 @@ object ExtensionQueries {
     "q_lm_surprisal" -> Q(
       (s, dir) => {
         val d = docs(s, dir)
-        val n = d
-          .select(sum(TextAnalysis.tokenCount(col("text"))).cast("long"))
-          .head()
-          .getLong(0)
+        // corpus N computed in-plan (broadcast single-row agg) — no driver
+        // pre-scan, one job
         graft.text.LmScore
-          .surprisal(d, "doc_id", col("text"), n)
+          .surprisal(d, "doc_id", col("text"))
           .select(
             col("doc_id"),
             col("n_tokens"),
@@ -1412,9 +1448,10 @@ object ExtensionQueries {
     "q_tfidf_topk" -> Q(
       (s, dir) => {
         val d = docs(s, dir)
-        val n = d.count()
+        // corpus N computed in-plan (broadcast single-row agg) — no driver
+        // pre-scan, one job
         graft.text.TfIdf
-          .topTerms(d, "doc_id", col("text"), k = 3, nDocs = n)
+          .topTerms(d, "doc_id", col("text"), k = 3)
           .select(
             col("doc_id"),
             col("term"),
@@ -1449,14 +1486,10 @@ object ExtensionQueries {
     "q_bm25" -> Q(
       (s, dir) => {
         val d = docs(s, dir)
-        val st = d
-          .agg(
-            sum(TextAnalysis.tokenCount(col("text"))).cast("long"),
-            count(lit(1)))
-          .head()
-        val (nToks, n) = (st.getLong(0), st.getLong(1))
+        // N and avgdl computed in-plan (broadcast single-row agg) — no
+        // driver pre-scan, one job
         graft.text.Bm25
-          .score(d, "doc_id", col("text"), Bm25QueryTerms, n, nToks.toDouble / n)
+          .score(d, "doc_id", col("text"), Bm25QueryTerms)
           .select(
             col("doc_id"),
             col("n_matched").cast("int").as("n_matched"),
@@ -1612,19 +1645,13 @@ object ExtensionQueries {
         val d = docs(s, dir)
         val even = d.filter(col("doc_id") % 2 === 0)
         val odd = d.filter(col("doc_id") % 2 === 1)
-        // both totals in ONE scan (two .count() actions would read the
-        // table twice for two numbers)
-        val tot = d
-          .agg(
-            sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)),
-            sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)))
-          .head()
-        val (totA, totB) = (tot.getLong(0), tot.getLong(1))
+        // slice totals recovered in-plan from the per-bucket counts (tiny
+        // whole-frame window) — no driver pre-count, one job
         graft.validate.Drift
           .psiByBucket(
             even, odd,
             least(floor(col("n_chars") / 100).cast("long"), lit(9L)).cast("int"),
-            totA, totB, domainSize = 10)
+            domainSize = 10)
           .select(
             col("bucket"),
             col("cnt_a"),
@@ -1659,15 +1686,11 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         val d = docs(s, dir)
-        val st = d
-          .agg(
-            sum(TextAnalysis.tokenCount(col("text"))).cast("long"),
-            count(lit(1)))
-          .head()
-        val (nToks, n) = (st.getLong(0), st.getLong(1))
         val queries = Bm25QuerySet.toDF("query_id", "term")
+        // N and avgdl computed in-plan (broadcast single-row agg) — no
+        // driver pre-scan, one job
         graft.text.Bm25
-          .retrieveTopK(d, "doc_id", col("text"), queries, n, nToks.toDouble / n, topK = 10)
+          .retrieveTopK(d, "doc_id", col("text"), queries, topK = 10)
           .select(
             col("query_id"),
             col("rank").cast("int").as("rank"),
@@ -1721,12 +1744,10 @@ object ExtensionQueries {
     "q_lm_bigram" -> Q(
       (s, dir) => {
         val d = docs(s, dir)
-        val n = d
-          .select(sum(TextAnalysis.tokenCount(col("text"))).cast("long"))
-          .head()
-          .getLong(0)
+        // corpus N computed in-plan (broadcast single-row agg) — no driver
+        // pre-scan, one job
         graft.text.LmScore
-          .bigramSurprisal(d, "doc_id", col("text"), n, lambda = 0.7)
+          .bigramSurprisal(d, "doc_id", col("text"), lambda = 0.7)
           .select(
             col("doc_id"),
             col("n_bigrams"),

@@ -27,19 +27,25 @@ object Bm25 {
     */
   private val Reserved = Seq(
     "_toks", "term", "tf", "df", "dl", "_ts", "n_matched", "score",
-    "query_id", "rank", "_rounded")
+    "query_id", "rank", "_rounded", "_n_docs", "_avgdl")
 
   /** Shared scoring pipeline: per-(doc, term) rows with the BM25 term score
     * `_ts`, the term pruned by `prune` BEFORE the first aggregation (so the
     * corpus-sized token stream never reaches a shuffle).
+    *
+    * `nDocs`/`avgDl` are Columns: either literals (pre-computed stats) or
+    * the `_n_docs`/`_avgdl` fields of the broadcast single-row corpus
+    * aggregate that `attachStats` cross-joins on. The two spellings carry
+    * the same exact values, so scores are bit-identical doubles.
     */
   private def scoredDocTerms(
       docsDf: DataFrame,
       idCol: String,
       textCol: Column,
       prune: DataFrame => DataFrame,
-      nDocs: Long,
-      avgDl: Double,
+      nDocs: Column,
+      avgDl: Column,
+      attachStats: DataFrame => DataFrame,
       k1: Double,
       b: Double
   ): DataFrame = {
@@ -54,17 +60,28 @@ object Bm25 {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(
       lit(1.0) +
-        (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        (nDocs - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val termScore = idf * (col("tf") * (lit(k1) + 1)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgDl)))
-    tf.join(dfreq, "term")
-      .join(dl, idCol)
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgDl))
+    attachStats(tf.join(dfreq, "term").join(dl, idCol))
       .withColumn("_ts", termScore)
   }
 
-  /** @param queryTerms fixed query vocabulary (exact whitespace tokens)
-    * @param nDocs      corpus size N
-    * @param avgDl      mean document length in tokens over the corpus
+  /** In-plan corpus stats: ONE single-row aggregate (corpus size N and mean
+    * document length) over the token stream, broadcast onto the scored rows
+    * via the scalar-subquery pattern — same association order as the
+    * driver-side `nToks.toDouble / n`, so the double value is identical.
+    */
+  private def corpusStats(docsDf: DataFrame, idCol: String, textCol: Column): DataFrame =
+    docsDf
+      .select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
+      .agg(
+        count(lit(1)).cast("double").as("_n_docs"),
+        (sum(size(col("_toks"))).cast("double") / count(lit(1))).as("_avgdl"))
+
+  /** One-job scoring: corpus stats computed in-plan (see [[corpusStats]]).
+    *
+    * @param queryTerms fixed query vocabulary (exact whitespace tokens)
     * @return one row per document matching at least one query term:
     *         `n_matched` (distinct query terms present) and `score`
     */
@@ -73,14 +90,49 @@ object Bm25 {
       idCol: String,
       textCol: Column,
       queryTerms: Seq[String],
-      nDocs: Long,
-      avgDl: Double,
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
+    val stats = corpusStats(docsDf, idCol, textCol)
+    scoreOver(docsDf, idCol, textCol, queryTerms,
+      col("_n_docs"), col("_avgdl"), _.crossJoin(broadcast(stats)), k1, b)
+  }
+
+  /** Pre-computed-stats variant, for pipelines that amortize one corpus
+    * stats pass across many scorers.
+    *
+    * @param nDocs corpus size N
+    * @param avgDl mean document length in tokens over the corpus
+    */
+  def score(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queryTerms: Seq[String],
+      nDocs: Long,
+      avgDl: Double,
+      k1: Double,
+      b: Double
+  ): DataFrame =
+    scoreOver(docsDf, idCol, textCol, queryTerms,
+      lit(nDocs.toDouble), lit(avgDl), identity, k1, b)
+
+  private def scoreOver(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queryTerms: Seq[String],
+      nDocs: Column,
+      avgDl: Column,
+      attachStats: DataFrame => DataFrame,
+      k1: Double,
+      b: Double
+  ): DataFrame = {
     require(queryTerms.nonEmpty, "bm25: query must have at least one term")
+    require(b >= 0 && b <= 1, s"bm25: b must be in [0,1], got $b")
+    require(k1 >= 0, s"bm25: k1 must be non-negative, got $k1")
     scoredDocTerms(docsDf, idCol, textCol,
-      _.filter(col("term").isin(queryTerms: _*)), nDocs, avgDl, k1, b)
+      _.filter(col("term").isin(queryTerms: _*)), nDocs, avgDl, attachStats, k1, b)
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_matched"),
@@ -105,16 +157,48 @@ object Bm25 {
       idCol: String,
       textCol: Column,
       queriesDf: DataFrame,
-      nDocs: Long,
-      avgDl: Double,
       topK: Int,
       k1: Double = 1.2,
       b: Double = 0.75
   ): DataFrame = {
+    val stats = corpusStats(docsDf, idCol, textCol)
+    retrieveTopKOver(docsDf, idCol, textCol, queriesDf,
+      col("_n_docs"), col("_avgdl"), _.crossJoin(broadcast(stats)), topK, k1, b)
+  }
+
+  /** Pre-computed-stats variant (see [[score]]'s scalar overload). */
+  def retrieveTopK(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queriesDf: DataFrame,
+      nDocs: Long,
+      avgDl: Double,
+      topK: Int,
+      k1: Double,
+      b: Double
+  ): DataFrame =
+    retrieveTopKOver(docsDf, idCol, textCol, queriesDf,
+      lit(nDocs.toDouble), lit(avgDl), identity, topK, k1, b)
+
+  private def retrieveTopKOver(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      queriesDf: DataFrame,
+      nDocs: Column,
+      avgDl: Column,
+      attachStats: DataFrame => DataFrame,
+      topK: Int,
+      k1: Double,
+      b: Double
+  ): DataFrame = {
     require(topK > 0, "bm25: topK must be positive")
+    require(b >= 0 && b <= 1, s"bm25: b must be in [0,1], got $b")
+    require(k1 >= 0, s"bm25: k1 must be non-negative, got $k1")
     val qTerms = queriesDf.select(col("term")).distinct()
     val perQueryDoc = scoredDocTerms(docsDf, idCol, textCol,
-      _.join(broadcast(qTerms), "term"), nDocs, avgDl, k1, b)
+      _.join(broadcast(qTerms), "term"), nDocs, avgDl, attachStats, k1, b)
       .join(broadcast(queriesDf), "term")
       .groupBy(col("query_id"), col(idCol))
       .agg(count(lit(1)).as("n_matched"), sum(col("_ts")).as("score"))

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram language-model surprisal scoring — the cheap statistical proxy
@@ -18,11 +17,31 @@ import org.apache.spark.sql.functions._
   * Scale shape: identical to [[TfIdf]] — doc-term counts, a vocabulary-
   * sized aggregate, one join on `term` (broadcast when the vocabulary
   * fits), and a final per-document aggregation. No global sorts.
+  *
+  * The corpus token count N comes in two flavours: the primary overloads
+  * compute it IN-PLAN as a single-row aggregate broadcast-cross-joined onto
+  * the fact side (the scalar-subquery pattern), so scoring is ONE job with
+  * no driver pre-scan; the `nTokens: Long` overloads take a pre-computed N
+  * for pipelines that amortize one corpus-stats pass across many scorers.
   */
 object LmScore {
 
-  /** @param nTokens corpus token count N, pre-computed (one count job) so
-    *                the plan stays a pure function of its inputs
+  /** One-job scoring: N is a single-row aggregate of the same doc-term
+    * counts the score reads, broadcast against the fact side — no driver
+    * pre-scan, and the tf shuffle is shared by all three consumers via
+    * exchange reuse.
+    *
+    * @return one row per document with >=1 token: `n_tokens` (document
+    *         length) and `surprisal` (mean -ln p per token)
+    */
+  def surprisal(docsDf: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val tf = TfIdf.termFrequencies(docsDf, idCol, textCol)
+    val n = tf.agg(sum(col("tf")).cast("double").as("_n_corpus"))
+    surprisalOverTf(tf, idCol, col("_n_corpus"), _.crossJoin(broadcast(n)))
+  }
+
+  /** @param nTokens corpus token count N, pre-computed (one count job) for
+    *                pipelines that reuse one stats pass across scorers
     * @return one row per document with >=1 token: `n_tokens` (document
     *         length) and `surprisal` (mean -ln p per token)
     */
@@ -33,12 +52,26 @@ object LmScore {
       nTokens: Long
   ): DataFrame = {
     val tf = TfIdf.termFrequencies(docsDf, idCol, textCol)
+    surprisalOverTf(tf, idCol, lit(nTokens.toDouble), identity)
+  }
+
+  /** Shared scoring tail: join corpus counts, attach N (either a literal or
+    * a broadcast single-row aggregate), aggregate per document. Both
+    * variants produce bit-identical doubles: `n` is the same exact-integer
+    * value whether it arrives as a literal or a column.
+    */
+  private def surprisalOverTf(
+      tf: DataFrame,
+      idCol: String,
+      n: Column,
+      attachStats: DataFrame => DataFrame
+  ): DataFrame = {
     val corpusCounts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
-    tf.join(corpusCounts, "term")
+    attachStats(tf.join(corpusCounts, "term"))
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).as("n_tokens"),
-        (sum(col("tf") * log(lit(nTokens.toDouble) / col("c"))) /
+        (sum(col("tf") * log(n / col("c"))) /
           sum(col("tf"))).as("surprisal")
       )
   }
@@ -59,6 +92,25 @@ object LmScore {
     * aggregations; the per-bigram stats join is vocabulary²-bounded and
     * shuffles on the bigram key — the same shape any distributed bigram LM
     * build has.
+    *
+    * One-job variant: N = Σ c(t2) is a single-row aggregate of the unigram
+    * counts the plan already computes, broadcast onto the scored rows.
+    */
+  def bigramSurprisal(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      lambda: Double
+  ): DataFrame = {
+    val parts = bigramParts(docsDf, idCol, textCol, lambda)
+    val n = parts.uni.agg(sum(col("c2")).cast("double").as("_n_corpus"))
+    parts.score(col("_n_corpus"), _.crossJoin(broadcast(n)))
+  }
+
+  /** Pre-computed-N variant (see [[surprisal]] for when to prefer it).
+    * NOTE: a 4-arg call with a Long N resolves to the in-plan overload via
+    * numeric widening and fails its lambda range check immediately — pass
+    * lambda explicitly when passing nTokens.
     */
   def bigramSurprisal(
       docsDf: DataFrame,
@@ -66,7 +118,35 @@ object LmScore {
       textCol: Column,
       nTokens: Long,
       lambda: Double = 0.7
-  ): DataFrame = {
+  ): DataFrame =
+    bigramParts(docsDf, idCol, textCol, lambda)
+      .score(lit(nTokens.toDouble), identity)
+
+  /** The shared bigram pipeline up to the per-(doc, bigram) scored join. */
+  private case class BigramParts(
+      tf2: DataFrame,
+      bstats: DataFrame,
+      uni: DataFrame,
+      idCol: String,
+      lambda: Double
+  ) {
+    def score(n: Column, attachStats: DataFrame => DataFrame): DataFrame = {
+      val p = lit(lambda) * col("c12") / col("c1") +
+        (lit(1.0) - lit(lambda)) * col("c2") / n
+      attachStats(tf2.join(bstats, "bigram"))
+        .groupBy(col(idCol))
+        .agg(
+          sum(col("tf")).as("n_bigrams"),
+          (sum(col("tf") * -log(p)) / sum(col("tf"))).as("surprisal2"))
+    }
+  }
+
+  private def bigramParts(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      lambda: Double
+  ): BigramParts = {
     require(lambda > 0 && lambda < 1, "bigram surprisal: need 0 < lambda < 1")
     val toks = docsDf
       .filter(textCol.isNotNull)
@@ -87,12 +167,6 @@ object LmScore {
     val c1 = c12.groupBy(col("t1")).agg(sum(col("c12")).as("c1"))
     val bstats = c12.join(c1, "t1").join(uni, "t2")
       .select(col("bigram"), col("c12"), col("c1"), col("c2"))
-    val p = lit(lambda) * col("c12") / col("c1") +
-      (lit(1.0) - lit(lambda)) * col("c2") / lit(nTokens.toDouble)
-    tf2.join(bstats, "bigram")
-      .groupBy(col(idCol))
-      .agg(
-        sum(col("tf")).as("n_bigrams"),
-        (sum(col("tf") * -log(p)) / sum(col("tf"))).as("surprisal2"))
+    BigramParts(tf2, bstats, uni, idCol, lambda)
   }
 }

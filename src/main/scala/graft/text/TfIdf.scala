@@ -30,11 +30,28 @@ object TfIdf {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** One-job top-k terms per document by tf-idf: the corpus size N is a
+    * single-row `count(*)` aggregate broadcast-cross-joined onto the scored
+    * rows (the scalar-subquery pattern) — no driver pre-scan, and the
+    * count-only branch prunes to a zero-column parquet scan.
+    * Ties break lexicographically so the cut is deterministic.
+    */
+  def topTerms(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      k: Int
+  ): DataFrame = {
+    val n = docsDf.agg(count(lit(1)).as("_n_docs"))
+    topTermsOver(docsDf, idCol, textCol, k, col("_n_docs"),
+      _.crossJoin(broadcast(n)))
+  }
+
   /** Top-k terms per document by tf-idf; ties break lexicographically so
     * the cut is deterministic (and oracle-reproducible).
     *
-    * @param nDocs corpus size N for the idf — pass a pre-computed count so
-    *              the plan stays a pure function of its inputs
+    * @param nDocs corpus size N for the idf, pre-computed — for pipelines
+    *              that amortize one stats pass across many scorers
     */
   def topTerms(
       docsDf: DataFrame,
@@ -42,16 +59,29 @@ object TfIdf {
       textCol: Column,
       k: Int,
       nDocs: Long
+  ): DataFrame =
+    topTermsOver(docsDf, idCol, textCol, k, lit(nDocs), identity)
+
+  /** Shared tail; `n` is integral (literal or broadcast count column), so
+    * both variants compute bit-identical double scores.
+    */
+  private def topTermsOver(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      k: Int,
+      n: Column,
+      attachStats: DataFrame => DataFrame
   ): DataFrame = {
     val tf = termFrequencies(docsDf, idCol, textCol)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term")
+    attachStats(tf.join(dfreq, "term"))
       .withColumn(
         "score",
-        col("tf") * log((lit(nDocs) + 1).cast("double") / (col("df") + 1)))
+        col("tf") * log((n + 1).cast("double") / (col("df") + 1)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))

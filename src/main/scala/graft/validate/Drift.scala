@@ -1,6 +1,7 @@
 package graft.validate
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Population-stability-index (PSI) drift between two corpus slices — the
@@ -51,5 +52,37 @@ object Drift {
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),
         ((pa - pb) * log(pa / pb)).as("psi"))
+  }
+
+  /** One-job variant: the slice totals are recovered IN-PLAN as whole-frame
+    * window sums over the joined per-bucket counts — every slice row lands
+    * in exactly one bucket (null included, via the null-safe join), so
+    * Σ cnt_x over buckets IS count(slice_x). The window runs over the
+    * post-aggregation frame, which is ≤ observed-bucket-count rows (tiny by
+    * construction), so the single-partition window is free — and the plan
+    * needs no second scan of either slice and no driver pre-count.
+    */
+  def psiByBucket(
+      sliceA: DataFrame,
+      sliceB: DataFrame,
+      bucketCol: Column,
+      domainSize: Int
+  ): DataFrame = {
+    require(domainSize > 0, "psi: domainSize must be positive")
+    val a = sliceA.groupBy(bucketCol.as("bucket")).agg(count(lit(1)).as("cnt_a"))
+    val b = sliceB.groupBy(bucketCol.as("bucket")).agg(count(lit(1)).as("cnt_b"))
+    val joined = a.join(b, a("bucket") <=> b("bucket"), "full_outer")
+      .select(
+        coalesce(a("bucket"), b("bucket")).as("bucket"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val whole = Window.partitionBy()
+    val totA = sum(col("cnt_a")).over(whole)
+    val totB = sum(col("cnt_b")).over(whole)
+    val pa = (col("cnt_a") + 0.5) / (totA + 0.5 * domainSize)
+    val pb = (col("cnt_b") + 0.5) / (totB + 0.5 * domainSize)
+    joined.select(
+      col("bucket"), col("cnt_a"), col("cnt_b"),
+      ((pa - pb) * log(pa / pb)).as("psi"))
   }
 }

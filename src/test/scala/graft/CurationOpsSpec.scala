@@ -303,7 +303,7 @@ class CurationOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val n2 = 14L
     val s2 = graft.text.LmScore
-      .bigramSurprisal(d2, "doc_id", col("text"), n2)
+      .bigramSurprisal(d2, "doc_id", col("text"), n2, lambda = 0.7)
       .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("surprisal2"))).toMap
     assert(s2(10L) < s2(11L))
@@ -337,7 +337,8 @@ class CurationOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     // N=3, avgdl=10/3, df(spark)=2 -> idf = ln(1 + 1.5/2.5) = ln(1.6)
     val out = graft.text.Bm25
-      .score(d, "doc_id", col("text"), Seq("spark"), nDocs = 3L, avgDl = 10.0 / 3)
+      .score(d, "doc_id", col("text"), Seq("spark"), nDocs = 3L, avgDl = 10.0 / 3,
+        k1 = 1.2, b = 0.75)
       .orderBy("doc_id")
       .collect()
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L)) // doc3 dropped
@@ -357,7 +358,8 @@ class CurationOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val q = Seq((1, "spark"), (2, "window"), (2, "spark")).toDF("query_id", "term")
     val out = graft.text.Bm25
-      .retrieveTopK(d, "doc_id", col("text"), q, nDocs = 4L, avgDl = 11.0 / 4, topK = 10)
+      .retrieveTopK(d, "doc_id", col("text"), q, nDocs = 4L, avgDl = 11.0 / 4,
+        topK = 10, k1 = 1.2, b = 0.75)
       .orderBy("query_id", "rank")
       .collect()
       .map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("rank"),
@@ -370,7 +372,7 @@ class CurationOpsSpec extends SparkSpec {
     assert(q2.head._3 == 3L, "rare-term doc must rank first")
     // truncation
     val top1 = graft.text.Bm25
-      .retrieveTopK(d, "doc_id", col("text"), q, 4L, 11.0 / 4, topK = 1)
+      .retrieveTopK(d, "doc_id", col("text"), q, 4L, 11.0 / 4, topK = 1, k1 = 1.2, b = 0.75)
       .collect()
     assert(top1.length == 2 && top1.forall(_.getAs[Int]("rank") == 1))
   }
@@ -712,5 +714,40 @@ class CurationOpsSpec extends SparkSpec {
       case other => other.children.exists(check)
     }
     assert(check(plan), s"no GlobalLimit under the rank Window:\n$plan")
+  }
+
+  test("in-plan corpus stats match the pre-computed-scalar variants bit-for-bit") {
+    // N = 12 tokens over 4 docs -> avgdl = 3.0 exactly; every pair below
+    // must agree on raw doubles (Row equality is bitwise on doubles)
+    val d = Seq(
+      (1L, "a b b c"), (2L, "b c d"), (3L, "c c e a"), (4L, "f")
+    ).toDF("doc_id", "text")
+    assert(
+      TfIdf.topTerms(d, "doc_id", col("text"), k = 2).collect().toSet ==
+        TfIdf.topTerms(d, "doc_id", col("text"), k = 2, nDocs = 4L).collect().toSet)
+    assert(
+      graft.text.LmScore.surprisal(d, "doc_id", col("text")).collect().toSet ==
+        graft.text.LmScore.surprisal(d, "doc_id", col("text"), nTokens = 12L)
+          .collect().toSet)
+    assert(
+      graft.text.LmScore.bigramSurprisal(d, "doc_id", col("text"), 0.7)
+        .collect().toSet ==
+        graft.text.LmScore.bigramSurprisal(d, "doc_id", col("text"), 12L, 0.7)
+          .collect().toSet)
+    assert(
+      graft.text.Bm25.score(d, "doc_id", col("text"), Seq("b", "e")).collect().toSet ==
+        graft.text.Bm25.score(d, "doc_id", col("text"), Seq("b", "e"),
+          nDocs = 4L, avgDl = 3.0, k1 = 1.2, b = 0.75).collect().toSet)
+    val q = Seq((1, "b"), (2, "e")).toDF("query_id", "term")
+    assert(
+      graft.text.Bm25.retrieveTopK(d, "doc_id", col("text"), q, topK = 2)
+        .collect().toSet ==
+        graft.text.Bm25.retrieveTopK(d, "doc_id", col("text"), q,
+          nDocs = 4L, avgDl = 3.0, topK = 2, k1 = 1.2, b = 0.75).collect().toSet)
+    val a = Seq((1L, 0), (2L, 0), (3L, 1)).toDF("id", "b")
+    val bb = Seq((4L, 0), (5L, 2)).toDF("id", "b")
+    assert(
+      graft.validate.Drift.psiByBucket(a, bb, col("b"), 3).collect().toSet ==
+        graft.validate.Drift.psiByBucket(a, bb, col("b"), 3L, 2L, 3).collect().toSet)
   }
 }

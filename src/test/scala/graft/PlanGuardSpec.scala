@@ -28,23 +28,79 @@ class PlanGuardSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** single-row broadcast builds: the deliberate scalar-subquery pattern
-    * (q_key_skew broadcasts its single-row grand-total against the top-N)
+  /** single-row broadcast builds: the deliberate scalar-subquery pattern —
+    * a SINGLE-ROW aggregate broadcast-cross-joined against the fact side
+    * (n*1 by construction). q_key_skew broadcasts its grand-total against
+    * the top-N; the six corpus-stats queries broadcast their in-plan N /
+    * avgdl aggregate (the round-4 replacement for driver pre-scans).
     */
   private val singleRowBroadcast =
-    Set("q_scalar_subquery", "q_embed_topk", "q_key_skew")
+    Set("q_scalar_subquery", "q_embed_topk", "q_key_skew",
+      "q_lm_surprisal", "q_tfidf_topk", "q_bm25", "q_bm25_topk", "q_lm_bigram")
+
+  /** Builders allowed to run bounded driver actions while CONSTRUCTING the
+    * plan (each collect is k×dim / |ladder| / |sources|-sized, never
+    * corpus-sized). Everything else must build its DataFrame with ZERO
+    * Spark jobs — the round-3 verdict's "driver pre-scan" anti-pattern is
+    * gated here so it cannot return.
+    */
+  private val boundedBuildActions = Set(
+    "q_ann_ivf",          // IVF centroid collect (k x dim) + query-vector head
+    "q_ann_ivf_multi",    // IVF centroid collect (k x dim)
+    "q_semdedup",         // IVF assignment inside SemDedup (k x dim)
+    "q_semdedup_guarded", // same IVF collect, guards on
+    "q_embed_topk",       // query-vector head (1 x dim)
+    "q_ann_topk_graph",   // SRP plane seed collect (planes x dim)
+    "q_ann_srp_sig",      // SRP plane seed collect (planes x dim)
+    "q_embed_near_dup",   // SRP plane seed collect (planes x dim)
+    "q_knn_classify",     // SRP plane seed collect (planes x dim)
+    "q_target_mix",       // per-source rate collect (|sources| rows)
+    "q_corpus_prepare",   // per-source rate collect (|sources| rows)
+    "q_k_enforce",        // generalization-ladder probe (|ladder| rows)
+    "q_k_enforce_multi",  // lattice probe (|lattice| rows)
+    // iterative algorithms: each build job is one superstep of the
+    // algorithm itself (label-propagation round / k-means pass), bounded by
+    // maxIter — not a scalar pre-scan of the corpus
+    "q_dedup_clusters",   // connectedComponents convergence counts
+    "q_dedup_best",       // same CC labels (cached from the shared frame)
+    "q_coreset"           // Ivf.build k-means passes (k x dim collects)
+  )
+
+  /** Warm Tables' per-session memo: the FIRST read of each parquet table
+    * fires one footer/schema-inference job, which would otherwise be
+    * miscounted below as a builder pre-action.
+    */
+  private val warmTables: Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => graft.queries.Tables.read(spark, dir, t))
+    graft.queries.Tables.events(spark, dir) // nanos-timestamp special path
+    graft.queries.Tables.services(spark, dir)
+  }
 
   Registry.all.foreach { case (name, q) =>
     test(s"plan guard: $name") {
-      val df = q.fn(spark, dir)
+      val sc = spark.sparkContext
+      val group = s"planguard-$name"
+      sc.setJobGroup(group, name, interruptOnCancel = false)
+      val df = try q.fn(spark, dir) finally sc.clearJobGroup()
+      org.apache.spark.GraftListenerBus.waitUntilEmpty(sc)
+      val buildJobs = sc.statusTracker.getJobIdsForGroup(group)
+      if (!boundedBuildActions(name)) {
+        assert(buildJobs.isEmpty,
+          s"$name ran ${buildJobs.length} driver job(s) while BUILDING its plan — " +
+            "at 100 TB that is an extra corpus scan per query; compute the scalar " +
+            "in-plan (crossJoin(broadcast(singleRowAgg)) or a post-agg window)")
+      }
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // CartesianProduct is banned everywhere, allowlist or not
+      assert(
+        !plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
       if (!singleRowBroadcast(name)) {
         assert(
           !plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin — unbounded all-pairs at scale:\n$plan")
-        assert(
-          !plan.contains("CartesianProduct"),
-          s"$name plans a CartesianProduct:\n$plan")
       }
     }
   }
