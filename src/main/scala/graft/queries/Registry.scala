@@ -346,6 +346,83 @@ object Registry {
         where sel.rung < 3 or n >= 5
         order by qi_generalized""")
     ),
+    "q_k_enforce_multi" -> Q(
+      (s, dir) => {
+        val dept = substring(col("postal_code"), 1, 2)
+        val dims = Seq(
+          graft.validate.KAnonymity.QiDim("postal", Seq(
+            col("postal_code"), dept, Pipeline.regionFromDepartment(dept), lit("FR"))),
+          graft.validate.KAnonymity.QiDim("orgtype", Seq(
+            col("organization_type"), lit("ANY"))))
+        val (levels, out) =
+          graft.validate.KAnonymity.enforceMulti(stagedDf(s, dir), dims, k = 5)
+        out
+          .groupBy(col("postal_gen"), col("orgtype_gen"))
+          .agg(count(lit(1)).as("group_size"))
+          .select(
+            lit(levels.head).as("postal_level"),
+            lit(levels(1)).as("orgtype_level"),
+            col("postal_gen"), col("orgtype_gen"), col("group_size"))
+          .orderBy("postal_gen", "orgtype_gen")
+      },
+      // Replays the 4x2 lattice (postal: code->dept->region->country x
+      // org_type: raw->ANY): per-state min JOINT group size in CTEs, the
+      // chosen state is the first with min >= 5 in ascending-total-
+      // generalization order — (0,0),(0,1),(1,0),(1,1),(2,0),(2,1),(3,0),
+      // (3,1) — matching enforceMulti's cost-then-enumeration order, with
+      // the coarsest state suppressing < k residues when nothing qualifies
+      Some(OracleSql.pipelineCtes + """
+        , lv as (
+          select postal_code as p0, substr(postal_code, 1, 2) as p1,
+            case
+             when substr(postal_code,1,2) in ('75','77','78','91','92','93','94','95') then 'Île-de-France'
+             when substr(postal_code,1,2) in ('59','62') then 'Hauts-de-France'
+             when substr(postal_code,1,2) in ('69','01','42','63') then 'Auvergne-Rhône-Alpes'
+             when substr(postal_code,1,2) in ('13','83','84','04','05','06') then 'Provence-Alpes-Côte d''Azur'
+             when substr(postal_code,1,2) in ('33','24','40','47','64') then 'Nouvelle-Aquitaine'
+             when substr(postal_code,1,2) in ('31','09','12','32','46','65','81','82') then 'Occitanie'
+             else 'Autre région' end as p2,
+            'FR' as p3,
+            organization_type as o0, 'ANY' as o1
+          from staged
+        ),
+        g as (
+          select s, v1, v2, count(*) as n from (
+            select 0 as s, p0 as v1, o0 as v2 from lv union all
+            select 1, p0, o1 from lv union all
+            select 2, p1, o0 from lv union all
+            select 3, p1, o1 from lv union all
+            select 4, p2, o0 from lv union all
+            select 5, p2, o1 from lv union all
+            select 6, p3, o0 from lv union all
+            select 7, p3, o1 from lv
+          ) group by s, v1, v2
+        ),
+        floors as (select s, min(n) as mn from g group by s),
+        choice as (
+          select case
+            when (select mn from floors where s = 0) >= 5 then 0
+            when (select mn from floors where s = 1) >= 5 then 1
+            when (select mn from floors where s = 2) >= 5 then 2
+            when (select mn from floors where s = 3) >= 5 then 3
+            when (select mn from floors where s = 4) >= 5 then 4
+            when (select mn from floors where s = 5) >= 5 then 5
+            when (select mn from floors where s = 6) >= 5 then 6
+            when (select mn from floors where s = 7) >= 5 then 7
+            else 8 end as c)
+        select
+          cast(case least(c, 7)
+            when 0 then 0 when 1 then 0 when 2 then 1 when 3 then 1
+            when 4 then 2 when 5 then 2 when 6 then 3 else 3 end as int) as postal_level,
+          cast(case least(c, 7)
+            when 0 then 0 when 1 then 1 when 2 then 0 when 3 then 1
+            when 4 then 0 when 5 then 1 when 6 then 0 else 1 end as int) as orgtype_level,
+          v1 as postal_gen, v2 as orgtype_gen,
+          cast(n as bigint) as group_size
+        from g cross join choice
+        where s = least(c, 7) and (c < 8 or n >= 5)
+        order by postal_gen, orgtype_gen""")
+    ),
     "q_no_pii_in_mart" -> Q(
       (s, dir) =>
         Validate

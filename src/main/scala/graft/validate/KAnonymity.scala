@@ -58,6 +58,113 @@ object KAnonymity {
     }
   }
 
+  /** One quasi-identifier DIMENSION of a multi-QI lattice: a name (used
+    * for the generalized output column `<name><suffix>`) and its
+    * generalization ladder, ordered fine -> coarse (level 0 = finest).
+    */
+  final case class QiDim(name: String, ladder: Seq[Column])
+
+  /** Joint group-size floors for EVERY state of the coarsening lattice
+    * (the cartesian product of per-dimension ladder levels) in ONE
+    * grouping-sets aggregation: all Σ|ladders| coarsened columns are
+    * materialized once, each lattice state is one grouping set of
+    * |dims| columns, and `grouping_id` routes each aggregated group to
+    * its state. The Expand replicates rows |states| times map-side but
+    * partial aggregation collapses them before the single shuffle — the
+    * same shape as [[probe]], bounded by `require(states <= 64)`.
+    *
+    * @return (levels vector -> (nGroups, minGroup)), plus the state list
+    *         in preference order: ascending total generalization, ties
+    *         broken by the fine-first cartesian enumeration
+    */
+  def probeLattice(
+      df: DataFrame,
+      dims: Seq[QiDim]
+  ): (Seq[Seq[Int]], Map[Seq[Int], (Long, Long)]) = {
+    require(dims.nonEmpty, "k-anonymity: need at least one QI dimension")
+    dims.foreach(d => require(d.ladder.nonEmpty, s"k-anonymity: empty ladder for ${d.name}"))
+    val flat = dims.zipWithIndex.flatMap { case (d, di) =>
+      d.ladder.zipWithIndex.map { case (c, li) => (s"_qi_${di}_$li", di, li, c) }
+    }
+    val n = flat.size
+    require(n <= 62, s"k-anonymity: too many ladder columns ($n)")
+    val states = dims
+      .map(_.ladder.indices.toSeq)
+      .foldLeft(Seq(Seq.empty[Int]))((acc, ls) => acc.flatMap(s => ls.map(s :+ _)))
+    require(states.size <= 64,
+      s"k-anonymity: lattice has ${states.size} states (max 64) — coarsen a ladder")
+    val flatIndex: Map[(Int, Int), Int] =
+      flat.zipWithIndex.map { case ((_, di, li, _), i) => (di, li) -> i }.toMap
+    // grouping_id bit (n-1-i) is SET when flat column i is NOT in the set
+    def gidOf(levels: Seq[Int]): Long = {
+      val included = levels.zipWithIndex.map { case (l, d) => flatIndex((d, l)) }.toSet
+      (0 until n).foldLeft(0L)((acc, i) =>
+        if (included(i)) acc else acc | (1L << (n - 1 - i)))
+    }
+    val materialized = df.select(flat.map { case (nm, _, _, c) => c.as(nm) }: _*)
+    val groups = materialized
+      .groupingSets(
+        states.map(_.zipWithIndex.map { case (l, d) => col(s"_qi_${d}_$l") }),
+        flat.map { case (nm, _, _, _) => col(nm) }: _*)
+      .agg(count(lit(1)).as("_n"), grouping_id().as("_gid"))
+    val byGid = groups
+      .groupBy(col("_gid"))
+      .agg(count(lit(1)).as("_groups"), min(col("_n")).as("_min"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val ordered = states.sortBy(_.sum) // stable: fine-first within equal cost
+    val audits = states
+      .map(st => st -> byGid.getOrElse(gidOf(st), (0L, 0L)))
+      .toMap
+    (ordered, audits)
+  }
+
+  /** Multi-QI k-anonymity enforcement over a coarsening LATTICE: pick the
+    * MINIMAL-generalization state (fewest total ladder steps; fine-first
+    * tie-break) whose minimum JOINT group size reaches k — global optimum,
+    * not a path-dependent greedy walk, and still ONE probe pass. If no
+    * state reaches k, the coarsest state is applied and its residual < k
+    * joint groups are SUPPRESSED, so the result always satisfies
+    * k-anonymity on the generalized columns.
+    *
+    * @return (chosen level per dimension, input plus one generalized
+    *         column `<name><suffix>` per dimension)
+    */
+  def enforceMulti(
+      df: DataFrame,
+      dims: Seq[QiDim],
+      k: Int = 5,
+      suffix: String = "_gen"
+  ): (Seq[Int], DataFrame) = {
+    require(k >= 1, s"k-anonymity: k must be >= 1, got $k")
+    dims.foreach(d => require(!df.columns.contains(d.name + suffix),
+      s"k-anonymity: column ${d.name + suffix} already exists"))
+    val (ordered, audits) = probeLattice(df, dims)
+    def apply(levels: Seq[Int]): DataFrame =
+      dims.zip(levels).foldLeft(df) { case (acc, (d, l)) =>
+        acc.withColumn(d.name + suffix, d.ladder(l))
+      }
+    ordered.find { st => val (ng, mg) = audits(st); ng > 0 && mg >= k } match {
+      case Some(st) => (st, apply(st))
+      case None =>
+        val top = dims.map(_.ladder.size - 1)
+        val out = apply(top)
+        val genCols = dims.map(d => col(d.name + suffix))
+        val ok = out
+          .groupBy(genCols: _*)
+          .agg(count(lit(1)).as("_gn"))
+          .filter(col("_gn") >= k)
+          .select(dims.zipWithIndex.map { case (d, i) =>
+            col(d.name + suffix).as(s"_okv_$i")
+          }: _*)
+        val cond = dims.zipWithIndex
+          .map { case (d, i) => out(d.name + suffix) <=> col(s"_okv_$i") }
+          .reduce(_ && _)
+        (top, out.join(ok, cond, "left_semi"))
+    }
+  }
+
   /** Enforce k-anonymity: returns the chosen rung index and the input with
     * `outCol` = the generalized quasi-identifier. If NO rung reaches k,
     * the coarsest rung is applied and its residual < k groups are

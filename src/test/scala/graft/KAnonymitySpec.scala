@@ -65,4 +65,83 @@ class KAnonymitySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("already exists"))
   }
+
+  // ---- multi-QI lattice -------------------------------------------------
+
+  import graft.validate.KAnonymity.QiDim
+
+  private def twoDims(zipCol: String, orgCol: String) = Seq(
+    QiDim("zip", Seq(col(zipCol), substring(col(zipCol), 1, 2), lit("FR"))),
+    QiDim("org", Seq(col(orgCol), lit("ANY"))))
+
+  test("probeLattice: one pass audits every lattice state; order is cost-then-enumeration") {
+    // 6 rows: zips 751xx/920xx, orgs a/b
+    val df = Seq(
+      (1L, "75101", "a"), (2L, "75101", "a"), (3L, "75102", "b"),
+      (4L, "92001", "a"), (5L, "92001", "b"), (6L, "92002", "b")
+    ).toDF("id", "zip", "org")
+    val (ordered, audits) = KAnonymity.probeLattice(df, twoDims("zip", "org"))
+    assert(ordered == Seq(
+      Seq(0, 0), Seq(0, 1), Seq(1, 0), Seq(1, 1), Seq(2, 0), Seq(2, 1)))
+    // finest state: (75101,a) x2 and four singletons -> min 1, 5 groups
+    assert(audits(Seq(0, 0)) == ((5L, 1L)))
+    // (zip, ANY): zip groups 2/1/2/1 -> min 1
+    assert(audits(Seq(0, 1)) == ((4L, 1L)))
+    // (dept, org): (75,a)x2 (75,b)x1 (92,a)x1 (92,b)x2 -> min 1
+    assert(audits(Seq(1, 0)) == ((4L, 1L)))
+    // (dept, ANY): 75x3, 92x3
+    assert(audits(Seq(1, 1)) == ((2L, 3L)))
+    // (FR, org): a x3, b x3
+    assert(audits(Seq(2, 0)) == ((2L, 3L)))
+    assert(audits(Seq(2, 1)) == ((1L, 6L)))
+  }
+
+  test("enforceMulti picks the MINIMAL generalization whose joint floor reaches k") {
+    // k=3: states (1,1) and (2,0) both reach 3 at cost 2; (1,1) wins the
+    // enumeration tie-break (earlier dim stays finer... enumeration order)
+    val df = Seq(
+      (1L, "75101", "a"), (2L, "75101", "a"), (3L, "75102", "b"),
+      (4L, "92001", "a"), (5L, "92001", "b"), (6L, "92002", "b")
+    ).toDF("id", "zip", "org")
+    val (levels, out) = KAnonymity.enforceMulti(df, twoDims("zip", "org"), k = 3)
+    assert(levels == Seq(1, 1))
+    assert(out.count() == 6)
+    val floors = out.groupBy("zip_gen", "org_gen").count().agg(min("count")).as[Long].head()
+    assert(floors >= 3)
+    assert(out.columns.contains("zip_gen") && out.columns.contains("org_gen"))
+    // and a finer k: the finest qualifying state is chosen, not the first
+    // FOUND coarser one — k=1 must keep everything at (0,0)
+    val (l1, _) = KAnonymity.enforceMulti(df, twoDims("zip", "org"), k = 1)
+    assert(l1 == Seq(0, 0))
+  }
+
+  test("enforceMulti suppresses residual joint groups when no state reaches k") {
+    // 7 rows, k=5: even (FR, ANY) has... 7 >= 5, so shrink: 3 rows only
+    val small = Seq((1L, "75101", "a"), (2L, "92001", "b"), (3L, "13001", "a"))
+      .toDF("id", "zip", "org")
+    val (levels, out) = KAnonymity.enforceMulti(small, twoDims("zip", "org"), k = 5)
+    assert(levels == Seq(2, 1)) // coarsest
+    assert(out.count() == 0)    // the single (FR, ANY) group of 3 suppressed
+    // mixed: one joint group >= k survives, the null-keyed singleton drops
+    val mixed = ((1 to 5).map(i => (i.toLong, "75101", "a")) :+
+      ((6L, null.asInstanceOf[String], "a")))
+      .toDF("id", "zip", "org")
+    val shortDims = Seq(
+      QiDim("zip", Seq(col("zip"))), QiDim("org", Seq(col("org"))))
+    val (l2, out2) = KAnonymity.enforceMulti(mixed, shortDims, k = 5)
+    assert(l2 == Seq(0, 0))
+    assert(out2.count() == 5)
+  }
+
+  test("enforceMulti with one dimension degenerates to the single-QI ladder") {
+    val zips = (1 to 3).map(_ => "75101") ++ (1 to 3).map(_ => "75102") ++
+      (1 to 3).map(_ => "92001") ++ (1 to 3).map(_ => "92002")
+    val df = zips.zipWithIndex.map { case (z, i) => (i.toLong, z) }.toDF("id", "zip")
+    val dims = Seq(QiDim("zip", ladderOf("zip").map(_.qi)))
+    val (levels, out) = KAnonymity.enforceMulti(df, dims, k = 5)
+    val (rung, outSingle) = KAnonymity.enforce(df, ladderOf("zip"), k = 5)
+    assert(levels == Seq(rung))
+    assert(out.select(col("zip_gen")).collect().toSeq.sortBy(_.toString) ==
+      outSingle.select(col("qi_generalized")).collect().toSeq.sortBy(_.toString))
+  }
 }
