@@ -40,6 +40,7 @@ object Canon {
     "q_embed_norms" -> Seq("l2_norm"),
     "q_embed_topk" -> Seq("cos_sim"),
     "q_ann_ivf" -> Seq("cos_sim"),
+    "q_ann_ivf_multi" -> Seq("cos_sim"),
     "q_embed_near_dup" -> Seq("cos_sim"),
     "q_ngram_jaccard" -> Seq("jaccard"),
     "q_range_join" -> Seq("bal"),

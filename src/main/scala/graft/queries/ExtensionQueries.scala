@@ -928,6 +928,60 @@ object ExtensionQueries {
         from topk order by cos_sim desc, vec_id"""
       }
     ),
+    "q_ann_ivf_multi" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val (centroids, assigned) =
+          graft.similarity.Ivf.build(e, "vec_id", "embedding", k = 16, iters = 2)
+        // the query SET is a DataFrame — one job for all queries, no
+        // driver loop (mirrors Bm25.retrieveTopK)
+        val queries = e.filter(col("vec_id").isin(0, 7, 13))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        graft.similarity.Ivf
+          .searchAll(assigned, centroids, "vec_id", "embedding", queries,
+            "query_id", "qv", k = 10, nprobe = 4)
+          .select(
+            col("query_id"),
+            col("rank"),
+            col("vec_id"),
+            roundHalfUp(col("cos_sim"), 6).cast("decimal(12,6)").as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      // Batched replay of q_ann_ivf's index: per-query probe ranking is a
+      // window over the |Q| x k centroid distances (same left-fold sqdist,
+      // same (dist, cid) tie-break), then exact cosine inside the probed
+      // clusters and a per-query (cos desc, vec_id) top-10 — the same cut
+      // TopKByScore's bounded heap makes on the Spark side.
+      Some(s"""
+        with $ivfReplayCtes,
+        qs as (
+          select vec_id as query_id,
+            list_transform(embedding, x -> cast(x as double)) as qv
+          from embeddings where vec_id in (0, 7, 13)
+        ),
+        pr as (
+          select query_id, qv, cid from (
+            select q.query_id, q.qv, c2.cid,
+              row_number() over (partition by q.query_id
+                order by ${ivfSq("c2.centroid", "q.qv")}, c2.cid) as rn
+            from qs q cross join c2
+          ) where rn <= 4
+        ),
+        scored as (
+          select p.query_id, a.vec_id, ${duckCos("a.embedding", "p.qv")} as cos
+          from a3 a join pr p using (cid)
+        ),
+        ranked as (
+          select query_id, vec_id, cos,
+            row_number() over (partition by query_id
+              order by cos desc, vec_id) as rank
+          from scored
+        )
+        select query_id, cast(rank as int) as rank, vec_id,
+          cast(${duckRound("cos", 6)} as decimal(12,6)) as cos_sim
+        from ranked where rank <= 10
+        order by query_id, rank""")
+    ),
     "q_semdedup" -> Q(
       (s, dir) =>
         graft.similarity.SemDedup
@@ -2111,6 +2165,38 @@ object ExtensionQueries {
         select doc_id, source, shard,
           cast(row_number() over (partition by shard order by source, doc_id) - 1
                as bigint) as shard_pos
+        from s order by doc_id""")
+    ),
+    "q_shards_readback" -> Q(
+      (s, dir) => {
+        // the write IS the operator under test: materialize the shards,
+        // read the FILES back, and compare the read-back (membership,
+        // within-shard order, one-file-per-shard census) to the oracle's
+        // pure assignment replay — end-to-end proof the sink preserves
+        // the deterministic layout, not just that assign() computes it
+        val out = s"${sys.props("java.io.tmpdir")}/graft_shards_rb_${math.abs(dir.hashCode)}"
+        graft.operators.Shards.write(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", out, n = 8, orderCols = Seq("source"))
+        graft.operators.Shards.readBackAudit(s, out)
+          .select(
+            col("doc_id"), col("source"),
+            col("shard").cast("int").as("shard"),
+            col("shard_pos"),
+            col("files_in_shard"))
+          .orderBy("doc_id")
+      },
+      // The oracle never sees the files: it replays assignment + order
+      // from the source table and pins files_in_shard = 1, so any loss,
+      // reorder, duplicate, or split file in the round-trip hash-fails
+      Some(s"""
+        with s as (
+          select doc_id, source, ${duckMdBucket(8)} as shard from documents
+        )
+        select doc_id, source, shard,
+          cast(row_number() over (partition by shard order by source, doc_id) - 1
+               as bigint) as shard_pos,
+          cast(1 as bigint) as files_in_shard
         from s order by doc_id""")
     )
   )

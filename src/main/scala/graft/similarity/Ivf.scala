@@ -111,6 +111,50 @@ object Ivf {
     (centDf, assignCollected(df, vecCol, finalC))
   }
 
+  /** The 100 TB k-means recipe: train centroids on a DETERMINISTIC sample
+    * and pay ONE full-corpus assignment pass, instead of [[build]]'s
+    * iters+1 uncached full scans. The sample is the md5 per-mille bucket
+    * of the id ([[graft.operators.StableHash]] — engine-stable and
+    * join-stable, same convention as [[graft.operators.Sampling]]), so
+    * the trained index is reproducible run-to-run and engine-to-engine.
+    *
+    * `frac = 1.0` keeps every row, making this exactly [[build]] (same
+    * seeds, same iterations) — the equivalence the spec pins. At scale
+    * you size `frac` so the sample fits one executor-friendly scan
+    * (k-means centroid quality degrades slowly in sample rate; assignment
+    * is always exact over the full corpus).
+    */
+  def buildOnSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 3,
+      frac: Double = 0.1
+  ): (DataFrame, DataFrame) = {
+    require(frac > 0 && frac <= 1, s"ivf: frac must be in (0, 1], got $frac")
+    // floor(frac*1000 + 0.5) per-mille threshold — the Sampling/Mixer cut
+    val thresh = math.floor(frac * 1000 + 0.5).toInt
+    val sample = df.filter(
+      graft.operators.StableHash.bucket(col(idCol), 1000) < thresh)
+    var centroids = sample
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(
+        (row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid")
+      )
+    (0 until iters).foreach { _ =>
+      centroids = updateCentroids(assign(sample, idCol, vecCol, centroids), vecCol)
+    }
+    val finalC = collectCentroids(centroids)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = finalC.toSeq.toDF("centroid_id", "centroid")
+    // the ONE full pass: exact assignment of the whole corpus
+    (centDf, assignCollected(df, vecCol, finalC))
+  }
+
   /** ANN search: exact cosine within the `nprobe` clusters nearest to the
     * query vector.
     */
@@ -137,5 +181,70 @@ object Ivf {
       )
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batched ANN search — a query DATAFRAME against the index in one job,
+    * the [[graft.text.Bm25.retrieveTopK]] shape (eval-set retrieval,
+    * dedup-against-index), replacing a driver loop of one Spark job per
+    * query vector.
+    *
+    * Probe selection is a narrow map: the k x dim centroid matrix is
+    * collected once (bounded) and EXPLODED as a literal against the query
+    * frame — |Q| x k rows, no join — then a per-query window keeps the
+    * `nprobe` nearest. The probe list (|Q| x nprobe rows, carrying the
+    * query vector) broadcasts onto the cluster-partitioned corpus, so each
+    * corpus row is compared only against the queries probing its cluster,
+    * and the per-query top-k is the [[TopKByScore]] bounded-heap partial
+    * aggregate — at most k rows per query survive each partition, never a
+    * global sort.
+    *
+    * @param queries frame with `queryIdCol` and `queryVecCol` (numeric
+    *                array); must be small enough to broadcast x nprobe
+    * @return (query_id, rank, idCol, cos_sim) — rank 1..k per query by
+    *         (cosine desc, id asc)
+    */
+  def searchAll(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nprobe: Int = 2
+  ): DataFrame = {
+    require(k > 0, s"ivf: k must be positive, got $k")
+    require(nprobe > 0, s"ivf: nprobe must be positive, got $nprobe")
+    val mat = collectCentroids(centroids).toSeq
+    val centLit = typedLit(mat)
+    val perCentroid = queries
+      .select(
+        col(queryIdCol),
+        transform(col(queryVecCol), x => x.cast("double")).as("_qv"))
+      .select(col(queryIdCol), col("_qv"), explode(centLit).as("_c"))
+      .select(
+        col(queryIdCol), col("_qv"),
+        col("_c._1").as("centroid_id"),
+        sqDist(col("_c._2"), col("_qv")).as("_d"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("_d"), col("centroid_id"))
+    val probes = perCentroid
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col(queryIdCol), col("_qv"), col("centroid_id"))
+    assigned
+      .join(broadcast(probes), "centroid_id")
+      .select(
+        col(queryIdCol),
+        col(idCol),
+        Similarity.cosine(col(vecCol), col("_qv")).as("cos_sim"))
+      .groupBy(col(queryIdCol))
+      .agg(TopKByScore.topK(col(idCol), col("cos_sim"), k).as("_top"))
+      .select(col(queryIdCol), inline(col("_top")))
+      .select(
+        col(queryIdCol),
+        col("rank"),
+        col("dst").as(idCol),
+        col("score").as("cos_sim"))
   }
 }

@@ -33,6 +33,62 @@ class IvfCorpusSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("IVF searchAll: one batched job agrees with per-query search; k truncates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val (centroids, assigned) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val qids = Seq(0L, 7L, 13L)
+    val queries = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val batched = Ivf
+      .searchAll(assigned, centroids, "vec_id", "embedding", queries,
+        "query_id", "qv", k = 5, nprobe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+      .groupBy(_._1)
+    assert(batched.keySet == qids.toSet)
+    qids.foreach { qid =>
+      val qv = emb.filter($"vec_id" === qid).select($"embedding")
+        .as[Seq[Float]].head().map(_.toDouble)
+      val single = Ivf
+        .search(assigned, centroids, "vec_id", "embedding", qv, k = 5, nprobe = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+        .toSeq
+      val got = batched(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got == single, s"query $qid: batched != per-query")
+      assert(batched(qid).map(_._2).sorted.toSeq == (1 to 5))
+    }
+    emb.unpersist()
+  }
+
+  test("IVF buildOnSample: frac=1 equals the exact build; sampled centroids stay close") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val (cExact, aExact) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    // frac=1.0 keeps every row -> same seeds, same Lloyd's path, same index
+    val (cFull, aFull) = Ivf.buildOnSample(emb, "vec_id", "embedding", k = 8,
+      iters = 2, frac = 1.0)
+    assert(cFull.orderBy("centroid_id").collect().toSeq ==
+      cExact.orderBy("centroid_id").collect().toSeq)
+    assert(aFull.select("vec_id", "centroid_id").collect().toSet ==
+      aExact.select("vec_id", "centroid_id").collect().toSet)
+    // a half sample: every row still assigned, deterministically, and the
+    // quantization quality (mean sq dist to assigned centroid) is within
+    // 2x of the exact build's
+    val (_, aHalf) = Ivf.buildOnSample(emb, "vec_id", "embedding", k = 8,
+      iters = 2, frac = 0.5)
+    assert(aHalf.count() == emb.count())
+    val (_, aHalf2) = Ivf.buildOnSample(emb, "vec_id", "embedding", k = 8,
+      iters = 2, frac = 0.5)
+    assert(aHalf.select("vec_id", "centroid_id").collect().toSet ==
+      aHalf2.select("vec_id", "centroid_id").collect().toSet)
+    def meanDist(a: org.apache.spark.sql.DataFrame): Double =
+      a.agg(avg(col("_dist"))).head().getDouble(0)
+    val (dE, dH) = (meanDist(aExact), meanDist(aHalf))
+    assert(dH <= dE * 2.0, s"sampled build quality off: $dH vs exact $dE")
+    emb.unpersist()
+  }
+
   test("corpus pipeline gates quality/repetition/language, redacts, dedups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs to the house of a friend in the morning to see the river"),
