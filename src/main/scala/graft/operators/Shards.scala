@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,5 +73,21 @@ object Shards {
       .mode("overwrite")
       .partitionBy("shard")
       .parquet(dir)
+  }
+
+  /** Read a written shard directory back with the per-shard FILE count
+    * attached to every row — the audit surface for [[write]]'s layout
+    * guarantee: `files_in_shard` must be 1 everywhere, `shard_pos` must
+    * replay the (orderCols, id) row_number, and membership must equal
+    * [[assign]] on the source. The file census is `_metadata.file_path`
+    * (no extra scan) aggregated to |shards| rows and broadcast back.
+    */
+  def readBackAudit(spark: SparkSession, dir: String): DataFrame = {
+    val back = spark.read.parquet(dir)
+      .withColumn("_file", col("_metadata.file_path"))
+    val files = back
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("_file")).as("files_in_shard"))
+    back.join(broadcast(files), "shard").drop("_file")
   }
 }

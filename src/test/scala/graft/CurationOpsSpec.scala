@@ -677,10 +677,18 @@ class CurationOpsSpec extends SparkSpec {
       val ids1 = spark.read.parquet(files1.head.toString)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       assert(ids1 == expected(s), s"shard $s order/membership")
-      // re-run: identical membership and order
-      val ids2 = spark.read.parquet(shardFiles(dir2, s).head.toString)
+      // re-run: identical membership and order, and BYTE-identical files
+      // (parquet content carries no timestamps; a stable sort + stable
+      // encoder means the rebuild is the same byte stream a resuming
+      // trainer would re-read)
+      val f2 = shardFiles(dir2, s).head
+      val ids2 = spark.read.parquet(f2.toString)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       assert(ids2 == ids1, s"shard $s not reproducible")
+      assert(
+        java.util.Arrays.equals(
+          Files.readAllBytes(files1.head), Files.readAllBytes(f2)),
+        s"shard $s bytes differ between identical runs")
     }
     // every row landed in exactly one shard
     assert(expected.values.map(_.size).sum == docs.count())
