@@ -94,4 +94,53 @@ class BpeSpec extends SparkSpec {
       Map("src0" -> 0.5, "src1" -> 0.5), budgetTokens = 100000L)
     assert(rates.nonEmpty && rates.values.forall(r => r > 0 && r <= 1.0))
   }
+
+  test("merge table loads from a file path (the GRAFT_BPE_MERGES/sysprop surface)") {
+    import java.nio.file.Files
+    val f = Files.createTempFile("merges", ".txt")
+    Files.writeString(f,
+      """# test table
+        |a b
+        |ab ab
+        |""".stripMargin)
+    val t = graft.text.BpeTable.fromFile(f.toString)
+    assert(t.merges == IndexedSeq(("a", "b"), ("ab", "ab")))
+    assert(t.bpeWord("abab").toSeq == Seq("abab"))
+    assert(t.bpeWord("aba").toSeq == Seq("ab", "a"))
+    assert(t.tokenize("abab aba x1").toSeq == Seq("abab", "ab", "a", "x", "1"))
+    // resolution order is sysprop > env > bundled resource; the bundled
+    // fixture is what this JVM resolved (no override set)
+    assert(Bpe.merges.size == 71)
+  }
+
+  test("production-size table: 50k merges load fast and lookup cost stays flat") {
+    // well-formed synthetic table: all 26^2 char pairs, then pairs of
+    // 2-char outputs until 50k (every side is a char or an earlier output)
+    val letters = ('a' to 'z').map(String.valueOf)
+    val level1 = for (a <- letters; b <- letters) yield (a, b)
+    val twoChar = level1.map { case (a, b) => a + b }
+    val level2 = (for (a <- twoChar.iterator; b <- twoChar.iterator) yield (a, b))
+      .take(50000 - level1.size)
+    val t0 = System.nanoTime()
+    val big = new graft.text.BpeTable((level1 ++ level2).toIndexedSeq)
+    val buildMs = (System.nanoTime() - t0) / 1e6
+    assert(big.merges.size == 50000)
+    assert(buildMs < 5000, s"50k-merge table build took $buildMs ms")
+    // ~1 MB of text through the full tokenizer; the per-word loop is
+    // O(len^2) hash probes, independent of table size
+    val rnd = new scala.util.Random(42)
+    val words = Array.fill(20000)(
+      (0 until 4 + rnd.nextInt(8)).map(_ => letters(rnd.nextInt(26))).mkString)
+    val text = words.mkString(" ")
+    val t1 = System.nanoTime()
+    val toks = big.tokenize(text)
+    val tokMs = (System.nanoTime() - t1) / 1e6
+    assert(toks.nonEmpty && toks.length < words.map(_.length).sum)
+    assert(tokMs < 10000, s"tokenizing ${text.length} chars took $tokMs ms")
+    // merges actually fire: 4-char words collapse to <= 2 tokens
+    assert(big.bpeWord("abcd").toSeq == Seq("abcd") ||
+      big.bpeWord("abcd").length <= 2)
+    // and correctness at size: greedy picks the LOWEST-rank pair first
+    assert(big.bpeWord("ab").toSeq == Seq("ab"))
+  }
 }
