@@ -62,10 +62,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    // Full contract line first (per-query map is large), then a SHORT
-    // headline line LAST: the driver keeps a bounded tail of stdout, so a
-    // truncation eats the front of the big line — the final short line
-    // guarantees the total survives any tail capture.
+    // ONE SHORT LINE PER QUERY first: the driver keeps a bounded tail of
+    // stdout, and round 3 showed a truncation eating the front of the big
+    // combined line (per-query history for the a-e queries was lost).
+    // Short lines degrade gracefully — a tail cut loses only the earliest
+    // queries, never the middle of a JSON object.
+    results.foreach { case (k, v) =>
+      println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
+    }
+    // and the full artifact on disk, readable whole regardless of capture
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN: could not write $outFile: ${e.getMessage}")
+    }
+    // Full contract line, then the SHORT headline line LAST so the total
+    // survives any tail capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
