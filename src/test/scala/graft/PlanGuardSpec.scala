@@ -94,6 +94,12 @@ class PlanGuardSpec extends SparkSpec {
           s"$name ran ${buildJobs.length} driver job(s) while BUILDING its plan — " +
             "at 100 TB that is an extra corpus scan per query; compute the scalar " +
             "in-plan (crossJoin(broadcast(singleRowAgg)) or a post-agg window)")
+      } else {
+        // exempted builders are still BOUNDED: k-means iters, CC maxIter,
+        // ladder/lattice probes — a runaway iteration must not hide here
+        assert(buildJobs.length <= 40,
+          s"$name ran ${buildJobs.length} build jobs — exceeds the bounded-" +
+            "iteration budget; its exemption no longer holds")
       }
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       // CartesianProduct is banned everywhere, allowlist or not
