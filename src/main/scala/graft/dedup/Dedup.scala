@@ -197,6 +197,75 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental dedup: flag each document of a NEW batch that
+    * near-duplicates a member of an EXISTING corpus — the daily-ingest
+    * shape (crawl increments, backfill merges) where re-running all-pairs
+    * dedup over corpus+batch would rescan 100 TB to admit a few GB.
+    *
+    * The corpus side is the INDEX: its band hashes are the same narrow
+    * per-row expressions as [[minhashBands]] (precompute and persist them
+    * in practice), skew-cappable via `maxBucket`. The batch band list is
+    * batch-sized and BROADCAST, so the candidate join never shuffles the
+    * corpus. Shared-band candidates are verified with exact
+    * distinct-shingle Jaccard, and each batch doc reports its best corpus
+    * match (highest jaccard, lowest corpus id tie-break).
+    *
+    * @return one row per batch doc: (idCol, dup_of, jaccard, is_dup) —
+    *         `dup_of`/`jaccard` null when no candidate shared a band;
+    *         `is_dup` compares the RAW jaccard against `threshold`
+    */
+  def dedupAgainstCorpus(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Option[Int] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def explodeBands(df: DataFrame) =
+      minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
+        .select(
+          col(idCol),
+          posexplode(array((0 until bands).map(i => col(s"band_$i")): _*))
+            .as(Seq("band", "hash")))
+    val corpusE = maxBucket
+      .fold(explodeBands(corpus))(capBuckets(explodeBands(corpus), idCol, _))
+    val batchE = explodeBands(batch)
+    val cand = corpusE.as("c")
+      .join(
+        broadcast(batchE.as("b")),
+        col("c.band") === col("b.band") && col("c.hash") === col("b.hash"))
+      .select(col(s"b.$idCol").as("_bid"), col(s"c.$idCol").as("_cid"))
+      .distinct()
+    def shingleSets(df: DataFrame, out: String) =
+      df.select(
+        col(idCol).as(out),
+        array_distinct(transform(wordShingles(col(textCol), shingleK), x => md5(x)))
+          .as(s"_sh$out"))
+    val scored = cand
+      .join(shingleSets(batch, "_bid"), "_bid")
+      .join(shingleSets(corpus, "_cid"), "_cid")
+      .select(col("_bid"), col("_cid"),
+        jaccard(col("_sh_bid"), col("_sh_cid")).as("jaccard"))
+    val w = Window.partitionBy(col("_bid"))
+      .orderBy(col("jaccard").desc, col("_cid"))
+    val best = scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_bid"), col("_cid").as("dup_of"), col("jaccard"))
+    batch.select(col(idCol).as("_bid"))
+      .join(best, Seq("_bid"), "left")
+      .select(
+        col("_bid").as(idCol),
+        col("dup_of"),
+        col("jaccard"),
+        coalesce(col("jaccard") >= threshold, lit(false)).as("is_dup"))
+  }
+
   /** Cap pathological LSH buckets (boilerplate that hashes thousands of docs
     * into one band bucket turns the self-join quadratic). Keeps the first
     * `maxBucket` members per (band, hash) by id — at 100 TB this bounds the

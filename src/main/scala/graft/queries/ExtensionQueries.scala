@@ -506,6 +506,105 @@ object ExtensionQueries {
         from e l join e r on l.band = r.band and l.hash = r.hash and l.doc_id < r.doc_id
         order by id_a, id_b""")
     ),
+    "q_dedup_incremental" -> Q(
+      (s, dir) => {
+        // daily-ingest shape: every 10th doc is the NEW batch, the rest
+        // the EXISTING corpus index
+        val d = docs(s, dir)
+        Dedup
+          .dedupAgainstCorpus(
+            d.filter(col("doc_id") % 10 =!= 0),
+            d.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text")
+          .select(
+            col("doc_id"),
+            col("dup_of"),
+            roundHalfUp(col("jaccard"), 4).cast("decimal(10,4)").as("jaccard"),
+            col("is_dup").cast("int").as("is_dup"))
+          .orderBy("doc_id")
+      },
+      // Bands for ALL docs once (per-doc deterministic, so splitting after
+      // banding equals banding each split); batch x corpus band join, then
+      // the q_ngram_jaccard distinct-md5-shingle verification; best match
+      // per batch doc by (jaccard desc, corpus id). is_dup compares the
+      // RAW jaccard on both engines (identical rationals), not the
+      // rounded display value.
+      Some(duckMinhashCte + """,
+        e as (
+          select doc_id, band, hash from bands
+          unpivot (hash for band in (band_0, band_1, band_2, band_3))
+        ),
+        cand as (
+          select distinct b.doc_id as bid, c.doc_id as cid
+          from e b join e c on b.band = c.band and b.hash = c.hash
+          where b.doc_id % 10 = 0 and c.doc_id % 10 <> 0
+        ),
+        sh as (
+          select doc_id, list_distinct(list_transform(
+            list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+            x -> md5(x))) as sh
+          from t
+        ),
+        jc as (
+          select bid, cid,
+            case when len(list_distinct(sb.sh || sc.sh)) > 0
+                 then cast(len(list_intersect(sb.sh, sc.sh)) as double) /
+                      cast(len(list_distinct(sb.sh || sc.sh)) as double)
+                 else 0.0 end as j
+          from cand
+          join sh sb on sb.doc_id = bid
+          join sh sc on sc.doc_id = cid
+        ),
+        best as (
+          select bid, cid, j from (
+            select bid, cid, j,
+              row_number() over (partition by bid order by j desc, cid) as rn
+            from jc
+          ) where rn = 1
+        )
+        select d.doc_id, best.cid as dup_of,
+          cast(""" + duckRound("j", 4) + """ as decimal(10,4)) as jaccard,
+          cast(case when j >= 0.7 then 1 else 0 end as int) as is_dup
+        from documents d left join best on best.bid = d.doc_id
+        where d.doc_id % 10 = 0
+        order by d.doc_id""")
+    ),
+    "q_source_overlap" -> Q(
+      (s, dir) =>
+        graft.operators.SourceOverlap
+          .shingleOverlapMatrix(docs(s, dir), "source", "text")
+          .select(
+            col("source_a"), col("source_b"),
+            col("n_a"), col("n_b"), col("n_shared"),
+            roundHalfUp(col("jaccard"), 6).cast("decimal(10,6)").as("jaccard"))
+          .orderBy("source_a", "source_b"),
+      // distinct (source, shingle-md5) sets, pair overlap via the shingle
+      // self-join (the oracle can afford it; the Spark side uses the
+      // bounded collect_set shape), set Jaccard on exact integer counts
+      Some(s"""
+        with t as (select source, $duckTokens as toks from documents),
+        sh as (
+          select distinct source, md5(s) as h from (
+            select source, unnest(list_transform(
+              range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) as s
+            from t)
+        ),
+        tot as (select source, count(*) as n from sh group by source),
+        pr as (
+          select a.source as sa, b.source as sb, count(*) as n_shared
+          from sh a join sh b on a.h = b.h and a.source < b.source
+          group by 1, 2
+        )
+        select sa as source_a, sb as source_b,
+          ta.n as n_a, tb.n as n_b, n_shared,
+          cast(${duckRound(
+            "cast(n_shared as double) / (ta.n + tb.n - n_shared)", 6)}
+            as decimal(10,6)) as jaccard
+        from pr join tot ta on ta.source = sa join tot tb on tb.source = sb
+        order by source_a, source_b""")
+    ),
     "q_ngram_jaccard" -> Q(
       (s, dir) => {
         // distinct md5(shingle) sets: same Jaccard value, but the self-join

@@ -150,6 +150,56 @@ class ExtensionsSpec extends SparkSpec {
     assert(verified.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("dedupAgainstCorpus flags batch docs duplicating the corpus, one row each") {
+    val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d1b = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    val d3 = "completely different words about spark catalyst optimizer and parquet files"
+    val corpus = Seq((1L, d1), (3L, d3)).toDF("doc_id", "text")
+    val batch = Seq((100L, d1b), (101L, "nothing shared with anything here at all today friend"))
+      .toDF("doc_id", "text")
+    val out = Dedup
+      .dedupAgainstCorpus(corpus, batch, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[java.lang.Long]("dup_of")), r.getAs[Boolean]("is_dup"))))
+      .toMap
+    assert(out.keySet == Set(100L, 101L)) // one row per batch doc
+    assert(out(100L)._1.contains(1L) && out(100L)._2, "near-dup of corpus doc 1")
+    assert(out(101L)._1.isEmpty && !out(101L)._2, "no candidate -> not a dup")
+    // an exact corpus copy in the batch scores jaccard 1.0 against it
+    val exact = Dedup
+      .dedupAgainstCorpus(corpus, Seq((200L, d1)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().head
+    assert(exact.getAs[Long]("dup_of") == 1L)
+    assert(exact.getAs[Double]("jaccard") == 1.0 && exact.getAs[Boolean]("is_dup"))
+  }
+
+  test("source overlap matrix: shared distinct shingles and set jaccard per pair") {
+    // srcA and srcB share exactly the shingles of the common sentence;
+    // srcC shares nothing with anyone
+    val common = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      ("a", common), ("a", "unique alpha content for source a only here"),
+      ("b", common), ("b", "other beta content for source b only there"),
+      ("c", "totally disjoint vocabulary nothing matches ever anywhere")
+    ).toDF("source", "text")
+    val out = graft.operators.SourceOverlap
+      .shingleOverlapMatrix(df, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getAs[Double]("jaccard"))))
+      .toMap
+    // only observed pairs appear: c overlaps nobody
+    assert(out.keySet == Set(("a", "b")))
+    val (na, nb, shared, j) = out(("a", "b"))
+    // common sentence: 6 tokens -> 4 3-shingles, all shared; plus the
+    // filler docs both contain the shingle "content for source" -> 5
+    assert(shared == 5L)
+    assert(na == 4L + 6L && nb == 4L + 6L) // each side: common + its own 8-token doc
+    assert(math.abs(j - 5.0 / (na + nb - 5)) < 1e-15)
+  }
+
   test("simhash64: identical tokens -> same hash; near-dup -> small hamming") {
     val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
     val d2 = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
