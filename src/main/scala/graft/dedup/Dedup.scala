@@ -214,6 +214,40 @@ object Dedup {
     *         `dup_of`/`jaccard` null when no candidate shared a band;
     *         `is_dup` compares the RAW jaccard against `threshold`
     */
+  /** The exploded LSH band index of a corpus: one row per (id, band,
+    * hash) — the persistable "index side" of [[dedupAgainstCorpus]] and
+    * [[graft.streaming.StreamingPipeline.dedupAgainstIndexStream]].
+    */
+  def bandIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4
+  ): DataFrame =
+    minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
+      .select(
+        col(idCol),
+        posexplode(array((0 until bands).map(i => col(s"band_$i")): _*))
+          .as(Seq("band", "hash")))
+
+  /** Distinct md5-shingle set per document (the verification side of the
+    * against-corpus paths): (out, shOut).
+    */
+  def shingleSets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      out: String,
+      shOut: String
+  ): DataFrame =
+    df.select(
+      col(idCol).as(out),
+      array_distinct(transform(wordShingles(col(textCol), shingleK), x => md5(x)))
+        .as(shOut))
+
   def dedupAgainstCorpus(
       corpus: DataFrame,
       batch: DataFrame,
@@ -226,29 +260,19 @@ object Dedup {
       maxBucket: Option[Int] = None
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def explodeBands(df: DataFrame) =
-      minhashBands(df, idCol, textCol, shingleK, numHashes, bands)
-        .select(
-          col(idCol),
-          posexplode(array((0 until bands).map(i => col(s"band_$i")): _*))
-            .as(Seq("band", "hash")))
     val corpusE = maxBucket
-      .fold(explodeBands(corpus))(capBuckets(explodeBands(corpus), idCol, _))
-    val batchE = explodeBands(batch)
+      .fold(bandIndex(corpus, idCol, textCol, shingleK, numHashes, bands))(
+        capBuckets(bandIndex(corpus, idCol, textCol, shingleK, numHashes, bands), idCol, _))
+    val batchE = bandIndex(batch, idCol, textCol, shingleK, numHashes, bands)
     val cand = corpusE.as("c")
       .join(
         broadcast(batchE.as("b")),
         col("c.band") === col("b.band") && col("c.hash") === col("b.hash"))
       .select(col(s"b.$idCol").as("_bid"), col(s"c.$idCol").as("_cid"))
       .distinct()
-    def shingleSets(df: DataFrame, out: String) =
-      df.select(
-        col(idCol).as(out),
-        array_distinct(transform(wordShingles(col(textCol), shingleK), x => md5(x)))
-          .as(s"_sh$out"))
     val scored = cand
-      .join(shingleSets(batch, "_bid"), "_bid")
-      .join(shingleSets(corpus, "_cid"), "_cid")
+      .join(shingleSets(batch, idCol, textCol, shingleK, "_bid", "_sh_bid"), "_bid")
+      .join(shingleSets(corpus, idCol, textCol, shingleK, "_cid", "_sh_cid"), "_cid")
       .select(col("_bid"), col("_cid"),
         jaccard(col("_sh_bid"), col("_sh_cid")).as("jaccard"))
     val w = Window.partitionBy(col("_bid"))

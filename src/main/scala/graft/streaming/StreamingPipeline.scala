@@ -178,6 +178,62 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("_text_hash")
       .drop("_text_hash")
 
+  /** Streaming incremental dedup: flag stream documents that near-duplicate
+    * a STATIC corpus — the live twin of
+    * [[graft.dedup.Dedup.dedupAgainstCorpus]] for ingest-time filtering
+    * (drop a crawl page the corpus already has BEFORE it costs storage).
+    *
+    * The stream side computes its MinHash bands as pure per-row
+    * expressions ([[graft.dedup.Dedup.minhashSignature]] — value-identical
+    * to the batch `minhashMins`, no aggregation, so no streaming state),
+    * explodes them, and STREAM-STATIC joins the corpus band index; shared-
+    * band candidates verify with exact distinct-shingle Jaccard against
+    * the static shingle sets. Emits every (stream doc, corpus doc) match
+    * with jaccard >= threshold; the final `dropDuplicates` collapses a
+    * pair meeting in several bands and keeps its state watermark-bounded
+    * (tsCol is part of the key). At 100 TB the two static sides are
+    * precomputed parquet (the band index IS [[graft.dedup.Dedup.bandIndex]]'s
+    * output) and the joins broadcast or bucket on the static side.
+    */
+  def dedupAgainstIndexStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "1 hour",
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    import graft.dedup.Dedup
+    val index = Dedup
+      .bandIndex(corpus, idCol, textCol, shingleK, numHashes, bands)
+      .withColumnRenamed(idCol, "corpus_id")
+    val corpusSh = Dedup.shingleSets(corpus, idCol, textCol, shingleK, "corpus_id", "_sh_corpus")
+    val rows = numHashes / bands
+    val bandCols = array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rows).map(r =>
+          element_at(col("_sig"), b * rows + r + 1).cast("string")): _*))
+    }: _*)
+    stream
+      .withWatermark(tsCol, watermark)
+      .withColumn("_sig",
+        Dedup.minhashSignature(Dedup.wordShingles(col(textCol), shingleK), numHashes))
+      .withColumn("_sh",
+        array_distinct(transform(Dedup.wordShingles(col(textCol), shingleK), x => md5(x))))
+      .select(col(idCol), col(tsCol), col("_sh"),
+        posexplode(bandCols).as(Seq("band", "hash")))
+      .join(index, Seq("band", "hash"))
+      .join(corpusSh, "corpus_id")
+      .select(col(idCol), col(tsCol), col("corpus_id"),
+        Dedup.jaccard(col("_sh"), col("_sh_corpus")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .dropDuplicates(idCol, tsCol, "corpus_id")
+  }
+
   /** Streaming PII-discovery monitor: watermarked per-window counts of
     * values that LOOK like raw PII (email / FR phone / street address) in
     * the monitored columns — the live twin of

@@ -185,6 +185,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, "alpha"), (3L, "beta")))
   }
 
+  test("streaming dedup-against-index flags corpus near-dups; batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d1b = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    val d3 = "completely different words about spark catalyst optimizer and parquet files"
+    val corpus = Seq((10L, d1), (11L, d3)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val flagged = StreamingPipeline.dedupAgainstIndexStream(
+      stream, corpus, threshold = 0.5, watermark = "10 minutes")
+    input.addData(
+      (100L, ts(0), d1b), // near-dup of corpus 10
+      (101L, ts(1), "nothing shared with anything in the corpus at all right now"),
+      (102L, ts(2), d1)   // exact copy of corpus 10
+    )
+    val q = flagged.writeStream.format("memory").queryName("dedup_idx")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_idx")
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 10L), (102L, 10L)))
+    val j102 = spark.table("dedup_idx").filter($"doc_id" === 102L)
+      .select("jaccard").as[Double].head()
+    assert(j102 == 1.0)
+    // batch twin: same verdicts from dedupAgainstCorpus
+    val batch = Seq((100L, d1b), (101L, "nothing shared with anything in the corpus at all right now"),
+      (102L, d1)).toDF("doc_id", "text")
+    val twin = graft.dedup.Dedup
+      .dedupAgainstCorpus(corpus, batch, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(twin == Map(100L -> true, 101L -> false, 102L -> true))
+    assert(got.map(_._1) == twin.filter(_._2).keySet)
+  }
+
   test("stateful sessionization closes sessions on gap; batch twin agrees") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
