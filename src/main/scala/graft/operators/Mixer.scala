@@ -52,6 +52,16 @@ object Mixer {
 
   /** Apply the target mix: returns the surviving rows plus `stratum` (the
     * source) and `mille` (the hash bucket that decided each row).
+    *
+    * ONE job: the per-source token masses and keep thresholds ride the
+    * plan — a |sources|-sized aggregate joined to the literal weights and
+    * BROADCAST back onto the corpus — instead of a driver-side collect
+    * (the [[mixRates]] Map stays available as the audit surface). The
+    * in-plan threshold `floor(min(1, budget·w/tok)·1000 + 0.5)` is the
+    * same double arithmetic, association order and rounding as
+    * [[mixRates]] + [[Sampling.stratifiedSample]]'s `(rate*1000).round`,
+    * so the surviving row set is identical. Unweighted and zero-mass
+    * sources drop via the inner join (the `defaultRate = 0` semantics).
     */
   def targetMix(
       df: DataFrame,
@@ -60,11 +70,30 @@ object Mixer {
       tokenCol: Column,
       weights: Map[String, Double],
       budgetTokens: Long
-  ): DataFrame =
-    Sampling.stratifiedSample(
-      df,
-      idCol,
-      col(sourceCol),
-      mixRates(df, sourceCol, tokenCol, weights, budgetTokens),
-      defaultRate = 0.0)
+  ): DataFrame = {
+    require(budgetTokens > 0, "mixer: budgetTokens must be positive")
+    require(weights.values.forall(_ >= 0), "mixer: weights must be >= 0")
+    require(
+      !df.columns.contains("stratum") && !df.columns.contains("mille"),
+      "targetMix: input must not already have `stratum`/`mille` columns")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weightsDf = weights.toSeq.toDF("_src_w", "_w")
+    val thresholds = df
+      .groupBy(col(sourceCol).cast("string").as("_src"))
+      .agg(sum(tokenCol).cast("long").as("_tok"))
+      .filter(col("_tok") > 0)
+      .join(weightsDf, col("_src") === col("_src_w"))
+      .select(
+        col("_src"),
+        floor(
+          least(lit(1.0), lit(budgetTokens.toDouble) * col("_w") / col("_tok"))
+            * 1000 + 0.5)
+          .cast("int").as("_thresh"))
+    df.withColumn("stratum", col(sourceCol))
+      .withColumn("mille", Sampling.hashMille(col(idCol)))
+      .join(broadcast(thresholds), col("stratum").cast("string") === col("_src"))
+      .filter(col("mille") < col("_thresh"))
+      .drop("_src", "_thresh")
+  }
 }

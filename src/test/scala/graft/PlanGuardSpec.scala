@@ -54,8 +54,6 @@ class PlanGuardSpec extends SparkSpec {
     "q_ann_srp_sig",      // SRP plane seed collect (planes x dim)
     "q_embed_near_dup",   // SRP plane seed collect (planes x dim)
     "q_knn_classify",     // SRP plane seed collect (planes x dim)
-    "q_target_mix",       // per-source rate collect (|sources| rows)
-    "q_corpus_prepare",   // per-source rate collect (|sources| rows)
     "q_k_enforce",        // generalization-ladder probe (|ladder| rows)
     "q_k_enforce_multi",  // lattice probe (|lattice| rows)
     // iterative algorithms: each build job is one superstep of the
