@@ -49,11 +49,6 @@ class PlanGuardSpec extends SparkSpec {
     "q_ann_ivf_multi",    // IVF centroid collect (k x dim)
     "q_semdedup",         // IVF assignment inside SemDedup (k x dim)
     "q_semdedup_guarded", // same IVF collect, guards on
-    "q_embed_topk",       // query-vector head (1 x dim)
-    "q_ann_topk_graph",   // SRP plane seed collect (planes x dim)
-    "q_ann_srp_sig",      // SRP plane seed collect (planes x dim)
-    "q_embed_near_dup",   // SRP plane seed collect (planes x dim)
-    "q_knn_classify",     // SRP plane seed collect (planes x dim)
     "q_k_enforce",        // generalization-ladder probe (|ladder| rows)
     "q_k_enforce_multi",  // lattice probe (|lattice| rows)
     // iterative algorithms: each build job is one superstep of the
