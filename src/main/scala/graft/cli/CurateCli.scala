@@ -1,0 +1,96 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Shards
+import graft.text.CorpusPipeline
+
+/** End-to-end corpus-curation CLI — the training-data counterpart of
+  * [[PipelineCli]]: documents parquet -> quality/language gates + PII
+  * redaction + dedup ([[CorpusPipeline.prepare]]) -> deterministic
+  * training shards ([[Shards.write]]) -> read-back audit
+  * ([[Shards.readBackAudit]]), with a machine-readable stats report.
+  * Exit code 0 iff the audit holds (every input row accounted for, one
+  * file per shard, contiguous within-shard positions).
+  *
+  * Usage: CurateCli <documents.parquet> <outDir> [nShards]
+  */
+object CurateCli {
+
+  final case class Summary(
+      nIn: Long,
+      nKept: Long,
+      nShards: Int,
+      auditOk: Boolean)
+
+  def run(
+      spark: SparkSession,
+      input: String,
+      outDir: String,
+      nShards: Int,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config()
+  ): Summary = {
+    val docs = spark.read.parquet(input)
+    val nIn = docs.count()
+    val kept = CorpusPipeline.prepare(docs, cfg = cfg)
+    val shardDir = s"$outDir/shards"
+    Shards.write(
+      kept.select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("quality_score"), col("n_tokens")),
+      "doc_id", shardDir, nShards, orderCols = Seq("source"))
+
+    // audit the files, not the plan: every kept row present exactly once,
+    // one file per shard, 0-based contiguous positions
+    val audit = Shards.readBackAudit(spark, shardDir).cache()
+    val nBack = audit.count()
+    val filesOk = audit.agg(max(col("files_in_shard"))).head().getLong(0) <= 1L
+    val posOk = audit
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("shard_pos")).as("lo"),
+        max(col("shard_pos")).as("hi"))
+      .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1)
+      .isEmpty
+    val nKept = kept.count()
+    val auditOk = nBack == nKept && filesOk && posOk
+    audit.unpersist()
+
+    // per-source/lang stats the mix designer reads
+    val stats = kept
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("source", "lang")
+      .collect()
+      .map(r =>
+        s"""{"source":"${r.get(0)}","lang":"${r.get(1)}",""" +
+          s""""n_docs":${r.getLong(2)},"n_tokens":${r.getLong(3)}}""")
+      .mkString("[", ",", "]")
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(
+      Paths.get(s"$outDir/corpus_stats.json"),
+      s"""{"n_in":$nIn,"n_kept":$nKept,"n_shards":$nShards,""" +
+        s""""audit_ok":$auditOk,"strata":$stats}""" + "\n")
+    Summary(nIn, nKept, nShards, auditOk)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: CurateCli <documents.parquet> <outDir> [nShards]")
+    val nShards = if (args.length > 2) args(2).toInt else 64
+    val spark = SparkSession
+      .builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-curate")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = run(spark, args(0), args(1), nShards)
+    println(s"[curate] in=${s.nIn} kept=${s.nKept} shards=${s.nShards} audit_ok=${s.auditOk}")
+    spark.stop()
+    if (!s.auditOk) sys.exit(1)
+  }
+}

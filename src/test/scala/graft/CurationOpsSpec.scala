@@ -724,6 +724,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(check(plan), s"no GlobalLimit under the rank Window:\n$plan")
   }
 
+  test("CurateCli.run: documents -> gated corpus -> audited shards, stats report") {
+    val out = java.nio.file.Files.createTempDirectory("curate").toString
+    val s = graft.cli.CurateCli
+      .run(spark, "/root/testdata/sf0.001/documents.parquet", out, nShards = 4)
+    assert(s.auditOk, "shard read-back audit must hold")
+    assert(s.nKept > 0 && s.nKept <= s.nIn)
+    val stats = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/corpus_stats.json"))
+    assert(stats.contains("\"audit_ok\":true"))
+    val back = spark.read.parquet(s"$out/shards")
+    assert(back.count() == s.nKept)
+    assert(back.select("doc_id").distinct().count() == s.nKept)
+    assert(back.columns.contains("quality_score") && back.columns.contains("shard_pos"))
+  }
+
   test("in-plan corpus stats match the pre-computed-scalar variants bit-for-bit") {
     // N = 12 tokens over 4 docs -> avgdl = 3.0 exactly; every pair below
     // must agree on raw doubles (Row equality is bitwise on doubles)
