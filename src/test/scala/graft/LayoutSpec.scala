@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Storage-layout evidence: the partition-pruning behaviors a 100 TB
+  * deployment depends on, pinned as plan assertions (the BucketingSpec
+  * pattern). Events land date-partitioned; a day filter must prune at
+  * PLANNING time, and a dimension-driven join must prune DYNAMICALLY —
+  * without either, every query pays a full-table scan.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_by_date").toString
+    graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(d)
+    d
+  }
+
+  test("static partition pruning: a day filter reaches the scan as a partition filter") {
+    val back = spark.read.parquet(dir)
+    val total = back.select(countDistinct(col("event_date"))).as[Long].head()
+    assert(total > 1, "fixture must span multiple dates for pruning to mean anything")
+    val oneDay = back.filter(col("event_date") === back.agg(min(col("event_date"))).head().getDate(0))
+    val plan = oneDay.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters:") && plan.contains("event_date"),
+      s"day filter did not reach the scan as a partition filter:\n$plan")
+    // the pruned scan must read strictly fewer partitions than exist
+    val scanned = oneDay.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.forall(_ == 1),
+      s"expected exactly 1 of $total partitions selected, got $scanned")
+  }
+
+  test("dynamic partition pruning: a dimension filter prunes the fact scan at runtime") {
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val fact = spark.read.parquet(dir)
+    // tiny dimension: one row selecting one date
+    val minDate = fact.agg(min(col("event_date"))).head().getDate(0)
+    // the dimension must be a FILE source: a local relation folds its
+    // filter away and DPP's selective-predicate heuristic never fires
+    val dimDir = java.nio.file.Files.createTempDirectory("date_dim").toString
+    fact.select(col("event_date").as("d_date")).distinct()
+      .withColumn("tag", when(col("d_date") === minDate, "keep").otherwise("drop"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact
+      .join(dim.filter(col("tag") === "keep"), fact("event_date") === dim("d_date"))
+    val plan = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("dynamicpruning") || plan.contains("dynamicpruningexpression"),
+      s"no dynamic-pruning subquery on the fact scan:\n$plan")
+  }
+}
