@@ -26,6 +26,21 @@ object CurateCli {
       nShards: Int,
       auditOk: Boolean)
 
+  /** JSON string escape (backslash, quote, control chars) — free-form
+    * source/lang values must not corrupt the machine-readable report.
+    */
+  private def jstr(v: Any): String =
+    if (v == null) "null"
+    else "\"" + v.toString.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def run(
       spark: SparkSession,
       input: String,
@@ -35,27 +50,37 @@ object CurateCli {
   ): Summary = {
     val docs = spark.read.parquet(input)
     val nIn = docs.count()
+    // cache: the curation gates are the expensive stage and three actions
+    // read the result (shard write, audit comparison, stats report)
     val kept = CorpusPipeline.prepare(docs, cfg = cfg)
-    val shardDir = s"$outDir/shards"
-    Shards.write(
-      kept.select(col("doc_id"), col("source"), col("lang"), col("text"),
-        col("quality_score"), col("n_tokens")),
-      "doc_id", shardDir, nShards, orderCols = Seq("source"))
-
-    // audit the files, not the plan: every kept row present exactly once,
-    // one file per shard, 0-based contiguous positions
-    val audit = Shards.readBackAudit(spark, shardDir).cache()
-    val nBack = audit.count()
-    val filesOk = audit.agg(max(col("files_in_shard"))).head().getLong(0) <= 1L
-    val posOk = audit
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n"), min(col("shard_pos")).as("lo"),
-        max(col("shard_pos")).as("hi"))
-      .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1)
-      .isEmpty
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("quality_score"), col("n_tokens"))
+      .cache()
     val nKept = kept.count()
-    val auditOk = nBack == nKept && filesOk && posOk
-    audit.unpersist()
+    val shardDir = s"$outDir/shards"
+    val auditOk =
+      if (nKept == 0) {
+        // nothing survived the gates: no shard files to write or audit —
+        // an EMPTY corpus is a valid (if alarming) outcome, not a crash
+        true
+      } else {
+        Shards.write(kept, "doc_id", shardDir, nShards, orderCols = Seq("source"))
+        // audit the FILES, not the plan: every kept row present exactly
+        // once, one file per shard, 0-based contiguous DISTINCT positions
+        // (min/max alone would accept a duplicated+dropped row pair)
+        val audit = Shards.readBackAudit(spark, shardDir).cache()
+        val nBack = audit.count()
+        val filesOk = audit.agg(max(col("files_in_shard"))).head().getLong(0) <= 1L
+        val posOk = audit
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("shard_pos")).as("nd"),
+            min(col("shard_pos")).as("lo"), max(col("shard_pos")).as("hi"))
+          .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1 ||
+            col("nd") =!= col("n"))
+          .isEmpty
+        audit.unpersist()
+        nBack == nKept && filesOk && posOk
+      }
 
     // per-source/lang stats the mix designer reads
     val stats = kept
@@ -64,9 +89,10 @@ object CurateCli {
       .orderBy("source", "lang")
       .collect()
       .map(r =>
-        s"""{"source":"${r.get(0)}","lang":"${r.get(1)}",""" +
+        s"""{"source":${jstr(r.get(0))},"lang":${jstr(r.get(1))},""" +
           s""""n_docs":${r.getLong(2)},"n_tokens":${r.getLong(3)}}""")
       .mkString("[", ",", "]")
+    kept.unpersist()
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(
       Paths.get(s"$outDir/corpus_stats.json"),

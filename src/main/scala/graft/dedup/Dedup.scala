@@ -197,23 +197,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Incremental dedup: flag each document of a NEW batch that
-    * near-duplicates a member of an EXISTING corpus — the daily-ingest
-    * shape (crawl increments, backfill merges) where re-running all-pairs
-    * dedup over corpus+batch would rescan 100 TB to admit a few GB.
-    *
-    * The corpus side is the INDEX: its band hashes are the same narrow
-    * per-row expressions as [[minhashBands]] (precompute and persist them
-    * in practice), skew-cappable via `maxBucket`. The batch band list is
-    * batch-sized and BROADCAST, so the candidate join never shuffles the
-    * corpus. Shared-band candidates are verified with exact
-    * distinct-shingle Jaccard, and each batch doc reports its best corpus
-    * match (highest jaccard, lowest corpus id tie-break).
-    *
-    * @return one row per batch doc: (idCol, dup_of, jaccard, is_dup) —
-    *         `dup_of`/`jaccard` null when no candidate shared a band;
-    *         `is_dup` compares the RAW jaccard against `threshold`
-    */
   /** The exploded LSH band index of a corpus: one row per (id, band,
     * hash) — the persistable "index side" of [[dedupAgainstCorpus]] and
     * [[graft.streaming.StreamingPipeline.dedupAgainstIndexStream]].
@@ -248,6 +231,23 @@ object Dedup {
       array_distinct(transform(wordShingles(col(textCol), shingleK), x => md5(x)))
         .as(shOut))
 
+  /** Incremental dedup: flag each document of a NEW batch that
+    * near-duplicates a member of an EXISTING corpus — the daily-ingest
+    * shape (crawl increments, backfill merges) where re-running all-pairs
+    * dedup over corpus+batch would rescan 100 TB to admit a few GB.
+    *
+    * The corpus side is the INDEX: its band hashes are the same narrow
+    * per-row expressions as [[minhashBands]] (precompute and persist them
+    * in practice), skew-cappable via `maxBucket`. The batch band list is
+    * batch-sized and BROADCAST, so the candidate join never shuffles the
+    * corpus. Shared-band candidates are verified with exact
+    * distinct-shingle Jaccard, and each batch doc reports its best corpus
+    * match (highest jaccard, lowest corpus id tie-break).
+    *
+    * @return one row per batch doc: (idCol, dup_of, jaccard, is_dup) —
+    *         `dup_of`/`jaccard` null when no candidate shared a band;
+    *         `is_dup` compares the RAW jaccard against `threshold`
+    */
   def dedupAgainstCorpus(
       corpus: DataFrame,
       batch: DataFrame,

@@ -135,6 +135,8 @@ object Ivf {
     require(frac > 0 && frac <= 1, s"ivf: frac must be in (0, 1], got $frac")
     // floor(frac*1000 + 0.5) per-mille threshold — the Sampling/Mixer cut
     val thresh = math.floor(frac * 1000 + 0.5).toInt
+    require(thresh >= 1,
+      s"ivf: frac=$frac rounds to an EMPTY per-mille sample — use frac >= 0.0005")
     val sample = df.filter(
       graft.operators.StableHash.bucket(col(idCol), 1000) < thresh)
     var centroids = sample

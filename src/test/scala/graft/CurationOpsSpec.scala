@@ -739,6 +739,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(back.columns.contains("quality_score") && back.columns.contains("shard_pos"))
   }
 
+  test("CurateCli.run: an all-filtered corpus reports cleanly instead of crashing") {
+    val out = java.nio.file.Files.createTempDirectory("curate_empty").toString
+    val s = graft.cli.CurateCli.run(
+      spark, "/root/testdata/sf0.001/documents.parquet", out, nShards = 4,
+      cfg = graft.text.CorpusPipeline.Config(minQuality = 1.1)) // nothing passes
+    assert(s.nKept == 0 && s.auditOk)
+    val stats = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/corpus_stats.json"))
+    assert(stats.contains("\"n_kept\":0") && stats.contains("\"strata\":[]"))
+  }
+
   test("in-plan corpus stats match the pre-computed-scalar variants bit-for-bit") {
     // N = 12 tokens over 4 docs -> avgdl = 3.0 exactly; every pair below
     // must agree on raw doubles (Row equality is bitwise on doubles)
