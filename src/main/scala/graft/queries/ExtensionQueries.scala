@@ -570,6 +570,23 @@ object ExtensionQueries {
         where d.doc_id % 10 = 0
         order by d.doc_id""")
     ),
+    "q_global_ids" -> Q(
+      (s, dir) =>
+        graft.operators.GlobalIds
+          .denseGlobalId(
+            docs(s, dir).select(col("doc_id"), col("source")),
+            Seq(col("source"), col("doc_id")))
+          .select(col("doc_id"), col("source"), col("global_id"))
+          .orderBy("doc_id"),
+      // dense 0-based global rank by (source, doc_id) — the two-phase
+      // distributed numbering must equal the oracle's single row_number
+      Some("""
+        select doc_id, source,
+          cast(row_number() over (order by source, doc_id) - 1 as bigint)
+            as global_id
+        from documents
+        order by doc_id""")
+    ),
     "q_source_overlap" -> Q(
       (s, dir) =>
         graft.operators.SourceOverlap

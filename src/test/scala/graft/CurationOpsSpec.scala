@@ -750,6 +750,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(stats.contains("\"n_kept\":0") && stats.contains("\"strata\":[]"))
   }
 
+  test("denseGlobalId: dense 0-based global rank, deterministic, partition-count-proof") {
+    val d = (1L to 5000L).map(i => (i, s"s${i % 7}")).toDF("id", "src")
+    val out = graft.operators.GlobalIds
+      .denseGlobalId(d, Seq(col("src"), col("id")))
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("id")) -> r.getAs[Long]("global_id"))
+      .toMap
+    // equals the single-partition definition: rank by (src, id)
+    val expected = (1L to 5000L).map(i => (s"s${i % 7}", i)).sorted.zipWithIndex
+      .map { case (k, i) => k -> i.toLong }.toMap
+    assert(out == expected)
+    // dense: every id in [0, n) exactly once
+    assert(out.values.toSeq.sorted == (0L until 5000L))
+    // deterministic across runs and input partitionings
+    val out2 = graft.operators.GlobalIds
+      .denseGlobalId(d.repartition(17), Seq(col("src"), col("id")))
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("id")) -> r.getAs[Long]("global_id"))
+      .toMap
+    assert(out2 == out)
+  }
+
   test("in-plan corpus stats match the pre-computed-scalar variants bit-for-bit") {
     // N = 12 tokens over 4 docs -> avgdl = 3.0 exactly; every pair below
     // must agree on raw doubles (Row equality is bitwise on doubles)
