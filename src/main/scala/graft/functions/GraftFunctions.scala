@@ -55,6 +55,8 @@ object GraftFunctions {
     register1("quality_score")(TextAnalysis.qualityScore)
     register1("fingerprint_md5")(TextAnalysis.fingerprintMd5)
     register1("rolling_fingerprint")(TextAnalysis.rollingFingerprint)
+    register1("nfc_normalize")(graft.text.TextNormalize.nfc)
+    register1("clean_text")(graft.text.TextNormalize.clean(_))
     reg.createOrReplaceTempFunction(
       "text_stats",
       exprs => graft.text.TextStatsExpr(Cast(exprs.head, StringType)),

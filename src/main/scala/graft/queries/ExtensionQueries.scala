@@ -570,6 +570,38 @@ object ExtensionQueries {
         where d.doc_id % 10 = 0
         order by d.doc_id""")
     ),
+    "q_text_normalize" -> Q(
+      (s, dir) => {
+        // the corpus is ASCII, so the decomposed suffix IS the NFC test:
+        // "cafe" + combining acute (U+0301) + doubled spaces + a
+        // zero-width space (U+200B) -- NFC must COMPOSE the e+accent
+        val decorated = concat(col("text"), lit("  cafe\u0301  \u200Bend"))
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            graft.text.TextNormalize.clean(decorated).as("norm_text"),
+            length(graft.text.TextNormalize.nfc(decorated)).cast("int")
+              .as("n_chars_nfc"))
+          .orderBy("doc_id")
+      },
+      // DuckDB builds the same decomposed suffix from codepoints and
+      // replays NFC (nfc_normalize), the zero-width strip, and the
+      // whitespace collapse; both engines implement Unicode canonical
+      // composition, so 'e'+U+0301 composes to the same single char
+      Some("""
+        with d as (
+          select doc_id,
+            text || '  ' || 'caf' || 'e' || chr(769) || '  ' || chr(8203) || 'end' as t
+          from documents
+        ),
+        n as (select doc_id, nfc_normalize(t) as nt from d)
+        select doc_id,
+          trim(regexp_replace(
+            regexp_replace(nt, '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+            '\s+', ' ', 'g')) as norm_text,
+          cast(length(nt) as int) as n_chars_nfc
+        from n order by doc_id""")
+    ),
     "q_global_ids" -> Q(
       (s, dir) =>
         graft.operators.GlobalIds

@@ -150,6 +150,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(verified.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("NFC normalization composes decomposed forms; clean canonicalizes for hashing") {
+    import graft.text.TextNormalize
+    val composed = "caf\u00e9"            // cafe with composed e-acute
+    val decomposed = "cafe\u0301"         // e + combining acute
+    val d = Seq(
+      (1L, decomposed),
+      (2L, composed),
+      (3L, "  a\u200Bb   c  "),           // zero-width + ragged whitespace
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = d.select(col("id"),
+        TextNormalize.nfc(col("t")).as("nfc"),
+        TextNormalize.clean(col("t")).as("clean"),
+        TextNormalize.clean(col("t"), lowercase = true).as("lower"))
+      .orderBy("id").collect()
+    // both spellings normalize to the SAME string -> same hash downstream
+    assert(out(0).getString(1) == out(1).getString(1))
+    assert(out(0).getString(1) == composed)
+    assert(md5(lit(out(0).getString(1))) != null)
+    assert(out(2).getString(2) == "ab c")
+    assert(out(1).getAs[String]("lower") == composed.toLowerCase)
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+    // and exact dedup now sees the two spellings as ONE document
+    val deduped = graft.dedup.Dedup.exactDedup(
+      d.filter(col("t").isNotNull).select(col("id"),
+        TextNormalize.clean(col("t")).as("t")), "id", "t")
+    assert(deduped.filter(col("n_copies") === 2).count() == 1)
+  }
+
   test("dedupAgainstCorpus flags batch docs duplicating the corpus, one row each") {
     val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
     val d1b = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
