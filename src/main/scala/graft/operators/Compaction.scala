@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the standard post-ingest maintenance pass: a
+  * streaming sink or a fine-grained batch write leaves thousands of tiny
+  * parquet files, and every downstream scan then pays per-file open cost
+  * and loses row-group-sized reads. Compaction rewrites a directory into
+  * ~`targetBytes`-sized files.
+  *
+  * Scale shape: ONE bounded driver step (the file listing — |files|
+  * statuses, no data) sizes the output; the rewrite is a single
+  * `repartition(n)` pass — a round-robin shuffle that also heals skewed
+  * input files. Content is preserved exactly (same rows, any order);
+  * compaction is a LAYOUT operation, not a semantic one — callers needing
+  * deterministic order use [[Shards.write]] instead.
+  */
+object Compaction {
+
+  /** Number of output files a directory should compact to. */
+  def plannedFiles(spark: SparkSession, dir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"compaction: targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen)
+      .sum
+    math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+  }
+
+  /** Rewrite `inDir` (flat parquet) as `outDir` with ~targetBytes files.
+    * @return (input files, output files) actually observed
+    */
+  def compact(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long
+  ): (Int, Int) = {
+    require(inDir != outDir,
+      "compaction: refuse to overwrite the input in place — write to a new " +
+        "directory and swap atomically at the catalog/manifest layer")
+    val n = plannedFiles(spark, inDir, targetBytes)
+    spark.read.parquet(inDir)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def count(dir: String) = fs
+      .listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    (count(inDir), count(outDir))
+  }
+}

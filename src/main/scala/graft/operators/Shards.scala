@@ -82,6 +82,35 @@ object Shards {
     * [[assign]] on the source. The file census is `_metadata.file_path`
     * (no extra scan) aggregated to |shards| rows and broadcast back.
     */
+  /** Per-shard manifest of a written shard directory: (shard, n_rows,
+    * n_files, bytes, content_hash) — the bookkeeping record a training job
+    * reads to resume/verify a data epoch without re-reading the corpus.
+    * `content_hash` is order-sensitive (md5 over the ordered per-row id
+    * stream via the same bit-mix as the row order), so a reordered or
+    * altered shard changes its hash.
+    */
+  def manifest(spark: SparkSession, dir: String, idCol: String): DataFrame = {
+    val back = spark.read.parquet(dir)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_bytes", col("_metadata.file_size"))
+    val rows = back
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("shard_pos"), col(idCol)))),
+            s => s.getField(idCol).cast("string")))).as("content_hash"))
+    val files = back
+      .groupBy(col("shard"), col("_file"))
+      .agg(max(col("_bytes")).as("_fb"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_files"), sum(col("_fb")).as("bytes"))
+    rows.join(files, "shard")
+      .select(col("shard"), col("n_rows"), col("n_files"), col("bytes"),
+        col("content_hash"))
+  }
+
   def readBackAudit(spark: SparkSession, dir: String): DataFrame = {
     val back = spark.read.parquet(dir)
       .withColumn("_file", col("_metadata.file_path"))

@@ -750,6 +750,62 @@ class CurationOpsSpec extends SparkSpec {
     assert(stats.contains("\"n_kept\":0") && stats.contains("\"strata\":[]"))
   }
 
+  test("compaction: tiny files rewrite to target-sized files, content preserved") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("tiny_files").toString
+    val d = (1L to 2000L).map(i => (i, s"payload for row $i")).toDF("id", "payload")
+    d.repartition(50).write.mode("overwrite").parquet(inDir) // 50 tiny files
+    val outDir = Files.createTempDirectory("compacted").toString + "/out"
+    val total = {
+      val fs = new org.apache.hadoop.fs.Path(inDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    val (nIn, nOut) = graft.operators.Compaction
+      .compact(spark, inDir, outDir, targetBytes = total / 4)
+    assert(nIn == 50)
+    assert(nOut <= 6 && nOut >= 3, s"expected ~4-5 output files, got $nOut")
+    // content identical (order-free)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() == 2000)
+    assert(back.as[(Long, String)].collect().toSet == d.as[(Long, String)].collect().toSet)
+    // refuses in-place rewrite
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Compaction.compact(spark, inDir, inDir, 1000)
+    }
+    assert(ex.getMessage.contains("in place"))
+  }
+
+  test("shard manifest: per-shard rows/files/bytes and an order-sensitive content hash") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val dir = Files.createTempDirectory("shards_m").toString
+    graft.operators.Shards.write(docs, "doc_id", dir, n = 4, orderCols = Seq("source"))
+    val m = graft.operators.Shards.manifest(spark, dir, "doc_id")
+      .orderBy("shard").collect()
+    assert(m.map(_.getAs[Long]("n_rows")).sum == docs.count())
+    assert(m.forall(_.getAs[Long]("n_files") == 1L))
+    assert(m.forall(_.getAs[Long]("bytes") > 0L))
+    // the hash is a pure function of ordered membership: identical re-write
+    // -> identical manifest
+    val dir2 = Files.createTempDirectory("shards_m2").toString
+    graft.operators.Shards.write(docs, "doc_id", dir2, n = 4, orderCols = Seq("source"))
+    val m2 = graft.operators.Shards.manifest(spark, dir2, "doc_id")
+      .orderBy("shard").collect()
+    assert(m.map(_.getAs[String]("content_hash")).toSeq ==
+      m2.map(_.getAs[String]("content_hash")).toSeq)
+    // and it detects a different ordering: re-shard ordered by doc_id only
+    val dir3 = Files.createTempDirectory("shards_m3").toString
+    graft.operators.Shards.write(docs, "doc_id", dir3, n = 4)
+    val m3 = graft.operators.Shards.manifest(spark, dir3, "doc_id")
+      .orderBy("shard").collect()
+    assert(m.map(_.getAs[String]("content_hash")).toSeq !=
+      m3.map(_.getAs[String]("content_hash")).toSeq)
+  }
+
   test("denseGlobalId: dense 0-based global rank, deterministic, partition-count-proof") {
     val d = (1L to 5000L).map(i => (i, s"s${i % 7}")).toDF("id", "src")
     val out = graft.operators.GlobalIds
