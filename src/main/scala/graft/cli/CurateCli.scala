@@ -58,6 +58,9 @@ object CurateCli {
       .cache()
     val nKept = kept.count()
     val shardDir = s"$outDir/shards"
+    // report the number of shards that EXIST: zero when nothing was kept,
+    // so a consumer keying on the stats file never expects missing files
+    val nShardsOut = if (nKept == 0) 0 else nShards
     val auditOk =
       if (nKept == 0) {
         // nothing survived the gates: no shard files to write or audit —
@@ -96,9 +99,9 @@ object CurateCli {
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(
       Paths.get(s"$outDir/corpus_stats.json"),
-      s"""{"n_in":$nIn,"n_kept":$nKept,"n_shards":$nShards,""" +
+      s"""{"n_in":$nIn,"n_kept":$nKept,"n_shards":$nShardsOut,""" +
         s""""audit_ok":$auditOk,"strata":$stats}""" + "\n")
-    Summary(nIn, nKept, nShards, auditOk)
+    Summary(nIn, nKept, nShardsOut, auditOk)
   }
 
   def main(args: Array[String]): Unit = {

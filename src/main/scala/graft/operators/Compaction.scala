@@ -23,10 +23,15 @@ object Compaction {
     require(targetBytes > 0, s"compaction: targetBytes must be positive")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen)
-      .sum
+    // a partitioned (nested) layout has NO top-level parquet files; sizing
+    // it as 0 bytes would silently funnel the whole dataset through one
+    // repartition(1) task — refuse instead (compact each partition dir)
+    require(files.nonEmpty,
+      s"compaction: no top-level parquet files in $dir — nested/partitioned " +
+        "layouts must be compacted per partition directory")
+    val totalBytes = files.map(_.getLen).sum
     math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
   }
 

@@ -48,10 +48,16 @@ object GlobalIds {
       .repartitionByRange(orderCols: _*)
       .withColumn("_pid", spark_partition_id())
     // ONE bounded job: per-partition counts (|partitions| rows). The ranged
-    // frame is cached so the counted partitioning IS the one the final
+    // frame is pinned so the counted partitioning IS the one the final
     // numbering pass reads — without this, the range sampler could draw
     // different boundaries on the second pass and mis-align the offsets.
-    ranged.cache()
+    // cacheOnce (the connectedComponents convention): the pin backs the
+    // RETURNED frame and stays resident until LRU eviction or a caller
+    // unpersist; disk-backed so a big input spills instead of thrashing
+    // executor memory. At true corpus scale, persist the NUMBERED output
+    // once and drop this upstream pin.
+    if (ranged.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      ranged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = ranged
       .groupBy(col("_pid"))
       .agg(count(lit(1)).as("_n"))

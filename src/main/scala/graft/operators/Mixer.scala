@@ -73,9 +73,9 @@ object Mixer {
   ): DataFrame = {
     require(budgetTokens > 0, "mixer: budgetTokens must be positive")
     require(weights.values.forall(_ >= 0), "mixer: weights must be >= 0")
-    require(
-      !df.columns.contains("stratum") && !df.columns.contains("mille"),
-      "targetMix: input must not already have `stratum`/`mille` columns")
+    val reserved = Seq("stratum", "mille", "_src", "_thresh", "_src_w", "_w")
+    require(!reserved.exists(df.columns.contains),
+      s"targetMix: input must not already have ${reserved.mkString("/")} columns")
     val spark = df.sparkSession
     import spark.implicits._
     val weightsDf = weights.toSeq.toDF("_src_w", "_w")

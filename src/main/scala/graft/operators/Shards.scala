@@ -75,19 +75,15 @@ object Shards {
       .parquet(dir)
   }
 
-  /** Read a written shard directory back with the per-shard FILE count
-    * attached to every row — the audit surface for [[write]]'s layout
-    * guarantee: `files_in_shard` must be 1 everywhere, `shard_pos` must
-    * replay the (orderCols, id) row_number, and membership must equal
-    * [[assign]] on the source. The file census is `_metadata.file_path`
-    * (no extra scan) aggregated to |shards| rows and broadcast back.
-    */
   /** Per-shard manifest of a written shard directory: (shard, n_rows,
     * n_files, bytes, content_hash) — the bookkeeping record a training job
     * reads to resume/verify a data epoch without re-reading the corpus.
-    * `content_hash` is order-sensitive (md5 over the ordered per-row id
-    * stream via the same bit-mix as the row order), so a reordered or
-    * altered shard changes its hash.
+    * `content_hash` is ORDER-SENSITIVE with BOUNDED aggregation state: each
+    * row contributes md5Long("<shard_pos>:<id>") and the shard digest is
+    * their sum — the position inside the hash makes any reorder, loss,
+    * duplicate or membership change shift the sum, while the commutative
+    * fold keeps per-group state at one long (a collect_list of a
+    * hundreds-of-MB shard would OOM the executor).
     */
   def manifest(spark: SparkSession, dir: String, idCol: String): DataFrame = {
     val back = spark.read.parquet(dir)
@@ -97,10 +93,8 @@ object Shards {
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).as("n_rows"),
-        md5(concat_ws(",",
-          transform(
-            array_sort(collect_list(struct(col("shard_pos"), col(idCol)))),
-            s => s.getField(idCol).cast("string")))).as("content_hash"))
+        sum(StableHash.md5Long(
+          concat_ws(":", col("shard_pos"), col(idCol)))).as("content_hash"))
     val files = back
       .groupBy(col("shard"), col("_file"))
       .agg(max(col("_bytes")).as("_fb"))
@@ -111,6 +105,13 @@ object Shards {
         col("content_hash"))
   }
 
+  /** Read a written shard directory back with the per-shard FILE count
+    * attached to every row — the audit surface for [[write]]'s layout
+    * guarantee: `files_in_shard` must be 1 everywhere, `shard_pos` must
+    * replay the (orderCols, id) row_number, and membership must equal
+    * [[assign]] on the source. The file census is `_metadata.file_path`
+    * (no extra scan) aggregated to |shards| rows and broadcast back.
+    */
   def readBackAudit(spark: SparkSession, dir: String): DataFrame = {
     val back = spark.read.parquet(dir)
       .withColumn("_file", col("_metadata.file_path"))

@@ -795,15 +795,15 @@ class CurationOpsSpec extends SparkSpec {
     graft.operators.Shards.write(docs, "doc_id", dir2, n = 4, orderCols = Seq("source"))
     val m2 = graft.operators.Shards.manifest(spark, dir2, "doc_id")
       .orderBy("shard").collect()
-    assert(m.map(_.getAs[String]("content_hash")).toSeq ==
-      m2.map(_.getAs[String]("content_hash")).toSeq)
+    assert(m.map(_.getAs[Long]("content_hash")).toSeq ==
+      m2.map(_.getAs[Long]("content_hash")).toSeq)
     // and it detects a different ordering: re-shard ordered by doc_id only
     val dir3 = Files.createTempDirectory("shards_m3").toString
     graft.operators.Shards.write(docs, "doc_id", dir3, n = 4)
     val m3 = graft.operators.Shards.manifest(spark, dir3, "doc_id")
       .orderBy("shard").collect()
-    assert(m.map(_.getAs[String]("content_hash")).toSeq !=
-      m3.map(_.getAs[String]("content_hash")).toSeq)
+    assert(m.map(_.getAs[Long]("content_hash")).toSeq !=
+      m3.map(_.getAs[Long]("content_hash")).toSeq)
   }
 
   test("denseGlobalId: dense 0-based global rank, deterministic, partition-count-proof") {

@@ -168,7 +168,10 @@ class ExtensionsSpec extends SparkSpec {
     // both spellings normalize to the SAME string -> same hash downstream
     assert(out(0).getString(1) == out(1).getString(1))
     assert(out(0).getString(1) == composed)
-    assert(md5(lit(out(0).getString(1))) != null)
+    // hash-stability: both spellings md5 identically AFTER normalization
+    val hashes = d.filter(col("id").isin(1L, 2L))
+      .select(md5(TextNormalize.nfc(col("t")))).as[String].collect()
+    assert(hashes.distinct.length == 1)
     assert(out(2).getString(2) == "ab c")
     assert(out(1).getAs[String]("lower") == composed.toLowerCase)
     assert(out(3).isNullAt(1) && out(3).isNullAt(2))

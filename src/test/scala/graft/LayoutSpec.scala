@@ -38,7 +38,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("dynamic partition pruning: a dimension filter prunes the fact scan at runtime") {
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // DPP is on by default; the suite shares one session, so no conf writes
     val fact = spark.read.parquet(dir)
     // tiny dimension: one row selecting one date
     val minDate = fact.agg(min(col("event_date"))).head().getDate(0)

@@ -22,7 +22,8 @@ import graft.queries.Registry
   *
   * Plans are built (analyzed + planned) against sf0.001 but not executed,
   * except where a query's construction itself runs a bounded driver action
-  * (IVF centroid collect, top-k query-vector head — both k×dim sized).
+  * (see `boundedBuildActions` — IVF centroid collects, k-anonymity probes,
+  * iterative supersteps, the shard sink).
   */
 class PlanGuardSpec extends SparkSpec {
 
