@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.masking.MaskModel
 import graft.policy.{ColumnPolicy, EngineConfig}
@@ -306,6 +306,40 @@ object StreamingPipeline {
     * timeout: a session closes when no event arrives within `gapMs` of the
     * last one (by watermark). Emits one row per closed session.
     */
+  /** Date-partitioned, CHECKPOINTED parquet landing sink — the bronze-layer
+    * ingest pattern: the file sink's `_spark_metadata` commit log gives
+    * exactly-once file semantics (a restarted query resumes from the
+    * checkpoint and never re-lands a committed batch), and the
+    * `event_date=` layout is the partition-pruned shape LayoutSpec pins
+    * for downstream reads. `Trigger.AvailableNow` drains what is available
+    * and stops — the incremental-batch ingest cadence; pass a different
+    * trigger for continuous landing.
+    *
+    * Readers MUST go through `spark.read.parquet(dir)` (which honors the
+    * sink's commit log); listing the directory by hand would see
+    * uncommitted task files.
+    */
+  def sinkDatePartitionedParquet(
+      stream: DataFrame,
+      dir: String,
+      checkpoint: String,
+      tsCol: String = "ts",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    require(!stream.columns.contains("event_date"),
+      "sink: input must not already have an `event_date` column")
+    stream
+      .withColumn("event_date", to_date(col(tsCol)))
+      .writeStream
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("event_date")
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .start()
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000,
