@@ -19,7 +19,8 @@ object CorpusPipeline {
       minQuality: Double = 0.5,
       maxRepetition: Double = 0.3,
       languages: Seq[String] = Seq("en"),
-      nearDupJaccard: Option[Double] = None // None = exact dedup only
+      nearDupJaccard: Option[Double] = None, // None = exact dedup only
+      normalize: Boolean = false // NFC + zero-width/whitespace cleanup first
   )
 
   def prepare(
@@ -35,7 +36,15 @@ object CorpusPipeline {
     // otherwise score 0.9, langId would fall through to its otherwise
     // branch, and a null document could survive to the corpus. The
     // IsNotNull also pushes into the scan.
-    val scored = docs
+    // optional canonicalization BEFORE any hash-based stage: without NFC,
+    // composed and decomposed spellings of the same text evade exact AND
+    // near-dup removal (see TextNormalize) — opt-in so default-config
+    // outputs stay byte-stable for the oracles
+    val canonical =
+      if (cfg.normalize)
+        docs.withColumn(textCol, TextNormalize.clean(col(textCol)))
+      else docs
+    val scored = canonical
       .filter(col(textCol).isNotNull)
       .withColumn("_st", TextAnalysis.textStats(col(textCol)))
       .withColumn("quality_score", TextAnalysis.qualityScoreOfStats(col("_st")))

@@ -108,11 +108,10 @@ object LmScore {
   }
 
   /** Pre-computed-N variant (see [[surprisal]] for when to prefer it).
-    * NOTE: a 4-arg call with a Long N resolves to the in-plan overload via
-    * numeric widening and fails its lambda range check immediately — pass
-    * lambda explicitly when passing nTokens.
+    * Distinctly named: an overload would let a legacy 4-arg Long call
+    * silently widen nTokens into the in-plan variant's lambda parameter.
     */
-  def bigramSurprisal(
+  def bigramSurprisalWithN(
       docsDf: DataFrame,
       idCol: String,
       textCol: Column,

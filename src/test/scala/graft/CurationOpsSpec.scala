@@ -287,7 +287,7 @@ class CurationOpsSpec extends SparkSpec {
     val lam = 0.7
     val pAb = lam * 2 / 2 + (1.0 - lam) * 3 / 7 // = p("b a") too (c2 symmetric)
     val out = graft.text.LmScore
-      .bigramSurprisal(d, "doc_id", col("text"), nTokens = 7L, lambda = lam)
+      .bigramSurprisalWithN(d, "doc_id", col("text"), nTokens = 7L, lambda = lam)
       .orderBy("doc_id")
       .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
@@ -303,7 +303,7 @@ class CurationOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val n2 = 14L
     val s2 = graft.text.LmScore
-      .bigramSurprisal(d2, "doc_id", col("text"), n2, lambda = 0.7)
+      .bigramSurprisalWithN(d2, "doc_id", col("text"), n2, lambda = 0.7)
       .collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("surprisal2"))).toMap
     assert(s2(10L) < s2(11L))
@@ -844,7 +844,7 @@ class CurationOpsSpec extends SparkSpec {
     assert(
       graft.text.LmScore.bigramSurprisal(d, "doc_id", col("text"), 0.7)
         .collect().toSet ==
-        graft.text.LmScore.bigramSurprisal(d, "doc_id", col("text"), 12L, 0.7)
+        graft.text.LmScore.bigramSurprisalWithN(d, "doc_id", col("text"), 12L, 0.7)
           .collect().toSet)
     assert(
       graft.text.Bm25.score(d, "doc_id", col("text"), Seq("b", "e")).collect().toSet ==

@@ -89,6 +89,24 @@ class IvfCorpusSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("corpus pipeline normalize=true dedups NFC spelling variants") {
+    val prose = "the quick brown fox jumps over the lazy dog and runs to the river"
+    val d = Seq(
+      (1L, prose + " caf\u00e9"),   // composed
+      (2L, prose + " cafe\u0301"),  // decomposed - same visible text
+      (3L, prose + " entirely different ending clause here")
+    ).toDF("doc_id", "text")
+    // without normalization the two spellings both survive exact dedup
+    val keptRaw = CorpusPipeline.prepare(d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptRaw == Set(1L, 2L, 3L))
+    // with it, the decomposed copy collapses onto the min-id representative
+    val keptNorm = CorpusPipeline.prepare(d,
+      cfg = CorpusPipeline.Config(normalize = true))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptNorm == Set(1L, 3L))
+  }
+
   test("corpus pipeline gates quality/repetition/language, redacts, dedups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs to the house of a friend in the morning to see the river"),
