@@ -302,10 +302,6 @@ object StreamingPipeline {
       total_value: Double
   )
 
-  /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
-    * timeout: a session closes when no event arrives within `gapMs` of the
-    * last one (by watermark). Emits one row per closed session.
-    */
   /** Date-partitioned, CHECKPOINTED parquet landing sink — the bronze-layer
     * ingest pattern: the file sink's `_spark_metadata` commit log gives
     * exactly-once file semantics (a restarted query resumes from the
@@ -314,6 +310,10 @@ object StreamingPipeline {
     * for downstream reads. `Trigger.AvailableNow` drains what is available
     * and stops — the incremental-batch ingest cadence; pass a different
     * trigger for continuous landing.
+    *
+    * `event_date` is `to_date(ts)` in the SESSION TIME ZONE: the layout is
+    * deterministic only under a pinned zone (this repo pins UTC) — a zone
+    * change between runs would split one logical day across partitions.
     *
     * Readers MUST go through `spark.read.parquet(dir)` (which honors the
     * sink's commit log); listing the directory by hand would see
@@ -326,7 +326,10 @@ object StreamingPipeline {
       tsCol: String = "ts",
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
-    require(!stream.columns.contains("event_date"),
+    // case-INsensitive guard: withColumn resolves case-insensitively under
+    // the default spark.sql.caseSensitive=false, so an `Event_Date` column
+    // would be silently REPLACED if only an exact-case check stood here
+    require(!stream.columns.exists(_.equalsIgnoreCase("event_date")),
       "sink: input must not already have an `event_date` column")
     stream
       .withColumn("event_date", to_date(col(tsCol)))
@@ -340,6 +343,10 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
+    * timeout: a session closes when no event arrives within `gapMs` of the
+    * last one (by watermark). Emits one row per closed session.
+    */
   def sessionize(
       events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000,

@@ -227,16 +227,17 @@ class StreamingSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("bronze_ckpt").toString
     val input = MemoryStream[(Long, Timestamp, String)]
     val stream = input.toDF().toDF("id", "ts", "payload")
-    // land batch A, stop (simulated crash after commit)
+    // land batch A and let AvailableNow drain to a clean stop
     input.addData((1L, ts(0), "a"), (2L, ts(1), "b"))
     val q1 = StreamingPipeline.sinkDatePartitionedParquet(stream, outDir, ckpt)
-    q1.awaitTermination()
+    assert(q1.awaitTermination(60000), "first drain did not terminate")
     assert(spark.read.parquet(outDir).count() == 2)
     // add batch B and RESTART from the same checkpoint: batch A must not
-    // re-land (the sink commit log + source offsets give exactly-once)
+    // re-land (committed offsets + the sink commit log; a mid-batch crash
+    // leaves uncommitted task files that the commit log hides from readers)
     input.addData((3L, ts(2), "c"))
     val q2 = StreamingPipeline.sinkDatePartitionedParquet(stream, outDir, ckpt)
-    q2.awaitTermination()
+    assert(q2.awaitTermination(60000), "restart drain did not terminate")
     val back = spark.read.parquet(outDir)
     assert(back.count() == 3, "restart must resume, not replay")
     assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
