@@ -231,18 +231,102 @@ object Dedup {
       array_distinct(transform(wordShingles(col(textCol), shingleK), x => md5(x)))
         .as(shOut))
 
+  /** A persisted-or-persistable corpus LSH index bundle: the exploded band
+    * table, the per-document distinct md5-shingle sets, and the parameters
+    * that built them (a batch banded with different parameters can never
+    * collide correctly, so the parameters travel WITH the data).
+    *
+    * `bands` columns:    (idCol, band, hash)
+    * `shingles` columns: (idCol, shingles: array<string>)
+    */
+  final case class BandIndex(
+      idCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      numBands: Int,
+      bands: DataFrame,
+      shingles: DataFrame)
+
+  /** Build the index bundle of a corpus — the thing [[writeBandIndex]]
+    * persists so daily ingest never re-scans or re-shingles the corpus.
+    */
+  def buildBandIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4
+  ): BandIndex =
+    BandIndex(
+      idCol, shingleK, numHashes, bands,
+      bandIndex(corpus, idCol, textCol, shingleK, numHashes, bands),
+      shingleSets(corpus, idCol, textCol, shingleK, idCol, "shingles"))
+
+  /** Persist an index bundle under `dir` (`bands/` partitioned by band,
+    * `shingles/`, and a single-row `meta/` carrying the parameters).
+    * Two write jobs, each one corpus scan — the one-off cost that every
+    * subsequent [[dedupAgainstCorpus]] batch avoids.
+    */
+  def writeBandIndex(index: BandIndex, dir: String): Unit = {
+    index.bands
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    val spark = index.bands.sparkSession
+    import spark.implicits._
+    Seq((index.idCol, index.shingleK, index.numHashes, index.numBands))
+      .toDF("id_col", "shingle_k", "num_hashes", "num_bands")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append `docs`' band/shingle rows to a stored index — the admit step
+    * after an incremental batch passes dedup (its parameters come from the
+    * stored meta, so an append can never mix banding schemes). Caller is
+    * responsible for `docs` ids being new to the index.
+    */
+  def appendBandIndex(docs: DataFrame, textCol: String, dir: String): Unit = {
+    val loaded = loadBandIndex(docs.sparkSession, dir)
+    bandIndex(docs, loaded.idCol, textCol,
+      loaded.shingleK, loaded.numHashes, loaded.numBands)
+      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+    shingleSets(docs, loaded.idCol, textCol, loaded.shingleK,
+      loaded.idCol, "shingles")
+      .write.mode("append").parquet(s"$dir/shingles")
+  }
+
+  /** Load a stored index bundle written by [[writeBandIndex]]. */
+  def loadBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): BandIndex = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val idCol = m.getAs[String]("id_col")
+    BandIndex(
+      idCol,
+      m.getAs[Int]("shingle_k"),
+      m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("num_bands"),
+      spark.read.parquet(s"$dir/bands").select(col(idCol), col("band"), col("hash")),
+      spark.read.parquet(s"$dir/shingles").select(col(idCol), col("shingles")))
+  }
+
   /** Incremental dedup: flag each document of a NEW batch that
     * near-duplicates a member of an EXISTING corpus — the daily-ingest
     * shape (crawl increments, backfill merges) where re-running all-pairs
     * dedup over corpus+batch would rescan 100 TB to admit a few GB.
     *
     * The corpus side is the INDEX: its band hashes are the same narrow
-    * per-row expressions as [[minhashBands]] (precompute and persist them
-    * in practice), skew-cappable via `maxBucket`. The batch band list is
-    * batch-sized and BROADCAST, so the candidate join never shuffles the
-    * corpus. Shared-band candidates are verified with exact
-    * distinct-shingle Jaccard, and each batch doc reports its best corpus
-    * match (highest jaccard, lowest corpus id tie-break).
+    * per-row expressions as [[minhashBands]] (use the [[BandIndex]]
+    * overload with [[writeBandIndex]]/[[loadBandIndex]] to pay them once),
+    * skew-cappable via `maxBucket`. The batch band list is batch-sized and
+    * BROADCAST, so the candidate join never shuffles the corpus. Shared-
+    * band candidates are verified with exact distinct-shingle Jaccard —
+    * computed ONLY for corpus rows that are candidates: the candidate set
+    * (with batch shingles attached) broadcasts onto the corpus and the
+    * shingle expression is projected ABOVE that join, so the verify stage
+    * never shingles a non-candidate row. Each batch doc reports its best
+    * corpus match (highest jaccard, lowest corpus id tie-break).
     *
     * @return one row per batch doc: (idCol, dup_of, jaccard, is_dup) —
     *         `dup_of`/`jaccard` null when no candidate shared a band;
@@ -259,22 +343,92 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Option[Int] = None
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    requireNoReserved("dedupAgainstCorpus", corpus, idCol)
     val corpusE = maxBucket
       .fold(bandIndex(corpus, idCol, textCol, shingleK, numHashes, bands))(
         capBuckets(bandIndex(corpus, idCol, textCol, shingleK, numHashes, bands), idCol, _))
+    dedupAgainstBands(
+      corpusE, corpus, None, batch, idCol, textCol,
+      shingleK, numHashes, bands, threshold)
+  }
+
+  /** [[dedupAgainstCorpus]] against a prebuilt (typically
+    * [[loadBandIndex]]-loaded) index: the corpus raw text is never
+    * touched — the candidate join reads the narrow stored band table and
+    * the verify reads stored shingle sets pruned to candidate rows by the
+    * broadcast candidate join.
+    */
+  def dedupAgainstCorpus(
+      index: BandIndex,
+      batch: DataFrame,
+      textCol: String,
+      threshold: Double,
+      maxBucket: Option[Int]
+  ): DataFrame = {
+    requireNoReserved("dedupAgainstCorpus", index.shingles, index.idCol)
+    val corpusE = maxBucket.fold(index.bands)(capBuckets(index.bands, index.idCol, _))
+    dedupAgainstBands(
+      corpusE, index.shingles, Some("shingles"), batch, index.idCol, textCol,
+      index.shingleK, index.numHashes, index.numBands, threshold)
+  }
+
+  def dedupAgainstCorpus(index: BandIndex, batch: DataFrame, textCol: String): DataFrame =
+    dedupAgainstCorpus(index, batch, textCol, threshold = 0.7, maxBucket = None)
+
+  private val dedupReserved = Seq("_bid", "_cid", "_sh_bid", "_rn")
+
+  private def requireNoReserved(op: String, df: DataFrame, idCol: String): Unit = {
+    require(!dedupReserved.exists(df.columns.contains),
+      s"$op: input must not already have ${dedupReserved.mkString("/")} columns")
+    require(!dedupReserved.contains(idCol), s"$op: idCol $idCol is a reserved name")
+  }
+
+  /** Shared core of the two [[dedupAgainstCorpus]] overloads.
+    *
+    * @param corpusVerify     the verify side: raw corpus (id + text) or a
+    *                         stored shingle table (id + `shingleCol`)
+    * @param storedShingleCol Some(col) when `corpusVerify` carries
+    *                         precomputed shingle sets; None to compute them
+    *                         from `textCol` — ABOVE the candidate join, so
+    *                         only candidate rows are shingled
+    */
+  private def dedupAgainstBands(
+      corpusBands: DataFrame,
+      corpusVerify: DataFrame,
+      storedShingleCol: Option[String],
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireNoReserved("dedupAgainstCorpus", batch, idCol)
     val batchE = bandIndex(batch, idCol, textCol, shingleK, numHashes, bands)
-    val cand = corpusE.as("c")
+    val cand = corpusBands.as("c")
       .join(
         broadcast(batchE.as("b")),
         col("c.band") === col("b.band") && col("c.hash") === col("b.hash"))
       .select(col(s"b.$idCol").as("_bid"), col(s"c.$idCol").as("_cid"))
       .distinct()
-    val scored = cand
+    // candidate pairs + their batch shingle sets: batch-bounded, broadcast
+    // onto the corpus verify side so non-candidate corpus rows are dropped
+    // by the join BEFORE any shingle work
+    val candB = cand
       .join(shingleSets(batch, idCol, textCol, shingleK, "_bid", "_sh_bid"), "_bid")
-      .join(shingleSets(corpus, idCol, textCol, shingleK, "_cid", "_sh_cid"), "_cid")
-      .select(col("_bid"), col("_cid"),
-        jaccard(col("_sh_bid"), col("_sh_cid")).as("jaccard"))
+    val pruned = corpusVerify
+      .join(broadcast(candB), corpusVerify(idCol) === col("_cid"))
+    // the corpus shingle expression is written HERE, above the join — the
+    // optimizer does not push expensive expressions below joins, so it
+    // evaluates only on rows that survived the candidate prune
+    val shCid = storedShingleCol
+      .map(col)
+      .getOrElse(
+        array_distinct(transform(wordShingles(col(textCol), shingleK), x => md5(x))))
+    val scored = pruned
+      .select(col("_bid"), col("_cid"), jaccard(col("_sh_bid"), shCid).as("jaccard"))
     val w = Window.partitionBy(col("_bid"))
       .orderBy(col("jaccard").desc, col("_cid"))
     val best = scored

@@ -208,10 +208,32 @@ object StreamingPipeline {
       threshold: Double = 0.7
   ): DataFrame = {
     import graft.dedup.Dedup
-    val index = Dedup
-      .bandIndex(corpus, idCol, textCol, shingleK, numHashes, bands)
-      .withColumnRenamed(idCol, "corpus_id")
-    val corpusSh = Dedup.shingleSets(corpus, idCol, textCol, shingleK, "corpus_id", "_sh_corpus")
+    dedupAgainstIndexStream(
+      stream,
+      Dedup.buildBandIndex(corpus, idCol, textCol, shingleK, numHashes, bands),
+      textCol, tsCol, watermark, threshold)
+  }
+
+  /** [[dedupAgainstIndexStream]] against a PREBUILT (typically
+    * [[graft.dedup.Dedup.loadBandIndex]]-loaded) corpus index: the static
+    * sides are parquet reads of the stored band table and shingle sets —
+    * no corpus re-scan or re-shingling per restart, the production shape
+    * the inline overload builds ad hoc.
+    */
+  def dedupAgainstIndexStream(
+      stream: DataFrame,
+      index: graft.dedup.Dedup.BandIndex,
+      textCol: String,
+      tsCol: String,
+      watermark: String,
+      threshold: Double
+  ): DataFrame = {
+    import graft.dedup.Dedup
+    val idCol = index.idCol
+    val (shingleK, numHashes, bands) = (index.shingleK, index.numHashes, index.numBands)
+    val bandTable = index.bands.withColumnRenamed(idCol, "corpus_id")
+    val corpusSh = index.shingles
+      .select(col(idCol).as("corpus_id"), col("shingles").as("_sh_corpus"))
     val rows = numHashes / bands
     val bandCols = array((0 until bands).map { b =>
       md5(concat_ws("|",
@@ -226,7 +248,7 @@ object StreamingPipeline {
         array_distinct(transform(Dedup.wordShingles(col(textCol), shingleK), x => md5(x))))
       .select(col(idCol), col(tsCol), col("_sh"),
         posexplode(bandCols).as(Seq("band", "hash")))
-      .join(index, Seq("band", "hash"))
+      .join(bandTable, Seq("band", "hash"))
       .join(corpusSh, "corpus_id")
       .select(col(idCol), col(tsCol), col("corpus_id"),
         Dedup.jaccard(col("_sh"), col("_sh_corpus")).as("jaccard"))
