@@ -81,18 +81,43 @@ object KAnonymity {
       df: DataFrame,
       dims: Seq[QiDim]
   ): (Seq[Seq[Int]], Map[Seq[Int], (Long, Long)]) = {
+    val states = latticeStates(dims)
+    require(states.size <= 64,
+      s"k-anonymity: lattice has ${states.size} states (max 64 per probe pass) — " +
+        "use enforceMulti, which stages larger lattices automatically")
+    (states.sortBy(_.sum), probeStates(df, dims, states))
+  }
+
+  /** All lattice states (one ladder level per dimension), in the stable
+    * fine-first cartesian enumeration order.
+    */
+  private def latticeStates(dims: Seq[QiDim]): Seq[Seq[Int]] = {
     require(dims.nonEmpty, "k-anonymity: need at least one QI dimension")
     dims.foreach(d => require(d.ladder.nonEmpty, s"k-anonymity: empty ladder for ${d.name}"))
+    dims
+      .map(_.ladder.indices.toSeq)
+      .foldLeft(Seq(Seq.empty[Int]))((acc, ls) => acc.flatMap(s => ls.map(s :+ _)))
+  }
+
+  /** ONE grouping-sets pass over an arbitrary subset of lattice states
+    * (≤ 64 per pass — `grouping_id` is one bit per materialized ladder
+    * column and Spark's Expand cost is linear in the state count). The
+    * chunked building block behind [[probeLattice]] and the staged walk
+    * in [[enforceMulti]].
+    */
+  def probeStates(
+      df: DataFrame,
+      dims: Seq[QiDim],
+      states: Seq[Seq[Int]]
+  ): Map[Seq[Int], (Long, Long)] = {
+    require(states.nonEmpty, "k-anonymity: need at least one state to probe")
+    require(states.size <= 64,
+      s"k-anonymity: ${states.size} states in one probe pass (max 64)")
     val flat = dims.zipWithIndex.flatMap { case (d, di) =>
       d.ladder.zipWithIndex.map { case (c, li) => (s"_qi_${di}_$li", di, li, c) }
     }
     val n = flat.size
     require(n <= 62, s"k-anonymity: too many ladder columns ($n)")
-    val states = dims
-      .map(_.ladder.indices.toSeq)
-      .foldLeft(Seq(Seq.empty[Int]))((acc, ls) => acc.flatMap(s => ls.map(s :+ _)))
-    require(states.size <= 64,
-      s"k-anonymity: lattice has ${states.size} states (max 64) — coarsen a ladder")
     val flatIndex: Map[(Int, Int), Int] =
       flat.zipWithIndex.map { case ((_, di, li, _), i) => (di, li) -> i }.toMap
     // grouping_id bit (n-1-i) is SET when flat column i is NOT in the set
@@ -113,20 +138,24 @@ object KAnonymity {
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap
-    val ordered = states.sortBy(_.sum) // stable: fine-first within equal cost
-    val audits = states
-      .map(st => st -> byGid.getOrElse(gidOf(st), (0L, 0L)))
-      .toMap
-    (ordered, audits)
+    states.map(st => st -> byGid.getOrElse(gidOf(st), (0L, 0L))).toMap
   }
 
   /** Multi-QI k-anonymity enforcement over a coarsening LATTICE: pick the
     * MINIMAL-generalization state (fewest total ladder steps; fine-first
     * tie-break) whose minimum JOINT group size reaches k — global optimum,
-    * not a path-dependent greedy walk, and still ONE probe pass. If no
-    * state reaches k, the coarsest state is applied and its residual < k
-    * joint groups are SUPPRESSED, so the result always satisfies
-    * k-anonymity on the generalized columns.
+    * not a path-dependent greedy walk. Lattices of ≤ 64 states are probed
+    * in ONE grouping-sets pass; larger lattices are probed in STAGED
+    * level-order chunks of ≤ 64 states, stopping at the first chunk that
+    * contains a passing state. Staging preserves the global optimum
+    * because the walk visits states in exactly the preference order, and
+    * it prunes with the lattice's monotonicity (each ladder rung must be a
+    * coarsening of the previous — then a passing state implies every
+    * coarser state passes): the coarsest state is probed FIRST, and a
+    * failure there short-circuits the entire walk straight to the
+    * suppression fallback. If no state reaches k, the coarsest state is
+    * applied and its residual < k joint groups are SUPPRESSED, so the
+    * result always satisfies k-anonymity on the generalized columns.
     *
     * @return (chosen level per dimension, input plus one generalized
     *         column `<name><suffix>` per dimension)
@@ -140,12 +169,34 @@ object KAnonymity {
     require(k >= 1, s"k-anonymity: k must be >= 1, got $k")
     dims.foreach(d => require(!df.columns.contains(d.name + suffix),
       s"k-anonymity: column ${d.name + suffix} already exists"))
-    val (ordered, audits) = probeLattice(df, dims)
+    val states = latticeStates(dims)
+    val ordered = states.sortBy(_.sum) // stable: fine-first within equal cost
+    def passes(a: (Long, Long)): Boolean = a._1 > 0 && a._2 >= k
+    val chosen: Option[Seq[Int]] =
+      if (ordered.size <= 64) {
+        val audits = probeStates(df, dims, ordered)
+        ordered.find(st => passes(audits(st)))
+      } else {
+        // staged walk: feasibility gate on the coarsest state, then
+        // level-order chunks until the first pass — 1 + ceil(|visited|/64)
+        // bounded probe jobs, never the whole lattice when an early chunk
+        // passes and never more than the gate when nothing can
+        val top = dims.map(_.ladder.size - 1)
+        if (!passes(probeStates(df, dims, Seq(top))(top))) None
+        else
+          ordered
+            .grouped(64)
+            .flatMap { chunk =>
+              val audits = probeStates(df, dims, chunk)
+              chunk.find(st => passes(audits(st)))
+            }
+            .nextOption()
+      }
     def apply(levels: Seq[Int]): DataFrame =
       dims.zip(levels).foldLeft(df) { case (acc, (d, l)) =>
         acc.withColumn(d.name + suffix, d.ladder(l))
       }
-    ordered.find { st => val (ng, mg) = audits(st); ng > 0 && mg >= k } match {
+    chosen match {
       case Some(st) => (st, apply(st))
       case None =>
         val top = dims.map(_.ladder.size - 1)

@@ -133,6 +133,89 @@ class KAnonymitySpec extends SparkSpec {
     assert(out2.count() == 5)
   }
 
+  // ---- staged lattice (> 64 states) -------------------------------------
+
+  /** 5 x 4 x 4 = 80 lattice states — beyond the single-pass cap, so
+    * enforceMulti must stage the walk.
+    */
+  private def bigDims = Seq(
+    QiDim("zip", Seq(col("zip"), substring(col("zip"), 1, 4),
+      substring(col("zip"), 1, 3), substring(col("zip"), 1, 2), lit("*"))),
+    QiDim("org", Seq(col("org"), substring(col("org"), 1, 2),
+      substring(col("org"), 1, 1), lit("ANY"))),
+    QiDim("age", Seq(col("age"), (floor(col("age") / 10) * 10).cast("int"),
+      (floor(col("age") / 40) * 40).cast("int"), lit(0))))
+
+  private def bigDf = (0 until 120).map { i =>
+    (i.toLong, f"AB${i % 60}%03d", s"O${i % 8}x", 20 + (i % 10))
+  }.toDF("id", "zip", "org", "age")
+
+  /** Brute-force replay: materialize every ladder column ONCE, then group
+    * in plain Scala per state — the oracle the staged walk must match.
+    */
+  private def bruteForceChoice(
+      df: org.apache.spark.sql.DataFrame,
+      dims: Seq[QiDim],
+      k: Int): Option[Seq[Int]] = {
+    val flatCols = dims.zipWithIndex.flatMap { case (d, di) =>
+      d.ladder.zipWithIndex.map { case (c, li) => c.as(s"d${di}_l$li") }
+    }
+    val colIdx: Map[(Int, Int), Int] = dims.zipWithIndex.flatMap { case (d, di) =>
+      d.ladder.indices.map(li => (di, li))
+    }.zipWithIndex.toMap
+    val rows = df.select(flatCols: _*).collect().map(_.toSeq)
+    val states = dims
+      .map(_.ladder.indices.toSeq)
+      .foldLeft(Seq(Seq.empty[Int]))((acc, ls) => acc.flatMap(s => ls.map(s :+ _)))
+    states.sortBy(_.sum).find { st =>
+      val sizes = rows
+        .groupBy(r => st.zipWithIndex.map { case (l, d) => r(colIdx((d, l))) })
+        .map(_._2.length)
+      sizes.nonEmpty && sizes.min >= k
+    }
+  }
+
+  test("enforceMulti stages an 80-state lattice and matches the brute-force optimum") {
+    val df = bigDf
+    // k=6: fine joint states are singleton-riddled (zip x org x age combos
+    // over 120 rows), so the optimum sits several generalization steps in
+    val expected = bruteForceChoice(df, bigDims, k = 6)
+    assert(expected.nonEmpty, "test data must have a passing state")
+    val (levels, out) = KAnonymity.enforceMulti(df, bigDims, k = 6)
+    assert(Some(levels) == expected,
+      s"staged walk chose $levels, brute force says $expected")
+    assert(out.count() == 120) // nothing suppressed at a passing state
+    val genCols = Seq("zip_gen", "org_gen", "age_gen").map(col)
+    val floorG = out.groupBy(genCols: _*).count().agg(min("count")).as[Long].head()
+    assert(floorG >= 6)
+    // and a lower k agrees too (likely a different, finer chunk)
+    val expected2 = bruteForceChoice(df, bigDims, k = 2)
+    val (levels2, _) = KAnonymity.enforceMulti(df, bigDims, k = 2)
+    assert(Some(levels2) == expected2)
+  }
+
+  test("staged walk short-circuits via the coarsest-state gate to suppression") {
+    // k exceeds the row count: even the fully-generalized single group of
+    // 120 fails, so the gate fires and the fallback suppresses everything
+    val (levels, out) = KAnonymity.enforceMulti(bigDf, bigDims, k = 121)
+    assert(levels == Seq(4, 3, 3))
+    assert(out.count() == 0)
+  }
+
+  test("probeStates chunk probe agrees with the one-pass full-lattice probe") {
+    val df = Seq(
+      (1L, "75101", "a"), (2L, "75101", "a"), (3L, "75102", "b"),
+      (4L, "92001", "a"), (5L, "92001", "b"), (6L, "92002", "b")
+    ).toDF("id", "zip", "org")
+    val dims = twoDims("zip", "org")
+    val (ordered, full) = KAnonymity.probeLattice(df, dims)
+    // probe the same states in chunks of 2: every audit must be identical
+    ordered.grouped(2).foreach { chunk =>
+      val part = KAnonymity.probeStates(df, dims, chunk)
+      chunk.foreach(st => assert(part(st) == full(st), s"state $st diverged"))
+    }
+  }
+
   test("enforceMulti with one dimension degenerates to the single-QI ladder") {
     val zips = (1 to 3).map(_ => "75101") ++ (1 to 3).map(_ => "75102") ++
       (1 to 3).map(_ => "92001") ++ (1 to 3).map(_ => "92002")
