@@ -11,54 +11,77 @@ import org.apache.spark.sql.functions._
   * `row_number().over(Window.orderBy(...))` — moves the ENTIRE corpus to
   * one task.
   *
-  * Scale shape (the classic two-phase rank): range-repartition by the
-  * order key so partition-major order equals global order, count rows per
-  * partition (ONE bounded job: |partitions| rows to the driver), turn the
-  * counts into cumulative offsets broadcast back, and add a per-partition
-  * `row_number` window — each task sorts only its own range slice.
+  * Scale shape (two-phase rank over EXPLICIT boundaries): sample the order
+  * key once (one bounded job), derive range-partition boundaries from the
+  * sample on the driver, and assign each row its partition with a pure
+  * log2(P)-deep comparison tree — a deterministic expression of the row,
+  * so the per-partition count pass and the numbering pass agree WITHOUT
+  * pinning a corpus-sized frame in the cache (the round-4 design
+  * persisted the range-partitioned input at MEMORY_AND_DISK to freeze
+  * Spark's nondeterministic range sampler; explicit boundaries make that
+  * full-corpus materialization unnecessary). Counts become cumulative
+  * offsets broadcast back, and a per-partition `row_number` window numbers
+  * each slice.
+  *
+  * The assigned id is the global rank REGARDLESS of where the boundaries
+  * fall — boundaries only balance work — so the result is deterministic
+  * and engine-replayable even though the boundary sample is hash-chosen.
   *
   * `monotonically_increasing_id` is NOT this: its ids are sparse,
-  * partition-biased and not rank-ordered. And unlike it, the result here
-  * is DETERMINISTIC: `orderCols` must be a total order (make it unique —
-  * append the id column as a tie-break), so the assigned id is the global
-  * rank regardless of where Spark's range sampler happens to place
-  * partition boundaries.
+  * partition-biased and not rank-ordered.
   */
 object GlobalIds {
 
   /** Input plus `outCol` = dense 0-based global rank by `orderCols`.
     *
-    * @param orderCols total order; MUST be duplicate-free across rows
-    *                  (ties straddling a partition boundary would make the
-    *                  numbering nondeterministic — append a unique id)
+    * @param orderCols      total order, ASCENDING columns only; MUST be
+    *                       duplicate-free across rows (ties straddling a
+    *                       partition boundary would make the numbering
+    *                       nondeterministic — append a unique id)
+    * @param numPartitions  target range partitions (0 = the session's
+    *                       `spark.sql.shuffle.partitions`)
+    * @param sampleFraction boundary-sample rate (per-mille grain, min 1‰).
+    *                       Size it so n * fraction comfortably exceeds
+    *                       numPartitions; the DEFAULT suits corpus-scale
+    *                       inputs — tiny inputs may sample nothing and
+    *                       degrade to one partition (correct, unbalanced)
     */
   def denseGlobalId(
       df: DataFrame,
       orderCols: Seq[Column],
-      outCol: String = "global_id"
+      outCol: String = "global_id",
+      numPartitions: Int = 0,
+      sampleFraction: Double = 0.01
   ): DataFrame = {
     require(orderCols.nonEmpty, "globalIds: need at least one order column")
     require(!df.columns.contains(outCol), s"globalIds: column $outCol already exists")
     val reserved = Seq("_pid", "_offset")
     require(!reserved.exists(df.columns.contains),
       s"globalIds: input must not already have ${reserved.mkString("/")} columns")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"globalIds: sampleFraction must be in (0, 1], got $sampleFraction")
     val spark = df.sparkSession
     import spark.implicits._
-    val ranged = df
-      .repartitionByRange(orderCols: _*)
-      .withColumn("_pid", spark_partition_id())
-    // ONE bounded job: per-partition counts (|partitions| rows). The ranged
-    // frame is pinned so the counted partitioning IS the one the final
-    // numbering pass reads — without this, the range sampler could draw
-    // different boundaries on the second pass and mis-align the offsets.
-    // cacheOnce (the connectedComponents convention): the pin backs the
-    // RETURNED frame and stays resident until LRU eviction or a caller
-    // unpersist; disk-backed so a big input spills instead of thrashing
-    // executor memory. At true corpus scale, persist the NUMBERED output
-    // once and drop this upstream pin.
-    if (ranged.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      ranged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = ranged
+    val p = math.max(1,
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // bounded job 1: deterministic hash sample of the order key (xxhash64
+    // is fixed-seed, so reruns draw the SAME boundaries). Keys with any
+    // null component are excluded as boundary candidates — nulls sort
+    // first and land in partition 0 regardless.
+    val thresh = math.max(1L, math.round(sampleFraction * 1000))
+    val sampled = df
+      .select(orderCols: _*)
+      .filter(pmod(xxhash64(orderCols: _*), lit(1000L)) < lit(thresh))
+      .collect()
+      .map(_.toSeq)
+      .filterNot(_.contains(null))
+    val boundaries = pickBoundaries(sampled, p)
+    val withPid = df.withColumn("_pid", pidTree(orderCols, boundaries, 0, boundaries.length))
+    // bounded job 2: per-partition counts (≤ numPartitions rows). No cache
+    // pin: _pid is a pure function of the row's key, so the counted
+    // assignment and the numbering pass agree by construction.
+    val counts = withPid
       .groupBy(col("_pid"))
       .agg(count(lit(1)).as("_n"))
       .collect()
@@ -66,15 +89,65 @@ object GlobalIds {
       .toMap
     val maxPid = if (counts.isEmpty) -1 else counts.keys.max
     val offsets = (0 to maxPid)
-      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+      .scanLeft(0L)((acc, pid) => acc + counts.getOrElse(pid, 0L))
       .zipWithIndex
-      .map { case (off, p) => (p, off) }
+      .map { case (off, pid) => (pid, off) }
       .take(maxPid + 1)
     val offsetsDf = offsets.toDF("_pid", "_offset")
     val w = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
-    ranged
+    withPid
       .join(broadcast(offsetsDf), "_pid")
       .withColumn(outCol, row_number().over(w) - 1 + col("_offset"))
       .drop("_pid", "_offset")
   }
+
+  /** Driver-side ordering matching Spark's ascending nulls-first field
+    * ordering, for sorting the boundary sample.
+    */
+  private val anyOrd: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _)    => -1
+      case (_, null)    => 1
+      case (x, y)       => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+  }
+  private val keyOrd: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) =>
+    a.zip(b).iterator.map(t => anyOrd.compare(t._1, t._2)).find(_ != 0).getOrElse(0)
+
+  /** ≤ p-1 evenly spaced distinct boundary keys from the sorted sample. */
+  private[graft] def pickBoundaries(sample: Array[Seq[Any]], p: Int): IndexedSeq[Seq[Any]] = {
+    if (sample.isEmpty || p <= 1) return IndexedSeq.empty
+    val sorted = sample.distinct.sorted(keyOrd)
+    (1 until p)
+      .map(i => sorted(((i.toLong * sorted.length) / p).toInt))
+      .distinct
+      .toIndexedSeq
+  }
+
+  /** Balanced comparison tree assigning pid = |{b : key > b}| — each row
+    * evaluates log2(P) lexicographic comparisons, not P.
+    */
+  private[graft] def pidTree(
+      cols: Seq[Column],
+      bs: IndexedSeq[Seq[Any]],
+      lo: Int,
+      hi: Int
+  ): Column =
+    if (lo >= hi) lit(lo)
+    else {
+      val mid = (lo + hi) / 2
+      when(gtKey(cols, bs(mid)), pidTree(cols, bs, mid + 1, hi))
+        .otherwise(pidTree(cols, bs, lo, mid))
+    }
+
+  /** Two-valued lexicographic `key > boundary` with Spark's nulls-first
+    * semantics (a null key field is smaller than any value; boundary keys
+    * never contain nulls — see the sample filter above).
+    */
+  private def gtKey(cols: Seq[Column], b: Seq[Any]): Column =
+    cols.zip(b).foldRight(lit(false): Column) { case ((c, v), rest) =>
+      when(c > lit(v), lit(true))
+        .otherwise(when(c <=> lit(v), rest).otherwise(lit(false)))
+    }
 }

@@ -828,6 +828,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("denseGlobalId: explicit boundaries spread work and pin NO cache") {
+    val d = (1L to 5000L).map(i => (i, s"s${i % 7}")).toDF("id", "src")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.operators.GlobalIds
+      .denseGlobalId(d, Seq(col("src"), col("id")),
+        numPartitions = 8, sampleFraction = 0.05)
+    val ranks = out.collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("id")) -> r.getAs[Long]("global_id"))
+      .toMap
+    // the round-4 design pinned a corpus-sized frame; boundaries must not
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "denseGlobalId must not leave anything pinned in the cache")
+    val expected = (1L to 5000L).map(i => (s"s${i % 7}", i)).sorted.zipWithIndex
+      .map { case (k, i) => k -> i.toLong }.toMap
+    assert(ranks == expected)
+    // the boundary machinery splits for real: evenly spaced distinct keys
+    val sample = (0 until 100).map(i => Seq[Any](f"k$i%03d")).toArray
+    val bs = graft.operators.GlobalIds.pickBoundaries(sample, 4)
+    assert(bs.length == 3 && bs == bs.sortBy(_.head.toString))
+    // and the pid tree reproduces |{b : key > b}| for every sampled key
+    val pidDf = sample.map(_.head.toString).toSeq.toDF("k")
+    val pids = pidDf
+      .withColumn("p", graft.operators.GlobalIds.pidTree(Seq(col("k")), bs, 0, bs.length))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    sample.map(_.head.toString).foreach { k =>
+      assert(pids(k) == bs.count(b => k > b.head.toString), s"pid of $k")
+    }
+    // null order keys sort first and stay dense
+    val withNulls = (Seq((0L, null.asInstanceOf[String])) ++
+      (1L to 50L).map(i => (i, s"s${i % 3}"))).toDF("id", "src")
+    val nOut = graft.operators.GlobalIds
+      .denseGlobalId(withNulls, Seq(col("src"), col("id")))
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("global_id"))
+      .toMap
+    assert(nOut(0L) == 0L) // the null src row is the global minimum
+    assert(nOut.values.toSeq.sorted == (0L to 50L))
+    // empty input: no boundaries, no rows, no crash
+    val empty = Seq.empty[(Long, String)].toDF("id", "src")
+    assert(graft.operators.GlobalIds
+      .denseGlobalId(empty, Seq(col("src"), col("id"))).count() == 0)
+  }
+
   test("in-plan corpus stats match the pre-computed-scalar variants bit-for-bit") {
     // N = 12 tokens over 4 docs -> avgdl = 3.0 exactly; every pair below
     // must agree on raw doubles (Row equality is bitwise on doubles)

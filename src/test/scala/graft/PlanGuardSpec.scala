@@ -50,7 +50,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_ann_ivf_multi",    // IVF centroid collect (k x dim)
     "q_semdedup",         // IVF assignment inside SemDedup (k x dim)
     "q_semdedup_guarded", // same IVF collect, guards on
-    "q_global_ids",       // per-partition count collect (|partitions| rows)
+    "q_global_ids",       // boundary sample + per-partition count collect (bounded)
     "q_k_enforce",        // generalization-ladder probe (|ladder| rows)
     "q_k_enforce_multi",  // lattice probe (|lattice| rows)
     // iterative algorithms: each build job is one superstep of the
