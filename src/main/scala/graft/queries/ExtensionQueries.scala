@@ -51,6 +51,16 @@ object ExtensionQueries {
       s"replace($acc, '$BpeSep$a$BpeSep$BpeSep$b$BpeSep', '$BpeSep$a$b$BpeSep')"
     }
 
+  private def sqLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The ACTIVE BPE vocabulary as a DuckDB map literal (token -> id), so
+    * the id oracle replays the exact table the Spark expression uses.
+    */
+  private lazy val duckVocabMap: String = {
+    val toks = graft.text.Bpe.vocab.tokens
+    s"map([${toks.map(sqLit).mkString(",")}], [${toks.indices.mkString(",")}])"
+  }
+
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
@@ -2295,6 +2305,46 @@ object ExtensionQueries {
         select doc_id, cast(len(toks) as int) as n_bpe,
           array_to_string(toks, ' ') as bpe_join
         from seg order by doc_id""")
+    ),
+    "q_bpe_ids" -> Q(
+      (s, dir) => {
+        // encode-to-ids: the trainer-facing shape (vocab lookup fused into
+        // the tokenize expression; OOV -> -1). CSE collapses the three
+        // bpe_ids calls into one evaluation per row.
+        val ids = graft.text.Bpe.bpeEncode(col("text"))
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            size(ids).cast("int").as("n_ids"),
+            array_join(transform(ids, x => x.cast("string")), " ").as("ids_join"),
+            size(filter(ids, x => x === lit(graft.text.BpeVocab.OovId)))
+              .cast("int").as("n_oov"))
+          .orderBy("doc_id")
+      },
+      // Same unrolled merge chain as q_bpe_tokens, then a vocab-map lookup
+      // generated from the ACTIVE BpeVocab — both engines read one table.
+      Some(s"""
+        with pt as (
+          select doc_id,
+            regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') as ws
+          from documents
+        ),
+        seg as (
+          select doc_id,
+            flatten(list_transform(ws, w ->
+              regexp_extract_all($duckBpeChain, '$BpeSep([^$BpeSep]+)$BpeSep', 1))) as toks
+          from pt
+        ),
+        enc as (
+          select doc_id,
+            list_transform(toks,
+              t -> coalesce(map_extract($duckVocabMap, t)[1], -1)) as ids
+          from seg
+        )
+        select doc_id, cast(len(ids) as int) as n_ids,
+          array_to_string(list_transform(ids, x -> cast(x as varchar)), ' ') as ids_join,
+          cast(len(list_filter(ids, x -> x = -1)) as int) as n_oov
+        from enc order by doc_id""")
     ),
     "q_shards" -> Q(
       (s, dir) =>

@@ -100,6 +100,10 @@ object BpeTable {
       .map { l =>
         val sp = l.split(" ", 2)
         require(sp.length == 2, s"malformed merge line: '$l'")
+        // a >2-token line would leave a space inside the right side; its
+        // rank key could then never match any pair lookup — reject at load
+        // instead of carrying a silently dead merge
+        require(!sp(1).contains(' '), s"malformed merge line (3+ tokens): '$l'")
         (sp(0), sp(1))
       }
       .toIndexedSeq
@@ -113,6 +117,52 @@ object BpeTable {
     val in = getClass.getResourceAsStream(name)
     require(in != null, s"missing $name resource")
     try new BpeTable(parse(Source.fromInputStream(in, "UTF-8").getLines()))
+    finally in.close()
+  }
+}
+
+/** A BPE vocabulary: token string -> integer id, id = 0-based position of
+  * the token's line in the vocab file (empty lines skipped; NO comment
+  * syntax — `#` is itself a legitimate single-symbol token). Tokens
+  * outside the vocabulary encode as [[BpeVocab.OovId]] (-1); a training
+  * pipeline filters or remaps them explicitly rather than having an
+  * implicit unk silently absorb coverage gaps.
+  */
+final class BpeVocab(val tokens: IndexedSeq[String]) extends Serializable {
+  require(tokens.distinct.size == tokens.size, "bpe vocab: duplicate tokens")
+
+  private val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](tokens.size * 2)
+    tokens.zipWithIndex.foreach { case (t, i) => m.put(t, i) }
+    m
+  }
+
+  /** Id of a token, or [[BpeVocab.OovId]] when out-of-vocabulary. */
+  def idOf(token: String): Int = {
+    val i = ids.get(token)
+    if (i == null) BpeVocab.OovId else i.intValue()
+  }
+
+  def size: Int = tokens.size
+}
+
+object BpeVocab {
+
+  /** The encode result for a token not in the vocabulary. */
+  val OovId: Int = -1
+
+  def parse(lines: Iterator[String]): BpeVocab =
+    new BpeVocab(lines.filter(_.nonEmpty).toIndexedSeq)
+
+  def fromFile(path: String): BpeVocab = {
+    val src = Source.fromFile(path, "UTF-8")
+    try parse(src.getLines()) finally src.close()
+  }
+
+  def fromResource(name: String): BpeVocab = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"missing $name resource")
+    try parse(Source.fromInputStream(in, "UTF-8").getLines())
     finally in.close()
   }
 }
@@ -165,6 +215,21 @@ object Bpe {
     new GenericArrayData(arr)
   }
 
+  /** The ACTIVE vocabulary, resolved once per JVM with the same precedence
+    * chain as the merge table:
+    *
+    *   1. `-Dgraft.bpe.vocab=<path>`  (system property)
+    *   2. `GRAFT_BPE_VOCAB=<path>`    (environment; ship with `--files`)
+    *   3. the bundled fixture (`graft/bpe_vocab.txt` — every printable
+    *      ASCII single char plus the bundled table's merge outputs, so the
+    *      fixture pair is OOV-free on ASCII text)
+    */
+  lazy val vocab: BpeVocab =
+    sys.props.get("graft.bpe.vocab")
+      .orElse(sys.env.get("GRAFT_BPE_VOCAB"))
+      .map(BpeVocab.fromFile)
+      .getOrElse(BpeVocab.fromResource("/graft/bpe_vocab.txt"))
+
   /** Column API: array of BPE tokens of a string column. */
   def bpeTokens(c: Column): Column =
     GraftColumnBridge.column(BpeTokensExpr(GraftColumnBridge.expression(c)))
@@ -172,6 +237,24 @@ object Bpe {
   /** Token count under the real tokenizer. */
   def bpeTokenCount(c: Column): Column =
     org.apache.spark.sql.functions.size(bpeTokens(c))
+
+  /** Shared by interpreted eval and generated code: tokenize + vocab
+    * lookup in one pass — no intermediate token-string array column.
+    */
+  def computeIds(text: UTF8String): ArrayData = {
+    val toks = table.tokenize(text.toString)
+    val arr = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { arr(i) = vocab.idOf(toks(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Column API: array<int> of BPE token IDS of a string column — the
+    * shape a trainer consumes ([[SequencePacker.chunkSlices]] packs these
+    * directly). Out-of-vocabulary tokens encode as [[BpeVocab.OovId]].
+    */
+  def bpeEncode(c: Column): Column =
+    GraftColumnBridge.column(BpeIdsExpr(GraftColumnBridge.expression(c)))
 }
 
 /** `bpe_tokens(text)` — array<string> of BPE tokens (active merge table). */
@@ -197,4 +280,31 @@ case class BpeTokensExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 
   override def prettyName: String = "bpe_tokens"
+}
+
+/** `bpe_ids(text)` — array<int> of BPE token ids under the active merge
+  * table + vocabulary (OOV tokens -> [[BpeVocab.OovId]]).
+  */
+case class BpeIdsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"bpe_ids requires string, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.computeIds(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.Bpe.computeIds($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeIdsExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_ids"
 }

@@ -105,4 +105,26 @@ object SequencePacker {
         (least(col("cum_tokens"), (col("pack_id") + 1).cast("long") * budget) -
           greatest(start, col("pack_id").cast("long") * budget)).cast("int"))
   }
+
+  /** [[chunks]] plus the id payload each (document, pack) cell carries:
+    * `chunk_ids` is the `chunk_tokens`-long slice of `idsCol` (a token-id
+    * array, e.g. [[Bpe.bpeEncode]] output) that lands in that pack — the
+    * row a trainer reads directly. REQUIRES `pack` to have been cut with
+    * `nTokens = size(idsCol)`: the chunk grid and the array must agree, or
+    * slices would silently mis-align (spec-pinned invariant: concatenating
+    * a document's chunk_ids in pack order reproduces its full id array).
+    *
+    * Narrow on top of [[chunks]]'s explode — the slice is per-row
+    * arithmetic, no extra shuffle.
+    */
+  def chunkSlices(packed: DataFrame, budget: Int, idsCol: String): DataFrame = {
+    val start = col("cum_tokens") - col("n_tokens")
+    chunks(packed, budget)
+      .withColumn(
+        "chunk_ids",
+        slice(
+          col(idsCol),
+          (greatest(start, col("pack_id").cast("long") * budget) - start + 1).cast("int"),
+          col("chunk_tokens")))
+  }
 }

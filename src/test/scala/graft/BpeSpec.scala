@@ -143,4 +143,109 @@ class BpeSpec extends SparkSpec {
     // and correctness at size: greedy picks the LOWEST-rank pair first
     assert(big.bpeWord("ab").toSeq == Seq("ab"))
   }
+
+  test("malformed merge lines (3+ tokens) fail fast at load, not silently dead") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.text.BpeTable.parse(Iterator("a b", "x y z"))
+    }
+    assert(ex.getMessage.contains("3+ tokens"))
+  }
+
+  // ---- encode-to-ids ------------------------------------------------------
+
+  import graft.text.BpeVocab
+
+  test("vocab: line order is the id; OOV is -1; duplicates rejected") {
+    val v = BpeVocab.parse(Iterator("a", "b", "#", "ab"))
+    assert(v.size == 4)
+    assert(v.idOf("a") == 0 && v.idOf("#") == 2 && v.idOf("ab") == 3)
+    assert(v.idOf("zz") == BpeVocab.OovId)
+    intercept[IllegalArgumentException] { BpeVocab.parse(Iterator("a", "a")) }
+    // bundled fixture: printable ASCII singles + all bundled merge outputs,
+    // so the fixture pair is OOV-free over ASCII text
+    assert(Bpe.vocab.size == 165)
+    Bpe.merges.foreach { case (a, b) =>
+      assert(Bpe.vocab.idOf(a + b) >= 0, s"merge output ${a + b} missing from vocab")
+    }
+    (33 to 126).foreach(c =>
+      assert(Bpe.vocab.idOf(String.valueOf(c.toChar)) >= 0, s"char $c missing"))
+  }
+
+  test("vocab loads from a file path (the GRAFT_BPE_VOCAB/sysprop surface)") {
+    import java.nio.file.Files
+    val f = Files.createTempFile("vocab", ".txt")
+    Files.writeString(f, "x\ny\nxy\n")
+    val v = BpeVocab.fromFile(f.toString)
+    assert(v.tokens == IndexedSeq("x", "y", "xy") && v.idOf("xy") == 2)
+  }
+
+  test("bpeEncode: ids are the vocab lookup of bpeTokens, fused in one expression") {
+    val d = Seq(
+      (1L, "the theme is on!"),
+      (2L, "in and on"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = d
+      .select(
+        col("doc_id"),
+        Bpe.bpeTokens(col("text")).as("toks"),
+        Bpe.bpeEncode(col("text")).as("ids"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[scala.collection.Seq[String]]("toks")),
+          Option(r.getAs[scala.collection.Seq[Int]]("ids")))))
+      .toMap
+    // ids == per-token vocab lookup, null text passes through
+    out.foreach { case (_, (toks, ids)) =>
+      assert(toks.isDefined == ids.isDefined)
+      toks.zip(ids).foreach { case (ts, is) =>
+        assert(is.toSeq == ts.map(Bpe.vocab.idOf).toSeq)
+      }
+    }
+    assert(out(3L)._1.isEmpty)
+    // the fixture corpus alphabet is in-vocab: no -1 anywhere
+    assert(out.values.flatMap(_._2).flatten.forall(_ >= 0))
+    // and a character OUTSIDE the vocab encodes as OovId
+    val oov = Seq((1L, "é")).toDF("doc_id", "text")
+      .select(Bpe.bpeEncode(col("text")).as("ids"))
+      .head().getAs[scala.collection.Seq[Int]]("ids")
+    assert(oov.toSeq == Seq(BpeVocab.OovId))
+  }
+
+  test("pack-on-ids: chunk slices tile the packs and reassemble every document") {
+    import graft.text.SequencePacker
+    val texts = Seq(
+      (1L, "the theme of the theme is the theme"),
+      (2L, "in and on or at"),
+      (3L, "a b c d e f g h i j k l"),
+      (4L, "onion onion onion onion onion"),
+      (5L, "x")
+    )
+    val d = texts.toDF("doc_id", "text")
+      .withColumn("ids", Bpe.bpeEncode(col("text")))
+    // the composition contract: pack on size(ids), slice the same array
+    val packed = SequencePacker.pack(d, "doc_id", size(col("ids")), budget = 8, buckets = 2)
+    val sliced = SequencePacker.chunkSlices(packed, budget = 8, "ids").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
+        r.getAs[Int]("pack_id"), r.getAs[Int]("chunk_tokens"),
+        r.getAs[scala.collection.Seq[Int]]("chunk_ids").toSeq))
+    // every slice is exactly chunk_tokens long
+    sliced.foreach { case (_, _, _, n, ids) => assert(ids.length == n) }
+    // concatenating a doc's slices in pack order == its full id array
+    val fullIds = d.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("ids").toSeq)
+      .toMap
+    sliced.groupBy(_._1).foreach { case (doc, cs) =>
+      val together = cs.sortBy(_._3).flatMap(_._5).toSeq
+      assert(together == fullIds(doc), s"doc $doc reassembly")
+    }
+    // every non-final pack in each bucket carries exactly `budget` ids
+    sliced.groupBy(c => (c._2, c._3)).foreach { case ((bucket, pack), cs) =>
+      val lastPack = sliced.filter(_._2 == bucket).map(_._3).max
+      val total = cs.map(_._5.length).sum
+      if (pack < lastPack) assert(total == 8, s"pack ($bucket,$pack) holds $total")
+      else assert(total <= 8)
+    }
+  }
 }
