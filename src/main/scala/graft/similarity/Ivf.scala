@@ -157,6 +157,38 @@ object Ivf {
     (centDf, assignCollected(df, vecCol, finalC))
   }
 
+  /** Persist a built index under `dir`: `centroids/` (one small file —
+    * the k x dim matrix) and `assigned/` PARTITIONED BY cluster id, so a
+    * loaded index is physically cluster-partitioned on disk and a probe
+    * join touches only the probed clusters' files (dynamic partition
+    * pruning on `centroid_id`). A production ANN service builds once with
+    * [[buildOnSample]], writes here, and serves every session from
+    * [[loadIndex]] instead of re-running k-means.
+    */
+  def writeIndex(
+      centroids: DataFrame,
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String
+  ): Unit = {
+    centroids
+      .select(col("centroid_id"), col("centroid"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/assigned")
+  }
+
+  /** Load an index written by [[writeIndex]]: (centroids, assigned). */
+  def loadIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$dir/centroids").select(col("centroid_id"), col("centroid")),
+    spark.read.parquet(s"$dir/assigned"))
+
   /** ANN search: exact cosine within the `nprobe` clusters nearest to the
     * query vector.
     */
@@ -218,6 +250,15 @@ object Ivf {
   ): DataFrame = {
     require(k > 0, s"ivf: k must be positive, got $k")
     require(nprobe > 0, s"ivf: nprobe must be positive, got $nprobe")
+    // the probe stage fabricates these on the queries frame; a collision
+    // would mis-resolve silently instead of erroring usefully
+    val reserved = Seq("_qv", "_c", "_d", "_rn", "centroid_id")
+    require(!reserved.exists(queries.columns.contains),
+      s"ivf: queries frame must not already have ${reserved.mkString("/")} columns")
+    require(!reserved.contains(queryIdCol),
+      s"ivf: queryIdCol $queryIdCol is a reserved name")
+    require(queryIdCol != idCol,
+      s"ivf: queryIdCol and idCol are both '$idCol' — the output needs distinct names")
     val mat = collectCentroids(centroids).toSeq
     val centLit = typedLit(mat)
     val perCentroid = queries

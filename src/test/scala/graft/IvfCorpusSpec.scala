@@ -62,6 +62,58 @@ class IvfCorpusSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("IVF index round trip: write + load serves identical searchAll results") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val (centroids, assigned) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Ivf.writeIndex(centroids, assigned, "vec_id", "embedding", dir)
+    val (lc, la) = Ivf.loadIndex(spark, dir)
+    // centroids survive bit-for-bit; assignments cover every vector with
+    // the SAME cluster membership
+    assert(lc.orderBy("centroid_id").collect().toSeq ==
+      centroids.select(col("centroid_id"), col("centroid")).orderBy("centroid_id")
+        .collect().toSeq)
+    val memLoaded = la.select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val memBuilt = assigned.select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(memLoaded == memBuilt)
+    // the loaded index answers searchAll identically to the built one
+    val queries = emb.filter($"vec_id".isin(0L, 7L, 13L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def run(a: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Ivf.searchAll(a, c, "vec_id", "embedding", queries, "query_id", "qv",
+        k = 5, nprobe = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(la, lc) == run(assigned, centroids))
+    // the on-disk layout IS cluster-partitioned: one directory per cluster
+    val sub = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("centroid_id="))
+    assert(sub.length == 8, s"expected 8 cluster partitions, got ${sub.toSeq}")
+    emb.unpersist()
+  }
+
+  test("searchAll refuses reserved/colliding column names") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (centroids, assigned) = Ivf.build(emb, "vec_id", "embedding", k = 2, iters = 1)
+    val qBad = emb.select($"vec_id".as("query_id"), $"embedding".as("qv"),
+      lit(1).as("centroid_id"))
+    val e1 = intercept[IllegalArgumentException] {
+      Ivf.searchAll(assigned, centroids, "vec_id", "embedding", qBad,
+        "query_id", "qv", k = 1)
+    }
+    assert(e1.getMessage.contains("centroid_id"))
+    val qOk = emb.select($"vec_id", $"embedding".as("qv"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.searchAll(assigned, centroids, "vec_id", "embedding", qOk,
+        "vec_id", "qv", k = 1)
+    }
+    assert(e2.getMessage.contains("distinct names"))
+  }
+
   test("IVF buildOnSample: frac=1 equals the exact build; sampled centroids stay close") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val (cExact, aExact) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
