@@ -44,7 +44,15 @@ object Compaction {
       outDir: String,
       targetBytes: Long
   ): (Int, Int) = {
-    require(inDir != outDir,
+    // compare fully-qualified paths, not raw strings: 'dir/' vs 'dir',
+    // relative vs absolute, or scheme-qualified aliases must not slip past
+    // the guard and clobber the input mid-read
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(inDir) != qualified(outDir),
       "compaction: refuse to overwrite the input in place — write to a new " +
         "directory and swap atomically at the catalog/manifest layer")
     val n = plannedFiles(spark, inDir, targetBytes)

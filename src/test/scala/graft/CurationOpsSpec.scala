@@ -776,6 +776,13 @@ class CurationOpsSpec extends SparkSpec {
       graft.operators.Compaction.compact(spark, inDir, inDir, 1000)
     }
     assert(ex.getMessage.contains("in place"))
+    // ...including through path aliases that differ only as strings
+    Seq(inDir + "/", "file:" + inDir, inDir + "/./").foreach { alias =>
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Compaction.compact(spark, inDir, alias, 1000)
+      }
+      assert(e.getMessage.contains("in place"), s"alias $alias slipped the guard")
+    }
   }
 
   test("shard manifest: per-shard rows/files/bytes and an order-sensitive content hash") {
