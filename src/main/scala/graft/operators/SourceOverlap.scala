@@ -25,19 +25,34 @@ import graft.dedup.Dedup
   */
 object SourceOverlap {
 
+  /** @param samplePerMille audit-scale knob: Some(p) keeps only shingles
+    *        whose deterministic md5 bucket ([[StableHash]], the Sampling
+    *        convention) falls below p of 1000 — sampling the SHINGLE
+    *        universe, not documents, so every source pair is measured on
+    *        the SAME sampled universe and the Jaccard estimate stays
+    *        comparable across pairs (n_a/n_b/n_shared all scale by ~p/1000
+    *        and the ratio is an unbiased estimate of the exact Jaccard).
+    *        At 100 TB this divides the exploded-shingle shuffle by 1000/p;
+    *        None (default) keeps the exact path the oracles replay.
+    */
   def shingleOverlapMatrix(
       docs: DataFrame,
       sourceCol: String,
       textCol: String,
-      shingleK: Int = 3
+      shingleK: Int = 3,
+      samplePerMille: Option[Int] = None
   ): DataFrame = {
-    val ss = docs
+    samplePerMille.foreach(p =>
+      require(p >= 1 && p <= 1000, s"sourceOverlap: samplePerMille must be in [1, 1000], got $p"))
+    val exploded = docs
       .select(
         col(sourceCol).as("_src"),
         explode(
           array_distinct(
             transform(Dedup.wordShingles(col(textCol), shingleK), x => md5(x))))
           .as("_h"))
+    val ss = samplePerMille
+      .fold(exploded)(p => exploded.filter(StableHash.bucket(col("_h"), 1000) < p))
       .distinct()
     val totals = ss.groupBy(col("_src")).agg(count(lit(1)).as("n"))
     // per-shingle sorted source set -> ordered pairs (a < b)

@@ -207,6 +207,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(exact.getAs[Double]("jaccard") == 1.0 && exact.getAs[Boolean]("is_dup"))
   }
 
+  test("source overlap sampling: per-mille shingle sample tracks the exact jaccard") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("source"), col("text"))
+    val exact = graft.operators.SourceOverlap
+      .shingleOverlapMatrix(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_a") + r.getAs[Long]("n_b"), r.getAs[Double]("jaccard"))))
+      .toMap
+    val sampled = graft.operators.SourceOverlap
+      .shingleOverlapMatrix(docs, "source", "text", samplePerMille = Some(500))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_a") + r.getAs[Long]("n_b"), r.getAs[Double]("jaccard"))))
+      .toMap
+    assert(sampled.nonEmpty && sampled.keySet.subsetOf(exact.keySet))
+    sampled.foreach { case (pair, (nS, jS)) =>
+      val (nE, jE) = exact(pair)
+      // the 50% deterministic sample halves the universe...
+      val ratio = nS.toDouble / nE
+      assert(ratio > 0.35 && ratio < 0.65, s"$pair sampled $ratio of the universe")
+      // ...and the Jaccard estimate stays close to the exact value
+      assert(math.abs(jS - jE) < 0.1, s"$pair jaccard $jS vs exact $jE")
+    }
+    // determinism: the md5 sample draws the same universe every run
+    val again = graft.operators.SourceOverlap
+      .shingleOverlapMatrix(docs, "source", "text", samplePerMille = Some(500))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_a") + r.getAs[Long]("n_b"), r.getAs[Double]("jaccard"))))
+      .toMap
+    assert(again == sampled)
+  }
+
   test("source overlap matrix: shared distinct shingles and set jaccard per pair") {
     // srcA and srcB share exactly the shingles of the common sentence;
     // srcC shares nothing with anyone
