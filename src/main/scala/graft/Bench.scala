@@ -41,46 +41,53 @@ object Bench {
     // Full warmup pass: whole-stage-codegen compilation (Janino) costs
     // seconds per distinct plan and is one-time per executor lifetime —
     // at the 100 TB design point it amortizes to nothing, so the measured
-    // passes report steady-state throughput. Two measured passes, min per
-    // query: this box is shared/noisy and min-of-2 is a better steady-state
-    // estimator than a single sample.
+    // passes report steady-state throughput. THREE measured passes,
+    // median per query: this box is shared/noisy (±30-40% swings swamped
+    // round-to-round per-query history at min-of-2); the median of 3 is a
+    // stable steady-state estimator and the min is kept alongside as the
+    // best-case floor.
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce)
 
     val results = names.map { name =>
-      val a = runOnce(name)
-      val b = runOnce(name)
+      val samples = Seq(runOnce(name), runOnce(name), runOnce(name))
       // a single failed pass must surface as a failure, not be papered over
-      // by the other pass's timing — intermittent errors matter more than
-      // a missing sample
-      name -> (if (a < 0 || b < 0) {
-        System.err.println(s"[bench] WARN: $name failed in a measured pass (a=$a b=$b)")
-        -1.0
-      } else math.min(a, b))
+      // by the other passes' timings — intermittent errors matter more
+      // than a missing sample
+      name -> (if (samples.exists(_ < 0)) {
+        System.err.println(
+          s"[bench] WARN: $name failed in a measured pass (${samples.mkString(", ")})")
+        (-1.0, -1.0)
+      } else (samples.sorted.apply(1), samples.min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.count(_._2 < 0)
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val failed = results.count(_._2._1 < 0)
     // ONE SHORT LINE PER QUERY first: the driver keeps a bounded tail of
     // stdout, and round 3 showed a truncation eating the front of the big
     // combined line (per-query history for the a-e queries was lost).
     // Short lines degrade gracefully — a tail cut loses only the earliest
-    // queries, never the middle of a JSON object.
-    results.foreach { case (k, v) =>
-      println(s"""{"metric":"query","name":"$k","value":$v,"unit":"sec"}""")
+    // queries, never the middle of a JSON object. `value` stays the
+    // headline number (now the median); `min` rides along.
+    results.foreach { case (k, (med, mn)) =>
+      println(s"""{"metric":"query","name":"$k","value":$med,"min":$mn,"unit":"sec"}""")
     }
     // and the full artifact on disk, readable whole regardless of capture
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    val artifact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_min":$qsMin,"samples_per_query":3,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""" + "\n")
+      java.nio.file.Paths.get(outFile), artifact + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARN: could not write $outFile: ${e.getMessage}")
     }
     // Full contract line, then the SHORT headline line LAST so the total
-    // survives any tail capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // survives any tail capture (headline format unchanged from round 4).
+    println(artifact)
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
