@@ -68,21 +68,7 @@ object CurateCli {
         true
       } else {
         Shards.write(kept, "doc_id", shardDir, nShards, orderCols = Seq("source"))
-        // audit the FILES, not the plan: every kept row present exactly
-        // once, one file per shard, 0-based contiguous DISTINCT positions
-        // (min/max alone would accept a duplicated+dropped row pair)
-        val audit = Shards.readBackAudit(spark, shardDir).cache()
-        val nBack = audit.count()
-        val filesOk = audit.agg(max(col("files_in_shard"))).head().getLong(0) <= 1L
-        val posOk = audit
-          .groupBy(col("shard"))
-          .agg(count(lit(1)).as("n"), countDistinct(col("shard_pos")).as("nd"),
-            min(col("shard_pos")).as("lo"), max(col("shard_pos")).as("hi"))
-          .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1 ||
-            col("nd") =!= col("n"))
-          .isEmpty
-        audit.unpersist()
-        nBack == nKept && filesOk && posOk
+        auditShards(spark, shardDir, nKept)
       }
 
     // per-source/lang stats the mix designer reads
@@ -104,9 +90,151 @@ object CurateCli {
     Summary(nIn, nKept, nShardsOut, auditOk)
   }
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CurateCli <documents.parquet> <outDir> [nShards]")
-    val nShards = if (args.length > 2) args(2).toInt else 64
+  /** Audit the FILES, not the plan: every expected row present exactly
+    * once, one file per shard, 0-based contiguous DISTINCT positions
+    * (min/max alone would accept a duplicated+dropped row pair).
+    */
+  private def auditShards(spark: SparkSession, shardDir: String, expected: Long): Boolean = {
+    val audit = Shards.readBackAudit(spark, shardDir).cache()
+    val nBack = audit.count()
+    val filesOk = audit.agg(max(col("files_in_shard"))).head().getLong(0) <= 1L
+    val posOk = audit
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("shard_pos")).as("nd"),
+        min(col("shard_pos")).as("lo"), max(col("shard_pos")).as("hi"))
+      .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1 ||
+        col("nd") =!= col("n"))
+      .isEmpty
+    audit.unpersist()
+    nBack == expected && filesOk && posOk
+  }
+
+  final case class IncrementalSummary(
+      batch: Int,
+      nIn: Long,
+      nKept: Long,
+      nFresh: Long,
+      nDupOfCorpus: Long,
+      nShards: Int,
+      auditOk: Boolean,
+      corpusCompacted: Boolean)
+
+  /** The daily-increment twin of [[run]]: gate + redact + dedup a NEW
+    * batch ([[CorpusPipeline.prepare]]), drop documents that
+    * near-duplicate the ACCUMULATED corpus via the STORED band index
+    * ([[graft.dedup.Dedup.loadBandIndex]] — no corpus re-scan or
+    * re-shingling), append the survivors to `outDir/corpus` + the index +
+    * a per-batch shard directory (`outDir/shards/batch=N`, read-back
+    * audited), and compact the corpus parquet once its small-file count
+    * crosses `compactAt`. The first call bootstraps state (everything
+    * kept is fresh, the index is built from it).
+    *
+    * Document ids must be unique ACROSS batches (crawl ids are) — the
+    * index append trusts them.
+    */
+  def runIncremental(
+      spark: SparkSession,
+      input: String,
+      outDir: String,
+      nShards: Int,
+      cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
+      threshold: Double = 0.7,
+      compactAt: Int = 16
+  ): IncrementalSummary = {
+    import graft.dedup.Dedup
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val corpusDir = s"$outDir/corpus"
+    val indexDir = s"$outDir/index"
+    val bootstrap = !exists(s"$indexDir/meta")
+
+    val docs = spark.read.parquet(input)
+    val nIn = docs.count()
+    val kept = CorpusPipeline.prepare(docs, cfg = cfg)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("quality_score"), col("n_tokens"))
+      .cache()
+    val nKept = kept.count()
+
+    // corpus-level dedup: batch bands broadcast onto the STORED index,
+    // verify reads stored shingle sets pruned to candidate rows
+    val fresh =
+      if (bootstrap || nKept == 0) kept
+      else {
+        val idx = Dedup.loadBandIndex(spark, indexDir)
+        val flags = Dedup
+          .dedupAgainstCorpus(idx, kept, "text", threshold, maxBucket = None)
+          .filter(!col("is_dup"))
+          .select(col("doc_id"))
+        kept.join(flags, Seq("doc_id"), "left_semi").cache()
+      }
+    val nFresh = fresh.count()
+    val nDup = nKept - nFresh
+
+    // next batch ordinal = count of existing batch directories
+    val shardsRoot = s"$outDir/shards"
+    val batchId =
+      if (!exists(shardsRoot)) 0
+      else fs.listStatus(new org.apache.hadoop.fs.Path(shardsRoot))
+        .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val shardDir = s"$shardsRoot/batch=$batchId"
+
+    val auditOk =
+      if (nFresh == 0) true
+      else {
+        // ORDER MATTERS: the shard files are written FIRST and become the
+        // durable record of the batch; the corpus and index appends then
+        // derive from the READ-BACK of those files. Deriving them from
+        // `fresh` directly would be wrong: `fresh`'s lineage READS the
+        // stored band index, and Spark invalidates caches on any write to
+        // a path a cached plan reads — so appending to the index would
+        // silently recompute `fresh` against the just-updated index,
+        // where every batch doc near-dups ITSELF, and the remaining
+        // appends would see an empty frame.
+        Shards.write(fresh, "doc_id", shardDir, nShards, orderCols = Seq("source"))
+        val landed = spark.read.parquet(shardDir)
+          .select(col("doc_id"), col("source"), col("lang"), col("text"),
+            col("quality_score"), col("n_tokens"))
+        landed.write.mode("append").parquet(corpusDir)
+        if (bootstrap)
+          Dedup.writeBandIndex(
+            Dedup.buildBandIndex(landed, "doc_id", "text"), indexDir)
+        else Dedup.appendBandIndex(landed, "text", indexDir)
+        auditShards(spark, shardDir, nFresh)
+      }
+
+    // post-append maintenance: heal the corpus directory's small files
+    // once enough batches accumulated (rewrite-and-swap, never in place)
+    val compacted =
+      if (!exists(corpusDir)) false
+      else {
+        val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (nFiles < compactAt) false
+        else {
+          val tmp = s"$outDir/corpus__compacting"
+          graft.operators.Compaction.compact(spark, corpusDir, tmp, 128L * 1024 * 1024)
+          fs.delete(new org.apache.hadoop.fs.Path(corpusDir), true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(corpusDir))
+          true
+        }
+      }
+
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(
+      Paths.get(s"$outDir/batch_${batchId}_stats.json"),
+      s"""{"batch":$batchId,"n_in":$nIn,"n_kept":$nKept,"n_fresh":$nFresh,""" +
+        s""""n_dup_of_corpus":$nDup,"n_shards":${if (nFresh == 0) 0 else nShards},""" +
+        s""""audit_ok":$auditOk,"corpus_compacted":$compacted}""" + "\n")
+    if (!(fresh eq kept)) fresh.unpersist()
+    kept.unpersist()
+    IncrementalSummary(batchId, nIn, nKept, nFresh, nDup,
+      if (nFresh == 0) 0 else nShards, auditOk, compacted)
+  }
+
+  private def session(): SparkSession = {
     val spark = SparkSession
       .builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -117,6 +245,26 @@ object CurateCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("incremental")) {
+      require(args.length >= 3,
+        "usage: CurateCli incremental <batch.parquet> <stateDir> [nShards]")
+      val nShards = if (args.length > 3) args(3).toInt else 64
+      val spark = session()
+      val s = runIncremental(spark, args(1), args(2), nShards)
+      println(s"[curate] batch=${s.batch} in=${s.nIn} kept=${s.nKept} " +
+        s"fresh=${s.nFresh} dup_of_corpus=${s.nDupOfCorpus} " +
+        s"shards=${s.nShards} audit_ok=${s.auditOk} compacted=${s.corpusCompacted}")
+      spark.stop()
+      if (!s.auditOk) sys.exit(1)
+      return
+    }
+    require(args.length >= 2, "usage: CurateCli <documents.parquet> <outDir> [nShards]")
+    val nShards = if (args.length > 2) args(2).toInt else 64
+    val spark = session()
     val s = run(spark, args(0), args(1), nShards)
     println(s"[curate] in=${s.nIn} kept=${s.nKept} shards=${s.nShards} audit_ok=${s.auditOk}")
     spark.stop()

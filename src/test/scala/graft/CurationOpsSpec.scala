@@ -739,6 +739,67 @@ class CurationOpsSpec extends SparkSpec {
     assert(back.columns.contains("quality_score") && back.columns.contains("shard_pos"))
   }
 
+  test("CurateCli.runIncremental: batches land, dedup against the stored index, compact") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val state = Files.createTempDirectory("curate_inc").toString
+    val batches = Files.createTempDirectory("curate_batches").toString
+
+    // batch 0: the even half — bootstraps corpus + band index + shards
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$batches/b0")
+    val s0 = graft.cli.CurateCli.runIncremental(spark, s"$batches/b0", state, nShards = 2)
+    assert(s0.batch == 0 && s0.auditOk && s0.nFresh > 0)
+    assert(s0.nDupOfCorpus == 0, "bootstrap has no corpus to duplicate")
+    val corpus0 = spark.read.parquet(s"$state/corpus")
+    assert(corpus0.count() == s0.nFresh)
+
+    // batch 1: the odd half PLUS 5 re-labeled copies of already-landed
+    // docs — the copies must be flagged against the stored index and
+    // dropped, without re-scanning or re-shingling the corpus
+    val replayed = corpus0.limit(5)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("quality_score"), col("n_tokens"))
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        lit(0.0).as("quality_score"), lit(0).as("n_tokens"))
+      .unionByName(replayed)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .write.parquet(s"$batches/b1")
+    val s1 = graft.cli.CurateCli.runIncremental(spark, s"$batches/b1", state, nShards = 2)
+    assert(s1.batch == 1 && s1.auditOk)
+    assert(s1.nDupOfCorpus >= 5,
+      s"the 5 exact corpus copies must be flagged, got ${s1.nDupOfCorpus}")
+    assert(s1.nFresh == s1.nKept - s1.nDupOfCorpus)
+    val corpusAfter = spark.read.parquet(s"$state/corpus")
+    assert(corpusAfter.count() == s0.nFresh + s1.nFresh)
+    assert(corpusAfter.select("doc_id").distinct().count() == s0.nFresh + s1.nFresh)
+    // per-batch shard dirs, each internally audited
+    assert(new java.io.File(s"$state/shards/batch=0").isDirectory)
+    assert(new java.io.File(s"$state/shards/batch=1").isDirectory)
+    assert(spark.read.parquet(s"$state/shards/batch=1").count() == s1.nFresh)
+    // stats artifacts per batch
+    assert(Files.readString(java.nio.file.Paths.get(s"$state/batch_1_stats.json"))
+      .contains("\"audit_ok\":true"))
+
+    // batch 2: pure replays -> nothing fresh; low compactAt forces the
+    // corpus small-file heal, which must preserve content exactly
+    corpus0.limit(5)
+      .withColumn("doc_id", col("doc_id") + 2000000L)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .write.parquet(s"$batches/b2")
+    val s2 = graft.cli.CurateCli.runIncremental(
+      spark, s"$batches/b2", state, nShards = 2, compactAt = 2)
+    assert(s2.batch == 2 && s2.nFresh == 0 && s2.auditOk)
+    assert(s2.corpusCompacted, "compaction must trigger at compactAt=2")
+    val healed = spark.read.parquet(s"$state/corpus")
+    assert(healed.count() == s0.nFresh + s1.nFresh)
+    assert(healed.select("doc_id").distinct().count() == s0.nFresh + s1.nFresh)
+    // the index still serves dedup after compaction (state dirs disjoint)
+    val idx = graft.dedup.Dedup.loadBandIndex(spark, s"$state/index")
+    assert(idx.bands.select(col("doc_id")).distinct().count() == s0.nFresh + s1.nFresh)
+  }
+
   test("CurateCli.run: an all-filtered corpus reports cleanly instead of crashing") {
     val out = java.nio.file.Files.createTempDirectory("curate_empty").toString
     val s = graft.cli.CurateCli.run(
