@@ -220,6 +220,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1) == twin.filter(_._2).keySet)
   }
 
+  test("streaming dedup against a LOADED stored index matches the inline overload") {
+    implicit val sqlCtx = spark.sqlContext
+    val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d1b = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    val d3 = "completely different words about spark catalyst optimizer and parquet files"
+    val corpus = Seq((10L, d1), (11L, d3)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("stream_band_index").toString
+    graft.dedup.Dedup.writeBandIndex(
+      graft.dedup.Dedup.buildBandIndex(corpus, "doc_id", "text"), dir)
+    val loaded = graft.dedup.Dedup.loadBandIndex(spark, dir)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    // the production shape: static sides are stored parquet, no corpus scan
+    val flagged = StreamingPipeline.dedupAgainstIndexStream(
+      stream, loaded, "text", "ts", "10 minutes", 0.5)
+    input.addData(
+      (100L, ts(0), d1b),
+      (101L, ts(1), "nothing shared with anything in the corpus at all right now"),
+      (102L, ts(2), d1))
+    val q = flagged.writeStream.format("memory").queryName("dedup_idx_loaded")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_idx_loaded")
+      .select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 10L), (102L, 10L)))
+  }
+
   test("checkpointed parquet sink: a restarted query resumes exactly-once") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
