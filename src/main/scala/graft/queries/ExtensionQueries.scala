@@ -61,6 +61,56 @@ object ExtensionQueries {
     s"map([${toks.map(sqLit).mkString(",")}], [${toks.indices.mkString(",")}])"
   }
 
+    // Bands for ALL docs once (per-doc deterministic, so splitting after
+    // banding equals banding each split); batch x corpus band join, then
+    // the q_ngram_jaccard distinct-md5-shingle verification; best match
+    // per batch doc by (jaccard desc, corpus id). is_dup compares the
+    // RAW jaccard on both engines (identical rationals), not the rounded
+    // display value. SHARED by q_dedup_incremental (inline path) and
+    // q_dedup_indexed (stored-index path): the persistence layer must be
+    // value-invisible.
+    private lazy val duckIncrementalDedupSql: String = duckMinhashCte + """,
+        e as (
+          select doc_id, band, hash from bands
+          unpivot (hash for band in (band_0, band_1, band_2, band_3))
+        ),
+        cand as (
+          select distinct b.doc_id as bid, c.doc_id as cid
+          from e b join e c on b.band = c.band and b.hash = c.hash
+          where b.doc_id % 10 = 0 and c.doc_id % 10 <> 0
+        ),
+        sh as (
+          select doc_id, list_distinct(list_transform(
+            list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+            x -> md5(x))) as sh
+          from t
+        ),
+        jc as (
+          select bid, cid,
+            case when len(list_distinct(sb.sh || sc.sh)) > 0
+                 then cast(len(list_intersect(sb.sh, sc.sh)) as double) /
+                      cast(len(list_distinct(sb.sh || sc.sh)) as double)
+                 else 0.0 end as j
+          from cand
+          join sh sb on sb.doc_id = bid
+          join sh sc on sc.doc_id = cid
+        ),
+        best as (
+          select bid, cid, j from (
+            select bid, cid, j,
+              row_number() over (partition by bid order by j desc, cid) as rn
+            from jc
+          ) where rn = 1
+        )
+        select d.doc_id, best.cid as dup_of,
+          cast(""" + duckRound("j", 4) + """ as decimal(10,4)) as jaccard,
+          cast(case when j >= 0.7 then 1 else 0 end as int) as is_dup
+        from documents d left join best on best.bid = d.doc_id
+        where d.doc_id % 10 = 0
+        order by d.doc_id"""
+
+
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
@@ -533,52 +583,33 @@ object ExtensionQueries {
             col("is_dup").cast("int").as("is_dup"))
           .orderBy("doc_id")
       },
-      // Bands for ALL docs once (per-doc deterministic, so splitting after
-      // banding equals banding each split); batch x corpus band join, then
-      // the q_ngram_jaccard distinct-md5-shingle verification; best match
-      // per batch doc by (jaccard desc, corpus id). is_dup compares the
-      // RAW jaccard on both engines (identical rationals), not the
-      // rounded display value.
-      Some(duckMinhashCte + """,
-        e as (
-          select doc_id, band, hash from bands
-          unpivot (hash for band in (band_0, band_1, band_2, band_3))
-        ),
-        cand as (
-          select distinct b.doc_id as bid, c.doc_id as cid
-          from e b join e c on b.band = c.band and b.hash = c.hash
-          where b.doc_id % 10 = 0 and c.doc_id % 10 <> 0
-        ),
-        sh as (
-          select doc_id, list_distinct(list_transform(
-            list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
-                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
-            x -> md5(x))) as sh
-          from t
-        ),
-        jc as (
-          select bid, cid,
-            case when len(list_distinct(sb.sh || sc.sh)) > 0
-                 then cast(len(list_intersect(sb.sh, sc.sh)) as double) /
-                      cast(len(list_distinct(sb.sh || sc.sh)) as double)
-                 else 0.0 end as j
-          from cand
-          join sh sb on sb.doc_id = bid
-          join sh sc on sc.doc_id = cid
-        ),
-        best as (
-          select bid, cid, j from (
-            select bid, cid, j,
-              row_number() over (partition by bid order by j desc, cid) as rn
-            from jc
-          ) where rn = 1
-        )
-        select d.doc_id, best.cid as dup_of,
-          cast(""" + duckRound("j", 4) + """ as decimal(10,4)) as jaccard,
-          cast(case when j >= 0.7 then 1 else 0 end as int) as is_dup
-        from documents d left join best on best.bid = d.doc_id
-        where d.doc_id % 10 = 0
-        order by d.doc_id""")
+      Some(duckIncrementalDedupSql)
+    ),
+    "q_dedup_indexed" -> Q(
+      (s, dir) => {
+        // the STORED-index production path under the same oracle: build +
+        // WRITE the corpus band index, LOAD it back from parquet, and
+        // dedup the batch against the loaded index — the persistence
+        // layer (partitioned bands, stored shingle sets, parameter meta)
+        // must be value-invisible vs the inline q_dedup_incremental path.
+        // Like q_shards_readback, the write IS part of the operator under
+        // test; the build jobs are bounded (PlanGuardSpec exemption).
+        val d = docs(s, dir)
+        val out = s"${sys.props("java.io.tmpdir")}/graft_band_idx_${math.abs(dir.hashCode)}"
+        Dedup.writeBandIndex(
+          Dedup.buildBandIndex(d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text"),
+          out)
+        val idx = Dedup.loadBandIndex(s, out)
+        Dedup
+          .dedupAgainstCorpus(idx, d.filter(col("doc_id") % 10 === 0), "text")
+          .select(
+            col("doc_id"),
+            col("dup_of"),
+            roundHalfUp(col("jaccard"), 4).cast("decimal(10,4)").as("jaccard"),
+            col("is_dup").cast("int").as("is_dup"))
+          .orderBy("doc_id")
+      },
+      Some(duckIncrementalDedupSql)
     ),
     "q_text_normalize" -> Q(
       (s, dir) => {

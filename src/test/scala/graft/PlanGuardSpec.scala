@@ -61,7 +61,11 @@ class PlanGuardSpec extends SparkSpec {
     "q_coreset",          // Ivf.build k-means passes (k x dim collects)
     // sink under test: the builder MATERIALIZES the shard files and the
     // query audits the read-back — the write job is the operator itself
-    "q_shards_readback"
+    "q_shards_readback",
+    // stored-index twin: the builder WRITES + LOADS the band index (the
+    // persistence layer is the operator under test); bands/shingles/meta
+    // writes and the meta head() are all batch-split-bounded
+    "q_dedup_indexed"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
