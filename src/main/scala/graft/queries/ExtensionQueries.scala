@@ -846,6 +846,48 @@ object ExtensionQueries {
         )"""
   }
 
+  // ---- shared DuckDB replay of the deterministic PQ build -----------------
+  // (Pq.train at m=8, ks=16, subDim=8, iters=2): one ivf-style replay per
+  // SUBSPACE over the sliced embedding, same fold order and strict-<
+  // argmin tie-break as NearestCentroidExpr on the Spark side.
+
+  private def pqSq(e: String, c: String, off: Int, d: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}), i -> " +
+      s"(cast($e[i + $off] as double) - $c[i]) * (cast($e[i + $off] as double) - $c[i]))), (x, y) -> x + y)"
+
+  private def pqAssign(cents: String, off: Int, d: Int): String = s"""
+    select vec_id, embedding, cid from (
+      select e.vec_id, e.embedding, s.cid,
+        row_number() over (partition by e.vec_id
+          order by ${pqSq("e.embedding", "s.centroid", off, d)}, s.cid) as rn
+      from embeddings e cross join $cents s) where rn = 1"""
+
+  private def pqUpdate(src: String, off: Int, d: Int): String = s"""
+    select cid, list(m order by dim) as centroid from (
+      select cid, d.dim, avg(cast(embedding[d.dim + 1 + $off] as double)) as m
+      from $src cross join range(0, $d) d(dim)
+      group by cid, d.dim) group by cid"""
+
+  /** Per-subspace CTE chains `seeds_s, a1_s, c1_s, a2_s, c2_s, a3_s` for
+    * s in [0, m): `a3_s` = final (vec_id, cid) of subspace s, `c2_s` = its
+    * final codebook.
+    */
+  private def pqReplayCtes(m: Int, subDim: Int, ks: Int): String =
+    (0 until m).map { s =>
+      val off = s * subDim
+      s"""seeds_$s as (
+          select cast(row_number() over (order by vec_id) - 1 as int) as cid,
+                 list_transform(list_slice(embedding, ${off + 1}, ${off + subDim}),
+                                x -> cast(x as double)) as centroid
+          from (select vec_id, embedding from embeddings order by vec_id limit $ks)
+        ),
+        a1_$s as (${pqAssign(s"seeds_$s", off, subDim)}),
+        c1_$s as (${pqUpdate(s"a1_$s", off, subDim)}),
+        a2_$s as (${pqAssign(s"c1_$s", off, subDim)}),
+        c2_$s as (${pqUpdate(s"a2_$s", off, subDim)}),
+        a3_$s as (${pqAssign(s"c2_$s", off, subDim)})"""
+    }.mkString(",\n        ")
+
   /** CTE chain `seeds, a1, c1, a2, c2, a3`; `a3` = final assignment
     * (vec_id, embedding, cid).
     */
@@ -1115,6 +1157,63 @@ object ExtensionQueries {
         select vec_id,
           cast(${Parity.duckRound("cos", 6)} as decimal(12,6)) as cos_sim
         from topk order by cos_sim desc, vec_id"""
+      }
+    ),
+    "q_pq_codes" -> Q(
+      (s, dir) => {
+        import graft.similarity.Pq
+        val e = emb(s, dir)
+        // 64 dims -> 8 subspaces x 16 centroids: 32x compression; the
+        // m bounded per-subspace k-means builds are the operator under
+        // test (PlanGuardSpec exemption, ~3 collect jobs per subspace)
+        val cb = Pq.train(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = 2)
+        val q = e.filter(col("vec_id") === 7)
+          .select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble).toSeq
+        e.select(col("vec_id"), Pq.encode(col("embedding"), cb).as("_codes"))
+          .select(
+            col("vec_id"),
+            array_join(transform(col("_codes"), x => x.cast("string")), " ")
+              .as("codes_join"),
+            roundHalfUp(Pq.adcDistance(col("_codes"), q, cb), 6)
+              .cast("decimal(14,6)").as("adc_dist"))
+          .orderBy("vec_id")
+      },
+      // Full replay of all 8 per-subspace deterministic builds + the code
+      // assignment + the ADC sum against query vec 7's per-subspace
+      // distance tables — codes are exact ints; the ADC double survives
+      // the 6-decimal rounding on both engines (explicit left-to-right
+      // addition both sides).
+      Some {
+        val (m, subDim, ks) = (8, 8, 16)
+        val codeCols = (0 until m).map(s => s"c_$s.cid as c$s").mkString(", ")
+        val codeJoins = (1 until m)
+          .map(s => s"join a3_$s c_$s using (vec_id)").mkString(" ")
+        val qdCtes = (0 until m).map { s =>
+          s"""qd_$s as (
+            select cid, ${pqSq("q.qv", "centroid", s * subDim, subDim)} as d
+            from c2_$s cross join q)"""
+        }.mkString(",\n        ")
+        val adcJoins = (0 until m)
+          .map(s => s"join qd_$s q$s on q$s.cid = codes.c$s").mkString(" ")
+        val adcSum = (0 until m).map(s => s"q$s.d").mkString(" + ")
+        val concatCodes = (0 until m).map(s => s"c$s").mkString(", ")
+        s"""
+        with ${pqReplayCtes(m, subDim, ks)},
+        q as (
+          select list_transform(embedding, x -> cast(x as double)) as qv
+          from embeddings where vec_id = 7
+        ),
+        $qdCtes,
+        codes as (
+          select c_0.vec_id, $codeCols
+          from a3_0 c_0 $codeJoins
+        )
+        select codes.vec_id,
+          concat_ws(' ', $concatCodes) as codes_join,
+          cast(${duckRound(adcSum, 6)} as decimal(14,6)) as adc_dist
+        from codes $adcJoins
+        order by codes.vec_id"""
       }
     ),
     "q_ann_ivf_multi" -> Q(

@@ -1,0 +1,191 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the embedding-compression layer of a
+  * production ANN stack (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): split each D-dim vector into `m`
+  * subspaces of D/m dims, k-means each subspace to `ks` centroids, and
+  * store per vector only the `m` centroid ids — 64 float dims (256 bytes)
+  * become 8 small ints, a 32x compression that turns a 100 TB embedding
+  * corpus into an in-memory-searchable 3 TB code table.
+  *
+  * Search uses ADC (asymmetric distance computation): the query stays
+  * exact; its distance to every centroid of every subspace is a tiny
+  * m x ks lookup table, and a vector's approximate squared distance is m
+  * table lookups summed — a narrow codegen'd expression over the code
+  * array, no vector arithmetic per row.
+  *
+  * Scale shape: ALL m subspace k-means train together — each Lloyd
+  * iteration is ONE pass over the corpus (every row explodes to its m
+  * (subspace, nearest-centroid, subvector) cells, and a single
+  * (sub, cid, dim) mean aggregation updates every codebook; the shuffle
+  * carries m x ks x subDim partial sums per partition, not rows). A
+  * subspace-by-subspace loop would pay m x iters corpus scans for the
+  * same result. Encoding is a pure per-row expression (broadcast-literal
+  * codebooks inside [[NearestCentroidExpr]]); ADC top-k is a TakeOrdered
+  * over the code table, never a shuffle of vectors.
+  *
+  * Determinism mirrors [[Ivf.build]] exactly: seeds = first ks ids,
+  * ascending-index distance folds, strict-< argmin tie-break, clusters
+  * that lose all members DROP from the codebook (cids keep their original
+  * values, codes always reference surviving cids) — so codes are
+  * engine-replayable and the q_pq_codes oracle replays every subspace's
+  * build in DuckDB.
+  */
+object Pq {
+
+  /** A trained codebook: `centroids(s)` = the surviving (cid, centroid)
+    * pairs of subspace s, ascending by cid (possibly fewer than `ks` when
+    * a Lloyd iteration emptied a cluster — same semantics as
+    * [[Ivf.updateCentroids]]).
+    */
+  final case class Codebook(
+      m: Int,
+      ks: Int,
+      subDim: Int,
+      centroids: IndexedSeq[IndexedSeq[(Int, Seq[Double])]]) {
+    require(centroids.size == m, "pq: codebook must have one entry per subspace")
+
+    /** Squared distance between `q`'s subspace-s slice and a centroid —
+      * the same ascending-index left fold from 0.0 as
+      * [[NearestCentroidExpr]], so driver-side ADC tables match
+      * engine-side distances bit-for-bit.
+      */
+    def subDistance(q: Seq[Double], s: Int, cent: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < subDim) {
+        val d = q(s * subDim + i) - cent(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Train a codebook: `iters` Lloyd iterations, ONE corpus pass each,
+    * updating all m subspaces together. D must be divisible by m.
+    */
+  def train(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      ks: Int = 16,
+      iters: Int = 2
+  ): Codebook = {
+    require(m > 0 && ks > 0 && iters >= 0, "pq: m, ks positive; iters >= 0")
+    require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
+    val subDim = dim / m
+    // bounded job 1: the first ks vectors by id seed EVERY subspace
+    val seedRows = df
+      .orderBy(col(idCol))
+      .limit(ks)
+      .select(transform(col(vecCol), x => x.cast("double")).as("_v"))
+      .collect()
+      .map(_.getSeq[Double](0))
+    var cb: IndexedSeq[IndexedSeq[(Int, Seq[Double])]] =
+      (0 until m).map { s =>
+        seedRows.zipWithIndex.map { case (v, i) =>
+          (i, v.slice(s * subDim, (s + 1) * subDim).toSeq)
+        }.toIndexedSeq
+      }
+    // one bounded collect per iteration: m x ks x subDim means
+    (0 until iters).foreach { _ =>
+      val cells = array((0 until m).map { s =>
+        struct(
+          lit(s).as("sub"),
+          codeOf(col(vecCol), s, cb).as("cid"),
+          slice(col(vecCol), s * subDim + 1, subDim).as("sv"))
+      }: _*)
+      val means = df
+        .select(explode(cells).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
+          posexplode(col("e.sv")).as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("cid"), col("dim"))
+        .agg(avg(col("v").cast("double")).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      val bySubCid = means.keys.groupBy(k => (k._1, k._2))
+      cb = (0 until m).map { s =>
+        bySubCid.keys.filter(_._1 == s).map(_._2).toIndexedSeq.sorted.map { cid =>
+          (cid, (0 until subDim).map(d => means((s, cid, d))).toSeq)
+        }
+      }
+    }
+    Codebook(m, ks, subDim, cb)
+  }
+
+  /** The surviving-cid code of subspace s: argmin position over the
+    * broadcast-literal matrix, mapped back to the original cid (the
+    * [[Ivf]] assignCollected shape).
+    */
+  private def codeOf(vec: Column, s: Int, cb: IndexedSeq[IndexedSeq[(Int, Seq[Double])]]): Column = {
+    val mat = cb(s).map(_._2)
+    val ids = cb(s).map(_._1)
+    element_at(
+      typedLit(ids),
+      NearestCentroidExpr
+        .nearestCentroid(slice(vec, s * mat.head.size + 1, mat.head.size), mat)
+        .getField("centroid_id") + 1)
+  }
+
+  /** `array<int>` of `m` centroid ids for a vector column — a pure
+    * codegen'd per-row expression (one broadcast-literal argmin per
+    * subspace).
+    */
+  def encode(vec: Column, cb: Codebook): Column =
+    array((0 until cb.m).map(s => codeOf(vec, s, cb.centroids)): _*)
+
+  /** Approximate squared distance of an ENCODED vector to an exact query:
+    * m lookups into the flattened query-to-centroid table, summed left to
+    * right (fixed order — engine-replayable). The table is cid-indexed per
+    * subspace (gaps from dropped clusters hold 0.0 and are never looked
+    * up — codes only reference surviving cids).
+    */
+  def adcDistance(codes: Column, query: Seq[Double], cb: Codebook): Column = {
+    require(query.size == cb.m * cb.subDim,
+      s"pq: query dim ${query.size} != ${cb.m * cb.subDim}")
+    val segSizes = cb.centroids.map(cs => cs.map(_._1).max + 1)
+    val offsets = segSizes.scanLeft(0)(_ + _)
+    val table: Seq[Double] = (0 until cb.m).flatMap { s =>
+      val byCid = cb.centroids(s).toMap
+      (0 until segSizes(s)).map(cid =>
+        byCid.get(cid).map(cent => cb.subDistance(query, s, cent)).getOrElse(0.0))
+    }
+    val flat = typedLit(table)
+    (0 until cb.m)
+      .map(s => element_at(flat, lit(offsets(s) + 1) + element_at(codes, s + 1)))
+      .reduce(_ + _)
+  }
+
+  /** Top-k nearest by ADC distance over a code table: (idCol, adc_dist),
+    * ascending. A TakeOrdered over m-int codes — the 100 TB search shape
+    * (the vector column is never read).
+    */
+  def adcTopK(
+      encoded: DataFrame,
+      idCol: String,
+      codesCol: String,
+      query: Seq[Double],
+      cb: Codebook,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"pq: k must be positive, got $k")
+    encoded
+      .select(col(idCol), adcDistance(col(codesCol), query, cb).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side decode for audits: the reconstruction of a code word. */
+  def decode(codes: Seq[Int], cb: Codebook): Seq[Double] =
+    (0 until cb.m).flatMap { s =>
+      val byCid = cb.centroids(s).toMap
+      byCid(codes(s))
+    }
+}

@@ -114,6 +114,53 @@ class IvfCorpusSpec extends SparkSpec {
     assert(e2.getMessage.contains("distinct names"))
   }
 
+  test("PQ: codes in range, deterministic; ADC top-k recalls exact neighbors") {
+    import graft.similarity.Pq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = 2)
+    assert(cb.centroids.size == 8)
+    assert(cb.centroids.forall(cs => cs.nonEmpty && cs.size <= 16))
+    assert(cb.centroids.forall(_.forall(_._2.size == 8)))
+    // cids ascending and within [0, ks)
+    assert(cb.centroids.forall(cs =>
+      cs.map(_._1) == cs.map(_._1).sorted && cs.forall(c => c._1 >= 0 && c._1 < 16)))
+    val encoded = emb.select($"vec_id", Pq.encode($"embedding", cb).as("codes")).cache()
+    val codes = encoded.collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]]("codes").toSeq)
+      .toMap
+    assert(codes.size == 500)
+    assert(codes.values.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 16)))
+    // deterministic retrain + re-encode
+    val cb2 = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = 2)
+    assert(cb2.centroids == cb.centroids)
+
+    // ADC search: the exact L2 top-10's members are mostly recovered by
+    // the 32x-compressed codes (PQ is lossy; recall, not identity)
+    val q = emb.filter($"vec_id" === 7).select($"embedding")
+      .as[Seq[Float]].head().map(_.toDouble)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq)
+      .toMap
+    val exactTop = vecs.toSeq.sortBy { case (id, v) => (l2(v, q), id) }.take(10).map(_._1).toSet
+    val adcTop = Pq.adcTopK(encoded, "vec_id", "codes", q, cb, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((exactTop & adcTop).size >= 5,
+      s"ADC recall@10 too low: ${(exactTop & adcTop).size}/10")
+    // ADC distance of a vector approximates its true distance through the
+    // reconstruction: |adc - l2(q, decode(codes))| ~ 0 by construction
+    val someId = 42L
+    val adc42 = Pq.adcTopK(encoded.filter($"vec_id" === someId), "vec_id", "codes", q, cb, 1)
+      .head().getDouble(1)
+    val recon = Pq.decode(codes(someId), cb)
+    assert(math.abs(adc42 - l2(q, recon)) < 1e-9,
+      "ADC must equal the exact distance to the reconstruction")
+    // compression accounting: 8 int8-range codes vs 64 float dims = 32x
+    assert(codes.values.forall(_.forall(_ < 256)))
+    encoded.unpersist(); emb.unpersist()
+  }
+
   test("IVF buildOnSample: frac=1 equals the exact build; sampled centroids stay close") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val (cExact, aExact) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
