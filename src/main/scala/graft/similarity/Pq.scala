@@ -188,4 +188,36 @@ object Pq {
       val byCid = cb.centroids(s).toMap
       byCid(codes(s))
     }
+
+  /** Persist a codebook: one row per (sub, cid, centroid) plus the
+    * parameters — self-describing, one tiny file. The PQ leg of the
+    * index-persistence trilogy ([[graft.dedup.Dedup.writeBandIndex]],
+    * [[Ivf.writeIndex]]): train once, encode/search every session from
+    * the stored table.
+    */
+  def writeCodebook(cb: Codebook, dir: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until cb.m
+      (cid, cent) <- cb.centroids(s)
+    } yield (s, cid, cent, cb.m, cb.ks, cb.subDim)
+    rows.toDF("sub", "cid", "centroid", "m", "ks", "sub_dim")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a codebook written by [[writeCodebook]]. */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession, dir: String): Codebook = {
+    val rows = spark.read.parquet(dir).collect()
+    require(rows.nonEmpty, s"pq: empty codebook at $dir")
+    val head = rows.head
+    val (m, ks, subDim) =
+      (head.getAs[Int]("m"), head.getAs[Int]("ks"), head.getAs[Int]("sub_dim"))
+    val bySub = rows
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"), r.getSeq[Double](r.fieldIndex("centroid")).toSeq))
+      .groupBy(_._1)
+    Codebook(m, ks, subDim,
+      (0 until m).map(s =>
+        bySub.getOrElse(s, Array.empty).sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq))
+  }
 }

@@ -158,6 +158,17 @@ class IvfCorpusSpec extends SparkSpec {
       "ADC must equal the exact distance to the reconstruction")
     // compression accounting: 8 int8-range codes vs 64 float dims = 32x
     assert(codes.values.forall(_.forall(_ < 256)))
+
+    // codebook round trip: the stored table re-encodes identically
+    val dir = java.nio.file.Files.createTempDirectory("pq_codebook").toString
+    Pq.writeCodebook(cb, dir, spark)
+    val loaded = Pq.loadCodebook(spark, dir)
+    assert(loaded == cb)
+    val recodes = emb.select($"vec_id", Pq.encode($"embedding", loaded).as("codes"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]]("codes").toSeq)
+      .toMap
+    assert(recodes == codes)
     encoded.unpersist(); emb.unpersist()
   }
 
