@@ -46,6 +46,7 @@ object Canon {
     "q_dedup_incremental" -> Seq("jaccard"),
     "q_dedup_indexed" -> Seq("jaccard"),
     "q_pq_codes" -> Seq("adc_dist"),
+    "q_ann_ivfpq" -> Seq("adc_dist", "cos_sim"),
     "q_source_overlap" -> Seq("jaccard"),
     "q_range_join" -> Seq("bal"),
     "q_star_join" -> Seq("total_price"),

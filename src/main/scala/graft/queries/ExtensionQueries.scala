@@ -1270,6 +1270,84 @@ object ExtensionQueries {
         from ranked where rank <= 10
         order by query_id, rank""")
     ),
+    "q_ann_ivfpq" -> Q(
+      (s, dir) => {
+        import graft.similarity.{Ivf, Pq}
+        val e = emb(s, dir)
+        val (centroids, assigned) =
+          Ivf.build(e, "vec_id", "embedding", k = 16, iters = 2)
+        val cb = Pq.train(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = 2)
+        val query = e.filter(col("vec_id") === 7)
+          .select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble).toSeq
+        // the serving shape: codes + cluster id, vectors never reread in
+        // stage 1; stage 2 re-ranks the 20-row shortlist exactly
+        val enc = Pq.encodeAssigned(assigned, "vec_id", "embedding", cb)
+        val shortlist = Pq
+          .searchIvfAdc(enc, centroids, "vec_id", "codes", query, cb,
+            k = 20, nprobe = 4)
+        Pq.rerankExact(shortlist, e, "vec_id", "embedding", query, k = 10)
+          .join(shortlist.select(col("vec_id"), col("adc_dist")), "vec_id")
+          .select(
+            col("vec_id"),
+            roundHalfUp(col("adc_dist"), 6).cast("decimal(14,6)").as("adc_dist"),
+            roundHalfUp(col("cos_sim"), 6).cast("decimal(12,6)").as("cos_sim"))
+          .orderBy("vec_id")
+      },
+      // The full two-stage IVF-PQ pipeline against query vec 7: probes =
+      // the 4 nearest of q_ann_ivf's replayed centroids, stage-1 shortlist
+      // = ADC top-20 (q_pq_codes' replayed codebooks + lookup-sum) WITHIN
+      // the probed clusters, stage 2 = exact cosine over the 20 survivors,
+      // top-10 by (cos desc, vec_id). Both build replays are shared
+      // verbatim with q_ann_ivf / q_pq_codes; output carries both stages'
+      // evidence columns, sorted by vec_id so rounding can't reorder.
+      Some {
+        val (m, subDim, ks) = (8, 8, 16)
+        val codeCols = (0 until m).map(s => s"c_$s.cid as c$s").mkString(", ")
+        val codeJoins = (1 until m)
+          .map(s => s"join a3_$s c_$s using (vec_id)").mkString(" ")
+        val qdCtes = (0 until m).map { s =>
+          s"""qd_$s as (
+            select cid, ${pqSq("q.qv", "centroid", s * subDim, subDim)} as d
+            from c2_$s cross join q)"""
+        }.mkString(",\n        ")
+        val adcJoins = (0 until m)
+          .map(s => s"join qd_$s q$s on q$s.cid = codes.c$s").mkString(" ")
+        val adcSum = (0 until m).map(s => s"q$s.d").mkString(" + ")
+        s"""
+        with $ivfReplayCtes,
+        ${pqReplayCtes(m, subDim, ks)},
+        q as (
+          select list_transform(embedding, x -> cast(x as double)) as qv
+          from embeddings where vec_id = 7
+        ),
+        probes as (
+          select cid from q, c2
+          order by ${ivfSq("c2.centroid", "q.qv")}, cid limit 4
+        ),
+        $qdCtes,
+        codes as (
+          select c_0.vec_id, $codeCols
+          from a3_0 c_0 $codeJoins
+        ),
+        shortlist as (
+          select codes.vec_id, $adcSum as d
+          from codes $adcJoins
+          join a3 av on av.vec_id = codes.vec_id
+          join probes p on av.cid = p.cid
+          order by d, codes.vec_id limit 20
+        ),
+        rr as (
+          select s.vec_id, s.d, ${duckCos("e.embedding", "q.qv")} as cos
+          from shortlist s join embeddings e using (vec_id) cross join q
+          order by cos desc, s.vec_id limit 10
+        )
+        select vec_id,
+          cast(${duckRound("d", 6)} as decimal(14,6)) as adc_dist,
+          cast(${duckRound("cos", 6)} as decimal(12,6)) as cos_sim
+        from rr order by vec_id"""
+      }
+    ),
     "q_semdedup" -> Q(
       (s, dir) =>
         graft.similarity.SemDedup

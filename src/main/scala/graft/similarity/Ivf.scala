@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  private def sqDist(a: Column, b: Column): Column =
+  private[similarity] def sqDist(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")

@@ -182,6 +182,88 @@ object Pq {
       .limit(k)
   }
 
+  /** PQ codes joined with IVF cluster assignment — the serving-index row
+    * shape of a production IVF-PQ ANN stack: (id, m-int code word,
+    * centroid_id). Write it with [[Ivf.writeIndex]] (vecCol = the codes
+    * column) to get a cluster-partitioned on-disk index that is ~32x
+    * smaller than the vector table and never rereads a vector at query
+    * time.
+    */
+  def encodeAssigned(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebook,
+      codesCol: String = "codes"
+  ): DataFrame = {
+    require(codesCol != idCol && codesCol != "centroid_id",
+      s"pq: codesCol $codesCol collides with an output column")
+    assigned.select(col(idCol), encode(col(vecCol), cb).as(codesCol), col("centroid_id"))
+  }
+
+  /** IVF-PQ ANN search: rank by ADC distance inside the `nprobe` clusters
+    * nearest to the query — the composition of [[Ivf.search]]'s probe
+    * stage with [[adcDistance]]'s table lookups. The scan side is the
+    * CODE table from [[encodeAssigned]] (m small ints per row, cluster-
+    * partitioned when loaded via [[Ivf.loadIndex]], so partition pruning
+    * skips every unprobed cluster's files); the query stays exact. At
+    * 100 TB this is the only search shape that avoids both a full scan
+    * AND a vector read: probe selection is a k-row broadcast, ADC is a
+    * codegen'd lookup-sum, and the top-k is a TakeOrdered over ids.
+    *
+    * @return (idCol, adc_dist) ascending — approximate squared distance
+    */
+  def searchIvfAdc(
+      encoded: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      codesCol: String,
+      query: Seq[Double],
+      cb: Codebook,
+      k: Int,
+      nprobe: Int = 2
+  ): DataFrame = {
+    require(k > 0, s"pq: k must be positive, got $k")
+    require(nprobe > 0, s"pq: nprobe must be positive, got $nprobe")
+    val probes = centroids
+      .withColumn("_dist", Ivf.sqDist(col("centroid"), typedLit(query)))
+      .orderBy(col("_dist"), col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    encoded
+      .join(broadcast(probes), "centroid_id")
+      .select(col(idCol), adcDistance(col(codesCol), query, cb).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Exact re-rank of an ADC shortlist: join the (small) candidate id set
+    * back to the vector table and rank by true cosine — candidates
+    * broadcast, so the corpus side is a semi-joined narrow probe, never a
+    * scan. The standard two-stage IVF-PQ recipe: `searchIvfAdc(k = R)`
+    * for a cheap R-candidate shortlist, then exact distances on R rows
+    * only.
+    *
+    * @return (idCol, cos_sim) descending, top `k`
+    */
+  def rerankExact(
+      candidates: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"pq: k must be positive, got $k")
+    corpus
+      .join(broadcast(candidates.select(col(idCol))), idCol)
+      .select(
+        col(idCol),
+        Similarity.cosine(col(vecCol), typedLit(query)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Driver-side decode for audits: the reconstruction of a code word. */
   def decode(codes: Seq[Int], cb: Codebook): Seq[Double] =
     (0 until cb.m).flatMap { s =>

@@ -172,6 +172,66 @@ class IvfCorpusSpec extends SparkSpec {
     encoded.unpersist(); emb.unpersist()
   }
 
+  test("IVF-PQ: ADC search within probes + exact re-rank; stored codes index serves identically") {
+    import graft.similarity.Pq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val (centroids, assigned) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = 2)
+    val enc = Pq.encodeAssigned(assigned, "vec_id", "embedding", cb).cache()
+    assert(enc.columns.toSeq == Seq("vec_id", "codes", "centroid_id"))
+    assert(enc.count() == emb.count())
+
+    val q = emb.filter($"vec_id" === 7).select($"embedding")
+      .as[Seq[Float]].head().map(_.toDouble)
+    // stage 1 candidates come ONLY from probed clusters, ranked by ADC
+    val probed = {
+      val cents = centroids.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      def l2(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      cents.toSeq.sortBy { case (cid, c) => (l2(c, q), cid) }.take(4).map(_._1).toSet
+    }
+    val shortlist = Pq.searchIvfAdc(enc, centroids, "vec_id", "codes", q, cb,
+      k = 20, nprobe = 4).cache()
+    val members = assigned.select($"vec_id", $"centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val slIds = shortlist.collect().map(_.getLong(0)).toSeq
+    assert(slIds.size == 20 && slIds.forall(id => probed(members(id))),
+      "shortlist must only contain rows from probed clusters")
+    // shortlist ADC distances agree with the brute-force adcTopK restricted
+    // to the probed clusters (same operator, different plan shape)
+    val bruteAdc = Pq.adcTopK(
+      enc.filter($"centroid_id".isin(probed.toSeq: _*)),
+      "vec_id", "codes", q, cb, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(shortlist.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == bruteAdc)
+
+    // stage 2: exact re-rank of the shortlist — top-10 by true cosine,
+    // descending, and every returned id comes from the shortlist
+    val rr = Pq.rerankExact(shortlist, emb, "vec_id", "embedding", q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr.size == 10 && rr.map(_._2).reverse.sorted.reverse == rr.map(_._2))
+    assert(rr.map(_._1).toSet.subsetOf(slIds.toSet))
+    // re-ranked recall vs the full exact top-10 is at least ADC-only recall
+    val exactTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val adcOnly = Pq.searchIvfAdc(enc, centroids, "vec_id", "codes", q, cb,
+      k = 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+    assert((exactTop & rr.map(_._1).toSet).size >= (exactTop & adcOnly).size,
+      "exact re-rank must not lose recall vs raw ADC ranking")
+
+    // the serving round trip: the codes table IS an Ivf index (vecCol =
+    // codes), cluster-partitioned on disk, and serves identical results
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    Ivf.writeIndex(centroids, enc, "vec_id", "codes", dir)
+    val (lc, la) = Ivf.loadIndex(spark, dir)
+    val servedSl = Pq.searchIvfAdc(la, lc, "vec_id", "codes", q, cb,
+      k = 20, nprobe = 4)
+    assert(servedSl.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      shortlist.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    shortlist.unpersist(); enc.unpersist(); emb.unpersist()
+  }
+
   test("IVF buildOnSample: frac=1 equals the exact build; sampled centroids stay close") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val (cExact, aExact) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
