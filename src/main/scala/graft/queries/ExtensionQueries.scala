@@ -2554,6 +2554,97 @@ object ExtensionQueries {
           cast(len(list_filter(ids, x -> x = -1)) as int) as n_oov
         from enc order by doc_id""")
     ),
+    "q_quality_model" -> Q(
+      (s, dir) => {
+        import graft.text.LinearTextModel
+        // model-based filtering: distill the quality HEURISTIC into a
+        // hashed bag-of-words linear model trained in-engine (two
+        // bounded-collect passes — PlanGuard-exempted), then score every
+        // document with the pure narrow expression. The real-pipeline
+        // shape: the teacher signal is expensive or sampled, the student
+        // model gates the full corpus.
+        val corpus = docs(s, dir)
+          .select(col("doc_id"), col("text"),
+            graft.text.TextAnalysis.qualityScore(col("text")).as("_y"))
+        val m = LinearTextModel.train(corpus, "text", "_y",
+          d = 256, alpha = 5.0)
+        corpus
+          .select(
+            col("doc_id"),
+            roundHalfUp(LinearTextModel.score(col("text"), m), 6)
+              .cast("decimal(12,6)").as("model_score"),
+            roundHalfUp(col("_y"), 4).cast("decimal(10,4)").as("quality_score"))
+          .orderBy("doc_id")
+      },
+      // Full replay of both training passes: the teacher label is
+      // q_text_quality's score expression; instances = token md5-bucket
+      // ids (d=256); rates = (sum_y + 5*ybar)/(cnt + 5) per feature; raw
+      // doc score = mean rate over instances; then the closed-form 1-D
+      // least-squares calibration a*raw + b with the same explicit-sums
+      // formula the Spark trainer uses. Pure add/multiply/divide — no
+      // transcendentals — so both engines agree at the compared
+      // 6-decimal rounding.
+      Some(s"""
+        with t as (select doc_id, text, $duckTokens as toks from documents),
+        m as (
+          select doc_id, toks,
+            cast(len(toks) as double) as n,
+            case when len(toks) > 0
+                 then cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+                 else 0.0 end as mtl,
+            case when length(text) > 0
+                 then cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) as double) / cast(length(text) as double)
+                 else 0.0 end as punct,
+            cast(len(list_filter(toks, x -> x in ('the','a','of','and','to','in','is','that'))) as double) as sw
+          from t
+        ),
+        yt as (
+          select doc_id, toks,
+            least(n / 64.0, 1.0) * 0.3 +
+              least(sw / greatest(n, 1.0) * 8.0, 1.0) * 0.3 +
+              greatest(1.0 - punct * 4.0, 0.0) * 0.2 +
+              (case when mtl between 3.0 and 9.0 then cast(1.0 as double) else cast(0.5 as double) end) * 0.2 as y
+          from m
+        ),
+        gl as (select sum(y) / count(*) as yb, cast(count(*) as double) as n from yt),
+        inst as (
+          select doc_id,
+            cast(cast('0x' || substr(md5(tok), 1, 8) as bigint) % 256 as int) as idx
+          from (select doc_id, unnest(toks) as tok from yt)
+        ),
+        rates as (
+          select i.idx, (sum(y.y) + 5.0 * g.yb) / (count(*) + 5.0) as w
+          from inst i join yt y using (doc_id), gl g
+          group by i.idx, g.yb
+        ),
+        sums as (
+          select i.doc_id, sum(r.w) as sw from inst i join rates r using (idx)
+          group by i.doc_id
+        ),
+        raw as (
+          select y.doc_id, y.y,
+            case when len(y.toks) = 0 then g.yb else s.sw / len(y.toks) end as r
+          from yt y left join sums s using (doc_id), gl g
+        ),
+        calib as (
+          select sum(r) as sr, sum(r * r) as srr, sum(r * y) as sry,
+            sum(y) as sy, any_value(g.n) as n
+          from raw, gl g
+        ),
+        ab as (
+          select a, (sy - a * sr) / n as b from (
+            select case when (srr - sr * sr / n) = 0 then 0.0
+                        else (sry - sr * sy / n) / (srr - sr * sr / n) end as a,
+              sr, sy, n
+            from calib)
+        )
+        select r.doc_id,
+          cast(${duckRound("ab.a * r.r + ab.b", 6)} as decimal(12,6)) as model_score,
+          cast(${duckRound("r.y", 4)} as decimal(10,4)) as quality_score
+        from raw r, ab
+        order by r.doc_id"""
+      )
+    ),
     "q_shards" -> Q(
       (s, dir) =>
         graft.operators.Shards
