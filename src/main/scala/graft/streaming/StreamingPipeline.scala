@@ -100,6 +100,32 @@ object StreamingPipeline {
       )
   }
 
+  /** Distilled-model gate on a stream: score each document with a
+    * [[graft.text.LinearTextModel]] trained offline (typically loaded via
+    * `loadModel`) and keep rows at or above `minScore`, carrying the
+    * score as `model_score` evidence.
+    *
+    * The score is a pure narrow expression (broadcast-literal weights),
+    * so this adds NO state, no watermark requirement, and no shuffle to
+    * the stream — it composes in front of any landing sink or monitor.
+    * Train batch on a sample, gate the live feed: the streaming twin of
+    * `CorpusPipeline`'s `modelGate`, sharing the same scoring expression
+    * so stream and batch can never disagree on what "low quality" means.
+    */
+  def modelGateStream(
+      docsStream: DataFrame,
+      model: graft.text.LinearTextModel.Model,
+      minScore: Double,
+      textCol: String = "text"
+  ): DataFrame = {
+    require(!docsStream.columns.contains("model_score"),
+      "modelGateStream: input must not already have a `model_score` column")
+    docsStream
+      .withColumn("model_score",
+        graft.text.LinearTextModel.score(col(textCol), model))
+      .filter(col("model_score") >= minScore)
+  }
+
   /** Streaming distribution-drift monitor: per-window PSI of a bucketed
     * feature against a fixed reference histogram — the live twin of
     * [[graft.validate.Drift.psiByBucket]] (same add-0.5 smoothing over the

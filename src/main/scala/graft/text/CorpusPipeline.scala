@@ -20,7 +20,11 @@ object CorpusPipeline {
       maxRepetition: Double = 0.3,
       languages: Seq[String] = Seq("en"),
       nearDupJaccard: Option[Double] = None, // None = exact dedup only
-      normalize: Boolean = false // NFC + zero-width/whitespace cleanup first
+      normalize: Boolean = false, // NFC + zero-width/whitespace cleanup first
+      // distilled-model gate (LinearTextModel, min score): runs with the
+      // heuristic gates as one narrow pass and adds a `model_score`
+      // column — train on a sample, gate the corpus (the CCNet shape)
+      modelGate: Option[(LinearTextModel.Model, Double)] = None
   )
 
   def prepare(
@@ -53,10 +57,17 @@ object CorpusPipeline {
       .withColumn("n_tokens", TextAnalysis.tokenCountOfStats(col("_st")))
       .drop("_st")
 
-    val gated = scored.filter(
+    val modelScored = cfg.modelGate match {
+      case None => scored
+      case Some((m, _)) =>
+        scored.withColumn("model_score", LinearTextModel.score(col(textCol), m))
+    }
+    val gated = modelScored.filter(
       col("quality_score") >= cfg.minQuality &&
         col("repetition_ratio") <= cfg.maxRepetition &&
-        col("lang_guess").isin(cfg.languages: _*)
+        col("lang_guess").isin(cfg.languages: _*) &&
+        cfg.modelGate.map { case (_, t) => col("model_score") >= t }
+          .getOrElse(lit(true))
     )
 
     val redacted = gated.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))

@@ -72,6 +72,29 @@ class LinearTextModelSpec extends SparkSpec {
       s"some hashed feature unused by 3 tiny docs must carry the calibrated prior a*ybar=${m.emptyScore - m.bias} (ybar=$ybar)")
   }
 
+  test("corpus pipeline modelGate drops low-scoring docs and carries the evidence column") {
+    import graft.text.CorpusPipeline
+    val c = corpus().cache()
+    val m = LinearTextModel.train(c, "text", "y", d = 256, alpha = 5.0)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = CorpusPipeline.prepare(docs)
+    // pick a threshold strictly inside the surviving docs' score range so
+    // the gate provably removes something without emptying the corpus
+    val scores = base.select(LinearTextModel.score(col("text"), m)).as[Double]
+      .collect().sorted
+    val t = scores(scores.length / 2)
+    val gated = CorpusPipeline.prepare(docs,
+      cfg = CorpusPipeline.Config(modelGate = Some((m, t)))).cache()
+    assert(gated.columns.contains("model_score"))
+    val n = gated.count()
+    assert(n > 0 && n < base.count(),
+      s"median-threshold gate must drop some but not all docs (kept $n)")
+    assert(gated.filter(col("model_score") < t).count() == 0)
+    // gate off => output schema unchanged (oracle stability)
+    assert(!base.columns.contains("model_score"))
+    gated.unpersist(); c.unpersist()
+  }
+
   test("train refuses degenerate parameters") {
     val df = Seq((1L, "a", 1.0)).toDF("id", "text", "y")
     intercept[IllegalArgumentException] {

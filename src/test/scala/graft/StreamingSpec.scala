@@ -220,6 +220,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1) == twin.filter(_._2).keySet)
   }
 
+  test("streaming model gate scores with a stored model; batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.LinearTextModel
+    // teacher = doc length signal on a tiny corpus; the point is the
+    // train-batch / gate-stream round trip through the stored model
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the morning", 1.0),
+      (2L, "the fast red fox runs to the green river bank with the dog", 1.0),
+      (3L, "spam spam spam", 0.0),
+      (4L, "buy buy buy now", 0.0)
+    ).toDF("doc_id", "text", "y")
+    val dir = java.nio.file.Files.createTempDirectory("stream_model").toString
+    LinearTextModel.writeModel(
+      LinearTextModel.train(train, "text", "y", d = 64, alpha = 1.0), dir, spark)
+    val m = LinearTextModel.loadModel(spark, dir)
+
+    val batch = Seq(
+      (100L, "the quick brown fox walks near the lazy dog by the river"),
+      (101L, "spam buy spam buy now now")
+    ).toDF("doc_id", "text")
+    val batchKept = batch
+      .withColumn("model_score", LinearTextModel.score($"text", m))
+      .filter($"model_score" >= 0.5)
+      .select("doc_id", "model_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(batchKept.keySet == Set(100L), s"batch gate sanity: $batchKept")
+
+    val input = MemoryStream[(Long, String)]
+    val gated = StreamingPipeline.modelGateStream(
+      input.toDF().toDF("doc_id", "text"), m, minScore = 0.5)
+    input.addData((100L, "the quick brown fox walks near the lazy dog by the river"),
+      (101L, "spam buy spam buy now now"))
+    val q = gated.writeStream.format("memory").queryName("model_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("model_gate")
+      .select("doc_id", "model_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == batchKept, "stream gate must agree with the batch twin exactly")
+  }
+
   test("streaming dedup against a LOADED stored index matches the inline overload") {
     implicit val sqlCtx = spark.sqlContext
     val d1 = "the quick brown fox jumps over the lazy dog near the river bank today"
