@@ -47,6 +47,7 @@ object Canon {
     "q_dedup_indexed" -> Seq("jaccard"),
     "q_pq_codes" -> Seq("adc_dist"),
     "q_ann_ivfpq" -> Seq("adc_dist", "cos_sim"),
+    "q_ann_ivfpq_multi" -> Seq("adc_dist"),
     "q_quality_model" -> Seq("model_score", "quality_score"),
     "q_source_overlap" -> Seq("jaccard"),
     "q_range_join" -> Seq("bal"),

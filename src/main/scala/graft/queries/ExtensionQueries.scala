@@ -1348,6 +1348,92 @@ object ExtensionQueries {
         from rr order by vec_id"""
       }
     ),
+    "q_ann_ivfpq_multi" -> Q(
+      (s, dir) => {
+        import graft.similarity.{Ivf, Pq}
+        val e = emb(s, dir)
+        val (centroids, assigned) =
+          Ivf.build(e, "vec_id", "embedding", k = 16, iters = 2)
+        val cb = Pq.train(e, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = 2)
+        val enc = Pq.encodeAssigned(assigned, "vec_id", "embedding", cb)
+        val queries = e.filter(col("vec_id").isin(0, 7, 13))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Pq.searchAllAdc(enc, centroids, "vec_id", "codes", queries,
+            "query_id", "qv", cb, k = 10, nprobe = 4)
+          .select(
+            col("query_id"),
+            col("rank"),
+            col("vec_id"),
+            roundHalfUp(col("adc_dist"), 6).cast("decimal(14,6)").as("adc_dist"))
+          .orderBy("query_id", "rank")
+      },
+      // Batched replay of q_ann_ivfpq's stage 1: per-query probe windows
+      // over the replayed IVF centroids, ONE flattened per-query ADC map
+      // (key = subspace*100 + cid) from the replayed PQ codebooks, and a
+      // per-query (dist asc, vec_id) top-10 — the same cut TopKByScore's
+      // bounded heap makes with score = -adc. The map shape matters: a
+      // join per subspace table lets the optimizer pair the qd tables
+      // with each other on query_id alone (a 16^8 cross blow-up that
+      // spills the disk); one map join per query cannot be reordered into
+      // that.
+      Some {
+        val (m, subDim, ks) = (8, 8, 16)
+        val codeCols = (0 until m).map(s => s"c_$s.cid as c$s").mkString(", ")
+        val codeJoins = (1 until m)
+          .map(s => s"join a3_$s c_$s using (vec_id)").mkString(" ")
+        val qdUnion = (0 until m).map { s =>
+          s"""select q.query_id, $s * 100 + c.cid as k,
+              ${pqSq("q.qv", "c.centroid", s * subDim, subDim)} as d
+            from c2_$s c cross join qs q"""
+        }.mkString("\n          union all\n          ")
+        val adcSum = (0 until m)
+          .map(s => s"map_extract(qm.m, $s * 100 + c.c$s)[1]")
+          .mkString(" + ")
+        s"""
+        with $ivfReplayCtes,
+        ${pqReplayCtes(m, subDim, ks)},
+        qs as (
+          select vec_id as query_id,
+            list_transform(embedding, x -> cast(x as double)) as qv
+          from embeddings where vec_id in (0, 7, 13)
+        ),
+        pr as (
+          select query_id, cid from (
+            select q.query_id, c2.cid,
+              row_number() over (partition by q.query_id
+                order by ${ivfSq("c2.centroid", "q.qv")}, c2.cid) as rn
+            from qs q cross join c2
+          ) where rn <= 4
+        ),
+        qd as (
+          $qdUnion
+        ),
+        qmap as (
+          select query_id, map(list(k order by k), list(d order by k)) as m
+          from qd group by query_id
+        ),
+        codes as (
+          select c_0.vec_id, $codeCols
+          from a3_0 c_0 $codeJoins
+        ),
+        scored as (
+          select p.query_id, a.vec_id, $adcSum as dist
+          from a3 a join pr p using (cid)
+          join codes c on c.vec_id = a.vec_id
+          join qmap qm on qm.query_id = p.query_id
+        ),
+        ranked as (
+          select query_id, vec_id, dist,
+            row_number() over (partition by query_id
+              order by dist, vec_id) as rank
+          from scored
+        )
+        select query_id, cast(rank as int) as rank, vec_id,
+          cast(${duckRound("dist", 6)} as decimal(14,6)) as adc_dist
+        from ranked where rank <= 10
+        order by query_id, rank"""
+      }
+    ),
     "q_semdedup" -> Q(
       (s, dir) =>
         graft.similarity.SemDedup

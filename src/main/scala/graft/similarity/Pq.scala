@@ -237,6 +237,97 @@ object Pq {
       .limit(k)
   }
 
+  /** ADC distance from an exact query VECTOR COLUMN to a code word: per
+    * subspace, the squared distance between the query slice and the
+    * literal centroid the code references — the same ascending-index fold
+    * and left-to-right subspace sum as [[adcDistance]]'s precomputed
+    * table, so both formulations are bit-identical. Used by the batched
+    * search, where the query is a column and a per-query driver-side
+    * table would defeat the one-job shape.
+    */
+  private def adcDistanceToVec(qv: Column, codes: Column, cb: Codebook): Column =
+    (0 until cb.m).map { s =>
+      val segSize = cb.centroids(s).map(_._1).max + 1
+      val byCid = cb.centroids(s).toMap
+      // cid-indexed matrix; gaps from dropped clusters hold zeros and are
+      // never referenced (codes only name surviving cids)
+      val matFull: Seq[Seq[Double]] =
+        (0 until segSize).map(cid => byCid.getOrElse(cid, Seq.fill(cb.subDim)(0.0)))
+      Ivf.sqDist(
+        slice(qv, s * cb.subDim + 1, cb.subDim),
+        element_at(typedLit(matFull), element_at(codes, s + 1) + 1))
+    }.reduce(_ + _)
+
+  /** Batched IVF-PQ search — a query DATAFRAME against the code table in
+    * one job, the [[Ivf.searchAll]] shape over the 32x-compressed index:
+    * per-query probe selection is a literal centroid explode + window,
+    * the probe list broadcasts onto the cluster-partitioned code table,
+    * ADC is a pure per-row expression, and the per-query top-k is the
+    * [[TopKByScore]] bounded heap — never a global sort, vectors never
+    * read.
+    *
+    * @return (queryIdCol, rank, idCol, adc_dist) — rank 1..k per query by
+    *         (adc_dist asc, id asc); bit-identical to per-query
+    *         [[searchIvfAdc]] results
+    */
+  def searchAllAdc(
+      encoded: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      codesCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      cb: Codebook,
+      k: Int,
+      nprobe: Int = 2
+  ): DataFrame = {
+    require(k > 0, s"pq: k must be positive, got $k")
+    require(nprobe > 0, s"pq: nprobe must be positive, got $nprobe")
+    val reserved = Seq("_qv", "_c", "_d", "_rn", "centroid_id")
+    require(!reserved.exists(queries.columns.contains),
+      s"pq: queries frame must not already have ${reserved.mkString("/")} columns")
+    require(!reserved.contains(queryIdCol),
+      s"pq: queryIdCol $queryIdCol is a reserved name")
+    require(queryIdCol != idCol,
+      s"pq: queryIdCol and idCol are both '$idCol' — the output needs distinct names")
+    val centLit = typedLit(
+      centroids.select(col("centroid_id"), col("centroid"))
+        .orderBy(col("centroid_id"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+        .toSeq)
+    val perCentroid = queries
+      .select(
+        col(queryIdCol),
+        transform(col(queryVecCol), x => x.cast("double")).as("_qv"))
+      .select(col(queryIdCol), col("_qv"), explode(centLit).as("_c"))
+      .select(
+        col(queryIdCol), col("_qv"),
+        col("_c._1").as("centroid_id"),
+        Ivf.sqDist(col("_c._2"), col("_qv")).as("_d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("_d"), col("centroid_id"))
+    val probes = perCentroid
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col(queryIdCol), col("_qv"), col("centroid_id"))
+    encoded
+      .join(broadcast(probes), "centroid_id")
+      .select(
+        col(queryIdCol),
+        col(idCol),
+        adcDistanceToVec(col("_qv"), col(codesCol), cb).as("_adc"))
+      .groupBy(col(queryIdCol))
+      .agg(TopKByScore.topK(col(idCol), -col("_adc"), k).as("_top"))
+      .select(col(queryIdCol), inline(col("_top")))
+      .select(
+        col(queryIdCol),
+        col("rank"),
+        col("dst").as(idCol),
+        (-col("score")).as("adc_dist"))
+  }
+
   /** Exact re-rank of an ADC shortlist: join the (small) candidate id set
     * back to the vector table and rank by true cosine — candidates
     * broadcast, so the corpus side is a semi-joined narrow probe, never a

@@ -55,9 +55,31 @@ object SemDedup {
       maxCompare: Option[Int] = None,
       salts: Int = 1
   ): DataFrame = {
+    val (_, assigned) = Ivf.build(df, idCol, vecCol, k, iters)
+    semanticDedupAssigned(assigned, idCol, vecCol, eps, maxCompare, salts)
+  }
+
+  /** [[semanticDedup]] over an ALREADY-ASSIGNED frame
+    * (`idCol`, `vecCol`, `centroid_id`) — e.g. the `assigned` half of a
+    * stored [[Ivf.writeIndex]]/[[Ivf.loadIndex]] index. The 100 TB run
+    * builds its cluster index once (on a sample, via
+    * [[Ivf.buildOnSample]]), persists it, and semantic-dedups every later
+    * corpus snapshot from the stored assignment without re-running
+    * k-means — and a loaded index is cluster-partitioned on disk, so the
+    * within-cluster self-join reads co-located files.
+    */
+  def semanticDedupAssigned(
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps: Double = 0.3,
+      maxCompare: Option[Int] = None,
+      salts: Int = 1
+  ): DataFrame = {
     require(salts >= 1, s"semdedup: salts must be >= 1, got $salts")
     maxCompare.foreach(m => require(m >= 1, s"semdedup: maxCompare must be >= 1, got $m"))
-    val (centroids, assigned) = Ivf.build(df, idCol, vecCol, k, iters)
+    require(assigned.columns.contains("centroid_id"),
+      "semdedup: assigned frame must carry a centroid_id column")
     val slim = assigned.select(col(idCol), col(vecCol), col("centroid_id"))
     // mega-cluster guard 1: the comparison set (left side) is capped to the
     // m lowest-id members per cluster -> c*m pairs, linear in cluster size

@@ -220,6 +220,28 @@ class IvfCorpusSpec extends SparkSpec {
     assert((exactTop & rr.map(_._1).toSet).size >= (exactTop & adcOnly).size,
       "exact re-rank must not lose recall vs raw ADC ranking")
 
+    // batched search: one job over a query frame, bit-identical to the
+    // per-query path (same ascending fold + left-to-right subspace sum)
+    val qids = Seq(0L, 7L, 13L)
+    val queries = emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val batched = Pq.searchAllAdc(enc, centroids, "vec_id", "codes",
+      queries, "query_id", "qv", cb, k = 20, nprobe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("adc_dist")))
+      .groupBy(_._1)
+    assert(batched.keySet == qids.toSet)
+    qids.foreach { qid =>
+      val qv = emb.filter($"vec_id" === qid).select($"embedding")
+        .as[Seq[Float]].head().map(_.toDouble)
+      val single = Pq.searchIvfAdc(enc, centroids, "vec_id", "codes", qv, cb,
+        k = 20, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batched(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(got == single, s"query $qid: batched ADC != per-query ADC")
+    }
+
     // the serving round trip: the codes table IS an Ivf index (vecCol =
     // codes), cluster-partitioned on disk, and serves identical results
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString

@@ -40,6 +40,34 @@ class SemanticOpsSpec extends SparkSpec {
     verdicts.unpersist()
   }
 
+  test("SemDedup over a stored IVF index matches the inline build exactly") {
+    import graft.similarity.Ivf
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (centroids, assigned) = Ivf.build(df, "vec_id", "embedding", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_index").toString
+    Ivf.writeIndex(centroids, assigned, "vec_id", "embedding", dir)
+    val (_, loaded) = Ivf.loadIndex(spark, dir)
+    def collect(v: org.apache.spark.sql.DataFrame) = v
+      .select("vec_id", "centroid_id", "max_cos_lower", "kept")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val inline = collect(SemDedup
+      .semanticDedup(df, "vec_id", "embedding", k = 8, iters = 2, eps = 0.3,
+        maxCompare = Some(8), salts = 4))
+    val stored = collect(SemDedup
+      .semanticDedupAssigned(loaded, "vec_id", "embedding", eps = 0.3,
+        maxCompare = Some(8), salts = 4))
+    assert(stored == inline,
+      "stored-index semantic dedup must reproduce the inline verdicts bit-for-bit")
+    // guard: a frame without centroid_id is refused up front
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.semanticDedupAssigned(df, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("centroid_id"))
+  }
+
   test("SemDedup mega-cluster guard: maxCompare bounds pairs linearly; salts are result-identical") {
     // ONE dominant cluster: 300 near-identical vectors (tiny jitter on a
     // shared base) + 8 well-separated points at ids 0..7 (ids 0..3 become
