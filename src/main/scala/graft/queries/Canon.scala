@@ -48,6 +48,7 @@ object Canon {
     "q_pq_codes" -> Seq("adc_dist"),
     "q_ann_ivfpq" -> Seq("adc_dist", "cos_sim"),
     "q_ann_ivfpq_multi" -> Seq("adc_dist"),
+    "q_cluster_drift" -> Seq("psi"),
     "q_quality_model" -> Seq("model_score", "quality_score"),
     "q_source_overlap" -> Seq("jaccard"),
     "q_range_join" -> Seq("bal"),

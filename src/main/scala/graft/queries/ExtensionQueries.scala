@@ -1434,6 +1434,48 @@ object ExtensionQueries {
         order by query_id, rank"""
       }
     ),
+    "q_cluster_drift" -> Q(
+      (s, dir) => {
+        import graft.similarity.Ivf
+        val e = emb(s, dir)
+        val (centroids, assigned) =
+          Ivf.build(e, "vec_id", "embedding", k = 16, iters = 2)
+        // index-staleness audit: a deterministic "daily batch" (every
+        // third vector) re-assigned with the STORED centroids, histogram
+        // PSI against the reference assignment
+        val batch = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+        Ivf.clusterDrift(centroids, assigned, batch, "vec_id", "embedding")
+          .select(
+            col("bucket"),
+            col("cnt_a"),
+            col("cnt_b"),
+            roundHalfUp(col("psi"), 9).cast("decimal(14,9)").as("psi"))
+          .orderBy("bucket")
+      },
+      // The replayed IVF assignment serves both sides (the batch's
+      // assignment under the final centroids IS a3 restricted to the
+      // batch ids); add-0.5 smoothing over the surviving-centroid domain,
+      // totals as exact integers — q_drift_psi's conventions
+      Some(s"""
+        with $ivfReplayCtes,
+        kc as (select cast(count(*) as double) as k from c2),
+        a as (select cid as bucket, count(*) as cnt_a from a3 group by cid),
+        b as (select cid as bucket, count(*) as cnt_b from a3
+              where vec_id % 3 = 0 group by cid),
+        ta as (select count(*) as tot_a from a3),
+        tb as (select count(*) as tot_b from a3 where vec_id % 3 = 0),
+        j as (
+          select bucket,
+            coalesce(cnt_a, 0) as cnt_a, coalesce(cnt_b, 0) as cnt_b,
+            (coalesce(cnt_a, 0) + 0.5) / (tot_a + 0.5 * kc.k) as pa,
+            (coalesce(cnt_b, 0) + 0.5) / (tot_b + 0.5 * kc.k) as pb
+          from a full outer join b using (bucket)
+          cross join ta cross join tb cross join kc
+        )
+        select bucket, cnt_a, cnt_b,
+          cast(${duckRound("(pa - pb) * ln(pa / pb)", 9)} as decimal(14,9)) as psi
+        from j order by bucket""")
+    ),
     "q_semdedup" -> Q(
       (s, dir) =>
         graft.similarity.SemDedup

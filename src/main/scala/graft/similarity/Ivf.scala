@@ -189,6 +189,37 @@ object Ivf {
     spark.read.parquet(s"$dir/centroids").select(col("centroid_id"), col("centroid")),
     spark.read.parquet(s"$dir/assigned"))
 
+  /** Cluster-distribution drift: PSI between the stored index's
+    * assignment histogram and a NEW batch assigned with the same
+    * centroids — the ANN-index staleness audit. A persisted index serves
+    * well only while incoming data still looks like what k-means was
+    * trained on; when fresh batches pile into few clusters, probe recall
+    * degrades silently. This is the detector: assignment of the batch is
+    * the same narrow broadcast-literal argmin as [[assign]], the
+    * histogram compare is [[graft.validate.Drift.psiByBucket]]'s one-job
+    * in-plan-totals variant over `centroid_id`, and the domain is the
+    * surviving-centroid count — so the audit costs one narrow pass over
+    * the batch plus a tiny per-cluster aggregation of each side.
+    *
+    * @return one row per observed cluster: `bucket` (centroid id),
+    *         `cnt_a` (reference), `cnt_b` (batch), `psi` contribution;
+    *         the index is their sum — alert when it crosses ~0.2
+    */
+  def clusterDrift(
+      centroids: DataFrame,
+      referenceAssigned: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val k = collectCentroids(centroids).length // bounded: k rows
+    graft.validate.Drift.psiByBucket(
+      referenceAssigned,
+      assign(batch, idCol, vecCol, centroids),
+      col("centroid_id"),
+      domainSize = k)
+  }
+
   /** ANN search: exact cosine within the `nprobe` clusters nearest to the
     * query vector.
     */

@@ -254,6 +254,30 @@ class IvfCorpusSpec extends SparkSpec {
     shortlist.unpersist(); enc.unpersist(); emb.unpersist()
   }
 
+  test("cluster drift: identical batch scores zero PSI, a skewed batch scores positive") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val (centroids, assigned) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    // same distribution (the whole corpus as the batch): pa == pb per
+    // bucket exactly, so every contribution is (p-p)*ln(1) = 0
+    val same = Ivf.clusterDrift(centroids, assigned, emb, "vec_id", "embedding")
+      .agg(sum(col("psi"))).head().getDouble(0)
+    assert(same == 0.0, s"identical distributions must score exactly 0, got $same")
+    // a batch drawn from ONE cluster: heavy drift
+    val oneCluster = assigned.filter(col("centroid_id") ===
+        assigned.groupBy("centroid_id").count()
+          .orderBy(col("count").desc, col("centroid_id")).head().getInt(0))
+      .select(col("vec_id"), col("embedding"))
+    val skewed = Ivf.clusterDrift(centroids, assigned, oneCluster, "vec_id", "embedding")
+      .agg(sum(col("psi"))).head().getDouble(0)
+    assert(skewed > 0.2, s"single-cluster batch must trip the drift alert, got $skewed")
+    // evidence rows cover every observed cluster with exact counts
+    val rows = Ivf.clusterDrift(centroids, assigned, emb, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == centroids.count())
+    assert(rows.forall { case (_, a, b) => a == b })
+    emb.unpersist()
+  }
+
   test("IVF buildOnSample: frac=1 equals the exact build; sampled centroids stay close") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
     val (cExact, aExact) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)

@@ -51,6 +51,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_pq_codes",         // m=8 per-subspace k-means (ks x subDim collects) + query head
     "q_ann_ivfpq",        // IVF build + PQ train (both bounded) + query head
     "q_ann_ivfpq_multi",  // IVF build + PQ train (both bounded)
+    "q_cluster_drift",    // IVF build + two k x dim centroid collects
     "q_quality_model",    // rates pass (d+1 floats) + calibration pass (5 floats)
     "q_semdedup",         // IVF assignment inside SemDedup (k x dim)
     "q_semdedup_guarded", // same IVF collect, guards on
