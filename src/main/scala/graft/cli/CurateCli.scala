@@ -248,13 +248,41 @@ object CurateCli {
     spark
   }
 
-  def main(args: Array[String]): Unit = {
+  /** Strip an optional `--model <dir> <minScore>` from the arg vector —
+    * the stored-distilled-model gate ([[graft.text.LinearTextModel]])
+    * applied inside the curation gates on both the batch and the
+    * incremental paths.
+    */
+  private[graft] def parseModelArgs(args: Array[String]): (Array[String], Option[(String, Double)]) = {
+    val i = args.indexOf("--model")
+    if (i < 0) (args, None)
+    else {
+      require(args.length > i + 2,
+        "usage: ... --model <modelDir> <minScore>")
+      (args.patch(i, Nil, 3), Some((args(i + 1), args(i + 2).toDouble)))
+    }
+  }
+
+  private def gateConfig(
+      spark: SparkSession,
+      model: Option[(String, Double)]
+  ): CorpusPipeline.Config =
+    model match {
+      case None => CorpusPipeline.Config()
+      case Some((dir, minScore)) =>
+        CorpusPipeline.Config(modelGate =
+          Some((graft.text.LinearTextModel.loadModel(spark, dir), minScore)))
+    }
+
+  def main(rawArgs: Array[String]): Unit = {
+    val (args, modelArgs) = parseModelArgs(rawArgs)
     if (args.headOption.contains("incremental")) {
       require(args.length >= 3,
-        "usage: CurateCli incremental <batch.parquet> <stateDir> [nShards]")
+        "usage: CurateCli incremental <batch.parquet> <stateDir> [nShards] [--model <dir> <minScore>]")
       val nShards = if (args.length > 3) args(3).toInt else 64
       val spark = session()
-      val s = runIncremental(spark, args(1), args(2), nShards)
+      val s = runIncremental(spark, args(1), args(2), nShards,
+        cfg = gateConfig(spark, modelArgs))
       println(s"[curate] batch=${s.batch} in=${s.nIn} kept=${s.nKept} " +
         s"fresh=${s.nFresh} dup_of_corpus=${s.nDupOfCorpus} " +
         s"shards=${s.nShards} audit_ok=${s.auditOk} compacted=${s.corpusCompacted}")
@@ -262,10 +290,12 @@ object CurateCli {
       if (!s.auditOk) sys.exit(1)
       return
     }
-    require(args.length >= 2, "usage: CurateCli <documents.parquet> <outDir> [nShards]")
+    require(args.length >= 2,
+      "usage: CurateCli <documents.parquet> <outDir> [nShards] [--model <dir> <minScore>]")
     val nShards = if (args.length > 2) args(2).toInt else 64
     val spark = session()
-    val s = run(spark, args(0), args(1), nShards)
+    val s = run(spark, args(0), args(1), nShards,
+      cfg = gateConfig(spark, modelArgs))
     println(s"[curate] in=${s.nIn} kept=${s.nKept} shards=${s.nShards} audit_ok=${s.auditOk}")
     spark.stop()
     if (!s.auditOk) sys.exit(1)

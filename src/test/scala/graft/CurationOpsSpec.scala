@@ -739,6 +739,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(back.columns.contains("quality_score") && back.columns.contains("shard_pos"))
   }
 
+  test("CurateCli --model flag parses and the stored-model gate tightens the corpus") {
+    import graft.cli.CurateCli
+    import graft.text.{LinearTextModel, TextAnalysis}
+    // flag parsing: stripped from any position, pair extracted
+    val (rest, m) = CurateCli.parseModelArgs(
+      Array("in.parquet", "out", "--model", "/m", "0.4", "8"))
+    assert(rest.toSeq == Seq("in.parquet", "out", "8") && m.contains(("/m", 0.4)))
+    val (rest2, m2) = CurateCli.parseModelArgs(Array("in.parquet", "out"))
+    assert(rest2.length == 2 && m2.isEmpty)
+    intercept[IllegalArgumentException] {
+      CurateCli.parseModelArgs(Array("in.parquet", "--model", "/m"))
+    }
+
+    // end-to-end: train + store a model, gate at the median score of the
+    // heuristically-kept docs — strictly fewer docs than the ungated run
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        TextAnalysis.qualityScore(
+          org.apache.spark.sql.functions.col("text")).as("y"))
+    val model = LinearTextModel.train(docs, "text", "y", d = 256, alpha = 5.0)
+    val mDir = java.nio.file.Files.createTempDirectory("curate_model").toString
+    LinearTextModel.writeModel(model, mDir, spark)
+    val outA = java.nio.file.Files.createTempDirectory("curate_nogate").toString
+    val base = CurateCli.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outA, nShards = 2)
+    val keptScores = spark.read.parquet(s"$outA/shards")
+      .select(LinearTextModel.score(
+        org.apache.spark.sql.functions.col("text"),
+        LinearTextModel.loadModel(spark, mDir)).as("s"))
+      .collect().map(_.getDouble(0)).sorted
+    val t = keptScores(keptScores.length / 2)
+    val outB = java.nio.file.Files.createTempDirectory("curate_gate").toString
+    val gated = CurateCli.run(spark,
+      "/root/testdata/sf0.001/documents.parquet", outB, nShards = 2,
+      cfg = graft.text.CorpusPipeline.Config(modelGate =
+        Some((LinearTextModel.loadModel(spark, mDir), t))))
+    assert(gated.auditOk)
+    assert(gated.nKept > 0 && gated.nKept < base.nKept,
+      s"median-score gate must tighten the corpus (${gated.nKept} vs ${base.nKept})")
+  }
+
   test("CurateCli.runIncremental: batches land, dedup against the stored index, compact") {
     import java.nio.file.Files
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
