@@ -2773,6 +2773,31 @@ object ExtensionQueries {
         order by r.doc_id"""
       )
     ),
+    "q_heavy_hitters" -> Q(
+      (s, dir) => {
+        // two-pass exact heavy hitters: the Misra-Gries sketch PROPOSES
+        // (bounded candidate collect — PlanGuard-exempted), the exact
+        // recount DECIDES — so the output is deterministic and the
+        // DuckDB twin can replay it as a plain filtered group-by even
+        // though a sketch ran underneath
+        graft.text.HeavyHitters
+          .heavyHitterTokens(docs(s, dir), col("text"), minFrac = 0.01)
+          .select(col("token"), col("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+      },
+      // The oracle needs no sketch: exact counts with the same
+      // ceil(total * frac) threshold — if the sketch ever dropped a true
+      // heavy hitter, this hash-fails
+      Some(s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        inst as (select unnest(toks) as token from t),
+        tot as (select cast(count(*) as bigint) as n from inst)
+        select token, count(*) as cnt
+        from inst, tot
+        group by token, tot.n
+        having count(*) >= cast(ceil(tot.n * 0.01) as bigint)
+        order by cnt desc, token""")
+    ),
     "q_shards" -> Q(
       (s, dir) =>
         graft.operators.Shards

@@ -52,6 +52,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_ann_ivfpq",        // IVF build + PQ train (both bounded) + query head
     "q_ann_ivfpq_multi",  // IVF build + PQ train (both bounded)
     "q_cluster_drift",    // IVF build + two k x dim centroid collects
+    "q_heavy_hitters",    // MG candidate collect (<= capacity strings)
     "q_quality_model",    // rates pass (d+1 floats) + calibration pass (5 floats)
     "q_semdedup",         // IVF assignment inside SemDedup (k x dim)
     "q_semdedup_guarded", // same IVF collect, guards on
