@@ -188,6 +188,12 @@ object HeavyHitters {
   ): DataFrame = {
     require(minFrac > 0 && minFrac <= 1, s"heavy hitters: minFrac in (0,1], got $minFrac")
     val capacity = math.ceil(1.0 / minFrac).toInt
+    // the candidate set is collected AND becomes an isin filter — both are
+    // only sane while it stays small; a tighter threshold needs a keyed
+    // join of candidates instead (and is no longer a "heavy" hitter ask)
+    require(capacity <= 65536,
+      s"heavy hitters: minFrac $minFrac implies $capacity candidates; " +
+        "use minFrac >= 2e-5 or a plain groupBy for rare-token censuses")
     val inst = df.select(
       explode(TextAnalysis.tokens(coalesce(textCol, lit("")))).as("_tok"))
     // bounded driver payload: total + <= capacity candidate strings

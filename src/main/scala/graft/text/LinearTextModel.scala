@@ -115,7 +115,7 @@ object LinearTextModel {
     *              the corpus label mean
     */
   def train(
-      df: DataFrame,
+      df0: DataFrame,
       textCol: String,
       labelCol: String,
       d: Int = 256,
@@ -123,6 +123,10 @@ object LinearTextModel {
   ): Model = {
     require(d > 0, s"model: d must be positive, got $d")
     require(alpha >= 0, s"model: alpha must be non-negative, got $alpha")
+    // a NULL label means "unlabeled", not "zero": the row is excluded from
+    // BOTH passes (a null would otherwise vanish from the sums but still
+    // inflate the bias feature's count, silently deflating every rate)
+    val df = df0.filter(col(labelCol).isNotNull)
     val y = col(labelCol).cast("double")
 
     // pass 1: per-feature (sum label, instance count); the bias
@@ -139,6 +143,7 @@ object LinearTextModel {
       .collect()
       .map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2)))
       .toMap
+    require(g.contains(d), "model: no labeled rows to train on")
     val n = g(d)._2.toDouble
     val ybar = g(d)._1 / n
     // unseen features take the fully-smoothed prior (s=0, c=0) => ybar

@@ -61,6 +61,10 @@ class HeavyHittersSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       HeavyHitters.heavyHitterTokens(empty, col("text"), 0.0)
     }
+    // a threshold implying an unboundable candidate set is refused
+    intercept[IllegalArgumentException] {
+      HeavyHitters.heavyHitterTokens(empty, col("text"), 1e-6)
+    }
     intercept[IllegalArgumentException] {
       MisraGriesSketch.sketch(col("text"), 0)
     }

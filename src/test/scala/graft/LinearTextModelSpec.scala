@@ -104,4 +104,19 @@ class LinearTextModelSpec extends SparkSpec {
       LinearTextModel.train(df, "text", "y", alpha = -1.0)
     }
   }
+
+  test("null labels are excluded from training, not counted as zeros") {
+    val df = Seq(
+      (1L, "the fox", Some(1.0)),
+      (2L, "the fox", None), // unlabeled: must not deflate the rates
+      (3L, "spam spam", Some(0.0))
+    ).toDF("id", "text", "y")
+    val m = LinearTextModel.train(df, "text", "y", d = 16, alpha = 1.0)
+    val labeledOnly = LinearTextModel.train(
+      df.filter(col("y").isNotNull), "text", "y", d = 16, alpha = 1.0)
+    assert(m == labeledOnly)
+    intercept[IllegalArgumentException] {
+      LinearTextModel.train(df.filter(col("y").isNull), "text", "y")
+    }
+  }
 }
