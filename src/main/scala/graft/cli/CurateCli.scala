@@ -147,6 +147,12 @@ object CurateCli {
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
     val corpusDir = s"$outDir/corpus"
     val indexDir = s"$outDir/index"
+    // crash recovery for a compaction interrupted mid-swap: if the promote
+    // never landed, the retired directory IS the corpus — restore it
+    // before anything reads corpusDir
+    val retiredP = new org.apache.hadoop.fs.Path(s"$outDir/corpus__retired")
+    if (!exists(corpusDir) && fs.exists(retiredP))
+      fs.rename(retiredP, new org.apache.hadoop.fs.Path(corpusDir))
     val bootstrap = !exists(s"$indexDir/meta")
 
     val docs = spark.read.parquet(input)
@@ -172,12 +178,23 @@ object CurateCli {
     val nFresh = fresh.count()
     val nDup = nKept - nFresh
 
-    // next batch ordinal = count of existing batch directories
+    // next batch ordinal = count of existing batch STATS files — written
+    // for every batch, including an all-duplicate one (nFresh == 0 creates
+    // no shard directory, and counting directories would hand the next
+    // batch the same ordinal and overwrite this one's audit record)
     val shardsRoot = s"$outDir/shards"
-    val batchId =
-      if (!exists(shardsRoot)) 0
-      else fs.listStatus(new org.apache.hadoop.fs.Path(shardsRoot))
-        .count(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val batchId = {
+      val dir = Paths.get(outDir)
+      if (!Files.exists(dir)) 0
+      else {
+        val s = Files.list(dir)
+        try s.filter(p => {
+          val n = p.getFileName.toString
+          n.startsWith("batch_") && n.endsWith("_stats.json")
+        }).count().toInt
+        finally s.close()
+      }
+    }
     val shardDir = s"$shardsRoot/batch=$batchId"
 
     val auditOk =
@@ -213,11 +230,19 @@ object CurateCli {
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         if (nFiles < compactAt) false
         else {
-          val tmp = s"$outDir/corpus__compacting"
-          graft.operators.Compaction.compact(spark, corpusDir, tmp, 128L * 1024 * 1024)
-          fs.delete(new org.apache.hadoop.fs.Path(corpusDir), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(corpusDir))
+          // retire-then-promote, NOT delete-then-rename: a crash between a
+          // delete and a rename would leave the accumulated corpus GONE.
+          // Here the old corpus survives as corpus__retired until the
+          // promote lands, and startup recovery (below, next run) restores
+          // it if the promote never happened.
+          val tmpP = new org.apache.hadoop.fs.Path(s"$outDir/corpus__compacting")
+          val oldP = new org.apache.hadoop.fs.Path(s"$outDir/corpus__retired")
+          fs.delete(tmpP, true) // stale leftovers from a crashed run
+          fs.delete(oldP, true)
+          graft.operators.Compaction.compact(spark, corpusDir, tmpP.toString, 128L * 1024 * 1024)
+          fs.rename(new org.apache.hadoop.fs.Path(corpusDir), oldP)
+          fs.rename(tmpP, new org.apache.hadoop.fs.Path(corpusDir))
+          fs.delete(oldP, true)
           true
         }
       }

@@ -40,10 +40,13 @@ object GlobalIds {
     *                       nondeterministic — append a unique id)
     * @param numPartitions  target range partitions (0 = the session's
     *                       `spark.sql.shuffle.partitions`)
-    * @param sampleFraction boundary-sample rate (per-mille grain, min 1‰).
-    *                       Size it so n * fraction comfortably exceeds
-    *                       numPartitions; the DEFAULT suits corpus-scale
-    *                       inputs — tiny inputs may sample nothing and
+    * @param sampleFraction UPPER bound on the boundary-sample rate. The
+    *                       effective rate is `min(sampleFraction,
+    *                       ~200*P/n)` — a cheap count pass sizes the
+    *                       sample so the driver collects ~200 keys per
+    *                       target partition REGARDLESS of corpus size
+    *                       (an uncapped 1% of 10^11 rows would OOM the
+    *                       driver). Tiny inputs may sample nothing and
     *                       degrade to one partition (correct, unbalanced)
     */
   def denseGlobalId(
@@ -65,14 +68,22 @@ object GlobalIds {
     val p = math.max(1,
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    // bounded job 1: deterministic hash sample of the order key (xxhash64
-    // is fixed-seed, so reruns draw the SAME boundaries). Keys with any
-    // null component are excluded as boundary candidates — nulls sort
-    // first and land in partition 0 regardless.
-    val thresh = math.max(1L, math.round(sampleFraction * 1000))
+    // bounded job 1: row count (one long to the driver) sizes the sample
+    val n = df.count()
+    // bounded job 2: deterministic hash sample of the order key (xxhash64
+    // is fixed-seed, so reruns draw the SAME boundaries). The rate is
+    // capped so ~target keys reach the driver no matter how big n is;
+    // boundaries only balance work, so a coarser sample never affects the
+    // assigned ids. Keys with any null component are excluded as boundary
+    // candidates — nulls sort first and land in partition 0 regardless.
+    val target = math.min(1000000L, math.max(p * 200L, 10000L))
+    val mod = 1000000000L
+    val capRate = if (n == 0) 1.0 else target.toDouble / n
+    val thresh = math.max(1L,
+      math.round(math.min(sampleFraction, capRate) * mod))
     val sampled = df
       .select(orderCols: _*)
-      .filter(pmod(xxhash64(orderCols: _*), lit(1000L)) < lit(thresh))
+      .filter(pmod(xxhash64(orderCols: _*), lit(mod)) < lit(thresh))
       .collect()
       .map(_.toSeq)
       .filterNot(_.contains(null))
@@ -103,12 +114,23 @@ object GlobalIds {
 
   /** Driver-side ordering matching Spark's ascending nulls-first field
     * ordering, for sorting the boundary sample.
+    *
+    * Strings MUST compare in UTF-8 BYTE order (what the engine's
+    * `UTF8String.binaryCompare` does for `c > lit(v)`), not Java's
+    * UTF-16 code-unit order: the two disagree for supplementary-plane
+    * characters vs BMP chars in [U+E000, U+FFFF], and a boundary list
+    * mis-sorted w.r.t. the engine's comparator breaks pidTree's binary
+    * search — ids would silently stop being the global rank.
     */
   private val anyOrd: Ordering[Any] = new Ordering[Any] {
     def compare(a: Any, b: Any): Int = (a, b) match {
       case (null, null) => 0
       case (null, _)    => -1
       case (_, null)    => 1
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case (x, y)       => x.asInstanceOf[Comparable[Any]].compareTo(y)
     }
   }

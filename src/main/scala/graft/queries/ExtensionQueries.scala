@@ -1283,9 +1283,13 @@ object ExtensionQueries {
         // the serving shape: codes + cluster id, vectors never reread in
         // stage 1; stage 2 re-ranks the 20-row shortlist exactly
         val enc = Pq.encodeAssigned(assigned, "vec_id", "embedding", cb)
+        // the 20-row shortlist feeds BOTH the re-rank and the adc_dist
+        // evidence join; cached (bounded: k rows) so the stage-1 probe +
+        // ADC scan executes once, not twice
         val shortlist = Pq
           .searchIvfAdc(enc, centroids, "vec_id", "codes", query, cb,
             k = 20, nprobe = 4)
+          .cache()
         Pq.rerankExact(shortlist, e, "vec_id", "embedding", query, k = 10)
           .join(shortlist.select(col("vec_id"), col("adc_dist")), "vec_id")
           .select(

@@ -87,6 +87,9 @@ object Pq {
       .select(transform(col(vecCol), x => x.cast("double")).as("_v"))
       .collect()
       .map(_.getSeq[Double](0))
+    // an empty frame would otherwise yield empty codebooks that crash
+    // encode/adcDistance later with obscure empty-collection errors
+    require(seedRows.nonEmpty, "pq: cannot train a codebook on an empty frame")
     var cb: IndexedSeq[IndexedSeq[(Int, Seq[Double])]] =
       (0 until m).map { s =>
         seedRows.zipWithIndex.map { case (v, i) =>
@@ -110,11 +113,11 @@ object Pq {
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
         .toMap
-      val bySubCid = means.keys.groupBy(k => (k._1, k._2))
       cb = (0 until m).map { s =>
-        bySubCid.keys.filter(_._1 == s).map(_._2).toIndexedSeq.sorted.map { cid =>
-          (cid, (0 until subDim).map(d => means((s, cid, d))).toSeq)
-        }
+        means.keys.collect { case (`s`, cid, _) => cid }
+          .toIndexedSeq.distinct.sorted.map { cid =>
+            (cid, (0 until subDim).map(d => means((s, cid, d))).toSeq)
+          }
       }
     }
     Codebook(m, ks, subDim, cb)

@@ -106,12 +106,21 @@ case class MisraGriesSketch(
     InternalRow(buf.total, new GenericArrayData(rows))
   }
 
+  // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws for tokens
+  // over 65535 encoded bytes, and an unbroken >64KB run (base64 blob,
+  // minified JS) is exactly the adversarial web-corpus input a 100 TB
+  // sketch must survive
   override def serialize(buf: Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(buf.total)
     out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+    buf.counts.foreach { case (k, v) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -123,8 +132,11 @@ case class MisraGriesSketch(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val k = in.readUTF()
-      buf.counts.update(k, in.readLong())
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.counts.update(
+        new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
       i += 1
     }
     buf

@@ -149,13 +149,14 @@ object KAnonymity {
     * level-order chunks of ≤ 64 states, stopping at the first chunk that
     * contains a passing state. Staging preserves the global optimum
     * because the walk visits states in exactly the preference order, and
-    * it prunes with the lattice's monotonicity (each ladder rung must be a
-    * coarsening of the previous — then a passing state implies every
-    * coarser state passes): the coarsest state is probed FIRST, and a
-    * failure there short-circuits the entire walk straight to the
-    * suppression fallback. If no state reaches k, the coarsest state is
-    * applied and its residual < k joint groups are SUPPRESSED, so the
-    * result always satisfies k-anonymity on the generalized columns.
+    * it is EXHAUSTIVE — an infeasible lattice costs ceil(|lattice|/64)
+    * bounded probe jobs before falling back (a coarsest-state
+    * short-circuit would be cheaper there, but it silently assumes every
+    * ladder rung is a true coarsening of the previous, and the ≤ 64 path
+    * makes no such assumption — the two paths must agree for ANY ladder).
+    * If no state reaches k, the coarsest state is applied and its
+    * residual < k joint groups are SUPPRESSED, so the result always
+    * satisfies k-anonymity on the generalized columns.
     *
     * @return (chosen level per dimension, input plus one generalized
     *         column `<name><suffix>` per dimension)
@@ -177,20 +178,18 @@ object KAnonymity {
         val audits = probeStates(df, dims, ordered)
         ordered.find(st => passes(audits(st)))
       } else {
-        // staged walk: feasibility gate on the coarsest state, then
-        // level-order chunks until the first pass — 1 + ceil(|visited|/64)
-        // bounded probe jobs, never the whole lattice when an early chunk
-        // passes and never more than the gate when nothing can
-        val top = dims.map(_.ladder.size - 1)
-        if (!passes(probeStates(df, dims, Seq(top))(top))) None
-        else
-          ordered
-            .grouped(64)
-            .flatMap { chunk =>
-              val audits = probeStates(df, dims, chunk)
-              chunk.find(st => passes(audits(st)))
-            }
-            .nextOption()
+        // staged walk: level-order chunks until the first pass —
+        // ceil(|visited|/64) bounded probe jobs, never the whole lattice
+        // when an early chunk passes. Deliberately NO coarsest-state
+        // short-circuit: it would bet on ladder monotonicity that nothing
+        // validates, and the ≤ 64 path doesn't bet on it either
+        ordered
+          .grouped(64)
+          .flatMap { chunk =>
+            val audits = probeStates(df, dims, chunk)
+            chunk.find(st => passes(audits(st)))
+          }
+          .nextOption()
       }
     def apply(levels: Seq[Int]): DataFrame =
       dims.zip(levels).foldLeft(df) { case (acc, (d, l)) =>

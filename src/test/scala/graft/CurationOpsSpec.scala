@@ -981,6 +981,30 @@ class CurationOpsSpec extends SparkSpec {
       .denseGlobalId(empty, Seq(col("src"), col("id"))).count() == 0)
   }
 
+  test("denseGlobalId: string boundaries sort in the ENGINE's UTF-8 byte order") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // supplementary-plane chars (U+1F600, UTF-8 F0..) sort AFTER private-use
+    // BMP chars (U+E000, UTF-8 EE..) in the engine's binary order, but
+    // BEFORE them in Java's UTF-16 code-unit order — a driver-side Java
+    // sort of these boundary keys breaks the pid binary search silently
+    val keys = Seq("apple", "zebra", "private", "😀emoji",
+      "beta", "x", "😁y", "mango")
+    val byUtf8 = keys.sortWith((a, b) =>
+      java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8)) < 0)
+    assert(keys.sorted != byUtf8,
+      "fixture must actually distinguish Java order from engine order")
+    val d = keys.map(Tuple1(_)).toDF("k")
+    // sampleFraction=1: every key is a boundary candidate, so the tricky
+    // keys land in the boundary list
+    val out = graft.operators.GlobalIds
+      .denseGlobalId(d, Seq(col("k")), numPartitions = 4, sampleFraction = 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("global_id")).toMap
+    byUtf8.zipWithIndex.foreach { case (k, i) =>
+      assert(out(k) == i.toLong,
+        s"rank of $k: got ${out(k)}, engine order expects $i")
+    }
+  }
+
   test("in-plan corpus stats match the pre-computed-scalar variants bit-for-bit") {
     // N = 12 tokens over 4 docs -> avgdl = 3.0 exactly; every pair below
     // must agree on raw doubles (Row equality is bitwise on doubles)

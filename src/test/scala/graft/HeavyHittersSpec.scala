@@ -55,6 +55,19 @@ class HeavyHittersSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("tokens over 64KB survive partial-aggregate serialization") {
+    // writeUTF would throw UTFDataFormatException here — the sketch must
+    // shuffle arbitrarily long retained tokens (base64 blobs, minified JS)
+    val big = "x" * 70000
+    val df = (Seq.fill(50)(big) ++ Seq.fill(30)("small")).toDF("tok").repartition(7)
+    val row = df.agg(MisraGriesSketch.sketch($"tok", 4).as("s"))
+      .select($"s.total", $"s.candidates").head()
+    assert(row.getLong(0) == 80L)
+    val est = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.contains(big), "the 70KB heavy hitter must survive the shuffle")
+  }
+
   test("degenerate inputs: empty corpus yields empty output; bad minFrac refused") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(HeavyHitters.heavyHitterTokens(empty, col("text"), 0.5).count() == 0)

@@ -194,9 +194,11 @@ class KAnonymitySpec extends SparkSpec {
     assert(Some(levels2) == expected2)
   }
 
-  test("staged walk short-circuits via the coarsest-state gate to suppression") {
+  test("staged walk: infeasible lattice exhausts every chunk, then suppresses") {
     // k exceeds the row count: even the fully-generalized single group of
-    // 120 fails, so the gate fires and the fallback suppresses everything
+    // 120 fails, so the exhaustive walk finds nothing and the fallback
+    // suppresses everything (no coarsest-state short-circuit — it would
+    // silently assume ladder monotonicity the <= 64 path doesn't)
     val (levels, out) = KAnonymity.enforceMulti(bigDf, bigDims, k = 121)
     assert(levels == Seq(4, 3, 3))
     assert(out.count() == 0)
