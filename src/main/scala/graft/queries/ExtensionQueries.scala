@@ -1794,11 +1794,60 @@ object ExtensionQueries {
     */
   private val Bm25QueryTerms = Seq("spark", "hash", "window", "stream")
 
-  /** Query set for the multi-query retrieval twin (`q_bm25_topk`). */
+  /** Query set for the multi-query retrieval twins (`q_bm25_topk`,
+    * `q_bm25_indexed`).
+    */
   private val Bm25QuerySet: Seq[(Int, String)] = Seq(
     1 -> "spark", 1 -> "query",
     2 -> "stream", 2 -> "window", 2 -> "batch",
     3 -> "vector", 3 -> "hash")
+
+  /** Shared DuckDB twin of the multi-query BM25 retrieval — ONE
+    * definition for the inline path (`q_bm25_topk`) and the stored-index
+    * path (`q_bm25_indexed`): the index stores exactly the (tf, dl, N,
+    * avgdl) the inline path computes, so both must hash to this replay.
+    * Ranking happens on the floor-rounded score in BOTH engines, so the
+    * top-k cut is identical; the decimal cast then has nothing to round.
+    * tf * 2.2 must be double arithmetic (see q_bm25's literal-cast note).
+    */
+  private def bm25TopKOracle: String = s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        stats as (
+          select count(*) as n, cast(sum(len(toks)) as double) / count(*) as avgdl
+          from t
+        ),
+        dl as (select doc_id, len(toks) as dl from t),
+        qs (query_id, term) as (
+          values ${Bm25QuerySet.map { case (q, t) => s"($q, '$t')" }.mkString(", ")}
+        ),
+        tf as (
+          select doc_id, term, count(*) as tf
+          from (select doc_id, unnest(toks) as term from t)
+          where term in (select term from qs)
+          group by doc_id, term
+        ),
+        dfreq as (select term, count(*) as df from tf group by term),
+        sc as (
+          select tf.doc_id, tf.term,
+            ln(1 + (cast(n as double) - df + 0.5) / (df + 0.5))
+              * (tf * cast(2.2 as double))
+              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) as ts
+          from tf join dfreq using (term) join dl using (doc_id) cross join stats
+        ),
+        pq as (
+          select query_id, doc_id,
+            count(*) as n_matched, ${duckRound("sum(ts)", 6)} as rscore
+          from sc join qs using (term) group by query_id, doc_id
+        ),
+        r as (
+          select query_id, doc_id, n_matched, rscore,
+            row_number() over (partition by query_id order by rscore desc, doc_id) as rank
+          from pq
+        )
+        select query_id, cast(rank as int) as rank, doc_id,
+          cast(n_matched as int) as n_matched,
+          cast(rscore as decimal(14,6)) as score
+        from r where rank <= 10 order by query_id, rank"""
 
   val curationQueries: ListMap[String, Q] = ListMap(
     "q_seq_pack" -> Q(
@@ -2251,47 +2300,32 @@ object ExtensionQueries {
             col("score").cast("decimal(14,6)").as("score"))
           .orderBy("query_id", "rank")
       },
-      // ranking happens on the floor-rounded score in BOTH engines, so the
-      // top-k cut is identical; the decimal cast then has nothing to round.
-      // tf * 2.2 must be double arithmetic (see q_bm25's literal-cast note)
-      Some(s"""
-        with t as (select doc_id, $duckTokens as toks from documents),
-        stats as (
-          select count(*) as n, cast(sum(len(toks)) as double) / count(*) as avgdl
-          from t
-        ),
-        dl as (select doc_id, len(toks) as dl from t),
-        qs (query_id, term) as (
-          values ${Bm25QuerySet.map { case (q, t) => s"($q, '$t')" }.mkString(", ")}
-        ),
-        tf as (
-          select doc_id, term, count(*) as tf
-          from (select doc_id, unnest(toks) as term from t)
-          where term in (select term from qs)
-          group by doc_id, term
-        ),
-        dfreq as (select term, count(*) as df from tf group by term),
-        sc as (
-          select tf.doc_id, tf.term,
-            ln(1 + (cast(n as double) - df + 0.5) / (df + 0.5))
-              * (tf * cast(2.2 as double))
-              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) as ts
-          from tf join dfreq using (term) join dl using (doc_id) cross join stats
-        ),
-        pq as (
-          select query_id, doc_id,
-            count(*) as n_matched, ${duckRound("sum(ts)", 6)} as rscore
-          from sc join qs using (term) group by query_id, doc_id
-        ),
-        r as (
-          select query_id, doc_id, n_matched, rscore,
-            row_number() over (partition by query_id order by rscore desc, doc_id) as rank
-          from pq
-        )
-        select query_id, cast(rank as int) as rank, doc_id,
-          cast(n_matched as int) as n_matched,
-          cast(rscore as decimal(14,6)) as score
-        from r where rank <= 10 order by query_id, rank""")
+      // shared twin: see bm25TopKOracle's scaladoc
+      Some(bm25TopKOracle)
+    ),
+    "q_bm25_indexed" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        // the index IS the operator under test (the q_shards_readback
+        // pattern): tokenize + write postings/stats once, then retrieval
+        // runs purely against the loaded files — corpus text never read
+        val idx = s"${sys.props("java.io.tmpdir")}/graft_bm25_idx_${math.abs(dir.hashCode)}"
+        graft.text.Bm25.writeSearchIndex(docs(s, dir), "doc_id", col("text"), idx)
+        val (postings, stats) = graft.text.Bm25.loadSearchIndex(s, idx)
+        graft.text.Bm25
+          .retrieveTopKIndexed(postings, stats, "doc_id",
+            Bm25QuerySet.toDF("query_id", "term"), topK = 10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rank"),
+            col("doc_id"),
+            col("n_matched").cast("int").as("n_matched"),
+            col("score").cast("decimal(14,6)").as("score"))
+          .orderBy("query_id", "rank")
+      },
+      // IDENTICAL twin to q_bm25_topk — the stored index must reproduce
+      // the inline retrieval bit-for-bit at the rounded ranking grain
+      Some(bm25TopKOracle)
     ),
     "q_lm_bigram" -> Q(
       (s, dir) => {

@@ -202,7 +202,14 @@ object Bm25 {
       .join(broadcast(queriesDf), "term")
       .groupBy(col("query_id"), col(idCol))
       .agg(count(lit(1)).as("n_matched"), sum(col("_ts")).as("score"))
-    // floor-round in the double domain (Parity.roundHalfUp's formula)
+    rankPerQuery(perQueryDoc, idCol, topK)
+  }
+
+  /** Shared per-query ranking cut: floor-round in the double domain
+    * (Parity.roundHalfUp's formula) so top-k membership is reproducible
+    * across engines and FP summation orders, then a keyed window.
+    */
+  private def rankPerQuery(perQueryDoc: DataFrame, idCol: String, topK: Int): DataFrame = {
     val rounded = floor(col("score") * 1e6 + 0.5) / 1e6
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -213,5 +220,84 @@ object Bm25 {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col(idCol), col("n_matched"),
         col("_rounded").as("score"))
+  }
+
+  /** Persist a BM25 search index: `postings/` — one row per (doc, term)
+    * carrying `tf` and the doc length `dl`, REPARTITIONED BY term and
+    * sorted within partitions so a query-term probe prunes parquet row
+    * groups via min/max statistics — and `stats/`, the one-row
+    * (`_n_docs`, `_avgdl`) corpus aggregate. The search-service leg of
+    * the index-persistence family (band index, IVF, PQ, model): tokenize
+    * the corpus ONCE at build; retrieval reads only the probed slice of
+    * the postings table and never touches document text again.
+    */
+  def writeSearchIndex(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      dir: String
+  ): Unit = {
+    require(!Reserved.contains(idCol),
+      s"bm25: idCol '$idCol' collides with a working column")
+    val toks = docsDf.select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
+    val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
+    toks
+      .select(col(idCol), explode(col("_toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, idCol)
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    corpusStats(docsDf, idCol, textCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Load an index written by [[writeSearchIndex]]: (postings, stats). */
+  def loadSearchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"))
+
+  /** [[retrieveTopK]] against a stored index: same output contract, same
+    * BM25 arithmetic, same rounded-ranking cut — but the corpus text is
+    * never read. The plan is: broadcast the query vocabulary onto the
+    * postings scan (term-sorted files -> row-group pruning), recover each
+    * query term's exact document frequency from its own pruned postings,
+    * broadcast the one-row stats, score, and rank per query.
+    */
+  def retrieveTopKIndexed(
+      postings: DataFrame,
+      stats: DataFrame,
+      idCol: String,
+      queriesDf: DataFrame,
+      topK: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(topK > 0, "bm25: topK must be positive")
+    require(b >= 0 && b <= 1, s"bm25: b must be in [0,1], got $b")
+    require(k1 >= 0, s"bm25: k1 must be non-negative, got $k1")
+    require(!Reserved.contains(idCol),
+      s"bm25: idCol '$idCol' collides with a working column")
+    val qTerms = queriesDf.select(col("term")).distinct()
+    val pruned = postings.join(broadcast(qTerms), "term")
+    // df(t) over the pruned postings IS the exact document frequency:
+    // every posting of a probed term survives the term join
+    val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(
+      lit(1.0) +
+        (col("_n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * (lit(k1) + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("_avgdl")))
+    val perQueryDoc = pruned
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_ts", termScore)
+      .join(broadcast(queriesDf), "term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_matched"), sum(col("_ts")).as("score"))
+    rankPerQuery(perQueryDoc, idCol, topK)
   }
 }

@@ -377,6 +377,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(top1.length == 2 && top1.forall(_.getAs[Int]("rank") == 1))
   }
 
+  test("bm25 stored index serves retrieveTopK identically; text never read at query time") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = Seq((1, "spark"), (1, "query"), (2, "stream"), (2, "window"))
+      .toDF("query_id", "term")
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    graft.text.Bm25.writeSearchIndex(docs, "doc_id", col("text"), dir)
+    val (postings, stats) = graft.text.Bm25.loadSearchIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_matched"),
+        r.getAs[Double]("score")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val inline = rows(graft.text.Bm25
+      .retrieveTopK(docs, "doc_id", col("text"), q, topK = 10))
+    val indexed = rows(graft.text.Bm25
+      .retrieveTopKIndexed(postings, stats, "doc_id", q, topK = 10))
+    assert(indexed == inline,
+      "stored-index retrieval must reproduce the inline path exactly")
+    // the index stores what it claims: postings rows = distinct (doc, term)
+    // pairs, stats is the one-row corpus aggregate
+    assert(postings.columns.sorted.toSeq == Seq("dl", "doc_id", "term", "tf"))
+    assert(stats.count() == 1)
+    // and the retrieval plan reads the POSTINGS schema, not document text
+    val plan = graft.text.Bm25
+      .retrieveTopKIndexed(postings, stats, "doc_id", q, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"indexed retrieval must not scan the corpus:\n${plan.take(800)}")
+  }
+
   test("substring dedup merges shared runs into maximal spans; unique docs drop") {
     val d = Seq(
       (1L, "a b c d e f g h i j"),
