@@ -43,6 +43,41 @@ object Compaction {
       inDir: String,
       outDir: String,
       targetBytes: Long
+  ): (Int, Int) =
+    rewrite(spark, inDir, outDir, targetBytes, _.repartition(_))
+
+  /** [[compact]] for CLUSTERED layouts (the stored-index family: BM25
+    * postings term-clustered for row-group pruning, band/IVF tables keyed
+    * by their probe column). A plain round-robin `repartition(n)` would
+    * scatter each key across every output file and destroy the min/max
+    * pruning the layout exists for; this variant hash-partitions on
+    * `clusterCols` and sorts within partitions, so the compacted files
+    * keep (in fact restore, after N appends) tight per-file key ranges.
+    * Same bounded-listing sizing; key skew beyond targetBytes per key is
+    * bounded by the key's own volume, the layout contract's grain.
+    */
+  def compactClustered(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long,
+      clusterCols: Seq[String]
+  ): (Int, Int) = {
+    require(clusterCols.nonEmpty,
+      "compaction: clusterCols must be non-empty — use compact() for " +
+        "round-robin layout")
+    rewrite(spark, inDir, outDir, targetBytes,
+      (df, n) => df
+        .repartition(n, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*))
+  }
+
+  private def rewrite(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long,
+      layout: (DataFrame, Int) => DataFrame
   ): (Int, Int) = {
     // compare fully-qualified paths, not raw strings: 'dir/' vs 'dir',
     // relative vs absolute, or scheme-qualified aliases must not slip past
@@ -56,8 +91,7 @@ object Compaction {
       "compaction: refuse to overwrite the input in place — write to a new " +
         "directory and swap atomically at the catalog/manifest layer")
     val n = plannedFiles(spark, inDir, targetBytes)
-    spark.read.parquet(inDir)
-      .repartition(n)
+    layout(spark.read.parquet(inDir), n)
       .write.mode("overwrite").parquet(outDir)
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -2307,10 +2307,17 @@ object ExtensionQueries {
       (s, dir) => {
         import s.implicits._
         // the index IS the operator under test (the q_shards_readback
-        // pattern): tokenize + write postings/stats once, then retrieval
-        // runs purely against the loaded files — corpus text never read
+        // pattern), exercised in its DAILY-INGEST shape: build on half
+        // the corpus, APPEND the other half (exact stats merge), then
+        // retrieval runs purely against the loaded files — corpus text
+        // never read at query time, and the twin replays the one-shot
+        // full corpus, so append must be bit-identical to a full rebuild
         val idx = s"${sys.props("java.io.tmpdir")}/graft_bm25_idx_${math.abs(dir.hashCode)}"
-        graft.text.Bm25.writeSearchIndex(docs(s, dir), "doc_id", col("text"), idx)
+        val all = docs(s, dir)
+        graft.text.Bm25.writeSearchIndex(
+          all.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", col("text"), idx)
+        graft.text.Bm25.appendSearchIndex(
+          all.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", col("text"), idx)
         val (postings, stats) = graft.text.Bm25.loadSearchIndex(s, idx)
         graft.text.Bm25
           .retrieveTopKIndexed(postings, stats, "doc_id",

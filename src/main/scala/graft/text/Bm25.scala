@@ -226,10 +226,16 @@ object Bm25 {
     * carrying `tf` and the doc length `dl`, REPARTITIONED BY term and
     * sorted within partitions so a query-term probe prunes parquet row
     * groups via min/max statistics — and `stats/`, the one-row
-    * (`_n_docs`, `_avgdl`) corpus aggregate. The search-service leg of
-    * the index-persistence family (band index, IVF, PQ, model): tokenize
-    * the corpus ONCE at build; retrieval reads only the probed slice of
-    * the postings table and never touches document text again.
+    * (`_n_docs`, `_tot_tokens`, `_avgdl`) corpus aggregate. The
+    * search-service leg of the index-persistence family (band index,
+    * IVF, PQ, model): tokenize the corpus ONCE at build; retrieval reads
+    * only the probed slice of the postings table and never touches
+    * document text again.
+    *
+    * `_tot_tokens` exists for [[appendSearchIndex]]: counts and token
+    * totals are integer-valued doubles, so a merged `_avgdl` =
+    * merged-total / merged-count is BIT-IDENTICAL to a full rebuild —
+    * appending never drifts from the from-scratch index.
     */
   def writeSearchIndex(
       docsDf: DataFrame,
@@ -239,6 +245,19 @@ object Bm25 {
   ): Unit = {
     require(!Reserved.contains(idCol),
       s"bm25: idCol '$idCol' collides with a working column")
+    writePostings(docsDf, idCol, textCol, dir, "overwrite")
+    indexStats(docsDf, idCol, textCol)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** The postings write shared by build (`overwrite`) and append. */
+  private def writePostings(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      dir: String,
+      mode: String
+  ): Unit = {
     val toks = docsDf.select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
     val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
     toks
@@ -248,9 +267,61 @@ object Bm25 {
       .join(dl, idCol)
       .repartition(col("term"))
       .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    corpusStats(docsDf, idCol, textCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode(mode).parquet(s"$dir/postings")
+  }
+
+  /** [[corpusStats]] plus the exact token total — the stored-stats schema
+    * (same `_avgdl` association order, so the value is identical).
+    */
+  private def indexStats(docsDf: DataFrame, idCol: String, textCol: Column): DataFrame =
+    docsDf
+      .select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
+      .agg(
+        count(lit(1)).cast("double").as("_n_docs"),
+        sum(size(col("_toks"))).cast("double").as("_tot_tokens"),
+        (sum(size(col("_toks"))).cast("double") / count(lit(1))).as("_avgdl"))
+
+  /** Append a new batch's postings to a stored index and merge the corpus
+    * stats exactly — the daily-ingest shape (crawl increments land, the
+    * serving index absorbs them without re-tokenizing the corpus). The
+    * caller is responsible for batch ids being new to the index (run the
+    * dedup gate first — the CurateCli ordering).
+    *
+    * Write order is postings first, then a temp-dir swap of `stats/`: a
+    * crash between the two leaves retrieval serving slightly-stale
+    * N/avgdl against complete postings (bounded score drift, no wrong
+    * rows); a crash mid-swap leaves `stats_new/` complete on disk next to
+    * the old `stats/` (or a missing `stats/` recoverable by renaming
+    * `stats_new/` in). Re-running a partially-applied append would double
+    * the batch's postings — recover by rebuilding, not re-appending.
+    */
+  def appendSearchIndex(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      dir: String
+  ): Unit = {
+    require(!Reserved.contains(idCol),
+      s"bm25: idCol '$idCol' collides with a working column")
+    val spark = docsDf.sparkSession
+    val storedCols = spark.read.parquet(s"$dir/postings").columns
+    require(storedCols.contains(idCol),
+      s"bm25: stored postings carry ${storedCols.mkString(",")} — no '$idCol'")
+    // one-row reads/aggs, driver-bounded by design
+    val old = spark.read.parquet(s"$dir/stats").head()
+    val batch = indexStats(docsDf, idCol, textCol).head()
+    writePostings(docsDf, idCol, textCol, dir, "append")
+    val n = old.getAs[Double]("_n_docs") + batch.getAs[Double]("_n_docs")
+    val tot = old.getAs[Double]("_tot_tokens") + batch.getAs[Double]("_tot_tokens")
+    import spark.implicits._
+    Seq((n, tot, tot / n))
+      .toDF("_n_docs", "_tot_tokens", "_avgdl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_new")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(conf)
+    fs.delete(statsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats_new"), statsPath)
   }
 
   /** Load an index written by [[writeSearchIndex]]: (postings, stats). */

@@ -400,6 +400,25 @@ class CurationOpsSpec extends SparkSpec {
     // pairs, stats is the one-row corpus aggregate
     assert(postings.columns.sorted.toSeq == Seq("dl", "doc_id", "term", "tf"))
     assert(stats.count() == 1)
+    // append is bit-identical to a full rebuild: same postings multiset,
+    // same stats row (counts and token totals are integer-valued doubles,
+    // so the merged avgdl has no FP drift), same retrieval
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25_idx_app").toString
+    graft.text.Bm25.writeSearchIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"), dir2)
+    graft.text.Bm25.appendSearchIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"), dir2)
+    val (p2, s2) = graft.text.Bm25.loadSearchIndex(spark, dir2)
+    assert(s2.collect().toSeq == stats.collect().toSeq,
+      "appended stats must equal the one-shot corpus aggregate exactly")
+    def postingsSet(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"), r.getAs[Long]("dl")))
+      .sorted.toSeq
+    assert(postingsSet(p2) == postingsSet(postings))
+    assert(rows(graft.text.Bm25
+      .retrieveTopKIndexed(p2, s2, "doc_id", q, topK = 10)) == inline)
     // and the retrieval plan reads the POSTINGS schema, not document text
     val plan = graft.text.Bm25
       .retrieveTopKIndexed(postings, stats, "doc_id", q, topK = 10)
@@ -917,6 +936,48 @@ class CurationOpsSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("in place"), s"alias $alias slipped the guard")
     }
+  }
+
+  test("clustered compaction: appended postings heal to one file per term, sorted; retrieval unchanged") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = Files.createTempDirectory("bm25_cc").toString
+    // write + append fragments the term clustering (one file set per batch)
+    graft.text.Bm25.writeSearchIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"), dir)
+    graft.text.Bm25.appendSearchIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", col("text"), dir)
+    val outP = Files.createTempDirectory("bm25_cc_out").toString + "/postings"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val (_, nOut) = graft.operators.Compaction.compactClustered(
+      spark, s"$dir/postings", outP, targetBytes = math.max(1L, total / 3), Seq("term"))
+    assert(nOut >= 2, s"want a multi-file output to prove clustering, got $nOut")
+    // hash-clustered: every term's postings land in exactly one file
+    val spread = spark.read.parquet(outP)
+      .select(col("term"), input_file_name().as("f"))
+      .groupBy("term")
+      .agg(countDistinct("f").as("nf"))
+      .agg(max("nf")).head().getLong(0)
+    assert(spread == 1, s"a term spans $spread files after clustered compaction")
+    // sorted within each file -> tight row-group min/max for probe pruning
+    fs.listStatus(new org.apache.hadoop.fs.Path(outP))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val terms = spark.read.parquet(st.getPath.toString)
+          .select("term").collect().map(_.getString(0)).toSeq
+        assert(terms == terms.sorted, s"${st.getPath.getName} not term-sorted")
+      }
+    // and the compacted layout serves retrieval identically
+    val (origP, stats) = graft.text.Bm25.loadSearchIndex(spark, dir)
+    val q = Seq((1, "spark"), (2, "window")).toDF("query_id", "term")
+    def rows(p: org.apache.spark.sql.DataFrame) = graft.text.Bm25
+      .retrieveTopKIndexed(p, stats, "doc_id", q, topK = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(rows(spark.read.parquet(outP)) == rows(origP))
   }
 
   test("shard manifest: per-shard rows/files/bytes and an order-sensitive content hash") {
