@@ -129,6 +129,13 @@ object CurateCli {
     * crosses `compactAt`. The first call bootstraps state (everything
     * kept is fresh, the index is built from it).
     *
+    * With `searchIndex = true`, `outDir/search` additionally carries a
+    * BM25 postings index over the accumulated corpus
+    * ([[graft.text.Bm25.writeSearchIndex]]): bootstrapped from the corpus
+    * read-back (so enabling it on existing state indexes everything
+    * admitted so far), appended per batch with the exact stats merge, and
+    * healed term-clustered by the same compaction maintenance.
+    *
     * Document ids must be unique ACROSS batches (crawl ids are) — the
     * index append trusts them.
     */
@@ -139,7 +146,8 @@ object CurateCli {
       nShards: Int,
       cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
       threshold: Double = 0.7,
-      compactAt: Int = 16
+      compactAt: Int = 16,
+      searchIndex: Boolean = false
   ): IncrementalSummary = {
     import graft.dedup.Dedup
     val fs = new org.apache.hadoop.fs.Path(outDir)
@@ -147,12 +155,17 @@ object CurateCli {
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
     val corpusDir = s"$outDir/corpus"
     val indexDir = s"$outDir/index"
+    val searchDir = s"$outDir/search"
     // crash recovery for a compaction interrupted mid-swap: if the promote
-    // never landed, the retired directory IS the corpus — restore it
-    // before anything reads corpusDir
-    val retiredP = new org.apache.hadoop.fs.Path(s"$outDir/corpus__retired")
-    if (!exists(corpusDir) && fs.exists(retiredP))
-      fs.rename(retiredP, new org.apache.hadoop.fs.Path(corpusDir))
+    // never landed, the retired directory IS the data — restore it before
+    // anything reads the live path (corpus and search postings alike)
+    def recoverRetired(live: String): Unit = {
+      val retired = new org.apache.hadoop.fs.Path(s"${live}__retired")
+      if (!exists(live) && fs.exists(retired))
+        fs.rename(retired, new org.apache.hadoop.fs.Path(live))
+    }
+    recoverRetired(corpusDir)
+    recoverRetired(s"$searchDir/postings")
     val bootstrap = !exists(s"$indexDir/meta")
 
     val docs = spark.read.parquet(input)
@@ -218,34 +231,55 @@ object CurateCli {
           Dedup.writeBandIndex(
             Dedup.buildBandIndex(landed, "doc_id", "text"), indexDir)
         else Dedup.appendBandIndex(landed, "text", indexDir)
+        // optional serving-side BM25 index over the accumulated corpus.
+        // First build (or late enablement on existing state) indexes the
+        // corpus READ-BACK — everything admitted so far — then each batch
+        // appends only its landed rows (exact stats merge, Bm25 scaladoc)
+        if (searchIndex) {
+          if (!exists(s"$searchDir/stats"))
+            graft.text.Bm25.writeSearchIndex(
+              spark.read.parquet(corpusDir), "doc_id", col("text"), searchDir)
+          else
+            graft.text.Bm25.appendSearchIndex(landed, "doc_id", col("text"), searchDir)
+        }
         auditShards(spark, shardDir, nFresh)
       }
 
-    // post-append maintenance: heal the corpus directory's small files
-    // once enough batches accumulated (rewrite-and-swap, never in place)
-    val compacted =
-      if (!exists(corpusDir)) false
+    // post-append maintenance: heal a directory's small files once enough
+    // batches accumulated (rewrite-and-swap, never in place). Clustered
+    // layouts compact cluster-keyed so their pruning survives the rewrite.
+    def healSmallFiles(live: String, cluster: Option[Seq[String]]): Boolean =
+      if (!exists(live)) false
       else {
-        val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
+        val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(live))
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         if (nFiles < compactAt) false
         else {
           // retire-then-promote, NOT delete-then-rename: a crash between a
-          // delete and a rename would leave the accumulated corpus GONE.
-          // Here the old corpus survives as corpus__retired until the
-          // promote lands, and startup recovery (below, next run) restores
-          // it if the promote never happened.
-          val tmpP = new org.apache.hadoop.fs.Path(s"$outDir/corpus__compacting")
-          val oldP = new org.apache.hadoop.fs.Path(s"$outDir/corpus__retired")
+          // delete and a rename would leave the accumulated data GONE.
+          // Here the old directory survives as <live>__retired until the
+          // promote lands, and startup recovery (recoverRetired, next run)
+          // restores it if the promote never happened.
+          val tmpP = new org.apache.hadoop.fs.Path(s"${live}__compacting")
+          val oldP = new org.apache.hadoop.fs.Path(s"${live}__retired")
           fs.delete(tmpP, true) // stale leftovers from a crashed run
           fs.delete(oldP, true)
-          graft.operators.Compaction.compact(spark, corpusDir, tmpP.toString, 128L * 1024 * 1024)
-          fs.rename(new org.apache.hadoop.fs.Path(corpusDir), oldP)
-          fs.rename(tmpP, new org.apache.hadoop.fs.Path(corpusDir))
+          val target = 128L * 1024 * 1024
+          cluster match {
+            case Some(c) =>
+              graft.operators.Compaction.compactClustered(spark, live, tmpP.toString, target, c)
+            case None =>
+              graft.operators.Compaction.compact(spark, live, tmpP.toString, target)
+          }
+          fs.rename(new org.apache.hadoop.fs.Path(live), oldP)
+          fs.rename(tmpP, new org.apache.hadoop.fs.Path(live))
           fs.delete(oldP, true)
           true
         }
       }
+    val compacted = healSmallFiles(corpusDir, None)
+    if (searchIndex)
+      healSmallFiles(s"$searchDir/postings", Some(Seq("term")))
 
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(
@@ -300,14 +334,17 @@ object CurateCli {
     }
 
   def main(rawArgs: Array[String]): Unit = {
-    val (args, modelArgs) = parseModelArgs(rawArgs)
+    val (args0, modelArgs) = parseModelArgs(rawArgs)
+    val withSearch = args0.contains("--search")
+    val args = args0.filterNot(_ == "--search")
     if (args.headOption.contains("incremental")) {
       require(args.length >= 3,
-        "usage: CurateCli incremental <batch.parquet> <stateDir> [nShards] [--model <dir> <minScore>]")
+        "usage: CurateCli incremental <batch.parquet> <stateDir> [nShards] " +
+          "[--model <dir> <minScore>] [--search]")
       val nShards = if (args.length > 3) args(3).toInt else 64
       val spark = session()
       val s = runIncremental(spark, args(1), args(2), nShards,
-        cfg = gateConfig(spark, modelArgs))
+        cfg = gateConfig(spark, modelArgs), searchIndex = withSearch)
       println(s"[curate] batch=${s.batch} in=${s.nIn} kept=${s.nKept} " +
         s"fresh=${s.nFresh} dup_of_corpus=${s.nDupOfCorpus} " +
         s"shards=${s.nShards} audit_ok=${s.auditOk} compacted=${s.corpusCompacted}")

@@ -892,6 +892,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(idx.bands.select(col("doc_id")).distinct().count() == s0.nFresh + s1.nFresh)
   }
 
+  test("incremental curation --search maintains a BM25 index equal to inline retrieval over the corpus") {
+    import java.nio.file.Files
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val batches = Files.createTempDirectory("curate_search_b").toString
+    val state = Files.createTempDirectory("curate_search_s").toString
+    all.filter(col("doc_id") % 2 === 0).write.parquet(s"$batches/b0")
+    all.filter(col("doc_id") % 2 === 1).write.parquet(s"$batches/b1")
+    val s0 = graft.cli.CurateCli.runIncremental(
+      spark, s"$batches/b0", state, nShards = 2, searchIndex = true)
+    val s1 = graft.cli.CurateCli.runIncremental(
+      spark, s"$batches/b1", state, nShards = 2, searchIndex = true)
+    assert(s0.auditOk && s1.auditOk && s1.batch == 1)
+    // the stored search index answers exactly like inline BM25 over the
+    // accumulated (gated + deduped) corpus — batch 0 bootstrapped it,
+    // batch 1 appended, stats merged exactly
+    val (p, st) = graft.text.Bm25.loadSearchIndex(spark, s"$state/search")
+    val corpus = spark.read.parquet(s"$state/corpus")
+    val q = Seq((1, "spark"), (1, "query"), (2, "stream"), (2, "window"))
+      .toDF("query_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val indexed = rows(graft.text.Bm25
+      .retrieveTopKIndexed(p, st, "doc_id", q, topK = 10))
+    val inline = rows(graft.text.Bm25
+      .retrieveTopK(corpus, "doc_id", col("text"), q, topK = 10))
+    assert(indexed == inline,
+      "curation-maintained search index must equal inline retrieval")
+    assert(p.count() > 0 && st.count() == 1)
+  }
+
   test("CurateCli.run: an all-filtered corpus reports cleanly instead of crashing") {
     val out = java.nio.file.Files.createTempDirectory("curate_empty").toString
     val s = graft.cli.CurateCli.run(
