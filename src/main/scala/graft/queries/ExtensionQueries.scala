@@ -1802,16 +1802,18 @@ object ExtensionQueries {
     2 -> "stream", 2 -> "window", 2 -> "batch",
     3 -> "vector", 3 -> "hash")
 
-  /** Shared DuckDB twin of the multi-query BM25 retrieval — ONE
-    * definition for the inline path (`q_bm25_topk`) and the stored-index
-    * path (`q_bm25_indexed`): the index stores exactly the (tf, dl, N,
-    * avgdl) the inline path computes, so both must hash to this replay.
-    * Ranking happens on the floor-rounded score in BOTH engines, so the
+  /** Shared DuckDB CTE chain ranking EVERY document against every query of
+    * [[Bm25QuerySet]] — `r` carries (query_id, doc_id, n_matched, rscore,
+    * rank). ONE definition feeds the inline path (`q_bm25_topk`), the
+    * stored-index path (`q_bm25_indexed`) and the sparse leg of the hybrid
+    * fusion (`q_hybrid_rrf`): the index stores exactly the (tf, dl, N,
+    * avgdl) the inline path computes, so all must hash to this replay.
+    * Ranking happens on the floor-rounded score in BOTH engines, so every
     * top-k cut is identical; the decimal cast then has nothing to round.
     * tf * 2.2 must be double arithmetic (see q_bm25's literal-cast note).
     */
-  private def bm25TopKOracle: String = s"""
-        with t as (select doc_id, $duckTokens as toks from documents),
+  private def bm25RankCtes: String = s"""
+        t as (select doc_id, $duckTokens as toks from documents),
         stats as (
           select count(*) as n, cast(sum(len(toks)) as double) / count(*) as avgdl
           from t
@@ -1843,7 +1845,10 @@ object ExtensionQueries {
           select query_id, doc_id, n_matched, rscore,
             row_number() over (partition by query_id order by rscore desc, doc_id) as rank
           from pq
-        )
+        )"""
+
+  private def bm25TopKOracle: String = s"""
+        with $bm25RankCtes
         select query_id, cast(rank as int) as rank, doc_id,
           cast(n_matched as int) as n_matched,
           cast(rscore as decimal(14,6)) as score
@@ -2333,6 +2338,77 @@ object ExtensionQueries {
       // IDENTICAL twin to q_bm25_topk — the stored index must reproduce
       // the inline retrieval bit-for-bit at the rounded ranking grain
       Some(bm25TopKOracle)
+    ),
+    "q_hybrid_rrf" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        // hybrid retrieval: BM25 sparse leg + exact-cosine dense leg,
+        // fused by RRF. Dense query vectors are embeddings 0/1/2 serving
+        // query ids 1/2/3 — a bounded (3 x dim) build-time fetch, the
+        // q_ann_ivf query-vector precedent
+        val qvecs = emb(s, dir)
+          .filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getAs[Long]("vec_id").toInt + 1,
+            r.getSeq[Float](1).map(_.toDouble).toSeq))
+          .toSeq.sortBy(_._1)
+        val sparse = graft.text.Bm25
+          .retrieveTopK(docs(s, dir), "doc_id", col("text"),
+            Bm25QuerySet.toDF("query_id", "term"), topK = 20)
+          .select(col("query_id"), col("rank"), col("doc_id"))
+        val dense = graft.similarity.Hybrid
+          .bruteForceTopKAll(emb(s, dir), "vec_id", "embedding", qvecs, k = 20)
+          .select(col("query_id"), col("rank"), col("vec_id").as("doc_id"))
+        graft.similarity.Hybrid
+          .rrfFuse(Seq(sparse, dense), "doc_id", k0 = 60, topK = 10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rank"),
+            col("doc_id"),
+            col("n_lists").cast("int").as("n_lists"),
+            col("rrf_score").cast("decimal(12,6)").as("rrf_score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        with $bm25RankCtes,
+        sparse as (select query_id, doc_id, rank from r where rank <= 20),
+        qv as (
+          select cast(vec_id + 1 as int) as query_id, embedding as qvec
+          from embeddings where vec_id < 3
+        ),
+        dcos as (
+          select q.query_id, e.vec_id as doc_id,
+            ${duckRound(duckCos("e.embedding", "q.qvec"), 6)} as c
+          from embeddings e cross join qv q
+        ),
+        dense as (
+          select query_id, doc_id,
+            row_number() over (partition by query_id order by c desc, doc_id) as rank
+          from dcos
+        ),
+        u as (
+          select query_id, doc_id, rank from sparse
+          union all
+          select query_id, doc_id, rank from dense where rank <= 20
+        ),
+        f as (
+          select query_id, doc_id, count(*) as n_lists,
+            sum(cast(1.0 as double) / (60 + rank)) as rrf
+          from u group by 1, 2
+        ),
+        rr as (
+          select query_id, doc_id, n_lists,
+            ${duckRound("rrf", 6)} as rrf_r,
+            row_number() over (
+              partition by query_id
+              order by ${duckRound("rrf", 6)} desc, doc_id) as rank
+          from f
+        )
+        select query_id, cast(rank as int) as rank, doc_id,
+          cast(n_lists as int) as n_lists,
+          cast(rrf_r as decimal(12,6)) as rrf_score
+        from rr where rank <= 10 order by query_id, rank""")
     ),
     "q_lm_bigram" -> Q(
       (s, dir) => {

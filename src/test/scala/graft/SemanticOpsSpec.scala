@@ -2,12 +2,57 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.similarity.{KnnClassify, SemDedup}
+import graft.similarity.{Hybrid, KnnClassify, SemDedup, Similarity}
 import graft.text.Vocab
 
 /** Semantic dedup, kNN label classification, and vocabulary/OOV specs. */
 class SemanticOpsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("batched brute-force topK agrees with the single-query path per query") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 2).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id").toInt + 1,
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq.sortBy(_._1)
+    val all = Hybrid.bruteForceTopKAll(emb, "vec_id", "embedding", qs, k = 5)
+      .collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // the single-query path ranks on the RAW cosine; replay its ordering
+    // at the batched path's rounded grain for an exact id comparison
+    val single = qs.flatMap { case (qid, v) =>
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", v, k = 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getAs[Long]("vec_id")) }
+    }
+    assert(all == single.sortBy(t => (t._1, t._2)))
+  }
+
+  test("rrfFuse: rank arithmetic, list census, and the id tie-break") {
+    val a = Seq((1, 1, 10L), (1, 2, 20L), (1, 3, 30L)).toDF("query_id", "rank", "doc_id")
+    val b = Seq((1, 1, 20L), (1, 2, 40L)).toDF("query_id", "rank", "doc_id")
+    val out = Hybrid.rrfFuse(Seq(a, b), "doc_id", k0 = 60, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_lists"), r.getAs[Double]("rrf_score")))
+    def rrf(ranks: Seq[Int]) =
+      math.floor(ranks.map(x => 1.0 / (60 + x)).sum * 1e6 + 0.5) / 1e6
+    // doc 20 appears in both lists (ranks 2 and 1) and must win; then
+    // 10 (1/61), then 40 (1/62) over 30 (1/63)
+    assert(out.map(_._2).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(out.head == ((1, 20L, 2L, rrf(Seq(2, 1)))))
+    assert(out(1) == ((2, 10L, 1L, rrf(Seq(1)))))
+    // equal fused scores fall back to doc_id asc: ranks 3 (list a) and 2+
+    // nothing — construct a tie: 1/(60+3) vs 1/(60+3)
+    val t1 = Seq((2, 3, 100L)).toDF("query_id", "rank", "doc_id")
+    val t2 = Seq((2, 3, 50L)).toDF("query_id", "rank", "doc_id")
+    val tie = Hybrid.rrfFuse(Seq(t1, t2), "doc_id", k0 = 60, topK = 10)
+      .orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(tie == Seq(50L, 100L), "equal RRF must order by id asc")
+  }
 
   private def vec(seed: Int): Array[Float] = {
     val r = new scala.util.Random(seed)
