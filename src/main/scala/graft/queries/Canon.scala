@@ -70,6 +70,7 @@ object Canon {
     "q_bm25_topk" -> Seq("score"),
     "q_bm25_indexed" -> Seq("score"),
     "q_hybrid_rrf" -> Seq("rrf_score"),
+    "q_hybrid_indexed" -> Seq("rrf_score"),
     "q_lm_bigram" -> Seq("surprisal2"),
     "q_char_entropy" -> Seq("entropy"),
     "q_substring_stats" -> Seq("dup_frac"),

@@ -902,6 +902,33 @@ object ExtensionQueries {
         c2 as (${ivfUpdate("a2")}),
         a3 as (${ivfAssign("c2")})"""
 
+  /** CTE chain `pr, scored, ranked` — the batched [[Ivf.searchAll]]
+    * replay over [[ivfReplayCtes]]'s index: per-query probe window (same
+    * (dist, cid) tie-break as NearestCentroidExpr), exact cosine within
+    * the probed clusters, rank by (cos desc, vec_id) — the same cut
+    * TopKByScore's bounded heap makes on the Spark side. `qsCte` names
+    * the (query_id, qv) CTE supplying the query set (parameterized so
+    * the hybrid oracle can avoid [[bm25RankCtes]]'s `qs` name).
+    */
+  private def ivfBatchRankCtes(qsCte: String, nprobe: Int): String = s"""pr as (
+          select query_id, qv, cid from (
+            select q.query_id, q.qv, c2.cid,
+              row_number() over (partition by q.query_id
+                order by ${ivfSq("c2.centroid", "q.qv")}, c2.cid) as rn
+            from $qsCte q cross join c2
+          ) where rn <= $nprobe
+        ),
+        scored as (
+          select p.query_id, a.vec_id, ${duckCos("a.embedding", "p.qv")} as cos
+          from a3 a join pr p using (cid)
+        ),
+        ranked as (
+          select query_id, vec_id, cos,
+            row_number() over (partition by query_id
+              order by cos desc, vec_id) as rank
+          from scored
+        )"""
+
   val similarityQueries: ListMap[String, Q] = ListMap(
     "q_embed_norms" -> Q(
       (s, dir) =>
@@ -1247,24 +1274,7 @@ object ExtensionQueries {
             list_transform(embedding, x -> cast(x as double)) as qv
           from embeddings where vec_id in (0, 7, 13)
         ),
-        pr as (
-          select query_id, qv, cid from (
-            select q.query_id, q.qv, c2.cid,
-              row_number() over (partition by q.query_id
-                order by ${ivfSq("c2.centroid", "q.qv")}, c2.cid) as rn
-            from qs q cross join c2
-          ) where rn <= 4
-        ),
-        scored as (
-          select p.query_id, a.vec_id, ${duckCos("a.embedding", "p.qv")} as cos
-          from a3 a join pr p using (cid)
-        ),
-        ranked as (
-          select query_id, vec_id, cos,
-            row_number() over (partition by query_id
-              order by cos desc, vec_id) as rank
-          from scored
-        )
+        ${ivfBatchRankCtes("qs", 4)}
         select query_id, cast(rank as int) as rank, vec_id,
           cast(${duckRound("cos", 6)} as decimal(12,6)) as cos_sim
         from ranked where rank <= 10
@@ -2391,6 +2401,83 @@ object ExtensionQueries {
           select query_id, doc_id, rank from sparse
           union all
           select query_id, doc_id, rank from dense where rank <= 20
+        ),
+        f as (
+          select query_id, doc_id, count(*) as n_lists,
+            sum(cast(1.0 as double) / (60 + rank)) as rrf
+          from u group by 1, 2
+        ),
+        rr as (
+          select query_id, doc_id, n_lists,
+            ${duckRound("rrf", 6)} as rrf_r,
+            row_number() over (
+              partition by query_id
+              order by ${duckRound("rrf", 6)} desc, doc_id) as rank
+          from f
+        )
+        select query_id, cast(rank as int) as rank, doc_id,
+          cast(n_lists as int) as n_lists,
+          cast(rrf_r as decimal(12,6)) as rrf_score
+        from rr where rank <= 10 order by query_id, rank""")
+    ),
+    "q_hybrid_indexed" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        // the full serving stack off PERSISTED indexes (the
+        // q_bm25_indexed pattern — the index round-trip IS the operator
+        // under test): stored BM25 postings sparse leg + stored IVF dense
+        // leg, fused with RRF; corpus text and raw vectors are never read
+        // at query time
+        val idx = s"${sys.props("java.io.tmpdir")}/graft_hybrid_idx_${math.abs(dir.hashCode)}"
+        graft.text.Bm25
+          .writeSearchIndex(docs(s, dir), "doc_id", col("text"), s"$idx/bm25")
+        val e = emb(s, dir)
+        val (centroids, assigned) =
+          graft.similarity.Ivf.build(e, "vec_id", "embedding", k = 16, iters = 2)
+        graft.similarity.Ivf
+          .writeIndex(centroids, assigned, "vec_id", "embedding", s"$idx/ivf")
+        // dense query vectors are embeddings 0/1/2 serving query ids
+        // 1/2/3 — aligned with the sparse Bm25QuerySet ids
+        val vecQ = e.filter(col("vec_id") < 3)
+          .select((col("vec_id") + 1).cast("int").as("query_id"),
+            col("embedding").as("qv"))
+        graft.similarity.Hybrid
+          .searchIndexed(s, s"$idx/bm25", s"$idx/ivf", "doc_id", "vec_id",
+            "embedding", Bm25QuerySet.toDF("query_id", "term"), vecQ, "qv",
+            kPerLeg = 20, nprobe = 4, topK = 10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rank"),
+            col("doc_id"),
+            col("n_lists").cast("int").as("n_lists"),
+            col("rrf_score").cast("decimal(12,6)").as("rrf_score"))
+          .orderBy("query_id", "rank")
+      },
+      // sparse leg = the identical bm25RankCtes replay (the stored index
+      // reproduces inline retrieval bit-for-bit — q_bm25_indexed's
+      // contract); dense leg = the identical batched IVF replay
+      // (q_ann_ivf_multi's contract, query CTE renamed vq to dodge
+      // bm25RankCtes' qs); fusion = q_hybrid_rrf's RRF arithmetic. Each
+      // leg cut at 20, fused top-10 on the rounded score with id
+      // tie-break.
+      Some(s"""
+        with $bm25RankCtes,
+        $ivfReplayCtes,
+        vq as (
+          select cast(vec_id + 1 as int) as query_id,
+            list_transform(embedding, x -> cast(x as double)) as qv
+          from embeddings where vec_id < 3
+        ),
+        ${ivfBatchRankCtes("vq", 4)},
+        sparse as (select query_id, doc_id, rank from r where rank <= 20),
+        dense as (
+          select query_id, vec_id as doc_id, rank
+          from ranked where rank <= 20
+        ),
+        u as (
+          select query_id, doc_id, rank from sparse
+          union all
+          select query_id, doc_id, rank from dense
         ),
         f as (
           select query_id, doc_id, count(*) as n_lists,

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,63 @@ object Hybrid {
       .select(col("query_id"), inline(col("_top")))
       .select(col("query_id"), col("rank"), col("dst").as(idCol),
         col("score").as("cos_sim"))
+  }
+
+  /** Hybrid retrieval served entirely from PERSISTED indexes — the
+    * production shape: the sparse leg probes a stored BM25 postings index
+    * ([[graft.text.Bm25.retrieveTopKIndexed]] — term-pruned postings,
+    * corpus text never read), the dense leg probes a stored IVF index
+    * ([[Ivf.searchAll]] — cluster-partitioned files, only probed
+    * clusters touched), and [[rrfFuse]] aligns the two ranked lists.
+    * Query cost is bounded by pruned postings + probed clusters +
+    * |Q| x kPerLeg fusion rows, independent of corpus size — the 100 TB
+    * serving stack is three loads and two bounded probes.
+    *
+    * Both query frames must carry `query_id`, with aligned id values
+    * (the same logical query on both legs). The dense leg's query_id and
+    * id columns are cast to the sparse leg's types before fusion so the
+    * union in [[rrfFuse]] never widens asymmetrically.
+    *
+    * @param idCol       the BM25 index's document-id column; also the
+    *                    fused output's id name
+    * @param denseIdCol  the IVF index's id column (renamed to `idCol`
+    *                    in the fused output)
+    * @param vecCol      vector column name in the stored IVF assignments
+    * @param termQueries (query_id, term) rows — the sparse leg
+    * @param vecQueries  (query_id, `vecQueryCol`) rows — the dense leg
+    * @param kPerLeg     depth of each per-leg ranked list fed to fusion
+    */
+  def searchIndexed(
+      spark: SparkSession,
+      bm25Dir: String,
+      ivfDir: String,
+      idCol: String,
+      denseIdCol: String,
+      vecCol: String,
+      termQueries: DataFrame,
+      vecQueries: DataFrame,
+      vecQueryCol: String,
+      kPerLeg: Int,
+      nprobe: Int = 2,
+      k0: Int = 60,
+      topK: Int
+  ): DataFrame = {
+    require(kPerLeg > 0, s"hybrid: kPerLeg must be positive, got $kPerLeg")
+    val (postings, stats) = graft.text.Bm25.loadSearchIndex(spark, bm25Dir)
+    val sparse = graft.text.Bm25
+      .retrieveTopKIndexed(postings, stats, idCol, termQueries, kPerLeg)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col(idCol))
+    val (centroids, assigned) = Ivf.loadIndex(spark, ivfDir)
+    val qidType = sparse.schema("query_id").dataType
+    val idType = sparse.schema(idCol).dataType
+    val dense = Ivf
+      .searchAll(assigned, centroids, denseIdCol, vecCol, vecQueries,
+        "query_id", vecQueryCol, kPerLeg, nprobe)
+      .select(
+        col("query_id").cast(qidType).as("query_id"),
+        col("rank").cast("int").as("rank"),
+        col(denseIdCol).cast(idType).as(idCol))
+    rrfFuse(Seq(sparse, dense), idCol, k0, topK)
   }
 
   /** Reciprocal Rank Fusion over ranked lists. Each input carries

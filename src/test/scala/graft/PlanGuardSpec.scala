@@ -38,7 +38,7 @@ class PlanGuardSpec extends SparkSpec {
   private val singleRowBroadcast =
     Set("q_scalar_subquery", "q_embed_topk", "q_key_skew",
       "q_lm_surprisal", "q_tfidf_topk", "q_bm25", "q_bm25_topk",
-      "q_bm25_indexed", "q_hybrid_rrf", "q_lm_bigram")
+      "q_bm25_indexed", "q_hybrid_rrf", "q_hybrid_indexed", "q_lm_bigram")
 
   /** Builders allowed to run bounded driver actions while CONSTRUCTING the
     * plan (each collect is k×dim / |ladder| / |sources|-sized, never
@@ -71,6 +71,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_shards_readback",
     "q_bm25_indexed",     // same: writes + loads the postings index under test
     "q_hybrid_rrf",       // dense-leg query-vector fetch (3 x dim, bounded)
+    // writes + loads BOTH serving indexes under test (BM25 postings +
+    // IVF); the k-means build's collects are k x dim bounded
+    "q_hybrid_indexed",
     // stored-index twin: the builder WRITES + LOADS the band index (the
     // persistence layer is the operator under test); bands/shingles/meta
     // writes and the meta head() are all batch-split-bounded

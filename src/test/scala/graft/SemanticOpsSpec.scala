@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.similarity.{Hybrid, KnnClassify, SemDedup, Similarity}
+import graft.similarity.{Hybrid, Ivf, KnnClassify, SemDedup, Similarity}
 import graft.text.Vocab
 
 /** Semantic dedup, kNN label classification, and vocabulary/OOV specs. */
@@ -52,6 +52,40 @@ class SemanticOpsSpec extends SparkSpec {
     val tie = Hybrid.rrfFuse(Seq(t1, t2), "doc_id", k0 = 60, topK = 10)
       .orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(tie == Seq(50L, 100L), "equal RRF must order by id asc")
+  }
+
+  test("searchIndexed: stored-index hybrid equals the inline leg composition") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hybrid_spec").toString
+    graft.text.Bm25.writeSearchIndex(d, "doc_id", col("text"), s"$tmp/bm25")
+    val (centroids, assigned) = Ivf.build(e, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.writeIndex(centroids, assigned, "vec_id", "embedding", s"$tmp/ivf")
+    val termQ = Seq(1 -> "data", 1 -> "model", 2 -> "stream", 2 -> "vector")
+      .toDF("query_id", "term")
+    val vecQ = e.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 1).cast("int").as("query_id"),
+        col("embedding").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_lists"),
+        r.getAs[Double]("rrf_score")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val stored = rows(Hybrid.searchIndexed(spark, s"$tmp/bm25", s"$tmp/ivf",
+      "doc_id", "vec_id", "embedding", termQ, vecQ, "qv",
+      kPerLeg = 10, nprobe = 3, topK = 5))
+    // the inline composition of the same legs: the persistence layer must
+    // be transparent to the fused result
+    val sparse = graft.text.Bm25
+      .retrieveTopK(d, "doc_id", col("text"), termQ, topK = 10)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("doc_id"))
+    val dense = Ivf
+      .searchAll(assigned, centroids, "vec_id", "embedding", vecQ,
+        "query_id", "qv", k = 10, nprobe = 3)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id").as("doc_id"))
+    val inline = rows(Hybrid.rrfFuse(Seq(sparse, dense), "doc_id", topK = 5))
+    assert(stored.nonEmpty && stored == inline)
   }
 
   private def vec(seed: Int): Array[Float] = {
