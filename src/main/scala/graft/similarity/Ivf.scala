@@ -189,6 +189,39 @@ object Ivf {
     spark.read.parquet(s"$dir/centroids").select(col("centroid_id"), col("centroid")),
     spark.read.parquet(s"$dir/assigned"))
 
+  /** Append a batch to a stored index ([[writeIndex]] layout) — the
+    * daily-ingest maintenance of the index-persistence family (band
+    * index: `Dedup.appendBandIndex`; BM25 postings:
+    * `Bm25.appendSearchIndex`; IVF: here). The batch is assigned with the
+    * STORED centroids — the same narrow broadcast-literal argmin as
+    * [[assign]], one pass over the batch only — and appended in the same
+    * cluster-partitioned layout, so probe pruning keeps working and the
+    * append is EXACT: the appended index serves [[search]]/[[searchAll]]
+    * identically to an index rebuilt from the concatenated corpus with
+    * these centroids. Centroid staleness (fresh data drifting away from
+    * what k-means was trained on) is deliberately out of scope here —
+    * [[clusterDrift]] is the detector, re-running [[buildOnSample]] the
+    * heal.
+    *
+    * Cache-invalidation caveat (CurateCli.runIncremental's lesson): the
+    * batch frame must not derive from a cached plan that reads this
+    * index's own files, or the append invalidates that cache and the
+    * lineage silently recomputes against the appended files.
+    */
+  def appendIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String
+  ): Unit = {
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("centroid_id"), col("centroid"))
+    assign(batch, idCol, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$dir/assigned")
+  }
+
   /** Cluster-distribution drift: PSI between the stored index's
     * assignment histogram and a NEW batch assigned with the same
     * centroids — the ANN-index staleness audit. A persisted index serves

@@ -96,6 +96,39 @@ class IvfCorpusSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("appendIndex: appended index equals a same-centroid rebuild") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    val first = emb.filter(pmod($"vec_id", lit(2)) === 0)
+    val second = emb.filter(pmod($"vec_id", lit(2)) === 1)
+    // build + write on the first half, append the second
+    val (centroids, assignedFirst) = Ivf.build(first, "vec_id", "embedding", k = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    Ivf.writeIndex(centroids, assignedFirst, "vec_id", "embedding", dir)
+    Ivf.appendIndex(second, "vec_id", "embedding", dir)
+    val (lc, la) = Ivf.loadIndex(spark, dir)
+    // membership: every vector present exactly once, assigned exactly as
+    // a full-corpus pass with the same centroids would assign it
+    val appended = la.select($"vec_id", $"centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    val rebuilt = Ivf.assign(emb, "vec_id", "embedding", centroids)
+      .select($"vec_id", $"centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+    assert(appended.length == rebuilt.length)
+    assert(appended.sorted == rebuilt.sorted)
+    // serving: searchAll over the appended index == over the rebuild
+    val queries = emb.filter($"vec_id".isin(0L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    def run(a: org.apache.spark.sql.DataFrame) =
+      Ivf.searchAll(a, lc, "vec_id", "embedding", queries, "query_id", "qv",
+        k = 5, nprobe = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(la) == run(Ivf.assign(emb, "vec_id", "embedding", centroids)))
+    emb.unpersist()
+  }
+
   test("searchAll refuses reserved/colliding column names") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (centroids, assigned) = Ivf.build(emb, "vec_id", "embedding", k = 2, iters = 1)
