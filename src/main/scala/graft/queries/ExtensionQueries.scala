@@ -660,6 +660,44 @@ object ExtensionQueries {
         from documents
         order by doc_id""")
     ),
+    "q_zorder" -> Q(
+      (s, dir) => {
+        // Morton z-values over (user bucket, day-of-month) — the pure
+        // shift/or interleave that ZOrder.cluster range-partitions on;
+        // the layout effect itself (narrow per-file ranges on BOTH
+        // coords) is pinned in LayoutSpec, the arithmetic here
+        val cu = pmod(col("user_id"), lit(256))
+        val cd = dayofmonth(col("ts")) - lit(1)
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            cu.cast("int").as("u_bucket"),
+            cd.cast("int").as("d_bucket"),
+            graft.operators.ZOrder.zValue(Seq(cu, cd), bits = 8).as("z"))
+          .orderBy("event_id")
+      },
+      // exact integer replay: coord 0's bit j lands at output bit 2j,
+      // coord 1's at 2j+1 (both coords already in [0, 2^8))
+      Some {
+        val zExpr = (0 until 8).flatMap { j =>
+          Seq(
+            s"(((ub >> $j) & 1) << ${2 * j})",
+            s"(((db >> $j) & 1) << ${2 * j + 1})")
+        }.mkString(" | ")
+        s"""
+        with c as (
+          select event_id,
+            cast(user_id % 256 as bigint) as ub,
+            cast(datepart('day', ts) - 1 as bigint) as db
+          from events
+        )
+        select event_id,
+          cast(ub as int) as u_bucket,
+          cast(db as int) as d_bucket,
+          cast($zExpr as bigint) as z
+        from c order by event_id"""
+      }
+    ),
     "q_source_overlap" -> Q(
       (s, dir) =>
         graft.operators.SourceOverlap

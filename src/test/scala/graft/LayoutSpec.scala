@@ -55,4 +55,37 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning") || plan.contains("dynamicpruningexpression"),
       s"no dynamic-pruning subquery on the fact scan:\n$plan")
   }
+
+  test("z-order clustering narrows per-file ranges on BOTH coordinates") {
+    import graft.operators.ZOrder
+    // two 5-bit coordinates of comparable cardinality, so the top z bits
+    // alternate between dimensions and 8 range partitions split on both
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(
+        col("event_id"),
+        pmod(col("user_id"), lit(32)).cast("int").as("ub"),
+        (dayofmonth(col("ts")) - lit(1)).cast("int").as("db"))
+    val out = java.nio.file.Files.createTempDirectory("zorder_layout").toString
+    ZOrder.cluster(ev, Seq(col("ub"), col("db")), bits = 5, numPartitions = 8)
+      .write.mode("overwrite").parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 8, s"expected 8 clustered files, got ${files.length}")
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("ub"), max("ub"), min("db"), max("db")).head()
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    }
+    // a 2-D box predicate (ub < 16 && db < 8 — 1/8 of the z space) must be
+    // skippable by per-file min/max on the ORIGINAL columns: most files'
+    // ranges don't overlap the box at all
+    val overlapping = stats.count { case (ul, _, dl, _) => ul <= 15 && dl <= 7 }
+    assert(overlapping <= files.length / 2,
+      s"box query overlaps $overlapping of ${files.length} files: ${stats.toSeq}")
+    // and the narrowing is on BOTH dimensions, not just a leading sort key
+    val uSpan = stats.map { case (ul, uh, _, _) => uh - ul }.sum.toDouble / stats.length
+    val dSpan = stats.map { case (_, _, dl, dh) => dh - dl }.sum.toDouble / stats.length
+    assert(uSpan < 24, s"mean per-file ub span $uSpan not narrowed (global 31)")
+    assert(dSpan < 24, s"mean per-file db span $dSpan not narrowed (global ~30)")
+  }
 }
