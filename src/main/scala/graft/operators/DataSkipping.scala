@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Closed lower/upper bound on one column, for box predicates over a
+  * stats manifest. Bounds are plain literal values (int/long/double/
+  * string/date) compared with the engine's own ordering.
+  */
+case class ColRange(name: String, lo: Any, hi: Any)
+
+/** File-level data skipping — a per-file min/max stats manifest plus a
+  * pruned read that opens ONLY the files whose value ranges overlap a box
+  * predicate. This is the consumption side of [[ZOrder.cluster]]: after a
+  * z-ordered (or range-clustered) write, every file is narrow on every
+  * clustered column, so a manifest probe eliminates most of a 100 TB
+  * table's files BEFORE any footer is opened — the data-skipping
+  * technique behind Delta/Iceberg file statistics, without requiring a
+  * table format.
+  *
+  * Spark's own parquet min/max pruning works at the ROW-GROUP level but
+  * still lists and opens every file's footer per query; at millions of
+  * files the listing alone dominates. The manifest is |files| rows —
+  * bounded, cheap to store, maintained incrementally by
+  * [[appendManifest]] in the same persist-and-append convention as the
+  * band/BM25/IVF indexes.
+  *
+  * Scale shape: building the manifest scans only the stat columns (one
+  * columnar projection + a groupBy on `_metadata.file_path`, map-side
+  * combinable to |files| rows). The pruned read collects the surviving
+  * file list — bounded by |files|, and by the SKIPPING itself: a selective
+  * box over a clustered layout keeps a small fraction of files.
+  */
+object DataSkipping {
+
+  /** Per-file stats over `cols` for the parquet directory `dir`:
+    * `(file, n_rows, <c>_min, <c>_max, <c>_nulls ...)`. One projected
+    * scan, aggregated to |files| rows. min/max ignore nulls (a file with
+    * no non-null values has null min/max and is prunable by any range —
+    * a range never matches null); `<c>_nulls` records how many there are.
+    */
+  def statsManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "dataskipping: need at least one stat column")
+    require(cols.distinct == cols, s"dataskipping: duplicate stat columns in $cols")
+    val reserved = Seq("file", "n_rows")
+    require(!cols.exists(reserved.contains),
+      s"dataskipping: stat columns must not be named ${reserved.mkString("/")}")
+    val projected = spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls"))
+    }
+    projected.groupBy(col("file")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Materialize [[statsManifest]] at `manifestDir` (overwrite). */
+  def writeManifest(
+      spark: SparkSession, dir: String, cols: Seq[String], manifestDir: String): Unit =
+    statsManifest(spark, dir, cols)
+      .write.mode("overwrite").parquet(manifestDir)
+
+  def loadManifest(spark: SparkSession, manifestDir: String): DataFrame =
+    spark.read.parquet(manifestDir)
+
+  /** Stat the files of `dir` that the stored manifest does not know yet
+    * and append their rows — the daily-ingest maintenance step after new
+    * files land (shard append, compaction output). Known files are
+    * excluded by an anti-join against the stored manifest (no driver
+    * list), and only the stat columns of the new files' rows are read.
+    */
+  def appendManifest(
+      spark: SparkSession, dir: String, cols: Seq[String], manifestDir: String): Unit = {
+    val known = broadcast(loadManifest(spark, manifestDir).select(col("file")))
+    val projected = spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .join(known, Seq("file"), "left_anti")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls"))
+    }
+    projected.groupBy(col("file")).agg(aggs.head, aggs.tail: _*)
+      .write.mode("append").parquet(manifestDir)
+  }
+
+  /** Read only the files whose `[min, max]` interval overlaps EVERY range
+    * of `box`, with the residual filter applied on the survivors (overlap
+    * is necessary, not sufficient). The overlap test runs engine-side on
+    * the |files|-row manifest; the surviving paths are a bounded driver
+    * collect (sorted, so the file list — and hence the plan — is
+    * deterministic). An empty survivor set returns an empty frame with
+    * the data schema.
+    */
+  def prunedRead(
+      spark: SparkSession,
+      dataDir: String,
+      manifest: DataFrame,
+      box: Seq[ColRange]
+  ): DataFrame = {
+    require(box.nonEmpty, "dataskipping: need at least one range")
+    box.foreach { r =>
+      require(manifest.columns.contains(s"${r.name}_min"),
+        s"dataskipping: manifest has no stats for column ${r.name}")
+    }
+    val keep = box.foldLeft(manifest) { (m, r) =>
+      m.filter(
+        col(s"${r.name}_min").isNotNull &&
+          col(s"${r.name}_max") >= lit(r.lo) &&
+          col(s"${r.name}_min") <= lit(r.hi))
+    }
+    val files = keep.select(col("file")).collect().map(_.getString(0)).sorted
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    box.foldLeft(base)((d, r) =>
+      d.filter(col(r.name) >= lit(r.lo) && col(r.name) <= lit(r.hi)))
+  }
+}

@@ -698,6 +698,39 @@ object ExtensionQueries {
         from c order by event_id"""
       }
     ),
+    "q_pruned_scan" -> Q(
+      (s, dir) => {
+        import graft.operators.{ColRange, DataSkipping, ZOrder}
+        // the layout + manifest + pruned read ARE the operators under
+        // test (the q_shards_readback pattern): z-order-cluster the
+        // events into 8 files, stat them into a manifest, then answer a
+        // 2-D box query opening ONLY overlapping files. The twin replays
+        // the box on the raw table — skipping must be invisible to
+        // results. Build jobs are bounded (PlanGuardSpec exemption).
+        val out = s"${sys.props("java.io.tmpdir")}/graft_zlayout_${math.abs(dir.hashCode)}"
+        val ev = Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            pmod(col("user_id"), lit(32)).cast("int").as("ub"),
+            (dayofmonth(col("ts")) - lit(1)).cast("int").as("db"))
+        ZOrder.cluster(ev, Seq(col("ub"), col("db")), bits = 5, numPartitions = 8)
+          .write.mode("overwrite").parquet(out)
+        DataSkipping.writeManifest(s, out, Seq("ub", "db"), s"${out}_manifest")
+        val mf = DataSkipping.loadManifest(s, s"${out}_manifest")
+        DataSkipping
+          .prunedRead(s, out, mf, Seq(ColRange("ub", 0, 15), ColRange("db", 0, 7)))
+          .select(col("event_id"), col("ub"), col("db"))
+          .orderBy("event_id")
+      },
+      Some("""
+        select event_id,
+          cast(user_id % 32 as int) as ub,
+          cast(datepart('day', ts) - 1 as int) as db
+        from events
+        where user_id % 32 between 0 and 15
+          and datepart('day', ts) - 1 between 0 and 7
+        order by event_id""")
+    ),
     "q_source_overlap" -> Q(
       (s, dir) =>
         graft.operators.SourceOverlap

@@ -88,4 +88,64 @@ class LayoutSpec extends SparkSpec {
     assert(uSpan < 24, s"mean per-file ub span $uSpan not narrowed (global 31)")
     assert(dSpan < 24, s"mean per-file db span $dSpan not narrowed (global ~30)")
   }
+
+  test("data skipping: manifest prunes files, results match a full scan") {
+    import graft.operators.{ColRange, DataSkipping, ZOrder}
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(
+        col("event_id"),
+        pmod(col("user_id"), lit(32)).cast("int").as("ub"),
+        (dayofmonth(col("ts")) - lit(1)).cast("int").as("db"))
+    val out = java.nio.file.Files.createTempDirectory("zorder_skip").toString
+    ZOrder.cluster(ev, Seq(col("ub"), col("db")), bits = 5, numPartitions = 8)
+      .write.mode("overwrite").parquet(s"$out/data")
+    DataSkipping.writeManifest(spark, s"$out/data", Seq("ub", "db"), s"$out/mf")
+    val mf = DataSkipping.loadManifest(spark, s"$out/mf")
+
+    // one manifest row per file, and the row count census adds up
+    assert(mf.count() == 8, s"expected 8 manifest rows, got ${mf.count()}")
+    val total = mf.agg(sum("n_rows")).head().getLong(0)
+    assert(total == ev.count(), s"manifest rows $total != input ${ev.count()}")
+
+    // the box must SKIP files (the layout test above proves ≤ half
+    // overlap) and the pruned result must equal the full-scan filter
+    val box = Seq(ColRange("ub", 0, 15), ColRange("db", 0, 7))
+    val surviving = box.foldLeft(mf)((m, r) =>
+      m.filter(col(s"${r.name}_max") >= lit(r.lo) && col(s"${r.name}_min") <= lit(r.hi)))
+    assert(surviving.count() <= 4, s"box should skip files, kept ${surviving.count()}/8")
+    val pruned = DataSkipping.prunedRead(spark, s"$out/data", mf, box)
+      .orderBy("event_id").collect().toSeq
+    val full = spark.read.parquet(s"$out/data")
+      .filter(col("ub").between(0, 15) && col("db").between(0, 7))
+      .orderBy("event_id").collect().toSeq
+    assert(pruned == full, s"pruned read diverged: ${pruned.length} vs ${full.length} rows")
+
+    // a box outside the value space returns empty with the data schema
+    val none = DataSkipping.prunedRead(spark, s"$out/data", mf,
+      Seq(ColRange("ub", 100, 200)))
+    assert(none.count() == 0 && none.columns.toSeq ==
+      spark.read.parquet(s"$out/data").columns.toSeq)
+  }
+
+  test("data skipping: append stats new files only, equal to a rebuild") {
+    import graft.operators.DataSkipping
+    val out = java.nio.file.Files.createTempDirectory("skip_append").toString
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), pmod(col("user_id"), lit(32)).cast("int").as("ub"))
+    ev.filter(col("event_id") % 2 === 0).repartition(3)
+      .write.mode("overwrite").parquet(s"$out/data")
+    DataSkipping.writeManifest(spark, s"$out/data", Seq("ub"), s"$out/mf")
+    val before = DataSkipping.loadManifest(spark, s"$out/mf").collect().toSet
+    ev.filter(col("event_id") % 2 === 1).repartition(2)
+      .write.mode("append").parquet(s"$out/data")
+    DataSkipping.appendManifest(spark, s"$out/data", Seq("ub"), s"$out/mf")
+    val appended = DataSkipping.loadManifest(spark, s"$out/mf").collect().toSet
+    // old rows unchanged (append re-statted only unknown files) and the
+    // result is exactly what a from-scratch build over all files produces
+    assert(before.subsetOf(appended), "append rewrote existing manifest rows")
+    val rebuilt = DataSkipping.statsManifest(spark, s"$out/data", Seq("ub"))
+      .collect().toSet
+    assert(appended == rebuilt,
+      s"append != rebuild: ${appended.size} vs ${rebuilt.size} rows")
+  }
 }

@@ -77,7 +77,10 @@ class PlanGuardSpec extends SparkSpec {
     // stored-index twin: the builder WRITES + LOADS the band index (the
     // persistence layer is the operator under test); bands/shingles/meta
     // writes and the meta head() are all batch-split-bounded
-    "q_dedup_indexed"
+    "q_dedup_indexed",
+    // writes the z-ordered layout + stats manifest under test; the pruned
+    // read's file-list collect is |files|-bounded (8 here)
+    "q_pruned_scan"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
