@@ -845,6 +845,43 @@ object Registry {
           cast(lead(updated_at) over (partition by record_id order by updated_at) as timestamp) as valid_to
         from src order by record_id, updated_at""")
     ),
+    "q_scd2_merge" -> Q(
+      (s, dir) => {
+        // stored-snapshot twin of q_snapshot_scd2: bootstrap the bucketed
+        // store from pre-1996 history, merge the rest as one daily-ingest
+        // batch (reads + rewrites ONLY its touched buckets), read back —
+        // the twin is the ONE-SHOT full build, so the incremental merge
+        // must reproduce it exactly. Build jobs are bounded (PlanGuard
+        // exemption: a |buckets| collect + the staged store writes).
+        val src = Tables.read(s, dir, "orders")
+          .groupBy(
+            col("o_custkey").as("record_id"),
+            col("o_orderdate").as("updated_at"))
+          .agg(max(col("o_totalprice")).as("payload"))
+        val cut = to_timestamp(lit("1996-01-01"))
+        val store = s"${sys.props("java.io.tmpdir")}/graft_scd2_${math.abs(dir.hashCode)}"
+        graft.pipeline.Snapshot.writeStore(
+          graft.pipeline.Snapshot.initial(
+            src.filter(col("updated_at") < cut), "record_id", "updated_at"),
+          "record_id", store, buckets = 8)
+        graft.pipeline.Snapshot.mergeStore(
+          s, store, src.filter(col("updated_at") >= cut),
+          "record_id", "updated_at", buckets = 8)
+        graft.pipeline.Snapshot.loadStore(s, store)
+          .drop("bucket")
+          .orderBy("record_id", "updated_at")
+      },
+      Some("""
+        with src as (
+          select o_custkey as record_id, o_orderdate as updated_at,
+                 max(o_totalprice) as payload
+          from orders group by 1, 2
+        )
+        select record_id, updated_at, payload,
+          cast(updated_at as timestamp) as valid_from,
+          cast(lead(updated_at) over (partition by record_id order by updated_at) as timestamp) as valid_to
+        from src order by record_id, updated_at""")
+    ),
     "q_sessionize" -> Q(
       (s, dir) =>
         graft.streaming.StreamingPipeline

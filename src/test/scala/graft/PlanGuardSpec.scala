@@ -80,7 +80,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_dedup_indexed",
     // writes the z-ordered layout + stats manifest under test; the pruned
     // read's file-list collect is |files|-bounded (8 here)
-    "q_pruned_scan"
+    "q_pruned_scan",
+    // writes + merges the bucketed snapshot store under test; the merge's
+    // touched-bucket collect is |buckets|-bounded (8 here)
+    "q_scd2_merge"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table

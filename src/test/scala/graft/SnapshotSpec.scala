@@ -46,6 +46,55 @@ class SnapshotSpec extends SparkSpec {
     assert(asOf.getAs[String]("payload") == "v1")
   }
 
+  test("stored snapshot: bucketed merge equals full apply, untouched buckets unwritten") {
+    val day1 = Seq(
+      ("R1", "v1", d("2025-01-01")), ("R2", "x1", d("2025-01-01")),
+      ("R3", "y1", d("2025-01-01")), ("R4", "z1", d("2025-01-01")),
+      ("R5", "w1", d("2025-01-01")), ("R6", "q1", d("2025-01-01"))
+    ).toDF("record_id", "payload", "updated_at")
+    val day2 = Seq(
+      ("R1", "v2", d("2025-01-05")), // update
+      ("R7", "new", d("2025-01-05")) // brand-new key (possibly new bucket)
+    ).toDF("record_id", "payload", "updated_at")
+    val buckets = 8
+    val store = java.nio.file.Files.createTempDirectory("scd2_store").toString + "/snap"
+    Snapshot.writeStore(Snapshot.initial(day1, "record_id", "updated_at"),
+      "record_id", store, buckets)
+
+    val touchedBuckets = day2
+      .select(graft.operators.StableHash.bucket(col("record_id"), buckets))
+      .distinct().collect().map(_.getInt(0)).toSet
+    def fileState(): Map[String, (Long, Long)] =
+      new java.io.File(store).listFiles().filter(_.getName.startsWith("bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    val before = fileState()
+
+    Snapshot.mergeStore(spark, store, day2, "record_id", "updated_at", buckets)
+
+    // row-identical to the one-shot full apply over everything
+    val expected = Snapshot.applyTimestampStrategy(
+      Snapshot.initial(day1, "record_id", "updated_at"), day2,
+      "record_id", "updated_at")
+      .orderBy("record_id", "valid_from").collect().toSeq
+    val got = Snapshot.loadStore(spark, store).drop("bucket")
+      .select(expected.head.schema.fieldNames.map(col): _*)
+      .orderBy("record_id", "valid_from").collect().toSeq
+    assert(got == expected, s"merge diverged from full apply:\n$got\nvs\n$expected")
+
+    // untouched buckets: the very same files, byte counts, mtimes
+    val after = fileState()
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touchedBuckets.exists(b => p.contains(s"bucket=$b/")) }
+    untouchedBefore.foreach { case (p, st) =>
+      assert(after.get(p).contains(st), s"untouched bucket file rewritten: $p")
+    }
+
+    // empty batch is a no-op
+    Snapshot.mergeStore(spark, store, day2.limit(0), "record_id", "updated_at", buckets)
+    assert(fileState() == after, "empty-batch merge modified the store")
+  }
+
   test("policy round-trips through StructField.metadata") {
     val policies = PolicyCatalog.reference.policiesFor("stg_services_publics")
     val df = Seq(("a@b.fr", "x", 1.0)).toDF("contact_email", "city", "latitude")
