@@ -48,14 +48,31 @@ object Tables {
       }
     )
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp (`ts div 1000` — integer division, no double round-trip).
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS). How Spark surfaces
+    * that has changed across releases: older readers reject it unless
+    * `spark.sql.legacy.parquet.nanosAsLong` maps it to a raw nanos long,
+    * while Spark 4.1's reader ignores that flag and infers TIMESTAMP_NTZ
+    * (nanos truncated to micros). Dispatch on whatever THIS runtime
+    * inferred so the same code yields an identical µs-precision
+    * timestamp column on either reader (the session TZ is UTC everywhere
+    * in this repo, so the NTZ cast is value-preserving).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // harmless where inert; on old Sparks it makes the read succeed as long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = read(spark, dir, "events")
+    val ts = df.schema("ts").dataType match {
+      case LongType         => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType => col("ts").cast("timestamp")
+      case TimestampType    => col("ts")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts inferred as unsupported type $other; expected " +
+            "LongType (legacy nanosAsLong), TIMESTAMP_NTZ (Spark 4.1+ " +
+            "nanos read), or TIMESTAMP")
+    }
+    df.withColumn("ts", ts)
   }
 
   /** Registers the synthesized GDPR-services view derived from `customer`

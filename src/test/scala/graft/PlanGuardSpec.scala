@@ -91,11 +91,17 @@ class PlanGuardSpec extends SparkSpec {
     * miscounted below as a builder pre-action.
     */
   private val warmTables: Unit = {
+    // Each warm is individually Try-wrapped: a reader broken by e.g. a
+    // Spark upgrade must fail the affected per-query tests below, never
+    // abort the suite at construction and blind the gate for the other
+    // 100+ queries (round-5 postmortem: the events nanos regression
+    // silenced every plan invariant this way).
+    import scala.util.Try
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings")
-      .foreach(t => graft.queries.Tables.read(spark, dir, t))
-    graft.queries.Tables.events(spark, dir) // nanos-timestamp special path
-    graft.queries.Tables.services(spark, dir)
+      .foreach(t => Try(graft.queries.Tables.read(spark, dir, t)))
+    Try(graft.queries.Tables.events(spark, dir)) // nanos-timestamp special path
+    Try(graft.queries.Tables.services(spark, dir))
   }
 
   Registry.all.foreach { case (name, q) =>
@@ -158,9 +164,12 @@ class PlanGuardSpec extends SparkSpec {
     // Canon.stringCols — after Canon.wrap it comes out as a string — and
     // arrays must be projected to scalars before comparison.
     import org.apache.spark.sql.types.{ArrayType, DecimalType}
+    // a query whose BUILD throws is covered by its own per-query test
+    // above — skip it here so one broken reader cannot mask the schema
+    // sweep over the rest
     val offenders = Registry.all.flatMap { case (name, q) =>
       q.oracle.toSeq.flatMap { _ =>
-        q.fn(spark, dir).schema.fields.collect {
+        scala.util.Try(q.fn(spark, dir).schema.fields).getOrElse(Array.empty).collect {
           case f if f.dataType.isInstanceOf[DecimalType] =>
             s"$name.${f.name}: ${f.dataType.simpleString} (add to Canon.stringCols)"
           case f if f.dataType.isInstanceOf[ArrayType] =>
