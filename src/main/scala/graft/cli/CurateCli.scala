@@ -117,7 +117,8 @@ object CurateCli {
       nDupOfCorpus: Long,
       nShards: Int,
       auditOk: Boolean,
-      corpusCompacted: Boolean)
+      corpusCompacted: Boolean,
+      driftPsi: Option[Double] = None)
 
   /** The daily-increment twin of [[run]]: gate + redact + dedup a NEW
     * batch ([[CorpusPipeline.prepare]]), drop documents that
@@ -136,6 +137,25 @@ object CurateCli {
     * admitted so far), appended per batch with the exact stats merge, and
     * healed term-clustered by the same compaction maintenance.
     *
+    * With `hybridIndex = true`, `outDir/dense` carries the DENSE serving
+    * leg — an IVF index ([[graft.similarity.Ivf]]) over the batch input's
+    * `embedding` column, keyed by `doc_id`. The first hybrid batch trains
+    * centroids and writes the index; every later batch (a) runs
+    * [[graft.similarity.Ivf.clusterDrift]] of the incoming vectors
+    * against the stored assignment histogram — the staleness audit,
+    * surfaced as `driftPsi` (re-train with
+    * [[graft.similarity.Ivf.buildOnSample]] when it crosses ~0.2) — and
+    * (b) appends the landed docs' vectors with the STORED centroids
+    * ([[graft.similarity.Ivf.appendIndex]] — exact: the appended index
+    * serves identically to a rebuild with these centroids). The
+    * cluster-partitioned store is healed by
+    * [[graft.operators.Compaction.compactPartitioned]] under the same
+    * retire/promote swap as the corpus. Unlike `--search`, late
+    * enablement indexes from the current batch FORWARD only — the corpus
+    * parquet deliberately carries no vectors. Together with `--search`
+    * this maintains both legs [[graft.similarity.Hybrid.searchIndexed]]
+    * serves from.
+    *
     * Document ids must be unique ACROSS batches (crawl ids are) — the
     * index append trusts them.
     */
@@ -147,7 +167,9 @@ object CurateCli {
       cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
       threshold: Double = 0.7,
       compactAt: Int = 16,
-      searchIndex: Boolean = false
+      searchIndex: Boolean = false,
+      hybridIndex: Boolean = false,
+      hybridK: Int = 16
   ): IncrementalSummary = {
     import graft.dedup.Dedup
     val fs = new org.apache.hadoop.fs.Path(outDir)
@@ -156,6 +178,7 @@ object CurateCli {
     val corpusDir = s"$outDir/corpus"
     val indexDir = s"$outDir/index"
     val searchDir = s"$outDir/search"
+    val denseDir = s"$outDir/dense"
     // crash recovery for a compaction interrupted mid-swap: if the promote
     // never landed, the retired directory IS the data — restore it before
     // anything reads the live path (corpus and search postings alike)
@@ -166,6 +189,7 @@ object CurateCli {
     }
     recoverRetired(corpusDir)
     recoverRetired(s"$searchDir/postings")
+    recoverRetired(s"$denseDir/assigned")
     val bootstrap = !exists(s"$indexDir/meta")
 
     val docs = spark.read.parquet(input)
@@ -210,6 +234,7 @@ object CurateCli {
     }
     val shardDir = s"$shardsRoot/batch=$batchId"
 
+    var driftPsi: Option[Double] = None
     val auditOk =
       if (nFresh == 0) true
       else {
@@ -241,6 +266,36 @@ object CurateCli {
               spark.read.parquet(corpusDir), "doc_id", col("text"), searchDir)
           else
             graft.text.Bm25.appendSearchIndex(landed, "doc_id", col("text"), searchDir)
+        }
+        // optional dense serving leg: IVF over the batch's embeddings.
+        // Vectors come from the INPUT frame (the corpus stores none),
+        // pruned to the landed doc ids; neither side's lineage reads the
+        // dense index's own files, so the append cannot invalidate it.
+        if (hybridIndex) {
+          import graft.similarity.Ivf
+          require(docs.columns.contains("embedding"),
+            "curate --hybrid: the batch input must carry an `embedding` " +
+              "array column (the corpus parquet stores no vectors)")
+          val batchVecs = docs
+            .select(col("doc_id"), col("embedding"))
+            .join(landed.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          if (!exists(s"$denseDir/centroids")) {
+            val k = math.min(hybridK.toLong, nFresh).toInt
+            val (centroids, assigned) =
+              Ivf.buildOnSample(batchVecs, "doc_id", "embedding", k = k,
+                iters = 3, frac = 1.0)
+            Ivf.writeIndex(centroids, assigned, "doc_id", "embedding", denseDir)
+          } else {
+            // staleness audit BEFORE the append: the incoming vectors
+            // against the index as trained — a post-append audit would
+            // compare the batch partly against itself
+            val (centroids, assigned) = Ivf.loadIndex(spark, denseDir)
+            driftPsi = Some(
+              Ivf.clusterDrift(centroids, assigned, batchVecs, "doc_id", "embedding")
+                .agg(org.apache.spark.sql.functions.sum(col("psi")))
+                .head().getDouble(0))
+            Ivf.appendIndex(batchVecs, "doc_id", "embedding", denseDir)
+          }
         }
         auditShards(spark, shardDir, nFresh)
       }
@@ -280,17 +335,45 @@ object CurateCli {
     val compacted = healSmallFiles(corpusDir, None)
     if (searchIndex)
       healSmallFiles(s"$searchDir/postings", Some(Seq("term")))
+    // the dense store is hive-partitioned (assigned/centroid_id=N/), so
+    // its heal counts LEAF files and rewrites partition-preserving; same
+    // retire/promote swap as the flat heals
+    if (hybridIndex) {
+      val live = s"$denseDir/assigned"
+      if (exists(live)) {
+        def leafCount(p: String): Int = {
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+          var n = 0
+          while (it.hasNext) {
+            if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+          }
+          n
+        }
+        if (leafCount(live) >= compactAt) {
+          val tmpP = new org.apache.hadoop.fs.Path(s"${live}__compacting")
+          val oldP = new org.apache.hadoop.fs.Path(s"${live}__retired")
+          fs.delete(tmpP, true)
+          fs.delete(oldP, true)
+          graft.operators.Compaction.compactPartitioned(
+            spark, live, tmpP.toString, 128L * 1024 * 1024, Seq("centroid_id"))
+          fs.rename(new org.apache.hadoop.fs.Path(live), oldP)
+          fs.rename(tmpP, new org.apache.hadoop.fs.Path(live))
+          fs.delete(oldP, true)
+        }
+      }
+    }
 
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(
       Paths.get(s"$outDir/batch_${batchId}_stats.json"),
       s"""{"batch":$batchId,"n_in":$nIn,"n_kept":$nKept,"n_fresh":$nFresh,""" +
         s""""n_dup_of_corpus":$nDup,"n_shards":${if (nFresh == 0) 0 else nShards},""" +
-        s""""audit_ok":$auditOk,"corpus_compacted":$compacted}""" + "\n")
+        s""""audit_ok":$auditOk,"corpus_compacted":$compacted""" +
+        driftPsi.map(p => s""","drift_psi":$p""").getOrElse("") + "}\n")
     if (!(fresh eq kept)) fresh.unpersist()
     kept.unpersist()
     IncrementalSummary(batchId, nIn, nKept, nFresh, nDup,
-      if (nFresh == 0) 0 else nShards, auditOk, compacted)
+      if (nFresh == 0) 0 else nShards, auditOk, compacted, driftPsi)
   }
 
   private def session(): SparkSession = {
@@ -333,23 +416,34 @@ object CurateCli {
           Some((graft.text.LinearTextModel.loadModel(spark, dir), minScore)))
     }
 
+  /** Drift alert threshold for the `--hybrid` staleness audit — the
+    * standard PSI "significant shift" cut (see [[graft.validate.Drift]]).
+    */
+  private val DriftAlertPsi = 0.2
+
   def main(rawArgs: Array[String]): Unit = {
     val (args0, modelArgs) = parseModelArgs(rawArgs)
     val withSearch = args0.contains("--search")
-    val args = args0.filterNot(_ == "--search")
+    val withHybrid = args0.contains("--hybrid")
+    val args = args0.filterNot(a => a == "--search" || a == "--hybrid")
     if (args.headOption.contains("incremental")) {
       require(args.length >= 3,
         "usage: CurateCli incremental <batch.parquet> <stateDir> [nShards] " +
-          "[--model <dir> <minScore>] [--search]")
+          "[--model <dir> <minScore>] [--search] [--hybrid]")
       val nShards = if (args.length > 3) args(3).toInt else 64
       val spark = session()
       val s = runIncremental(spark, args(1), args(2), nShards,
-        cfg = gateConfig(spark, modelArgs), searchIndex = withSearch)
+        cfg = gateConfig(spark, modelArgs), searchIndex = withSearch,
+        hybridIndex = withHybrid)
       println(s"[curate] batch=${s.batch} in=${s.nIn} kept=${s.nKept} " +
         s"fresh=${s.nFresh} dup_of_corpus=${s.nDupOfCorpus} " +
-        s"shards=${s.nShards} audit_ok=${s.auditOk} compacted=${s.corpusCompacted}")
+        s"shards=${s.nShards} audit_ok=${s.auditOk} compacted=${s.corpusCompacted}" +
+        s.driftPsi.map(p => s" drift_psi=$p").getOrElse(""))
       spark.stop()
       if (!s.auditOk) sys.exit(1)
+      // stale dense index: data landed fine (distinct exit code), but the
+      // centroids no longer match incoming data — re-train before serving
+      if (s.driftPsi.exists(_ > DriftAlertPsi)) sys.exit(2)
       return
     }
     require(args.length >= 2,

@@ -72,6 +72,55 @@ object Compaction {
         .sortWithinPartitions(clusterCols.map(col): _*))
   }
 
+  /** [[compact]] for HIVE-PARTITIONED layouts (`partitionBy` directories —
+    * the IVF index's `assigned/centroid_id=N/` store): each append drops a
+    * file set into every touched partition directory, so after N batches a
+    * k-partition index carries up to k*N small files. This variant reads
+    * the whole tree (partition columns come back as columns), hash-
+    * partitions on the partition keys, and rewrites `partitionBy` the same
+    * keys — every key lands in exactly one task, so the healed layout has
+    * ONE file per partition directory and dynamic partition pruning keeps
+    * working. Sizing walks the tree (bounded: |files| statuses, no data).
+    */
+  def compactPartitioned(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long,
+      partitionCols: Seq[String]
+  ): (Int, Int) = {
+    require(partitionCols.nonEmpty,
+      "compaction: partitionCols must be non-empty — use compact() for " +
+        "flat layouts")
+    require(targetBytes > 0, s"compaction: targetBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(inDir) != qualified(outDir),
+      "compaction: refuse to overwrite the input in place — write to a new " +
+        "directory and swap atomically at the catalog/manifest layer")
+    val fs = new org.apache.hadoop.fs.Path(inDir).getFileSystem(conf)
+    def leafFiles(dir: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.result()
+    }
+    val in = leafFiles(inDir)
+    require(in.nonEmpty, s"compaction: no parquet files under $inDir")
+    val n = math.max(1,
+      math.ceil(in.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .repartition(n, partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(outDir)
+    (in.length, leafFiles(outDir).length)
+  }
+
   private def rewrite(
       spark: SparkSession,
       inDir: String,

@@ -923,6 +923,98 @@ class CurationOpsSpec extends SparkSpec {
     assert(p.count() > 0 && st.count() == 1)
   }
 
+  test("incremental curation --search --hybrid maintains BOTH serving legs; fused serving equals inline") {
+    import java.nio.file.Files
+    import graft.similarity.{Hybrid, Ivf}
+    // batch input = documents with their embeddings riding along (the
+    // --hybrid contract: vectors come from the batch input)
+    val docsWithVec = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .join(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val batches = Files.createTempDirectory("curate_hyb_b").toString
+    val state = Files.createTempDirectory("curate_hyb_s").toString
+    docsWithVec.filter(col("doc_id") % 2 === 0).write.parquet(s"$batches/b0")
+    docsWithVec.filter(col("doc_id") % 2 === 1).write.parquet(s"$batches/b1")
+    val s0 = graft.cli.CurateCli.runIncremental(
+      spark, s"$batches/b0", state, nShards = 2,
+      searchIndex = true, hybridIndex = true)
+    val s1 = graft.cli.CurateCli.runIncremental(
+      spark, s"$batches/b1", state, nShards = 2,
+      searchIndex = true, hybridIndex = true)
+    assert(s0.auditOk && s1.auditOk && s1.batch == 1)
+    // the staleness audit runs on every post-bootstrap batch; odd/even
+    // halves of one corpus are distributionally close, so no alert
+    assert(s0.driftPsi.isEmpty, "bootstrap has no reference to drift from")
+    assert(s1.driftPsi.isDefined && s1.driftPsi.get >= 0.0)
+
+    val termQ = Seq((1, "spark"), (1, "query"), (2, "stream"), (2, "window"),
+      (3, "data"))
+      .toDF("query_id", "term")
+    val vecQ = docsWithVec.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 1).cast("int").as("query_id"),
+        col("embedding").as("qv"))
+    val served = Hybrid.searchIndexed(spark, s"$state/search", s"$state/dense",
+      "doc_id", "doc_id", "embedding", termQ, vecQ, "qv",
+      kPerLeg = 20, nprobe = 4, topK = 10)
+
+    // inline replay over the accumulated corpus: sparse = inline BM25;
+    // dense = assignment of ALL landed vectors with the STORED centroids
+    // (appendIndex's exactness contract) — fused with the same RRF
+    val corpus = spark.read.parquet(s"$state/corpus")
+    val sparse = graft.text.Bm25
+      .retrieveTopK(corpus, "doc_id", col("text"), termQ, topK = 20)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("doc_id"))
+    val (centroids, _) = Ivf.loadIndex(spark, s"$state/dense")
+    val allVecs = docsWithVec
+      .select(col("doc_id"), col("embedding"))
+      .join(corpus.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val dense = Ivf
+      .searchAll(Ivf.assign(allVecs, "doc_id", "embedding", centroids),
+        centroids, "doc_id", "embedding", vecQ, "query_id", "qv",
+        k = 20, nprobe = 4)
+      .select(col("query_id").cast("int").as("query_id"),
+        col("rank").cast("int").as("rank"),
+        col("doc_id").cast("long").as("doc_id"))
+    val fusedInline = Hybrid.rrfFuse(Seq(sparse, dense), "doc_id", topK = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id").cast("long"), col("rank").cast("long"),
+        col("doc_id").cast("long"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // collect the expectation ONCE: the b2 maintenance pass below compacts
+    // the corpus, so fusedInline's lazy plan would re-read replaced files
+    val expected = rows(fusedInline)
+    assert(rows(served) == expected,
+      "curation-maintained hybrid indexes must serve exactly like inline legs")
+
+    // the dense store stays hive-partitioned and heals to one file per
+    // cluster directory without changing what it serves
+    val assignedDir = new java.io.File(s"$state/dense/assigned")
+    assert(assignedDir.listFiles().exists(_.getName.startsWith("centroid_id=")))
+    docsWithVec.filter(col("doc_id") % 2 === 0).limit(0)
+      .write.parquet(s"$batches/b2") // empty batch: maintenance-only pass
+    val s2 = graft.cli.CurateCli.runIncremental(
+      spark, s"$batches/b2", state, nShards = 2,
+      searchIndex = true, hybridIndex = true, compactAt = 2)
+    assert(s2.auditOk && s2.nFresh == 0)
+    val healedServed = Hybrid.searchIndexed(spark, s"$state/search",
+      s"$state/dense", "doc_id", "doc_id", "embedding", termQ, vecQ, "qv",
+      kPerLeg = 20, nprobe = 4, topK = 10)
+    assert(rows(healedServed) == expected,
+      "maintenance passes must not change what the indexes serve")
+    // healed layout: still hive-partitioned, ONE file per cluster dir
+    val partDirs = assignedDir.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    assert(partDirs.nonEmpty)
+    partDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName} has $n files after the partitioned heal")
+    }
+  }
+
   test("CurateCli.run: an all-filtered corpus reports cleanly instead of crashing") {
     val out = java.nio.file.Files.createTempDirectory("curate_empty").toString
     val s = graft.cli.CurateCli.run(
