@@ -33,19 +33,25 @@ case class ColRange(name: String, lo: Any, hi: Any)
   */
 object DataSkipping {
 
-  /** Per-file stats over `cols` for the parquet directory `dir`:
-    * `(file, n_rows, <c>_min, <c>_max, <c>_nulls ...)`. One projected
-    * scan, aggregated to |files| rows. min/max ignore nulls (a file with
-    * no non-null values has null min/max and is prunable by any range —
-    * a range never matches null); `<c>_nulls` records how many there are.
+  /** Standard in-tree manifest location for a self-manifesting store
+    * (shard directories, snapshot stores): a `_stats` subdirectory.
+    * Parquet readers ignore underscore-prefixed paths, so the manifest
+    * rides inside the data directory without polluting its scans.
     */
-  def statsManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+  val ManifestSubdir = "_stats"
+
+  /** [[statsManifest]] over an already-constructed frame (must carry
+    * `_metadata.file_path` — i.e. read straight from files): the hook for
+    * incremental maintenance, where only a pruned slice of a store is
+    * re-statted.
+    */
+  def statsOf(projected0: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "dataskipping: need at least one stat column")
     require(cols.distinct == cols, s"dataskipping: duplicate stat columns in $cols")
     val reserved = Seq("file", "n_rows")
     require(!cols.exists(reserved.contains),
       s"dataskipping: stat columns must not be named ${reserved.mkString("/")}")
-    val projected = spark.read.parquet(dir)
+    val projected = projected0
       .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(
@@ -55,6 +61,15 @@ object DataSkipping {
     }
     projected.groupBy(col("file")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-file stats over `cols` for the parquet directory `dir`:
+    * `(file, n_rows, <c>_min, <c>_max, <c>_nulls ...)`. One projected
+    * scan, aggregated to |files| rows. min/max ignore nulls (a file with
+    * no non-null values has null min/max and is prunable by any range —
+    * a range never matches null); `<c>_nulls` records how many there are.
+    */
+  def statsManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame =
+    statsOf(spark.read.parquet(dir), cols)
 
   /** Materialize [[statsManifest]] at `manifestDir` (overwrite). */
   def writeManifest(
@@ -94,14 +109,26 @@ object DataSkipping {
     * collect (sorted, so the file list — and hence the plan — is
     * deterministic). An empty survivor set returns an empty frame with
     * the data schema.
+    *
+    * The driver-side path list is the one unbounded term here, so it is
+    * guarded: at ~10⁶ files a collected path list is hundreds of MB of
+    * driver heap, and a plan over that many explicit paths is its own
+    * hazard. The survivor COUNT is checked engine-side first (one extra
+    * aggregation over the |files|-row manifest — cheap) and the read
+    * refuses above `maxFiles` with the remediation options spelled out. A
+    * box selective enough to be worth a pruned read keeps a small
+    * fraction of files; a box that keeps a million files should be a
+    * plain partition-pruned scan instead.
     */
   def prunedRead(
       spark: SparkSession,
       dataDir: String,
       manifest: DataFrame,
-      box: Seq[ColRange]
+      box: Seq[ColRange],
+      maxFiles: Int = 100000
   ): DataFrame = {
     require(box.nonEmpty, "dataskipping: need at least one range")
+    require(maxFiles > 0, s"dataskipping: maxFiles must be positive, got $maxFiles")
     box.foreach { r =>
       require(manifest.columns.contains(s"${r.name}_min"),
         s"dataskipping: manifest has no stats for column ${r.name}")
@@ -112,11 +139,33 @@ object DataSkipping {
           col(s"${r.name}_max") >= lit(r.lo) &&
           col(s"${r.name}_min") <= lit(r.hi))
     }
+    val nKeep = keep.count()
+    require(nKeep <= maxFiles,
+      s"dataskipping: box keeps $nKeep files (> maxFiles=$maxFiles) — the " +
+        "driver-side path list would not be bounded. Tighten the box, " +
+        "re-cluster the layout into fewer/larger files, read via partition " +
+        "pruning instead, or raise maxFiles knowingly.")
     val files = keep.select(col("file")).collect().map(_.getString(0)).sorted
+    // basePath: an explicit-path read of a hive-partitioned tree would
+    // otherwise silently DROP the partition columns (shard=/bucket=)
     val base =
       if (files.isEmpty) spark.read.parquet(dataDir).filter(lit(false))
-      else spark.read.parquet(files: _*)
+      else spark.read.option("basePath", dataDir).parquet(files: _*)
     box.foldLeft(base)((d, r) =>
       d.filter(col(r.name) >= lit(r.lo) && col(r.name) <= lit(r.hi)))
   }
+
+  /** [[prunedRead]] against a store's own in-tree manifest
+    * (`<dataDir>/_stats`, the [[ManifestSubdir]] convention emitted by
+    * [[graft.operators.Shards.write]] and
+    * [[graft.pipeline.Snapshot.writeStore]]).
+    */
+  def prunedReadSelf(
+      spark: SparkSession,
+      dataDir: String,
+      box: Seq[ColRange],
+      maxFiles: Int = 100000
+  ): DataFrame =
+    prunedRead(spark, dataDir,
+      loadManifest(spark, s"$dataDir/$ManifestSubdir"), box, maxFiles)
 }

@@ -55,6 +55,14 @@ object Shards {
   /** Write the sharded corpus: `<dir>/shard=<s>/part-*.parquet`, one file
     * per shard, rows in deterministic (`orderCols`, id) order. Re-running
     * over the same input produces identical shard membership and order.
+    *
+    * The write also emits a per-file stats manifest at `<dir>/_stats`
+    * over (`orderCols`, id) — one extra projected scan of the fresh
+    * files, aggregated to |files| rows — so selective downstream reads
+    * can go through [[DataSkipping.prunedReadSelf]] instead of opening
+    * every shard. Effectiveness follows the layout: files are sorted by
+    * (`orderCols`, id), so leading `orderCols` ranges prune well; the
+    * hash-assigned id only prunes when a shard holds a narrow id slice.
     */
   def write(
       df: DataFrame,
@@ -73,7 +81,21 @@ object Shards {
       .mode("overwrite")
       .partitionBy("shard")
       .parquet(dir)
+    DataSkipping.writeManifest(
+      df.sparkSession, dir, (orderCols :+ idCol).distinct,
+      s"$dir/${DataSkipping.ManifestSubdir}")
   }
+
+  /** Box-pruned read of a written shard directory via its own `_stats`
+    * manifest — opens only the shard files whose stat ranges overlap.
+    */
+  def prunedRead(
+      spark: SparkSession,
+      dir: String,
+      box: Seq[ColRange],
+      maxFiles: Int = 100000
+  ): DataFrame =
+    DataSkipping.prunedReadSelf(spark, dir, box, maxFiles)
 
   /** Per-shard manifest of a written shard directory: (shard, n_rows,
     * n_files, bytes, content_hash) — the bookkeeping record a training job

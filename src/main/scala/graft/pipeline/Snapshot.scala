@@ -73,8 +73,17 @@ object Snapshot {
     * merge at 100 TB. Size `buckets` so one bucket is a healthy rewrite
     * unit (hundreds of MB of history).
     */
+  /** See class doc. Rows are sorted by (`bucket`, key) within each write
+    * task, so with `maxRecordsPerFile > 0` a bucket splits into several
+    * KEY-CONTIGUOUS files — the layout a key-ranged
+    * [[graft.operators.DataSkipping.prunedReadSelf]] can skip on. The
+    * write also emits a per-file min/max manifest over the key at
+    * `<dir>/_stats` ([[graft.operators.DataSkipping.ManifestSubdir]]),
+    * kept incrementally fresh by [[mergeStore]].
+    */
   def writeStore(
-      snapshot: DataFrame, uniqueKey: String, dir: String, buckets: Int): Unit = {
+      snapshot: DataFrame, uniqueKey: String, dir: String, buckets: Int,
+      maxRecordsPerFile: Long = 0L): Unit = {
     require(buckets > 0, s"snapshot store: buckets must be positive, got $buckets")
     require(!snapshot.columns.contains("bucket"),
       "snapshot store: input must not already have a bucket column")
@@ -84,12 +93,33 @@ object Snapshot {
       // all of a bucket's rows meet in one task; collisions only co-locate
       // buckets, partitionBy still splits their files
       .repartition(buckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      .sortWithinPartitions(col("bucket"), col(uniqueKey))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket").parquet(dir)
+    graft.operators.DataSkipping.writeManifest(
+      snapshot.sparkSession, dir, Seq(uniqueKey),
+      s"$dir/${graft.operators.DataSkipping.ManifestSubdir}")
   }
 
   /** Read a stored snapshot (the `bucket` partition column rides along). */
   def loadStore(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Key-ranged read through the store's own `_stats` manifest: opens
+    * only the files whose key span overlaps `box` (see [[writeStore]] —
+    * with `maxRecordsPerFile` set, bucket files are key-contiguous and a
+    * narrow key range skips most of the history). Falls out of
+    * [[graft.operators.DataSkipping.prunedReadSelf]]; results are
+    * identical to filtering [[loadStore]], minus the IO.
+    */
+  def prunedLoad(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      box: Seq[graft.operators.ColRange],
+      maxFiles: Int = 100000
+  ): DataFrame =
+    graft.operators.DataSkipping.prunedReadSelf(spark, dir, box, maxFiles)
 
   /** Merge a batch into a stored snapshot, touching ONLY the buckets the
     * batch hashes into: collect the batch's bucket set (bounded by
@@ -113,7 +143,8 @@ object Snapshot {
       newRows: DataFrame,
       uniqueKey: String,
       updatedAt: String,
-      buckets: Int
+      buckets: Int,
+      maxRecordsPerFile: Long = 0L
   ): Unit = {
     require(buckets > 0, s"snapshot store: buckets must be positive, got $buckets")
     require(!newRows.columns.contains("bucket"),
@@ -129,13 +160,56 @@ object Snapshot {
       val stage = dir.stripSuffix("/") + ".merge-stage"
       merged
         .repartition(touched.length, col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+        .sortWithinPartitions(col("bucket"), col(uniqueKey))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("bucket").parquet(stage)
       spark.read.parquet(stage)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy("bucket").parquet(dir)
       val p = new org.apache.hadoop.fs.Path(stage)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      refreshManifest(spark, dir, uniqueKey, touched.toSeq)
+    }
+  }
+
+  /** Keep the store's `_stats` manifest exact after a [[mergeStore]]
+    * commit: dynamic partition overwrite replaced every file under the
+    * touched bucket directories, so their manifest rows are dropped and
+    * the touched slice is re-statted (a projected scan of ONLY those
+    * buckets). Untouched buckets keep their rows — no re-scan. A store
+    * written before manifests existed bootstraps one here. The manifest
+    * must stay COMPLETE (a pruned read trusts it to list every file), so
+    * the refresh is all-or-nothing via the same stage-swap as the data.
+    */
+  private def refreshManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      uniqueKey: String,
+      touched: Seq[Int]
+  ): Unit = {
+    import graft.operators.DataSkipping
+    val manifestDir = s"$dir/${DataSkipping.ManifestSubdir}"
+    val fs = new org.apache.hadoop.fs.Path(manifestDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(manifestDir))) {
+      DataSkipping.writeManifest(spark, dir, Seq(uniqueKey), manifestDir)
+    } else {
+      val untouchedRows = DataSkipping.loadManifest(spark, manifestDir)
+        .filter(!regexp_extract(col("file"), "bucket=(\\d+)", 1)
+          .cast("int").isin(touched: _*))
+      val touchedStats = DataSkipping.statsOf(
+        spark.read.parquet(dir).filter(col("bucket").isin(touched: _*)),
+        Seq(uniqueKey))
+      val stage = s"$dir/${DataSkipping.ManifestSubdir}.stage"
+      untouchedRows.unionByName(touchedStats)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      spark.read.parquet(stage)
+        .write.mode("overwrite").parquet(manifestDir)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     }
   }
 

@@ -3127,6 +3127,36 @@ object ExtensionQueries {
                as bigint) as shard_pos,
           cast(1 as bigint) as files_in_shard
         from s order by doc_id""")
+    ),
+    "q_shards_pruned" -> Q(
+      (s, dir) => {
+        import graft.operators.{ColRange, Shards}
+        // the self-manifesting store is the operator under test
+        // (q_pruned_scan pattern): Shards.write emits its own `_stats`
+        // manifest, and the box read consults ONLY that manifest to pick
+        // files. The twin replays the box on the raw table, so a file
+        // the manifest wrongly skipped (or double-read) hash-fails.
+        // Build jobs bounded (PlanGuardSpec exemption).
+        val out = s"${sys.props("java.io.tmpdir")}/graft_shards_pr_${math.abs(dir.hashCode)}"
+        Shards.write(
+          docs(s, dir).select(
+            col("doc_id"), col("source"), col("lang"), col("n_chars")),
+          "doc_id", out, n = 8, orderCols = Seq("source"))
+        Shards
+          .prunedRead(s, out,
+            Seq(ColRange("source", "src0", "src19"),
+              ColRange("doc_id", 0L, 300L)))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            col("shard").cast("int").as("shard"))
+          .orderBy("doc_id")
+      },
+      // lexicographic source slice (src0,src1,src10..src19 — NOT
+      // src2..src9) + id slice, replayed directly on the raw table
+      Some(s"""
+        select doc_id, source, lang, n_chars, ${duckMdBucket(8)} as shard
+        from documents
+        where source between 'src0' and 'src19' and doc_id between 0 and 300
+        order by doc_id""")
     )
   )
 

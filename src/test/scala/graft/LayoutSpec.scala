@@ -148,4 +148,77 @@ class LayoutSpec extends SparkSpec {
     assert(appended == rebuilt,
       s"append != rebuild: ${appended.size} vs ${rebuilt.size} rows")
   }
+
+  test("snapshot store: key-ranged pruned read opens only overlapping files") {
+    import graft.pipeline.Snapshot
+    import graft.operators.{ColRange, DataSkipping}
+    // zero-padded keys so lexicographic string order == numeric order;
+    // maxRecordsPerFile splits each bucket into KEY-contiguous files
+    val rows = (0 until 2000).map(i => (f"K$i%05d", s"v$i", java.sql.Date.valueOf("2025-01-01")))
+      .toDF("record_id", "payload", "updated_at")
+    val store = java.nio.file.Files.createTempDirectory("snap_prune").toString + "/snap"
+    Snapshot.writeStore(Snapshot.initial(rows, "record_id", "updated_at"),
+      "record_id", store, buckets = 4, maxRecordsPerFile = 100L)
+
+    // the write emitted its own complete manifest
+    val mf = DataSkipping.loadManifest(
+      spark, s"$store/${DataSkipping.ManifestSubdir}")
+    val nFiles = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(nFiles >= 8, s"expected multi-file buckets, got $nFiles files")
+    assert(mf.count() == nFiles, "manifest incomplete vs the written files")
+
+    // a narrow key range must open only a fraction of the files...
+    val box = Seq(ColRange("record_id", "K00100", "K00199"))
+    val pruned = Snapshot.prunedLoad(spark, store, box)
+    val opened = pruned
+      .select(input_file_name()).distinct().count()
+    assert(opened < nFiles / 2,
+      s"key-range read opened $opened of $nFiles files — no skipping")
+    // ...and return exactly what a full-store filter returns
+    val got = pruned.select(col("record_id"), col("payload"))
+      .orderBy("record_id").collect().toSeq
+    val want = Snapshot.loadStore(spark, store)
+      .filter(col("record_id").between("K00100", "K00199"))
+      .select(col("record_id"), col("payload"))
+      .orderBy("record_id").collect().toSeq
+    assert(got == want && got.size == 100)
+
+    // mergeStore keeps the manifest exact: touched-bucket rows re-statted,
+    // untouched rows kept, no stale file entries
+    val day2 = Seq(("K00150", "v2", java.sql.Date.valueOf("2025-01-05")),
+      ("K99999", "new", java.sql.Date.valueOf("2025-01-05")))
+      .toDF("record_id", "payload", "updated_at")
+    Snapshot.mergeStore(spark, store, day2, "record_id", "updated_at",
+      buckets = 4, maxRecordsPerFile = 100L)
+    val mfAfter = DataSkipping.loadManifest(
+      spark, s"$store/${DataSkipping.ManifestSubdir}")
+    val rebuilt = DataSkipping.statsManifest(spark, store, Seq("record_id"))
+    assert(mfAfter.collect().toSet == rebuilt.collect().toSet,
+      "post-merge manifest differs from a from-scratch rebuild")
+    // the pruned read still serves the merged truth
+    val got2 = Snapshot.prunedLoad(spark, store, box)
+      .filter(col("valid_to").isNull)
+      .select(col("record_id"), col("payload"))
+      .orderBy("record_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got2.count(_ == ("K00150", "v2")) == 1)
+    assert(got2.length == 100)
+  }
+
+  test("pruned read refuses an unbounded driver file list (10k-file manifest)") {
+    import graft.operators.{ColRange, DataSkipping}
+    // artificial manifest: 10k files all overlapping the box — the
+    // engine-side survivor count must trip BEFORE any path collect
+    val mf = spark.range(10000).select(
+      concat(lit("file:/fake/part-"), col("id")).as("file"),
+      lit(100L).as("n_rows"),
+      lit(0).as("k_min"), lit(9).as("k_max"), lit(0L).as("k_nulls"))
+    val ex = intercept[IllegalArgumentException] {
+      DataSkipping.prunedRead(spark, "/fake", mf,
+        Seq(ColRange("k", 0, 9)), maxFiles = 1000)
+    }
+    assert(ex.getMessage.contains("maxFiles"), ex.getMessage)
+    assert(ex.getMessage.contains("10000"), ex.getMessage)
+  }
 }

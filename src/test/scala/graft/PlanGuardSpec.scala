@@ -69,6 +69,10 @@ class PlanGuardSpec extends SparkSpec {
     // sink under test: the builder MATERIALIZES the shard files and the
     // query audits the read-back — the write job is the operator itself
     "q_shards_readback",
+    // writes the self-manifesting shard store (data + _stats) and reads
+    // through it: manifest write, survivor count, and path collect are
+    // all |files|-bounded
+    "q_shards_pruned",
     "q_bm25_indexed",     // same: writes + loads the postings index under test
     "q_hybrid_rrf",       // dense-leg query-vector fetch (3 x dim, bounded)
     // writes + loads BOTH serving indexes under test (BM25 postings +
