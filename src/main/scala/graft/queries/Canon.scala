@@ -85,7 +85,11 @@ object Canon {
     "q_corr_matrix" -> Seq("corr"),
     "q_key_skew" -> Seq("share"),
     "q_topk_revenue" -> Seq("revenue"),
-    "q_vocab_oov" -> Seq("oov_rate")
+    "q_vocab_oov" -> Seq("oov_rate"),
+    "q_bloom_decontam" -> Seq("overlap_frac"),
+    "q_hll_distinct" -> Seq("est_distinct"),
+    "q_hll_merged" -> Seq("est_merged", "est_direct"),
+    "q_hdr_quantiles" -> Seq("est")
   )
 
   /** Spark side: in-place string cast of the named columns. */

@@ -29,7 +29,7 @@ object ExtensionQueries {
   import Parity.{duckRound, roundHalfUp}
 
   /** DuckDB twin of [[TextAnalysis.tokens]]. */
-  private val duckTokens =
+  private[queries] val duckTokens =
     "case when trim(text) = '' then cast([] as varchar[]) else string_split_regex(trim(text), '\\s+') end"
 
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =

@@ -1305,6 +1305,6 @@ object Registry {
 
   val all: ListMap[String, Q] =
     (pipelineQueries ++ maskingQueries ++ validatorQueries ++
-      relationalQueries ++ ExtensionQueries.all)
+      relationalQueries ++ ExtensionQueries.all ++ SketchQueries.all)
       .map { case (k, q) => k -> Canon.wrap(k, q) }
 }

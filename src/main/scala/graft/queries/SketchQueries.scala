@@ -1,0 +1,261 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Registry.Q
+import graft.sketch.{Cms, HdrHistogram, Hll}
+import graft.text.TextAnalysis
+
+/** Driver-contract queries for the mergeable sketch layer (approximate
+  * profiling at corpus scale): HyperLogLog distinct counts, count-min
+  * frequencies, HDR-histogram quantiles. Every sketch here is pure
+  * md5/bit-length algebra, so the DuckDB twins replay bucket layouts
+  * bit-for-bit; only display values round (the [[Parity]] contract).
+  *
+  * Reference analogue: the validation suite's exact `count(distinct …)` /
+  * frequency / percentile profiles (validate_anonymization.py), which
+  * re-scan the warehouse on every run — these are their bounded-memory,
+  * incrementally-maintainable replacements for the 100 TB corpus.
+  */
+object SketchQueries {
+
+  import ExtensionQueries.duckTokens
+  import Parity.{duckRound, roundHalfUp}
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.read(s, dir, "documents")
+
+  val all: ListMap[String, Q] = ListMap(
+    "q_hll_distinct" -> Q(
+      (s, dir) => {
+        val d = docs(s, dir)
+        val est = Hll.estimate(
+          Hll.sketch(d, col("text"), Seq("source")), Seq("source"))
+        val exact = d
+          .filter(col("text").isNotNull)
+          .groupBy(col("source"))
+          .agg(countDistinct(col("text")).as("exact_distinct"))
+        exact
+          .join(est, Seq("source"))
+          .select(
+            col("source"),
+            col("exact_distinct"),
+            roundHalfUp(col("est_distinct"), 4)
+              .cast("decimal(18,4)").as("est_distinct"))
+          .orderBy("source")
+      },
+      // full HLL replay: same 60-bit md5 hash, same bucket/rho split, same
+      // alpha and linear-counting branch — the exact column beside it makes
+      // the accuracy auditable in the output itself
+      Some(s"""
+        with sk as (
+          select source,
+            ${Hll.duck.bucket("text")} as bucket,
+            max(${Hll.duck.rho("text")}) as r
+          from documents where text is not null
+          group by source, bucket
+        ),
+        est as (
+          select source, ${Hll.duck.estimateExpr()} as est
+          from sk group by source
+        ),
+        ex as (
+          select source, count(distinct text) as exact_distinct
+          from documents where text is not null group by source
+        )
+        select ex.source, exact_distinct,
+          cast(${duckRound("est", 4)} as decimal(18,4)) as est_distinct
+        from ex join est using (source)
+        order by source"""
+      )
+    ),
+    "q_hll_merged" -> Q(
+      (s, dir) => {
+        // mergeability is the property under test: per-source sketches
+        // merged with union+max must estimate IDENTICALLY to one global
+        // sketch (max is associative), so incremental per-batch profiling
+        // loses nothing vs a full rebuild. Single-row aggregates joined by
+        // broadcast cross (the scalar-subquery pattern).
+        val d = docs(s, dir)
+        val perSource = Hll.sketch(d, col("text"), Seq("source"))
+        val merged = Hll.estimate(
+          Hll.merge(perSource.select(col("bucket"), col("r"))))
+          .select(roundHalfUp(col("est_distinct"), 4)
+            .cast("decimal(18,4)").as("est_merged"))
+        val direct = Hll.estimate(Hll.sketch(d, col("text")))
+          .select(roundHalfUp(col("est_distinct"), 4)
+            .cast("decimal(18,4)").as("est_direct"))
+        val exact = d
+          .filter(col("text").isNotNull)
+          .agg(countDistinct(col("text")).as("exact_distinct"))
+        merged.crossJoin(broadcast(direct)).crossJoin(broadcast(exact))
+      },
+      Some(s"""
+        with persrc as (
+          select source,
+            ${Hll.duck.bucket("text")} as bucket,
+            max(${Hll.duck.rho("text")}) as r
+          from documents where text is not null
+          group by source, bucket
+        ),
+        mergedsk as (
+          select bucket, max(r) as r from persrc group by bucket
+        ),
+        m as (select ${Hll.duck.estimateExpr()} as est from mergedsk),
+        directsk as (
+          select ${Hll.duck.bucket("text")} as bucket,
+            max(${Hll.duck.rho("text")}) as r
+          from documents where text is not null group by bucket
+        ),
+        dct as (select ${Hll.duck.estimateExpr()} as est from directsk),
+        ex as (
+          select count(distinct text) as exact_distinct
+          from documents where text is not null
+        )
+        select
+          cast(${duckRound("m.est", 4)} as decimal(18,4)) as est_merged,
+          cast(${duckRound("dct.est", 4)} as decimal(18,4)) as est_direct,
+          exact_distinct
+        from m cross join dct cross join ex"""
+      )
+    ),
+    "q_cms_freq" -> Q(
+      (s, dir) => {
+        // count-min point queries for the exact top-30 tokens: the output
+        // carries exact count and sketch estimate side by side, so the
+        // never-undercount guarantee is visible (and hash-checked) per row
+        val toks = docs(s, dir)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val sk = Cms.sketch(toks, col("tok"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        val top = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(30)
+        Cms.estimate(sk, top, col("tok"))
+          .withColumnRenamed("value", "tok")
+          .join(top, Seq("tok"))
+          .select(col("tok"), col("exact_cnt"), col("cms_est"))
+          .orderBy("tok")
+      },
+      Some {
+        val probes = (0 until Cms.DefaultD).map { j =>
+          s"select tok, $j as hrow, ${Cms.duck.bucket(j, "tok")} as bucket from top"
+        }.mkString(" union all ")
+        val cells = (0 until Cms.DefaultD).map { j =>
+          s"select $j as hrow, ${Cms.duck.bucket(j, "tok")} as bucket, " +
+            "count(*) as cnt from toks group by bucket"
+        }.mkString(" union all ")
+        s"""
+        with toks as (
+          select unnest($duckTokens) as tok from documents
+        ),
+        cells as ($cells),
+        exact as (select tok, count(*) as exact_cnt from toks group by tok),
+        top as (
+          select tok, exact_cnt from exact
+          order by exact_cnt desc, tok limit 30
+        ),
+        probes as ($probes),
+        est as (
+          select p.tok, min(c.cnt) as cms_est
+          from probes p join cells c on p.hrow = c.hrow and p.bucket = c.bucket
+          group by p.tok
+        )
+        select top.tok, exact_cnt, cms_est
+        from top join est using (tok)
+        order by tok"""
+      }
+    ),
+    "q_bloom_decontam" -> Q(
+      (s, dir) => {
+        // bloom-prefiltered decontamination: the oracle is the EXACT
+        // overlap replay — bloom admits no false negatives and survivors
+        // are exactly confirmed, so any bit the filter got wrong
+        // hash-fails the whole query. Build is one bounded driver collect
+        // (256 KiB bitset; PlanGuardSpec exemption).
+        val d = docs(s, dir)
+        graft.text.Decontaminate
+          .overlapStatsBloom(
+            corpus = d.filter(col("doc_id") % 40 =!= 0),
+            benchmark = d.filter(col("doc_id") % 40 === 0),
+            "doc_id",
+            col("text"),
+            k = 5)
+          .select(
+            col("doc_id"),
+            col("n_shingles"),
+            col("n_overlap"),
+            roundHalfUp(col("overlap_frac"), 6)
+              .cast("decimal(9,6)").as("overlap_frac"))
+          .orderBy("doc_id")
+      },
+      // exact 5-shingle overlap twin (q_decontaminate pattern, %40 split)
+      Some(s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        sh as (
+          select doc_id,
+            list_distinct(list_transform(
+              range(1, cast(greatest(len(toks) - 4, 1) as int) + 1),
+              i -> array_to_string(list_slice(toks, i, i + 4), ' '))) as shs
+          from t
+        ),
+        ex as (select doc_id, unnest(shs) as shingle from sh),
+        bench as (select distinct shingle from ex where doc_id % 40 = 0),
+        corp as (select * from ex where doc_id % 40 <> 0),
+        tot as (select doc_id, count(*) as n_shingles from corp group by doc_id),
+        ov as (
+          select c.doc_id, count(*) as n_overlap
+          from corp c join bench b using (shingle) group by c.doc_id
+        )
+        select tot.doc_id, n_shingles,
+          coalesce(n_overlap, 0) as n_overlap,
+          cast(${duckRound("coalesce(n_overlap, 0) / cast(n_shingles as double)", 6)}
+               as decimal(9,6)) as overlap_frac
+        from tot left join ov using (doc_id) order by doc_id"""
+      )
+    ),
+    "q_hdr_quantiles" -> Q(
+      (s, dir) => {
+        val li = Tables.read(s, dir, "lineitem")
+        val sk = HdrHistogram.sketch(
+          li, col("l_extendedprice"), Seq("l_returnflag"))
+        HdrHistogram
+          .quantiles(sk, Seq(0.5, 0.9, 0.99), Seq("l_returnflag"))
+          .select(
+            col("l_returnflag"),
+            col("q"),
+            roundHalfUp(col("est"), 6).cast("decimal(18,6)").as("est"))
+          .orderBy("l_returnflag", "q")
+      },
+      Some {
+        def pick(q: String) =
+          s"""select l_returnflag, cast($q as double) as q, min(idx) as idx
+              from c where cum >= greatest(ceil($q * n), 1)
+              group by l_returnflag"""
+        s"""
+        with sk as (
+          select l_returnflag,
+            ${HdrHistogram.duck.idx("l_extendedprice")} as idx,
+            count(*) as cnt
+          from lineitem
+          where l_extendedprice is not null and l_extendedprice >= 0
+          group by l_returnflag, idx
+        ),
+        c as (
+          select l_returnflag, idx,
+            sum(cnt) over (partition by l_returnflag order by idx) as cum,
+            sum(cnt) over (partition by l_returnflag) as n
+          from sk
+        ),
+        pick as (
+          ${pick("0.5")} union all ${pick("0.9")} union all ${pick("0.99")}
+        )
+        select l_returnflag, q,
+          cast(${duckRound(HdrHistogram.duck.mid("idx"), 6)}
+               as decimal(18,6)) as est
+        from pick
+        order by l_returnflag, q"""
+      }
+    )
+  )
+}

@@ -1,0 +1,87 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch as a relational artifact: `d` independent hash rows of
+  * `w` counters, materialized as a DataFrame of at most `d·w`
+  * `(row, bucket, cnt)` cells. Build is one explode + one map-side-combined
+  * aggregation; point-frequency queries join the (tiny, broadcastable)
+  * counter table and take `min` over the d rows; merge of two sketches is
+  * `union + sum` — exact, because each cell is a plain count.
+  *
+  * Cormode & Muthukrishnan, "An improved data stream summary: the
+  * count-min sketch and its applications" (J. Algorithms 2005).
+  *
+  * The estimate never undercounts (each cell ≥ the true count) and
+  * overcounts by at most 2N/w with probability 1 − 2^−d — the classic
+  * guarantee a frequency monitor needs at 100 TB, where an exact
+  * per-token count table would itself be corpus-sized, while this is
+  * `d·w` cells no matter how many distinct tokens flow through.
+  *
+  * Determinism: row j's hash of token t is the md5 of `"j|t"` — seeded by
+  * prefixing, not by runtime salts — so any md5-bearing engine replays the
+  * exact cell layout.
+  */
+object Cms {
+
+  /** Default geometry: 4 rows × 1024 counters = 4096 cells. */
+  val DefaultD = 4
+  val DefaultW = 1024
+
+  private[sketch] def bucketFor(row: Int, value: Column, w: Int): Column =
+    pmod(Hll.hash60(concat(lit(s"$row|"), value)), lit(w.toLong))
+
+  /** Builds the counter table from one value column: rows `(row, bucket,
+    * cnt)`, at most d·w of them, each the number of input values hashing
+    * into that cell.
+    */
+  def sketch(
+      df: DataFrame,
+      value: Column,
+      d: Int = DefaultD,
+      w: Int = DefaultW
+  ): DataFrame = {
+    require(d >= 1 && d <= 16, s"cms: d must be in [1,16], got $d")
+    require(w >= 16, s"cms: w must be >= 16, got $w")
+    val rows = (0 until d).map { j =>
+      df.filter(value.isNotNull)
+        .select(lit(j).as("row"), bucketFor(j, value, w).as("bucket"))
+    }.reduce(_ unionAll _)
+    rows.groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge = cell-wise sum (counts are additive across slices/batches). */
+  def merge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("row"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for the distinct values of `value` in
+    * `queries`: min over the d cells each value hashes to. The sketch side
+    * is ≤ d·w rows — Spark broadcasts it; the probe never rescans the
+    * corpus the sketch summarized.
+    */
+  def estimate(
+      sk: DataFrame,
+      queries: DataFrame,
+      value: Column,
+      d: Int = DefaultD,
+      w: Int = DefaultW
+  ): DataFrame = {
+    val probes = (0 until d).map { j =>
+      queries
+        .filter(value.isNotNull)
+        .select(value.as("value"), lit(j).as("row"),
+          bucketFor(j, value, w).as("bucket"))
+    }.reduce(_ unionAll _)
+    probes
+      .join(broadcast(sk), Seq("row", "bucket"))
+      .groupBy(col("value"))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
+  /** DuckDB twin fragments (see [[Hll.duck]]). */
+  object duck {
+    def bucket(row: Int, v: String, w: Int = DefaultW): String =
+      s"(${Hll.duck.hash60(s"'$row|' || $v")} % $w)"
+  }
+}

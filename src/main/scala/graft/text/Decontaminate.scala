@@ -65,4 +65,56 @@ object Decontaminate {
         "overlap_frac",
         col("n_overlap").cast("double") / col("n_shingles"))
   }
+
+  /** [[overlapStats]] with a bloom prefilter on the corpus side — for the
+    * regime where the benchmark's distinct-shingle set does NOT fit a
+    * broadcast (so the exact path would shuffle the ENTIRE corpus shingle
+    * stream into a semi-join). A [[graft.sketch.Bloom]] filter built from
+    * the benchmark shingles (one bounded driver collect, 256 KiB at the
+    * default geometry) rides into the corpus scan as a codegen'd probe;
+    * only the ~FP·|corpus| + |true overlaps| candidate rows reach the
+    * exact join. Bloom admits no false negatives and the surviving
+    * candidates are confirmed exactly, so the result is BIT-IDENTICAL to
+    * [[overlapStats]] — which is precisely what its oracle twin checks.
+    *
+    * Trade, stated: the corpus is shingled twice (one narrow pass for
+    * per-doc totals + candidate counts, one for the candidate join input)
+    * instead of shuffled once in full — the q_global_ids trade: narrow
+    * re-scans are cheap at 100 TB, corpus-sized shuffles are not.
+    */
+  def overlapStatsBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: Column,
+      k: Int,
+      mBits: Int = graft.sketch.Bloom.DefaultBits,
+      kHashes: Int = graft.sketch.Bloom.DefaultK
+  ): DataFrame = {
+    import graft.sketch.Bloom
+    val benchSh = explodedShingles(benchmark, idCol, textCol, k)
+      .select(col("shingle"))
+      .distinct()
+    val filter = Bloom.build(benchSh, col("shingle"), mBits, kHashes)
+    val flagged = explodedShingles(corpus, idCol, textCol, k)
+      .withColumn("_cand",
+        Bloom.mightContain(filter, mBits, kHashes)(col("shingle")))
+    val totals = flagged
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = flagged
+      .filter(col("_cand"))
+      .join(benchSh, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    totals
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn(
+        "overlap_frac",
+        col("n_overlap").cast("double") / col("n_shingles"))
+  }
 }

@@ -38,7 +38,10 @@ class PlanGuardSpec extends SparkSpec {
   private val singleRowBroadcast =
     Set("q_scalar_subquery", "q_embed_topk", "q_key_skew",
       "q_lm_surprisal", "q_tfidf_topk", "q_bm25", "q_bm25_topk",
-      "q_bm25_indexed", "q_hybrid_rrf", "q_hybrid_indexed", "q_lm_bigram")
+      "q_bm25_indexed", "q_hybrid_rrf", "q_hybrid_indexed", "q_lm_bigram",
+      // merged-vs-direct-vs-exact: three single-row estimate aggregates
+      // broadcast-crossed into the one-row comparison output
+      "q_hll_merged")
 
   /** Builders allowed to run bounded driver actions while CONSTRUCTING the
     * plan (each collect is k×dim / |ladder| / |sources|-sized, never
@@ -87,7 +90,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_pruned_scan",
     // writes + merges the bucketed snapshot store under test; the merge's
     // touched-bucket collect is |buckets|-bounded (8 here)
-    "q_scd2_merge"
+    "q_scd2_merge",
+    // bloom build: ONE driver collect of the mBits/8-byte bitset (256 KiB)
+    "q_bloom_decontam"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
