@@ -118,7 +118,8 @@ object CurateCli {
       nShards: Int,
       auditOk: Boolean,
       corpusCompacted: Boolean,
-      driftPsi: Option[Double] = None)
+      driftPsi: Option[Double] = None,
+      profileDistinctEst: Option[Double] = None)
 
   /** The daily-increment twin of [[run]]: gate + redact + dedup a NEW
     * batch ([[CorpusPipeline.prepare]]), drop documents that
@@ -158,6 +159,13 @@ object CurateCli {
     *
     * Document ids must be unique ACROSS batches (crawl ids are) — the
     * index append trusts them.
+    *
+    * With `profileStats = true`, `outDir/profile` carries the corpus
+    * profile ([[graft.sketch.ProfileStore]]): an HLL distinct-text sketch
+    * and an HDR token-length histogram, each batch sketched once and
+    * merged losslessly — so the batch stats can report a
+    * `profile_distinct_est` for the WHOLE corpus without ever re-reading
+    * it, and quantile telemetry serves off a few-KB store.
     */
   def runIncremental(
       spark: SparkSession,
@@ -169,7 +177,8 @@ object CurateCli {
       compactAt: Int = 16,
       searchIndex: Boolean = false,
       hybridIndex: Boolean = false,
-      hybridK: Int = 16
+      hybridK: Int = 16,
+      profileStats: Boolean = false
   ): IncrementalSummary = {
     import graft.dedup.Dedup
     val fs = new org.apache.hadoop.fs.Path(outDir)
@@ -190,6 +199,7 @@ object CurateCli {
     recoverRetired(corpusDir)
     recoverRetired(s"$searchDir/postings")
     recoverRetired(s"$denseDir/assigned")
+    graft.sketch.ProfileStore.recover(spark, s"$outDir/profile")
     val bootstrap = !exists(s"$indexDir/meta")
 
     val docs = spark.read.parquet(input)
@@ -297,8 +307,26 @@ object CurateCli {
             Ivf.appendIndex(batchVecs, "doc_id", "embedding", denseDir)
           }
         }
+        // optional corpus profile: sketch ONLY the landed rows, merge into
+        // the stored HLL/HDR pair — losslessly identical to profiling the
+        // whole accumulated corpus (ProfileStore scaladoc), so telemetry
+        // reads never touch the corpus
+        if (profileStats) {
+          import graft.sketch.ProfileStore
+          val profDir = s"$outDir/profile"
+          if (!ProfileStore.exists(spark, profDir))
+            ProfileStore.write(spark, profDir, landed,
+              col("text"), col("n_tokens"))
+          else
+            ProfileStore.append(spark, profDir, landed,
+              col("text"), col("n_tokens"))
+        }
         auditShards(spark, shardDir, nFresh)
       }
+    val profileEst =
+      if (profileStats && graft.sketch.ProfileStore.exists(spark, s"$outDir/profile"))
+        Some(graft.sketch.ProfileStore.distinctEstimate(spark, s"$outDir/profile"))
+      else None
 
     // post-append maintenance: heal a directory's small files once enough
     // batches accumulated (rewrite-and-swap, never in place). Clustered
@@ -369,11 +397,12 @@ object CurateCli {
       s"""{"batch":$batchId,"n_in":$nIn,"n_kept":$nKept,"n_fresh":$nFresh,""" +
         s""""n_dup_of_corpus":$nDup,"n_shards":${if (nFresh == 0) 0 else nShards},""" +
         s""""audit_ok":$auditOk,"corpus_compacted":$compacted""" +
-        driftPsi.map(p => s""","drift_psi":$p""").getOrElse("") + "}\n")
+        driftPsi.map(p => s""","drift_psi":$p""").getOrElse("") +
+        profileEst.map(e => s""","profile_distinct_est":$e""").getOrElse("") + "}\n")
     if (!(fresh eq kept)) fresh.unpersist()
     kept.unpersist()
     IncrementalSummary(batchId, nIn, nKept, nFresh, nDup,
-      if (nFresh == 0) 0 else nShards, auditOk, compacted, driftPsi)
+      if (nFresh == 0) 0 else nShards, auditOk, compacted, driftPsi, profileEst)
   }
 
   private def session(): SparkSession = {
@@ -425,20 +454,23 @@ object CurateCli {
     val (args0, modelArgs) = parseModelArgs(rawArgs)
     val withSearch = args0.contains("--search")
     val withHybrid = args0.contains("--hybrid")
-    val args = args0.filterNot(a => a == "--search" || a == "--hybrid")
+    val withProfile = args0.contains("--profile")
+    val args = args0.filterNot(a =>
+      a == "--search" || a == "--hybrid" || a == "--profile")
     if (args.headOption.contains("incremental")) {
       require(args.length >= 3,
         "usage: CurateCli incremental <batch.parquet> <stateDir> [nShards] " +
-          "[--model <dir> <minScore>] [--search] [--hybrid]")
+          "[--model <dir> <minScore>] [--search] [--hybrid] [--profile]")
       val nShards = if (args.length > 3) args(3).toInt else 64
       val spark = session()
       val s = runIncremental(spark, args(1), args(2), nShards,
         cfg = gateConfig(spark, modelArgs), searchIndex = withSearch,
-        hybridIndex = withHybrid)
+        hybridIndex = withHybrid, profileStats = withProfile)
       println(s"[curate] batch=${s.batch} in=${s.nIn} kept=${s.nKept} " +
         s"fresh=${s.nFresh} dup_of_corpus=${s.nDupOfCorpus} " +
         s"shards=${s.nShards} audit_ok=${s.auditOk} compacted=${s.corpusCompacted}" +
-        s.driftPsi.map(p => s" drift_psi=$p").getOrElse(""))
+        s.driftPsi.map(p => s" drift_psi=$p").getOrElse("") +
+        s.profileDistinctEst.map(e => s" profile_distinct_est=$e").getOrElse(""))
       spark.stop()
       if (!s.auditOk) sys.exit(1)
       // stale dense index: data landed fine (distinct exit code), but the

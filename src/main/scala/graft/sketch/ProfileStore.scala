@@ -1,0 +1,107 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted corpus profile: an [[Hll]] distinct sketch plus an
+  * [[HdrHistogram]] length histogram, maintained INCREMENTALLY — each
+  * batch is sketched once (narrow pass over the batch only) and merged
+  * into the store; the accumulated corpus is never re-read. Because both
+  * merges are lossless (union+max / union+sum), the stored profile is at
+  * every point IDENTICAL to the sketch of the full corpus — the
+  * `q_hll_merged` invariant operationalized — so profile telemetry
+  * (distinct-document estimates, token-length quantiles) costs one tiny
+  * read no matter how many petabytes landed.
+  *
+  * Durability follows the curation stores' retire/promote contract
+  * (CurateCli scaladoc): merged sketches land in a `__next` staging dir,
+  * the live dir retires, the staging dir promotes, and [[recover]]
+  * restores a retired dir whose promote never happened. Sketch files are
+  * a few KB, so the rewrite-per-append is free.
+  */
+object ProfileStore {
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(p(s"$dir/hll"))
+
+  /** Crash recovery: if a previous append retired the live dir but never
+    * promoted its staging dir, the retired dir IS the data.
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    Seq(s"$dir/hll", s"$dir/hdr").foreach { live =>
+      if (!fs.exists(p(live)) && fs.exists(p(s"${live}__retired")))
+        fs.rename(p(s"${live}__retired"), p(live))
+    }
+  }
+
+  private def sketchBatch(
+      batch: DataFrame,
+      distinctCol: Column,
+      lenCol: Column
+  ): (DataFrame, DataFrame) =
+    (Hll.sketch(batch, distinctCol),
+      HdrHistogram.sketch(batch, lenCol.cast("double")))
+
+  /** Bootstrap: profile of the first batch. */
+  def write(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      distinctCol: Column,
+      lenCol: Column
+  ): Unit = {
+    val (hll, hdr) = sketchBatch(batch, distinctCol, lenCol)
+    hll.coalesce(1).write.mode("overwrite").parquet(s"$dir/hll")
+    hdr.coalesce(1).write.mode("overwrite").parquet(s"$dir/hdr")
+  }
+
+  /** Merges one batch into the stored profile. The merged sketch is fully
+    * materialized into the staging dir BEFORE the live dir moves, so a
+    * crash at any point leaves either the old profile live or recoverable
+    * ([[recover]]); the merge plan is never asked to read a path that is
+    * being replaced under it.
+    */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      distinctCol: Column,
+      lenCol: Column
+  ): Unit = {
+    val fs = fsOf(spark, dir)
+    val (hllB, hdrB) = sketchBatch(batch, distinctCol, lenCol)
+    def swapIn(live: String, merged: DataFrame): Unit = {
+      val next = s"${live}__next"
+      val old = s"${live}__retired"
+      fs.delete(p(next), true)
+      fs.delete(p(old), true)
+      merged.coalesce(1).write.mode("overwrite").parquet(next)
+      fs.rename(p(live), p(old))
+      fs.rename(p(next), p(live))
+      fs.delete(p(old), true)
+    }
+    swapIn(s"$dir/hll",
+      Hll.merge(spark.read.parquet(s"$dir/hll").unionAll(hllB)))
+    swapIn(s"$dir/hdr",
+      HdrHistogram.merge(spark.read.parquet(s"$dir/hdr").unionAll(hdrB)))
+  }
+
+  /** Distinct estimate of the profiled column over everything appended. */
+  def distinctEstimate(spark: SparkSession, dir: String): Double =
+    Hll.estimate(spark.read.parquet(s"$dir/hll")).head().getDouble(0)
+
+  /** Length quantiles over everything appended: rows `(q, est)`. */
+  def lengthQuantiles(
+      spark: SparkSession,
+      dir: String,
+      qs: Seq[Double]
+  ): DataFrame =
+    HdrHistogram.quantiles(spark.read.parquet(s"$dir/hdr"), qs)
+}

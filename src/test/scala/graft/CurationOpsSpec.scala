@@ -1015,6 +1015,51 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental curation --profile maintains sketches equal to a full-corpus rebuild") {
+    import java.nio.file.Files
+    import graft.sketch.{HdrHistogram, Hll, ProfileStore}
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val batches = Files.createTempDirectory("curate_prof_b").toString
+    val state = Files.createTempDirectory("curate_prof_s").toString
+    all.filter(col("doc_id") % 2 === 0).write.parquet(s"$batches/b0")
+    all.filter(col("doc_id") % 2 === 1).write.parquet(s"$batches/b1")
+    val s0 = graft.cli.CurateCli.runIncremental(
+      spark, s"$batches/b0", state, nShards = 2, profileStats = true)
+    val s1 = graft.cli.CurateCli.runIncremental(
+      spark, s"$batches/b1", state, nShards = 2, profileStats = true)
+    assert(s0.auditOk && s1.auditOk)
+    assert(s0.profileDistinctEst.isDefined && s1.profileDistinctEst.isDefined)
+    // lossless-merge identity: the incrementally maintained sketches must
+    // equal (as DATA) a one-shot sketch of the accumulated corpus
+    val corpus = spark.read.parquet(s"$state/corpus")
+    val storedHll = spark.read.parquet(s"$state/profile/hll")
+    val directHll = Hll.sketch(corpus, col("text"))
+    assert(storedHll.except(directHll).isEmpty && directHll.except(storedHll).isEmpty)
+    val storedHdr = spark.read.parquet(s"$state/profile/hdr")
+    val directHdr = HdrHistogram.sketch(corpus, col("n_tokens").cast("double"))
+    assert(storedHdr.except(directHdr).isEmpty && directHdr.except(storedHdr).isEmpty)
+    // the estimate visible in batch stats equals the store's answer, and
+    // the second batch's estimate grew with the corpus
+    assert(s1.profileDistinctEst.get ==
+      ProfileStore.distinctEstimate(spark, s"$state/profile"))
+    assert(s1.profileDistinctEst.get > s0.profileDistinctEst.get)
+    assert(Files.readString(java.nio.file.Paths.get(s"$state/batch_1_stats.json"))
+      .contains("profile_distinct_est"))
+    // quantile serving off the store works and is sane for token lengths
+    val p50 = ProfileStore.lengthQuantiles(spark, s"$state/profile", Seq(0.5))
+      .head().getDouble(1)
+    assert(p50 > 0.0 && p50 < 10000.0)
+    // crash recovery: a retired-but-never-promoted hll dir is restored
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$state/profile/hll"),
+      new org.apache.hadoop.fs.Path(s"$state/profile/hll__retired"))
+    ProfileStore.recover(spark, s"$state/profile")
+    assert(ProfileStore.exists(spark, s"$state/profile"))
+    assert(spark.read.parquet(s"$state/profile/hll").count() == storedHll.count())
+  }
+
   test("CurateCli.run: an all-filtered corpus reports cleanly instead of crashing") {
     val out = java.nio.file.Files.createTempDirectory("curate_empty").toString
     val s = graft.cli.CurateCli.run(
