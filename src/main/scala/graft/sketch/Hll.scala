@@ -47,8 +47,11 @@ object Hll {
     case _  => 0.7213 / (1.0 + 1.079 / m)
   }
 
-  /** Per-value `(bucket, rho)` pair for the 60-bit hash split p | (60-p). */
-  private def bucketRho(value: Column, p: Int): (Column, Column) = {
+  /** Per-value `(bucket, rho)` pair for the 60-bit hash split p | (60-p).
+    * Pure per-row column algebra (no aggregation), which is what lets the
+    * streaming leg reuse it inside a windowed aggregation.
+    */
+  def bucketRho(value: Column, p: Int = DefaultP): (Column, Column) = {
     val wBits = 60 - p
     val h = hash60(value)
     val bucket = shiftright(h, wBits)

@@ -52,6 +52,37 @@ object StreamingPipeline {
         sum(col("value")).as("total_value")
       )
 
+  /** Streaming HLL distinct sketch: per event-time window, the
+    * `(bucket, r)` rows of a [[graft.sketch.Hll]] sketch over `value` —
+    * the live leg of the profile store. The bucket/rho computation is the
+    * SAME per-row column algebra the batch sketch uses
+    * ([[graft.sketch.Hll.bucketRho]]), so a window's streamed sketch is
+    * bit-identical to batch-sketching the same rows: estimates, merges
+    * into [[graft.sketch.ProfileStore]], and cross-window roll-ups
+    * (union+max) all behave exactly as in batch.
+    *
+    * Emitting the SKETCH rather than the estimate keeps this a single
+    * stateful aggregation (state ≤ 2^p rows per window, watermark-
+    * bounded) and keeps the output mergeable — an estimate-per-window
+    * stream could never be combined into "distinct users this week"
+    * without recounting; sketch rows can.
+    */
+  def distinctSketchStream(
+      stream: DataFrame,
+      value: Column,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      windowLength: String = "5 minutes",
+      p: Int = graft.sketch.Hll.DefaultP
+  ): DataFrame = {
+    val (bucket, rho) = graft.sketch.Hll.bucketRho(value, p)
+    stream
+      .withWatermark(tsCol, watermark)
+      .filter(value.isNotNull)
+      .groupBy(window(col(tsCol), windowLength), bucket.as("bucket"))
+      .agg(max(rho).as("r"))
+  }
+
   /** Streaming corpus-quality monitor: watermarked per-window, per-source
     * aggregates of the single-pass text signals ([[graft.text.TextAnalysis
     * .textStats]]) — ingest rate, token throughput, mean quality score and
