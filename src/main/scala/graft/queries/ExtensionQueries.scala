@@ -1126,6 +1126,33 @@ object ExtensionQueries {
         with $srpGraphCtes
         select src, dst, cos_sim, rank from graph
         order by src, rank""")
+    ),
+    "q_pagerank" -> Q(
+      (s, dir) => {
+        val e = emb(s, dir)
+        val graph = Similarity
+          .annTopKGraph(e, "vec_id", "embedding", k = 5, bits = 24, bands = 2)
+          .select(col("src"), col("dst"))
+        graft.operators.PageRank
+          .ranks(graph, e.select(col("vec_id")), "vec_id",
+            iters = 5, damping = 0.85)
+          .select(
+            col("id").as("vec_id"),
+            roundHalfUp(col("rank"), 8).cast("decimal(12,8)").as("pagerank"))
+          .orderBy("vec_id")
+      },
+      // the SRP kNN graph replay feeding five unrolled PageRank
+      // supersteps (the k-means-replay technique applied to a graph
+      // algorithm) — same damping/teleport double literals, same
+      // leak-dangling-mass convention, term-for-term
+      Some(s"""
+        with $srpGraphCtes,
+        ${graft.operators.PageRank.duckCtes(
+          "select vec_id as id from embeddings", iters = 5, damping = 0.85)}
+        select id as vec_id,
+          cast(${duckRound("rank", 8)} as decimal(12,8)) as pagerank
+        from pr_r5
+        order by vec_id""")
     )
   )
 

@@ -41,7 +41,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_bm25_indexed", "q_hybrid_rrf", "q_hybrid_indexed", "q_lm_bigram",
       // merged-vs-direct-vs-exact: three single-row estimate aggregates
       // broadcast-crossed into the one-row comparison output
-      "q_hll_merged")
+      "q_hll_merged",
+      // 1/N init + teleport term: the node count crossed in as a
+      // single-row broadcast aggregate
+      "q_pagerank")
 
   /** Builders allowed to run bounded driver actions while CONSTRUCTING the
     * plan (each collect is k×dim / |ladder| / |sources|-sized, never
