@@ -65,6 +65,48 @@ object Sampling {
     * the largest group; at extreme group sizes pre-filter with
     * `stratifiedSample` first to shrink the window input.
     */
+  /** Deterministic weighted sampling without replacement, n per group —
+    * the Efraimidis–Spirakis one-pass scheme (IPL 2006): each row draws
+    * key `u^(1/w)` (equivalently ranked as `ln(u)/w`) and the n largest
+    * keys per group win, which yields exactly the
+    * probability-proportional-to-weight sample WITHOUT a global pass over
+    * the weights. The curation use: sample training documents
+    * proportional to quality/length weights, reproducibly.
+    *
+    * Determinism contract: `u = (md5Long(id)+1)/2^32 ∈ (0,1]` — a pure
+    * function of the row id, so the sample is re-run-stable, join-stable
+    * and engine-replayable (same md5 hash, exact power-of-two division;
+    * the only float call is `ln`, whose ≥1-ulp-separated keys make a
+    * cross-engine rank flip vanishingly unlikely, tie-broken by id
+    * regardless).
+    *
+    * Rows with NULL or non-positive weight are EXCLUDED (a zero-weight
+    * row must never be sampled; E-S keys are undefined there).
+    *
+    * Scale shape: narrow key computation + one keyed window rank bounded
+    * by the largest group — same cost envelope as [[exactPerGroup]].
+    */
+  def weightedPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weight: Column,
+      n: Int
+  ): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(!df.columns.contains("es_rank"),
+      "weightedPerGroup: input must not already have an `es_rank` column")
+    import org.apache.spark.sql.expressions.Window
+    val u = (StableHash.md5Long(col(idCol)).cast("double") + 1.0) / 4294967296.0
+    val key = log(u) / weight
+    val w = Window
+      .partitionBy(col(groupCol))
+      .orderBy(key.desc, col(idCol))
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("es_rank", row_number().over(w))
+      .filter(col("es_rank") <= n)
+  }
+
   def exactPerGroup(
       df: DataFrame,
       idCol: String,

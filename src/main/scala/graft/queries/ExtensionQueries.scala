@@ -2039,6 +2039,28 @@ object ExtensionQueries {
                                     else 750 end)
         order by doc_id""")
     ),
+    "q_weighted_sample" -> Q(
+      (s, dir) =>
+        graft.operators.Sampling
+          .weightedPerGroup(
+            docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id", "source", col("n_chars"), n = 5)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("es_rank"))
+          .orderBy("source", "es_rank"),
+      // Efraimidis–Spirakis replay: identical md5-derived u (exact
+      // power-of-two division), identical ln(u)/w ranking key, same
+      // (key desc, id) tie-break
+      Some(s"""
+        select doc_id, source, n_chars, es_rank from (
+          select doc_id, source, n_chars,
+            cast(row_number() over (partition by source order by
+              ln((cast('0x' || substr(md5(cast(doc_id as varchar)), 1, 8) as bigint) + 1.0)
+                 / 4294967296.0) / n_chars desc, doc_id) as int) as es_rank
+          from documents
+          where n_chars is not null and n_chars > 0
+        ) where es_rank <= 5
+        order by source, es_rank""")
+    ),
     "q_embed_quantize" -> Q(
       (s, dir) => {
         import graft.similarity.Quantize

@@ -84,6 +84,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("err") == 0.0)
   }
 
+  test("weighted sampling: weight-proportional inclusion, cap, exclusions, determinism") {
+    import graft.operators.Sampling
+    // 2000 ids in one group, two weight classes 10x apart: the heavy
+    // class must win far more of the 200 slots than its count share
+    val df = spark.range(2000)
+      .select(col("id"), lit("g").as("grp"),
+        when(col("id") % 10 === 0, 10.0).otherwise(1.0).as("w"))
+    val picked = Sampling.weightedPerGroup(df, "id", "grp", col("w"), n = 200)
+    assert(picked.count() == 200)
+    val heavy = picked.filter(col("w") === 10.0).count()
+    // heavy ids are 10% of rows but 10x weight -> expect roughly half the
+    // sample (E-S inclusion ~ proportional); anything over 2x count share
+    // proves the weighting works
+    assert(heavy >= 80, s"heavy-weight rows under-sampled: $heavy of 200")
+    // determinism (pure function of ids)
+    val again = Sampling.weightedPerGroup(df, "id", "grp", col("w"), n = 200)
+    assert(picked.select("id").except(again.select("id")).isEmpty)
+    // zero/null weights never sampled even when slots go unfilled
+    val zw = spark.range(10)
+      .select(col("id"), lit("g").as("grp"),
+        when(col("id") < 3, 1.0).otherwise(lit(null)).cast("double").as("w"))
+      .withColumn("w", when(col("id") === 2, 0.0).otherwise(col("w")))
+    val zpicked = Sampling.weightedPerGroup(zw, "id", "grp", col("w"), n = 10)
+    assert(zpicked.count() == 2, "only the two positive-weight rows qualify")
+    // per-group cap holds independently
+    val multi = spark.range(100)
+      .select(col("id"), (col("id") % 4).cast("string").as("grp"), lit(1.0).as("w"))
+    val mp = Sampling.weightedPerGroup(multi, "id", "grp", col("w"), n = 7)
+    assert(mp.groupBy("grp").count().collect().forall(_.getLong(1) == 7))
+  }
+
   test("property: threshold sampling is nested — lower rate is a subset of higher") {
     val d = (1L to 500L).map(i => (i, "x")).toDF("id", "s")
     def ids(rate: Double) = Sampling
