@@ -1130,9 +1130,14 @@ object ExtensionQueries {
     "q_pagerank" -> Q(
       (s, dir) => {
         val e = emb(s, dir)
+        // materialize the edge list ONCE before iterating (localCheckpoint
+        // = one bounded build job over the k·|V|-row graph) — the
+        // production shape, where edges are a stored table; a declarative
+        // plan would re-derive the whole SRP pipeline per superstep
         val graph = Similarity
           .annTopKGraph(e, "vec_id", "embedding", k = 5, bits = 24, bands = 2)
           .select(col("src"), col("dst"))
+          .localCheckpoint()
         graft.operators.PageRank
           .ranks(graph, e.select(col("vec_id")), "vec_id",
             iters = 5, damping = 0.85)

@@ -95,7 +95,10 @@ class PlanGuardSpec extends SparkSpec {
     // touched-bucket collect is |buckets|-bounded (8 here)
     "q_scd2_merge",
     // bloom build: ONE driver collect of the mBits/8-byte bitset (256 KiB)
-    "q_bloom_decontam"
+    "q_bloom_decontam",
+    // edge-list localCheckpoint: ONE k*|V|-row materialization so the 5
+    // supersteps iterate a stored graph instead of re-deriving SRP 5x
+    "q_pagerank"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
