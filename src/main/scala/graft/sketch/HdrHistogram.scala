@@ -85,7 +85,9 @@ object HdrHistogram {
   /** Quantile estimates from a sketch: for each q, the midpoint of the
     * first bucket whose cumulative count reaches `ceil(q·n)` (the
     * `percentile_disc` convention). One window cum-sum over the tiny
-    * sketch, then a bounded filter per requested quantile.
+    * sketch, then ALL requested quantiles in a single conditional-min
+    * aggregation — a filter-per-q formulation would re-derive the sketch
+    * (and its corpus scan) once per quantile.
     */
   def quantiles(
       sk: DataFrame,
@@ -100,16 +102,19 @@ object HdrHistogram {
     val cum = sk
       .withColumn("cum", sum(col("cnt")).over(w.orderBy(col("idx"))))
       .withColumn("n", sum(col("cnt")).over(w))
-    val perQ = qs.map { q =>
+    val picks = qs.zipWithIndex.map { case (q, i) =>
       val rank = greatest(ceil(lit(q) * col("n").cast("double")), lit(1.0))
-      cum
-        .filter(col("cum").cast("double") >= rank)
-        .groupBy(groupCols.map(col): _*)
-        .agg(min(col("idx")).as("idx"))
-        .select((groupCols.map(col) :+ lit(q).as("q") :+
-          bucketMid(col("idx"), subBits).as("est")): _*)
+      min(when(col("cum").cast("double") >= rank, col("idx"))).as(s"_q$i")
     }
-    perQ.reduce(_ unionAll _)
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("q"), col(s"_q$i").as("idx"))
+    }
+    cum
+      .groupBy(groupCols.map(col): _*)
+      .agg(picks.head, picks.tail: _*)
+      .select((groupCols.map(col) :+ explode(array(rows: _*)).as("_pick")): _*)
+      .select((groupCols.map(col) :+ col("_pick.q").as("q") :+
+        bucketMid(col("_pick.idx"), subBits).as("est")): _*)
   }
 
   /** DuckDB twin fragments — the same exact algebra, textual form. */
