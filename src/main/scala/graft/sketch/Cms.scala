@@ -29,7 +29,7 @@ object Cms {
   val DefaultD = 4
   val DefaultW = 1024
 
-  private[sketch] def bucketFor(row: Int, value: Column, w: Int): Column =
+  def bucketFor(row: Int, value: Column, w: Int): Column =
     pmod(Hll.hash60(concat(lit(s"$row|"), value)), lit(w.toLong))
 
   /** Builds the counter table from one value column: rows `(row, bucket,

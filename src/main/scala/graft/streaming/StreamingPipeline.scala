@@ -83,6 +83,38 @@ object StreamingPipeline {
       .agg(max(rho).as("r"))
   }
 
+  /** Streaming count-min sketch: per event-time window, the
+    * `(row, bucket, cnt)` cells of a [[graft.sketch.Cms]] sketch over
+    * `value` — the frequency twin of [[distinctSketchStream]], with the
+    * same contract: identical cell layout to the batch sketch (same
+    * seeded md5 hashes), so windowed cells merge into stored sketches by
+    * cellwise sum and point-frequency estimates behave exactly as in
+    * batch. State is ≤ d·w rows per window, watermark-bounded. The
+    * monitoring use: per-window token/event frequencies that can be
+    * rolled up across windows WITHOUT keeping one shuffle row per
+    * distinct value alive in the stream.
+    */
+  def frequencySketchStream(
+      stream: DataFrame,
+      value: Column,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      windowLength: String = "5 minutes",
+      d: Int = graft.sketch.Cms.DefaultD,
+      w: Int = graft.sketch.Cms.DefaultW
+  ): DataFrame = {
+    val rows = (0 until d).map { j =>
+      stream
+        .filter(value.isNotNull)
+        .select(col(tsCol), lit(j).as("row"),
+          graft.sketch.Cms.bucketFor(j, value, w).as("bucket"))
+    }.reduce(_ unionAll _)
+    rows
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming corpus-quality monitor: watermarked per-window, per-source
     * aggregates of the single-pass text signals ([[graft.text.TextAnalysis
     * .textStats]]) — ingest rate, token throughput, mean quality score and

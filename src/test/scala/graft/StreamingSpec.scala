@@ -204,6 +204,36 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(direct - 4.0) < 0.1, s"estimate $direct for 4 distinct")
   }
 
+  test("streaming CMS sketch: window cells equal the batch sketch; estimates agree") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("id", "ts", "tok")
+    val sk = StreamingPipeline.frequencySketchStream(
+      df, col("tok"), windowLength = "5 minutes")
+    val w1 = Seq("a", "a", "b", "c")
+    val w2 = Seq("a", "b")
+    input.addData(
+      w1.zipWithIndex.map { case (t, i) => (i.toLong, ts(1, i), t) } ++
+        w2.zipWithIndex.map { case (t, i) => (100L + i, ts(6, i), t) }: _*)
+    val q = sk.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cms_stream")
+    import graft.sketch.Cms
+    // window-1 cells == batch cells over the same values
+    val w1Streamed = streamed
+      .filter(col("window.start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .select(col("row"), col("bucket"), col("cnt"))
+    val w1Batch = Cms.sketch(w1.toDF("tok"), col("tok"))
+    assert(w1Streamed.except(w1Batch).isEmpty && w1Batch.except(w1Streamed).isEmpty)
+    // cellwise-summed roll-up == batch sketch of all values; estimates exact
+    // here (no collisions at this cardinality)
+    val rolled = Cms.merge(streamed.select(col("row"), col("bucket"), col("cnt")))
+    val est = Cms.estimate(rolled, Seq("a", "b", "c").toDF("tok"), col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 3L, "b" -> 2L, "c" -> 1L), est.toString)
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps first arrival") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
