@@ -89,6 +89,7 @@ object Canon {
     "q_bloom_decontam" -> Seq("overlap_frac"),
     "q_pagerank" -> Seq("pagerank"),
     "q_hll_distinct" -> Seq("est_distinct"),
+    "q_profile_approx" -> Seq("est_distinct"),
     "q_hll_merged" -> Seq("est_merged", "est_direct"),
     "q_hdr_quantiles" -> Seq("est")
   )

@@ -166,6 +166,56 @@ object SketchQueries {
         order by tok"""
       }
     ),
+    "q_profile_approx" -> Q(
+      (s, dir) => {
+        // the scale twin of q_profile: per-column distinct ESTIMATES from
+        // one exploded sketch pass (state capped at m buckets/column)
+        // beside exact nonnull counts from a plain narrow agg — no
+        // multi-distinct Expand, no per-distinct-value state
+        val d = docs(s, dir)
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val est = Hll.estimate(Hll.sketchColumns(d, cols), Seq("col_name"))
+        val nnAggs = cols.map(c => count(col(c)).as(s"_nn_$c"))
+        val nnRows = cols.map(c =>
+          struct(lit(c).as("col_name"), col(s"_nn_$c").as("n_nonnull")))
+        val nonnull = d
+          .agg(nnAggs.head, nnAggs.tail: _*)
+          .select(explode(array(nnRows: _*)).as("r"))
+          .select(col("r.col_name"), col("r.n_nonnull"))
+        nonnull
+          .join(est, Seq("col_name"))
+          .select(
+            col("col_name"),
+            col("n_nonnull"),
+            roundHalfUp(col("est_distinct"), 4)
+              .cast("decimal(18,4)").as("est_distinct"))
+          .orderBy("col_name")
+      },
+      Some {
+        val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+        val sketches = cols.map { c =>
+          val v = if (c == "doc_id" || c == "n_chars") s"cast($c as varchar)" else c
+          s"""sk_$c as (
+            select ${Hll.duck.bucket(v)} as bucket, max(${Hll.duck.rho(v)}) as r
+            from documents where $c is not null group by bucket
+          ),
+          est_$c as (select ${Hll.duck.estimateExpr()} as est from sk_$c)"""
+        }.mkString(",\n        ")
+        val branches = cols.map { c =>
+          s"select '$c' as col_name, count($c) as n_nonnull from documents"
+        }.mkString(" union all ")
+        val ests = cols.map(c =>
+          s"select '$c' as col_name, est from est_$c").mkString(" union all ")
+        s"""
+        with $sketches,
+        nn as ($branches),
+        es as ($ests)
+        select nn.col_name, n_nonnull,
+          cast(${duckRound("est", 4)} as decimal(18,4)) as est_distinct
+        from nn join es using (col_name)
+        order by col_name"""
+      }
+    ),
     "q_bloom_decontam" -> Q(
       (s, dir) => {
         // bloom-prefiltered decontamination: the oracle is the EXACT

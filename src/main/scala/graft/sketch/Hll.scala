@@ -79,6 +79,34 @@ object Hll {
       .agg(max(rho).as("r"))
   }
 
+  /** Multi-column distinct sketches in ONE corpus pass: each row explodes
+    * to a `(col_name, bucket, rho)` triple per profiled column, and one
+    * map-side-combined aggregation collapses them to ≤ |cols|·m sketch
+    * rows. This is the scale path for column profiling: the exact
+    * multi-`count_distinct` plan Expands the corpus |cols|× and keeps a
+    * per-distinct-value hash state per column — at 100 TB that state IS
+    * the corpus; here the explode carries only a column tag and two small
+    * ints, and the aggregation state is capped at m buckets per column no
+    * matter the cardinality. NULLs are skipped per column (matching the
+    * exact profile's `count(distinct col)` semantics).
+    */
+  def sketchColumns(
+      df: DataFrame,
+      cols: Seq[String],
+      p: Int = DefaultP
+  ): DataFrame = {
+    require(cols.nonEmpty, "hll: need at least one column to profile")
+    val rows = cols.map { c =>
+      val (b, r) = bucketRho(col(c).cast("string"), p)
+      struct(lit(c).as("col_name"), b.as("bucket"), r.as("r"))
+    }
+    df.select(explode(array(rows: _*)).as("e"))
+      .select(col("e.col_name"), col("e.bucket"), col("e.r"))
+      .filter(col("bucket").isNotNull) // a NULL value hashes to NULL
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+  }
+
   /** Merges sketches over the same key space: max is associative and
     * commutative, so merge-of-parts equals the sketch of the union —
     * exactly, not approximately.

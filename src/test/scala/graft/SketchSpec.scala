@@ -73,6 +73,26 @@ class SketchSpec extends SparkSpec {
     out.values.foreach(e => assert(math.abs(e - 1000.0) / 1000.0 < 0.08))
   }
 
+  test("hll: multi-column sketch pass equals per-column sketches") {
+    val df = spark.range(2000).select(
+      col("id"),
+      (col("id") % 7).cast("string").as("cat"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(concat(lit("v"), col("id")))
+        .as("sparse"))
+    val multi = Hll.sketchColumns(df, Seq("id", "cat", "sparse"))
+    Seq("id", "cat", "sparse").foreach { c =>
+      val single = Hll.sketch(df, col(c).cast("string"))
+      val slice = multi.filter(col("col_name") === c).select("bucket", "r")
+      assert(slice.except(single).isEmpty && single.except(slice).isEmpty,
+        s"column $c: multi-pass sketch differs from the direct sketch")
+    }
+    // null skipping matches count(distinct): 1600 non-null sparse values
+    val est = Hll.estimate(
+      multi.filter(col("col_name") === "sparse").select("bucket", "r"))
+      .head().getDouble(0)
+    assert(math.abs(est - 1600.0) / 1600.0 < 0.05, s"est=$est")
+  }
+
   // ---- count-min ---------------------------------------------------------
 
   private def zipfTokens: DataFrame =
