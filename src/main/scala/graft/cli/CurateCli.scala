@@ -377,7 +377,16 @@ object CurateCli {
           }
           n
         }
-        if (leafCount(live) >= compactAt) {
+        // the healed steady state is ONE file per centroid partition, so
+        // the trigger must count files IN EXCESS of the partition count —
+        // a bare `leafCount >= compactAt` with nPartitions ~ compactAt
+        // (both default 16) would re-trigger on every batch and rewrite
+        // the whole store each time
+        val nPartDirs = fs
+          .listStatus(new org.apache.hadoop.fs.Path(live))
+          .count(s => s.isDirectory &&
+            s.getPath.getName.startsWith("centroid_id="))
+        if (leafCount(live) >= nPartDirs + compactAt) {
           val tmpP = new org.apache.hadoop.fs.Path(s"${live}__compacting")
           val oldP = new org.apache.hadoop.fs.Path(s"${live}__retired")
           fs.delete(tmpP, true)

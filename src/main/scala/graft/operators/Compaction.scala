@@ -101,9 +101,12 @@ object Compaction {
     require(qualified(inDir) != qualified(outDir),
       "compaction: refuse to overwrite the input in place — write to a new " +
         "directory and swap atomically at the catalog/manifest layer")
-    val fs = new org.apache.hadoop.fs.Path(inDir).getFileSystem(conf)
+    // resolve the FileSystem PER DIRECTORY: binding it to inDir would make
+    // the post-rewrite listing of a cross-filesystem outDir throw Wrong FS
+    // after the full rewrite already ran
     def leafFiles(dir: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val it = path.getFileSystem(conf).listFiles(path, true)
       val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
       while (it.hasNext) {
         val s = it.next()

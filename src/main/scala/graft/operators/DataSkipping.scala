@@ -139,13 +139,23 @@ object DataSkipping {
           col(s"${r.name}_max") >= lit(r.lo) &&
           col(s"${r.name}_min") <= lit(r.hi))
     }
-    val nKeep = keep.count()
-    require(nKeep <= maxFiles,
-      s"dataskipping: box keeps $nKeep files (> maxFiles=$maxFiles) — the " +
-        "driver-side path list would not be bounded. Tighten the box, " +
-        "re-cluster the layout into fewer/larger files, read via partition " +
-        "pruning instead, or raise maxFiles knowingly.")
-    val files = keep.select(col("file")).collect().map(_.getString(0)).sorted
+    // ONE action enforces the bound AND fetches the list: collecting
+    // maxFiles+1 rows proves overflow without a separate count() pass —
+    // a computed (unmaterialized) manifest lineage can be a full
+    // projected scan, and two actions would run it twice. The exact
+    // census is only computed on the (already-failing) overflow path,
+    // where its diagnostic value is worth the second action.
+    val fetched = keep.select(col("file")).limit(maxFiles + 1).collect()
+    if (fetched.length > maxFiles) {
+      val exact = keep.count()
+      throw new IllegalArgumentException(
+        s"requirement failed: dataskipping: box keeps $exact files " +
+          s"(> maxFiles=$maxFiles) — the driver-side path list would not " +
+          "be bounded. Tighten the box, re-cluster the layout into " +
+          "fewer/larger files, read via partition pruning instead, or " +
+          "raise maxFiles knowingly.")
+    }
+    val files = fetched.map(_.getString(0)).sorted
     // basePath: an explicit-path read of a hive-partitioned tree would
     // otherwise silently DROP the partition columns (shard=/bucket=)
     val base =

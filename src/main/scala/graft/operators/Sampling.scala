@@ -54,17 +54,6 @@ object Sampling {
       .filter(col("mille") < thresh)
   }
 
-  /** Exact-N-per-group balanced downsample: the `n` rows of each group with
-    * the smallest (stable-hash, id) key — deterministic, engine-portable
-    * (same md5 bucket a DuckDB twin computes), and join-stable like
-    * [[stratifiedSample]]. Where the rate-based sampler keeps a
-    * PROPORTIONAL slice, this caps every group at the same absolute budget
-    * — the balanced-classes shape.
-    *
-    * The per-group cut is a keyed window rank, so the sort is bounded by
-    * the largest group; at extreme group sizes pre-filter with
-    * `stratifiedSample` first to shrink the window input.
-    */
   /** Deterministic weighted sampling without replacement, n per group —
     * the Efraimidis–Spirakis one-pass scheme (IPL 2006): each row draws
     * key `u^(1/w)` (equivalently ranked as `ln(u)/w`) and the n largest
@@ -107,6 +96,17 @@ object Sampling {
       .filter(col("es_rank") <= n)
   }
 
+  /** Exact-N-per-group balanced downsample: the `n` rows of each group with
+    * the smallest (stable-hash, id) key — deterministic, engine-portable
+    * (same md5 bucket a DuckDB twin computes), and join-stable like
+    * [[stratifiedSample]]. Where the rate-based sampler keeps a
+    * PROPORTIONAL slice, this caps every group at the same absolute budget
+    * — the balanced-classes shape.
+    *
+    * The per-group cut is a keyed window rank, so the sort is bounded by
+    * the largest group; at extreme group sizes pre-filter with
+    * `stratifiedSample` first to shrink the window input.
+    */
   def exactPerGroup(
       df: DataFrame,
       idCol: String,

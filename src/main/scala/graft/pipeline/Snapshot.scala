@@ -118,8 +118,27 @@ object Snapshot {
       dir: String,
       box: Seq[graft.operators.ColRange],
       maxFiles: Int = 100000
-  ): DataFrame =
+  ): DataFrame = {
+    // a crashed merge may have left the manifest stale (dirty marker) —
+    // a pruned read through a stale manifest would silently return wrong
+    // rows, so trust is restored before the first file decision; the
+    // marker's content names the stat key to rebuild with
+    val dirty = new org.apache.hadoop.fs.Path(dirtyMarker(dir))
+    val fs = dirty.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dirty)) {
+      val in = fs.open(dirty)
+      val key = try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+      require(key.nonEmpty,
+        s"snapshot store $dir: dirty manifest marker carries no stat key")
+      healManifest(spark, dir, key)
+    }
     graft.operators.DataSkipping.prunedReadSelf(spark, dir, box, maxFiles)
+  }
 
   /** Merge a batch into a stored snapshot, touching ONLY the buckets the
     * batch hashes into: collect the batch's bucket set (bounded by
@@ -164,14 +183,53 @@ object Snapshot {
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy("bucket").parquet(stage)
+      // dirty marker BEFORE the data commit: from here until the manifest
+      // refresh completes, `_stats` may be stale (listing files the
+      // dynamic overwrite is about to delete) — readers heal through
+      // healManifest if a crash strands this window
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the marker carries the stat key, so a reader can heal (rebuild
+      // the manifest from data) even when the crash also took the
+      // manifest directory itself
+      val marker = fs.create(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), true)
+      marker.write(uniqueKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      marker.close()
       spark.read.parquet(stage)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy("bucket").parquet(dir)
-      val p = new org.apache.hadoop.fs.Path(stage)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
       refreshManifest(spark, dir, uniqueKey, touched.toSeq)
+      fs.delete(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), false)
+    }
+  }
+
+  private def dirtyMarker(dir: String): String =
+    s"$dir/${graft.operators.DataSkipping.ManifestSubdir}__dirty"
+
+  /** Restore manifest trust after a crash: if a merge died between its
+    * data commit and its manifest refresh (dirty marker present), or the
+    * manifest is missing/partial, rebuild it from the data — one
+    * projected scan, after which pruned reads are exact again. No-op on a
+    * healthy store.
+    */
+  def healManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      uniqueKey: String
+  ): Unit = {
+    import graft.operators.DataSkipping
+    val manifestDir = s"$dir/${DataSkipping.ManifestSubdir}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirty = new org.apache.hadoop.fs.Path(dirtyMarker(dir))
+    if (fs.exists(dirty) || !fs.exists(new org.apache.hadoop.fs.Path(manifestDir))) {
+      fs.delete(new org.apache.hadoop.fs.Path(manifestDir), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$manifestDir.stage"), true)
+      DataSkipping.writeManifest(spark, dir, Seq(uniqueKey), manifestDir)
+      fs.delete(dirty, false)
     }
   }
 
@@ -207,9 +265,17 @@ object Snapshot {
       untouchedRows.unionByName(touchedStats)
         .coalesce(1)
         .write.mode("overwrite").parquet(stage)
-      spark.read.parquet(stage)
-        .write.mode("overwrite").parquet(manifestDir)
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      // rename swap, not overwrite-in-place: a reader racing the refresh
+      // must see the old manifest or the new one, never a half-written
+      // directory (prunedRead trusts the manifest to list EVERY file).
+      // Any crash inside this window leaves the dirty marker set, and
+      // healManifest rebuilds from data.
+      val retired = new org.apache.hadoop.fs.Path(s"$manifestDir.retired")
+      fs.delete(retired, true)
+      fs.rename(new org.apache.hadoop.fs.Path(manifestDir), retired)
+      fs.rename(new org.apache.hadoop.fs.Path(stage),
+        new org.apache.hadoop.fs.Path(manifestDir))
+      fs.delete(retired, true)
     }
   }
 

@@ -157,8 +157,8 @@ object SketchQueries {
         ),
         probes as ($probes),
         est as (
-          select p.tok, min(c.cnt) as cms_est
-          from probes p join cells c on p.hrow = c.hrow and p.bucket = c.bucket
+          select p.tok, min(coalesce(c.cnt, 0)) as cms_est
+          from probes p left join cells c on p.hrow = c.hrow and p.bucket = c.bucket
           group by p.tok
         )
         select top.tok, exact_cnt, cms_est

@@ -32,9 +32,20 @@ object Cms {
   def bucketFor(row: Int, value: Column, w: Int): Column =
     pmod(Hll.hash60(concat(lit(s"$row|"), value)), lit(w.toLong))
 
+  /** One `(row, bucket)` struct per hash row for one input value — the
+    * explode payload shared by the batch build, the probe side, and the
+    * streaming variant, so every consumer reads its input exactly ONCE
+    * regardless of d (a union-of-d-branches formulation would scan it d
+    * times).
+    */
+  private[graft] def cellStructs(value: Column, d: Int, w: Int): Column =
+    array((0 until d).map { j =>
+      struct(lit(j).as("row"), bucketFor(j, value, w).as("bucket"))
+    }: _*)
+
   /** Builds the counter table from one value column: rows `(row, bucket,
     * cnt)`, at most d·w of them, each the number of input values hashing
-    * into that cell.
+    * into that cell. One narrow pass over the input.
     */
   def sketch(
       df: DataFrame,
@@ -44,11 +55,10 @@ object Cms {
   ): DataFrame = {
     require(d >= 1 && d <= 16, s"cms: d must be in [1,16], got $d")
     require(w >= 16, s"cms: w must be >= 16, got $w")
-    val rows = (0 until d).map { j =>
-      df.filter(value.isNotNull)
-        .select(lit(j).as("row"), bucketFor(j, value, w).as("bucket"))
-    }.reduce(_ unionAll _)
-    rows.groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    df.filter(value.isNotNull)
+      .select(explode(cellStructs(value, d, w)).as("e"))
+      .groupBy(col("e.row").as("row"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** Merge = cell-wise sum (counts are additive across slices/batches). */
@@ -59,6 +69,13 @@ object Cms {
     * `queries`: min over the d cells each value hashes to. The sketch side
     * is ≤ d·w rows — Spark broadcasts it; the probe never rescans the
     * corpus the sketch summarized.
+    *
+    * Absent cells COUNT AS ZERO (left join + coalesce): a value the
+    * sketched corpus never touched estimates 0, not "missing" — an inner
+    * join would silently drop never-seen probes (or min over only their
+    * collided cells), breaking the never-undercount-by-at-most-2N/w
+    * contract exactly for the monitoring case that asks about absent
+    * values.
     */
   def estimate(
       sk: DataFrame,
@@ -66,18 +83,14 @@ object Cms {
       value: Column,
       d: Int = DefaultD,
       w: Int = DefaultW
-  ): DataFrame = {
-    val probes = (0 until d).map { j =>
-      queries
-        .filter(value.isNotNull)
-        .select(value.as("value"), lit(j).as("row"),
-          bucketFor(j, value, w).as("bucket"))
-    }.reduce(_ unionAll _)
-    probes
-      .join(broadcast(sk), Seq("row", "bucket"))
+  ): DataFrame =
+    queries
+      .filter(value.isNotNull)
+      .select(value.as("value"), explode(cellStructs(value, d, w)).as("e"))
+      .select(col("value"), col("e.row").as("row"), col("e.bucket").as("bucket"))
+      .join(broadcast(sk), Seq("row", "bucket"), "left")
       .groupBy(col("value"))
-      .agg(min(col("cnt")).as("cms_est"))
-  }
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
   /** DuckDB twin fragments (see [[Hll.duck]]). */
   object duck {

@@ -49,7 +49,12 @@ object ProfileStore {
     (Hll.sketch(batch, distinctCol),
       HdrHistogram.sketch(batch, lenCol.cast("double")))
 
-  /** Bootstrap: profile of the first batch. */
+  /** Bootstrap: profile of the first batch. Writes hdr BEFORE hll —
+    * [[exists]] keys on the hll dir, so the store only reads as present
+    * once BOTH halves landed; the reverse order would let a crash between
+    * the two writes strand a store that `exists` routes to [[append]],
+    * which then fails forever on the missing hdr path.
+    */
   def write(
       spark: SparkSession,
       dir: String,
@@ -58,8 +63,8 @@ object ProfileStore {
       lenCol: Column
   ): Unit = {
     val (hll, hdr) = sketchBatch(batch, distinctCol, lenCol)
-    hll.coalesce(1).write.mode("overwrite").parquet(s"$dir/hll")
     hdr.coalesce(1).write.mode("overwrite").parquet(s"$dir/hdr")
+    hll.coalesce(1).write.mode("overwrite").parquet(s"$dir/hll")
   }
 
   /** Merges one batch into the stored profile. The merged sketch is fully

@@ -103,15 +103,13 @@ object StreamingPipeline {
       d: Int = graft.sketch.Cms.DefaultD,
       w: Int = graft.sketch.Cms.DefaultW
   ): DataFrame = {
-    val rows = (0 until d).map { j =>
-      stream
-        .filter(value.isNotNull)
-        .select(col(tsCol), lit(j).as("row"),
-          graft.sketch.Cms.bucketFor(j, value, w).as("bucket"))
-    }.reduce(_ unionAll _)
-    rows
+    stream
       .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowLength), col("row"), col("bucket"))
+      .filter(value.isNotNull)
+      .select(col(tsCol),
+        explode(graft.sketch.Cms.cellStructs(value, d, w)).as("e"))
+      .groupBy(window(col(tsCol), windowLength),
+        col("e.row").as("row"), col("e.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 

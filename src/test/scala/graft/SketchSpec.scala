@@ -118,6 +118,19 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("cms: never-seen values estimate 0, not missing") {
+    val sk = Cms.sketch(zipfTokens, col("tok"))
+    val absent = Seq("absent-x", "absent-y", "tok3").toDF("tok")
+    val est = Cms.estimate(sk, absent, col("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == Set("absent-x", "absent-y", "tok3"),
+      s"absent probes must not vanish: $est")
+    // with w=1024 and 40 tokens, an absent value virtually always has at
+    // least one empty cell -> exact 0; and it can NEVER undercount
+    assert(est("absent-x") == 0L && est("absent-y") == 0L, est.toString)
+    assert(est("tok3") >= 37L) // present token keeps its guarantee
+  }
+
   test("cms: merge of slice sketches equals the whole-corpus sketch") {
     val toks = zipfTokens.withColumn("slice", monotonically_increasing_id() % 3)
     val parts = (0 until 3).map(i =>

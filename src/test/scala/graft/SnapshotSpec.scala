@@ -95,6 +95,42 @@ class SnapshotSpec extends SparkSpec {
     assert(fileState() == after, "empty-batch merge modified the store")
   }
 
+  test("stale-manifest crash window: dirty marker makes prunedLoad heal before pruning") {
+    val rows = (1 to 40).map(i => (f"K$i%03d", s"v$i", d("2025-01-01")))
+      .toDF("record_id", "payload", "updated_at")
+    val batch = Seq(("K005", "v5b", d("2025-02-01")),
+      ("K999", "new", d("2025-02-01"))).toDF("record_id", "payload", "updated_at")
+    val store = java.nio.file.Files.createTempDirectory("scd2_heal").toString + "/snap"
+    Snapshot.writeStore(Snapshot.initial(rows, "record_id", "updated_at"),
+      "record_id", store, buckets = 4)
+    Snapshot.mergeStore(spark, store, batch, "record_id", "updated_at", buckets = 4)
+    val manifestDir = s"$store/${graft.operators.DataSkipping.ManifestSubdir}"
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val box = Seq(graft.operators.ColRange("record_id", "K000", "K010"))
+    val healthy = Snapshot.prunedLoad(spark, store, box)
+      .select("record_id").orderBy("record_id").collect().toSeq
+
+    // simulate a merge that committed data but died before the manifest
+    // refresh: dirty marker present (with the stat key), manifest GONE
+    val marker = fs.create(
+      new org.apache.hadoop.fs.Path(s"${manifestDir}__dirty"), true)
+    marker.write("record_id".getBytes("UTF-8")); marker.close()
+    fs.delete(new org.apache.hadoop.fs.Path(manifestDir), true)
+
+    val healed = Snapshot.prunedLoad(spark, store, box)
+      .select("record_id").orderBy("record_id").collect().toSeq
+    assert(healed == healthy, "healed pruned read must equal the healthy one")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(manifestDir)),
+      "heal must rebuild the manifest")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${manifestDir}__dirty")),
+      "heal must clear the dirty marker")
+    // explicit heal API is a no-op on the now-healthy store
+    Snapshot.healManifest(spark, store, "record_id")
+    assert(Snapshot.prunedLoad(spark, store, box)
+      .select("record_id").orderBy("record_id").collect().toSeq == healthy)
+  }
+
   test("policy round-trips through StructField.metadata") {
     val policies = PolicyCatalog.reference.policiesFor("stg_services_publics")
     val df = Seq(("a@b.fr", "x", 1.0)).toDF("contact_email", "city", "latitude")
