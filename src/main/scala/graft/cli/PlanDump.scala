@@ -67,7 +67,12 @@ object PlanDump {
     "q_hdr_quantiles",    // integer log-bucket agg + tiny window cum-sum
     "q_bloom_decontam",   // codegen'd bloom prefilter above the confirm join
     "q_pagerank",         // 5 unrolled contribution-join supersteps
-    "q_weighted_sample"   // E-S key + keyed window rank
+    "q_weighted_sample",  // E-S key + keyed window rank
+    "q_l_diversity",      // two-level census agg, no distinct state
+    "q_t_closeness",      // census equi-join + closed-form absent mass
+    "q_dp_counts",        // groupBy + embedded-literal noise chain
+    "q_reid_risk",        // one grouping-sets pass over 3 QI sets
+    "q_kmv_overlap"       // bounded KMV agg + alphabet pair grid
   )
 
   def main(args: Array[String]): Unit = {

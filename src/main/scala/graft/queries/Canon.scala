@@ -91,7 +91,10 @@ object Canon {
     "q_hll_distinct" -> Seq("est_distinct"),
     "q_profile_approx" -> Seq("est_distinct"),
     "q_hll_merged" -> Seq("est_merged", "est_direct"),
-    "q_hdr_quantiles" -> Seq("est")
+    "q_hdr_quantiles" -> Seq("est"),
+    "q_t_closeness" -> Seq("tvd"),
+    "q_reid_risk" -> Seq("pct_unique"),
+    "q_kmv_overlap" -> Seq("est_jaccard", "est_overlap")
   )
 
   /** Spark side: in-place string cast of the named columns. */

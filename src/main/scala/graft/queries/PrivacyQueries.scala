@@ -1,0 +1,279 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.pipeline.Pipeline
+import graft.queries.Registry.Q
+import graft.sketch.Kmv
+import graft.validate.{DpRelease, Privacy}
+
+/** Driver-contract queries for the privacy-audit layer beyond k-anonymity
+  * (l-diversity, t-closeness, DP count release, re-identification risk
+  * census) and for the KMV set-intersection sketch. The privacy queries run
+  * on the GDPR services pipeline's staged model — the same surface the
+  * reference's validation suite audits — with `department =
+  * substr(postal_code, 1, 2)` as the quasi-identifier and
+  * `organization_type` as the sensitive attribute.
+  */
+object PrivacyQueries {
+
+  import Parity.{duckRound, roundHalfUp}
+
+  private def staged(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Pipeline.staging(Tables.services(s, dir))
+
+  /** base CTE shared by the department-level audits. */
+  private val deptBase = """
+        , base as (
+          select substr(postal_code, 1, 2) as department,
+                 organization_type as s
+          from staged
+          where postal_code is not null and organization_type is not null
+        )"""
+
+  private val DpEps = 1.0
+  private val DpSalt = "graft_release_2026_08"
+  private val KmvK = 128
+
+  val all: ListMap[String, Q] = ListMap(
+    "q_l_diversity" -> Q(
+      (s, dir) =>
+        Privacy
+          .lDiversityAudit(
+            staged(s, dir).filter(col("postal_code").isNotNull),
+            substring(col("postal_code"), 1, 2),
+            col("organization_type"),
+            l = 4,
+            qiName = "department")
+          .orderBy("department"),
+      Some(OracleSql.pipelineCtes + deptBase + """
+        select department,
+          count(*) as group_size,
+          count(distinct s) as distinct_sensitive,
+          count(distinct s) >= 4 as diverse_ok
+        from base
+        group by department
+        order by department""")
+    ),
+    "q_t_closeness" -> Q(
+      (s, dir) =>
+        Privacy
+          .tClosenessAudit(
+            staged(s, dir).filter(col("postal_code").isNotNull),
+            substring(col("postal_code"), 1, 2),
+            col("organization_type"),
+            qiName = "department")
+          .select(
+            col("department"),
+            col("group_size"),
+            roundHalfUp(col("tvd"), 6).cast("decimal(9,6)").as("tvd"))
+          .orderBy("department"),
+      // integer-exact numerator replay: per-(group, value) census, global
+      // value distribution, |groups| x |values| grid with absent values at
+      // ngv = 0, hugeint products — the single float step is the final
+      // division, identical round-to-nearest both engines
+      Some(OracleSql.pipelineCtes + deptBase + """
+        , gv as (select department, s, count(*) as ngv from base group by 1, 2),
+        g as (select department, sum(ngv) as ng from gv group by 1),
+        v as (select s, sum(ngv) as nv from gv group by 1),
+        n as (select sum(nv) as n from v),
+        grid as (
+          select g.department, g.ng, v.s, v.nv, n.n,
+                 coalesce(gv.ngv, 0) as ngv
+          from g cross join v cross join n
+          left join gv on gv.department = g.department and gv.s = v.s
+        ),
+        agg as (
+          select department, ng, n,
+            sum(abs(cast(ngv as hugeint) * n - cast(nv as hugeint) * ng)) as num
+          from grid group by 1, 2, 3
+        )
+        select department, cast(ng as bigint) as group_size,
+          cast(""" + duckRound("cast(num as double) / (2.0 * ng * n)", 6) +
+        """ as decimal(9,6)) as tvd
+        from agg
+        order by department""")
+    ),
+    "q_dp_counts" -> Q(
+      // eps-DP released per-department histogram (two-sided geometric
+      // noise). The salt is EMBEDDED here, so this specific release is
+      // derandomized-by-construction for testability; a production release
+      // draws a fresh secret salt (DpRelease scaladoc)
+      (s, dir) =>
+        DpRelease
+          .noisyCounts(
+            staged(s, dir).filter(col("postal_code").isNotNull),
+            substring(col("postal_code"), 1, 2),
+            keyName = "department",
+            eps = DpEps,
+            releaseSalt = DpSalt)
+          .orderBy("department"),
+      Some(OracleSql.pipelineCtes + s"""
+        , cnt as (
+          select substr(postal_code, 1, 2) as department, count(*) as exact_n
+          from staged where postal_code is not null
+          group by 1
+        ),
+        noisy as (
+          select department, exact_n,
+            ${DpRelease.duck.noiseCase(
+              DpRelease.duck.hash(DpSalt, "department"), DpEps)} as noise
+          from cnt
+        )
+        select department, exact_n, noise,
+          greatest(exact_n + noise, cast(0 as bigint)) as released_n
+        from noisy
+        order by department""")
+    ),
+    "q_reid_risk" -> Q(
+      (s, dir) =>
+        Privacy
+          .reidRisk(
+            staged(s, dir),
+            Seq(
+              Privacy.QiSet("city", Seq(col("city"))),
+              Privacy.QiSet("postal_code", Seq(col("postal_code"))),
+              Privacy.QiSet(
+                "postal_orgtype",
+                Seq(col("postal_code"), col("organization_type")))),
+            smallK = 5)
+          .select(
+            col("qi_set"),
+            col("n_rows"),
+            col("n_groups"),
+            col("n_unique_groups"),
+            col("rows_below_k"),
+            col("min_group"),
+            roundHalfUp(
+              col("n_unique_groups").cast("double") /
+                col("n_rows").cast("double"), 6)
+              .cast("decimal(9,6)").as("pct_unique"))
+          .orderBy("qi_set"),
+      Some(OracleSql.pipelineCtes + """
+        , g1 as (select city as v, count(*) as n from staged group by city),
+        g2 as (select postal_code as v, count(*) as n
+               from staged group by postal_code),
+        g3 as (select count(*) as n
+               from staged group by postal_code, organization_type),
+        u as (
+          select 'city' as qi_set, n from g1
+          union all select 'postal_code', n from g2
+          union all select 'postal_orgtype', n from g3
+        )
+        select qi_set,
+          cast(sum(n) as bigint) as n_rows,
+          count(*) as n_groups,
+          cast(sum(case when n = 1 then 1 else 0 end) as bigint)
+            as n_unique_groups,
+          cast(sum(case when n < 5 then n else 0 end) as bigint)
+            as rows_below_k,
+          cast(min(n) as bigint) as min_group,
+          cast(""" + duckRound(
+            "cast(sum(case when n = 1 then 1 else 0 end) as double) / sum(n)",
+            6) + """ as decimal(9,6)) as pct_unique
+        from u
+        group by qi_set
+        order by qi_set""")
+    ),
+    "q_kmv_overlap" -> Q(
+      (s, dir) => {
+        // the scale twin of q_source_overlap: per-source KMV sketches over
+        // distinct 3-shingles, pairwise Jaccard/intersection ESTIMATES from
+        // sketch rows only — with the exact shared-shingle count beside
+        // them so accuracy is auditable (and hash-checked) per pair
+        val d = Tables.read(s, dir, "documents")
+        val sh = d.select(
+          col("source"),
+          explode(array_distinct(Dedup.wordShingles(col("text"), 3)))
+            .as("shingle"))
+        val sk = Kmv.sketch(sh, col("shingle"), Seq("source"), k = KmvK)
+        val est = Kmv.pairwiseOverlap(sk, "source", k = KmvK)
+        val exact = graft.operators.SourceOverlap
+          .shingleOverlapMatrix(d, "source", "text")
+          .select(
+            col("source_a").as("src_a"),
+            col("source_b").as("src_b"),
+            col("n_shared"))
+        est
+          .join(exact, Seq("src_a", "src_b"), "left")
+          .select(
+            col("src_a"),
+            col("src_b"),
+            coalesce(col("n_shared"), lit(0L)).as("exact_shared"),
+            col("kmv_window"),
+            col("kmv_matches"),
+            roundHalfUp(col("est_jaccard"), 6)
+              .cast("decimal(9,6)").as("est_jaccard"),
+            roundHalfUp(col("est_overlap"), 4)
+              .cast("decimal(18,4)").as("est_overlap"))
+          .orderBy("src_a", "src_b")
+      },
+      Some {
+        import ExtensionQueries.duckTokens
+        s"""
+        with t as (select source, $duckTokens as toks from documents),
+        sh as (
+          select distinct source, sg as shingle from (
+            select source, unnest(list_transform(
+              range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) as sg
+            from t)
+        ),
+        dh as (select distinct source, ${Kmv.duck.hash60("shingle")} as h from sh),
+        sk as (
+          select source, h from (
+            select source, h,
+              row_number() over (partition by source order by h) as rk
+            from dh) where rk <= $KmvK
+        ),
+        srcs as (select distinct source from sk),
+        pairs as (
+          select a.source as src_a, b.source as src_b
+          from srcs a join srcs b on a.source < b.source
+        ),
+        sides as (
+          select p.src_a, p.src_b, s.h, 1 as ina, 0 as inb
+          from sk s join pairs p on s.source = p.src_a
+          union all
+          select p.src_a, p.src_b, s.h, 0, 1
+          from sk s join pairs p on s.source = p.src_b
+        ),
+        prows as (
+          select src_a, src_b, h, max(ina) as ina, max(inb) as inb
+          from sides group by 1, 2, 3
+        ),
+        win as (
+          select * from (
+            select src_a, src_b, h, ina, inb,
+              row_number() over (partition by src_a, src_b order by h) as rk
+            from prows) where rk <= $KmvK
+        ),
+        agg as (
+          select src_a, src_b, count(*) as kmv_window,
+            sum(ina * inb) as kmv_matches, max(h) as hk
+          from win group by 1, 2
+        ),
+        ex as (
+          select a.source as src_a, b.source as src_b, count(*) as n_shared
+          from sh a join sh b on a.shingle = b.shingle and a.source < b.source
+          group by 1, 2
+        )
+        select agg.src_a, agg.src_b,
+          cast(coalesce(n_shared, 0) as bigint) as exact_shared,
+          cast(kmv_window as bigint) as kmv_window,
+          cast(kmv_matches as bigint) as kmv_matches,
+          cast(${duckRound("cast(kmv_matches as double) / kmv_window", 6)}
+               as decimal(9,6)) as est_jaccard,
+          cast(${duckRound(
+            s"cast(kmv_matches as double) / kmv_window * " +
+              Kmv.duck.estimateExpr(KmvK, "kmv_window", "hk"), 4)}
+               as decimal(18,4)) as est_overlap
+        from agg left join ex using (src_a, src_b)
+        order by src_a, src_b"""
+      }
+    )
+  )
+}

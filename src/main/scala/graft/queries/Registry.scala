@@ -1305,6 +1305,7 @@ object Registry {
 
   val all: ListMap[String, Q] =
     (pipelineQueries ++ maskingQueries ++ validatorQueries ++
-      relationalQueries ++ ExtensionQueries.all ++ SketchQueries.all)
+      relationalQueries ++ ExtensionQueries.all ++ SketchQueries.all ++
+      PrivacyQueries.all)
       .map { case (k, q) => k -> Canon.wrap(k, q) }
 }

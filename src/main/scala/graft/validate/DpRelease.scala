@@ -1,0 +1,117 @@
+package graft.validate
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sketch.Hll
+
+/** Differentially-private count release via the two-sided geometric
+  * mechanism (Ghosh, Roughgarden & Sundararajan, STOC 2009 — the discrete,
+  * utility-optimal counterpart of Laplace noise for sensitivity-1 counting
+  * queries): released = max(count + K, 0) with P(K = k) proportional to
+  * alpha^|k|, alpha = e^-eps.
+  *
+  * Randomness is DERIVED, not drawn: the uniform driving each group's noise
+  * is the engine-portable 60-bit md5 hash of (releaseSalt, group key). That
+  * makes the release reproducible, join-stable, and testable — the property
+  * every other sampled operator in this repo holds ([[graft.operators]]
+  * Sampling) — at the price that the salt must be secret and FRESH per
+  * release for the DP guarantee to hold against an adversary who knows the
+  * mechanism (a public salt derandomizes the noise; the scaladoc of the
+  * release query states this).
+  *
+  * Determinism contract: the inverse-CDF table is computed ONCE on the
+  * driver ([[thresholds]]) and embedded as integer literals in BOTH
+  * engines' plans — the pagerank embedded-constant technique — so float
+  * rounding in the CDF can never diverge between Spark and the DuckDB
+  * twin. The per-row mapping is a single integer comparison chain; no
+  * transcendental function touches the data path.
+  *
+  * Scale shape: one map-side-combined `groupBy(key).count()` plus a narrow
+  * post-aggregation projection. The CASE chain is ~2 * 60 ln2 / eps
+  * branches (84 for eps = 1), constant per plan, codegen-friendly.
+  */
+object DpRelease {
+
+  private val Scale = 1L << 60
+
+  /** Cumulative inverse-CDF thresholds for the two-sided geometric noise,
+    * scaled to the [0, 2^60) hash domain: the noise for uniform `u` is the
+    * `k` of the FIRST entry with `u < threshold`. Enumeration order
+    * 0, -1, +1, -2, +2, ... (mass-descending, sign-stable); the last
+    * threshold is pinned to 2^60 so every hash maps to some k.
+    */
+  def thresholds(eps: Double): Seq[(Long, Int)] = {
+    require(eps > 0 && eps <= 16, s"dp release: eps must be in (0, 16], got $eps")
+    val alpha = math.exp(-eps)
+    val p0 = (1 - alpha) / (1 + alpha)
+    val buf = mutable.ArrayBuffer.empty[(Long, Int)]
+    var cum = 0.0
+    var k = 0
+    var done = false
+    while (!done) {
+      val ks = if (k == 0) Seq(0) else Seq(-k, k)
+      for (s <- ks if !done) {
+        cum += (if (k == 0) p0 else p0 * math.pow(alpha, k))
+        val t = math.round(cum * Scale.toDouble)
+        if (t >= Scale || k >= 512) {
+          buf += ((Scale, s))
+          done = true
+        } else buf += ((t, s))
+      }
+      k += 1
+    }
+    buf.toSeq
+  }
+
+  /** Noise column for a uniform 60-bit hash column: the embedded-literal
+    * comparison chain over [[thresholds]].
+    */
+  def geometricNoise(u: Column, eps: Double): Column = {
+    val ts = thresholds(eps)
+    val first = when(u < ts.head._1, lit(ts.head._2))
+    ts.tail.init
+      .foldLeft(first) { case (acc, (t, k)) => acc.when(u < t, lit(k)) }
+      .otherwise(lit(ts.last._2))
+      .cast("long")
+  }
+
+  /** eps-DP released histogram of `key`: `(keyName, exact_n, noise,
+    * released_n)` with `released_n = max(exact_n + noise, 0)`. Callers
+    * ensure `key` is non-null (a null key nulls the hash, and the two
+    * engines disagree on null CASE fall-through).
+    *
+    * `exact_n` is emitted for AUDIT visibility (the q_hll_distinct
+    * pattern); a production release projects it away.
+    */
+  def noisyCounts(
+      df: DataFrame,
+      key: Column,
+      keyName: String,
+      eps: Double,
+      releaseSalt: String
+  ): DataFrame = {
+    val cnt = df.groupBy(key.as(keyName)).agg(count(lit(1)).as("exact_n"))
+    val u = Hll.hash60(
+      concat(lit(releaseSalt), lit("|"), col(keyName).cast("string")))
+    cnt
+      .withColumn("noise", geometricNoise(u, eps))
+      .withColumn("released_n", greatest(col("exact_n") + col("noise"), lit(0L)))
+  }
+
+  /** DuckDB twin fragments, generated from the SAME threshold table. */
+  object duck {
+    def hash(releaseSalt: String, keyExpr: String): String =
+      Hll.duck.hash60(s"'$releaseSalt' || '|' || cast($keyExpr as varchar)")
+
+    def noiseCase(uExpr: String, eps: Double): String = {
+      val ts = thresholds(eps)
+      val branches = ts.init
+        .map { case (t, k) => s"when $uExpr < $t then cast($k as bigint)" }
+        .mkString(" ")
+      s"(case $branches else cast(${ts.last._2} as bigint) end)"
+    }
+  }
+}

@@ -44,7 +44,11 @@ class PlanGuardSpec extends SparkSpec {
       "q_hll_merged",
       // 1/N init + teleport term: the node count crossed in as a
       // single-row broadcast aggregate
-      "q_pagerank")
+      "q_pagerank",
+      // bounded-ALPHABET broadcast, not single-row: the source-pair grid is
+      // the |S| source list crossed with itself (|S|^2/2 rows by
+      // construction, nothing corpus-sized reaches the nested loop)
+      "q_kmv_overlap")
 
   /** Builders allowed to run bounded driver actions while CONSTRUCTING the
     * plan (each collect is k×dim / |ladder| / |sources|-sized, never
