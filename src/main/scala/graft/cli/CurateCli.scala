@@ -316,10 +316,10 @@ object CurateCli {
           val profDir = s"$outDir/profile"
           if (!ProfileStore.exists(spark, profDir))
             ProfileStore.write(spark, profDir, landed,
-              col("text"), col("n_tokens"))
+              col("text"), col("n_tokens"), sourceCol = Some("source"))
           else
             ProfileStore.append(spark, profDir, landed,
-              col("text"), col("n_tokens"))
+              col("text"), col("n_tokens"), sourceCol = Some("source"))
         }
         auditShards(spark, shardDir, nFresh)
       }

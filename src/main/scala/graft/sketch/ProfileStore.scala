@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted corpus profile: an [[Hll]] distinct sketch plus an
-  * [[HdrHistogram]] length histogram, maintained INCREMENTALLY — each
+  * [[HdrHistogram]] length histogram — and, when a source column is
+  * supplied, a per-source [[Kmv]] bottom-k sketch whose pairwise
+  * intersection estimates answer "how much do my sources duplicate each
+  * other?" without a corpus read — maintained INCREMENTALLY — each
   * batch is sketched once (narrow pass over the batch only) and merged
   * into the store; the accumulated corpus is never re-read. Because both
   * merges are lossless (union+max / union+sum), the stored profile is at
@@ -21,6 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object ProfileStore {
 
+  /** Bottom-k size of the optional per-source KMV overlap sketch. */
+  val KmvK: Int = 256
+
   private def fsOf(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -35,7 +41,7 @@ object ProfileStore {
     */
   def recover(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
-    Seq(s"$dir/hll", s"$dir/hdr").foreach { live =>
+    Seq(s"$dir/hll", s"$dir/hdr", s"$dir/kmv").foreach { live =>
       if (!fs.exists(p(live)) && fs.exists(p(s"${live}__retired")))
         fs.rename(p(s"${live}__retired"), p(live))
     }
@@ -60,9 +66,15 @@ object ProfileStore {
       dir: String,
       batch: DataFrame,
       distinctCol: Column,
-      lenCol: Column
+      lenCol: Column,
+      sourceCol: Option[String] = None
   ): Unit = {
     val (hll, hdr) = sketchBatch(batch, distinctCol, lenCol)
+    // kmv lands before hdr/hll for the same crash reason hdr precedes hll
+    sourceCol.foreach { src =>
+      Kmv.sketch(batch, distinctCol, Seq(src), KmvK)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/kmv")
+    }
     hdr.coalesce(1).write.mode("overwrite").parquet(s"$dir/hdr")
     hll.coalesce(1).write.mode("overwrite").parquet(s"$dir/hll")
   }
@@ -78,7 +90,8 @@ object ProfileStore {
       dir: String,
       batch: DataFrame,
       distinctCol: Column,
-      lenCol: Column
+      lenCol: Column,
+      sourceCol: Option[String] = None
   ): Unit = {
     val fs = fsOf(spark, dir)
     val (hllB, hdrB) = sketchBatch(batch, distinctCol, lenCol)
@@ -96,6 +109,17 @@ object ProfileStore {
       Hll.merge(spark.read.parquet(s"$dir/hll").unionAll(hllB)))
     swapIn(s"$dir/hdr",
       HdrHistogram.merge(spark.read.parquet(s"$dir/hdr").unionAll(hdrB)))
+    sourceCol.foreach { src =>
+      val kmvB = Kmv.sketch(batch, distinctCol, Seq(src), KmvK)
+      if (!fs.exists(p(s"$dir/kmv")))
+        // store predates the overlap option: bootstrap from this batch
+        // forward (the HLL/HDR halves are unaffected)
+        kmvB.coalesce(1).write.mode("overwrite").parquet(s"$dir/kmv")
+      else
+        swapIn(s"$dir/kmv",
+          Kmv.merge(
+            spark.read.parquet(s"$dir/kmv").unionAll(kmvB), Seq(src), KmvK))
+    }
   }
 
   /** Distinct estimate of the profiled column over everything appended. */
@@ -109,4 +133,17 @@ object ProfileStore {
       qs: Seq[Double]
   ): DataFrame =
     HdrHistogram.quantiles(spark.read.parquet(s"$dir/hdr"), qs)
+
+  /** Pairwise source-overlap estimates over everything appended, from the
+    * stored KMV sketch alone (store written/appended with `sourceCol`).
+    * Because KMV merge is exact, this equals the estimate a one-shot
+    * sketch of the full accumulated corpus would give — cross-source
+    * duplication telemetry with zero corpus reads.
+    */
+  def sourceOverlapEstimates(
+      spark: SparkSession,
+      dir: String,
+      sourceCol: String = "source"
+  ): DataFrame =
+    Kmv.pairwiseOverlap(spark.read.parquet(s"$dir/kmv"), sourceCol, KmvK)
 }

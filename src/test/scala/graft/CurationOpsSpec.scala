@@ -1070,6 +1070,15 @@ class CurationOpsSpec extends SparkSpec {
     val storedHdr = spark.read.parquet(s"$state/profile/hdr")
     val directHdr = HdrHistogram.sketch(corpus, col("n_tokens").cast("double"))
     assert(storedHdr.except(directHdr).isEmpty && directHdr.except(storedHdr).isEmpty)
+    // the per-source KMV leg holds the same lossless-merge identity, so
+    // cross-source overlap telemetry equals a one-shot corpus sketch
+    val storedKmv = spark.read.parquet(s"$state/profile/kmv")
+    val directKmv = graft.sketch.Kmv.sketch(
+      corpus, col("text"), Seq("source"), ProfileStore.KmvK)
+    assert(storedKmv.except(directKmv).isEmpty && directKmv.except(storedKmv).isEmpty)
+    val overlap = ProfileStore.sourceOverlapEstimates(spark, s"$state/profile")
+    assert(overlap.count() > 0)
+    assert(overlap.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).isEmpty)
     // the estimate visible in batch stats equals the store's answer, and
     // the second batch's estimate grew with the corpus
     assert(s1.profileDistinctEst.get ==
