@@ -72,7 +72,9 @@ object PlanDump {
     "q_t_closeness",      // census equi-join + closed-form absent mass
     "q_dp_counts",        // groupBy + embedded-literal noise chain
     "q_reid_risk",        // one grouping-sets pass over 3 QI sets
-    "q_kmv_overlap"       // bounded KMV agg + alphabet pair grid
+    "q_kmv_overlap",      // bounded KMV agg + alphabet pair grid
+    "q_l_enforce",        // diversity-ladder probe + chosen-rung groups
+    "q_dp_sums"           // clamped sum + literal-array noise lookup
   )
 
   def main(args: Array[String]): Unit = {

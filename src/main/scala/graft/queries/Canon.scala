@@ -94,7 +94,8 @@ object Canon {
     "q_hdr_quantiles" -> Seq("est"),
     "q_t_closeness" -> Seq("tvd"),
     "q_reid_risk" -> Seq("pct_unique"),
-    "q_kmv_overlap" -> Seq("est_jaccard", "est_overlap")
+    "q_kmv_overlap" -> Seq("est_jaccard", "est_overlap"),
+    "q_anon_utility" -> Seq("avg_group_size", "discernibility")
   )
 
   /** Spark side: in-place string cast of the named columns. */

@@ -128,6 +128,180 @@ object PrivacyQueries {
         from noisy
         order by department""")
     ),
+    "q_l_enforce" -> Q(
+      (s, dir) => {
+        val dept = substring(col("postal_code"), 1, 2)
+        val ladder = Seq(
+          graft.validate.KAnonymity.Rung("postal_code", col("postal_code")),
+          graft.validate.KAnonymity.Rung("department", dept),
+          graft.validate.KAnonymity.Rung(
+            "region", Pipeline.regionFromDepartment(dept)),
+          graft.validate.KAnonymity.Rung("country", lit("FR")))
+        val (rung, out) = Privacy.enforceLDiversity(
+          staged(s, dir), ladder, col("organization_type"), l = 3)
+        out
+          .groupBy(col("qi_generalized"), col("organization_type"))
+          .agg(count(lit(1)).as("_n"))
+          .groupBy(col("qi_generalized"))
+          .agg(
+            sum(col("_n")).as("group_size"),
+            count(lit(1)).as("distinct_sensitive"))
+          .select(
+            lit(rung).as("rung"),
+            col("qi_generalized"),
+            col("group_size"),
+            col("distinct_sensitive"))
+          .orderBy("qi_generalized")
+      },
+      // replays the rung choice on DIVERSITY floors: per-rung min
+      // count(distinct sensitive) in CTEs, first rung with min >= 3 wins,
+      // the coarsest rung suppressing its residual non-diverse groups
+      Some(OracleSql.pipelineCtes + """
+        , b as (
+          select postal_code, organization_type as s
+          from staged where organization_type is not null
+        ),
+        g0 as (select postal_code as v, count(*) as n,
+                      count(distinct s) as d from b group by 1),
+        g1 as (select substr(postal_code, 1, 2) as v, count(*) as n,
+                      count(distinct s) as d from b group by 1),
+        g2 as (select case
+             when substr(postal_code,1,2) in ('75','77','78','91','92','93','94','95') then 'Île-de-France'
+             when substr(postal_code,1,2) in ('59','62') then 'Hauts-de-France'
+             when substr(postal_code,1,2) in ('69','01','42','63') then 'Auvergne-Rhône-Alpes'
+             when substr(postal_code,1,2) in ('13','83','84','04','05','06') then 'Provence-Alpes-Côte d''Azur'
+             when substr(postal_code,1,2) in ('33','24','40','47','64') then 'Nouvelle-Aquitaine'
+             when substr(postal_code,1,2) in ('31','09','12','32','46','65','81','82') then 'Occitanie'
+             else 'Autre région' end as v, count(*) as n,
+                      count(distinct s) as d from b group by 1),
+        g3 as (select 'FR' as v, count(*) as n,
+                      count(distinct s) as d from b group by 1),
+        choice as (select case when (select min(d) from g0) >= 3 then 0
+                               when (select min(d) from g1) >= 3 then 1
+                               when (select min(d) from g2) >= 3 then 2
+                               else 3 end as rung),
+        sel as (
+          select 0 as rung, v, n, d from g0 union all
+          select 1 as rung, v, n, d from g1 union all
+          select 2 as rung, v, n, d from g2 union all
+          select 3 as rung, v, n, d from g3
+        )
+        select cast(sel.rung as int) as rung, v as qi_generalized,
+               cast(n as bigint) as group_size,
+               cast(d as bigint) as distinct_sensitive
+        from sel join choice on sel.rung = choice.rung
+        where sel.rung < 3 or d >= 3
+        order by qi_generalized""")
+    ),
+    "q_dp_sums" -> Q(
+      // eps-DP released per-flag quantity SUM: contributions clamped to
+      // [0, 50] (sensitivity 50), noise at eps/50 via the literal-array
+      // threshold lookup — the CASE-chain form would carry ~4200 branches
+      (s, dir) =>
+        DpRelease
+          .noisySums(
+            Tables.read(s, dir, "lineitem"),
+            col("l_returnflag"),
+            keyName = "flag",
+            value = col("l_quantity"),
+            lo = 0L,
+            hi = 50L,
+            eps = DpEps,
+            releaseSalt = DpSalt)
+          .orderBy("flag"),
+      Some {
+        val u = DpRelease.duck.hash(DpSalt, "flag")
+        s"""
+        with cnt as (
+          select l_returnflag as flag,
+            sum(greatest(least(cast(l_quantity as bigint), 50), 0)) as exact_sum
+          from lineitem where l_quantity is not null
+          group by 1
+        ),
+        idx as (
+          select flag, exact_sum,
+            ${DpRelease.duck.noiseIndex(u, DpEps / 50.0)} as i
+          from cnt
+        )
+        select flag, cast(exact_sum as bigint) as exact_sum,
+          ${DpRelease.duck.noiseFromIndex("i")} as noise,
+          cast(exact_sum + ${DpRelease.duck.noiseFromIndex("i")} as bigint)
+            as released_sum
+        from idx
+        order by flag"""
+      }
+    ),
+    "q_anon_utility" -> Q(
+      // utility cost of the k=5 enforcement (q_k_enforce's ladder): the
+      // numbers a DPO weighs against the privacy gain — average
+      // equivalence-class size and the discernibility metric sum(n_g^2)
+      // (Bayardo & Agrawal, ICDE'05), over the CHOSEN rung's groups
+      (s, dir) => {
+        val dept = substring(col("postal_code"), 1, 2)
+        val ladder = Seq(
+          graft.validate.KAnonymity.Rung("postal_code", col("postal_code")),
+          graft.validate.KAnonymity.Rung("department", dept),
+          graft.validate.KAnonymity.Rung(
+            "region", Pipeline.regionFromDepartment(dept)),
+          graft.validate.KAnonymity.Rung("country", lit("FR")))
+        val (rung, out) =
+          graft.validate.KAnonymity.enforce(staged(s, dir), ladder, k = 5)
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+        out
+          .groupBy(col("qi_generalized"))
+          .agg(count(lit(1)).as("_n"))
+          .agg(
+            sum(col("_n")).as("n_rows"),
+            count(lit(1)).as("n_groups"),
+            sum(dec(col("_n")) * dec(col("_n"))).as("_dm"),
+            min(col("_n")).as("min_group"),
+            max(col("_n")).as("max_group"))
+          .select(
+            lit(rung).as("rung"),
+            col("n_rows"),
+            col("n_groups"),
+            roundHalfUp(
+              col("n_rows").cast("double") / col("n_groups").cast("double"), 4)
+              .cast("decimal(18,4)").as("avg_group_size"),
+            col("_dm").cast("decimal(38,0)").as("discernibility"),
+            col("min_group"),
+            col("max_group"))
+      },
+      Some(OracleSql.pipelineCtes + """
+        , g0 as (select postal_code as v, count(*) as n from staged group by 1),
+        g1 as (select substr(postal_code, 1, 2) as v, count(*) as n from staged group by 1),
+        g2 as (select case
+             when substr(postal_code,1,2) in ('75','77','78','91','92','93','94','95') then 'Île-de-France'
+             when substr(postal_code,1,2) in ('59','62') then 'Hauts-de-France'
+             when substr(postal_code,1,2) in ('69','01','42','63') then 'Auvergne-Rhône-Alpes'
+             when substr(postal_code,1,2) in ('13','83','84','04','05','06') then 'Provence-Alpes-Côte d''Azur'
+             when substr(postal_code,1,2) in ('33','24','40','47','64') then 'Nouvelle-Aquitaine'
+             when substr(postal_code,1,2) in ('31','09','12','32','46','65','81','82') then 'Occitanie'
+             else 'Autre région' end as v, count(*) as n from staged group by 1),
+        g3 as (select 'FR' as v, count(*) as n from staged group by 1),
+        choice as (select case when (select min(n) from g0) >= 5 then 0
+                               when (select min(n) from g1) >= 5 then 1
+                               when (select min(n) from g2) >= 5 then 2
+                               else 3 end as rung),
+        sel as (
+          select 0 as rung, v, n from g0 union all
+          select 1 as rung, v, n from g1 union all
+          select 2 as rung, v, n from g2 union all
+          select 3 as rung, v, n from g3
+        )
+        select cast(choice.rung as int) as rung,
+          cast(sum(n) as bigint) as n_rows,
+          count(*) as n_groups,
+          cast(""" + duckRound(
+            "cast(sum(n) as double) / count(*)", 4) + """ as decimal(18,4))
+            as avg_group_size,
+          cast(sum(cast(n as hugeint) * n) as decimal(38,0)) as discernibility,
+          cast(min(n) as bigint) as min_group,
+          cast(max(n) as bigint) as max_group
+        from sel join choice on sel.rung = choice.rung
+        where sel.rung < 3 or n >= 5
+        group by choice.rung""")
+    ),
     "q_reid_risk" -> Q(
       (s, dir) =>
         Privacy

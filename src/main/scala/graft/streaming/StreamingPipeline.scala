@@ -386,6 +386,42 @@ object StreamingPipeline {
       )
   }
 
+  /** Windowed anonymity monitor — the streaming twin of the batch
+    * k-anonymity ([[graft.validate.Validate.kAnonymityViolations]]) and
+    * distinct-l-diversity ([[graft.validate.Privacy.lDiversityAudit]])
+    * audits: per (window, quasi-identifier group), the group size and the
+    * number of distinct sensitive values, with `k_ok` / `l_ok` verdicts —
+    * the intake gate that catches a disclosive release BEFORE a window is
+    * published.
+    *
+    * ONE watermark-bounded aggregation (streaming allows no second
+    * aggregation level, so the distinct census rides in a `collect_set`
+    * whose size is bounded by the sensitive ALPHABET — categorical by the
+    * same contract as the batch t-closeness grid). NULL sensitive values
+    * are excluded, matching the batch audits.
+    */
+  def anonymityMonitor(
+      stream: DataFrame,
+      qi: Column,
+      sensitive: Column,
+      k: Int = 5,
+      l: Int = 3,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      windowLength: String = "5 minutes"
+  ): DataFrame = {
+    require(k >= 1 && l >= 1, s"anonymityMonitor: k and l must be >= 1, got k=$k l=$l")
+    stream
+      .filter(sensitive.isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength), qi.as("qi"))
+      .agg(
+        count(lit(1)).as("group_size"),
+        size(collect_set(sensitive)).as("distinct_sensitive"))
+      .withColumn("k_ok", col("group_size") >= k)
+      .withColumn("l_ok", col("distinct_sensitive") >= l)
+  }
+
   // ---- stateful sessionization ------------------------------------------
 
   final case class Event(

@@ -44,11 +44,16 @@ object DpRelease {
     * threshold is pinned to 2^60 so every hash maps to some k.
     */
   def thresholds(eps: Double): Seq[(Long, Int)] = {
-    require(eps > 0 && eps <= 16, s"dp release: eps must be in (0, 16], got $eps")
+    // lower bound: the table has ~120 ln2 / eps entries (the k-cap below
+    // is a runaway backstop that never binds in the allowed range, so the
+    // geometric tail is never truncated while it still carries mass)
+    require(eps >= 0.01 && eps <= 16,
+      s"dp release: eps must be in [0.01, 16], got $eps")
     val alpha = math.exp(-eps)
     val p0 = (1 - alpha) / (1 + alpha)
     val buf = mutable.ArrayBuffer.empty[(Long, Int)]
     var cum = 0.0
+    var last = -1L
     var k = 0
     var done = false
     while (!done) {
@@ -56,10 +61,19 @@ object DpRelease {
       for (s <- ks if !done) {
         cum += (if (k == 0) p0 else p0 * math.pow(alpha, k))
         val t = math.round(cum * Scale.toDouble)
-        if (t >= Scale || k >= 512) {
+        // three exits, all pinning the final entry to 2^60 so every hash
+        // maps: the CDF reached the top of the grid; the CDF stopped
+        // ADVANCING on the 2^-60 grid (a `u < t` branch with t == previous
+        // t can never fire — double summation stalls below 1.0, so without
+        // this the loop would pad dead branches to the k-cap, and a
+        // 16k-branch CASE chain OOMs codegen); or the runaway backstop
+        if (t >= Scale || t <= last || k >= 8192) {
           buf += ((Scale, s))
           done = true
-        } else buf += ((t, s))
+        } else {
+          buf += ((t, s))
+          last = t
+        }
       }
       k += 1
     }
@@ -76,6 +90,58 @@ object DpRelease {
       .foldLeft(first) { case (acc, (t, k)) => acc.when(u < t, lit(k)) }
       .otherwise(lit(ts.last._2))
       .cast("long")
+  }
+
+  /** Noise via a LITERAL-ARRAY threshold lookup instead of a comparison
+    * chain: `i = |{t : t <= u}|` (a higher-order `filter` over the
+    * embedded table) and the enumeration index maps back to
+    * `k = 0, -1, +1, -2, +2, ...` arithmetically. Same distribution as
+    * [[geometricNoise]]; use this form when the effective epsilon is
+    * small (sum releases divide eps by the sensitivity), where the table
+    * grows past what a CASE chain should carry (~120 ln2 / eps entries).
+    */
+  def geometricNoiseArray(u: Column, eps: Double): Column = {
+    val ts = thresholds(eps).map(_._1)
+    // the last threshold is 2^60 > any u, so i < ts.length always; index
+    // parity recovers the sign: 0 -> 0, odd i -> -(i+1)/2, even i -> i/2
+    val i = size(filter(
+      typedLit(ts.init), t => t <= u)) // u >= t means u is PAST entry t
+    (when(i % 2 === 1, -shiftright(i + 1, 1))
+      .otherwise(shiftright(i, 1))).cast("long")
+  }
+
+  /** eps-DP released SUM of an integer-valued column with bounded
+    * per-record contribution: values are CLAMPED to [lo, hi] (making the
+    * add/remove-one sensitivity exactly `max(|lo|, |hi|)`), summed per
+    * key, and released with two-sided geometric noise at the scaled
+    * epsilon `eps / sensitivity` — the standard bounded-contribution sum
+    * mechanism on the integer lattice. Output: `(keyName, exact_sum,
+    * noise, released_sum)`; `exact_sum` is audit visibility, as in
+    * [[noisyCounts]].
+    */
+  def noisySums(
+      df: DataFrame,
+      key: Column,
+      keyName: String,
+      value: Column,
+      lo: Long,
+      hi: Long,
+      eps: Double,
+      releaseSalt: String
+  ): DataFrame = {
+    require(lo < hi, s"dp release: need lo < hi, got [$lo, $hi]")
+    val sensitivity = math.max(math.abs(lo), math.abs(hi))
+    require(sensitivity > 0, "dp release: a [0, 0] clamp releases nothing")
+    val clamped = greatest(least(value.cast("long"), lit(hi)), lit(lo))
+    val sums = df
+      .filter(value.isNotNull)
+      .groupBy(key.as(keyName))
+      .agg(sum(clamped).as("exact_sum"))
+    val u = Hll.hash60(
+      concat(lit(releaseSalt), lit("|"), col(keyName).cast("string")))
+    sums
+      .withColumn("noise", geometricNoiseArray(u, eps / sensitivity))
+      .withColumn("released_sum", col("exact_sum") + col("noise"))
   }
 
   /** eps-DP released histogram of `key`: `(keyName, exact_n, noise,
@@ -113,5 +179,17 @@ object DpRelease {
         .mkString(" ")
       s"(case $branches else cast(${ts.last._2} as bigint) end)"
     }
+
+    /** Twin of [[geometricNoiseArray]]'s index step: emit this once in a
+      * CTE (the table literal is large at small effective eps), then
+      * derive the noise with [[noiseFromIndex]].
+      */
+    def noiseIndex(uExpr: String, eps: Double): String =
+      s"len(list_filter([${thresholds(eps).init.map(_._1).mkString(", ")}], " +
+        s"t -> t <= $uExpr))"
+
+    def noiseFromIndex(i: String): String =
+      s"cast(case when ($i) % 2 = 1 then -((($i) + 1) // 2) " +
+        s"else ($i) // 2 end as bigint)"
   }
 }

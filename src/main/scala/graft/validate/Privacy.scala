@@ -132,6 +132,88 @@ object Privacy {
           .as("tvd"))
   }
 
+  /** Per-rung diversity floors — min distinct-sensitive count over the
+    * rung's groups — for a whole generalization ladder in ONE
+    * grouping-sets pass: each rung's `(qi, sensitive)` census is one
+    * grouping set, a second census-sized fold counts distinct values per
+    * group, and a third takes each rung's floor. The
+    * [[KAnonymity.probe]] shape with the sensitive column riding along.
+    */
+  def probeDiversity(
+      df: DataFrame,
+      ladder: Seq[KAnonymity.Rung],
+      sensitive: Column
+  ): Seq[(Int, Long, Long)] = {
+    require(ladder.nonEmpty, "l-diversity: ladder must not be empty")
+    val n = ladder.size
+    require(n <= 61, s"l-diversity: ladder too deep ($n)")
+    val materialized = df
+      .filter(sensitive.isNotNull)
+      .select(
+        (ladder.zipWithIndex.map { case (r, i) => r.qi.as(s"_qi_$i") } :+
+          sensitive.as("_s")): _*)
+    // flat column order: _qi_0 .. _qi_{n-1}, _s; rung i's grouping set is
+    // {_qi_i, _s}, so its grouping_id clears bit (n - i) and bit 0
+    def gidOf(i: Int): Long = ((1L << (n + 1)) - 1) - (1L << (n - i)) - 1L
+    val census = materialized
+      .groupingSets(
+        (0 until n).map(i => Seq(col(s"_qi_$i"), col("_s"))),
+        ((0 until n).map(i => col(s"_qi_$i")) :+ col("_s")): _*)
+      .agg(count(lit(1)).as("_n"), grouping_id().as("_gid"))
+    val perGroup = census
+      .groupBy((col("_gid") +: (0 until n).map(i => col(s"_qi_$i"))): _*)
+      .agg(count(lit(1)).as("_distinct"))
+    val byGid = perGroup
+      .groupBy(col("_gid"))
+      .agg(count(lit(1)).as("_groups"), min(col("_distinct")).as("_min"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    ladder.indices.map { i =>
+      val (g, m) = byGid.getOrElse(gidOf(i), (0L, 0L))
+      (i, g, m)
+    }
+  }
+
+  /** l-diversity ENFORCEMENT over a generalization ladder — the
+    * [[KAnonymity.enforce]] counterpart for diversity: generalize the
+    * quasi-identifier up the (fine -> coarse) ladder until EVERY group's
+    * sensitive attribute takes at least l distinct values; if even the
+    * coarsest rung leaves non-diverse groups, those groups are SUPPRESSED
+    * (semi-join on the diverse ones), so the result always satisfies
+    * distinct l-diversity on `outCol`. Rows with a NULL sensitive value
+    * are dropped first — they neither witness diversity nor deserve a
+    * disclosive group.
+    *
+    * @return (chosen rung index, input plus `outCol`)
+    */
+  def enforceLDiversity(
+      df: DataFrame,
+      ladder: Seq[KAnonymity.Rung],
+      sensitive: Column,
+      l: Int = 3,
+      outCol: String = "qi_generalized"
+  ): (Int, DataFrame) = {
+    require(l >= 1, s"l-diversity: l must be >= 1, got $l")
+    require(!df.columns.contains(outCol), s"l-diversity: column $outCol already exists")
+    val base = df.filter(sensitive.isNotNull)
+    val audits = probeDiversity(base, ladder, sensitive)
+    audits.find { case (_, g, m) => g > 0 && m >= l } match {
+      case Some((i, _, _)) => (i, base.withColumn(outCol, ladder(i).qi))
+      case None =>
+        val i = ladder.size - 1
+        val out = base.withColumn(outCol, ladder(i).qi)
+        val ok = out
+          .groupBy(col(outCol), sensitive.as("_s"))
+          .agg(count(lit(1)).as("_n"))
+          .groupBy(col(outCol))
+          .agg(count(lit(1)).as("_d"))
+          .filter(col("_d") >= l)
+          .select(col(outCol).as("_okv"))
+        (i, out.join(ok, out(outCol) <=> col("_okv"), "left_semi"))
+    }
+  }
+
   /** One CANDIDATE quasi-identifier set for the risk census. */
   final case class QiSet(label: String, cols: Seq[Column])
 

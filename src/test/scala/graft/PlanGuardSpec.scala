@@ -70,6 +70,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_global_ids",       // boundary sample + per-partition count collect (bounded)
     "q_k_enforce",        // generalization-ladder probe (|ladder| rows)
     "q_k_enforce_multi",  // lattice probe (|lattice| rows)
+    "q_l_enforce",        // diversity-ladder probe (|ladder| rows)
+    "q_anon_utility",     // same generalization-ladder probe as q_k_enforce
     // iterative algorithms: each build job is one superstep of the
     // algorithm itself (label-propagation round / k-means pass), bounded by
     // maxIter — not a scalar pre-scan of the corpus

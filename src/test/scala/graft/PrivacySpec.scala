@@ -105,7 +105,90 @@ class PrivacySpec extends SparkSpec {
     assert(got("postal_org") == ((6L, 4L, 2L, 2L, 1L)))
   }
 
+  // ---- l-diversity enforcement ---------------------------------------------
+
+  test("l-diversity enforcement: first passing rung, brute-forced floors") {
+    import graft.validate.KAnonymity.Rung
+    // fine groups mostly single-valued; coarse rung pools them
+    val df = Seq(
+      ("75001", "A"), ("75001", "A"), ("75002", "B"), ("75002", "B"),
+      ("69001", "A"), ("69001", "C"), ("69002", "B"), ("69002", "C"))
+      .toDF("postal", "org").repartition(3)
+    val ladder = Seq(
+      Rung("postal", col("postal")),
+      Rung("dept", substring(col("postal"), 1, 2)),
+      Rung("all", lit("ALL")))
+    val floors = Privacy.probeDiversity(df, ladder, col("org"))
+    // postal: every group 1-2 distinct; dept: 75 -> {A,B}, 69 -> {A,B,C};
+    // all: {A,B,C}
+    assert(floors == Seq((0, 4L, 1L), (1, 2L, 2L), (2, 1L, 3L)))
+    val (rung2, out2) =
+      Privacy.enforceLDiversity(df, ladder, col("org"), l = 2)
+    assert(rung2 == 1 && out2.count() == 8)
+    val (rung3, out3) =
+      Privacy.enforceLDiversity(df, ladder, col("org"), l = 3)
+    assert(rung3 == 2 && out3.count() == 8)
+  }
+
+  test("l-diversity enforcement: coarsest-rung fallback suppresses") {
+    import graft.validate.KAnonymity.Rung
+    // one diverse department, one hopeless one; no rung reaches l = 2
+    val df = Seq(
+      ("75001", "A"), ("75002", "B"), ("69001", "C"), ("69002", "C"))
+      .toDF("postal", "org")
+    val ladder = Seq(
+      Rung("postal", col("postal")),
+      Rung("dept", substring(col("postal"), 1, 2)))
+    val (rung, out) = Privacy.enforceLDiversity(df, ladder, col("org"), l = 2)
+    assert(rung == 1)
+    // dept 75 has {A, B} (kept), dept 69 has {C} only (suppressed)
+    val kept = out.select("qi_generalized").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("75") && out.count() == 2)
+  }
+
   // ---- DP release -----------------------------------------------------------
+
+  test("dp noise: array-lookup form equals the CASE chain for all hashes") {
+    val eps = 0.5
+    val u = spark.range(5000)
+      .select(graft.sketch.Hll.hash60(concat(lit("p"), col("id"))).as("u"))
+    val both = u.select(
+      DpRelease.geometricNoise(col("u"), eps).as("a"),
+      DpRelease.geometricNoiseArray(col("u"), eps).as("b"))
+    assert(both.filter(col("a") =!= col("b")).isEmpty)
+    // and at the table edges: u = 0 maps to the head entry, u = 2^60 - 1
+    // to the clipped tail, identically in both forms
+    val edges = Seq(0L, (1L << 60) - 1).toDF("u").select(
+      DpRelease.geometricNoise(col("u"), eps).as("a"),
+      DpRelease.geometricNoiseArray(col("u"), eps).as("b"))
+    assert(edges.filter(col("a") =!= col("b")).isEmpty)
+  }
+
+  test("dp sums: clamped contributions, reproducible noise, exact audit") {
+    val df = Seq(
+      ("x", 5L), ("x", 500L), ("x", -3L), // clamps: 5 + 50 + 0
+      ("y", 10L), ("y", 20L)).toDF("k", "v")
+    val rel = DpRelease
+      .noisySums(df, col("k"), "k", col("v"), lo = 0L, hi = 50L,
+        eps = 1.0, releaseSalt = "s")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rel.map(t => (t._1, t._2)).toSeq == Seq(("x", 55L), ("y", 30L)))
+    assert(rel.forall { case (_, n, k, out) => out == n + k })
+    val again = DpRelease
+      .noisySums(df, col("k"), "k", col("v"), lo = 0L, hi = 50L,
+        eps = 1.0, releaseSalt = "s")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rel.toSeq == again.toSeq)
+    // eps / sensitivity below the table's floor must refuse loudly
+    intercept[IllegalArgumentException] {
+      DpRelease.noisySums(df, col("k"), "k", col("v"),
+        lo = 0L, hi = 1000000L, eps = 1.0, releaseSalt = "s")
+    }
+  }
+
 
   test("dp thresholds: monotone, total, and symmetric in k") {
     for (eps <- Seq(0.25, 0.5, 1.0, 2.0)) {

@@ -127,6 +127,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch == out)
   }
 
+  test("streaming anonymity monitor flags small/uniform QI groups; batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val df = input.toDF().toDF("id", "ts", "dept", "org")
+    val mon = StreamingPipeline.anonymityMonitor(
+      df, $"dept", $"org", k = 3, l = 2)
+    input.addData(
+      (1L, ts(1), "75", "A"), (2L, ts(1), "75", "B"), (3L, ts(2), "75", "A"),
+      (4L, ts(1), "69", "C"), (5L, ts(2), "69", "C"),  // small AND uniform
+      (6L, ts(1), "13", null)                          // null sensitive: dropped
+    )
+    val q = mon.writeStream.format("memory").queryName("anonmon")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("anonmon")
+      .select($"qi", $"group_size", $"distinct_sensitive", $"k_ok", $"l_ok")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(out("75") == ((3L, 2, true, true)))
+    assert(out("69") == ((2L, 1, false, false)))
+    assert(!out.contains("13")) // its only row carried a null sensitive
+    // batch twin agreement on the same rows (window spans all of them)
+    val batch = graft.validate.Privacy
+      .lDiversityAudit(
+        Seq(("75", "A"), ("75", "B"), ("75", "A"), ("69", "C"), ("69", "C"),
+          ("13", null.asInstanceOf[String])).toDF("dept", "org"),
+        $"dept", $"org", l = 2, qiName = "qi")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(batch.keySet == out.keySet)
+    assert(batch.forall { case (g, (n, d, lok)) =>
+      out(g)._1 == n && out(g)._2.toLong == d && out(g)._4 == lok })
+  }
+
   test("streaming drift monitor: per-window PSI agrees with the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Int)]
