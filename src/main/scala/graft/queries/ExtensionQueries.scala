@@ -811,6 +811,62 @@ object ExtensionQueries {
           on l.lang = r.lang and l.n_chars = r.n_chars and l.doc_id < r.doc_id
         order by id_a, id_b""")
     ),
+    // Exact prefix-filtered Jaccard self-join (SetSimJoin): unlike the
+    // banded/blocked candidate generators above, this returns EVERY pair
+    // at >= 3/5 with zero misses — the integer threshold test makes the
+    // accept set bit-identical across engines.
+    "q_ssjoin" -> Q(
+      (s, dir) => {
+        val sets = docs(s, dir).select(
+          col("doc_id"),
+          array_distinct(
+            transform(Dedup.wordShingles(col("text"), 3), x => md5(x))
+          ).as("sh")
+        )
+        graft.dedup.SetSimJoin
+          .selfJoin(sets, "doc_id", "sh", 3, 5)
+          .select(
+            col("id_a"),
+            col("id_b"),
+            col("inter"),
+            col("union_sz"),
+            roundHalfUp(col("jaccard"), 4).cast("decimal(10,4)").as("jaccard")
+          )
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        sh as (
+          select doc_id, list_distinct(list_transform(
+            list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+            x -> md5(x))) as sh
+          from t
+        ),
+        ex as (select doc_id as id, unnest(sh) as tok from sh),
+        dfreq as (select tok, count(*) as df from ex group by tok),
+        keyed as (select id, lpad(cast(df as varchar), 10, '0') || tok as key
+                  from ex join dfreq using (tok)),
+        sets as (select id, list_sort(list(key)) as keys, cast(count(*) as int) as sz
+                 from keyed group by id),
+        pref as (select id, sz,
+                   unnest(list_slice(keys, 1, cast(sz - ((3*sz + 4) // 5) + 1 as int))) as key
+                 from sets),
+        cand as (select distinct a.id as id_a, b.id as id_b
+                 from pref a join pref b
+                   on a.key = b.key and a.id < b.id
+                  and a.sz*5 >= b.sz*3 and b.sz*5 >= a.sz*3),
+        v as (select id_a, id_b,
+                cast(len(list_intersect(sa.keys, sb.keys)) as int) as inter,
+                cast(sa.sz + sb.sz - len(list_intersect(sa.keys, sb.keys)) as int) as union_sz
+              from cand join sets sa on sa.id = cand.id_a
+                        join sets sb on sb.id = cand.id_b)
+        select id_a, id_b, inter, union_sz,
+          cast(${duckRound("cast(inter as double) / cast(union_sz as double)", 4)} as decimal(10,4)) as jaccard
+        from v
+        where inter*5 >= union_sz*3
+        order by id_a, id_b""")
+    ),
     "q_simhash" -> Q(
       (s, dir) =>
         docs(s, dir)
@@ -3211,6 +3267,66 @@ object ExtensionQueries {
         from documents
         where source between 'src0' and 'src19' and doc_id between 0 and 300
         order by doc_id""")
+    ),
+    // Blocked record linkage (Fellegi-Sunter with fixed weights): the
+    // entity-resolution audit the anonymization pipeline lacks — two
+    // spellings of one entity inflate k-anonymity counts. Candidates are
+    // bounded per (type, size) block; scoring is codegen'd levenshtein
+    // arithmetic; output a deterministic top-100.
+    "q_record_linkage" -> Q(
+      (s, dir) => {
+        import graft.operators.RecordLinkage
+        val part = Tables.read(s, dir, "part")
+        RecordLinkage
+          .link(part, "p_partkey",
+            Seq("p_type", "p_size"),
+            "p_name", "p_brand", "p_retailprice", balTol = 1.0)
+          .select(
+            col("id_a"), col("id_b"),
+            roundHalfUp(col("name_sim"), 4).cast("decimal(9,4)").as("name_sim"),
+            roundHalfUp(col("addr_sim"), 4).cast("decimal(9,4)").as("addr_sim"),
+            col("bal_sim").cast("int").as("bal_sim"),
+            roundHalfUp(col("score"), 4).cast("decimal(9,4)").as("score"),
+            col("score").as("score_raw")
+          )
+          .orderBy(col("score_raw").desc, col("id_a"), col("id_b"))
+          .limit(100)
+          .drop("score_raw")
+          .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        with p as (
+          select p_partkey as id, p_type as bk1, p_size as bk2,
+            regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g') as nm,
+            regexp_replace(lower(p_brand), '[^a-z0-9 ]', '', 'g') as ad,
+            cast(p_retailprice as double) as bal
+          from part
+        ),
+        pairs as (
+          select a.id as id_a, b.id as id_b,
+            case when greatest(len(a.nm), len(b.nm)) = 0 then 1.0
+                 else 1.0 - cast(levenshtein(a.nm, b.nm) as double)
+                          / cast(greatest(len(a.nm), len(b.nm)) as double) end as name_sim,
+            case when greatest(len(a.ad), len(b.ad)) = 0 then 1.0
+                 else 1.0 - cast(levenshtein(a.ad, b.ad) as double)
+                          / cast(greatest(len(a.ad), len(b.ad)) as double) end as addr_sim,
+            case when abs(a.bal - b.bal) <= 1.0 then 1.0 else 0.0 end as bal_sim
+          from p a join p b
+            on a.bk1 = b.bk1 and a.bk2 = b.bk2 and a.id < b.id
+        ),
+        scored as (
+          select id_a, id_b, name_sim, addr_sim, bal_sim,
+            name_sim * 0.5 + addr_sim * 0.3 + bal_sim * 0.2 as score
+          from pairs
+        )
+        select id_a, id_b,
+          cast(${duckRound("name_sim", 4)} as decimal(9,4)) as name_sim,
+          cast(${duckRound("addr_sim", 4)} as decimal(9,4)) as addr_sim,
+          cast(bal_sim as int) as bal_sim,
+          cast(${duckRound("score", 4)} as decimal(9,4)) as score
+        from scored
+        order by scored.score desc, id_a, id_b
+        limit 100""")
     )
   )
 

@@ -264,6 +264,62 @@ object SketchQueries {
         from tot left join ov using (doc_id) order by doc_id"""
       )
     ),
+    // CMS inner-product join-size estimation: plan-time cardinality
+    // telemetry from two 4096-cell artifacts, exact count alongside so the
+    // never-undercount bound is hash-checked per pair.
+    "q_join_size_est" -> Q(
+      (s, dir) => {
+        val orders = Tables.read(s, dir, "orders")
+        val cust = Tables.read(s, dir, "customer")
+        val li = Tables.read(s, dir, "lineitem")
+        def pair(
+            a: org.apache.spark.sql.DataFrame, ca: String,
+            b: org.apache.spark.sql.DataFrame, cb: String,
+            name: String) = {
+          val est = Cms.joinSizeEstimate(
+            Cms.sketch(a, col(ca).cast("string")),
+            Cms.sketch(b, col(cb).cast("string")))
+          val exact = a
+            .join(b, a(ca) === b(cb))
+            .agg(count(lit(1)).as("exact_n"))
+          est
+            .crossJoin(broadcast(exact))
+            .select(
+              lit(name).as("pair"),
+              col("join_size_est"),
+              col("exact_n"))
+        }
+        pair(orders, "o_custkey", cust, "c_custkey", "orders_customer")
+          .unionAll(pair(li, "l_orderkey", orders, "o_orderkey", "lineitem_orders"))
+          .orderBy("pair")
+      },
+      Some {
+        def side(tbl: String, key: String, alias: String) =
+          (0 until Cms.DefaultD).map { j =>
+            s"select $j as hrow, ${Cms.duck.bucket(j, s"cast($key as varchar)")} as bucket, " +
+              s"count(*) as cnt from $tbl group by bucket"
+          }.mkString(" union all ")
+        def pairSql(ta: String, ka: String, tb: String, kb: String, name: String) =
+          s"""
+          select '$name' as pair,
+            (with ca as (${side(ta, ka, "a")}),
+                  cb as (${side(tb, kb, "b")}),
+                  dots as (
+                    select a.hrow, sum(a.cnt * b.cnt) as dot
+                    from ca a join cb b on a.hrow = b.hrow and a.bucket = b.bucket
+                    group by a.hrow
+                  )
+             select cast(min(coalesce(dot, 0)) as bigint)
+             from range(${Cms.DefaultD}) spine(j)
+             left join dots on dots.hrow = spine.j) as join_size_est,
+            (select count(*) from $ta join $tb on $ka = $kb) as exact_n"""
+        s"""
+        ${pairSql("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem_orders")}
+        union all
+        ${pairSql("orders", "o_custkey", "customer", "c_custkey", "orders_customer")}
+        order by pair"""
+      }
+    ),
     "q_hdr_quantiles" -> Q(
       (s, dir) => {
         val li = Tables.read(s, dir, "lineitem")

@@ -92,6 +92,35 @@ object Cms {
       .groupBy(col("value"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
+  /** Join-cardinality estimate from two sketches over the join key:
+    * `|A ⋈ B| ≈ min_j Σ_b A_j[b]·B_j[b]` — the count-min inner-product
+    * estimate (Cormode & Muthukrishnan §4.2). Like point queries it NEVER
+    * undercounts (collisions only add), so it is a safe upper bound for
+    * join planning: decide broadcast vs shuffle vs skew-salting from two
+    * d·w-cell artifacts BEFORE paying for the join itself — at 100 TB the
+    * estimate costs two map-side-combined passes that incremental
+    * profiling has often already paid, while the exact answer costs the
+    * full join.
+    *
+    * A hash row with no shared buckets has true inner product 0, so the
+    * min runs over a complete 0..d-1 spine (left join + coalesce), not
+    * just the rows the inner cell-join happened to produce.
+    */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame, d: Int = DefaultD): DataFrame = {
+    val spark = skA.sparkSession
+    val dots = skA
+      .select(col("row"), col("bucket"), col("cnt").as("cnt_a"))
+      .join(skB.select(col("row"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+    spark
+      .range(d)
+      .select(col("id").cast("int").as("row"))
+      .join(dots, Seq("row"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("join_size_est"))
+  }
+
   /** DuckDB twin fragments (see [[Hll.duck]]). */
   object duck {
     def bucket(row: Int, v: String, w: Int = DefaultW): String =

@@ -48,7 +48,10 @@ class PlanGuardSpec extends SparkSpec {
       // bounded-ALPHABET broadcast, not single-row: the source-pair grid is
       // the |S| source list crossed with itself (|S|^2/2 rows by
       // construction, nothing corpus-sized reaches the nested loop)
-      "q_kmv_overlap")
+      "q_kmv_overlap",
+      // per pair: single-row CMS inner-product estimate crossed with the
+      // single-row exact join count
+      "q_join_size_est")
 
   /** Builders allowed to run bounded driver actions while CONSTRUCTING the
     * plan (each collect is k×dim / |ladder| / |sources|-sized, never

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.SetSimJoin
+
+/** Exactness of the prefix-filtered set-similarity self-join: on every
+  * synthetic corpus the operator must return EXACTLY the pairs a
+  * brute-force all-pairs Jaccard scan accepts — prefix filtering and the
+  * length filter are pruning-only, never lossy.
+  */
+class SetSimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(rows: Seq[(Long, Seq[String])], num: Int, den: Int) =
+    (for {
+      (ia, sa) <- rows
+      (ib, sb) <- rows
+      if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      union = sa.toSet.union(sb.toSet).size
+      if union > 0 && inter * den >= union * num
+    } yield (ia, ib, inter, union)).sortBy(p => (p._1, p._2))
+
+  private def run(rows: Seq[(Long, Seq[String])], num: Int, den: Int) = {
+    val df = rows.toDF("id", "s").select($"id", array_distinct($"s").as("s"))
+    SetSimJoin
+      .selfJoin(df, "id", "s", num, den)
+      .orderBy("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSeq
+  }
+
+  test("matches brute force on a mixed corpus at 3/5") {
+    val rows: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("a", "b", "c", "d", "e"),
+      2L -> Seq("a", "b", "c", "d", "f"), // j = 4/6 = 0.666 >= 0.6
+      3L -> Seq("a", "b", "x", "y", "z"), // j(1,3) = 2/8 = 0.25
+      4L -> Seq("a", "b", "c", "d", "e"), // exact dup of 1
+      5L -> Seq("q", "r", "s"),
+      6L -> Seq("q", "r", "s", "t"), // j = 3/4 = 0.75
+      7L -> Seq("lone")
+    )
+    assert(run(rows, 3, 5) == brute(rows, 3, 5))
+  }
+
+  test("threshold boundary is inclusive and integer-exact") {
+    // j = 3/5 exactly: inter 3, union 5
+    val rows: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("a", "b", "c", "d"),
+      2L -> Seq("a", "b", "c", "e")
+    )
+    // inter=3 union=5 -> 3*5 >= 5*3 accepted at 3/5
+    assert(run(rows, 3, 5) == Seq((1L, 2L, 3, 5)))
+    // rejected at 2/3: 3*3 < 5*2
+    assert(run(rows, 2, 3).isEmpty)
+  }
+
+  test("randomized corpora: pruning is lossless at several thresholds") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val rows: Seq[(Long, Seq[String])] = (0 until 60).map { i =>
+      val base = rnd.shuffle(vocab).take(3 + rnd.nextInt(8))
+      (i.toLong, base)
+    }
+    for ((num, den) <- Seq((1, 2), (3, 5), (4, 5), (1, 1)))
+      assert(run(rows, num, den) == brute(rows, num, den), s"at $num/$den")
+  }
+
+  test("duplicate elements in the input column do not inflate sizes") {
+    val df = Seq((1L, Seq("a", "a", "b")), (2L, Seq("b", "a")))
+      .toDF("id", "s")
+      .select($"id", array_distinct($"s").as("s"))
+    val got = SetSimJoin.selfJoin(df, "id", "s", 1, 1).collect()
+    assert(got.length == 1 && got.head.getInt(2) == 2 && got.head.getInt(3) == 2)
+  }
+}

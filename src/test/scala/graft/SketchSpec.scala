@@ -140,6 +140,25 @@ class SketchSpec extends SparkSpec {
     assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
   }
 
+  test("cms: join-size estimate never undercounts and is 0 for disjoint keys") {
+    val a = (1 to 100).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i")).toDF("k")
+    val b = (50 to 150).map(i => s"k$i").toDF("k")
+    val est = Cms
+      .joinSizeEstimate(Cms.sketch(a, col("k")), Cms.sketch(b, col("k")))
+      .collect()(0).getLong(0)
+    val exact = a.join(b, Seq("k")).count()
+    assert(est >= exact, s"inner-product estimate $est < exact $exact")
+    assert(est <= exact + 100, s"overcount ${est - exact} implausibly large")
+
+    val disjoint = Seq("z1", "z2").toDF("k")
+    val zero = Cms
+      .joinSizeEstimate(Cms.sketch(a, col("k")), Cms.sketch(disjoint, col("k")))
+      .collect()(0).getLong(0)
+    // 2 probe keys vs 1024 buckets: d=4 rows each have a collision-free
+    // row with overwhelming probability -> min over the full spine is 0
+    assert(zero >= 0L && zero <= 10L, s"disjoint estimate $zero")
+  }
+
   // ---- HDR histogram -----------------------------------------------------
 
   test("hdr: bucket index is monotone and reconstruction is within 1/128") {
