@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rolling z-score anomaly detection over event streams: bucket events per
+  * key per hour, then score each bucket against the trailing-window
+  * baseline of the SAME key.
+  *
+  * Scale shape: one map-side-combined aggregation to hourly grain (the
+  * corpus-sized pass), then window functions over the hourly table — which
+  * is |keys|·|hours| rows, thousands-fold smaller than the input, keyed
+  * shuffle only. The frame is RANGE over epoch-hours, not ROWS, so silent
+  * hours (missing buckets) still age out of the baseline on the clock —
+  * a rows-frame would stretch the baseline arbitrarily far back for
+  * bursty keys.
+  *
+  * Numeric parity: the baseline keeps exact integer sums (`Σn`, `Σn²`)
+  * and derives mean/variance in ONE closed-form double expression
+  * (`var = Σn²/c − (Σn/c)²`), so any engine replays the doubles
+  * bit-for-bit. Built-in `stddev` would NOT give that: streaming-Welford
+  * vs naive two-pass accumulate different floating error.
+  */
+object Anomaly {
+
+  /** Hourly-count z-scores for `df`'s events.
+    *
+    * @param tsCol       event-time timestamp column
+    * @param keyCols     series keys (each key gets its own baseline)
+    * @param baselineHours trailing window size in hours (exclusive of the
+    *                      scored hour)
+    * @param minBaseline   minimum observed hours in the window; below it
+    *                      the score is null (cold-start guard)
+    * @param zThreshold    |z| at or above which `is_anomaly` is 1
+    *
+    * Output per (key, hour): n, base_cnt, base_sum, base_sumsq,
+    * mean/z (nullable doubles), is_anomaly (nullable 0/1).
+    */
+  def hourlyZScores(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      baselineHours: Int = 24,
+      minBaseline: Int = 12,
+      zThreshold: Double = 3.0
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "anomaly detection needs at least one key column")
+    require(baselineHours >= 1 && minBaseline >= 1)
+
+    val hourly = df
+      .groupBy(
+        (keyCols.map(col) :+ date_trunc("hour", col(tsCol)).as("hour")): _*
+      )
+      .agg(count(lit(1)).as("n"))
+      // epoch-hour index: integer, identical across engines, range-frameable
+      .withColumn("hr_idx", (unix_timestamp(col("hour")) / 3600L).cast("long"))
+
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("hr_idx"))
+      .rangeBetween(-baselineHours.toLong, -1L)
+
+    val baseCnt = count(col("n")).over(w)
+    val baseSum = sum(col("n")).over(w)
+    val baseSumSq = sum(col("n") * col("n")).over(w)
+
+    val scored = hourly
+      .withColumn("base_cnt", baseCnt)
+      .withColumn("base_sum", baseSum)
+      .withColumn("base_sumsq", baseSumSq)
+
+    val c = col("base_cnt").cast("double")
+    val mean = col("base_sum").cast("double") / c
+    val variance = col("base_sumsq").cast("double") / c - mean * mean
+    // variance is >= 0 mathematically; clamp the closed form's negative
+    // float dust so sqrt never NaNs (both engines clamp identically)
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    val zOk = col("base_cnt") >= minBaseline && sd > 0.0
+    val z = (col("n").cast("double") - mean) / sd
+
+    scored
+      .withColumn("mean_n", when(col("base_cnt") >= minBaseline, mean))
+      .withColumn("z", when(zOk, z))
+      .withColumn(
+        "is_anomaly",
+        when(zOk, when(abs(z) >= zThreshold, 1).otherwise(0))
+      )
+      .drop("hr_idx")
+  }
+}

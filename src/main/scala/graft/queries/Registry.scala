@@ -1300,6 +1300,66 @@ object Registry {
           cast(json_extract_string(props, '$.k') as int) as k
         from events
         order by event_id""")
+    ),
+    // Rolling z-score anomaly detection: hourly counts per event_type
+    // scored against the trailing 24h baseline of the same series (range
+    // frame over epoch-hours, so silent hours age out on the clock). The
+    // baseline keeps exact integer sums; mean/variance derive in one
+    // closed-form double expression both engines replay bit-for-bit.
+    "q_anomaly" -> Q(
+      (s, dir) =>
+        graft.operators.Anomaly
+          .hourlyZScores(
+            Tables.events(s, dir), "ts", Seq("event_type"),
+            baselineHours = 24, minBaseline = 12, zThreshold = 3.0)
+          .select(
+            col("event_type"),
+            col("hour"),
+            col("n"),
+            col("base_cnt"),
+            Parity.roundHalfUp(col("mean_n"), 4).cast("decimal(18,4)").as("mean_n"),
+            Parity.roundHalfUp(col("z"), 4).cast("decimal(18,4)").as("z"),
+            col("is_anomaly")
+          )
+          .orderBy("event_type", "hour"),
+      Some(s"""
+        with hourly as (
+          select event_type, cast(date_trunc('hour', ts) as timestamp) as hour,
+            count(*) as n
+          from events group by 1, 2
+        ),
+        idx as (
+          select *, cast(epoch(hour) as bigint) // 3600 as hr_idx from hourly
+        ),
+        w as (
+          select event_type, hour, n,
+            count(n) over win as base_cnt,
+            sum(n) over win as base_sum,
+            sum(n*n) over win as base_sumsq
+          from idx
+          window win as (partition by event_type order by hr_idx
+                         range between 24 preceding and 1 preceding)
+        ),
+        scored as (
+          select event_type, hour, n, base_cnt,
+            cast(base_sum as double) / cast(base_cnt as double) as mean,
+            sqrt(greatest(
+              cast(base_sumsq as double) / cast(base_cnt as double)
+                - (cast(base_sum as double) / cast(base_cnt as double))
+                * (cast(base_sum as double) / cast(base_cnt as double)),
+              0.0)) as sd
+          from w
+        )
+        select event_type, hour, n, base_cnt,
+          case when base_cnt >= 12
+               then cast(${Parity.duckRound("mean", 4)} as decimal(18,4)) end as mean_n,
+          case when base_cnt >= 12 and sd > 0.0
+               then cast(${Parity.duckRound("(cast(n as double) - mean) / sd", 4)} as decimal(18,4)) end as z,
+          case when base_cnt >= 12 and sd > 0.0
+               then cast(case when abs((cast(n as double) - mean) / sd) >= 3.0
+                              then 1 else 0 end as int) end as is_anomaly
+        from scored
+        order by event_type, hour""")
     )
   )
 
