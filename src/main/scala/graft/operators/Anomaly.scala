@@ -37,9 +37,34 @@ object Anomaly {
     * Output per (key, hour): n, base_cnt, base_sum, base_sumsq,
     * mean/z (nullable doubles), is_anomaly (nullable 0/1).
     */
+  /** The corpus-sized pass: events to per-key hourly counts
+    * (keys..., hour, n). Also the grain [[EventStatsStore]] persists.
+    */
+  def hourlyCounts(df: DataFrame, tsCol: String, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "anomaly detection needs at least one key column")
+    df.groupBy(
+        (keyCols.map(col) :+ date_trunc("hour", col(tsCol)).as("hour")): _*
+      )
+      .agg(count(lit(1)).as("n"))
+  }
+
   def hourlyZScores(
       df: DataFrame,
       tsCol: String,
+      keyCols: Seq[String],
+      baselineHours: Int = 24,
+      minBaseline: Int = 12,
+      zThreshold: Double = 3.0
+  ): DataFrame =
+    scoreHourly(hourlyCounts(df, tsCol, keyCols), keyCols,
+      baselineHours, minBaseline, zThreshold)
+
+  /** Scoring over a precomputed hourly-count table (keys..., hour, n) —
+    * the stage [[EventStatsStore.score]] reuses against persisted counts,
+    * where the corpus pass has already been paid batch by batch.
+    */
+  def scoreHourly(
+      hourlyIn: DataFrame,
       keyCols: Seq[String],
       baselineHours: Int = 24,
       minBaseline: Int = 12,
@@ -48,11 +73,7 @@ object Anomaly {
     require(keyCols.nonEmpty, "anomaly detection needs at least one key column")
     require(baselineHours >= 1 && minBaseline >= 1)
 
-    val hourly = df
-      .groupBy(
-        (keyCols.map(col) :+ date_trunc("hour", col(tsCol)).as("hour")): _*
-      )
-      .agg(count(lit(1)).as("n"))
+    val hourly = hourlyIn
       // epoch-hour index: integer, identical across engines, range-frameable
       .withColumn("hr_idx", (unix_timestamp(col("hour")) / 3600L).cast("long"))
 

@@ -1308,21 +1308,64 @@ object Registry {
     // closed-form double expression both engines replay bit-for-bit.
     "q_anomaly" -> Q(
       (s, dir) =>
-        graft.operators.Anomaly
-          .hourlyZScores(
+        anomalyProjection(
+          graft.operators.Anomaly.hourlyZScores(
             Tables.events(s, dir), "ts", Seq("event_type"),
-            baselineHours = 24, minBaseline = 12, zThreshold = 3.0)
-          .select(
-            col("event_type"),
-            col("hour"),
-            col("n"),
-            col("base_cnt"),
-            Parity.roundHalfUp(col("mean_n"), 4).cast("decimal(18,4)").as("mean_n"),
-            Parity.roundHalfUp(col("z"), 4).cast("decimal(18,4)").as("z"),
-            col("is_anomaly")
-          )
-          .orderBy("event_type", "hour"),
-      Some(s"""
+            baselineHours = 24, minBaseline = 12, zThreshold = 3.0)),
+      Some(anomalyOracleSql)
+    ),
+    // The same scores SERVED from the incrementally-maintained hourly
+    // store: two disjoint batches merge in (plus a deliberate replay of
+    // the second, which the batch-id marker must no-op), then scoring
+    // reads ONLY the store — count merging, exactly-once, and serving
+    // identity are all under the hash check. Store build jobs bounded
+    // (PlanGuardSpec exemption).
+    "q_anomaly_serving" -> Q(
+      (s, dir) => {
+        import graft.operators.{Anomaly, EventStatsStore}
+        val out =
+          s"${sys.props("java.io.tmpdir")}/graft_evstats_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val ev = Tables.events(s, dir)
+        def hourlyOf(batch: org.apache.spark.sql.DataFrame) =
+          Anomaly.hourlyCounts(batch, "ts", Seq("event_type"))
+        EventStatsStore.merge(
+          s, out, hourlyOf(ev.filter(col("event_id") % 2 === 0)),
+          Seq("event_type"), batchId = 1L)
+        EventStatsStore.merge(
+          s, out, hourlyOf(ev.filter(col("event_id") % 2 =!= 0)),
+          Seq("event_type"), batchId = 2L)
+        // replayed epoch: must be a no-op or counts double
+        EventStatsStore.merge(
+          s, out, hourlyOf(ev.filter(col("event_id") % 2 =!= 0)),
+          Seq("event_type"), batchId = 2L)
+        anomalyProjection(
+          EventStatsStore.score(
+            s, out, Seq("event_type"), new java.sql.Timestamp(0L),
+            baselineHours = 24, minBaseline = 12, zThreshold = 3.0))
+      },
+      Some(anomalyOracleSql)
+    )
+  )
+
+  private def anomalyProjection(scored: DataFrame): DataFrame =
+    scored
+      .select(
+        col("event_type"),
+        col("hour"),
+        col("n"),
+        col("base_cnt"),
+        Parity.roundHalfUp(col("mean_n"), 4).cast("decimal(18,4)").as("mean_n"),
+        Parity.roundHalfUp(col("z"), 4).cast("decimal(18,4)").as("z"),
+        col("is_anomaly")
+      )
+      .orderBy("event_type", "hour")
+
+  // lazy: referenced by the relationalQueries ListMap initializer above
+  private lazy val anomalyOracleSql: String =
+    s"""
         with hourly as (
           select event_type, cast(date_trunc('hour', ts) as timestamp) as hour,
             count(*) as n
@@ -1359,9 +1402,7 @@ object Registry {
                then cast(case when abs((cast(n as double) - mean) / sd) >= 3.0
                               then 1 else 0 end as int) end as is_anomaly
         from scored
-        order by event_type, hour""")
-    )
-  )
+        order by event_type, hour"""
 
   val all: ListMap[String, Q] =
     (pipelineQueries ++ maskingQueries ++ validatorQueries ++

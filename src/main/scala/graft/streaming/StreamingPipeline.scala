@@ -488,6 +488,33 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Streaming maintenance of the [[graft.operators.EventStatsStore]]
+    * anomaly baseline: each micro-batch folds into per-key hourly counts
+    * (a batch-local aggregation — counts for the same hour across
+    * micro-batches SUM in the store merge, so no streaming state is
+    * held) and merges into the day-partitioned store. Exactly-once via
+    * the store's batchId markers: a replayed epoch after a crash is a
+    * no-op, never a double-add.
+    */
+  def hourlyStatsStoreSink(
+      stream: DataFrame,
+      storeDir: String,
+      checkpoint: String,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hourly = graft.operators.Anomaly.hourlyCounts(batch, tsCol, keyCols)
+        graft.operators.EventStatsStore.merge(
+          batch.sparkSession, storeDir, hourly, keyCols, batchId)
+      }
+      .start()
+
   /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
     * timeout: a session closes when no event arrives within `gapMs` of the
     * last one (by watermark). Emits one row per closed session.

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Anomaly, EventStatsStore}
+import graft.streaming.StreamingPipeline
+
+class EventStatsStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int, minute: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$minute%02d:00")
+
+  private def mkEvents(rows: Seq[(Timestamp, String)]): DataFrame =
+    rows.toDF("ts", "event_type")
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"evstats_$tag").toString + "/store"
+
+  private def sortedRows(df: DataFrame) =
+    df.select("event_type", "hour", "n")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2.getTime))
+      .toSeq
+
+  test("two merged batches equal a one-shot aggregate; same-hour rows sum") {
+    val dir = tmp("merge")
+    val b1 = mkEvents(Seq((ts(1, 10), "a"), (ts(1, 10, 30), "a"), (ts(1, 11), "b")))
+    // batch 2 lands MORE events in the same (a, day1 10:00) hour: late data
+    val b2 = mkEvents(Seq((ts(1, 10, 45), "a"), (ts(2, 9), "a")))
+    EventStatsStore.merge(spark, dir,
+      Anomaly.hourlyCounts(b1, "ts", Seq("event_type")), Seq("event_type"), 1L)
+    EventStatsStore.merge(spark, dir,
+      Anomaly.hourlyCounts(b2, "ts", Seq("event_type")), Seq("event_type"), 2L)
+
+    val oneShot = Anomaly.hourlyCounts(
+      b1.unionByName(b2), "ts", Seq("event_type"))
+    assert(sortedRows(EventStatsStore.load(spark, dir).drop("day")) ==
+      sortedRows(oneShot))
+    // the late-data hour really did sum to 3
+    val merged = sortedRows(EventStatsStore.load(spark, dir).drop("day"))
+    assert(merged.contains(("a", ts(1, 10), 3L)))
+  }
+
+  test("replaying an applied batchId is a no-op") {
+    val dir = tmp("replay")
+    val b1 = mkEvents(Seq((ts(1, 10), "a")))
+    val h1 = Anomaly.hourlyCounts(b1, "ts", Seq("event_type"))
+    EventStatsStore.merge(spark, dir, h1, Seq("event_type"), 7L)
+    EventStatsStore.merge(spark, dir, h1, Seq("event_type"), 7L)
+    EventStatsStore.merge(spark, dir, h1, Seq("event_type"), 7L)
+    assert(sortedRows(EventStatsStore.load(spark, dir).drop("day")) ==
+      Seq(("a", ts(1, 10), 1L)))
+  }
+
+  test("score from the store equals inline scoring filtered to the window") {
+    val dir = tmp("score")
+    // two days of noisy traffic, split into two batches at the day border
+    val all = (0 until 48).flatMap { h =>
+      val n = if (h % 2 == 0) 4 else 6
+      (0 until n).map(i => (ts(1 + h / 24, h % 24, i), "a"))
+    }
+    val (e1, e2) = all.partition(_._1.getTime < ts(2, 0).getTime)
+    EventStatsStore.merge(spark, dir,
+      Anomaly.hourlyCounts(mkEvents(e1), "ts", Seq("event_type")),
+      Seq("event_type"), 1L)
+    EventStatsStore.merge(spark, dir,
+      Anomaly.hourlyCounts(mkEvents(e2), "ts", Seq("event_type")),
+      Seq("event_type"), 2L)
+
+    val from = ts(2, 0)
+    val served = EventStatsStore
+      .score(spark, dir, Seq("event_type"), from)
+      .orderBy("hour").collect()
+    val inline = Anomaly
+      .hourlyZScores(mkEvents(all), "ts", Seq("event_type"))
+      .filter(col("hour") >= lit(from))
+      .orderBy("hour").collect()
+    assert(served.length == 24 && served.toSeq == inline.toSeq)
+  }
+
+  test("streaming sink maintains the store exactly-once across epochs") {
+    val dir = tmp("stream")
+    val ckpt = Files.createTempDirectory("evstats_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "event_type")
+    input.addData((ts(1, 10), "a"), (ts(1, 10, 10), "a"))
+    val q1 = StreamingPipeline.hourlyStatsStoreSink(
+      stream, dir, ckpt, Seq("event_type"))
+    q1.awaitTermination()
+    input.addData((ts(1, 10, 20), "a"), (ts(1, 11), "b"))
+    val q2 = StreamingPipeline.hourlyStatsStoreSink(
+      stream, dir, ckpt, Seq("event_type"))
+    q2.awaitTermination()
+    assert(sortedRows(EventStatsStore.load(spark, dir).drop("day")) ==
+      Seq(("a", ts(1, 10), 3L), ("b", ts(1, 11), 1L)))
+  }
+}

@@ -107,7 +107,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_bloom_decontam",
     // edge-list localCheckpoint: ONE k*|V|-row materialization so the 5
     // supersteps iterate a stored graph instead of re-deriving SRP 5x
-    "q_pagerank"
+    "q_pagerank",
+    // builds the hourly-count store under test (two merges + a replay):
+    // touched-day collects are |days|-bounded, writes are the operator
+    "q_anomaly_serving"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
