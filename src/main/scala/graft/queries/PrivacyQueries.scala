@@ -231,6 +231,73 @@ object PrivacyQueries {
         order by flag"""
       }
     ),
+    // eps-DP released quantiles: the HDR histogram noised bucket-wise
+    // (sensitivity-1, parallel composition), quantiles read off the
+    // noised cumulative histogram as pure post-processing. Exact-sketch
+    // quantiles alongside for audit visibility.
+    "q_dp_quantiles" -> Q(
+      (s, dir) => {
+        import graft.sketch.HdrHistogram
+        val li = Tables.read(s, dir, "lineitem")
+        val qs = Seq(0.5, 0.9, 0.99)
+        val dp = DpRelease
+          .noisyQuantiles(li, col("l_extendedprice"), qs,
+            Seq("l_returnflag"), DpEps, DpSalt)
+          .withColumnRenamed("est", "est_dp")
+        val ex = HdrHistogram
+          .quantiles(
+            HdrHistogram.sketch(li, col("l_extendedprice"), Seq("l_returnflag")),
+            qs, Seq("l_returnflag"))
+          .withColumnRenamed("est", "est_exact")
+        dp.join(ex, Seq("l_returnflag", "q"))
+          .select(
+            col("l_returnflag"), col("q"),
+            roundHalfUp(col("est_dp"), 6).cast("decimal(18,6)").as("est_dp"),
+            roundHalfUp(col("est_exact"), 6).cast("decimal(18,6)").as("est_exact"))
+          .orderBy("l_returnflag", "q")
+      },
+      Some {
+        import graft.sketch.HdrHistogram
+        val u = DpRelease.duck.hash(
+          DpSalt, "l_returnflag || '|' || cast(idx as varchar)")
+        def cumOver(src: String) =
+          s"""select l_returnflag, idx,
+                sum(cnt) over (partition by l_returnflag order by idx) as cum,
+                sum(cnt) over (partition by l_returnflag) as n
+              from $src"""
+        def pick(src: String, q: String) =
+          s"""select l_returnflag, cast($q as double) as q, min(idx) as idx
+              from $src where cum >= greatest(ceil($q * n), 1)
+              group by l_returnflag"""
+        def picks(src: String) =
+          s"${pick(src, "0.5")} union all ${pick(src, "0.9")} union all ${pick(src, "0.99")}"
+        s"""
+        with sk as (
+          select l_returnflag,
+            ${HdrHistogram.duck.idx("l_extendedprice")} as idx,
+            count(*) as cnt
+          from lineitem
+          where l_extendedprice is not null and l_extendedprice >= 0
+          group by l_returnflag, idx
+        ),
+        noisy as (
+          select l_returnflag, idx,
+            greatest(cnt + ${DpRelease.duck.noiseCase(u, DpEps)},
+                     cast(0 as bigint)) as cnt
+          from sk
+        ),
+        cdp as (${cumOver("noisy")}),
+        cex as (${cumOver("sk")}),
+        pickdp as (${picks("cdp")}),
+        pickex as (${picks("cex")})
+        select d.l_returnflag, d.q,
+          cast(${duckRound(HdrHistogram.duck.mid("d.idx"), 6)} as decimal(18,6)) as est_dp,
+          cast(${duckRound(HdrHistogram.duck.mid("e.idx"), 6)} as decimal(18,6)) as est_exact
+        from pickdp d join pickex e
+          on d.l_returnflag = e.l_returnflag and d.q = e.q
+        order by d.l_returnflag, d.q"""
+      }
+    ),
     "q_anon_utility" -> Q(
       // utility cost of the k=5 enforcement (q_k_enforce's ladder): the
       // numbers a DPO weighs against the privacy gain — average

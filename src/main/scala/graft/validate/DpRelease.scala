@@ -167,6 +167,44 @@ object DpRelease {
       .withColumn("released_n", greatest(col("exact_n") + col("noise"), lit(0L)))
   }
 
+  /** eps-DP released quantiles: noise the HDR histogram
+    * ([[graft.sketch.HdrHistogram]]) bucket-wise with the two-sided
+    * geometric mechanism, then read quantiles off the noised cumulative
+    * histogram. Each record lands in exactly ONE bucket, so the bucket
+    * counts are a sensitivity-1 histogram query (parallel composition:
+    * the whole release costs one eps), and the quantile extraction is
+    * pure post-processing — no extra privacy spend no matter how many
+    * quantiles are read.
+    *
+    * Like [[noisyCounts]], only OCCUPIED buckets are released (the
+    * known-domain caveat: bucket occupancy itself is visible; a
+    * suppression-hardened release would noise the full bucket domain).
+    * Noised counts clamp at 0, so emptied buckets simply carry no mass
+    * in the cumulative read.
+    *
+    * Scale shape: the sketch build is the only corpus pass; noising and
+    * quantile extraction run on the few-hundred-row sketch.
+    */
+  def noisyQuantiles(
+      df: DataFrame,
+      value: Column,
+      qs: Seq[Double],
+      groupCols: Seq[String],
+      eps: Double,
+      releaseSalt: String
+  ): DataFrame = {
+    val sk = graft.sketch.HdrHistogram.sketch(df, value, groupCols)
+    val keyStr = (groupCols.map(c => col(c).cast("string")) :+
+      col("idx").cast("string"))
+      .reduceLeft((a, b) => concat(a, lit("|"), b))
+    val u = Hll.hash60(concat(lit(releaseSalt), lit("|"), keyStr))
+    val released = sk.withColumn(
+      "cnt",
+      greatest(col("cnt") + geometricNoise(u, eps), lit(0L))
+    )
+    graft.sketch.HdrHistogram.quantiles(released, qs, groupCols)
+  }
+
   /** DuckDB twin fragments, generated from the SAME threshold table. */
   object duck {
     def hash(releaseSalt: String, keyExpr: String): String =

@@ -236,4 +236,23 @@ class PrivacySpec extends SparkSpec {
       "a fresh salt must redraw the noise")
     assert(a.forall { case (_, n, k, rel) => rel == math.max(n + k, 0L) })
   }
+
+  test("dp quantiles: tracks exact quantiles at eps=1 on 10k rows; reproducible") {
+    // 10k uniform values: each HDR bucket holds ~dozens of rows, so the
+    // +/- few geometric noise at eps=1 can move a pick by at most about
+    // a bucket — the released quantile stays within ~2x the sketch's own
+    // relative error of the true percentile
+    val df = (0 until 10000).map(i => ((i * 37 % 10000) / 10.0 + 1.0)).toDF("v")
+    def release(salt: String) = DpRelease
+      .noisyQuantiles(df, col("v"), Seq(0.5, 0.9), Nil, eps = 1.0, releaseSalt = salt)
+      .orderBy("q").collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    val got = release("s1")
+    assert(got == release("s1"), "same salt must reproduce")
+    val expected = Map(0.5 -> 500.5, 0.9 -> 900.4)
+    got.foreach { case (q, est) =>
+      val truth = expected(q)
+      assert(math.abs(est - truth) / truth < 0.02,
+        s"q=$q: released $est too far from $truth")
+    }
+  }
 }
