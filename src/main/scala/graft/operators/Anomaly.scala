@@ -82,6 +82,47 @@ object Anomaly {
       .orderBy(col("hr_idx"))
       .rangeBetween(-baselineHours.toLong, -1L)
 
+    scoreOverWindow(hourly, w, minBaseline, zThreshold).drop("hr_idx")
+  }
+
+  /** Seasonal variant: each hour's baseline is the SAME hour-of-day over
+    * the trailing `baselineDays` days of its series — the right null
+    * model for strongly diurnal traffic, where yesterday-same-hour
+    * predicts better than the last 24 hours (a 9am spike is not an
+    * anomaly just because nights are quiet). Same exact-sums algebra;
+    * the frame ranges over epoch-DAYS within a (key, hour-of-day)
+    * partition.
+    */
+  def seasonalZScores(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      baselineDays: Int = 7,
+      minBaseline: Int = 3,
+      zThreshold: Double = 3.0
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "anomaly detection needs at least one key column")
+    require(baselineDays >= 1 && minBaseline >= 1)
+
+    val hourly = hourlyCounts(df, tsCol, keyCols)
+      .withColumn("hod", hour(col("hour")))
+      .withColumn("day_idx", (unix_timestamp(col("hour")) / 86400L).cast("long"))
+
+    val w = Window
+      .partitionBy((keyCols.map(col) :+ col("hod")): _*)
+      .orderBy(col("day_idx"))
+      .rangeBetween(-baselineDays.toLong, -1L)
+
+    scoreOverWindow(hourly, w, minBaseline, zThreshold)
+      .drop("day_idx")
+  }
+
+  private def scoreOverWindow(
+      hourly: DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      minBaseline: Int,
+      zThreshold: Double
+  ): DataFrame = {
     val baseCnt = count(col("n")).over(w)
     val baseSum = sum(col("n")).over(w)
     val baseSumSq = sum(col("n") * col("n")).over(w)
@@ -107,6 +148,5 @@ object Anomaly {
         "is_anomaly",
         when(zOk, when(abs(z) >= zThreshold, 1).otherwise(0))
       )
-      .drop("hr_idx")
   }
 }

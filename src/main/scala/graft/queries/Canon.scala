@@ -96,7 +96,9 @@ object Canon {
     "q_hdr_quantiles" -> Seq("est"),
     "q_anomaly" -> Seq("mean_n", "z"),
     "q_anomaly_serving" -> Seq("mean_n", "z"),
+    "q_anomaly_seasonal" -> Seq("mean_n", "z"),
     "q_dp_quantiles" -> Seq("est_dp", "est_exact"),
+    "q_pct_rank" -> Seq("pct_rank", "exact_pr"),
     "q_t_closeness" -> Seq("tvd"),
     "q_reid_risk" -> Seq("pct_unique"),
     "q_kmv_overlap" -> Seq("est_jaccard", "est_overlap"),

@@ -1347,6 +1347,68 @@ object Registry {
             baselineHours = 24, minBaseline = 12, zThreshold = 3.0))
       },
       Some(anomalyOracleSql)
+    ),
+    // Seasonal null model: baseline is the SAME hour-of-day over the
+    // trailing week — diurnal traffic's 9am surge is not an anomaly just
+    // because nights are quiet. Same exact-sums algebra, frame over
+    // epoch-days within the (type, hour-of-day) series.
+    "q_anomaly_seasonal" -> Q(
+      (s, dir) =>
+        graft.operators.Anomaly
+          .seasonalZScores(
+            Tables.events(s, dir), "ts", Seq("event_type"),
+            baselineDays = 7, minBaseline = 3, zThreshold = 3.0)
+          .select(
+            col("event_type"),
+            col("hour"),
+            col("hod"),
+            col("n"),
+            col("base_cnt"),
+            Parity.roundHalfUp(col("mean_n"), 4).cast("decimal(18,4)").as("mean_n"),
+            Parity.roundHalfUp(col("z"), 4).cast("decimal(18,4)").as("z"),
+            col("is_anomaly")
+          )
+          .orderBy("event_type", "hour"),
+      Some(s"""
+        with hourly as (
+          select event_type, cast(date_trunc('hour', ts) as timestamp) as hour,
+            count(*) as n
+          from events group by 1, 2
+        ),
+        idx as (
+          select *, cast(date_part('hour', hour) as int) as hod,
+            cast(epoch(hour) as bigint) // 86400 as day_idx
+          from hourly
+        ),
+        w as (
+          select event_type, hour, hod, n,
+            count(n) over win as base_cnt,
+            sum(n) over win as base_sum,
+            sum(n*n) over win as base_sumsq
+          from idx
+          window win as (partition by event_type, hod order by day_idx
+                         range between 7 preceding and 1 preceding)
+        ),
+        scored as (
+          select event_type, hour, hod, n, base_cnt,
+            cast(base_sum as double) / cast(base_cnt as double) as mean,
+            sqrt(greatest(
+              cast(base_sumsq as double) / cast(base_cnt as double)
+                - (cast(base_sum as double) / cast(base_cnt as double))
+                * (cast(base_sum as double) / cast(base_cnt as double)),
+              0.0)) as sd
+          from w
+        )
+        select event_type, hour, hod, n, base_cnt,
+          case when base_cnt >= 3
+               then cast(${Parity.duckRound("mean", 4)} as decimal(18,4)) end as mean_n,
+          case when base_cnt >= 3 and sd > 0.0
+               then cast(${Parity.duckRound("(cast(n as double) - mean) / sd", 4)} as decimal(18,4)) end as z,
+          case when base_cnt >= 3 and sd > 0.0
+               then cast(case when abs((cast(n as double) - mean) / sd) >= 3.0
+                              then 1 else 0 end as int) end as is_anomaly
+        from scored
+        order by event_type, hour""")
     )
   )
 

@@ -320,6 +320,63 @@ object SketchQueries {
         order by pair"""
       }
     ),
+    // Sketch-based percentile-rank normalization: one histogram pass + a
+    // broadcast bucket join replaces the global per-group sort that exact
+    // percent_rank costs; the exact rank rides along for audit, so the
+    // hash check pins the sketch rank to within its bucket resolution.
+    "q_pct_rank" -> Q(
+      (s, dir) => {
+        import graft.sketch.HdrHistogram
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.read(s, dir, "lineitem")
+        val sk = HdrHistogram.sketch(li, col("l_extendedprice"), Seq("l_returnflag"))
+        HdrHistogram
+          .percentileRank(sk, li, col("l_extendedprice"), Seq("l_returnflag"))
+          .withColumn(
+            "exact_pr",
+            percent_rank().over(
+              Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))))
+          .filter(col("l_orderkey") % 37 === 0)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice"),
+            roundHalfUp(col("pct_rank"), 6).cast("decimal(9,6)").as("pct_rank"),
+            roundHalfUp(col("exact_pr"), 6).cast("decimal(9,6)").as("exact_pr"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some {
+        import graft.sketch.HdrHistogram
+        s"""
+        with sk as (
+          select l_returnflag, ${HdrHistogram.duck.idx("l_extendedprice")} as idx,
+            count(*) as cnt
+          from lineitem
+          where l_extendedprice is not null and l_extendedprice >= 0
+          group by l_returnflag, idx
+        ),
+        c as (
+          select l_returnflag, idx,
+            sum(cnt) over (partition by l_returnflag order by idx) as cum,
+            sum(cnt) over (partition by l_returnflag) as n
+          from sk
+        ),
+        r as (
+          select l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+            ${HdrHistogram.duck.idx("l_extendedprice")} as idx,
+            percent_rank() over (partition by l_returnflag
+                                 order by l_extendedprice) as epr
+          from lineitem
+          where l_extendedprice is not null and l_extendedprice >= 0
+        )
+        select r.l_orderkey, r.l_linenumber, r.l_returnflag, r.l_extendedprice,
+          cast(${duckRound("cast(cum as double) / cast(n as double)", 6)}
+               as decimal(9,6)) as pct_rank,
+          cast(${duckRound("epr", 6)} as decimal(9,6)) as exact_pr
+        from r join c on r.l_returnflag = c.l_returnflag and r.idx = c.idx
+        where r.l_orderkey % 37 = 0
+        order by r.l_orderkey, r.l_linenumber"""
+      }
+    ),
     "q_hdr_quantiles" -> Q(
       (s, dir) => {
         val li = Tables.read(s, dir, "lineitem")

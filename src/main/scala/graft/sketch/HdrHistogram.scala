@@ -117,6 +117,42 @@ object HdrHistogram {
         bucketMid(col("_pick.idx"), subBits).as("est")): _*)
   }
 
+  /** Percentile-rank transform: map every row's value to the fraction of
+    * the sketched population at or below its HDR bucket (`cum/n`). The
+    * 100 TB use: percentile-normalize a score column corpus-wide (e.g.
+    * for quality-curriculum mixing) with ONE sketch pass + a broadcast
+    * equi-join on the row's bucket index — where the exact transform is a
+    * global sort (`percent_rank` shuffles the whole corpus into one
+    * ordered partition per group).
+    *
+    * Self-normalization contract: `rows` must be (a subset of) the data
+    * the sketch was built from, so every row's bucket exists in the
+    * sketch — the equi-join is then lossless. Resolution is the bucket
+    * width: values in one bucket share a rank (≤0.8% relative error on
+    * the value axis at the default 128 sub-buckets).
+    */
+  def percentileRank(
+      sk: DataFrame,
+      rows: DataFrame,
+      value: Column,
+      groupCols: Seq[String] = Nil,
+      outName: String = "pct_rank",
+      subBits: Int = DefaultSubBits
+  ): DataFrame = {
+    val w = if (groupCols.isEmpty) Window.partitionBy()
+            else Window.partitionBy(groupCols.map(col): _*)
+    val cum = sk
+      .withColumn("cum", sum(col("cnt")).over(w.orderBy(col("idx"))))
+      .withColumn("n", sum(col("cnt")).over(w))
+      .select((groupCols.map(col) :+ col("idx") :+ col("cum") :+ col("n")): _*)
+    rows
+      .filter(value.isNotNull && value >= 0.0)
+      .withColumn("idx", bucketIdx(value, subBits))
+      .join(broadcast(cum), groupCols :+ "idx")
+      .withColumn(outName, col("cum").cast("double") / col("n").cast("double"))
+      .drop("idx", "cum", "n")
+  }
+
   /** DuckDB twin fragments — the same exact algebra, textual form. */
   object duck {
     def s(v: String): String = s"cast(floor(($v) * ${Scale.toLong}) as bigint)"

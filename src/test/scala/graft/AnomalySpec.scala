@@ -74,6 +74,34 @@ class AnomalySpec extends SparkSpec {
     assert(last.isNullAt(last.fieldIndex("z")))
   }
 
+  test("seasonal baseline: a diurnal surge is normal, an off-pattern one is not") {
+    // 10 days: hour 9 always gets 20 events (plus tiny jitter), all other
+    // hours get 2. On day 10, hour 9 is NORMAL for the seasonal model,
+    // but hour 3 suddenly carrying 20 is anomalous.
+    def at(day: Int, hour: Int, minute: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:$minute%02d:00")
+    val events =
+      (1 to 10).flatMap { d =>
+        val nine = 20 + (d % 2) // jitter so sd > 0
+        (0 until nine).map(i => (at(d, 9, i), "x")) ++
+          (0 until 24).filter(_ != 9).flatMap { h =>
+            val n = 2 + ((d + h) % 2)
+            (0 until n).map(i => (at(d, h, i), "x"))
+          }
+      } ++ (0 until 20).map(i => (at(10, 3, 30 + i), "x"))
+    val out = graft.operators.Anomaly
+      .seasonalZScores(events.toDF("ts", "event_type"), "ts", Seq("event_type"),
+        baselineDays = 7, minBaseline = 3, zThreshold = 3.0)
+      .filter(col("hour") >= lit(Timestamp.valueOf("2024-01-10 00:00:00")))
+      .collect()
+      .map(r => r.getInt(r.fieldIndex("hod")) ->
+        (if (r.isNullAt(r.fieldIndex("is_anomaly"))) -1
+         else r.getInt(r.fieldIndex("is_anomaly"))))
+      .toMap
+    assert(out(9) == 0, "the usual 9am surge must be in-pattern")
+    assert(out(3) == 1, "a night hour at 9am volume must flag")
+  }
+
   test("series are scored per key: one key's burst does not taint another") {
     // key a alternates 4/6 then bursts; key b alternates 1/3 throughout
     val events =

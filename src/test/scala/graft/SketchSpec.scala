@@ -193,6 +193,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hdr: percentile rank joins every row and tracks exact percent_rank") {
+    val df = (1 to 2000).map(i => (i.toLong, (i * 13 % 2000) / 2.0 + 1.0)).toDF("id", "v")
+    val sk = HdrHistogram.sketch(df, col("v"))
+    val pr = HdrHistogram.percentileRank(sk, df, col("v"))
+    assert(pr.count() == 2000, "self-normalization must keep every row")
+    val rows = pr
+      .withColumn("exact",
+        org.apache.spark.sql.functions.percent_rank().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+      .select("pct_rank", "exact")
+      .collect()
+    rows.foreach { r =>
+      val (est, ex) = (r.getDouble(0), r.getDouble(1))
+      assert(est >= ex - 0.001, s"sketch rank $est below exact $ex")
+      // bucket granularity: everything in a bucket takes the bucket-END
+      // rank, so the estimate can lead exact by at most one bucket's mass
+      assert(est - ex <= 0.02, s"sketch rank $est leads exact $ex too far")
+    }
+  }
+
   test("hdr: merge of part histograms equals the whole histogram") {
     val df = spark.range(5000).select((col("id") % 977).cast("double").as("x"))
     val parts = (0 until 5).map(i =>
