@@ -46,6 +46,77 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** Two-table variant: every (left, right) pair with Jaccard >= num/den —
+    * the EXACT decontamination join (which benchmark document near-matches
+    * which corpus document), where the shingle-overlap stats in
+    * [[graft.text]] measure contamination without pairing documents. The
+    * global token order (df asc, token asc) is computed over the UNION of
+    * both sides, so the prefix theorem holds across tables; candidates
+    * join left-prefix x right-prefix on the shared key.
+    *
+    * Output: (id_l, id_r, inter, union_sz, jaccard).
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      setCol: String,
+      num: Int,
+      den: Int
+  ): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+
+    val exL = left.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
+    val exR = right.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
+    val dfreq = exL.unionByName(exR).groupBy("tok").agg(count(lit(1)).as("df"))
+
+    def assemble(ex: DataFrame) = ex
+      .join(dfreq, "tok")
+      .select(
+        col("id"),
+        concat(lpad(col("df").cast("string"), 10, "0"), col("tok")).as("key"))
+      .groupBy("id")
+      .agg(
+        sort_array(collect_list(col("key"))).as("keys"),
+        count(lit(1)).cast("int").as("sz"))
+
+    def prefix(assembled: DataFrame) = {
+      val prefixLen =
+        (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
+      assembled.select(
+        col("id"), col("sz"),
+        explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
+    }
+
+    val aL = assemble(exL)
+    val aR = assemble(exR)
+    val cand = prefix(aL).as("a")
+      .join(
+        prefix(aR).as("b"),
+        col("a.key") === col("b.key") &&
+          col("a.sz") * den >= col("b.sz") * num &&
+          col("b.sz") * den >= col("a.sz") * num)
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .distinct()
+
+    cand
+      .join(
+        aL.select(col("id").as("id_l"), col("keys").as("keys_l"), col("sz").as("sz_l")),
+        "id_l")
+      .join(
+        aR.select(col("id").as("id_r"), col("keys").as("keys_r"), col("sz").as("sz_r")),
+        "id_r")
+      .select(
+        col("id_l"), col("id_r"),
+        size(array_intersect(col("keys_l"), col("keys_r"))).as("inter"),
+        col("sz_l"), col("sz_r"))
+      .withColumn("union_sz", (col("sz_l") + col("sz_r") - col("inter")).cast("int"))
+      .filter(col("inter") * den >= col("union_sz") * num)
+      .select(
+        col("id_l"), col("id_r"), col("inter"), col("union_sz"),
+        (col("inter").cast("double") / col("union_sz").cast("double")).as("jaccard"))
+  }
+
   /** Self-join `sets` (columns: `idCol`, `setCol: array<string>`, distinct
     * elements) returning pairs with Jaccard >= num/den.
     *

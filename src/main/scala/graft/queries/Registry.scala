@@ -1348,6 +1348,35 @@ object Registry {
       },
       Some(anomalyOracleSql)
     ),
+    // Stream-stream attribution join run on its batch twin: view ->
+    // purchase pairs of the same user within 1 hour. The streaming form
+    // (StreamingPipeline.attributionJoin) is the IDENTICAL plan with
+    // watermark-bounded state; watermarks are no-ops on batch, so the
+    // oracle pins the shared join semantics.
+    "q_attribution" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        graft.streaming.StreamingPipeline
+          .attributionJoin(
+            ev.filter(col("event_type") === "view")
+              .select(col("user_id"), col("ts"), col("event_id")),
+            ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("event_id")),
+            "user_id", attributionWindow = "1 hour")
+          .orderBy("imp_id", "conv_id")
+      },
+      Some("""
+        select i.user_id, i.event_id as imp_id, c.event_id as conv_id,
+          cast(i.ts as timestamp) as imp_ts,
+          cast(c.ts as timestamp) as conv_ts,
+          cast(floor(epoch(c.ts)) as bigint)
+            - cast(floor(epoch(i.ts)) as bigint) as latency_s
+        from events i join events c
+          on i.user_id = c.user_id
+         and i.event_type = 'view' and c.event_type = 'purchase'
+         and i.ts <= c.ts and c.ts <= i.ts + interval 1 hour
+        order by imp_id, conv_id""")
+    ),
     // Seasonal null model: baseline is the SAME hour-of-day over the
     // trailing week — diurnal traffic's 9am surge is not an anomaly just
     // because nights are quiet. Same exact-sums algebra, frame over

@@ -488,6 +488,55 @@ object StreamingPipeline {
       .start()
   }
 
+  /** Watermarked stream-stream attribution join: each `convert` event
+    * matches the `impress` events of the SAME key that happened within
+    * `attributionWindow` BEFORE it. State on both sides is bounded by the
+    * watermarks plus the time-range condition — Spark evicts an
+    * impression once no in-flight conversion can still reach back to it
+    * — so this runs indefinitely with finite state on any number of
+    * executors (the canonical micro-batch stream-stream inner join;
+    * without the range bound the state would be unbounded and Spark
+    * rejects the plan in append mode).
+    *
+    * Inputs need columns (`keyCol`, `ts`, `event_id`); output one row per
+    * (impression, conversion) pair with the attribution latency.
+    */
+  def attributionJoin(
+      impressions: DataFrame,
+      conversions: DataFrame,
+      keyCol: String,
+      attributionWindow: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame = {
+    val imp = impressions
+      .withWatermark("ts", watermark)
+      .select(
+        col(keyCol).as("imp_k"),
+        col("ts").as("imp_ts"),
+        col("event_id").as("imp_id"))
+    val conv = conversions
+      .withWatermark("ts", watermark)
+      .select(
+        col(keyCol).as("conv_k"),
+        col("ts").as("conv_ts"),
+        col("event_id").as("conv_id"))
+    imp
+      .join(
+        conv,
+        expr(s"""
+          imp_k = conv_k AND
+          imp_ts <= conv_ts AND
+          conv_ts <= imp_ts + interval $attributionWindow"""))
+      .select(
+        col("imp_k").as(keyCol),
+        col("imp_id"),
+        col("conv_id"),
+        col("imp_ts"),
+        col("conv_ts"),
+        (unix_timestamp(col("conv_ts")) - unix_timestamp(col("imp_ts")))
+          .as("latency_s"))
+  }
+
   /** Streaming maintenance of the [[graft.operators.EventStatsStore]]
     * anomaly baseline: each micro-batch folds into per-key hourly counts
     * (a batch-local aggregation — counts for the same hour across

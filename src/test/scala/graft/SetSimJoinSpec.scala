@@ -68,6 +68,35 @@ class SetSimJoinSpec extends SparkSpec {
       assert(run(rows, num, den) == brute(rows, num, den), s"at $num/$den")
   }
 
+  test("two-table join matches brute force across tables at several thresholds") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"t$i")
+    def corpus(n: Int, offset: Int): Seq[(Long, Seq[String])] =
+      (0 until n).map(i =>
+        ((i + offset).toLong, rnd.shuffle(vocab).take(3 + rnd.nextInt(6))))
+    val lrows = corpus(25, 0)
+    val rrows = corpus(40, 1000)
+    def bruteX(num: Int, den: Int) =
+      (for {
+        (il, sl) <- lrows
+        (ir, sr) <- rrows
+        inter = sl.toSet.intersect(sr.toSet).size
+        union = sl.toSet.union(sr.toSet).size
+        if union > 0 && inter * den >= union * num
+      } yield (il, ir, inter, union)).sortBy(p => (p._1, p._2))
+    for ((num, den) <- Seq((2, 5), (1, 2), (4, 5))) {
+      val ldf = lrows.toDF("id", "s").select($"id", array_distinct($"s").as("s"))
+      val rdf = rrows.toDF("id", "s").select($"id", array_distinct($"s").as("s"))
+      val got = graft.dedup.SetSimJoin
+        .join(ldf, rdf, "id", "s", num, den)
+        .orderBy("id_l", "id_r")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSeq
+      assert(got == bruteX(num, den), s"at $num/$den")
+    }
+  }
+
   test("duplicate elements in the input column do not inflate sizes") {
     val df = Seq((1L, Seq("a", "a", "b")), (2L, Seq("b", "a")))
       .toDF("id", "s")

@@ -548,4 +548,44 @@ class StreamingSpec extends SparkSpec {
     val nt = spark.sql("select text_stats(text).n_tokens as n from fn_test").head()
     assert(nt.getAs[Int]("n") == 3)
   }
+
+  test("stream-stream attribution join matches the batch twin; window bounds hold") {
+    implicit val sqlCtx = spark.sqlContext
+    // (user, ts, event_id)
+    val impIn = MemoryStream[(Long, Timestamp, Long)]
+    val convIn = MemoryStream[(Long, Timestamp, Long)]
+    def frame(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("user_id", "ts", "event_id")
+    val joined = StreamingPipeline.attributionJoin(
+      frame(impIn), frame(convIn), "user_id",
+      attributionWindow = "30 minutes", watermark = "2 hours")
+
+    val impRows = Seq(
+      (1L, ts(0), 100L), (1L, ts(50), 101L), // 101 too late for conv 201
+      (2L, ts(5), 102L))
+    val convRows = Seq(
+      (1L, ts(20), 200L),  // pairs with 100 (20 min)
+      (1L, ts(55), 201L),  // pairs with 101 (5 min); 100 out of window
+      (2L, ts(4), 202L),   // BEFORE its impression: no pair
+      (3L, ts(10), 203L))  // no impression at all
+    impIn.addData(impRows: _*)
+    convIn.addData(convRows: _*)
+    val q = joined.writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "imp_id", "conv_id", "latency_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val streamed = norm(spark.table("attr_stream"))
+    val batch = norm(StreamingPipeline.attributionJoin(
+      impRows.toDF("user_id", "ts", "event_id"),
+      convRows.toDF("user_id", "ts", "event_id"),
+      "user_id", attributionWindow = "30 minutes"))
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Set(
+      (1L, 100L, 200L, 1200L),
+      (1L, 101L, 201L, 300L)))
+  }
 }
