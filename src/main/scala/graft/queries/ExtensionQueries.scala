@@ -3332,6 +3332,52 @@ object ExtensionQueries {
         where source between 'src0' and 'src19' and doc_id between 0 and 300
         order by doc_id""")
     ),
+    // BPE merge-rule LEARNING (Sennrich et al., ACL'16): six merges
+    // derived from the corpus, each iteration one vocabulary-level pair
+    // count + a single-row argmax collect (k-means loop shape). The twin
+    // unrolls the same six supersteps as a CTE chain with scalar-
+    // subquery replace patterns — learned table replayed rule-for-rule.
+    "q_bpe_learn" -> Q(
+      (s, dir) =>
+        graft.text.BpeLearn
+          .learn(docs(s, dir), "text", numMerges = 6)
+          .orderBy("rank"),
+      Some {
+        val S = graft.text.BpeLearn.Sep
+        def pairs(src: String) = s"""
+          select p1, p2, sum(cnt) as n from (
+            select syms[i] as p1, syms[i + 1] as p2, cnt
+            from (select string_split(substr(enc, 2, length(enc) - 2), '$S$S') as syms,
+                         cnt from $src) t,
+                 unnest(range(1, len(t.syms))) as u(i)
+            where len(syms) >= 2
+          ) group by p1, p2"""
+        val chain = (1 to 6).map { k =>
+          val prev = s"w${k - 1}"
+          s"""
+          p$k as (${pairs(prev)}),
+          m$k as (select p1, p2, n from p$k order by n desc, p1, p2 limit 1),
+          w$k as (select replace(enc,
+                    (select '$S' || p1 || '$S$S' || p2 || '$S' from m$k),
+                    (select '$S' || p1 || p2 || '$S' from m$k)) as enc, cnt
+                  from $prev)"""
+        }.mkString(",")
+        val out = (1 to 6)
+          .map(k => s"select $k as rank, p1, p2, n from m$k")
+          .mkString(" union all ")
+        s"""
+        with t as (select $duckTokens as toks from documents),
+        wf as (select w, count(*) as cnt
+               from (select unnest(toks) as w from t) where length(w) > 0
+               group by w),
+        w0 as (select '$S' || array_to_string(string_split(w, ''), '$S$S') || '$S' as enc,
+                 cnt from wf),
+        $chain
+        select cast(rank as int) as rank, p1, p2, cast(n as bigint) as n
+        from ($out)
+        order by rank"""
+      }
+    ),
     // Blocked record linkage (Fellegi-Sunter with fixed weights): the
     // entity-resolution audit the anonymization pipeline lacks — two
     // spellings of one entity inflate k-anonymity counts. Candidates are

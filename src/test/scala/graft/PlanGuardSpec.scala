@@ -110,7 +110,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_pagerank",
     // builds the hourly-count store under test (two merges + a replay):
     // touched-day collects are |days|-bounded, writes are the operator
-    "q_anomaly_serving"
+    "q_anomaly_serving",
+    // BPE training loop: 6 argmax collects, one row each (k-means shape)
+    "q_bpe_learn"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
