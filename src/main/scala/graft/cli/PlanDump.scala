@@ -74,7 +74,18 @@ object PlanDump {
     "q_reid_risk",        // one grouping-sets pass over 3 QI sets
     "q_kmv_overlap",      // bounded KMV agg + alphabet pair grid
     "q_l_enforce",        // diversity-ladder probe + chosen-rung groups
-    "q_dp_sums"           // clamped sum + literal-array noise lookup
+    "q_dp_sums",          // clamped sum + literal-array noise lookup
+    "q_ssjoin",           // df agg + prefix explode join + verify join
+    "q_decontam_pairs",   // two-table prefix filter, union-wide token order
+    "q_join_size_est",    // two sketch aggs + 4096-cell dot product
+    "q_record_linkage",   // block equi-join + codegen'd levenshtein, top-100
+    "q_anomaly",          // hourly agg + range-frame window scoring
+    "q_anomaly_seasonal", // same, framed over epoch-days per hour-of-day
+    "q_anomaly_serving",  // day-pruned store read + identical window
+    "q_attribution",      // watermark-shaped time-range join (batch twin)
+    "q_dp_quantiles",     // HDR sketch + embedded noise chain + cum pick
+    "q_pct_rank",         // sketch cum-dist broadcast join (+ exact audit)
+    "q_bpe_learn"         // vocab pair-count iterations, argmax-driven
   )
 
   def main(args: Array[String]): Unit = {

@@ -117,6 +117,65 @@ object Anomaly {
       .drop("day_idx")
   }
 
+  /** Retrospective changepoint detection per series — the CUSUM chart
+    * (Page, Biometrika 1954): `S_t = Σ_{i<=t}(n_i − n̄)` walks away from
+    * zero when the level SHIFTS (a mean change tilts every subsequent
+    * step), where the z-score detectors above only see single-hour
+    * spikes. The estimated changepoint is the argmax of |S_t| (earliest
+    * hour on ties) and the evidence is `s_range / (sd·√T)` — under a
+    * stable mean the normalized range concentrates near a small
+    * constant; a genuine shift grows it with √T.
+    *
+    * Everything derives from the hourly table: per-key totals (mean, sd
+    * in the closed exact-sums form), one ordered cumulative window, one
+    * rank to pick the argmax. No recursion, no driver state — unlike
+    * clamped sequential CUSUM, the chart form is pure window algebra,
+    * which is what makes it replayable on any engine and cheap at any
+    * scale.
+    */
+  def changepoint(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "changepoint detection needs at least one key column")
+    val hourly = hourlyCounts(df, tsCol, keyCols)
+      .withColumn("hr_idx", (unix_timestamp(col("hour")) / 3600L).cast("long"))
+
+    val whole = Window.partitionBy(keyCols.map(col): _*)
+    val ordered = whole.orderBy(col("hr_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val withTotals = hourly
+      .withColumn("t_sum", sum(col("n")).over(whole))
+      .withColumn("t_sumsq", sum(col("n") * col("n")).over(whole))
+      .withColumn("t_cnt", count(col("n")).over(whole))
+    val mean = col("t_sum").cast("double") / col("t_cnt").cast("double")
+    val variance =
+      col("t_sumsq").cast("double") / col("t_cnt").cast("double") - mean * mean
+    val withS = withTotals
+      .withColumn("s", sum(col("n").cast("double") - mean).over(ordered))
+      .withColumn("sd", sqrt(greatest(variance, lit(0.0))))
+
+    val ranked = withS
+      .withColumn("s_max", max(col("s")).over(whole))
+      .withColumn("s_min", min(col("s")).over(whole))
+      .withColumn(
+        "rn",
+        row_number().over(whole.orderBy(abs(col("s")).desc, col("hr_idx"))))
+    ranked
+      .filter(col("rn") === 1)
+      .select(
+        (keyCols.map(col) :+
+          col("hour").as("cp_hour") :+
+          col("t_cnt").as("n_hours") :+
+          abs(col("s")).as("s_max_abs") :+
+          (col("s_max") - col("s_min")).as("s_range") :+
+          when(col("sd") > 0.0,
+            (col("s_max") - col("s_min")) /
+              (col("sd") * sqrt(col("t_cnt").cast("double")))).as("stat")): _*)
+  }
+
   private def scoreOverWindow(
       hourly: DataFrame,
       w: org.apache.spark.sql.expressions.WindowSpec,

@@ -1377,6 +1377,70 @@ object Registry {
          and i.ts <= c.ts and c.ts <= i.ts + interval 1 hour
         order by imp_id, conv_id""")
     ),
+    // CUSUM changepoint chart (Page '54): the cumulative deviation walk
+    // S_t locates level SHIFTS the hourly z-detectors cannot see; argmax
+    // |S_t| (earliest on ties) estimates the changepoint, the normalized
+    // range is the evidence. Pure window algebra — no recursion.
+    "q_changepoint" -> Q(
+      (s, dir) =>
+        graft.operators.Anomaly
+          .changepoint(Tables.events(s, dir), "ts", Seq("event_type"))
+          .select(
+            col("event_type"),
+            col("cp_hour"),
+            col("n_hours"),
+            Parity.roundHalfUp(col("s_max_abs"), 4).cast("decimal(18,4)").as("s_max_abs"),
+            Parity.roundHalfUp(col("s_range"), 4).cast("decimal(18,4)").as("s_range"),
+            Parity.roundHalfUp(col("stat"), 4).cast("decimal(18,4)").as("stat")
+          )
+          .orderBy("event_type"),
+      Some(s"""
+        with hourly as (
+          select event_type, cast(date_trunc('hour', ts) as timestamp) as hour,
+            count(*) as n
+          from events group by 1, 2
+        ),
+        idx as (
+          select *, cast(epoch(hour) as bigint) // 3600 as hr_idx from hourly
+        ),
+        tot as (
+          select event_type, hour, hr_idx, n,
+            sum(n) over (partition by event_type) as t_sum,
+            sum(n*n) over (partition by event_type) as t_sumsq,
+            count(n) over (partition by event_type) as t_cnt
+          from idx
+        ),
+        sw as (
+          select *,
+            sum(cast(n as double) - cast(t_sum as double) / cast(t_cnt as double))
+              over (partition by event_type order by hr_idx
+                    rows between unbounded preceding and current row) as s,
+            sqrt(greatest(
+              cast(t_sumsq as double) / cast(t_cnt as double)
+                - (cast(t_sum as double) / cast(t_cnt as double))
+                * (cast(t_sum as double) / cast(t_cnt as double)),
+              0.0)) as sd
+          from tot
+        ),
+        r as (
+          select *,
+            max(s) over (partition by event_type) as s_max,
+            min(s) over (partition by event_type) as s_min,
+            row_number() over (partition by event_type
+                               order by abs(s) desc, hr_idx) as rn
+          from sw
+        )
+        select event_type, hour as cp_hour, t_cnt as n_hours,
+          cast(${Parity.duckRound("abs(s)", 4)} as decimal(18,4)) as s_max_abs,
+          cast(${Parity.duckRound("s_max - s_min", 4)} as decimal(18,4)) as s_range,
+          case when sd > 0.0
+               then cast(${Parity.duckRound(
+                 "(s_max - s_min) / (sd * sqrt(cast(t_cnt as double)))", 4)}
+                 as decimal(18,4)) end as stat
+        from r
+        where rn = 1
+        order by event_type""")
+    ),
     // Seasonal null model: baseline is the SAME hour-of-day over the
     // trailing week — diurnal traffic's 9am surge is not an anomaly just
     // because nights are quiet. Same exact-sums algebra, frame over

@@ -102,6 +102,34 @@ class AnomalySpec extends SparkSpec {
     assert(out(3) == 1, "a night hour at 9am volume must flag")
   }
 
+  test("changepoint: locates a level shift; stable series score low") {
+    // key "shift": 30 hours at ~5, then 30 hours at ~15 -> cp at the jump
+    // key "flat": alternating 5/7 throughout -> small normalized stat
+    val events =
+      (0 until 60).flatMap { h =>
+        val d = 1 + h / 24
+        val hh = h % 24
+        def at(m: Int) = Timestamp.valueOf(f"2024-01-$d%02d $hh%02d:$m%02d:00")
+        val nShift = (if (h < 30) 5 else 15) + (h % 2)
+        val nFlat = 5 + 2 * (h % 2)
+        (0 until nShift).map(m => (at(m), "shift")) ++
+          (0 until nFlat).map(m => (at(m), "flat"))
+      }
+    val out = graft.operators.Anomaly
+      .changepoint(events.toDF("ts", "event_type"), "ts", Seq("event_type"))
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    val shiftRow = out("shift")
+    // |S| peaks at the last pre-shift hour (hour index 29)
+    assert(shiftRow.getTimestamp(shiftRow.fieldIndex("cp_hour")) ==
+      Timestamp.valueOf("2024-01-02 05:00:00"))
+    val shiftStat = shiftRow.getDouble(shiftRow.fieldIndex("stat"))
+    val flatStat = out("flat").getDouble(out("flat").fieldIndex("stat"))
+    assert(shiftStat > 3 * flatStat,
+      s"shift stat $shiftStat must dominate flat $flatStat")
+  }
+
   test("series are scored per key: one key's burst does not taint another") {
     // key a alternates 4/6 then bursts; key b alternates 1/3 throughout
     val events =
