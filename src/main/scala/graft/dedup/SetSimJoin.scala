@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity self-join at a Jaccard threshold via prefix
@@ -45,6 +45,129 @@ import org.apache.spark.sql.functions._
   * the reference lacks.
   */
 object SetSimJoin {
+
+  /** Persisted prefix index for [[searchIndex]]: build once over the
+    * corpus, then probe incoming batches without recomputing corpus
+    * shingle sets, document frequencies, or prefixes — the round-5
+    * stored-index convention (BM25 postings / IVF / band index) applied
+    * to the exact similarity join.
+    *
+    * Layout under `dir`:
+    *   - `dfreq/`    (tok, df): the corpus token order, FROZEN at build
+    *   - `sets/`     (id, keys, sz): per-doc sorted key arrays (verify leg)
+    *   - `postings/` (key, id, sz): exploded prefix postings (candidate leg)
+    *   - `meta/`     (num, den): the build threshold
+    *
+    * Correctness note: prefix filtering is exact under ANY shared total
+    * token order — rarest-first is a pruning heuristic, not a
+    * correctness requirement — so probing with the corpus-frozen order
+    * (batch tokens unseen by the corpus take df 0: maximally rare, and
+    * unable to match any posting anyway) loses nothing. The accept set
+    * is therefore IDENTICAL to an inline [[join]] over the same data,
+    * which is exactly what the q_ssjoin_indexed oracle pins.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      idCol: String,
+      setCol: String,
+      num: Int,
+      den: Int,
+      dir: String
+  ): Unit = {
+    require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+    val spark = corpus.sparkSession
+    val ex = corpus.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+
+    val keyed = ex
+      .join(spark.read.parquet(s"$dir/dfreq"), "tok")
+      .select(
+        col("id"),
+        concat(lpad(col("df").cast("string"), 10, "0"), col("tok")).as("key"))
+    val assembled = keyed
+      .groupBy("id")
+      .agg(
+        sort_array(collect_list(col("key"))).as("keys"),
+        count(lit(1)).cast("int").as("sz"))
+    assembled.write.mode("overwrite").parquet(s"$dir/sets")
+
+    val prefixLen =
+      (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
+    spark.read.parquet(s"$dir/sets")
+      .select(col("id"), col("sz"),
+        explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
+      // co-locate a key's postings so the probe join shuffles the BATCH
+      // side only at scale (sort keeps row groups key-contiguous)
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+
+    import spark.implicits._
+    Seq((num, den)).toDF("num", "den")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Probe the stored index with a batch: all (batch, corpus) pairs at
+    * the INDEX's threshold. Reads dfreq (token-keyed join), postings
+    * (candidate join), and sets (verify) — never the corpus documents.
+    */
+  def searchIndex(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      setCol: String
+  ): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (num, den) = (meta.getAs[Int]("num"), meta.getAs[Int]("den"))
+
+    val exB = batch.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
+    val keyedB = exB
+      .join(spark.read.parquet(s"$dir/dfreq"), Seq("tok"), "left")
+      .select(
+        col("id"),
+        concat(lpad(coalesce(col("df"), lit(0L)).cast("string"), 10, "0"),
+          col("tok")).as("key"))
+    val asmB = keyedB
+      .groupBy("id")
+      .agg(
+        sort_array(collect_list(col("key"))).as("keys"),
+        count(lit(1)).cast("int").as("sz"))
+    val prefixLen =
+      (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
+    val prefB = asmB.select(
+      col("id"), col("sz"),
+      explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
+
+    val postings = spark.read.parquet(s"$dir/postings")
+    val cand = prefB.as("a")
+      .join(
+        postings.as("b"),
+        col("a.key") === col("b.key") &&
+          col("a.sz") * den >= col("b.sz") * num &&
+          col("b.sz") * den >= col("a.sz") * num)
+      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
+      .distinct()
+
+    val setsStored = spark.read.parquet(s"$dir/sets")
+    cand
+      .join(
+        asmB.select(col("id").as("id_l"), col("keys").as("keys_l"), col("sz").as("sz_l")),
+        "id_l")
+      .join(
+        setsStored.select(col("id").as("id_r"), col("keys").as("keys_r"), col("sz").as("sz_r")),
+        "id_r")
+      .select(
+        col("id_l"), col("id_r"),
+        size(array_intersect(col("keys_l"), col("keys_r"))).as("inter"),
+        col("sz_l"), col("sz_r"))
+      .withColumn("union_sz", (col("sz_l") + col("sz_r") - col("inter")).cast("int"))
+      .filter(col("inter") * den >= col("union_sz") * num)
+      .select(
+        col("id_l"), col("id_r"), col("inter"), col("union_sz"),
+        (col("inter").cast("double") / col("union_sz").cast("double")).as("jaccard"))
+  }
 
   /** Two-table variant: every (left, right) pair with Jaccard >= num/den —
     * the EXACT decontamination join (which benchmark document near-matches

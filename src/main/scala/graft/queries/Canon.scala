@@ -45,6 +45,7 @@ object Canon {
     "q_ngram_jaccard" -> Seq("jaccard"),
     "q_ssjoin" -> Seq("jaccard"),
     "q_decontam_pairs" -> Seq("jaccard"),
+    "q_ssjoin_indexed" -> Seq("jaccard"),
     "q_record_linkage" -> Seq("name_sim", "addr_sim", "score"),
     "q_dedup_incremental" -> Seq("jaccard"),
     "q_dedup_indexed" -> Seq("jaccard"),

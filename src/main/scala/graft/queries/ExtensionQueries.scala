@@ -111,6 +111,50 @@ object ExtensionQueries {
         order by d.doc_id"""
 
 
+    /** Shared twin of q_decontam_pairs AND q_ssjoin_indexed - the stored
+    * prefix index must be value-invisible.
+    */
+  private lazy val duckDecontamPairsSql: String = s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        sh as (
+          select doc_id, list_distinct(list_transform(
+            list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
+            x -> md5(x))) as sh
+          from t
+        ),
+        exl as (select doc_id as id, unnest(sh) as tok from sh where doc_id % 10 = 0),
+        exr as (select doc_id as id, unnest(sh) as tok from sh where doc_id % 10 <> 0),
+        dfreq as (select tok, count(*) as df
+                  from (select * from exl union all select * from exr)
+                  group by tok),
+        setsl as (select id, list_sort(list(lpad(cast(df as varchar), 10, '0') || tok)) as keys,
+                    cast(count(*) as int) as sz
+                  from exl join dfreq using (tok) group by id),
+        setsr as (select id, list_sort(list(lpad(cast(df as varchar), 10, '0') || tok)) as keys,
+                    cast(count(*) as int) as sz
+                  from exr join dfreq using (tok) group by id),
+        prefl as (select id, sz,
+                    unnest(list_slice(keys, 1, cast(sz - ((2*sz + 4) // 5) + 1 as int))) as key
+                  from setsl),
+        prefr as (select id, sz,
+                    unnest(list_slice(keys, 1, cast(sz - ((2*sz + 4) // 5) + 1 as int))) as key
+                  from setsr),
+        cand as (select distinct a.id as id_l, b.id as id_r
+                 from prefl a join prefr b
+                   on a.key = b.key
+                  and a.sz*5 >= b.sz*2 and b.sz*5 >= a.sz*2),
+        v as (select id_l, id_r,
+                cast(len(list_intersect(sa.keys, sb.keys)) as int) as inter,
+                cast(sa.sz + sb.sz - len(list_intersect(sa.keys, sb.keys)) as int) as union_sz
+              from cand join setsl sa on sa.id = cand.id_l
+                        join setsr sb on sb.id = cand.id_r)
+        select id_l, id_r, inter, union_sz,
+          cast(${duckRound("cast(inter as double) / cast(union_sz as double)", 4)} as decimal(10,4)) as jaccard
+        from v
+        where inter*5 >= union_sz*2
+        order by id_l, id_r"""
+
   private def emb(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "embeddings")
 
@@ -890,46 +934,34 @@ object ExtensionQueries {
             roundHalfUp(col("jaccard"), 4).cast("decimal(10,4)").as("jaccard"))
           .orderBy("id_l", "id_r")
       },
-      Some(s"""
-        with t as (select doc_id, $duckTokens as toks from documents),
-        sh as (
-          select doc_id, list_distinct(list_transform(
-            list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
-                           i -> array_to_string(list_slice(toks, i, i + 2), ' ')),
-            x -> md5(x))) as sh
-          from t
-        ),
-        exl as (select doc_id as id, unnest(sh) as tok from sh where doc_id % 10 = 0),
-        exr as (select doc_id as id, unnest(sh) as tok from sh where doc_id % 10 <> 0),
-        dfreq as (select tok, count(*) as df
-                  from (select * from exl union all select * from exr)
-                  group by tok),
-        setsl as (select id, list_sort(list(lpad(cast(df as varchar), 10, '0') || tok)) as keys,
-                    cast(count(*) as int) as sz
-                  from exl join dfreq using (tok) group by id),
-        setsr as (select id, list_sort(list(lpad(cast(df as varchar), 10, '0') || tok)) as keys,
-                    cast(count(*) as int) as sz
-                  from exr join dfreq using (tok) group by id),
-        prefl as (select id, sz,
-                    unnest(list_slice(keys, 1, cast(sz - ((2*sz + 4) // 5) + 1 as int))) as key
-                  from setsl),
-        prefr as (select id, sz,
-                    unnest(list_slice(keys, 1, cast(sz - ((2*sz + 4) // 5) + 1 as int))) as key
-                  from setsr),
-        cand as (select distinct a.id as id_l, b.id as id_r
-                 from prefl a join prefr b
-                   on a.key = b.key
-                  and a.sz*5 >= b.sz*2 and b.sz*5 >= a.sz*2),
-        v as (select id_l, id_r,
-                cast(len(list_intersect(sa.keys, sb.keys)) as int) as inter,
-                cast(sa.sz + sb.sz - len(list_intersect(sa.keys, sb.keys)) as int) as union_sz
-              from cand join setsl sa on sa.id = cand.id_l
-                        join setsr sb on sb.id = cand.id_r)
-        select id_l, id_r, inter, union_sz,
-          cast(${duckRound("cast(inter as double) / cast(union_sz as double)", 4)} as decimal(10,4)) as jaccard
-        from v
-        where inter*5 >= union_sz*2
-        order by id_l, id_r""")
+      Some(duckDecontamPairsSql)
+    ),
+    // The SAME pairs served from the STORED prefix index (corpus-frozen
+    // token order; prefix filtering is exact under ANY shared order, so
+    // the persistence layer must be value-invisible): writeIndex over the
+    // corpus split, searchIndex with the batch split, hash-identical to
+    // the inline q_decontam_pairs twin. Build jobs bounded (PlanGuardSpec
+    // exemption).
+    "q_ssjoin_indexed" -> Q(
+      (s, dir) => {
+        val sets = docs(s, dir).select(
+          col("doc_id"),
+          array_distinct(
+            transform(Dedup.wordShingles(col("text"), 3), x => md5(x))
+          ).as("sh")
+        )
+        val out =
+          s"${sys.props("java.io.tmpdir")}/graft_ssidx_${math.abs(dir.hashCode)}"
+        graft.dedup.SetSimJoin.writeIndex(
+          sets.filter(col("doc_id") % 10 =!= 0), "doc_id", "sh", 2, 5, out)
+        graft.dedup.SetSimJoin
+          .searchIndex(s, out, sets.filter(col("doc_id") % 10 === 0), "doc_id", "sh")
+          .select(
+            col("id_l"), col("id_r"), col("inter"), col("union_sz"),
+            roundHalfUp(col("jaccard"), 4).cast("decimal(10,4)").as("jaccard"))
+          .orderBy("id_l", "id_r")
+      },
+      Some(duckDecontamPairsSql)
     ),
     "q_simhash" -> Q(
       (s, dir) =>

@@ -112,7 +112,10 @@ class PlanGuardSpec extends SparkSpec {
     // touched-day collects are |days|-bounded, writes are the operator
     "q_anomaly_serving",
     // BPE training loop: 6 argmax collects, one row each (k-means shape)
-    "q_bpe_learn"
+    "q_bpe_learn",
+    // builds the stored prefix index (dfreq/sets/postings writes) the
+    // probe under test then reads — the q_bm25_indexed pattern
+    "q_ssjoin_indexed"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table

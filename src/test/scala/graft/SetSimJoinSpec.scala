@@ -97,6 +97,38 @@ class SetSimJoinSpec extends SparkSpec {
     }
   }
 
+  test("stored prefix index: searchIndex equals brute force, unseen tokens safe") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 25).map(i => s"t$i")
+    val corpus: Seq[(Long, Seq[String])] = (0 until 40).map(i =>
+      (i.toLong, rnd.shuffle(vocab).take(3 + rnd.nextInt(6))))
+    // batch shares some docs verbatim, plus one with tokens the corpus
+    // has never seen (df 0 keys must not break the probe)
+    val batch: Seq[(Long, Seq[String])] =
+      Seq((1000L, corpus(3)._2), (1001L, corpus(7)._2 :+ "unseen-x"),
+        (1002L, Seq("unseen-a", "unseen-b", "unseen-c")))
+    val dir = java.nio.file.Files.createTempDirectory("ssidx").toString + "/idx"
+    val cdf = corpus.toDF("id", "s").select($"id", array_distinct($"s").as("s"))
+    val bdf = batch.toDF("id", "s").select($"id", array_distinct($"s").as("s"))
+    graft.dedup.SetSimJoin.writeIndex(cdf, "id", "s", 1, 2, dir)
+    val got = graft.dedup.SetSimJoin
+      .searchIndex(spark, dir, bdf, "id", "s")
+      .orderBy("id_l", "id_r")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSeq
+    val want = (for {
+      (ib, sb) <- batch
+      (ic, sc) <- corpus
+      inter = sb.toSet.intersect(sc.toSet).size
+      union = sb.toSet.union(sc.toSet).size
+      if union > 0 && inter * 2 >= union * 1
+    } yield (ib, ic, inter, union)).sortBy(p => (p._1, p._2))
+    assert(got == want)
+    // the verbatim copy must surface as an exact match
+    assert(got.exists { case (l, r, i, u) => l == 1000L && r == 3L && i == u })
+  }
+
   test("duplicate elements in the input column do not inflate sizes") {
     val df = Seq((1L, Seq("a", "a", "b")), (2L, Seq("b", "a")))
       .toDF("id", "s")
