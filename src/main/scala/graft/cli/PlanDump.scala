@@ -85,7 +85,9 @@ object PlanDump {
     "q_attribution",      // watermark-shaped time-range join (batch twin)
     "q_dp_quantiles",     // HDR sketch + embedded noise chain + cum pick
     "q_pct_rank",         // sketch cum-dist broadcast join (+ exact audit)
-    "q_bpe_learn"         // vocab pair-count iterations, argmax-driven
+    "q_bpe_learn",        // vocab pair-count iterations, argmax-driven
+    "q_ssjoin_indexed",   // stored dfreq/postings/sets probe, corpus never read
+    "q_changepoint"       // totals + ordered cumsum + rank, window algebra
   )
 
   def main(args: Array[String]): Unit = {
