@@ -119,7 +119,8 @@ object CurateCli {
       auditOk: Boolean,
       corpusCompacted: Boolean,
       driftPsi: Option[Double] = None,
-      profileDistinctEst: Option[Double] = None)
+      profileDistinctEst: Option[Double] = None,
+      exactOrderDrift: Option[Double] = None)
 
   /** The daily-increment twin of [[run]]: gate + redact + dedup a NEW
     * batch ([[CorpusPipeline.prepare]]), drop documents that
@@ -178,7 +179,8 @@ object CurateCli {
       searchIndex: Boolean = false,
       hybridIndex: Boolean = false,
       hybridK: Int = 16,
-      profileStats: Boolean = false
+      profileStats: Boolean = false,
+      exactIndex: Boolean = false
   ): IncrementalSummary = {
     import graft.dedup.Dedup
     val fs = new org.apache.hadoop.fs.Path(outDir)
@@ -188,6 +190,7 @@ object CurateCli {
     val indexDir = s"$outDir/index"
     val searchDir = s"$outDir/search"
     val denseDir = s"$outDir/dense"
+    val exactDir = s"$outDir/exact"
     // crash recovery for a compaction interrupted mid-swap: if the promote
     // never landed, the retired directory IS the data — restore it before
     // anything reads the live path (corpus and search postings alike)
@@ -199,6 +202,8 @@ object CurateCli {
     recoverRetired(corpusDir)
     recoverRetired(s"$searchDir/postings")
     recoverRetired(s"$denseDir/assigned")
+    recoverRetired(s"$exactDir/postings")
+    recoverRetired(s"$exactDir/sets")
     graft.sketch.ProfileStore.recover(spark, s"$outDir/profile")
     val bootstrap = !exists(s"$indexDir/meta")
 
@@ -245,6 +250,7 @@ object CurateCli {
     val shardDir = s"$shardsRoot/batch=$batchId"
 
     var driftPsi: Option[Double] = None
+    var exactDrift: Option[Double] = None
     val auditOk =
       if (nFresh == 0) true
       else {
@@ -307,6 +313,28 @@ object CurateCli {
             Ivf.appendIndex(batchVecs, "doc_id", "embedding", denseDir)
           }
         }
+        // optional exact-similarity serving leg: the SetSimJoin prefix
+        // index over the landed docs' 3-shingle md5 sets. First build (or
+        // late enablement) indexes the corpus READ-BACK; later batches
+        // audit frozen-order drift BEFORE appending (the Ivf convention —
+        // appends stay threshold-exact regardless, drift only erodes
+        // prefix pruning; rebuild when it crosses the caller's budget).
+        if (exactIndex) {
+          import graft.dedup.SetSimJoin
+          def setsOf(df: DataFrame) = df.select(col("doc_id"),
+            array_distinct(transform(
+              graft.dedup.Dedup.wordShingles(col("text"), 3),
+              x => md5(x))).as("sh"))
+          if (!exists(s"$exactDir/meta"))
+            SetSimJoin.writeIndex(
+              setsOf(spark.read.parquet(corpusDir)), "doc_id", "sh", 2, 5, exactDir)
+          else {
+            val landedSets = setsOf(landed)
+            exactDrift = Some(SetSimJoin.orderDrift(
+              spark, exactDir, landedSets, "doc_id", "sh"))
+            SetSimJoin.appendIndex(spark, exactDir, landedSets, "doc_id", "sh")
+          }
+        }
         // optional corpus profile: sketch ONLY the landed rows, merge into
         // the stored HLL/HDR pair — losslessly identical to profiling the
         // whole accumulated corpus (ProfileStore scaladoc), so telemetry
@@ -361,6 +389,10 @@ object CurateCli {
         }
       }
     val compacted = healSmallFiles(corpusDir, None)
+    if (exactIndex) {
+      healSmallFiles(s"$exactDir/postings", None)
+      healSmallFiles(s"$exactDir/sets", None)
+    }
     if (searchIndex)
       healSmallFiles(s"$searchDir/postings", Some(Seq("term")))
     // the dense store is hive-partitioned (assigned/centroid_id=N/), so
@@ -407,11 +439,13 @@ object CurateCli {
         s""""n_dup_of_corpus":$nDup,"n_shards":${if (nFresh == 0) 0 else nShards},""" +
         s""""audit_ok":$auditOk,"corpus_compacted":$compacted""" +
         driftPsi.map(p => s""","drift_psi":$p""").getOrElse("") +
+        exactDrift.map(d => s""","exact_order_drift":$d""").getOrElse("") +
         profileEst.map(e => s""","profile_distinct_est":$e""").getOrElse("") + "}\n")
     if (!(fresh eq kept)) fresh.unpersist()
     kept.unpersist()
     IncrementalSummary(batchId, nIn, nKept, nFresh, nDup,
-      if (nFresh == 0) 0 else nShards, auditOk, compacted, driftPsi, profileEst)
+      if (nFresh == 0) 0 else nShards, auditOk, compacted, driftPsi, profileEst,
+      exactDrift)
   }
 
   private def session(): SparkSession = {
@@ -464,22 +498,25 @@ object CurateCli {
     val withSearch = args0.contains("--search")
     val withHybrid = args0.contains("--hybrid")
     val withProfile = args0.contains("--profile")
+    val withExact = args0.contains("--exact")
     val args = args0.filterNot(a =>
-      a == "--search" || a == "--hybrid" || a == "--profile")
+      a == "--search" || a == "--hybrid" || a == "--profile" || a == "--exact")
     if (args.headOption.contains("incremental")) {
       require(args.length >= 3,
         "usage: CurateCli incremental <batch.parquet> <stateDir> [nShards] " +
-          "[--model <dir> <minScore>] [--search] [--hybrid] [--profile]")
+          "[--model <dir> <minScore>] [--search] [--hybrid] [--profile] [--exact]")
       val nShards = if (args.length > 3) args(3).toInt else 64
       val spark = session()
       val s = runIncremental(spark, args(1), args(2), nShards,
         cfg = gateConfig(spark, modelArgs), searchIndex = withSearch,
-        hybridIndex = withHybrid, profileStats = withProfile)
+        hybridIndex = withHybrid, profileStats = withProfile,
+        exactIndex = withExact)
       println(s"[curate] batch=${s.batch} in=${s.nIn} kept=${s.nKept} " +
         s"fresh=${s.nFresh} dup_of_corpus=${s.nDupOfCorpus} " +
         s"shards=${s.nShards} audit_ok=${s.auditOk} compacted=${s.corpusCompacted}" +
         s.driftPsi.map(p => s" drift_psi=$p").getOrElse("") +
-        s.profileDistinctEst.map(e => s" profile_distinct_est=$e").getOrElse(""))
+        s.profileDistinctEst.map(e => s" profile_distinct_est=$e").getOrElse("") +
+        s.exactOrderDrift.map(d => s" exact_order_drift=$d").getOrElse(""))
       spark.stop()
       if (!s.auditOk) sys.exit(1)
       // stale dense index: data landed fine (distinct exit code), but the

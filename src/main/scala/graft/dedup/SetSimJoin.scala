@@ -108,6 +108,75 @@ object SetSimJoin {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Append a batch to the stored index under the FROZEN token order:
+    * the batch's sets and prefix postings are keyed with the stored
+    * dfreq (unseen tokens take df 0) and appended — no existing file is
+    * rewritten, and searches after the append are still EXACT at the
+    * index threshold (prefix filtering is order-agnostic for
+    * correctness; only pruning efficiency decays as the true
+    * frequencies drift from the frozen ones). Monitor that decay with
+    * [[orderDrift]] and rebuild via [[writeIndex]] when it crosses the
+    * caller's budget — the Ivf.appendIndex / clusterDrift convention.
+    */
+  def appendIndex(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      setCol: String
+  ): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (num, den) = (meta.getAs[Int]("num"), meta.getAs[Int]("den"))
+
+    val ex = batch.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
+    val keyed = ex
+      .join(spark.read.parquet(s"$dir/dfreq"), Seq("tok"), "left")
+      .select(
+        col("id"),
+        concat(lpad(coalesce(col("df"), lit(0L)).cast("string"), 10, "0"),
+          col("tok")).as("key"))
+    val assembled = keyed
+      .groupBy("id")
+      .agg(
+        sort_array(collect_list(col("key"))).as("keys"),
+        count(lit(1)).cast("int").as("sz"))
+      .cache()
+    assembled.write.mode("append").parquet(s"$dir/sets")
+
+    val prefixLen =
+      (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
+    assembled
+      .select(col("id"), col("sz"),
+        explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
+      .write.mode("append").parquet(s"$dir/postings")
+    assembled.unpersist()
+  }
+
+  /** Staleness audit for an appended-to index: the fraction of the
+    * batch's (doc, token) occurrences the frozen dfreq has never seen
+    * (df 0 keys). Unseen tokens are always safe for correctness, but a
+    * rising fraction means the frozen order is drifting from the true
+    * frequencies and prefix pruning is losing its bite — rebuild when it
+    * crosses the pipeline's budget.
+    */
+  def orderDrift(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      setCol: String
+  ): Double = {
+    val ex = batch.select(explode(col(setCol)).as("tok"))
+    val joined = ex
+      .join(spark.read.parquet(s"$dir/dfreq"), Seq("tok"), "left")
+      .agg(
+        count(lit(1)).as("total"),
+        count(col("df")).as("seen"))
+      .head()
+    val total = joined.getLong(0)
+    if (total == 0L) 0.0 else 1.0 - joined.getLong(1).toDouble / total.toDouble
+  }
+
   /** Probe the stored index with a batch: all (batch, corpus) pairs at
     * the INDEX's threshold. Reads dfreq (token-keyed join), postings
     * (candidate join), and sets (verify) — never the corpus documents.

@@ -954,6 +954,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(p.count() > 0 && st.count() == 1)
   }
 
+  test("incremental curation --exact maintains the prefix index; probes equal inline join") {
+    import java.nio.file.Files
+    import graft.dedup.{Dedup, SetSimJoin}
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val batches = Files.createTempDirectory("curate_exact_b").toString
+    val state = Files.createTempDirectory("curate_exact_s").toString
+    all.filter(col("doc_id") % 2 === 0).write.parquet(s"$batches/b0")
+    all.filter(col("doc_id") % 2 === 1).write.parquet(s"$batches/b1")
+    val s0 = graft.cli.CurateCli.runIncremental(
+      spark, s"$batches/b0", state, nShards = 2, exactIndex = true)
+    val s1 = graft.cli.CurateCli.runIncremental(
+      spark, s"$batches/b1", state, nShards = 2, exactIndex = true)
+    assert(s0.auditOk && s1.auditOk)
+    assert(s0.exactOrderDrift.isEmpty, "bootstrap batch has no drift baseline")
+    assert(s1.exactOrderDrift.exists(d => d >= 0.0 && d <= 1.0))
+
+    def setsOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      array_distinct(transform(Dedup.wordShingles(col("text"), 3),
+        x => md5(x))).as("sh"))
+    // probe the maintained index with a held-out slice of the raw docs;
+    // must equal the inline two-table join against the accumulated
+    // (gated + deduped) corpus — the persistence layer is value-invisible
+    val corpusSets = setsOf(spark.read.parquet(s"$state/corpus"))
+    val probes = setsOf(all.filter(col("doc_id") % 7 === 3))
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_l", "id_r", "inter", "union_sz")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val served = rows(SetSimJoin.searchIndex(
+      spark, s"$state/exact", probes, "doc_id", "sh"))
+    val inline = rows(SetSimJoin.join(probes, corpusSets, "doc_id", "sh", 2, 5))
+    assert(served == inline,
+      "curation-maintained exact index must equal the inline join")
+    assert(served.nonEmpty, "held-out near-copies should match the corpus")
+  }
+
   test("incremental curation --search --hybrid maintains BOTH serving legs; fused serving equals inline") {
     import java.nio.file.Files
     import graft.similarity.{Hybrid, Ivf}

@@ -129,6 +129,41 @@ class SetSimJoinSpec extends SparkSpec {
     assert(got.exists { case (l, r, i, u) => l == 1000L && r == 3L && i == u })
   }
 
+  test("appendIndex: searches stay exact after appends; drift audit reports") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 25).map(i => s"t$i")
+    def gen(n: Int, off: Int) = (0 until n).map(i =>
+      ((i + off).toLong, rnd.shuffle(vocab).take(3 + rnd.nextInt(6))))
+    val base = gen(25, 0)
+    val appended = gen(15, 100) :+ (200L, Seq("novel-a", "novel-b", "t1"))
+    val probes = gen(8, 5000)
+    def df(rows: Seq[(Long, Seq[String])]) =
+      rows.toDF("id", "s").select($"id", array_distinct($"s").as("s"))
+    val dir = java.nio.file.Files.createTempDirectory("ssapp").toString + "/idx"
+    graft.dedup.SetSimJoin.writeIndex(df(base), "id", "s", 1, 2, dir)
+    graft.dedup.SetSimJoin.appendIndex(spark, dir, df(appended), "id", "s")
+
+    val got = graft.dedup.SetSimJoin
+      .searchIndex(spark, dir, df(probes), "id", "s")
+      .orderBy("id_l", "id_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    val corpus = base ++ appended
+    val want = (for {
+      (ib, sb) <- probes
+      (ic, sc) <- corpus
+      inter = sb.toSet.intersect(sc.toSet).size
+      union = sb.toSet.union(sc.toSet).size
+      if union > 0 && inter * 2 >= union * 1
+    } yield (ib, ic, inter, union)).sortBy(p => (p._1, p._2))
+    assert(got == want, "appended index must stay exact at the threshold")
+
+    val drift = graft.dedup.SetSimJoin.orderDrift(
+      spark, dir, df(appended), "id", "s")
+    // 2 novel tokens out of the appended batch's occurrences
+    assert(drift > 0.0 && drift < 0.2, s"drift $drift")
+    assert(graft.dedup.SetSimJoin.orderDrift(spark, dir, df(base), "id", "s") == 0.0)
+  }
+
   test("duplicate elements in the input column do not inflate sizes") {
     val df = Seq((1L, Seq("a", "a", "b")), (2L, Seq("b", "a")))
       .toDF("id", "s")
