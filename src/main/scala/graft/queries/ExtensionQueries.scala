@@ -1153,7 +1153,51 @@ object ExtensionQueries {
         )"""
 
   val similarityQueries: ListMap[String, Q] = ListMap(
-    "q_embed_norms" -> Q(
+    // PCA moment pass (the only corpus-sized stage of Pca.fit), in its
+    // fixed-point form: every mean/second-moment term quantizes floor(x
+    // * 2^30) BEFORE the map-side-combined sum, so the 2144 aggregated
+    // moments are exact integers both engines replay bit-for-bit. The
+    // eigensolve/projection on top is driver-side float-iterative and
+    // spec-pinned (PcaSpec) — the structural IVF-centroid reason.
+    "q_pca_cov" -> Q(
+      (s, dir) => {
+        import graft.similarity.Pca
+        val d = 64
+        emb(s, dir)
+          .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+          .select(posexplode(Pca.momentTermsFixed(col("embedding"), d)).as(Seq("pos", "t")))
+          .groupBy("pos")
+          .agg(sum(col("t")).as("s"), count(lit(1)).as("n_rows"))
+          .orderBy("pos")
+      },
+      Some("""
+        with r as (
+          select embedding as v from embeddings
+          where embedding is not null and len(embedding) = 64
+        ),
+        means as (
+          select t.i as pos,
+            sum(cast(floor(cast(v[t.i + 1] as double) * 1073741824.0) as bigint)) as s,
+            count(*) as n_rows
+          from r, (select unnest(range(0, 64)) as i) t
+          group by t.i
+        ),
+        tri as (
+          select cast(64 + p.i * 64 - (p.i * (p.i - 1)) / 2 + (p.j - p.i) as int) as pos,
+            sum(cast(floor(cast(v[p.i + 1] as double) * cast(v[p.j + 1] as double)
+                           * 1073741824.0) as bigint)) as s,
+            count(*) as n_rows
+          from r, (select a.i, b.j
+                   from (select unnest(range(0, 64)) as i) a,
+                        (select unnest(range(0, 64)) as j) b
+                   where b.j >= a.i) p
+          group by 1
+        )
+        select cast(pos as int) as pos, cast(s as bigint) as s, n_rows
+        from (select * from means union all select * from tri)
+        order by pos""")
+    ),
+    "q_embed_norms"-> Q(
       (s, dir) =>
         emb(s, dir)
           .select(
