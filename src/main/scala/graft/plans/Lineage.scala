@@ -1,0 +1,79 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+
+/** Column-level lineage extracted from the ANALYZED Catalyst plan: for
+  * every output column, the set of leaf (source-relation) columns whose
+  * values can flow into it.
+  *
+  * This is the compliance artifact the reference's runtime PII tests
+  * approximate from the outside: "which source attributes can reach this
+  * published column" answered from the plan itself, before any data
+  * moves. Together with [[PiiLeakLinter]] (name-level guard) it gives a
+  * DPO both views: the linter fails fast on raw names escaping, the
+  * lineage report explains WHERE every published value comes from —
+  * including through masking expressions, CASE branches, joins and
+  * aggregates (an expression's lineage is the union over ALL its
+  * referenced inputs, condition branches included: data-flow, not
+  * control-flow-pruned).
+  *
+  * Mechanics: one bottom-up fold over the plan. Leaf relations map each
+  * output attribute to itself (qualified `relation.column` when the leaf
+  * carries a name, plain column name otherwise); every other node maps
+  * its named expressions to the union of their references' lineage.
+  * Driver-side and plan-sized — no jobs run.
+  */
+object Lineage {
+
+  /** (out_col, src_cols sorted and comma-joined, n_src) per output column. */
+  def columnLineage(df: DataFrame): Seq[(String, Seq[String])] = {
+    val plan = df.queryExecution.analyzed
+    val lin = mutable.Map.empty[Long, Set[String]]
+
+    def exprRefs(e: Expression): Set[String] =
+      e.references.toSeq.flatMap(a => lin.getOrElse(a.exprId.id, Set(a.name))).toSet
+
+    def visit(p: LogicalPlan): Unit = {
+      p.children.foreach(visit)
+      p match {
+        case leaf: LeafNode =>
+          // a leaf's own attributes are the lineage roots
+          leaf.output.foreach { a =>
+            lin(a.exprId.id) = Set(a.name)
+          }
+        case other =>
+          // named expressions (projections, aggregates, window outputs)
+          // define new attributes from their referenced inputs
+          other.expressions.foreach { e =>
+            e.foreach {
+              case ne: NamedExpression if !ne.isInstanceOf[Attribute] =>
+                lin(ne.exprId.id) = exprRefs(ne)
+              case _ =>
+            }
+          }
+          // attributes that pass through unchanged keep their lineage
+          other.output.foreach { a =>
+            if (!lin.contains(a.exprId.id)) lin(a.exprId.id) = Set(a.name)
+          }
+      }
+    }
+    visit(plan)
+    plan.output.map(a =>
+      a.name -> lin.getOrElse(a.exprId.id, Set(a.name)).toSeq.sorted)
+  }
+
+  /** The lineage as a one-row-per-output-column DataFrame (sorted comma
+    * string keeps the compared output array-free for the oracle).
+    */
+  def report(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    columnLineage(df)
+      .map { case (out, srcs) => (out, srcs.mkString(","), srcs.length) }
+      .toDF("out_col", "src_cols", "n_src")
+  }
+}

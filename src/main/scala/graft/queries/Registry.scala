@@ -59,6 +59,58 @@ object Registry {
           .drop("anonymized_at", "mart_created_at")
           .orderBy("service_id"),
       Some(OracleSql.mart)
+    ),
+    // Column-level lineage of the published mart, read off the ANALYZED
+    // Catalyst plan (graft.plans.Lineage): for every published column,
+    // the services-level source columns whose values can flow into it —
+    // the DPO's "where does this value come from" table, produced
+    // without running a single job. The oracle is the EXPECTED lineage
+    // as a literal table: any pipeline change that silently reroutes a
+    // source column into a published one hash-fails here. (The services
+    // relation is re-rooted as a leaf so lineage stops at the modeled
+    // source boundary rather than collapsing into the synth view's key.)
+    "q_lineage" -> Q(
+      (s, dir) => {
+        val svc0 = Tables.services(s, dir)
+        val svc = s.createDataFrame(svc0.rdd, svc0.schema)
+        val mart = Pipeline.mart(
+          Pipeline.enrich(
+            Pipeline.anonymize(Pipeline.staging(svc), PolicyCatalog.reference)))
+        graft.plans.Lineage.report(mart).orderBy("out_col")
+      },
+      Some("""
+        select * from (values
+          ('anonymization_version', '', 0),
+          ('anonymized_at', '', 0),
+          ('city', 'city', 1),
+          ('commune', 'commune', 1),
+          ('contact_email', 'contact_email', 1),
+          ('contact_phone', 'contact_phone', 1),
+          ('data_completeness_score', 'contact_email,contact_phone,latitude,longitude,street_address', 5),
+          ('data_quality_level', 'contact_email,contact_phone,latitude,longitude,street_address', 5),
+          ('department_code', 'postal_code', 1),
+          ('geohash', 'latitude,longitude', 2),
+          ('has_address', 'street_address', 1),
+          ('has_coordinates', 'latitude,longitude', 2),
+          ('has_email', 'contact_email', 1),
+          ('has_phone', 'contact_phone', 1),
+          ('insee_code', 'insee_code', 1),
+          ('last_updated', 'last_updated', 1),
+          ('latitude', 'latitude', 1),
+          ('legal_status', '', 0),
+          ('license', '', 0),
+          ('longitude', 'longitude', 1),
+          ('mart_created_at', '', 0),
+          ('organization_type', 'organization_type', 1),
+          ('organization_type_label', 'organization_type', 1),
+          ('parent_organization', 'parent_organization', 1),
+          ('postal_code', 'postal_code', 1),
+          ('processing_pipeline', '', 0),
+          ('region', 'postal_code', 1),
+          ('service_id', 'service_id', 1),
+          ('service_name', 'service_name', 1)
+        ) t(out_col, src_cols, n_src)
+        order by out_col""")
     )
   )
 

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.Lineage
+
+class LineageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lin(df: org.apache.spark.sql.DataFrame): Map[String, Seq[String]] =
+    Lineage.columnLineage(df).toMap
+
+  /** Re-root a frame as a named leaf (tuple frames otherwise trace to
+    * `_1/_2` leaf names — the q_lineage convention).
+    */
+  private def leaf(df: org.apache.spark.sql.DataFrame) =
+    spark.createDataFrame(df.rdd, df.schema)
+
+  test("projections, literals, and pass-through columns") {
+    val base = leaf(Seq((1, "a", 2.0)).toDF("x", "y", "z"))
+    val df = base.select(
+      $"x",
+      concat($"y", lit("!")).as("shout"),
+      ($"x" + $"z").as("xz"),
+      lit("v1").as("version"))
+    val m = lin(df)
+    assert(m("x") == Seq("x"))
+    assert(m("shout") == Seq("y"))
+    assert(m("xz") == Seq("x", "z"))
+    assert(m("version") == Seq())
+  }
+
+  test("CASE branches contribute data-flow lineage from condition and values") {
+    val df = leaf(Seq((1, "a", "b")).toDF("flag", "l", "r"))
+      .select(when($"flag" === 1, $"l").otherwise($"r").as("pick"))
+    assert(lin(df)("pick") == Seq("flag", "l", "r"))
+  }
+
+  test("joins and aggregates union lineage across inputs") {
+    val a = leaf(Seq((1, "x")).toDF("id", "name"))
+    val b = leaf(Seq((1, 5.0)).toDF("id", "score"))
+    val joined = a.join(b, "id")
+      .groupBy($"name")
+      .agg(sum($"score" + $"id").as("total"))
+    val m = lin(joined)
+    assert(m("name") == Seq("name"))
+    assert(m("total") == Seq("id", "score"))
+  }
+
+  test("chained derivations accumulate transitively") {
+    val df = leaf(Seq((1.0, 2.0)).toDF("lat", "lon"))
+      .select((($"lat" * 100).cast("int")).as("lat100"), $"lon")
+      .select(concat($"lat100".cast("string"), lit("_"), $"lon".cast("string")).as("geo"))
+    assert(lin(df)("geo") == Seq("lat", "lon"))
+  }
+
+  test("window functions carry partition/order/frame references") {
+    import org.apache.spark.sql.expressions.Window
+    val df = leaf(Seq((1, "g", 2.0)).toDF("id", "grp", "v"))
+      .withColumn("rank_v",
+        row_number().over(Window.partitionBy($"grp").orderBy($"v")))
+    val m = lin(df)
+    assert(m("rank_v").toSet.subsetOf(Set("grp", "v")))
+    assert(m("rank_v").nonEmpty)
+  }
+}
