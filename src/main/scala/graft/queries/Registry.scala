@@ -71,8 +71,12 @@ object Registry {
     // source boundary rather than collapsing into the synth view's key.)
     "q_lineage" -> Q(
       (s, dir) => {
-        val svc0 = Tables.services(s, dir)
-        val svc = s.createDataFrame(svc0.rdd, svc0.schema)
+        // re-root on an EMPTY relation with the services schema: lineage
+        // is a property of the plan, not the data — zero rows touched,
+        // zero jobs run
+        val svc = s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          Tables.services(s, dir).schema)
         val mart = Pipeline.mart(
           Pipeline.enrich(
             Pipeline.anonymize(Pipeline.staging(svc), PolicyCatalog.reference)))
