@@ -1433,6 +1433,54 @@ object Registry {
          and i.ts <= c.ts and c.ts <= i.ts + interval 1 hour
         order by imp_id, conv_id""")
     ),
+    // Grid-bucketed spatial self-join: which services sit within 500 km
+    // of each other — 3x3 cell-neighborhood equi-join + exact haversine
+    // verify, never a cartesian (the naive theta-join is the
+    // BroadcastNestedLoopJoin the plan gate bans).
+    "q_geo_join" -> Q(
+      (s, dir) =>
+        graft.operators.SpatialJoin
+          .withinRadius(
+            Tables.services(s, dir), "service_id", "latitude", "longitude",
+            radiusKm = 500.0, cellDeg = 10.0, maxAbsLat = 60.0)
+          .select(
+            col("id_a"), col("id_b"),
+            Parity.roundHalfUp(col("dist_km"), 3).cast("decimal(12,3)").as("dist_km"))
+          .orderBy("id_a", "id_b"),
+      Some(s"""
+        with services as (${ServicesSynth.sql}),
+        p as (
+          select service_id as id,
+            cast(latitude as double) as lat, cast(longitude as double) as lon,
+            cast(floor(cast(latitude as double) / 10.0) as bigint) as cla,
+            ((cast(floor((cast(longitude as double) + 180.0) / 10.0) as bigint) % 36) + 36) % 36 as clo
+          from services
+          where latitude is not null and longitude is not null
+            and latitude between -90 and 90 and longitude between -180 and 180
+            and abs(cast(latitude as double)) <= 60.0
+        ),
+        probe as (
+          select id, lat, lon, cla + d.i as cla,
+            (((clo + d.j) % 36) + 36) % 36 as clo
+          from p, (select a.i, b.j
+                   from (select unnest([-1, 0, 1]) as i) a,
+                        (select unnest([-1, 0, 1]) as j) b) d
+        ),
+        pairs as (
+          select a.id as id_a, b.id as id_b,
+            6371 * 2 * asin(sqrt(
+              pow(sin(radians(b.lat - a.lat) / 2), 2) +
+              cos(radians(a.lat)) * cos(radians(b.lat)) *
+              pow(sin(radians(b.lon - a.lon) / 2), 2))) as dist
+          from probe a join p b
+            on a.cla = b.cla and a.clo = b.clo and a.id < b.id
+        )
+        select id_a, id_b,
+          cast(${Parity.duckRound("dist", 3)} as decimal(12,3)) as dist_km
+        from pairs
+        where dist <= 500.0
+        order by id_a, id_b""")
+    ),
     // CUSUM changepoint chart (Page '54): the cumulative deviation walk
     // S_t locates level SHIFTS the hourly z-detectors cannot see; argmax
     // |S_t| (earliest on ties) estimates the changepoint, the normalized
