@@ -71,6 +71,7 @@ object GraftFunctions {
       "scala_udf")
     register2("hamming_distance")(Dedup.hammingDistance)
     register2("jaccard")(Dedup.jaccard)
+    register2("jaro_winkler")(graft.text.JaroWinklerExpr.jaroWinkler)
     register2("cosine_similarity")(Similarity.cosine)
     register2("dot_product")(Similarity.dot)
     register1("l2_norm")(Similarity.l2Norm)

@@ -3408,6 +3408,40 @@ object ExtensionQueries {
         where source between 'src0' and 'src19' and doc_id between 0 and 300
         order by doc_id""")
     ),
+    // Native Jaro-Winkler linkage scoring: the codegen'd expression is
+    // fitted BIT-FOR-BIT to DuckDB's jaro_winkler_similarity, so the
+    // compared column is the RAW double — no rounding shield anywhere.
+    "q_jaro_linkage" -> Q(
+      (s, dir) => {
+        import graft.operators.RecordLinkage
+        import graft.text.JaroWinklerExpr
+        val p = Tables.read(s, dir, "part").select(
+          col("p_partkey").as("id"),
+          col("p_type").as("bk1"), col("p_size").as("bk2"),
+          RecordLinkage.normalize(col("p_name")).as("nm"))
+        val a = p.as("a"); val b = p.as("b")
+        a.join(b,
+            col("a.bk1") === col("b.bk1") && col("a.bk2") === col("b.bk2") &&
+              col("a.id") < col("b.id"))
+          .select(
+            col("a.id").as("id_a"), col("b.id").as("id_b"),
+            JaroWinklerExpr.jaroWinkler(col("a.nm"), col("b.nm")).as("jw"))
+          .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+          .limit(100)
+      },
+      Some("""
+        with p as (
+          select p_partkey as id, p_type as bk1, p_size as bk2,
+            regexp_replace(lower(p_name), '[^a-z0-9 ]', '', 'g') as nm
+          from part
+        )
+        select a.id as id_a, b.id as id_b,
+          jaro_winkler_similarity(a.nm, b.nm) as jw
+        from p a join p b
+          on a.bk1 = b.bk1 and a.bk2 = b.bk2 and a.id < b.id
+        order by jw desc, id_a, id_b
+        limit 100""")
+    ),
     // BPE merge-rule LEARNING (Sennrich et al., ACL'16): six merges
     // derived from the corpus, each iteration one vocabulary-level pair
     // count + a single-row argmax collect (k-means loop shape). The twin
