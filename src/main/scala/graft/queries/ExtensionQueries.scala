@@ -111,7 +111,37 @@ object ExtensionQueries {
         order by d.doc_id"""
 
 
-    /** Shared twin of q_decontam_pairs AND q_ssjoin_indexed - the stored
+    /** Shared twin of q_pca_cov AND q_pca_serving - merged per-batch
+    * moment sketches must equal the one-shot pass bit-for-bit.
+    */
+  private lazy val duckPcaCovSql: String = """
+        with r as (
+          select embedding as v from embeddings
+          where embedding is not null and len(embedding) = 64
+        ),
+        means as (
+          select t.i as pos,
+            sum(cast(floor(cast(v[t.i + 1] as double) * 1073741824.0) as bigint)) as s,
+            count(*) as n_rows
+          from r, (select unnest(range(0, 64)) as i) t
+          group by t.i
+        ),
+        tri as (
+          select cast(64 + p.i * 64 - (p.i * (p.i - 1)) / 2 + (p.j - p.i) as int) as pos,
+            sum(cast(floor(cast(v[p.i + 1] as double) * cast(v[p.j + 1] as double)
+                           * 1073741824.0) as bigint)) as s,
+            count(*) as n_rows
+          from r, (select a.i, b.j
+                   from (select unnest(range(0, 64)) as i) a,
+                        (select unnest(range(0, 64)) as j) b
+                   where b.j >= a.i) p
+          group by 1
+        )
+        select cast(pos as int) as pos, cast(s as bigint) as s, n_rows
+        from (select * from means union all select * from tri)
+        order by pos"""
+
+  /** Shared twin of q_decontam_pairs AND q_ssjoin_indexed - the stored
     * prefix index must be value-invisible.
     */
   private lazy val duckDecontamPairsSql: String = s"""
@@ -1160,42 +1190,27 @@ object ExtensionQueries {
     // eigensolve/projection on top is driver-side float-iterative and
     // spec-pinned (PcaSpec) — the structural IVF-centroid reason.
     "q_pca_cov" -> Q(
+      (s, dir) =>
+        graft.similarity.Pca
+          .momentSums(emb(s, dir), "embedding", 64)
+          .orderBy("pos"),
+      Some(duckPcaCovSql)
+    ),
+    // The SAME moments SERVED from per-batch sketches merged with exact
+    // integer addition (the ProfileStore property extended to second
+    // moments): two disjoint halves sketch independently, merge, and the
+    // result must equal the one-shot pass bit-for-bit — shared oracle.
+    "q_pca_serving" -> Q(
       (s, dir) => {
         import graft.similarity.Pca
-        val d = 64
-        emb(s, dir)
-          .filter(col("embedding").isNotNull && size(col("embedding")) === d)
-          .select(posexplode(Pca.momentTermsFixed(col("embedding"), d)).as(Seq("pos", "t")))
-          .groupBy("pos")
-          .agg(sum(col("t")).as("s"), count(lit(1)).as("n_rows"))
+        val e = emb(s, dir)
+        Pca.mergeMoments(
+            Pca.momentSums(e.filter(col("vec_id") % 2 === 0), "embedding", 64)
+              .unionByName(
+                Pca.momentSums(e.filter(col("vec_id") % 2 =!= 0), "embedding", 64)))
           .orderBy("pos")
       },
-      Some("""
-        with r as (
-          select embedding as v from embeddings
-          where embedding is not null and len(embedding) = 64
-        ),
-        means as (
-          select t.i as pos,
-            sum(cast(floor(cast(v[t.i + 1] as double) * 1073741824.0) as bigint)) as s,
-            count(*) as n_rows
-          from r, (select unnest(range(0, 64)) as i) t
-          group by t.i
-        ),
-        tri as (
-          select cast(64 + p.i * 64 - (p.i * (p.i - 1)) / 2 + (p.j - p.i) as int) as pos,
-            sum(cast(floor(cast(v[p.i + 1] as double) * cast(v[p.j + 1] as double)
-                           * 1073741824.0) as bigint)) as s,
-            count(*) as n_rows
-          from r, (select a.i, b.j
-                   from (select unnest(range(0, 64)) as i) a,
-                        (select unnest(range(0, 64)) as j) b
-                   where b.j >= a.i) p
-          group by 1
-        )
-        select cast(pos as int) as pos, cast(s as bigint) as s, n_rows
-        from (select * from means union all select * from tri)
-        order by pos""")
+      Some(duckPcaCovSql)
     ),
     "q_embed_norms"-> Q(
       (s, dir) =>

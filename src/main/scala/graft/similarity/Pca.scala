@@ -72,6 +72,64 @@ object Pca {
     concat(firsts, triangle)
   }
 
+  /** Fixed-point moment sums as a relational artifact: `(pos, s, n_rows)`
+    * rows, the [[momentTermsFixed]] aggregation. Because every term
+    * quantizes BEFORE summation, sums are exact integers — so per-batch
+    * sketches MERGE losslessly (element-wise long addition) and a
+    * maintained store equals a one-shot pass bit-for-bit, the
+    * ProfileStore property extended to second moments. `2^-30` per-term
+    * quantization is the stated, deterministic trade.
+    */
+  def momentSums(df: DataFrame, vecCol: String, d: Int): DataFrame =
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === d)
+      .select(posexplode(momentTermsFixed(col(vecCol), d)).as(Seq("pos", "t")))
+      .groupBy("pos")
+      .agg(sum(col("t")).as("s"), count(lit(1)).as("n_rows"))
+
+  /** Merge per-batch moment sketches: exact (integer sums add). */
+  def mergeMoments(sketches: DataFrame): DataFrame =
+    sketches.groupBy("pos")
+      .agg(sum(col("s")).as("s"), sum(col("n_rows")).as("n_rows"))
+
+  /** Fit from a (merged) fixed-point moment sketch: dequantize at 2^-30
+    * and run the same covariance + Jacobi as [[fit]]. Deterministic
+    * given the sketch — incremental maintenance serves the SAME model a
+    * rebuild would (spec-pinned), because the sums are exact.
+    */
+  def fitFromMoments(moments: DataFrame, d: Int, k: Int): Model = {
+    require(k >= 1 && k <= d)
+    val rows = moments.collect()
+    require(rows.nonEmpty, "pca: empty moment sketch")
+    val n = rows.head.getLong(rows.head.fieldIndex("n_rows"))
+    val scale = (1L << 30).toDouble
+    val sums = new Array[Double](d + d * (d + 1) / 2)
+    rows.foreach { r =>
+      sums(r.getInt(r.fieldIndex("pos"))) =
+        r.getLong(r.fieldIndex("s")).toDouble / scale
+    }
+    val mean = Array.tabulate(d)(i => sums(i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var idx = d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = sums(idx) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    val order = values.zipWithIndex.sortBy { case (v, ix) => (-v, ix) }.map(_._2)
+    val top = order.take(k).map { colIx =>
+      val comp = Array.tabulate(d)(r => vectors(r)(colIx))
+      val m = comp.indices.maxBy(ix => (math.abs(comp(ix)), -ix))
+      if (comp(m) < 0) comp.map(x => -x) else comp
+    }
+    Model(n, mean, order.take(k).map(values), top)
+  }
+
   /** One-pass fit: moment aggregation (bounded collect of d + d(d+1)/2
     * sums) + driver-side Jacobi eigensolve. `d` must match the vector
     * length; rows with null vectors are skipped.

@@ -79,6 +79,31 @@ class PcaSpec extends SparkSpec {
     model.mean.zip(mean).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("merged per-batch moment sketches serve the IDENTICAL model") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextGaussian() * 2).toFloat)))
+    val df = rows.toDF("id", "v")
+    val oneShot = Pca.fitFromMoments(Pca.momentSums(df, "v", 8), 8, 3)
+    val merged = Pca.fitFromMoments(
+      Pca.mergeMoments(
+        Pca.momentSums(df.filter($"id" % 3 === 0), "v", 8)
+          .unionByName(Pca.momentSums(df.filter($"id" % 3 === 1), "v", 8))
+          .unionByName(Pca.momentSums(df.filter($"id" % 3 === 2), "v", 8))),
+      8, 3)
+    // EXACT equality — integer sums make the maintained model bit-equal
+    assert(merged.n == oneShot.n)
+    assert(merged.mean.toSeq == oneShot.mean.toSeq)
+    assert(merged.eigenvalues.toSeq == oneShot.eigenvalues.toSeq)
+    assert(merged.components.map(_.toSeq).toSeq ==
+      oneShot.components.map(_.toSeq).toSeq)
+    // and the quantized fit tracks the double fit closely
+    val dbl = Pca.fit(df, "v", 8, 3)
+    oneShot.eigenvalues.zip(dbl.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"$a vs $b")
+    }
+  }
+
   test("momentTermsFixed layout matches the double pass position-for-position") {
     val df = Seq(Tuple1(Array(0.5f, -1.25f, 2.0f))).toDF("v")
     val fixed = df.select(Pca.momentTermsFixed($"v", 3)).head().getSeq[Long](0)
