@@ -3423,6 +3423,29 @@ object ExtensionQueries {
         where source between 'src0' and 'src19' and doc_id between 0 and 300
         order by doc_id""")
     ),
+    // Feature hashing (Weinberger et al., ICML'09): model-free signed
+    // d=32 text vectors from md5 lane/sign hashes — integer-exact, so
+    // the sparse form oracles with no rounding at all. The dense form
+    // feeds the vector stack (PCA moments, IVF, kNN) with zero
+    // vocabulary state.
+    "q_feature_hash" -> Q(
+      (s, dir) =>
+        graft.text.FeatureHash
+          .vectorizeSparse(docs(s, dir), "doc_id", "text", d = 32)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "lane"),
+      Some(s"""
+        with t as (select doc_id, $duckTokens as toks from documents),
+        e as (select doc_id, unnest(toks) as tok from t),
+        l as (select doc_id,
+                cast(${graft.sketch.Hll.duck.hash60("'fh|' || tok")} % 32 as int) as lane,
+                case when ${graft.sketch.Hll.duck.hash60("'fhs|' || tok")} % 2 = 0
+                     then 1 else -1 end as sgn
+              from e)
+        select doc_id, lane, cast(sum(sgn) as bigint) as v
+        from l group by doc_id, lane
+        order by doc_id, lane""")
+    ),
     // Native Jaro-Winkler linkage scoring: the codegen'd expression is
     // fitted BIT-FOR-BIT to DuckDB's jaro_winkler_similarity, so the
     // compared column is the RAW double — no rounding shield anywhere.

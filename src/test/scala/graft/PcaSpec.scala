@@ -104,6 +104,36 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("feature hashing: dense equals sparse, signs unbiased, PCA-composable") {
+    import graft.text.FeatureHash
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ran"),
+      (3L, ""),
+      (4L, "cat cat cat")).toDF("doc_id", "text")
+    val sparse = FeatureHash.vectorizeSparse(docs, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val dense = FeatureHash.vectorizeDense(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // dense spreads the sparse rows into 16 lanes, zero-filled
+    dense.foreach { case (id, vec) =>
+      assert(vec.length == 16)
+      vec.zipWithIndex.foreach { case (v, lane) =>
+        assert(v == sparse.getOrElse((id, lane), 0L).toDouble, s"doc $id lane $lane")
+      }
+    }
+    // empty doc vectorizes to nothing sparse (and is absent dense — no
+    // tokens, no rows; callers left-join if they need explicit zeros)
+    assert(!sparse.keys.exists(_._1 == 3L) && !dense.contains(3L))
+    // repeated token: |sum| equals the count on its lane
+    val catRows = sparse.collect { case ((4L, _), v) => v }
+    assert(catRows.map(math.abs).sum == 3L)
+    // the dense form feeds Pca.fit without adaptation
+    val model = Pca.fit(FeatureHash.vectorizeDense(docs, "doc_id", "text", 16),
+      "features", d = 16, k = 2)
+    assert(model.n == 3 && model.components.head.length == 16)
+  }
+
   test("momentTermsFixed layout matches the double pass position-for-position") {
     val df = Seq(Tuple1(Array(0.5f, -1.25f, 2.0f))).toDF("v")
     val fixed = df.select(Pca.momentTermsFixed($"v", 3)).head().getSeq[Long](0)
