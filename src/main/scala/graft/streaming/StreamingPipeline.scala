@@ -83,6 +83,30 @@ object StreamingPipeline {
       .agg(max(rho).as("r"))
   }
 
+  /** Streaming HDR histogram: per event-time window, the `(idx, cnt)`
+    * buckets of a [[graft.sketch.HdrHistogram]] over `value` — same
+    * integer bit-length bucket algebra as batch, so windowed histograms
+    * merge into stored ones by bucketwise sum and quantile reads behave
+    * exactly as in batch. Completes the mergeable-sketch stream family
+    * (distinct: HLL, frequency: CMS, distribution: HDR): per-window
+    * latency/length/price quantiles that roll up across windows with
+    * state bounded by buckets-per-window, never values-per-window.
+    */
+  def histogramSketchStream(
+      stream: DataFrame,
+      value: Column,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes",
+      windowLength: String = "5 minutes",
+      subBits: Int = graft.sketch.HdrHistogram.DefaultSubBits
+  ): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .filter(value.isNotNull && value >= 0.0)
+      .groupBy(window(col(tsCol), windowLength),
+        graft.sketch.HdrHistogram.bucketIdx(value, subBits).as("idx"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming count-min sketch: per event-time window, the
     * `(row, bucket, cnt)` cells of a [[graft.sketch.Cms]] sketch over
     * `value` — the frequency twin of [[distinctSketchStream]], with the

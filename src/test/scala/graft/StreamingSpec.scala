@@ -549,6 +549,38 @@ class StreamingSpec extends SparkSpec {
     assert(nt.getAs[Int]("n") == 3)
   }
 
+  test("streaming HDR sketch: window buckets equal the batch histogram; quantiles roll up") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("id", "ts", "v")
+    val sk = StreamingPipeline.histogramSketchStream(
+      df, col("v"), windowLength = "5 minutes")
+    val w1 = Seq(1.0, 2.5, 10.0, 2.5)
+    val w2 = Seq(100.0, 0.5)
+    input.addData(
+      w1.zipWithIndex.map { case (v, i) => (i.toLong, ts(1, i), v) } ++
+        w2.zipWithIndex.map { case (v, i) => (100L + i, ts(6, i), v) }: _*)
+    val q = sk.writeStream.format("memory").queryName("hdr_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hdr_stream")
+    import graft.sketch.HdrHistogram
+    val w1Streamed = streamed
+      .filter(col("window.start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .select(col("idx"), col("cnt"))
+    val w1Batch = HdrHistogram.sketch(w1.toDF("v"), col("v"))
+    assert(w1Streamed.except(w1Batch).isEmpty && w1Batch.except(w1Streamed).isEmpty)
+    // rolled-up quantiles over both windows == batch over the union
+    val rolled = HdrHistogram
+      .quantiles(HdrHistogram.merge(streamed.select(col("idx"), col("cnt"))),
+        Seq(0.5, 0.9))
+      .orderBy("q").collect().map(_.getDouble(1)).toSeq
+    val direct = HdrHistogram
+      .quantiles(HdrHistogram.sketch((w1 ++ w2).toDF("v"), col("v")), Seq(0.5, 0.9))
+      .orderBy("q").collect().map(_.getDouble(1)).toSeq
+    assert(rolled == direct, s"rolled $rolled vs direct $direct")
+  }
+
   test("stream-stream attribution join matches the batch twin; window bounds hold") {
     implicit val sqlCtx = spark.sqlContext
     // (user, ts, event_id)
