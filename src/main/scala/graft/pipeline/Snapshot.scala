@@ -206,6 +206,76 @@ object Snapshot {
     }
   }
 
+  /** Right-to-erasure propagation (GDPR Art. 17) through the bucketed
+    * store: remove every row whose `uniqueKey` appears in `keys`,
+    * touching ONLY the buckets those keys hash into — collect the
+    * (bounded) touched-bucket set, anti-join the slice, stage, dynamic-
+    * partition-overwrite, refresh the manifest. Untouched history is
+    * never read or written, so an erasure request over a 100 TB store
+    * costs a few bucket rewrites, not a full-store pass — and the same
+    * dirty-marker crash protocol as [[mergeStore]] keeps pruned reads
+    * honest throughout.
+    *
+    * Returns the number of rows erased. The masking pipeline
+    * pseudonymizes; THIS is the deletion half of the reference's
+    * compliance story (its dbt models can only rebuild-from-scratch).
+    */
+  def eraseKeys(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      keys: DataFrame,
+      uniqueKey: String,
+      buckets: Int
+  ): Long = {
+    require(buckets > 0, s"snapshot store: buckets must be positive, got $buckets")
+    val keyed = keys
+      .select(col(uniqueKey))
+      .distinct()
+      .withColumn("bucket",
+        graft.operators.StableHash.bucket(col(uniqueKey), buckets))
+    val touched = keyed.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return 0L
+
+    val slice = spark.read.parquet(dir)
+      .filter(col("bucket").isin(touched.toSeq: _*))
+    val before = slice.count()
+    val kept = slice.join(
+      keyed.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
+    val stage = dir.stripSuffix("/") + ".erase-stage"
+    kept
+      .repartition(touched.length, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(uniqueKey))
+      .write.mode("overwrite")
+      .partitionBy("bucket").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = fs.create(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), true)
+    marker.write(uniqueKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    marker.close()
+    // schema supplied explicitly: a fully-erased slice stages ZERO files
+    // and schema inference would throw where "empty store region" is a
+    // legitimate outcome of erasure
+    val staged = spark.read.schema(slice.schema).parquet(stage)
+    val after = staged.count()
+    staged
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(dir)
+    // a bucket whose EVERY row was erased writes no staged partition, so
+    // the dynamic overwrite leaves its old files in place — delete those
+    // directories explicitly or the erased rows silently survive
+    val survivors = staged.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    touched.filterNot(survivors).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    refreshManifest(spark, dir, uniqueKey, touched.toSeq)
+    fs.delete(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), false)
+    before - after
+  }
+
   private def dirtyMarker(dir: String): String =
     s"$dir/${graft.operators.DataSkipping.ManifestSubdir}__dirty"
 

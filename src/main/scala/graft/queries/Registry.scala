@@ -1433,6 +1433,32 @@ object Registry {
          and i.ts <= c.ts and c.ts <= i.ts + interval 1 hour
         order by imp_id, conv_id""")
     ),
+    // Right-to-erasure (GDPR Art. 17) through the bucketed store: build,
+    // erase a deterministic subject set touching only their buckets, and
+    // read back — the oracle is simply the source minus the erased keys,
+    // so a single surviving row hash-fails. Store build jobs bounded
+    // (PlanGuardSpec exemption).
+    "q_erasure" -> Q(
+      (s, dir) => {
+        import graft.pipeline.Snapshot
+        val out =
+          s"${sys.props("java.io.tmpdir")}/graft_erase_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val cust = Tables.read(s, dir, "customer")
+        Snapshot.writeStore(cust, "c_custkey", out, buckets = 8)
+        Snapshot.eraseKeys(
+          s, out,
+          cust.filter(col("c_custkey") % 97 === 0).select(col("c_custkey")),
+          "c_custkey", buckets = 8)
+        Snapshot.loadStore(s, out).drop("bucket").orderBy("c_custkey")
+      },
+      Some("""
+        select * from customer
+        where c_custkey % 97 <> 0
+        order by c_custkey""")
+    ),
     // Grid-bucketed spatial self-join: which services sit within 500 km
     // of each other — 3x3 cell-neighborhood equi-join + exact haversine
     // verify, never a cartesian (the naive theta-join is the

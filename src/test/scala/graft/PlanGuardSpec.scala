@@ -115,7 +115,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_bpe_learn",
     // builds the stored prefix index (dfreq/sets/postings writes) the
     // probe under test then reads — the q_bm25_indexed pattern
-    "q_ssjoin_indexed"
+    "q_ssjoin_indexed",
+    // store build + erasure (touched-bucket/survivor collects bounded by
+    // the bucket count)
+    "q_erasure"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table

@@ -95,6 +95,58 @@ class SnapshotSpec extends SparkSpec {
     assert(fileState() == after, "empty-batch merge modified the store")
   }
 
+  test("right-to-erasure: only touched buckets rewrite; emptied buckets vanish") {
+    val rows = (1 to 40).map(i => (f"K$i%02d", s"payload$i"))
+    val df = rows.toDF("record_id", "payload")
+    val buckets = 8
+    val store = java.nio.file.Files.createTempDirectory("erase_store").toString + "/s"
+    Snapshot.writeStore(df, "record_id", store, buckets)
+
+    def fileState(): Map[String, (Long, Long)] =
+      new java.io.File(store).listFiles().filter(_.getName.startsWith("bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    val before = fileState()
+
+    // erase three subjects
+    val victims = Seq("K01", "K17", "K33").toDF("record_id")
+    val touched = victims
+      .select(graft.operators.StableHash.bucket(col("record_id"), buckets))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val n = Snapshot.eraseKeys(spark, store, victims, "record_id", buckets)
+    assert(n == 3, s"erased $n")
+    val got = Snapshot.loadStore(spark, store).select("record_id")
+      .as[String].collect().toSet
+    assert(got == rows.map(_._1).toSet -- Set("K01", "K17", "K33"))
+    // untouched buckets byte-identical
+    fileState().foreach { case (p, st) =>
+      if (!touched.exists(b => p.contains(s"bucket=$b/")))
+        assert(before.get(p).contains(st), s"untouched bucket rewritten: $p")
+    }
+    // pruned reads still exact through the refreshed manifest
+    val pruned = Snapshot.prunedLoad(spark, store,
+      Seq(graft.operators.ColRange("record_id", "K02", "K05")))
+      .select("record_id").as[String].collect().toSet
+    assert(pruned == Set("K02", "K03", "K04", "K05"))
+
+    // erasing every key of one bucket removes its directory entirely
+    val bucketOf = rows.map(_._1).groupBy(k =>
+      Seq(k).toDF("record_id")
+        .select(graft.operators.StableHash.bucket(col("record_id"), buckets))
+        .head().getInt(0))
+    val (b, keys) = bucketOf.head
+    Snapshot.eraseKeys(spark, store,
+      keys.toDF("record_id"), "record_id", buckets)
+    assert(!new java.io.File(s"$store/bucket=$b").exists(),
+      s"fully-erased bucket $b must not leave files behind")
+
+    // erasing absent keys removes nothing
+    val erased = Set("K01", "K17", "K33") ++ keys
+    assert(Snapshot.eraseKeys(spark, store,
+      Seq("NOPE").toDF("record_id"), "record_id", buckets) == 0L)
+    assert(Snapshot.loadStore(spark, store).count() == (40 - erased.size).toLong)
+  }
+
   test("stale-manifest crash window: dirty marker makes prunedLoad heal before pruning") {
     val rows = (1 to 40).map(i => (f"K$i%03d", s"v$i", d("2025-01-01")))
       .toDF("record_id", "payload", "updated_at")
