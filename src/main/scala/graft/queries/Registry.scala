@@ -1433,6 +1433,61 @@ object Registry {
          and i.ts <= c.ts and c.ts <= i.ts + interval 1 hour
         order by imp_id, conv_id""")
     ),
+    // Storage-limitation retention: expire day partitions older than the
+    // cutoff as a DIRECTORY DELETE (zero data rewrites), then read back
+    // — the oracle recomputes the kept slice from the raw events, so a
+    // partition deleted too eagerly or leaked past the cutoff hash-fails.
+    // Store build bounded (PlanGuardSpec exemption).
+    "q_retention_ttl" -> Q(
+      (s, dir) => {
+        import graft.operators.{Anomaly, EventStatsStore, Ttl}
+        val out =
+          s"${sys.props("java.io.tmpdir")}/graft_ttl_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        EventStatsStore.merge(
+          s, out,
+          Anomaly.hourlyCounts(Tables.events(s, dir), "ts", Seq("event_type")),
+          Seq("event_type"), batchId = 1L)
+        Ttl.expireDayPartitions(s, out, "day", "2024-01-15")
+        EventStatsStore.load(s, out)
+          .select(col("event_type"), col("hour"), col("n"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""
+        select event_type, cast(date_trunc('hour', ts) as timestamp) as hour,
+          count(*) as n
+        from events
+        where cast(ts as date) >= date '2024-01-15'
+        group by 1, 2
+        order by 1, 2""")
+    ),
+    // Pseudonym key rotation: re-key a published artifact from salt A to
+    // salt B through a mapping table (raw PII touched once, publish
+    // re-keyed by join) — the oracle computes the salt-B publish
+    // DIRECTLY, so rotate(publish(A)) == publish(B) is hash-checked.
+    "q_rotate_pseudonyms" -> Q(
+      (s, dir) => {
+        import graft.masking.{Masking, Rotation}
+        val svc = Tables.services(s, dir)
+        val saltB = "rotated_salt_2026"
+        val published = svc.select(
+          col("service_id"),
+          Masking.maskEmail(col("contact_email"), salt).as("email_anon"))
+        val map = Rotation.mapping(
+          svc, col("contact_email"),
+          (c, sl) => Masking.maskEmail(c, sl), salt, saltB)
+        Rotation.rotate(published, "email_anon", map).orderBy("service_id")
+      },
+      Some(s"""
+        with services as (${ServicesSynth.sql})
+        select service_id,
+          case when contact_email is not null and contact_email != ''
+               then 'user_' || substr(to_hex(sha256(lower(trim(contact_email)) || 'rotated_salt_2026')), 1, 16) || '@anonymized.gouv.fr'
+               else null end as email_anon
+        from services order by service_id""")
+    ),
     // Right-to-erasure (GDPR Art. 17) through the bucketed store: build,
     // erase a deterministic subject set touching only their buckets, and
     // read back — the oracle is simply the source minus the erased keys,

@@ -118,7 +118,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_ssjoin_indexed",
     // store build + erasure (touched-bucket/survivor collects bounded by
     // the bucket count)
-    "q_erasure"
+    "q_erasure",
+    // hourly-store build + TTL directory expiry (|days|-bounded listing)
+    "q_retention_ttl"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
