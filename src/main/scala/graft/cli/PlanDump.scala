@@ -87,7 +87,16 @@ object PlanDump {
     "q_pct_rank",         // sketch cum-dist broadcast join (+ exact audit)
     "q_bpe_learn",        // vocab pair-count iterations, argmax-driven
     "q_ssjoin_indexed",   // stored dfreq/postings/sets probe, corpus never read
-    "q_changepoint"       // totals + ordered cumsum + rank, window algebra
+    "q_changepoint",      // totals + ordered cumsum + rank, window algebra
+    "q_pca_cov",          // fixed-point moment pass, map-side-combined
+    "q_pca_serving",      // merged per-batch moment sketches
+    "q_lineage",          // plan-walk report: LocalRelation, zero jobs
+    "q_geo_join",         // 3x3 modular-cell probe + haversine verify
+    "q_jaro_linkage",     // block equi-join + codegen'd jaro-winkler
+    "q_feature_hash",     // md5 lane/sign explode + combined agg
+    "q_erasure",          // bucketed store minus victims, read-back
+    "q_rotate_pseudonyms",// broadcast mapping join-replace
+    "q_retention_ttl"     // day-partition store read-back post-expiry
   )
 
   def main(args: Array[String]): Unit = {
