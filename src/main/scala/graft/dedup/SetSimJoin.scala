@@ -262,6 +262,8 @@ object SetSimJoin {
     val exR = right.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
     val dfreq = exL.unionByName(exR).groupBy("tok").agg(count(lit(1)).as("df"))
 
+    // recompute-narrow beats materialize-wide here too — see selfJoin's
+    // measured note
     def assemble(ex: DataFrame) = ex
       .join(dfreq, "tok")
       .select(
@@ -339,6 +341,17 @@ object SetSimJoin {
         concat(lpad(col("df").cast("string"), 10, "0"), col("tok")).as("key")
       )
 
+    // MEASURED NON-TRADE: this frame feeds three consumers (prefix
+    // explode + both verify legs) and the self-join plan re-derives the
+    // scan + shingling + df join + assembly once per consumer (4 corpus
+    // passes, no exchange reuse across dedup'd legs). Materializing it
+    // once (localCheckpoint) was tried and is 4x SLOWER at sf0.1
+    // (3.5 s -> 14.7 s): the assembled key ARRAYS carry the whole
+    // shingle set as strings, and serializing that dwarfs re-running
+    // narrow codegen'd compute. Recompute-narrow beats materialize-wide
+    // here — the inverse of the pagerank edge-list call, which
+    // checkpointed a SLIM k*|V| frame. For repeated probing, the stored
+    // index ([[writeIndex]]/[[searchIndex]]) is the right amortization.
     val assembled = keyed
       .groupBy("id")
       .agg(
