@@ -66,6 +66,27 @@ object Lineage {
       a.name -> lin.getOrElse(a.exprId.id, Set(a.name)).toSeq.sorted)
   }
 
+  /** PII-exposure audit: for every published column, whether its VALUE
+    * structurally depends on any PII-tagged source column — and which.
+    * This is strictly stronger than [[PiiLeakLinter]]'s name-level
+    * guard: `substring(contact_email, 1, 3) AS region_hint` sails past a
+    * name check but is flagged here, because lineage follows data flow,
+    * not names. What it cannot judge is whether the dependency passes
+    * through an approved masking expression — that is the policy
+    * review's call, which is exactly why the output is a REPORT (with
+    * the depended-on PII columns spelled out) rather than an exception.
+    */
+  def piiExposure(df: DataFrame, piiSourceCols: Set[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    columnLineage(df)
+      .map { case (out, srcs) =>
+        val pii = srcs.filter(piiSourceCols.contains).sorted
+        (out, pii.mkString(","), if (pii.nonEmpty) 1 else 0)
+      }
+      .toDF("out_col", "pii_sources", "derives_from_pii")
+  }
+
   /** The lineage as a one-row-per-output-column DataFrame (sorted comma
     * string keeps the compared output array-free for the oracle).
     */

@@ -1488,6 +1488,57 @@ object Registry {
                else null end as email_anon
         from services order by service_id""")
     ),
+    // Lineage-based PII exposure audit: which published columns
+    // STRUCTURALLY depend on PII-tagged sources — strictly stronger than
+    // the name-level PiiLeakLinter (substring(contact_email) under an
+    // innocent alias is caught here). The expected exposure is the
+    // oracle: a new derivation quietly reaching PII hash-fails the gate.
+    "q_pii_lineage" -> Q(
+      (s, dir) => {
+        val cat = PolicyCatalog.reference
+        val pii = cat.models.values
+          .flatMap(_.collect { case (n, p) if p.pii => n }).toSet
+        val svc = s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          Tables.services(s, dir).schema)
+        val mart = Pipeline.mart(
+          Pipeline.enrich(Pipeline.anonymize(Pipeline.staging(svc), cat)))
+        graft.plans.Lineage.piiExposure(mart, pii).orderBy("out_col")
+      },
+      Some("""
+        select * from (values
+          ('anonymization_version', '', 0),
+          ('anonymized_at', '', 0),
+          ('city', '', 0),
+          ('commune', '', 0),
+          ('contact_email', 'contact_email', 1),
+          ('contact_phone', 'contact_phone', 1),
+          ('data_completeness_score', 'contact_email,contact_phone,latitude,longitude,street_address', 1),
+          ('data_quality_level', 'contact_email,contact_phone,latitude,longitude,street_address', 1),
+          ('department_code', '', 0),
+          ('geohash', 'latitude,longitude', 1),
+          ('has_address', 'street_address', 1),
+          ('has_coordinates', 'latitude,longitude', 1),
+          ('has_email', 'contact_email', 1),
+          ('has_phone', 'contact_phone', 1),
+          ('insee_code', '', 0),
+          ('last_updated', '', 0),
+          ('latitude', 'latitude', 1),
+          ('legal_status', '', 0),
+          ('license', '', 0),
+          ('longitude', 'longitude', 1),
+          ('mart_created_at', '', 0),
+          ('organization_type', '', 0),
+          ('organization_type_label', '', 0),
+          ('parent_organization', '', 0),
+          ('postal_code', '', 0),
+          ('processing_pipeline', '', 0),
+          ('region', '', 0),
+          ('service_id', '', 0),
+          ('service_name', '', 0)
+        ) t(out_col, pii_sources, derives_from_pii)
+        order by out_col""")
+    ),
     // Right-to-erasure (GDPR Art. 17) through the bucketed store: build,
     // erase a deterministic subject set touching only their buckets, and
     // read back — the oracle is simply the source minus the erased keys,

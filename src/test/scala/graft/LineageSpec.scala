@@ -54,6 +54,20 @@ class LineageSpec extends SparkSpec {
     assert(lin(df)("geo") == Seq("lat", "lon"))
   }
 
+  test("pii exposure: a disguised PII derivation is flagged, clean columns are not") {
+    val base = leaf(Seq(("a@b.fr", "Paris", 3.0)).toDF("email", "city", "x"))
+    val published = base.select(
+      substring($"email", 1, 3).as("region_hint"), // disguised PII leak
+      upper($"city").as("city_label"),
+      lit("v1").as("version"))
+    val rows = Lineage.piiExposure(published, Set("email"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows("region_hint") == ("email", 1),
+      "name-level checks miss this; lineage must not")
+    assert(rows("city_label") == ("", 0))
+    assert(rows("version") == ("", 0))
+  }
+
   test("window functions carry partition/order/frame references") {
     import org.apache.spark.sql.expressions.Window
     val df = leaf(Seq((1, "g", 2.0)).toDF("id", "grp", "v"))
