@@ -1488,6 +1488,35 @@ object Registry {
                else null end as email_anon
         from services order by service_id""")
     ),
+    // Lineage across a multi-table pipeline: the star join's outputs
+    // traced through both joins to their owning base tables (count(*)
+    // correctly depends on NO column). Same literal-expected-table gate
+    // as q_lineage.
+    "q_lineage_join" -> Q(
+      (s, dir) => {
+        val o = Tables.read(s, dir, "orders")
+        val c = Tables.read(s, dir, "customer")
+        val n = Tables.read(s, dir, "nation")
+        val frame = o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("total_price"),
+            countDistinct(col("o_custkey")).as("n_customers"))
+        graft.plans.Lineage.report(frame).orderBy("out_col")
+      },
+      Some("""
+        select * from (values
+          ('c_mktsegment', 'c_mktsegment', 1),
+          ('n_customers', 'o_custkey', 1),
+          ('n_name', 'n_name', 1),
+          ('n_orders', '', 0),
+          ('total_price', 'o_totalprice', 1)
+        ) t(out_col, src_cols, n_src)
+        order by out_col""")
+    ),
     // Lineage-based PII exposure audit: which published columns
     // STRUCTURALLY depend on PII-tagged sources — strictly stronger than
     // the name-level PiiLeakLinter (substring(contact_email) under an
