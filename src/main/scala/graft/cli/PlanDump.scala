@@ -96,7 +96,9 @@ object PlanDump {
     "q_feature_hash",     // md5 lane/sign explode + combined agg
     "q_erasure",          // bucketed store minus victims, read-back
     "q_rotate_pseudonyms",// broadcast mapping join-replace
-    "q_retention_ttl"     // day-partition store read-back post-expiry
+    "q_retention_ttl",    // day-partition store read-back post-expiry
+    "q_pii_lineage",      // plan-walk PII exposure report, zero jobs
+    "q_lineage_join"      // cross-table provenance through the star join
   )
 
   def main(args: Array[String]): Unit = {
