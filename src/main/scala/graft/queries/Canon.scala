@@ -101,6 +101,7 @@ object Canon {
     "q_anomaly_seasonal" -> Seq("mean_n", "z"),
     "q_changepoint" -> Seq("s_max_abs", "s_range", "stat"),
     "q_geo_join" -> Seq("dist_km"),
+    "q_release_cert" -> Seq("avg_completeness"),
     "q_dp_quantiles" -> Seq("est_dp", "est_exact"),
     "q_pct_rank" -> Seq("pct_rank", "exact_pr"),
     "q_t_closeness" -> Seq("tvd"),

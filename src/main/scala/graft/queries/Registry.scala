@@ -1517,6 +1517,52 @@ object Registry {
         ) t(out_col, src_cols, n_src)
         order by out_col""")
     ),
+    // One-row release certificate: the go/no-go record a publication
+    // review files — row count, k-anonymity floor over the published
+    // grouping, residual-PII scan, completeness — all validators
+    // composed into one hash-checked row (single-row broadcast crosses,
+    // the scalar-subquery pattern).
+    "q_release_cert" -> Q(
+      (s, dir) => {
+        val mart = Pipeline
+          .mart(enrichedDf(s, dir))
+          .drop("anonymized_at", "mart_created_at")
+        val base = mart.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("contact_email").isNotNull &&
+            !col("contact_email").endsWith("@anonymized.gouv.fr"), 1L)
+            .otherwise(0L)).as("pii_email_violations"),
+          Parity.roundHalfUp(avg(col("data_completeness_score")), 4)
+            .cast("decimal(9,4)").as("avg_completeness"))
+        val kFloor = mart.groupBy(col("organization_type"))
+          .agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("min_group_size"))
+        base
+          .crossJoin(broadcast(kFloor))
+          .withColumn("k5_ok",
+            when(col("min_group_size") >= 5, 1).otherwise(0))
+      },
+      Some(OracleSql.pipelineCtes + """
+        , base as (
+          select count(*) as n_rows,
+            sum(case when contact_email is not null
+                      and contact_email not like '%@anonymized.gouv.fr'
+                     then 1 else 0 end) as pii_email_violations,
+            cast(floor(avg(data_completeness_score) * 10000 + 0.5) / 10000.0
+                 as decimal(9,4)) as avg_completeness
+          from mart
+        ),
+        kf as (
+          select min(n) as min_group_size from (
+            select count(*) as n from mart group by organization_type)
+        )
+        select cast(n_rows as bigint) as n_rows,
+          cast(pii_email_violations as bigint) as pii_email_violations,
+          avg_completeness,
+          cast(min_group_size as bigint) as min_group_size,
+          cast(case when min_group_size >= 5 then 1 else 0 end as int) as k5_ok
+        from base cross join kf""")
+    ),
     // Lineage-based PII exposure audit: which published columns
     // STRUCTURALLY depend on PII-tagged sources — strictly stronger than
     // the name-level PiiLeakLinter (substring(contact_email) under an

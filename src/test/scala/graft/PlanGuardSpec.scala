@@ -51,7 +51,10 @@ class PlanGuardSpec extends SparkSpec {
       "q_kmv_overlap",
       // per pair: single-row CMS inner-product estimate crossed with the
       // single-row exact join count
-      "q_join_size_est")
+      "q_join_size_est",
+      // validators composed into one row: base aggregate crossed with the
+      // single-row k-floor aggregate
+      "q_release_cert")
 
   /** Builders allowed to run bounded driver actions while CONSTRUCTING the
     * plan (each collect is k×dim / |ladder| / |sources|-sized, never
