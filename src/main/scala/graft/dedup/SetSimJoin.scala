@@ -39,10 +39,12 @@ import org.apache.spark.sql.functions._
   * report scaling linearly in cluster size. Nothing driver-side, nothing
   * all-pairs.
   *
-  * Reference analogue: the dedup strategy sketched in
-  * `/root/reference/macros/anonymization.sql`-adjacent validation relies
-  * on exact equality only; this gives its users the exact NEAR-dup join
-  * the reference lacks.
+  * Reference analogue: the reference's validation surface
+  * (`/root/reference/dbt_project/tests/assert_no_pii_in_marts.sql`, and
+  * the `unique` schema tests in
+  * `/root/reference/dbt_project/models/staging/schema.yml`) relies on
+  * exact equality only; this gives its users the exact NEAR-dup join the
+  * reference lacks.
   */
 object SetSimJoin {
 
@@ -150,6 +152,25 @@ object SetSimJoin {
         explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
       .write.mode("append").parquet(s"$dir/postings")
     assembled.unpersist()
+  }
+
+  /** Right-to-erasure through the stored prefix index: purge the erased
+    * documents' assembled sets and prefix postings (both keyed by `id`).
+    * `dfreq/` and `meta/` stay frozen — the token ORDER is a pruning
+    * heuristic, not a correctness input (writeIndex scaladoc), so probes
+    * after erasure return EXACTLY what a rebuild over the retained corpus
+    * returns: the accept set is threshold-exact under any shared order,
+    * and `inter`/`union_sz`/`jaccard` are set-size arithmetic independent
+    * of the embedded df prefixes. Broadcast anti-joins — narrow, key
+    * clustering preserved. Returns rows removed across both legs.
+    */
+  def eraseFromIndex(spark: SparkSession, dir: String, keys: DataFrame, idCol: String): Long = {
+    import graft.operators.Erasure
+    Erasure.recoverRetired(spark, s"$dir/sets")
+    Erasure.recoverRetired(spark, s"$dir/postings")
+    val k = keys.select(col(idCol).as("id"))
+    Erasure.eraseByKey(spark, s"$dir/sets", k, "id") +
+      Erasure.eraseByKey(spark, s"$dir/postings", k, "id")
   }
 
   /** Staleness audit for an appended-to index: the fraction of the

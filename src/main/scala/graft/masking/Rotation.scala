@@ -42,6 +42,12 @@ object Rotation {
     * pseudonym must resolve (a miss means the mapping was built from a
     * different raw snapshot than the publish — fail loudly, a silent
     * null would LOOK anonymized while breaking referential joins).
+    *
+    * No broadcast hint: the mapping's cardinality is the DISTINCT raw-PII
+    * count, which at the store sizes this library targets is far past
+    * broadcastable (forcing it would OOM the driver). AQE picks broadcast
+    * when the mapping really is small; otherwise a sort-merge join keyed
+    * on the old pseudonym is the safe default.
     */
   def rotate(
       published: DataFrame,
@@ -50,7 +56,7 @@ object Rotation {
   ): DataFrame = {
     val joined = published
       .join(
-        broadcast(mapping.withColumnRenamed("old_pseudo", pseudoCol)),
+        mapping.withColumnRenamed("old_pseudo", pseudoCol),
         Seq(pseudoCol), "left")
       .withColumn(
         pseudoCol,

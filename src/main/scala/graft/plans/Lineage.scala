@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, Union}
 
 /** Column-level lineage extracted from the ANALYZED Catalyst plan: for
   * every output column, the set of leaf (source-relation) columns whose
@@ -44,6 +44,26 @@ object Lineage {
           // a leaf's own attributes are the lineage roots
           leaf.output.foreach { a =>
             lin(a.exprId.id) = Set(a.name)
+          }
+        case g: Generate =>
+          // the generator's output attributes (explode/posexplode/inline
+          // results) derive from the generator expression's inputs — they
+          // are plain Attributes, so the NamedExpression walk below would
+          // miss them and the pass-through default would self-root them
+          val genLin = exprRefs(g.generator)
+          g.generatorOutput.foreach(a => lin(a.exprId.id) = genLin)
+          g.output.foreach { a =>
+            if (!lin.contains(a.exprId.id)) lin(a.exprId.id) = Set(a.name)
+          }
+        case u: Union =>
+          // each output column merges the positionally-corresponding
+          // column of EVERY branch; keying off the first child alone (or
+          // the pass-through default) loses the other branches' roots
+          u.output.zipWithIndex.foreach { case (a, i) =>
+            lin(a.exprId.id) = u.children.flatMap { c =>
+              val ca = c.output(i)
+              lin.getOrElse(ca.exprId.id, Set(ca.name))
+            }.toSet
           }
         case other =>
           // named expressions (projections, aggregates, window outputs)

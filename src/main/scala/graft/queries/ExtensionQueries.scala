@@ -3549,8 +3549,11 @@ object ExtensionQueries {
           )
           .orderBy(col("score_raw").desc, col("id_a"), col("id_b"))
           .limit(100)
+          // final sort on the RAW double too — sorting by the rounded
+          // decimal here while the DuckDB twin orders by scored.score
+          // would reorder rows whose raw scores differ but round equal
+          .orderBy(col("score_raw").desc, col("id_a"), col("id_b"))
           .drop("score_raw")
-          .orderBy(col("score").desc, col("id_a"), col("id_b"))
       },
       Some(s"""
         with p as (

@@ -85,6 +85,77 @@ class EventStatsStoreSpec extends SparkSpec {
     assert(served.length == 24 && served.toSeq == inline.toSeq)
   }
 
+  test("crash mid-swap rolls back to the pre-merge store; lost cleanup rolls forward") {
+    import java.io.File
+    import java.nio.file.{Paths, StandardCopyOption}
+    val dir = tmp("crash")
+    val b1 = mkEvents(Seq((ts(1, 10), "a"), (ts(2, 9), "b")))
+    EventStatsStore.merge(spark, dir,
+      Anomaly.hourlyCounts(b1, "ts", Seq("event_type")), Seq("event_type"), 1L)
+    val healthy = sortedRows(EventStatsStore.load(spark, dir).drop("day"))
+
+    // simulate a merge of batch 99 that died AFTER promoting day=2024-01-01
+    // but BEFORE its applied marker: retired holds the original day, live
+    // holds a half-merged (wrong) version, pending names the batch
+    val day = new File(dir).listFiles().map(_.getName).filter(_.startsWith("day=")).min
+    val retired = new File(dir + ".retired"); retired.mkdirs()
+    val retiredDay = new File(retired, day); retiredDay.mkdirs()
+    new File(dir, day).listFiles().foreach { f =>
+      Files.copy(f.toPath, Paths.get(retiredDay.getPath, f.getName),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    // corrupt the live day with a double-counted version (staged to a
+    // scratch path first: Spark refuses to overwrite a path it reads)
+    val scratch = dir + ".scratch"
+    spark.read.parquet(s"$dir/$day")
+      .withColumn("n", col("n") * 2)
+      .write.mode("overwrite").parquet(scratch)
+    spark.read.parquet(scratch)
+      .write.mode("overwrite").parquet(s"$dir/$day")
+    Files.write(Paths.get(dir, "_batches", "_pending"), "99".getBytes)
+    // no applied marker for 99 -> recovery must roll BACK
+    assert(sortedRows(EventStatsStore.load(spark, dir).drop("day")) == healthy,
+      "rollback must restore the exact pre-merge store")
+    assert(!new File(dir + ".retired").exists())
+    assert(!new File(dir, "_batches/_pending").exists())
+    // and the replayed batch then re-merges normally from consistent state
+    EventStatsStore.merge(spark, dir,
+      Anomaly.hourlyCounts(mkEvents(Seq((ts(1, 10), "a"))), "ts", Seq("event_type")),
+      Seq("event_type"), 99L)
+    assert(sortedRows(EventStatsStore.load(spark, dir).drop("day"))
+      .contains(("a", ts(1, 10), 2L)))
+
+    // crash AFTER the applied marker but before cleanup: roll forward
+    val after = sortedRows(EventStatsStore.load(spark, dir).drop("day"))
+    Files.write(Paths.get(dir, "_batches", "_pending"), "99".getBytes)
+    new File(dir + ".retired").mkdirs()
+    new File(dir + ".merge-stage").mkdirs()
+    assert(sortedRows(EventStatsStore.load(spark, dir).drop("day")) == after,
+      "roll-forward must not disturb the committed store")
+    assert(!new File(dir + ".retired").exists())
+    assert(!new File(dir + ".merge-stage").exists())
+  }
+
+  test("day partition values are UTC regardless of session timezone") {
+    val dir = tmp("tz")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      // 2024-01-01 02:00 UTC is 2023-12-31 18:00 in LA: a session-tz day
+      // string would land the row in day=2023-12-31 and score()'s UTC
+      // horizon pruning would miss it
+      val utc2am = new Timestamp(
+        java.time.Instant.parse("2024-01-01T02:00:00Z").toEpochMilli)
+      EventStatsStore.merge(spark, dir,
+        Seq(("a", utc2am, 5L)).toDF("event_type", "hour", "n"),
+        Seq("event_type"), 1L)
+      val days = EventStatsStore.load(spark, dir)
+        .select(col("day").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      assert(days == Seq("2024-01-01"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("streaming sink maintains the store exactly-once across epochs") {
     val dir = tmp("stream")
     val ckpt = Files.createTempDirectory("evstats_ckpt").toString

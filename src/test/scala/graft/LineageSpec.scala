@@ -68,6 +68,44 @@ class LineageSpec extends SparkSpec {
     assert(rows("version") == ("", 0))
   }
 
+  test("explode (Generate) traces generator output to the exploded column") {
+    val base = leaf(Seq((1, Seq("a@b.fr", "c@d.fr"))).toDF("id", "emails"))
+    val df = base.select($"id", explode($"emails").as("e"))
+    assert(lin(df)("e") == Seq("emails"),
+      "Generate output attrs must inherit the generator's reference lineage")
+    // and the PII audit sees through the explode
+    val rows = Lineage.piiExposure(df, Set("emails"))
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(rows("e") == 1)
+    assert(rows("id") == 0)
+  }
+
+  test("posexplode traces both position and value to the source column") {
+    val base = leaf(Seq((1, Seq(2.0, 3.0))).toDF("id", "vs"))
+    val df = base.select(posexplode($"vs").as(Seq("pos", "v")))
+    val m = lin(df)
+    assert(m("pos") == Seq("vs"))
+    assert(m("v") == Seq("vs"))
+  }
+
+  test("union merges lineage across ALL branches positionally") {
+    val a = leaf(Seq(("x@y.fr", 1)).toDF("email", "n"))
+      .select($"email".as("c"), $"n")
+    val b = leaf(Seq(("Lyon", 2)).toDF("city", "n"))
+      .select($"city".as("c"), $"n")
+    val m = lin(a.unionByName(b))
+    assert(m("c").toSet == Set("city", "email"),
+      "a union output column derives from its column in EVERY branch")
+    // PII flowing in through the SECOND branch only must still be flagged
+    val clean = leaf(Seq(("ok", 1)).toDF("c", "n"))
+    val dirty = leaf(Seq(("p@q.fr", 2)).toDF("email", "n"))
+      .select($"email".as("c"), $"n")
+    val rows = Lineage.piiExposure(clean.unionByName(dirty), Set("email"))
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(rows("c") == 1,
+      "round-6 advice: union branches beyond the first were lost")
+  }
+
   test("window functions carry partition/order/frame references") {
     import org.apache.spark.sql.expressions.Window
     val df = leaf(Seq((1, "g", 2.0)).toDF("id", "grp", "v"))
