@@ -448,6 +448,105 @@ object CurateCli {
       exactDrift)
   }
 
+  final case class EraseSummary(
+      nKeys: Long,
+      nCorpus: Long,
+      nBand: Long,
+      nSearch: Long,
+      nDense: Long,
+      nExact: Long,
+      nShards: Long,
+      profileRebuilt: Boolean,
+      profileStaleness: Long)
+
+  /** GDPR erasure sweep over EVERY maintained leg of an incremental
+    * state directory — the one-run answer to "delete this subject": the
+    * accumulated corpus, the dedup band index, the BM25 postings (with
+    * exact stats decrement), the dense IVF/PQ assignments, the exact
+    * prefix index, every per-batch shard directory (positions re-closed
+    * so the read-back audit keeps holding), and the sketch profile —
+    * which CANNOT subtract, so its staleness ledger is charged and the
+    * profile re-sketched from the retained corpus once past
+    * `profileBudget` ([[graft.sketch.ProfileStore]] scaladoc). Each leg
+    * that does not exist is skipped; each that does is purged with the
+    * [[graft.operators.Erasure]] broadcast-anti-join rewrite, so after
+    * the sweep NO maintained artifact can reproduce the erased
+    * documents — search, ANN, and dedup serve exactly what a rebuild
+    * from the retained corpus would serve.
+    */
+  def runErase(
+      spark: SparkSession,
+      keysPath: String,
+      outDir: String,
+      profileBudget: Long = 0L
+  ): EraseSummary = {
+    import graft.operators.{Erasure, Shards}
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val corpusDir = s"$outDir/corpus"
+    val keys = spark.read.parquet(keysPath).select(col("doc_id")).distinct()
+    val nKeys = keys.count()
+
+    // corpus first for the count the BM25 stats decrement needs (ids
+    // matched IN the corpus, not ids requested — a request for a doc
+    // never admitted must not decrement _n_docs)
+    Erasure.recoverRetired(spark, corpusDir)
+    val nCorpus =
+      if (exists(corpusDir)) Erasure.eraseByKey(spark, corpusDir, keys, "doc_id")
+      else 0L
+    val nBand =
+      if (exists(s"$outDir/index/meta"))
+        graft.dedup.Dedup.eraseFromBandIndex(spark, s"$outDir/index", keys, "doc_id")
+      else 0L
+    val nSearch =
+      if (exists(s"$outDir/search/stats"))
+        graft.text.Bm25.eraseFromSearchIndex(
+          spark, s"$outDir/search", keys, "doc_id", nCorpus)
+      else 0L
+    val nDense =
+      if (exists(s"$outDir/dense/centroids"))
+        graft.similarity.Ivf.eraseFromIndex(spark, s"$outDir/dense", keys, "doc_id")
+      else 0L
+    val nExact =
+      if (exists(s"$outDir/exact/meta"))
+        graft.dedup.SetSimJoin.eraseFromIndex(spark, s"$outDir/exact", keys, "doc_id")
+      else 0L
+    // every per-batch shard directory (the durable training record)
+    val nShards =
+      if (!exists(s"$outDir/shards")) 0L
+      else
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$outDir/shards"))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .map(s => Shards.eraseByKey(
+            spark, s.getPath.toString, keys, "doc_id", orderCols = Seq("source")))
+          .sum
+    // sketch profile: charge the ledger, rebuild once past budget
+    var rebuilt = false
+    val profDir = s"$outDir/profile"
+    if (graft.sketch.ProfileStore.exists(spark, profDir)) {
+      graft.sketch.ProfileStore.recordErasure(spark, profDir, nCorpus)
+      if (graft.sketch.ProfileStore.isStale(spark, profDir, profileBudget) &&
+          exists(corpusDir)) {
+        graft.sketch.ProfileStore.rebuild(spark, profDir,
+          spark.read.parquet(corpusDir),
+          col("text"), col("n_tokens"), sourceCol = Some("source"))
+        rebuilt = true
+      }
+    }
+    val staleness = graft.sketch.ProfileStore.stalenessCount(spark, profDir)
+    val s = EraseSummary(nKeys, nCorpus, nBand, nSearch, nDense, nExact,
+      nShards, rebuilt, staleness)
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(
+      Paths.get(s"$outDir/erase_report.json"),
+      s"""{"n_keys":$nKeys,"n_corpus":$nCorpus,"n_band_index":$nBand,""" +
+        s""""n_search_index":$nSearch,"n_dense_index":$nDense,""" +
+        s""""n_exact_index":$nExact,"n_shard_rows":$nShards,""" +
+        s""""profile_rebuilt":$rebuilt,"profile_staleness":$staleness}""" + "\n")
+    s
+  }
+
   private def session(): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -501,6 +600,22 @@ object CurateCli {
     val withExact = args0.contains("--exact")
     val args = args0.filterNot(a =>
       a == "--search" || a == "--hybrid" || a == "--profile" || a == "--exact")
+    if (args.headOption.contains("erase")) {
+      require(args.length >= 3,
+        "usage: CurateCli erase <keys.parquet> <stateDir> [profileBudget]")
+      val budget = if (args.length > 3) args(3).toLong else 0L
+      val spark = session()
+      val s = runErase(spark, args(1), args(2), budget)
+      println(s"[curate] erase keys=${s.nKeys} corpus=${s.nCorpus} " +
+        s"band=${s.nBand} search=${s.nSearch} dense=${s.nDense} " +
+        s"exact=${s.nExact} shard_rows=${s.nShards} " +
+        s"profile_rebuilt=${s.profileRebuilt} profile_staleness=${s.profileStaleness}")
+      spark.stop()
+      // a profile still stale after the sweep (no corpus to rebuild from)
+      // is a compliance telemetry hole — distinct exit code
+      if (s.profileStaleness > budget) sys.exit(2)
+      return
+    }
     if (args.headOption.contains("incremental")) {
       require(args.length >= 3,
         "usage: CurateCli incremental <batch.parquet> <stateDir> [nShards] " +

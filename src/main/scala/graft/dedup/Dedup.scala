@@ -295,6 +295,29 @@ object Dedup {
       .write.mode("append").parquet(s"$dir/shingles")
   }
 
+  /** Right-to-erasure through the stored band index: purge the erased
+    * documents' band rows and shingle sets (both keyed by the index's
+    * own id column). Band hashes of OTHER documents are untouched, so
+    * [[dedupAgainstCorpus]] after erasure flags exactly what an index
+    * rebuilt from the retained corpus flags. Broadcast anti-joins; the
+    * band partitioning is re-declared on the rewrite. Returns rows
+    * removed across both legs.
+    */
+  def eraseFromBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      keys: DataFrame,
+      keyCol: String
+  ): Long = {
+    import graft.operators.Erasure
+    Erasure.recoverRetired(spark, s"$dir/bands")
+    Erasure.recoverRetired(spark, s"$dir/shingles")
+    val idCol = spark.read.parquet(s"$dir/meta").head().getAs[String]("id_col")
+    val k = keys.select(col(keyCol).as(idCol))
+    Erasure.eraseByKey(spark, s"$dir/bands", k, idCol, Seq("band")) +
+      Erasure.eraseByKey(spark, s"$dir/shingles", k, idCol)
+  }
+
   /** Load a stored index bundle written by [[writeBandIndex]]. */
   def loadBandIndex(
       spark: org.apache.spark.sql.SparkSession,

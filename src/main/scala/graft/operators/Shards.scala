@@ -97,6 +97,45 @@ object Shards {
   ): DataFrame =
     DataSkipping.prunedReadSelf(spark, dir, box, maxFiles)
 
+  /** Right-to-erasure through a written shard directory: remove the
+    * erased ids and RECLOSE the dense `shard_pos` ordinals (row_number
+    * over the surviving rows in their old order), so the erased
+    * directory is row-identical to a from-scratch [[write]] of the
+    * retained corpus with the same `orderCols` — shard membership is an
+    * id hash (unchanged for survivors) and filtering preserves the
+    * (`orderCols`, id) order `shard_pos` encoded. The read-back audit
+    * contract (dense 0-based contiguous positions, one file per shard)
+    * therefore keeps holding after erasure. Whole-directory
+    * retire/promote swap + manifest rebuild; `orderCols` must match the
+    * original write's so the refreshed `_stats` stat columns line up.
+    * Returns rows erased.
+    */
+  def eraseByKey(
+      spark: SparkSession,
+      dir: String,
+      keys: DataFrame,
+      idCol: String,
+      orderCols: Seq[String] = Nil
+  ): Long = {
+    Erasure.recoverRetired(spark, dir)
+    val k = keys.select(col(idCol)).distinct()
+    val hit = Erasure.matchCount(spark, dir, k, idCol)
+    if (hit == 0L) return 0L
+    Erasure.rewriteSwap(spark, dir, tmp => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("shard_pos").asc)
+      spark.read.parquet(dir)
+        .join(broadcast(k), Seq(idCol), "left_anti")
+        .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard").asc, col("shard_pos").asc)
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    })
+    DataSkipping.writeManifest(
+      spark, dir, (orderCols :+ idCol).distinct,
+      s"$dir/${DataSkipping.ManifestSubdir}")
+    hit
+  }
+
   /** Per-shard manifest of a written shard directory: (shard, n_rows,
     * n_files, bytes, content_hash) — the bookkeeping record a training job
     * reads to resume/verify a data epoch without re-reading the corpus.

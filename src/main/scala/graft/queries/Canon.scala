@@ -73,6 +73,8 @@ object Canon {
     "q_drift_psi" -> Seq("psi"),
     "q_bm25_topk" -> Seq("score"),
     "q_bm25_indexed" -> Seq("score"),
+    "q_erasure_indexes" -> Seq("score"),
+    "q_erasure_exact" -> Seq("jaccard"),
     "q_hybrid_rrf" -> Seq("rrf_score"),
     "q_hybrid_indexed" -> Seq("rrf_score"),
     "q_lm_bigram" -> Seq("surprisal2"),

@@ -144,7 +144,17 @@ object ExtensionQueries {
   /** Shared twin of q_decontam_pairs AND q_ssjoin_indexed - the stored
     * prefix index must be value-invisible.
     */
-  private lazy val duckDecontamPairsSql: String = s"""
+  private lazy val duckDecontamPairsSql: String = duckDecontamPairsSqlOver("")
+
+  /** The same chain with the CORPUS (right) side additionally filtered —
+    * `q_erasure_exact` passes the retained-documents predicate so the
+    * twin replays the join against a rebuild from the retained corpus.
+    * The output is order-invariant (SetSimJoin.writeIndex scaladoc:
+    * prefix filtering is exact under ANY shared token order, and
+    * inter/union/jaccard are set-size arithmetic), so the frozen-order
+    * erased index must hash-equal this re-ordered replay.
+    */
+  private def duckDecontamPairsSqlOver(rightExtra: String): String = s"""
         with t as (select doc_id, $duckTokens as toks from documents),
         sh as (
           select doc_id, list_distinct(list_transform(
@@ -154,7 +164,8 @@ object ExtensionQueries {
           from t
         ),
         exl as (select doc_id as id, unnest(sh) as tok from sh where doc_id % 10 = 0),
-        exr as (select doc_id as id, unnest(sh) as tok from sh where doc_id % 10 <> 0),
+        exr as (select doc_id as id, unnest(sh) as tok from sh
+                where doc_id % 10 <> 0 $rightExtra),
         dfreq as (select tok, count(*) as df
                   from (select * from exl union all select * from exr)
                   group by tok),
@@ -992,6 +1003,37 @@ object ExtensionQueries {
           .orderBy("id_l", "id_r")
       },
       Some(duckDecontamPairsSql)
+    ),
+    // Erasure through the exact prefix index: build over the corpus
+    // split, purge the erased subjects' sets/postings
+    // (SetSimJoin.eraseFromIndex — dfreq stays FROZEN, which is
+    // order-correct), probe with the batch split. The twin replays the
+    // inline join against the RETAINED corpus under its own (different!)
+    // token order — hash equality is exactly the order-invariance
+    // guarantee. Build jobs bounded (PlanGuardSpec exemption).
+    "q_erasure_exact" -> Q(
+      (s, dir) => {
+        val sets = docs(s, dir).select(
+          col("doc_id"),
+          array_distinct(
+            transform(Dedup.wordShingles(col("text"), 3), x => md5(x))
+          ).as("sh")
+        )
+        val out =
+          s"${sys.props("java.io.tmpdir")}/graft_sserase_${math.abs(dir.hashCode)}"
+        graft.dedup.SetSimJoin.writeIndex(
+          sets.filter(col("doc_id") % 10 =!= 0), "doc_id", "sh", 2, 5, out)
+        graft.dedup.SetSimJoin.eraseFromIndex(
+          s, out, sets.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+          "doc_id")
+        graft.dedup.SetSimJoin
+          .searchIndex(s, out, sets.filter(col("doc_id") % 10 === 0), "doc_id", "sh")
+          .select(
+            col("id_l"), col("id_r"), col("inter"), col("union_sz"),
+            roundHalfUp(col("jaccard"), 4).cast("decimal(10,4)").as("jaccard"))
+          .orderBy("id_l", "id_r")
+      },
+      Some(duckDecontamPairsSqlOver("and doc_id % 7 <> 0"))
     ),
     "q_simhash" -> Q(
       (s, dir) =>
@@ -2136,8 +2178,15 @@ object ExtensionQueries {
     * top-k cut is identical; the decimal cast then has nothing to round.
     * tf * 2.2 must be double arithmetic (see q_bm25's literal-cast note).
     */
-  private def bm25RankCtes: String = s"""
-        t as (select doc_id, $duckTokens as toks from documents),
+  private def bm25RankCtes: String = bm25RankCtesOver("documents")
+
+  /** The same chain over a restricted corpus — `src` is any relation
+    * expression yielding (doc_id, text); `q_erasure_indexes` passes the
+    * retained-documents filter so the twin replays retrieval over a
+    * REBUILD from the retained corpus.
+    */
+  private def bm25RankCtesOver(src: String): String = s"""
+        t as (select doc_id, $duckTokens as toks from $src),
         stats as (
           select count(*) as n, cast(sum(len(toks)) as double) / count(*) as avgdl
           from t
@@ -2171,8 +2220,10 @@ object ExtensionQueries {
           from pq
         )"""
 
-  private def bm25TopKOracle: String = s"""
-        with $bm25RankCtes
+  private def bm25TopKOracle: String = bm25TopKOracleOver("documents")
+
+  private def bm25TopKOracleOver(src: String): String = s"""
+        with ${bm25RankCtesOver(src)}
         select query_id, cast(rank as int) as rank, doc_id,
           cast(n_matched as int) as n_matched,
           cast(rscore as decimal(14,6)) as score
@@ -2684,6 +2735,40 @@ object ExtensionQueries {
       // IDENTICAL twin to q_bm25_topk — the stored index must reproduce
       // the inline retrieval bit-for-bit at the rounded ranking grain
       Some(bm25TopKOracle)
+    ),
+    // GDPR erasure through the SERVING index (Erasure scaladoc: erasure
+    // that leaves documents recoverable from a postings index is not
+    // erasure): build the BM25 index over the FULL corpus, erase the
+    // subjects' documents from the STORE (postings purge + exact
+    // N/token-total decrement, Bm25.eraseFromSearchIndex), then serve.
+    // The twin replays retrieval over a REBUILD from the retained
+    // corpus — so the hash match proves erased docs are neither
+    // retrievable nor able to influence ranking through stale
+    // N/avgdl/df. Build jobs bounded (PlanGuardSpec exemption).
+    "q_erasure_indexes" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val idx =
+          s"${sys.props("java.io.tmpdir")}/graft_bm25_erase_${math.abs(dir.hashCode)}"
+        val all = docs(s, dir)
+        graft.text.Bm25.writeSearchIndex(all, "doc_id", col("text"), idx)
+        val keys = all.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"))
+        graft.text.Bm25.eraseFromSearchIndex(
+          s, idx, keys, "doc_id", nErased = keys.count())
+        val (postings, stats) = graft.text.Bm25.loadSearchIndex(s, idx)
+        graft.text.Bm25
+          .retrieveTopKIndexed(postings, stats, "doc_id",
+            Bm25QuerySet.toDF("query_id", "term"), topK = 10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rank"),
+            col("doc_id"),
+            col("n_matched").cast("int").as("n_matched"),
+            col("score").cast("decimal(14,6)").as("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25TopKOracleOver("(select * from documents where doc_id % 7 <> 0)"))
     ),
     "q_hybrid_rrf" -> Q(
       (s, dir) => {

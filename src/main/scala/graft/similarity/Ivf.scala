@@ -222,6 +222,27 @@ object Ivf {
       .write.mode("append").partitionBy("centroid_id").parquet(s"$dir/assigned")
   }
 
+  /** Right-to-erasure through the stored ANN index: purge the erased
+    * documents' rows from `assigned/` (which, in the IVF-PQ layout, also
+    * carries their PQ codes — one purge covers both). Centroids stay:
+    * they are aggregate statistics of the training sample, not
+    * per-subject data, and [[search]]/[[searchAll]] over the retained
+    * rows with the same centroids is exactly what a rebuild-with-these-
+    * centroids serves (the [[appendIndex]] exactness argument in
+    * reverse). Broadcast anti-join, centroid partitioning re-declared on
+    * the rewrite so probe pruning keeps working. Returns rows removed.
+    */
+  def eraseFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      keys: DataFrame,
+      idCol: String
+  ): Long = {
+    import graft.operators.Erasure
+    Erasure.recoverRetired(spark, s"$dir/assigned")
+    Erasure.eraseByKey(spark, s"$dir/assigned", keys, idCol, Seq("centroid_id"))
+  }
+
   /** Cluster-distribution drift: PSI between the stored index's
     * assignment histogram and a NEW batch assigned with the same
     * centroids — the ANN-index staleness audit. A persisted index serves

@@ -122,6 +122,69 @@ object ProfileStore {
     }
   }
 
+  /** Erasure/TTL staleness ledger. Sketch merges are append-only — HLL
+    * registers, HDR buckets, and KMV bottom-k values CANNOT subtract — so
+    * after rows are erased ([[graft.operators.Erasure]]) or expired
+    * ([[graft.operators.Ttl]]) the stored profile still counts them,
+    * silently and forever. The honest fix is bookkeeping + rebuild: every
+    * purge records its row count here ([[recordErasure]]), the audit
+    * ([[stalenessCount]] / [[isStale]]) surfaces how far the profile has
+    * drifted from the retained corpus, and [[rebuild]] re-sketches the
+    * retained data in one shot and zeroes the ledger — after which the
+    * store is again data-identical to a fresh one-shot profile (the
+    * CurateCli `--erase` sweep runs exactly this when the count crosses
+    * its budget).
+    */
+  private def stalenessPath(dir: String) = s"$dir/_staleness"
+
+  /** Add `nErased` purged rows to the ledger (no-op for 0). */
+  def recordErasure(spark: SparkSession, dir: String, nErased: Long): Unit = {
+    if (nErased <= 0L) return
+    val fs = fsOf(spark, dir)
+    val total = stalenessCount(spark, dir) + nErased
+    val out = fs.create(p(stalenessPath(dir)), true)
+    out.write(total.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Rows purged from the profiled data since the last build/rebuild. */
+  def stalenessCount(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    val sp = p(stalenessPath(dir))
+    if (!fs.exists(sp)) 0L
+    else {
+      val in = fs.open(sp)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      } finally in.close()
+    }
+  }
+
+  /** True when more rows were purged since the last rebuild than the
+    * caller's drift budget tolerates.
+    */
+  def isStale(spark: SparkSession, dir: String, budget: Long): Boolean =
+    stalenessCount(spark, dir) > budget
+
+  /** Re-sketch the RETAINED corpus in one shot and zero the ledger — the
+    * only way a sketch store forgets. Sweeps amortize this: batch
+    * erasures, rebuild once past the budget.
+    */
+  def rebuild(
+      spark: SparkSession,
+      dir: String,
+      retained: DataFrame,
+      distinctCol: Column,
+      lenCol: Column,
+      sourceCol: Option[String] = None
+  ): Unit = {
+    write(spark, dir, retained, distinctCol, lenCol, sourceCol)
+    fsOf(spark, dir).delete(p(stalenessPath(dir)), false)
+  }
+
   /** Distinct estimate of the profiled column over everything appended. */
   def distinctEstimate(spark: SparkSession, dir: String): Double =
     Hll.estimate(spark.read.parquet(s"$dir/hll")).head().getDouble(0)

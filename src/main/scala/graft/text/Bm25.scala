@@ -324,6 +324,62 @@ object Bm25 {
     fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats_new"), statsPath)
   }
 
+  /** Right-to-erasure through the stored index: purge every posting of
+    * the erased documents and decrement the corpus stats EXACTLY, so the
+    * served index is value-identical to a rebuild over the retained
+    * corpus ([[graft.operators.Erasure]] scaladoc: erasure that leaves a
+    * subject's documents recoverable from a postings index is not
+    * erasure).
+    *
+    * Stats exactness: a document's token total IS its `dl`, carried on
+    * every one of its posting rows — one distinct (id, dl) row per
+    * erased doc recovers the exact token decrement. Counts and totals
+    * are integer-valued doubles, so `(_n_docs − e, _tot_tokens − etok,
+    * tot/n)` is bit-identical to [[indexStats]] over the retained corpus
+    * (the [[appendSearchIndex]] merge argument, run in reverse) — EXCEPT
+    * for zero-token documents, which have no posting rows to count.
+    * That is why the caller passes `nErased`, the number of erased ids
+    * actually present in the indexed corpus: the corpus owner (e.g. the
+    * CurateCli sweep) knows it from its own corpus purge.
+    *
+    * The postings rewrite is a broadcast anti-join — narrow, no shuffle,
+    * term-clustering preserved file-for-file; the stats swap reuses the
+    * append path's `stats_new` rename.
+    */
+  def eraseFromSearchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      keys: DataFrame,
+      idCol: String,
+      nErased: Long
+  ): Long = {
+    import graft.operators.Erasure
+    Erasure.recoverRetired(spark, s"$dir/postings")
+    val k = keys.select(col(idCol)).distinct()
+    val erasedTok = spark.read.parquet(s"$dir/postings")
+      .join(broadcast(k), Seq(idCol), "left_semi")
+      .select(col(idCol), col("dl")).distinct()
+      .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+    val removed = Erasure.eraseByKey(spark, s"$dir/postings", k, idCol)
+    if (nErased == 0L && removed == 0L) return 0L
+    val old = spark.read.parquet(s"$dir/stats").head()
+    val n = old.getAs[Double]("_n_docs") - nErased.toDouble
+    val tot = old.getAs[Double]("_tot_tokens") - erasedTok.toDouble
+    require(n >= 0.0 && tot >= 0.0,
+      s"bm25 erase: stats would go negative (n=$n tot=$tot) — nErased " +
+        "must count only ids present in the indexed corpus")
+    import spark.implicits._
+    Seq((n, tot, if (n > 0.0) tot / n else 0.0))
+      .toDF("_n_docs", "_tot_tokens", "_avgdl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_new")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(conf)
+    fs.delete(statsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats_new"), statsPath)
+    removed
+  }
+
   /** Load an index written by [[writeSearchIndex]]: (postings, stats). */
   def loadSearchIndex(
       spark: org.apache.spark.sql.SparkSession,

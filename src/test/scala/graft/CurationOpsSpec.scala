@@ -1137,6 +1137,131 @@ class CurationOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$state/profile/hll").count() == storedHll.count())
   }
 
+  test("erase sweep: every maintained leg forgets; serving equals rebuild from retained corpus") {
+    import java.nio.file.Files
+    import graft.dedup.{Dedup, SetSimJoin}
+    import graft.sketch.{Hll, ProfileStore}
+    val docsWithVec = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .join(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+    val batches = Files.createTempDirectory("curate_erase_b").toString
+    val state = Files.createTempDirectory("curate_erase_s").toString
+    docsWithVec.filter(col("doc_id") % 2 === 0).write.parquet(s"$batches/b0")
+    docsWithVec.filter(col("doc_id") % 2 === 1).write.parquet(s"$batches/b1")
+    Seq(s"$batches/b0", s"$batches/b1").foreach { b =>
+      val s = graft.cli.CurateCli.runIncremental(
+        spark, b, state, nShards = 2, searchIndex = true, hybridIndex = true,
+        profileStats = true, exactIndex = true)
+      assert(s.auditOk)
+    }
+    val before = spark.read.parquet(s"$state/corpus").cache()
+    val nBefore = before.count()
+    // erasure request: ~1/7 of the landed corpus, plus one id that was
+    // never admitted (must not decrement anything)
+    val keys = before.select(col("doc_id")).filter(col("doc_id") % 7 === 0)
+      .union(Seq(999999999L).toDF("doc_id"))
+    val keysPath = s"$batches/erase_keys"
+    keys.write.parquet(keysPath)
+    val nReq = keys.count() - 1
+    before.unpersist()
+
+    val es = graft.cli.CurateCli.runErase(spark, keysPath, state)
+    assert(es.nCorpus == nReq, s"corpus purge ${es.nCorpus} != requested $nReq")
+    assert(es.profileRebuilt && es.profileStaleness == 0L)
+    assert(Files.readString(java.nio.file.Paths.get(s"$state/erase_report.json"))
+      .contains("\"profile_rebuilt\":true"))
+
+    val retained = spark.read.parquet(s"$state/corpus").cache()
+    assert(retained.count() == nBefore - nReq)
+    assert(retained.filter(col("doc_id") % 7 === 0).isEmpty)
+
+    // BM25: the erased index (postings purge + exact stats decrement)
+    // serves retrieval identically to inline BM25 over the retained corpus
+    val (p, st) = graft.text.Bm25.loadSearchIndex(spark, s"$state/search")
+    assert(p.join(spark.read.parquet(keysPath), Seq("doc_id"), "left_semi").isEmpty)
+    val q = Seq((1, "spark"), (1, "query"), (2, "stream"), (2, "window"))
+      .toDF("query_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(
+      rows(graft.text.Bm25.retrieveTopKIndexed(p, st, "doc_id", q, topK = 10)) ==
+        rows(graft.text.Bm25.retrieveTopK(retained, "doc_id", col("text"), q, topK = 10)),
+      "erased search index must equal inline retrieval over the retained corpus")
+
+    // exact prefix index: probes against the erased index equal the
+    // inline two-table join against the retained corpus
+    def setsOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      array_distinct(transform(Dedup.wordShingles(col("text"), 3),
+        x => md5(x))).as("sh"))
+    val probes = setsOf(docsWithVec.filter(col("doc_id") % 7 === 3))
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_l", "id_r", "inter", "union_sz")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(
+      pairRows(SetSimJoin.searchIndex(spark, s"$state/exact", probes, "doc_id", "sh")) ==
+        pairRows(SetSimJoin.join(probes, setsOf(retained), "doc_id", "sh", 2, 5)),
+      "erased exact index must equal the inline join over the retained corpus")
+
+    // dense leg: no erased id is assigned, partition layout survives
+    val assigned = spark.read.parquet(s"$state/dense/assigned")
+    assert(assigned.join(spark.read.parquet(keysPath), Seq("doc_id"), "left_semi").isEmpty)
+    assert(assigned.columns.contains("centroid_id"))
+    assert(new java.io.File(s"$state/dense/assigned").listFiles()
+      .exists(_.getName.startsWith("centroid_id=")))
+
+    // band index: a re-labeled copy of an ERASED doc is fresh again; a
+    // copy of a RETAINED doc still near-dups
+    val idx = Dedup.loadBandIndex(spark, s"$state/index")
+    assert(idx.bands.join(spark.read.parquet(keysPath), Seq("doc_id"), "left_semi").isEmpty)
+    val erasedCopy = docsWithVec
+      .join(spark.read.parquet(keysPath), Seq("doc_id"), "left_semi")
+      .limit(3).withColumn("doc_id", col("doc_id") + 5000000L)
+    val retainedCopy = retained.limit(3)
+      .withColumn("doc_id", col("doc_id") + 6000000L)
+    // (a copy may still near-dup a template-sharing RETAINED doc — what
+    // matters is that no match attributes to an erased id)
+    assert(Dedup.dedupAgainstCorpus(idx, erasedCopy, "text", 0.7, maxBucket = None)
+      .filter(col("is_dup"))
+      .join(spark.read.parquet(keysPath).select(col("doc_id").as("dup_of")),
+        Seq("dup_of"), "left_semi")
+      .isEmpty,
+      "the band index must have forgotten the erased documents")
+    assert(Dedup.dedupAgainstCorpus(idx, retainedCopy, "text", 0.7, maxBucket = None)
+      .filter(!col("is_dup")).isEmpty,
+      "retained documents must still be recognized")
+
+    // shards: erased ids gone, dense 0-based contiguous positions hold,
+    // manifest refreshed to the surviving files
+    Seq(0, 1).foreach { b =>
+      val sh = spark.read.parquet(s"$state/shards/batch=$b")
+      assert(sh.join(spark.read.parquet(keysPath), Seq("doc_id"), "left_semi").isEmpty)
+      val bad = sh.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("shard_pos")).as("nd"),
+          min(col("shard_pos")).as("lo"), max(col("shard_pos")).as("hi"))
+        .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1 || col("nd") =!= col("n"))
+      assert(bad.isEmpty, s"batch=$b shard positions must stay dense after erasure")
+    }
+
+    // profile: rebuilt sketches are DATA-identical to a one-shot profile
+    // of the retained corpus (sketches cannot subtract; rebuild is the heal)
+    val storedHll = spark.read.parquet(s"$state/profile/hll")
+    val directHll = Hll.sketch(retained, col("text"))
+    assert(storedHll.except(directHll).isEmpty && directHll.except(storedHll).isEmpty,
+      "rebuilt profile must equal a one-shot sketch of the retained corpus")
+    assert(!ProfileStore.isStale(spark, s"$state/profile", 0L))
+
+    // idempotence: a second sweep with the same keys finds nothing
+    val es2 = graft.cli.CurateCli.runErase(spark, keysPath, state)
+    assert(es2.nCorpus == 0L && es2.nSearch == 0L && es2.nExact == 0L &&
+      es2.nDense == 0L && es2.nBand == 0L && es2.nShards == 0L)
+    retained.unpersist()
+  }
+
   test("CurateCli.run: an all-filtered corpus reports cleanly instead of crashing") {
     val out = java.nio.file.Files.createTempDirectory("curate_empty").toString
     val s = graft.cli.CurateCli.run(

@@ -39,6 +39,9 @@ class PlanGuardSpec extends SparkSpec {
     Set("q_scalar_subquery", "q_embed_topk", "q_key_skew",
       "q_lm_surprisal", "q_tfidf_topk", "q_bm25", "q_bm25_topk",
       "q_bm25_indexed", "q_hybrid_rrf", "q_hybrid_indexed", "q_lm_bigram",
+      // served like q_bm25_indexed: the one-row stored stats frame is
+      // broadcast-crossed onto the pruned postings
+      "q_erasure_indexes",
       // merged-vs-direct-vs-exact: three single-row estimate aggregates
       // broadcast-crossed into the one-row comparison output
       "q_hll_merged",
@@ -119,6 +122,12 @@ class PlanGuardSpec extends SparkSpec {
     // builds the stored prefix index (dfreq/sets/postings writes) the
     // probe under test then reads — the q_bm25_indexed pattern
     "q_ssjoin_indexed",
+    // builds the BM25 index then ERASES from it (postings purge counts +
+    // one-row stats decrement are the operator under test)
+    "q_erasure_indexes",
+    // builds the prefix index then erases its sets/postings (purge
+    // match-counts bounded; the erased probe is the operator under test)
+    "q_erasure_exact",
     // store build + erasure (touched-bucket/survivor collects bounded by
     // the bucket count)
     "q_erasure",
