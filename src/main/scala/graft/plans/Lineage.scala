@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, BRound, Concat, Crc32, Expression, IsNotNull, IsNull, Literal, Md5, NamedExpression, Round, Sha1, Sha2}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, Union}
 
 /** Column-level lineage extracted from the ANALYZED Catalyst plan: for
@@ -29,13 +29,62 @@ import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalP
   */
 object Lineage {
 
-  /** (out_col, src_cols sorted and comma-joined, n_src) per output column. */
-  def columnLineage(df: DataFrame): Seq[(String, Seq[String])] = {
-    val plan = df.queryExecution.analyzed
+  /** An expression node whose output no longer exposes its inputs' raw
+    * values — the approved masking vocabulary [[MaskModelShapes]] the
+    * masking compiler ([[graft.masking.MaskModel]] /
+    * [[graft.masking.Masking]]) emits:
+    *
+    *   - cryptographic digests (sha2/sha1/md5/crc32): HashSha256 masking
+    *     and the dbt-utils surrogate key;
+    *   - round/bround: Round2Decimals coordinate coarsening (and the
+    *     geohash built on it);
+    *   - is [not] null: presence flags and completeness arithmetic —
+    *     a one-bit channel, the reference publishes these by design;
+    *   - comparisons against a foldable side (`c != ''`, range checks):
+    *     the guard conditions inside every masking CASE — also ≤1 bit;
+    *   - the partial-phone fingerprint: a concat carrying MaskModel's
+    *     literal `" XX XX XX XX"` padding. Deliberately the FULL compiled
+    *     shape, not bare `substring` — `substring(contact_email, 1, 3)`
+    *     under an innocent alias is the canonical disguised LEAK and must
+    *     stay raw-path.
+    *
+    * Anything else (cast, trim, lower, concat, arithmetic, bare
+    * substring) is value-preserving enough to keep the raw-path taint.
+    */
+  private def isSanitizer(e: Expression): Boolean = e match {
+    case _: Sha2 | _: Sha1 | _: Md5 | _: Crc32 => true
+    case _: Round | _: BRound => true
+    case _: IsNull | _: IsNotNull => true
+    case cmp: BinaryComparison => cmp.children.exists(_.foldable)
+    case c: Concat =>
+      c.children.exists {
+        case Literal(v, _) => v != null && v.toString == " XX XX XX XX"
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** One bottom-up fold computing BOTH lineage maps per attribute id:
+    * full data-flow lineage (every leaf column whose value can reach the
+    * attribute) and RAW-path lineage (leaf columns reachable via at
+    * least one path that never crosses a sanitizer — see
+    * [[isSanitizer]]). `raw ⊆ full` by construction; a PII source in
+    * `full` but not `raw` flows exclusively through approved masking.
+    */
+  private def foldLineage(
+      plan: LogicalPlan
+  ): (mutable.Map[Long, Set[String]], mutable.Map[Long, Set[String]]) = {
     val lin = mutable.Map.empty[Long, Set[String]]
+    val raw = mutable.Map.empty[Long, Set[String]]
 
     def exprRefs(e: Expression): Set[String] =
       e.references.toSeq.flatMap(a => lin.getOrElse(a.exprId.id, Set(a.name))).toSet
+
+    def rawRefs(e: Expression): Set[String] = e match {
+      case _ if isSanitizer(e) => Set.empty
+      case a: Attribute => raw.getOrElse(a.exprId.id, Set(a.name))
+      case other => other.children.flatMap(rawRefs).toSet
+    }
 
     def visit(p: LogicalPlan): Unit = {
       p.children.foreach(visit)
@@ -44,6 +93,7 @@ object Lineage {
           // a leaf's own attributes are the lineage roots
           leaf.output.foreach { a =>
             lin(a.exprId.id) = Set(a.name)
+            raw(a.exprId.id) = Set(a.name)
           }
         case g: Generate =>
           // the generator's output attributes (explode/posexplode/inline
@@ -51,9 +101,14 @@ object Lineage {
           // are plain Attributes, so the NamedExpression walk below would
           // miss them and the pass-through default would self-root them
           val genLin = exprRefs(g.generator)
-          g.generatorOutput.foreach(a => lin(a.exprId.id) = genLin)
+          val genRaw = rawRefs(g.generator)
+          g.generatorOutput.foreach { a =>
+            lin(a.exprId.id) = genLin
+            raw(a.exprId.id) = genRaw
+          }
           g.output.foreach { a =>
             if (!lin.contains(a.exprId.id)) lin(a.exprId.id) = Set(a.name)
+            if (!raw.contains(a.exprId.id)) raw(a.exprId.id) = Set(a.name)
           }
         case u: Union =>
           // each output column merges the positionally-corresponding
@@ -64,6 +119,10 @@ object Lineage {
               val ca = c.output(i)
               lin.getOrElse(ca.exprId.id, Set(ca.name))
             }.toSet
+            raw(a.exprId.id) = u.children.flatMap { c =>
+              val ca = c.output(i)
+              raw.getOrElse(ca.exprId.id, Set(ca.name))
+            }.toSet
           }
         case other =>
           // named expressions (projections, aggregates, window outputs)
@@ -72,18 +131,40 @@ object Lineage {
             e.foreach {
               case ne: NamedExpression if !ne.isInstanceOf[Attribute] =>
                 lin(ne.exprId.id) = exprRefs(ne)
+                raw(ne.exprId.id) = rawRefs(ne)
               case _ =>
             }
           }
           // attributes that pass through unchanged keep their lineage
           other.output.foreach { a =>
             if (!lin.contains(a.exprId.id)) lin(a.exprId.id) = Set(a.name)
+            if (!raw.contains(a.exprId.id)) raw(a.exprId.id) = Set(a.name)
           }
       }
     }
     visit(plan)
+    (lin, raw)
+  }
+
+  /** (out_col, src_cols sorted and comma-joined, n_src) per output column. */
+  def columnLineage(df: DataFrame): Seq[(String, Seq[String])] = {
+    val plan = df.queryExecution.analyzed
+    val (lin, _) = foldLineage(plan)
     plan.output.map(a =>
       a.name -> lin.getOrElse(a.exprId.id, Set(a.name)).toSeq.sorted)
+  }
+
+  /** Per output column: full lineage AND the raw-path subset (sources
+    * reachable without crossing an approved masking node).
+    */
+  def columnLineageWithRaw(df: DataFrame): Seq[(String, Seq[String], Seq[String])] = {
+    val plan = df.queryExecution.analyzed
+    val (lin, raw) = foldLineage(plan)
+    plan.output.map { a =>
+      (a.name,
+        lin.getOrElse(a.exprId.id, Set(a.name)).toSeq.sorted,
+        raw.getOrElse(a.exprId.id, Set(a.name)).toSeq.sorted)
+    }
   }
 
   /** PII-exposure audit: for every published column, whether its VALUE
@@ -106,6 +187,39 @@ object Lineage {
       }
       .toDF("out_col", "pii_sources", "derives_from_pii")
   }
+
+  /** Masking-aware PII exposure: [[piiExposure]] plus the raw/masked
+    * classification — for every published column, WHICH PII sources it
+    * depends on, which of those arrive via a path that never crosses an
+    * approved masking node ([[isSanitizer]]), and the per-column verdict
+    * `all_pii_masked` (vacuously 1 for PII-free columns). This turns the
+    * exposure REPORT into a mechanical GATE: `q_release_cert` publishes
+    * only when every column's bit is 1, and a deliberately-injected raw
+    * passthrough (`substring(contact_email, 1, 3)`) flips it to 0 while
+    * the normal mart certifies.
+    */
+  def maskedPiiExposure(df: DataFrame, piiSourceCols: Set[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    columnLineageWithRaw(df)
+      .map { case (out, srcs, raws) =>
+        val pii = srcs.filter(piiSourceCols.contains).sorted
+        val rawPii = raws.filter(piiSourceCols.contains).sorted
+        (out, pii.mkString(","), if (pii.nonEmpty) 1 else 0,
+          rawPii.mkString(","), if (rawPii.isEmpty) 1 else 0)
+      }
+      .toDF("out_col", "pii_sources", "derives_from_pii",
+        "raw_pii_sources", "all_pii_masked")
+  }
+
+  /** True iff NO published column carries a raw (unmasked) PII path —
+    * the one-bit form [[maskedPiiExposure]] feeds the release
+    * certificate. Plan-sized, zero jobs.
+    */
+  def allPiiMasked(df: DataFrame, piiSourceCols: Set[String]): Boolean =
+    columnLineageWithRaw(df).forall { case (_, _, raws) =>
+      !raws.exists(piiSourceCols.contains)
+    }
 
   /** The lineage as a one-row-per-output-column DataFrame (sorted comma
     * string keeps the compared output array-free for the oracle).

@@ -1537,10 +1537,19 @@ object Registry {
         val kFloor = mart.groupBy(col("organization_type"))
           .agg(count(lit(1)).as("n"))
           .agg(min(col("n")).as("min_group_size"))
+        // plan-level masking gate (zero jobs): 1 iff NO published column
+        // carries a raw PII path past the approved maskers — the
+        // data-side validators above check published VALUES, this checks
+        // the published PLAN; the certificate needs both
+        val piiCols = PolicyCatalog.reference.models.values
+          .flatMap(_.collect { case (n, p) if p.pii => n }).toSet
+        val allMasked =
+          if (graft.plans.Lineage.allPiiMasked(mart, piiCols)) 1 else 0
         base
           .crossJoin(broadcast(kFloor))
           .withColumn("k5_ok",
             when(col("min_group_size") >= 5, 1).otherwise(0))
+          .withColumn("all_pii_masked", lit(allMasked))
       },
       Some(OracleSql.pipelineCtes + """
         , base as (
@@ -1560,7 +1569,8 @@ object Registry {
           cast(pii_email_violations as bigint) as pii_email_violations,
           avg_completeness,
           cast(min_group_size as bigint) as min_group_size,
-          cast(case when min_group_size >= 5 then 1 else 0 end as int) as k5_ok
+          cast(case when min_group_size >= 5 then 1 else 0 end as int) as k5_ok,
+          cast(1 as int) as all_pii_masked
         from base cross join kf""")
     ),
     // Lineage-based PII exposure audit: which published columns
@@ -1578,40 +1588,44 @@ object Registry {
           Tables.services(s, dir).schema)
         val mart = Pipeline.mart(
           Pipeline.enrich(Pipeline.anonymize(Pipeline.staging(svc), cat)))
-        graft.plans.Lineage.piiExposure(mart, pii).orderBy("out_col")
+        graft.plans.Lineage.maskedPiiExposure(mart, pii).orderBy("out_col")
       },
+      // every PII dependency of the published mart flows through an
+      // approved masking node, so raw_pii_sources is empty and
+      // all_pii_masked is 1 on EVERY row — a derivation bypassing the
+      // maskers (the substring leak) would surface here and hash-fail
       Some("""
         select * from (values
-          ('anonymization_version', '', 0),
-          ('anonymized_at', '', 0),
-          ('city', '', 0),
-          ('commune', '', 0),
-          ('contact_email', 'contact_email', 1),
-          ('contact_phone', 'contact_phone', 1),
-          ('data_completeness_score', 'contact_email,contact_phone,latitude,longitude,street_address', 1),
-          ('data_quality_level', 'contact_email,contact_phone,latitude,longitude,street_address', 1),
-          ('department_code', '', 0),
-          ('geohash', 'latitude,longitude', 1),
-          ('has_address', 'street_address', 1),
-          ('has_coordinates', 'latitude,longitude', 1),
-          ('has_email', 'contact_email', 1),
-          ('has_phone', 'contact_phone', 1),
-          ('insee_code', '', 0),
-          ('last_updated', '', 0),
-          ('latitude', 'latitude', 1),
-          ('legal_status', '', 0),
-          ('license', '', 0),
-          ('longitude', 'longitude', 1),
-          ('mart_created_at', '', 0),
-          ('organization_type', '', 0),
-          ('organization_type_label', '', 0),
-          ('parent_organization', '', 0),
-          ('postal_code', '', 0),
-          ('processing_pipeline', '', 0),
-          ('region', '', 0),
-          ('service_id', '', 0),
-          ('service_name', '', 0)
-        ) t(out_col, pii_sources, derives_from_pii)
+          ('anonymization_version', '', 0, '', 1),
+          ('anonymized_at', '', 0, '', 1),
+          ('city', '', 0, '', 1),
+          ('commune', '', 0, '', 1),
+          ('contact_email', 'contact_email', 1, '', 1),
+          ('contact_phone', 'contact_phone', 1, '', 1),
+          ('data_completeness_score', 'contact_email,contact_phone,latitude,longitude,street_address', 1, '', 1),
+          ('data_quality_level', 'contact_email,contact_phone,latitude,longitude,street_address', 1, '', 1),
+          ('department_code', '', 0, '', 1),
+          ('geohash', 'latitude,longitude', 1, '', 1),
+          ('has_address', 'street_address', 1, '', 1),
+          ('has_coordinates', 'latitude,longitude', 1, '', 1),
+          ('has_email', 'contact_email', 1, '', 1),
+          ('has_phone', 'contact_phone', 1, '', 1),
+          ('insee_code', '', 0, '', 1),
+          ('last_updated', '', 0, '', 1),
+          ('latitude', 'latitude', 1, '', 1),
+          ('legal_status', '', 0, '', 1),
+          ('license', '', 0, '', 1),
+          ('longitude', 'longitude', 1, '', 1),
+          ('mart_created_at', '', 0, '', 1),
+          ('organization_type', '', 0, '', 1),
+          ('organization_type_label', '', 0, '', 1),
+          ('parent_organization', '', 0, '', 1),
+          ('postal_code', '', 0, '', 1),
+          ('processing_pipeline', '', 0, '', 1),
+          ('region', '', 0, '', 1),
+          ('service_id', '', 0, '', 1),
+          ('service_name', '', 0, '', 1)
+        ) t(out_col, pii_sources, derives_from_pii, raw_pii_sources, all_pii_masked)
         order by out_col""")
     ),
     // Right-to-erasure (GDPR Art. 17) through the bucketed store: build,

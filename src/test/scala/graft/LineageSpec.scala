@@ -106,6 +106,74 @@ class LineageSpec extends SparkSpec {
       "round-6 advice: union branches beyond the first were lost")
   }
 
+  test("masked-path classification: approved mask shapes sanitize, a bare substring stays raw") {
+    import graft.masking.Masking
+    val base = leaf(Seq(("a@b.fr", "0612345678", 48.85, 3.0))
+      .toDF("email", "phone", "lat", "x"))
+    val published = base.select(
+      Masking.maskEmail($"email", "s").as("email_anon"),
+      Masking.maskPhone($"phone").as("phone_anon"),
+      Masking.maskCoordinates($"lat").as("lat_pub"),
+      when($"email".isNotNull, 1).otherwise(0).as("has_email"),
+      substring($"email", 1, 3).as("region_hint"), // the disguised leak
+      ($"x" * 2).as("x2"))
+    val pii = Set("email", "phone", "lat")
+    val rows = Lineage.maskedPiiExposure(published, pii)
+      .collect()
+      .map(r => r.getString(0) -> (r.getInt(2), r.getString(3), r.getInt(4)))
+      .toMap
+    assert(rows("email_anon") == ((1, "", 1)), "sha2 path is masked")
+    assert(rows("phone_anon") == ((1, "", 1)), "partial-phone fingerprint is masked")
+    assert(rows("lat_pub") == ((1, "", 1)), "round path is masked")
+    assert(rows("has_email") == ((1, "", 1)), "presence bit is masked")
+    assert(rows("region_hint") == ((1, "email", 0)),
+      "a bare substring of PII is a RAW path — the classifier must not " +
+        "bless it just because MaskModel also uses substring")
+    assert(rows("x2") == ((0, "", 1)), "PII-free columns are vacuously masked")
+    assert(!Lineage.allPiiMasked(published, pii))
+    assert(Lineage.allPiiMasked(published.drop("region_hint"), pii),
+      "dropping the leak certifies the frame")
+  }
+
+  test("lookalike partial-mask concat without MaskModel's padding literal stays raw") {
+    val base = leaf(Seq(("0612345678", 1)).toDF("phone", "k"))
+    val fake = base.select(
+      concat(substring(trim($"phone"), 1, 6), lit("-rest")).as("p"))
+    assert(!Lineage.allPiiMasked(fake, Set("phone")),
+      "only the compiled maskPhone shape (its exact padding literal) sanitizes")
+  }
+
+  test("an injected raw passthrough flips the release-cert masking gate; the mart certifies") {
+    import graft.pipeline.Pipeline
+    import graft.policy.PolicyCatalog
+    val cat = PolicyCatalog.reference
+    val pii = cat.models.values
+      .flatMap(_.collect { case (n, p) if p.pii => n }).toSet
+    val svc = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      graft.queries.Tables.services(spark, "/root/testdata/sf0.001").schema)
+    val mart = Pipeline.mart(
+      Pipeline.enrich(Pipeline.anonymize(Pipeline.staging(svc), cat)))
+    assert(Lineage.allPiiMasked(mart, pii),
+      "the normal mart must certify: every PII path crosses a masker")
+    val leaky = Pipeline.mart(
+      Pipeline.enrich(
+        Pipeline.anonymize(Pipeline.staging(svc), cat)
+          .withColumn("email_hint_anon", substring(col("contact_email_anon"), 1, 3))))
+    // contact_email_anon is already masked — the hint stays certified;
+    // the REAL leak threads the raw staging column through
+    val rawLeak = Pipeline.enrich(
+      Pipeline.anonymize(Pipeline.staging(svc), cat))
+    val stagedRaw = Pipeline.staging(svc).select(col("service_id"),
+      substring(col("contact_email"), 1, 3).as("region_hint"))
+    val leakyMart = Pipeline.mart(rawLeak)
+      .join(stagedRaw, Seq("service_id"), "left")
+    assert(Lineage.allPiiMasked(leaky, pii),
+      "a derivation of an already-masked column keeps certifying")
+    assert(!Lineage.allPiiMasked(leakyMart, pii),
+      "a raw passthrough joined into the published frame must flip the gate to no-go")
+  }
+
   test("window functions carry partition/order/frame references") {
     import org.apache.spark.sql.expressions.Window
     val df = leaf(Seq((1, "g", 2.0)).toDF("id", "grp", "v"))
