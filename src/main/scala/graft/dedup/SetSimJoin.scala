@@ -207,7 +207,8 @@ object SetSimJoin {
       dir: String,
       batch: DataFrame,
       idCol: String,
-      setCol: String
+      setCol: String,
+      maxPostingsPerKey: Option[Int] = None
   ): DataFrame = {
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (num, den) = (meta.getAs[Int]("num"), meta.getAs[Int]("den"))
@@ -230,8 +231,9 @@ object SetSimJoin {
       col("id"), col("sz"),
       explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
 
-    val postings = spark.read.parquet(s"$dir/postings")
-    val cand = prefB.as("a")
+    val postings = guardPrefix(
+      spark.read.parquet(s"$dir/postings"), "searchIndex/stored", maxPostingsPerKey)
+    val cand = guardPrefix(prefB, "searchIndex/batch", maxPostingsPerKey).as("a")
       .join(
         postings.as("b"),
         col("a.key") === col("b.key") &&
@@ -275,7 +277,8 @@ object SetSimJoin {
       idCol: String,
       setCol: String,
       num: Int,
-      den: Int
+      den: Int,
+      maxPostingsPerKey: Option[Int] = None
   ): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
 
@@ -305,9 +308,9 @@ object SetSimJoin {
 
     val aL = assemble(exL)
     val aR = assemble(exR)
-    val cand = prefix(aL).as("a")
+    val cand = guardPrefix(prefix(aL), "join/left", maxPostingsPerKey).as("a")
       .join(
-        prefix(aR).as("b"),
+        guardPrefix(prefix(aR), "join/right", maxPostingsPerKey).as("b"),
         col("a.key") === col("b.key") &&
           col("a.sz") * den >= col("b.sz") * num &&
           col("b.sz") * den >= col("a.sz") * num)
@@ -338,12 +341,87 @@ object SetSimJoin {
     * Output: (id_a, id_b, inter, union_sz, jaccard) with id_a < id_b,
     * `inter`/`union_sz` as ints, `jaccard` the exact double ratio.
     */
+  /** Candidate-skew guard (the [[Dedup.capBuckets]] concern, adapted to
+    * an EXACT operator): a degenerate corpus — thousands of
+    * near-identical documents, or a handful of universal shingles —
+    * makes some prefix key land in a huge share of prefixes, and the
+    * candidate join under that key goes quadratic. capBuckets silently
+    * drops members because LSH is already approximate; here silent
+    * dropping would break the exactness contract, so the guard REFUSES
+    * LOUDLY instead: every prefix row is joined with its key's posting
+    * count (one key-sized aggregate + one prefix-keyed shuffle — only
+    * when a cap is supplied; `None` leaves the plan untouched) and a
+    * row whose key exceeds the cap raises in-plan, naming the key and
+    * the count, before the quadratic join can OOM an executor. Below
+    * the cap, results are bit-identical to the unguarded run.
+    * [[prefixSkewReport]] is the observability half: run it to SEE the
+    * skew and pick a cap (or pre-dedup the degenerate docs) before
+    * enabling the guard in production.
+    */
+  private def guardPrefix(
+      pref: DataFrame,
+      side: String,
+      maxPostingsPerKey: Option[Int]
+  ): DataFrame =
+    maxPostingsPerKey.fold(pref) { cap =>
+      require(cap > 0, s"setsim skew guard: cap must be positive, got $cap")
+      val cnt = pref.groupBy(col("key")).agg(count(lit(1)).as("_kc"))
+      pref.join(cnt, "key")
+        .withColumn("_guard",
+          when(col("_kc") > cap,
+            raise_error(concat(
+              lit(s"setsim skew guard ($side): prefix key "), col("key"),
+              lit(" lands in "), col("_kc").cast("string"),
+              lit(s" prefixes (cap $cap) — the candidate join under it is " +
+                "quadratic; pre-dedup the degenerate near-identical " +
+                "documents or raise the cap"))))
+            .otherwise(lit(true)))
+        .filter(col("_guard"))
+        .drop("_kc", "_guard")
+    }
+
+  /** Per-prefix-key skew report over a candidate self-join's inputs:
+    * `(key, n_postings, est_pairs)` for the `topN` hottest prefix keys —
+    * `est_pairs = n·(n−1)/2` is the candidate-pair mass the key would
+    * feed the join. The audit to run when sizing
+    * `maxPostingsPerKey`; prefix-sized aggregation, never all-pairs.
+    */
+  def prefixSkewReport(
+      sets: DataFrame,
+      idCol: String,
+      setCol: String,
+      num: Int,
+      den: Int,
+      topN: Int = 20
+  ): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+    val ex = sets.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
+    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    val assembled = ex
+      .join(dfreq, "tok")
+      .select(col("id"),
+        concat(lpad(col("df").cast("string"), 10, "0"), col("tok")).as("key"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("key"))).as("keys"),
+        count(lit(1)).cast("int").as("sz"))
+    val prefixLen =
+      (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
+    assembled
+      .select(explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_postings"))
+      .withColumn("est_pairs", col("n_postings") * (col("n_postings") - 1) / 2)
+      .orderBy(col("n_postings").desc, col("key"))
+      .limit(topN)
+  }
+
   def selfJoin(
       sets: DataFrame,
       idCol: String,
       setCol: String,
       num: Int,
-      den: Int
+      den: Int,
+      maxPostingsPerKey: Option[Int] = None
   ): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
 
@@ -385,11 +463,13 @@ object SetSimJoin {
     val prefixLen =
       (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
 
-    val pref = assembled.select(
-      col("id"),
-      col("sz"),
-      explode(slice(col("keys"), lit(1), prefixLen)).as("key")
-    )
+    val pref = guardPrefix(
+      assembled.select(
+        col("id"),
+        col("sz"),
+        explode(slice(col("keys"), lit(1), prefixLen)).as("key")
+      ),
+      "selfJoin", maxPostingsPerKey)
 
     // candidate pairs: shared prefix token + two-sided length filter
     // (jaccard >= num/den forces den*min >= num*max)

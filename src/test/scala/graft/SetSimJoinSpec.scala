@@ -164,6 +164,62 @@ class SetSimJoinSpec extends SparkSpec {
     assert(graft.dedup.SetSimJoin.orderDrift(spark, dir, df(base), "id", "s") == 0.0)
   }
 
+  test("skew guard: a degenerate near-identical corpus refuses loudly; below cap, bit-identical") {
+    // 40 docs sharing one 5-token template (plus a unique token each):
+    // every template token's prefix bucket holds ~all docs — the
+    // quadratic shape the guard exists for
+    val degenerate: Seq[(Long, Seq[String])] = (1L to 40L).map { i =>
+      i -> (Seq("t1", "t2", "t3", "t4", "t5") :+ s"u$i")
+    }
+    val df = degenerate.toDF("id", "s").select($"id", array_distinct($"s").as("s"))
+    val e = intercept[Exception] {
+      SetSimJoin.selfJoin(df, "id", "s", 2, 5, maxPostingsPerKey = Some(10)).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("setsim skew guard"),
+      s"expected the loud refusal, got: ${e.getMessage}")
+
+    // a healthy corpus under the same cap: results identical to unguarded
+    val healthy: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("a", "b", "c", "d", "e"),
+      2L -> Seq("a", "b", "c", "d", "f"),
+      3L -> Seq("p", "q", "r", "s"),
+      4L -> Seq("p", "q", "r", "s", "t"),
+      5L -> Seq("x", "y", "z")
+    )
+    val hdf = healthy.toDF("id", "s").select($"id", array_distinct($"s").as("s"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(
+      rows(SetSimJoin.selfJoin(hdf, "id", "s", 2, 5, maxPostingsPerKey = Some(10))) ==
+        rows(SetSimJoin.selfJoin(hdf, "id", "s", 2, 5)),
+      "below the cap the guard must be value-invisible")
+    // two-table and stored-index paths carry the same guard
+    assert(
+      SetSimJoin.join(hdf, hdf.withColumnRenamed("id", "id2")
+          .withColumn("id", col("id2") + 100).drop("id2"),
+        "id", "s", 2, 5, maxPostingsPerKey = Some(10)).count() ==
+        SetSimJoin.join(hdf, hdf.withColumnRenamed("id", "id2")
+            .withColumn("id", col("id2") + 100).drop("id2"),
+          "id", "s", 2, 5).count())
+  }
+
+  test("skew report ranks the hottest prefix keys with their candidate-pair mass") {
+    val rows: Seq[(Long, Seq[String])] = (1L to 12L).map { i =>
+      i -> (Seq("hot1", "hot2") :+ s"u$i") // both hot tokens in every prefix
+    }
+    val df = rows.toDF("id", "s").select($"id", array_distinct($"s").as("s"))
+    val rep = SetSimJoin.prefixSkewReport(df, "id", "s", 2, 5, topN = 3)
+      .collect()
+    assert(rep.length == 3)
+    val top = rep.head
+    assert(top.getAs[Long]("n_postings") == 12L,
+      "the universal token must top the report")
+    assert(top.getAs[Double]("est_pairs") == 12.0 * 11 / 2)
+    // descending by postings
+    val counts = rep.map(_.getAs[Long]("n_postings")).toSeq
+    assert(counts == counts.sorted.reverse)
+  }
+
   test("duplicate elements in the input column do not inflate sizes") {
     val df = Seq((1L, Seq("a", "a", "b")), (2L, Seq("b", "a")))
       .toDF("id", "s")
