@@ -1,0 +1,145 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Codec.ImagePixels
+
+/** Perceptual image hashing — the multimodal half of the dedup story:
+  * near-duplicate IMAGES (re-encodes, crops of the same raster, brightness
+  * shifts) that byte-level exact dedup can never pair. Classic aHash /
+  * dHash (the pHash-family baselines): sample the decoded pixel grid down
+  * to a tiny fixed raster, reduce each cell to a bit, and compare hashes
+  * by Hamming distance — two perceptually-close images agree on most
+  * bits.
+  *
+  * Everything is EXACT integer arithmetic over the decoded grid
+  * (nearest-neighbor grid sampling with floor division, (r+g+b)/3
+  * luminance, integer mean) so the q_image_phash / q_image_near_dup
+  * oracles replay the hashes bit-for-bit from the synthetic pixel
+  * formulas without parsing container bytes — the
+  * [[Multimodal.decodeFeatures]] convention.
+  *
+  * Pairing is the [[graft.dedup.SimHash64]] blocked pattern: by the
+  * pigeonhole, Hamming distance <= 15 forces at least one equal 16-bit
+  * quarter, so candidates join on (quarter index, quarter value) and the
+  * full popcount verifies — never all-pairs. At 100 TB the decode is one
+  * narrow mapPartitions pass over the media blobs (amortized codec init),
+  * hashes are 8 bytes/image, and the pair join is bounded by quarter-
+  * bucket sizes exactly like text SimHash.
+  */
+object PerceptualHash {
+
+  /** Luminance at a nearest-neighbor-sampled grid cell: gx = i·w/8 (floor)
+    * — duplicating pixels below 8px instead of skipping cells, so any
+    * positive dims hash.
+    */
+  private def lumAt(img: ImagePixels, x: Int, y: Int): Int = {
+    val p = 3 * (y * img.width + x)
+    ((img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) + (img.rgb(p + 2) & 0xff)) / 3
+  }
+
+  /** Average hash: 8x8 sampled luminance grid, bit k = (k%8, k/8) cell
+    * brighter than the integer mean of the 64 samples.
+    */
+  def aHash64(img: ImagePixels): Long = {
+    val lums = new Array[Int](64)
+    var sum = 0
+    var k = 0
+    while (k < 64) {
+      val l = lumAt(img, (k % 8) * img.width / 8, (k / 8) * img.height / 8)
+      lums(k) = l
+      sum += l
+      k += 1
+    }
+    val mean = sum / 64
+    var h = 0L
+    k = 0
+    while (k < 64) {
+      if (lums(k) > mean) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  /** Difference hash: 9x8 sampled luminance grid, bit k = cell (i, j)
+    * brighter than its right neighbor (i+1, j) with i = k%8, j = k/8 —
+    * gradient signs, robust to global brightness shifts where aHash is
+    * robust to local noise; the pair catches more than either alone.
+    */
+  def dHash64(img: ImagePixels): Long = {
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      val i = k % 8
+      val j = k / 8
+      val y = j * img.height / 8
+      val l0 = lumAt(img, i * img.width / 9, y)
+      val l1 = lumAt(img, (i + 1) * img.width / 9, y)
+      if (l0 > l1) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  final case class ImageHashes(media_id: Long, kind: String, ahash: Long, dhash: Long)
+
+  /** Decode every raster record (PPM image / BMP keyframe; audio rows
+    * drop) and hash it — one mapPartitions pass over the blobs, the
+    * [[Multimodal.decodeFeatures]] shape (heavier codecs would init once
+    * per partition here).
+    */
+  def hashes(ds: Dataset[Multimodal.MediaRecord]): Dataset[ImageHashes] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        Codec.sniffFormat(rec.bytes) match {
+          case "ppm" =>
+            val img = Codec.decodePpm(rec.bytes)
+            Some(ImageHashes(rec.media_id, rec.kind, aHash64(img), dHash64(img)))
+          case "bmp" =>
+            val img = Codec.decodeBmp(rec.bytes)
+            Some(ImageHashes(rec.media_id, rec.kind, aHash64(img), dHash64(img)))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Hamming-banded near-dup pairs over any 64-bit hash column — the
+    * [[graft.dedup.Dedup.simhashNearDupPairs]] block join generalized to
+    * a precomputed hash: quarter-block candidates, exact popcount verify,
+    * `hamming <= maxHamming` accept. Exact (no missed pairs) for
+    * maxHamming <= 15 by the pigeonhole on the four 16-bit quarters.
+    */
+  def nearDupPairs(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"perceptual near-dup: quarter blocking is exact only for " +
+        s"maxHamming in [0, 15], got $maxHamming")
+    val blocks = hashed.select(
+      col(idCol),
+      col(hashCol).as("_h"),
+      posexplode(
+        array((0 until 4).map(q =>
+          shiftright(col(hashCol), q * 16).bitwiseAND(lit(0xffffL))): _*)
+      ).as(Seq("block", "key"))
+    )
+    blocks.as("l")
+      .join(
+        blocks.as("r"),
+        col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(
+        col(s"l.$idCol").as("id_a"),
+        col(s"r.$idCol").as("id_b"),
+        graft.dedup.Dedup.hammingDistance(col("l._h"), col("r._h")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

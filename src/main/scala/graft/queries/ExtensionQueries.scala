@@ -1987,7 +1987,115 @@ object ExtensionQueries {
 
   // ---- multimodal --------------------------------------------------------
 
+  /** Shared DuckDB replay of the perceptual hashes
+    * ([[graft.multimodal.PerceptualHash]]): the synthetic raster pixels
+    * are integer functions of (id, x, y), so the oracle recomputes the
+    * 8x8 (aHash) / 9x8 (dHash) nearest-neighbor grid samples, integer
+    * mean / neighbor compares, and packs bits with a 64-row powers
+    * table in hugeint, converting two's-complement to the signed bigint
+    * Spark carries. CTE `ph` ends with (media_id, kind, ahash, dhash,
+    * hsum) — hsum is the unsigned hugeint aHash the pairs twin blocks on.
+    */
+  private lazy val duckPhashCte: String = {
+    def lum(gx: String, gy: String): String =
+      s"(((media_id*7 + ($gx)*13 + ($gy)*101) % 256" +
+        s" + (media_id*11 + ($gx)*17 + ($gy)*31) % 256" +
+        s" + (media_id*13 + ($gx)*19 + ($gy)*61) % 256) // 3)"
+    val powers = (0 until 64)
+      .map(k => s"($k, ${BigInt(1) << k}::hugeint)").mkString(", ")
+    def signed(x: String): String =
+      s"(case when $x >= 9223372036854775808::hugeint " +
+        s"then $x - 18446744073709551616::hugeint else $x end)::bigint"
+    s"""
+    with m as (select doc_id as media_id, doc_id % 3 as k3 from documents
+               where doc_id % 3 <> 1),
+    rast as (
+      select media_id,
+        case k3 when 0 then 'image' else 'video' end as kind,
+        cast(case k3 when 0 then media_id % 13 + 4 else media_id % 11 + 4 end as bigint) as w,
+        cast(case k3 when 0 then media_id % 7 + 4 else media_id % 5 + 4 end as bigint) as h
+      from m
+    ),
+    powers (k, p) as (values $powers),
+    cells as (select media_id, kind, w, h, k, p from rast cross join powers),
+    alum as (
+      select media_id, kind, k, p,
+        ${lum("(k % 8) * w // 8", "(k // 8) * h // 8")} as l
+      from cells
+    ),
+    amean as (select media_id, sum(l) // 64 as mn from alum group by media_id),
+    abits as (
+      select media_id, kind,
+        sum(case when l > mn then p else 0::hugeint end) as ahsum
+      from alum join amean using (media_id) group by media_id, kind
+    ),
+    dbits as (
+      select media_id,
+        sum(case when l0 > l1 then p else 0::hugeint end) as dhsum
+      from (
+        select media_id, p,
+          ${lum("(k % 8) * w // 9", "(k // 8) * h // 8")} as l0,
+          ${lum("((k % 8) + 1) * w // 9", "(k // 8) * h // 8")} as l1
+        from cells
+      ) group by media_id
+    ),
+    ph as (
+      select media_id, kind,
+        ${signed("ahsum")} as ahash,
+        ${signed("dhsum")} as dhash,
+        ahsum as hsum
+      from abits join dbits using (media_id)
+    )"""
+  }
+
   val multimodalQueries: ListMap[String, Q] = ListMap(
+    // Perceptual image hashes over the decoded rasters (PPM images + BMP
+    // video keyframes; audio drops): aHash + dHash per media row, the
+    // multimodal leg of the dedup story. The Scala side parses real
+    // container bytes in one mapPartitions pass; the twin replays the
+    // grid samples from the synthetic pixel formulas — a hash mismatch
+    // in EITHER the codec or the sampling arithmetic fails the gate.
+    "q_image_phash" -> Q(
+      (s, dir) =>
+        graft.multimodal.PerceptualHash
+          .hashes(Multimodal.synthesizeFromDocuments(docs(s, dir)))
+          .toDF()
+          .select(col("media_id"), col("kind"), col("ahash"), col("dhash"))
+          .orderBy("media_id"),
+      Some(s"""$duckPhashCte
+        select media_id, kind, ahash, dhash from ph order by media_id""")
+    ),
+    // Hamming-banded image near-dup pairs over the aHash (16-bit quarter
+    // blocking — exact for maxHamming <= 15 by pigeonhole — then full
+    // popcount verify): which images are perceptually close, never
+    // all-pairs. Same candidate shape as q_simhash_pairs, on decoded
+    // PIXELS instead of tokens.
+    "q_image_near_dup" -> Q(
+      (s, dir) =>
+        graft.multimodal.PerceptualHash
+          .nearDupPairs(
+            graft.multimodal.PerceptualHash
+              .hashes(Multimodal.synthesizeFromDocuments(docs(s, dir)))
+              .toDF(),
+            "media_id", "ahash", maxHamming = 8)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+          .orderBy("id_a", "id_b"),
+      Some(s"""$duckPhashCte,
+        blocks as (
+          select media_id, ahash, b.q,
+            ((hsum // (1::hugeint << (16 * b.q))) % 65536)::bigint as key
+          from ph, (values (0), (1), (2), (3)) b(q)
+        ),
+        cand as (
+          select distinct l.media_id as id_a, r.media_id as id_b,
+            cast(bit_count(xor(l.ahash, r.ahash)) as int) as hamming
+          from blocks l join blocks r
+            on l.q = r.q and l.key = r.key and l.media_id < r.media_id
+        )
+        select id_a, id_b, hamming from cand
+        where hamming <= 8
+        order by id_a, id_b""")
+    ),
     "q_multimodal_meta" -> Q(
       (s, dir) => {
         val media = Multimodal.synthesizeFromDocuments(docs(s, dir)).toDF()

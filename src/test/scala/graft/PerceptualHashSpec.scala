@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{Codec, Multimodal, PerceptualHash}
+
+class PerceptualHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def solid(w: Int, h: Int, v: Int): Codec.ImagePixels =
+    Codec.ImagePixels(w, h, Array.fill(3 * w * h)(v.toByte))
+
+  private def gradient(w: Int, h: Int, shift: Int = 0): Codec.ImagePixels = {
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      rgb(3 * (y * w + x) + c) = math.min(255, x * 16 + shift).toByte
+    Codec.ImagePixels(w, h, rgb)
+  }
+
+  test("aHash: flat image hashes to 0 (no cell beats the mean); half-split sets the bright half") {
+    assert(PerceptualHash.aHash64(solid(8, 8, 100)) == 0L)
+    // left half dark, right half bright: bright cells strictly above mean
+    val rgb = new Array[Byte](3 * 8 * 8)
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+      rgb(3 * (y * 8 + x) + c) = (if (x < 4) 10 else 200).toByte
+    val h = PerceptualHash.aHash64(Codec.ImagePixels(8, 8, rgb))
+    // bits k with k%8 >= 4 set, others clear
+    (0 until 64).foreach { k =>
+      val expected = (k % 8) >= 4
+      assert(((h >> k) & 1L) == (if (expected) 1L else 0L), s"bit $k")
+    }
+  }
+
+  test("dHash: monotone gradient sets no bits; reversed gradient sets all (9x8 grid, w>=9)") {
+    // increasing left->right: l0 > l1 never true
+    assert(PerceptualHash.dHash64(gradient(16, 8)) == 0L)
+    val rev = {
+      val g = gradient(16, 8)
+      val rgb = new Array[Byte](g.rgb.length)
+      for (y <- 0 until 8; x <- 0 until 16; c <- 0 until 3)
+        rgb(3 * (y * 16 + x) + c) = g.rgb(3 * (y * 16 + (15 - x)) + c)
+      Codec.ImagePixels(16, 8, rgb)
+    }
+    // strictly decreasing ONLY where the sampled neighbor column differs;
+    // with w=16 the 9-grid samples columns 0,1,3,5,7,8,10,12,14 — all
+    // strictly decreasing pairs
+    assert(PerceptualHash.dHash64(rev) == -1L, "all 64 gradient signs flip")
+  }
+
+  test("dHash is invariant to a global brightness shift; aHash to contrast-preserving ones") {
+    val a = gradient(12, 10)
+    val b = gradient(12, 10, shift = 30) // same gradients, brighter
+    assert(PerceptualHash.dHash64(a) == PerceptualHash.dHash64(b))
+  }
+
+  test("tiny rasters (below the 8x8 grid) hash without error and deterministically") {
+    val img = solid(4, 4, 7)
+    assert(PerceptualHash.aHash64(img) == PerceptualHash.aHash64(img))
+    assert(PerceptualHash.dHash64(img) == 0L, "flat image has no gradients")
+  }
+
+  test("blocked near-dup pairs equal brute force at maxHamming <= 15") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120)
+    val hashed = PerceptualHash
+      .hashes(Multimodal.synthesizeFromDocuments(docs)).toDF().cache()
+    val blocked = PerceptualHash
+      .nearDupPairs(hashed, "media_id", "ahash", maxHamming = 12)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(_.toSeq).toSet
+    val rows = hashed.select("media_id", "ahash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 12
+    } yield Seq(ia, ib, d)).toSet
+    assert(blocked == brute,
+      "quarter blocking must be pair-lossless at hamming <= 15")
+    hashed.unpersist()
+  }
+
+  test("audio rows drop from the hash stream; rasters keep kind labels") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    val out = PerceptualHash
+      .hashes(Multimodal.synthesizeFromDocuments(docs)).toDF()
+    assert(out.filter(col("kind") === "audio").isEmpty)
+    assert(out.select("kind").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("image", "video")))
+  }
+}
