@@ -588,6 +588,59 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming maintenance of the [[graft.dedup.SetSimJoin]] exact
+    * prefix index — the missing serving-index leg next to the batch CLI's
+    * `--exact` (BM25/IVF maintenance runs through the same incremental
+    * path): each micro-batch's documents are shingled (3-shingle md5
+    * sets, the CurateCli convention) and appended under the index's
+    * FROZEN token order, so probes stay threshold-exact after every
+    * epoch ([[graft.dedup.SetSimJoin.appendIndex]] scaladoc). The first
+    * epoch bootstraps the index at `num/den`.
+    *
+    * Exactly-once: the append is NOT idempotent (a replayed epoch would
+    * duplicate sets and postings), so each epoch records a
+    * `_batches/<id>` marker AFTER its append and a replay of an applied
+    * id is a no-op — the [[hourlyStatsStoreSink]] recipe. A crash
+    * BETWEEN the sets and postings appends inside one epoch leaves a
+    * partial append the replay would double — the documented
+    * appendIndex window: recover by rebuilding, not re-appending.
+    */
+  def exactIndexSink(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      num: Int = 2,
+      den: Int = 5,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.dedup.{Dedup, SetSimJoin}
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+        val fs = marker.getFileSystem(conf)
+        if (!fs.exists(marker)) {
+          val sets = batch.select(
+            col(idCol),
+            array_distinct(transform(
+              Dedup.wordShingles(col(textCol), shingleK), x => md5(x))).as("_sh"))
+          val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+          if (!fs.exists(meta))
+            SetSimJoin.writeIndex(sets, idCol, "_sh", num, den, indexDir)
+          else
+            SetSimJoin.appendIndex(spark, indexDir, sets, idCol, "_sh")
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+
   /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
     * timeout: a session closes when no event arrives within `gapMs` of the
     * last one (by watermark). Emits one row per closed session.

@@ -392,6 +392,61 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((100L, 10L), (102L, 10L)))
   }
 
+  test("streaming exact-index maintenance equals the batch-maintained index after two epochs") {
+    import java.nio.file.Files
+    import graft.dedup.{Dedup, SetSimJoin}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b0, b1) = docs.partition(_._1 % 2 == 0)
+
+    val streamDir = Files.createTempDirectory("exact_stream").toString + "/exact"
+    val ckpt = Files.createTempDirectory("exact_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData(b0: _*)
+    val q1 = StreamingPipeline.exactIndexSink(stream, streamDir, ckpt)
+    q1.awaitTermination()
+    input.addData(b1: _*)
+    val q2 = StreamingPipeline.exactIndexSink(stream, streamDir, ckpt)
+    q2.awaitTermination()
+
+    // batch-maintained twin: writeIndex on epoch 0, appendIndex epoch 1
+    def setsOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        array_distinct(transform(Dedup.wordShingles(col("text"), 3),
+          x => md5(x))).as("_sh"))
+    val batchDir = Files.createTempDirectory("exact_batch").toString + "/exact"
+    SetSimJoin.writeIndex(setsOf(b0), "doc_id", "_sh", 2, 5, batchDir)
+    SetSimJoin.appendIndex(spark, batchDir, setsOf(b1), "doc_id", "_sh")
+
+    // identical stored data: sets and postings row-for-row
+    def sorted(dir: String, leg: String, cols: String*) =
+      spark.read.parquet(s"$dir/$leg").select(cols.map(col): _*)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(sorted(streamDir, "sets", "id", "keys", "sz") ==
+      sorted(batchDir, "sets", "id", "keys", "sz"),
+      "stream-maintained sets must equal the batch-maintained ones")
+    assert(sorted(streamDir, "postings", "key", "id", "sz") ==
+      sorted(batchDir, "postings", "key", "id", "sz"))
+
+    // and identical serving: probe both with held-out near-copies
+    val probes = setsOf(docs.take(10).map { case (id, t) => (id + 900000L, t) })
+    def probeRows(dir: String) = SetSimJoin
+      .searchIndex(spark, dir, probes, "doc_id", "_sh")
+      .select("id_l", "id_r", "inter", "union_sz")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val served = probeRows(streamDir)
+    assert(served == probeRows(batchDir))
+    assert(served.nonEmpty, "held-out copies must match the corpus")
+
+    // replayed epoch (same checkpoint, no new data): markers make it a no-op
+    val q3 = StreamingPipeline.exactIndexSink(stream, streamDir, ckpt)
+    q3.awaitTermination()
+    assert(probeRows(streamDir) == served)
+  }
+
   test("checkpointed parquet sink: a restarted query resumes exactly-once") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
