@@ -82,6 +82,56 @@ object PerceptualHash {
     h
   }
 
+  /** Audio fingerprint — the WAV counterpart of [[dHash64]]: 64 equal
+    * time segments of mean |amplitude|, bit k = segment k louder than
+    * segment (k+1)%64. The comparison cross-multiplies sum·count instead
+    * of dividing (exact rational compare, no FP), and clips shorter than
+    * 64 samples leave empty segments (sum 0, count 0) whose compares are
+    * deterministically false — any clip length hashes. Energy-envelope
+    * signs survive volume scaling exactly like dHash survives brightness
+    * shifts.
+    */
+  def audioHash64(pcm: Codec.AudioPcm): Long = {
+    val n = pcm.samples.length
+    require(n > 0, "audio fingerprint: empty clip")
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val seg = (i.toLong * 64 / n).toInt
+      sums(seg) += math.abs(pcm.samples(i).toInt)
+      cnts(seg) += 1
+      i += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      val k2 = (k + 1) % 64
+      if (sums(k) * cnts(k2) > sums(k2) * cnts(k)) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  final case class AudioHash(media_id: Long, fp: Long)
+
+  /** Decode every WAV record and fingerprint it (raster rows drop) —
+    * same one-pass mapPartitions shape as [[hashes]].
+    */
+  def audioHashes(ds: Dataset[Multimodal.MediaRecord]): Dataset[AudioHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        Codec.sniffFormat(rec.bytes) match {
+          case "wav" =>
+            Some(AudioHash(rec.media_id, audioHash64(Codec.decodeWav(rec.bytes))))
+          case _ => None
+        }
+      }
+    }
+  }
+
   final case class ImageHashes(media_id: Long, kind: String, ahash: Long, dhash: Long)
 
   /** Decode every raster record (PPM image / BMP keyframe; audio rows

@@ -2065,6 +2065,54 @@ object ExtensionQueries {
       Some(s"""$duckPhashCte
         select media_id, kind, ahash, dhash from ph order by media_id""")
     ),
+    // Audio fingerprint (the WAV counterpart of dHash): 64 time segments
+    // of mean |amplitude|, bit = segment louder than its successor, the
+    // compare cross-multiplied (exact rational, no FP). The twin replays
+    // the synthetic sample formula over a 64-segment grid with empty
+    // segments zero-filled — a mismatch in the WAV chunk walk, the
+    // segment mapping, or the compare arithmetic hash-fails.
+    "q_audio_fingerprint" -> Q(
+      (s, dir) =>
+        graft.multimodal.PerceptualHash
+          .audioHashes(Multimodal.synthesizeFromDocuments(docs(s, dir)))
+          .toDF()
+          .select(col("media_id"), col("fp"))
+          .orderBy("media_id"),
+      Some {
+        val powers = (0 until 64)
+          .map(k => s"($k, ${BigInt(1) << k}::hugeint)").mkString(", ")
+        s"""
+        with m as (select doc_id as media_id from documents where doc_id % 3 = 1),
+        aud as (select media_id, cast(media_id % 50 + 40 as bigint) as n from m),
+        smp as (select media_id, n, unnest(range(0, n)) as i from aud),
+        sval as (
+          select media_id, (i * 64 // n) as seg,
+            abs((media_id*31 + i*997) % 65536 - 32768) as av
+          from smp
+        ),
+        segs as (select media_id, seg, sum(av) as s, count(*) as c
+                 from sval group by media_id, seg),
+        powers (k, p) as (values $powers),
+        grid as (select media_id, k, p from aud cross join powers),
+        filled as (
+          select grid.media_id, grid.k, grid.p,
+            coalesce(segs.s, 0) as s, coalesce(segs.c, 0) as c
+          from grid left join segs
+            on segs.media_id = grid.media_id and segs.seg = grid.k
+        ),
+        bits as (
+          select a.media_id,
+            sum(case when a.s * b.c > b.s * a.c then a.p else 0::hugeint end) as hsum
+          from filled a join filled b
+            on b.media_id = a.media_id and b.k = (a.k + 1) % 64
+          group by a.media_id
+        )
+        select media_id,
+          (case when hsum >= 9223372036854775808::hugeint
+                then hsum - 18446744073709551616::hugeint else hsum end)::bigint as fp
+        from bits order by media_id"""
+      }
+    ),
     // Hamming-banded image near-dup pairs over the aHash (16-bit quarter
     // blocking — exact for maxHamming <= 15 by pigeonhole — then full
     // popcount verify): which images are perceptually close, never

@@ -81,6 +81,26 @@ class PerceptualHashSpec extends SparkSpec {
     hashed.unpersist()
   }
 
+  test("audio fingerprint: hand-built envelopes, volume invariance, short clips") {
+    def pcm(samples: Seq[Int]) =
+      Codec.AudioPcm(16000, 1, samples.map(_.toShort).toArray)
+    // loud-quiet alternating 128-sample clip: 2 samples per segment, so
+    // segment energies alternate high/low -> bit k set iff seg k loud
+    val alt = pcm((0 until 128).map(i => if ((i / 2) % 2 == 0) 1000 else 10))
+    val h = PerceptualHash.audioHash64(alt)
+    (0 until 63).foreach { k =>
+      assert(((h >> k) & 1L) == (if (k % 2 == 0) 1L else 0L), s"bit $k")
+    }
+    // volume scaling preserves every envelope sign
+    val loud = pcm((0 until 128).map(i => if ((i / 2) % 2 == 0) 3000 else 30))
+    assert(PerceptualHash.audioHash64(loud) == h)
+    // clips shorter than 64 samples hash deterministically (empty segments)
+    val short = pcm(Seq(5, -5, 100))
+    assert(PerceptualHash.audioHash64(short) == PerceptualHash.audioHash64(short))
+    // flat clip: no segment beats its successor
+    assert(PerceptualHash.audioHash64(pcm(Seq.fill(128)(77))) == 0L)
+  }
+
   test("audio rows drop from the hash stream; rasters keep kind labels") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
     val out = PerceptualHash

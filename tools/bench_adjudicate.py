@@ -1,60 +1,94 @@
 #!/usr/bin/env python3
-"""Round-6 bench adjudication (VERDICT r5 ask #3): compare the min-over-runs
-per-query seconds of N fresh clean bench runs against the BENCH_r04 mins for
-the 9-query cluster the driver's r5 capture showed ~2x slower, and report
-which side of the +-40% noise band each lands on.
+"""Standing per-round bench adjudication (VERDICT r6 ask #7): compare the
+min-over-captures per-query seconds of this round's bench runs against the
+previous round's, over ALL queries both rounds share, and flag anything past
+the noise band for a mandatory plan-diff or noise adjudication before it can
+be called a regression. The r5 noise episode (a 2x capture that three clean
+re-runs showed was box noise) is the reason this is a standing artifact.
 
-Usage: python3 tools/bench_adjudicate.py run1.json [run2.json ...]
-Each runN.json is one graft.Bench stdout line (the {"metric":...} object).
+Usage:
+  python3 tools/bench_adjudicate.py PREV.json RUN1.json [RUN2.json ...]
+
+PREV.json may be a prior round's bench_results.json / raw graft.Bench line
+(with a `queries_min` or `queries` dict) or a driver BENCH_rNN.json wrapper
+whose truncated `tail` string still carries per-query numbers. RUNx.json are
+this round's captures (raw bench lines); per query the MIN across captures
+is compared — min-vs-min is the noise-robust statistic.
+
+Exit code: 0 when every shared query is within the band, 1 otherwise.
 """
 import json
 import re
 import sys
 
-CLUSTER = [
-    "q_k_anonymity", "q_k_enforce", "q_k_enforce_multi", "q_key_skew",
-    "q_knn_classify", "q_lang_id", "q_lang_confusion", "q_lm_bigram",
-    "q_lm_surprisal",
-]
+BAND = 1.5  # min-vs-min ratio beyond which a named plan diff is required
 
 
-def r4_mins():
-    """BENCH_r04's per-query numbers live in its truncated `tail` string
-    (min-of-2 protocol). All nine cluster queries happen to survive the
-    truncation; parse them out.
-    """
-    tail = json.load(open("BENCH_r04.json"))["tail"]
-    out = {}
-    for name in CLUSTER:
-        m = re.search(rf'"{name}":([0-9.]+)', tail)
-        if m:
-            out[name] = float(m.group(1))
-    return out
+def load_queries(path):
+    d = json.load(open(path))
+    q = d.get("queries_min") or d.get("queries")
+    if q:
+        return q
+    parsed = d.get("parsed")
+    if isinstance(parsed, dict):
+        q = parsed.get("queries_min") or parsed.get("queries")
+        if q:
+            return q
+    tail = d.get("tail")
+    if tail:
+        # driver wrapper with a (possibly truncated) stdout tail: scrape
+        # whatever per-query numbers survive
+        return {
+            name: float(val)
+            for name, val in re.findall(r'"(q[0-9a-z_]+)":([0-9.]+)', tail)
+        }
+    raise SystemExit(f"{path}: no queries/queries_min/tail found")
 
 
-def main(paths):
-    runs = []
-    for p in paths:
-        d = json.load(open(p))
-        runs.append(d.get("queries_min") or d["queries"])
-    r4 = r4_mins()
-    print(f"{'query':22s} {'r4_min':>8s} {'r6_min':>8s} {'ratio':>7s}  verdict")
-    worst = 0.0
-    for name in CLUSTER:
-        if name not in r4:
-            print(f"{name:22s} missing from BENCH_r04 tail")
-            continue
-        mins = [r[name] for r in runs if r.get(name, -1) > 0]
-        if not mins:
-            print(f"{name:22s} no clean sample")
-            continue
-        m6 = min(mins)
-        ratio = m6 / r4[name]
-        worst = max(worst, ratio)
-        verdict = "within band" if ratio <= 1.4 else "REGRESSION?"
-        print(f"{name:22s} {r4[name]:8.3f} {m6:8.3f} {ratio:6.2f}x  {verdict}")
-    print(f"\nworst ratio {worst:.2f}x vs the +-40% band (1.40x)")
+def main(prev_path, run_paths):
+    prev = {k: v for k, v in load_queries(prev_path).items() if v > 0}
+    runs = [load_queries(p) for p in run_paths]
+    cur = {}
+    for name in set().union(*[set(r) for r in runs]):
+        vals = [r[name] for r in runs if r.get(name, -1) > 0]
+        if vals:
+            cur[name] = min(vals)
+
+    shared = sorted(set(prev) & set(cur))
+    only_prev = sorted(set(prev) - set(cur))
+    only_cur = sorted(set(cur) - set(prev))
+
+    rows = [(name, prev[name], cur[name], cur[name] / prev[name])
+            for name in shared]
+    rows.sort(key=lambda r: -r[3])
+
+    print(f"{'query':26s} {'prev_min':>9s} {'cur_min':>9s} {'ratio':>7s}  verdict")
+    flagged = []
+    for name, p, c, ratio in rows:
+        verdict = "within band" if ratio <= BAND else "NEEDS ADJUDICATION"
+        if ratio > BAND:
+            flagged.append((name, ratio))
+        print(f"{name:26s} {p:9.3f} {c:9.3f} {ratio:6.2f}x  {verdict}")
+
+    tp = sum(prev[n] for n in shared)
+    tc = sum(cur[n] for n in shared)
+    print(f"\nshared queries: {len(shared)}  "
+          f"total prev {tp:.1f}s -> cur {tc:.1f}s ({tc / tp:.2f}x)")
+    if only_cur:
+        print(f"new this round ({len(only_cur)}): {', '.join(only_cur)}")
+    if only_prev:
+        print(f"dropped since prev ({len(only_prev)}): {', '.join(only_prev)}")
+    if flagged:
+        print(f"\n{len(flagged)} queries past the {BAND:.1f}x band — each needs "
+              "a named plan diff or a clean-box noise adjudication:")
+        for name, ratio in flagged:
+            print(f"  {name}: {ratio:.2f}x")
+        return 1
+    print(f"\nall shared queries within the {BAND:.1f}x min-vs-min band")
+    return 0
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    sys.exit(main(sys.argv[1], sys.argv[2:]))
