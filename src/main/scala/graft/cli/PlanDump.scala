@@ -98,7 +98,12 @@ object PlanDump {
     "q_rotate_pseudonyms",// broadcast mapping join-replace
     "q_retention_ttl",    // day-partition store read-back post-expiry
     "q_pii_lineage",      // plan-walk PII exposure report, zero jobs
-    "q_lineage_join"      // cross-table provenance through the star join
+    "q_lineage_join",     // cross-table provenance through the star join
+    "q_erasure_indexes",  // BM25 store purge + stats decrement, then serve
+    "q_erasure_exact",    // prefix-index purge, frozen-order probe
+    "q_image_phash",      // mapPartitions raster decode -> 64-bit hashes
+    "q_image_near_dup",   // quarter-block hamming pairs over aHash
+    "q_audio_fingerprint" // WAV decode -> envelope-sign hash
   )
 
   def main(args: Array[String]): Unit = {
