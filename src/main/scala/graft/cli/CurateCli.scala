@@ -547,6 +547,125 @@ object CurateCli {
     s
   }
 
+  final case class AccessSummary(
+      nKeys: Long,
+      nCorpus: Long,
+      nBand: Long,
+      nSearch: Long,
+      nDense: Long,
+      nExact: Long,
+      nShards: Long)
+
+  /** Right-of-access sweep (GDPR Art. 15, the read-side dual of
+    * [[runErase]]): for a set of subject document ids, report every
+    * place the state directory holds data about them — the corpus rows
+    * themselves (the subject's actual data, written to
+    * `<reportDir>/corpus_rows`), plus per-subject presence counts in
+    * every serving leg (band index rows, BM25 postings, exact-index
+    * sets/postings, dense assignment with its cluster id, shard
+    * locations) written to `<reportDir>/subjects`. A DPO answers "what
+    * do you hold about me" from this report without knowing the store
+    * layouts; an erasure sweep followed by an access sweep returning
+    * zero rows is the compliance proof pair.
+    *
+    * Read-only: every leg is probed with a broadcast semi-join (keys
+    * are request-sized) and aggregated per subject — no store is
+    * touched, nothing corpus-sized shuffles. The sketch profile holds
+    * NO per-subject rows (sketches are aggregates), which the report
+    * records as a structural fact rather than a zero.
+    */
+  def runAccess(
+      spark: SparkSession,
+      keysPath: String,
+      outDir: String,
+      reportDir: String
+  ): AccessSummary = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val keys = spark.read.parquet(keysPath).select(col("doc_id")).distinct()
+    val nKeys = keys.count()
+
+    def legCount(path: String, idExpr: String): DataFrame =
+      spark.read.parquet(path)
+        .select(col(idExpr).as("doc_id"))
+        .join(broadcast(keys), Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+
+    val corpusRows =
+      if (exists(s"$outDir/corpus"))
+        spark.read.parquet(s"$outDir/corpus")
+          .join(broadcast(keys), Seq("doc_id"), "left_semi")
+      else keys.limit(0)
+    corpusRows.write.mode("overwrite").parquet(s"$reportDir/corpus_rows")
+    val nCorpus = spark.read.parquet(s"$reportDir/corpus_rows").count()
+
+    def opt(path: String, idExpr: String, name: String): (DataFrame, Boolean) =
+      if (exists(path)) (legCount(path, idExpr).withColumnRenamed("n", name), true)
+      else (keys.limit(0).withColumn(name, lit(0L)), false)
+
+    val (band, _) = opt(s"$outDir/index/bands", "doc_id", "n_band_rows")
+    val (search, _) = opt(s"$outDir/search/postings", "doc_id", "n_postings")
+    val (exactSets, _) = opt(s"$outDir/exact/sets", "id", "n_exact_sets")
+    val (exactPost, _) = opt(s"$outDir/exact/postings", "id", "n_exact_postings")
+    val denseInfo =
+      if (exists(s"$outDir/dense/assigned"))
+        spark.read.parquet(s"$outDir/dense/assigned")
+          .join(broadcast(keys), Seq("doc_id"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dense_rows"),
+            min(col("centroid_id")).as("dense_centroid"))
+      else keys.limit(0)
+        .withColumn("n_dense_rows", lit(0L))
+        .withColumn("dense_centroid", lit(null).cast("int"))
+    val shardLoc =
+      if (!exists(s"$outDir/shards")) keys.limit(0).withColumn("n_shard_rows", lit(0L))
+      else {
+        val batchDirs = fs
+          .listStatus(new org.apache.hadoop.fs.Path(s"$outDir/shards"))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .map(_.getPath.toString)
+        if (batchDirs.isEmpty) keys.limit(0).withColumn("n_shard_rows", lit(0L))
+        else batchDirs
+          .map(d => spark.read.parquet(d)
+            .select(col("doc_id"))
+            .join(broadcast(keys), Seq("doc_id"), "left_semi"))
+          .reduce(_ unionByName _)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shard_rows"))
+      }
+
+    val subjects = keys
+      .join(band, Seq("doc_id"), "left")
+      .join(search, Seq("doc_id"), "left")
+      .join(exactSets, Seq("doc_id"), "left")
+      .join(exactPost, Seq("doc_id"), "left")
+      .join(denseInfo, Seq("doc_id"), "left")
+      .join(shardLoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_band_rows", "n_postings", "n_exact_sets",
+        "n_exact_postings", "n_dense_rows", "n_shard_rows"))
+    subjects.write.mode("overwrite").parquet(s"$reportDir/subjects")
+
+    val tot = spark.read.parquet(s"$reportDir/subjects")
+      .agg(sum(col("n_band_rows")), sum(col("n_postings")),
+        sum(col("n_dense_rows")),
+        sum(col("n_exact_sets") + col("n_exact_postings")),
+        sum(col("n_shard_rows")))
+      .head()
+    def s0(i: Int) = if (tot.isNullAt(i)) 0L else tot.getLong(i)
+    val summary = AccessSummary(nKeys, nCorpus, s0(0), s0(1), s0(2), s0(3), s0(4))
+    Files.createDirectories(Paths.get(reportDir))
+    Files.writeString(
+      Paths.get(s"$reportDir/access_report.json"),
+      s"""{"n_keys":${summary.nKeys},"n_corpus_rows":${summary.nCorpus},""" +
+        s""""n_band_rows":${summary.nBand},"n_search_postings":${summary.nSearch},""" +
+        s""""n_dense_rows":${summary.nDense},"n_exact_rows":${summary.nExact},""" +
+        s""""n_shard_rows":${summary.nShards},""" +
+        """"profile_note":"sketch stores hold aggregates, no per-subject rows"}""" + "\n")
+    summary
+  }
+
   private def session(): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -600,6 +719,17 @@ object CurateCli {
     val withExact = args0.contains("--exact")
     val args = args0.filterNot(a =>
       a == "--search" || a == "--hybrid" || a == "--profile" || a == "--exact")
+    if (args.headOption.contains("access")) {
+      require(args.length >= 4,
+        "usage: CurateCli access <keys.parquet> <stateDir> <reportDir>")
+      val spark = session()
+      val s = runAccess(spark, args(1), args(2), args(3))
+      println(s"[curate] access keys=${s.nKeys} corpus_rows=${s.nCorpus} " +
+        s"band=${s.nBand} search=${s.nSearch} dense=${s.nDense} " +
+        s"exact=${s.nExact} shard_rows=${s.nShards}")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("erase")) {
       require(args.length >= 3,
         "usage: CurateCli erase <keys.parquet> <stateDir> [profileBudget]")

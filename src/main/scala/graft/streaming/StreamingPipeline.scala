@@ -588,6 +588,50 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming maintenance of the bucketed SCD-2 record store
+    * ([[graft.pipeline.Snapshot]]) — the persistence-family member that
+    * still lacked a streaming twin (band index / BM25 / IVF / exact
+    * index ride the incremental CLI; the hourly stats store has
+    * [[hourlyStatsStoreSink]]). Each micro-batch merges through
+    * [[graft.pipeline.Snapshot.mergeStore]], touching only the buckets
+    * the batch hashes into; the first epoch bootstraps via
+    * [[graft.pipeline.Snapshot.writeStore]].
+    *
+    * Replay safety WITHOUT markers: the timestamp strategy drops
+    * re-delivered (key, updated_at) duplicates inside the merge
+    * (applyTimestampStrategy's dropDuplicates), so re-merging an
+    * already-applied epoch is value-idempotent — unlike the count
+    * stores, where replays double-add and markers are load-bearing.
+    * Crash safety inside one merge is the store's own dirty-marker
+    * stage/swap protocol.
+    */
+  def snapshotStoreSink(
+      stream: DataFrame,
+      storeDir: String,
+      checkpoint: String,
+      uniqueKey: String,
+      updatedAt: String,
+      buckets: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.pipeline.Snapshot
+        val spark = batch.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir))
+          Snapshot.writeStore(
+            Snapshot.initial(batch, uniqueKey, updatedAt),
+            uniqueKey, storeDir, buckets)
+        else
+          Snapshot.mergeStore(spark, storeDir, batch, uniqueKey, updatedAt, buckets)
+      }
+      .start()
+
   /** Streaming maintenance of the [[graft.dedup.SetSimJoin]] exact
     * prefix index — the missing serving-index leg next to the batch CLI's
     * `--exact` (BM25/IVF maintenance runs through the same incremental

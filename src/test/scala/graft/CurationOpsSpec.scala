@@ -1169,8 +1169,31 @@ class CurationOpsSpec extends SparkSpec {
     val nReq = keys.count() - 1
     before.unpersist()
 
+    // GDPR Art. 15 BEFORE Art. 17: the access sweep must see the subject
+    // everywhere the erasure sweep is about to purge
+    val sar1 = Files.createTempDirectory("curate_sar1").toString
+    val as1 = graft.cli.CurateCli.runAccess(spark, keysPath, state, sar1)
+    assert(as1.nCorpus == nReq, "access must surface every admitted subject row")
+    assert(as1.nBand > 0 && as1.nSearch > 0 && as1.nDense > 0 &&
+      as1.nExact > 0 && as1.nShards > 0,
+      s"every serving leg must report subject presence: $as1")
+    assert(spark.read.parquet(s"$sar1/corpus_rows").count() == nReq)
+    val subj = spark.read.parquet(s"$sar1/subjects")
+    assert(subj.count() == nReq + 1, "one row per requested key, found or not")
+    assert(subj.filter(col("doc_id") === 999999999L)
+      .filter(col("n_band_rows") =!= 0 || col("n_shard_rows") =!= 0).isEmpty,
+      "a never-admitted key reports zeros")
+
     val es = graft.cli.CurateCli.runErase(spark, keysPath, state)
     assert(es.nCorpus == nReq, s"corpus purge ${es.nCorpus} != requested $nReq")
+
+    // ... and the access sweep AFTER erasure finds nothing: the
+    // compliance proof pair (access(erase(S)) = nothing about the subject)
+    val sar2 = Files.createTempDirectory("curate_sar2").toString
+    val as2 = graft.cli.CurateCli.runAccess(spark, keysPath, state, sar2)
+    assert(as2.nCorpus == 0L && as2.nBand == 0L && as2.nSearch == 0L &&
+      as2.nDense == 0L && as2.nExact == 0L && as2.nShards == 0L,
+      s"post-erasure access must find nothing: $as2")
     assert(es.profileRebuilt && es.profileStaleness == 0L)
     assert(Files.readString(java.nio.file.Paths.get(s"$state/erase_report.json"))
       .contains("\"profile_rebuilt\":true"))
