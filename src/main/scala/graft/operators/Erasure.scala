@@ -96,6 +96,12 @@ object Erasure {
       val w = kept.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp)
+      // a fully-erased store must stay READABLE (Spark's writer emits a
+      // schema-bearing empty file for an empty frame, so later loads see
+      // zero rows rather than a schema-inference error) — verified by
+      // ErasureSpec's every-row case; if a future Spark stops writing
+      // that file, fail here rather than strand an unreadable store
+      spark.read.parquet(tmp)
     })
     hit
   }

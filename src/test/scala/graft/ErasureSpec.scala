@@ -37,6 +37,17 @@ class ErasureSpec extends SparkSpec {
       "a sweep with no matches must not rewrite the store")
   }
 
+  test("erasing EVERY row leaves an empty but READABLE store (schema survives)") {
+    val dir = tmp("total")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(dir)
+    assert(Erasure.eraseByKey(spark, dir, Seq(1L, 2L).toDF("id"), "id") == 2L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 0L)
+    assert(back.columns.toSeq == Seq("id", "v"),
+      "an emptied store must keep its schema — a schema-inference crash " +
+        "on the next load would look like corruption")
+  }
+
   test("recoverRetired restores a store whose promote never landed") {
     val dir = tmp("recover")
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
