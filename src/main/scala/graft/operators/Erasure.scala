@@ -96,12 +96,23 @@ object Erasure {
       val w = kept.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp)
-      // a fully-erased store must stay READABLE (Spark's writer emits a
-      // schema-bearing empty file for an empty frame, so later loads see
-      // zero rows rather than a schema-inference error) — verified by
-      // ErasureSpec's every-row case; if a future Spark stops writing
-      // that file, fail here rather than strand an unreadable store
-      spark.read.parquet(tmp)
+      // a fully-erased store must stay READABLE: Spark's writer emits a
+      // schema-bearing empty file for an empty frame (ErasureSpec pins
+      // it), so later loads see zero rows rather than a schema-inference
+      // error. Guard by FILE LISTING, not a spark.read (which fires a
+      // footer job per swept leg and eats the plan-guard job budget): if
+      // a future Spark stops writing that file, fail here rather than
+      // strand an unreadable store.
+      val tp = new org.apache.hadoop.fs.Path(tmp)
+      val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = tfs.listFiles(tp, true)
+      var readable = false
+      while (!readable && it.hasNext)
+        readable = it.next().getPath.getName.endsWith(".parquet")
+      require(readable,
+        s"erasure staged ZERO parquet files for $live — the swapped store " +
+          "would be unreadable; this Spark version no longer writes " +
+          "schema-bearing empty files")
     })
     hit
   }

@@ -2144,6 +2144,46 @@ object ExtensionQueries {
         where hamming <= 8
         order by id_a, id_b""")
     ),
+    // Image near-dup CLUSTERS: connected components over the perceptual
+    // pairs (one canonical image per re-encode/variant family — the
+    // dedup-keep decision for the multimodal corpus). Same label
+    // convention as q_dedup_clusters: min id reachable through near-dup
+    // edges; the twin replays the closure recursively.
+    "q_image_clusters" -> Q(
+      (s, dir) =>
+        graft.dedup.Dedup
+          .connectedComponents(
+            graft.multimodal.PerceptualHash.nearDupPairs(
+              graft.multimodal.PerceptualHash
+                .hashes(Multimodal.synthesizeFromDocuments(docs(s, dir)))
+                .toDF(),
+              "media_id", "ahash", maxHamming = 8))
+          .orderBy("id"),
+      Some(s"""${duckPhashCte.replaceFirst("with ", "with recursive ")},
+        blocks as (
+          select media_id, ahash, b.q,
+            ((hsum // (1::hugeint << (16 * b.q))) % 65536)::bigint as key
+          from ph, (values (0), (1), (2), (3)) b(q)
+        ),
+        cand as (
+          select distinct l.media_id as id_a, r.media_id as id_b
+          from blocks l join blocks r
+            on l.q = r.q and l.key = r.key and l.media_id < r.media_id
+          where bit_count(xor(l.ahash, r.ahash)) <= 8
+        ),
+        edges as (
+          select id_a as src, id_b as dst from cand
+          union
+          select id_b, id_a from cand
+        ),
+        reach(src, dst) as (
+          select src, dst from edges
+          union
+          select r.src, e.dst from reach r join edges e on r.dst = e.src
+        )
+        select src as id, least(src, min(dst)) as label
+        from reach group by src order by id""")
+    ),
     "q_multimodal_meta" -> Q(
       (s, dir) => {
         val media = Multimodal.synthesizeFromDocuments(docs(s, dir)).toDF()

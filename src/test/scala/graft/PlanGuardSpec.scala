@@ -86,6 +86,7 @@ class PlanGuardSpec extends SparkSpec {
     // maxIter — not a scalar pre-scan of the corpus
     "q_dedup_clusters",   // connectedComponents convergence counts
     "q_dedup_best",       // same CC labels (cached from the shared frame)
+    "q_image_clusters",   // CC over perceptual-hash pairs (same shape)
     "q_coreset",          // Ivf.build k-means passes (k x dim collects)
     // sink under test: the builder MATERIALIZES the shard files and the
     // query audits the read-back — the write job is the operator itself
