@@ -42,11 +42,6 @@ object EventStatsStore {
           floor(col("hour").cast("long") / 86400L).cast("int")),
         "yyyy-MM-dd"))
 
-  private def batchMarker(dir: String, batchId: Long) =
-    s"$dir/_batches/$batchId"
-
-  private def pendingMarker(dir: String) = s"$dir/_batches/_pending"
-  private def retiredDir(dir: String) = dir.stripSuffix("/") + ".retired"
   private def stageDir(dir: String) = dir.stripSuffix("/") + ".merge-stage"
 
   /** Bootstrap the store from an hourly-count table (see
@@ -67,65 +62,20 @@ object EventStatsStore {
     spark.read.parquet(dir)
   }
 
-  /** Crash recovery for the [[merge]] swap protocol. A merge retires the
-    * old touched-day directories to `<dir>.retired` before promoting the
-    * staged ones, and writes its applied marker BEFORE cleaning up — so
-    * any crash leaves one of two recoverable states:
-    *
-    *  - pending marker + applied marker: the swap fully committed, only
-    *    cleanup was lost → roll FORWARD (delete retired/stage/pending);
-    *  - pending marker, no applied marker: the swap may be half done →
-    *    roll BACK (every retired day replaces its live counterpart,
-    *    restoring the exact pre-merge store; the replayed batch then
-    *    re-merges from that consistent state, never double-adding).
-    *
-    * One FS `exists` per call on the healthy path. Dynamic partition
-    * overwrite alone was NOT crash-safe here: it replaces multiple day
-    * directories non-atomically during job commit, and a crash mid-commit
-    * left some days merged and some not, with the replay re-adding the
-    * batch to the already-rewritten days.
+  /** Crash recovery for the [[merge]] swap protocol — the
+    * [[PartitionSwap]] contract over `day=` partitions: pending marker
+    * without an applied marker rolls BACK to the exact pre-merge store,
+    * pending with applied rolls the lost cleanup FORWARD. One FS
+    * `exists` per call on the healthy path.
     */
-  def recover(spark: SparkSession, dir: String): Unit = {
-    val pending = new org.apache.hadoop.fs.Path(pendingMarker(dir))
-    val fs = pending.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(pending)) return
-    val batchId = {
-      val in = fs.open(pending)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      } finally in.close()
-    }
-    val retired = new org.apache.hadoop.fs.Path(retiredDir(dir))
-    if (!fs.exists(new org.apache.hadoop.fs.Path(batchMarker(dir, batchId)))) {
-      // roll back: restore every retired day over its (possibly promoted)
-      // live counterpart — the retired tree still holds the full pre-merge
-      // content of every touched day, because cleanup only runs after the
-      // applied marker lands
-      if (fs.exists(retired)) {
-        fs.listStatus(retired).foreach { st =>
-          if (st.getPath.getName.startsWith("day=")) {
-            val live = new org.apache.hadoop.fs.Path(dir, st.getPath.getName)
-            fs.delete(live, true)
-            fs.rename(st.getPath, live)
-          }
-        }
-      }
-    }
-    fs.delete(retired, true)
-    fs.delete(new org.apache.hadoop.fs.Path(stageDir(dir)), true)
-    fs.delete(pending, false)
-  }
+  def recover(spark: SparkSession, dir: String): Unit =
+    PartitionSwap.recover(spark, dir, ".merge-stage", "day=")
 
   /** True when `batchId` was already merged (call before re-deriving a
     * batch's hourly counts on a replay).
     */
-  def alreadyApplied(spark: SparkSession, dir: String, batchId: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(batchMarker(dir, batchId))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  def alreadyApplied(spark: SparkSession, dir: String, batchId: Long): Boolean =
+    PartitionSwap.alreadyApplied(spark, dir, batchId)
 
   /** Merge one batch of hourly counts: same (key, hour) rows sum with the
     * stored ones; only the batch's day partitions are read and rewritten.
@@ -148,7 +98,7 @@ object EventStatsStore {
     if (!dfs.exists(dirPath)) {
       // first batch bootstraps the store
       write(batchHourly, dir)
-      dfs.create(new org.apache.hadoop.fs.Path(batchMarker(dir, batchId)), true).close()
+      PartitionSwap.markApplied(spark, dir, batchId)
       return
     }
 
@@ -167,42 +117,15 @@ object EventStatsStore {
         .sortWithinPartitions(col("day"), col("hour"))
         .write.mode("overwrite")
         .partitionBy("day").parquet(stage)
-      // commit by retire/promote rename, not dynamic partition overwrite:
-      // overwrite replaces the touched day directories NON-atomically at
-      // job commit, and a crash mid-commit would leave some days merged
-      // and others not while the replay re-added the batch to the
-      // already-rewritten days. Here the pending marker (carrying the
-      // batch id) goes down first, old days are retired (not deleted),
-      // staged days are promoted, the applied marker lands, and only then
-      // is anything destroyed — so [[recover]] can always roll back to
-      // the exact pre-merge store (no applied marker) or roll the lost
-      // cleanup forward (applied marker present). Directory renames are
-      // atomic on HDFS-semantics filesystems; on rename-as-copy object
-      // stores, front this store with an HDFS/consistent layer.
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val retired = new org.apache.hadoop.fs.Path(retiredDir(dir))
-      fs.delete(retired, true)
-      fs.mkdirs(retired)
-      val pend = fs.create(new org.apache.hadoop.fs.Path(pendingMarker(dir)), true)
-      pend.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      pend.close()
-      touched.foreach { d =>
-        val live = new org.apache.hadoop.fs.Path(s"$dir/day=$d")
-        if (fs.exists(live)) fs.rename(live, new org.apache.hadoop.fs.Path(retired, s"day=$d"))
-      }
-      touched.foreach { d =>
-        fs.rename(new org.apache.hadoop.fs.Path(s"$stage/day=$d"),
-          new org.apache.hadoop.fs.Path(s"$dir/day=$d"))
-      }
-      fs.create(new org.apache.hadoop.fs.Path(batchMarker(dir, batchId)), true).close()
-      fs.delete(retired, true)
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      fs.delete(new org.apache.hadoop.fs.Path(pendingMarker(dir)), false)
+      // commit by retire/promote rename, not dynamic partition overwrite
+      // — the [[PartitionSwap]] protocol: overwrite replaces the touched
+      // day directories NON-atomically at job commit, and a crash
+      // mid-commit would leave some days merged and others not while the
+      // replay re-added the batch to the already-rewritten days
+      PartitionSwap.commit(spark, dir, stage,
+        touched.toSeq.map(d => s"day=$d"), batchId)
     } else {
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.create(new org.apache.hadoop.fs.Path(batchMarker(dir, batchId)), true).close()
+      PartitionSwap.markApplied(spark, dir, batchId)
     }
   }
 

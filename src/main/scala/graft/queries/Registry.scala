@@ -938,6 +938,53 @@ object Registry {
           cast(lead(updated_at) over (partition by record_id order by updated_at) as timestamp) as valid_to
         from src order by record_id, updated_at""")
     ),
+    // Incrementally-maintained materialized aggregate (AggStore): two
+    // batch merges + a deliberate replay over the bucketed algebraic
+    // state, served back — the twin is the ONE-SHOT groupBy over orders,
+    // so the maintained store must reproduce it exactly (associative
+    // cnt/sum/min/max merges; avg derived at read). Build jobs bounded
+    // (PlanGuard exemption: touched-bucket collects + staged writes).
+    "q_agg_store" -> Q(
+      (s, dir) => {
+        import graft.operators.AggStore
+        val store = s"${sys.props("java.io.tmpdir")}/graft_aggstore_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        val src = Tables.read(s, dir, "orders")
+        val groups = Seq("o_orderstatus", "o_orderpriority")
+        def states(pred: org.apache.spark.sql.Column) =
+          AggStore.aggregate(src.filter(pred), groups,
+            col("o_totalprice").cast("decimal(18,2)"))
+        AggStore.merge(s, store,
+          states(col("o_orderkey") % 2 === 0), groups, buckets = 4, batchId = 1L)
+        AggStore.merge(s, store,
+          states(col("o_orderkey") % 2 =!= 0), groups, buckets = 4, batchId = 2L)
+        // replay of batch 1: the marker makes it a no-op, never a double-add
+        AggStore.merge(s, store,
+          states(col("o_orderkey") % 2 === 0), groups, buckets = 4, batchId = 1L)
+        AggStore.serve(s, store)
+          .select(
+            col("o_orderstatus"), col("o_orderpriority"),
+            col("cnt"),
+            col("sum").cast("decimal(38,2)").as("total"),
+            col("min").cast("decimal(18,2)").as("min_price"),
+            col("max").cast("decimal(18,2)").as("max_price"),
+            (col("sum").cast("double") / col("cnt").cast("double")).as("avg_price"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""
+        select o_orderstatus, o_orderpriority,
+          count(o_totalprice) as cnt,
+          cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)) as total,
+          cast(min(o_totalprice) as decimal(18,2)) as min_price,
+          cast(max(o_totalprice) as decimal(18,2)) as max_price,
+          cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+            / cast(count(o_totalprice) as double) as avg_price
+        from orders
+        group by o_orderstatus, o_orderpriority
+        order by o_orderstatus, o_orderpriority""")
+    ),
     "q_sessionize" -> Q(
       (s, dir) =>
         graft.streaming.StreamingPipeline

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.AggStore
+
+class AggStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"aggstore_$tag").toString + "/store"
+
+  private def facts(rows: Seq[(String, Long)]): DataFrame =
+    rows.toDF("grp", "v").select($"grp", $"v".cast("decimal(18,2)").as("v"))
+
+  private def served(dir: String) =
+    AggStore.serve(spark, dir)
+      .select("grp", "cnt", "sum", "min", "max")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  private def oneShot(rows: Seq[(String, Long)]) =
+    AggStore.aggregate(facts(rows), Seq("grp"), $"v")
+      .select("grp", "cnt", "sum", "min", "max")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  test("two merged batches equal the one-shot aggregate; avg serves as sum/cnt") {
+    val dir = tmp("merge")
+    val b1 = Seq(("a", 10L), ("a", 20L), ("b", 5L))
+    val b2 = Seq(("a", 30L), ("c", 7L), ("b", 1L))
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(b1), Seq("grp"), $"v"), Seq("grp"), 4, 1L)
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(b2), Seq("grp"), $"v"), Seq("grp"), 4, 2L)
+    assert(served(dir) == oneShot(b1 ++ b2),
+      "maintained store must equal a one-shot groupBy over all history")
+    val avgA = AggStore.serve(spark, dir).filter($"grp" === "a")
+      .select($"avg".cast("double")).head().getDouble(0)
+    assert(math.abs(avgA - 20.0) < 1e-12)
+  }
+
+  test("replaying an applied batchId never double-adds") {
+    val dir = tmp("replay")
+    val b = Seq(("a", 10L))
+    val st = AggStore.aggregate(facts(b), Seq("grp"), $"v")
+    AggStore.merge(spark, dir, st, Seq("grp"), 4, 7L)
+    AggStore.merge(spark, dir, st, Seq("grp"), 4, 7L)
+    AggStore.merge(spark, dir, st, Seq("grp"), 4, 7L)
+    assert(served(dir) == oneShot(b))
+  }
+
+  test("a crash mid-swap rolls back to the pre-merge store via PartitionSwap") {
+    import java.io.File
+    import java.nio.file.{Paths, StandardCopyOption}
+    val dir = tmp("crash")
+    val b1 = Seq(("a", 10L), ("b", 5L), ("c", 2L), ("d", 9L))
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(b1), Seq("grp"), $"v"), Seq("grp"), 4, 1L)
+    val healthy = served(dir)
+    // fabricate a half-promoted batch 99: retired holds the original
+    // bucket, live holds a corrupted one, pending names the batch
+    val bucket = new File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("bucket=")).min
+    val retired = new File(dir + ".retired"); retired.mkdirs()
+    val rb = new File(retired, bucket); rb.mkdirs()
+    new File(dir, bucket).listFiles().foreach { f =>
+      Files.copy(f.toPath, Paths.get(rb.getPath, f.getName),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val scratch = dir + ".scratch"
+    spark.read.parquet(s"$dir/$bucket").withColumn("cnt", $"cnt" * 2)
+      .write.mode("overwrite").parquet(scratch)
+    spark.read.parquet(scratch).write.mode("overwrite").parquet(s"$dir/$bucket")
+    Files.write(Paths.get(dir, "_batches", "_pending"), "99".getBytes)
+    assert(served(dir) == healthy, "rollback must restore the pre-merge store")
+    assert(!new File(dir + ".retired").exists())
+    // the replayed batch then merges from consistent state
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(Seq(("a", 10L))), Seq("grp"), $"v"),
+      Seq("grp"), 4, 99L)
+    assert(served(dir) == oneShot(b1 ++ Seq(("a", 10L))))
+  }
+
+  test("multi-column groups and null values follow SQL aggregate semantics") {
+    val dir = tmp("multi")
+    val df = Seq(("x", "p", Some(4L)), ("x", "p", None), ("x", "q", Some(2L)))
+      .toDF("g1", "g2", "v")
+      .select($"g1", $"g2", $"v".cast("decimal(18,2)").as("v"))
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(df, Seq("g1", "g2"), $"v"), Seq("g1", "g2"), 4, 1L)
+    val rows = AggStore.serve(spark, dir)
+      .select("g1", "g2", "cnt").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(("x", "p", 1L), ("x", "q", 1L)),
+      "count(value) skips nulls exactly like the one-shot aggregate")
+  }
+}

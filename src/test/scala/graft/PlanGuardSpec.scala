@@ -110,6 +110,9 @@ class PlanGuardSpec extends SparkSpec {
     // writes + merges the bucketed snapshot store under test; the merge's
     // touched-bucket collect is |buckets|-bounded (8 here)
     "q_scd2_merge",
+    // builds the materialized-aggregate store (two merges + a replay):
+    // touched-bucket collects are |buckets|-bounded, writes the operator
+    "q_agg_store",
     // bloom build: ONE driver collect of the mBits/8-byte bitset (256 KiB)
     "q_bloom_decontam",
     // edge-list localCheckpoint: ONE k*|V|-row materialization so the 5
