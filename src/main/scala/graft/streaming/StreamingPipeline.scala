@@ -588,6 +588,36 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming maintenance of the [[graft.operators.AggStore]]
+    * materialized aggregate: each micro-batch folds into per-group
+    * algebraic states (batch-local aggregation, no streaming state) and
+    * merges into the bucketed store — same-group states combine
+    * associatively, so the served aggregate equals a one-shot groupBy
+    * over everything ever streamed. Exactly-once via the store's
+    * epoch-id markers ([[graft.operators.PartitionSwap]]): count/sum
+    * merges are not idempotent, a replayed epoch is a no-op.
+    */
+  def aggStoreSink(
+      stream: DataFrame,
+      storeDir: String,
+      checkpoint: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      buckets: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.AggStore
+        AggStore.merge(batch.sparkSession, storeDir,
+          AggStore.aggregate(batch, groupCols, col(valueCol)),
+          groupCols, buckets, batchId)
+      }
+      .start()
+
   /** Streaming maintenance of the bucketed SCD-2 record store
     * ([[graft.pipeline.Snapshot]]) — the persistence-family member that
     * still lacked a streaming twin (band index / BM25 / IVF / exact

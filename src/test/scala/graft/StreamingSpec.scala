@@ -392,6 +392,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((100L, 10L), (102L, 10L)))
   }
 
+  test("streaming agg-store sink: served aggregate equals a one-shot groupBy over all epochs") {
+    import java.nio.file.Files
+    import graft.operators.AggStore
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("aggsink").toString + "/store"
+    val ckpt = Files.createTempDirectory("aggsink_ckpt").toString
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("grp", "v")
+      .select(col("grp"), col("v").cast("decimal(18,2)").as("v"))
+    val e0 = Seq(("a", 10L), ("a", 20L), ("b", 5L))
+    val e1 = Seq(("a", 30L), ("c", 7L))
+    input.addData(e0: _*)
+    StreamingPipeline.aggStoreSink(stream, dir, ckpt, Seq("grp"), "v", buckets = 4)
+      .awaitTermination()
+    input.addData(e1: _*)
+    StreamingPipeline.aggStoreSink(stream, dir, ckpt, Seq("grp"), "v", buckets = 4)
+      .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "cnt", "sum", "min", "max")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val oneShot = AggStore.aggregate(
+      (e0 ++ e1).toDF("grp", "v")
+        .select(col("grp"), col("v").cast("decimal(18,2)").as("v")),
+      Seq("grp"), col("v"))
+      // the stored schema is the pinned canonical one (sum decimal(38,s))
+      .withColumn("sum", col("sum").cast("decimal(38,2)"))
+    assert(rows(AggStore.serve(spark, dir)) == rows(oneShot),
+      "stream-maintained aggregate must equal the one-shot groupBy")
+  }
+
   test("streaming SCD2 store sink equals the batch-merged store; replays are value-idempotent") {
     import java.nio.file.Files
     import graft.pipeline.Snapshot
