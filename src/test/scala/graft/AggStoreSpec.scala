@@ -83,6 +83,24 @@ class AggStoreSpec extends SparkSpec {
     assert(served(dir) == oneShot(b1 ++ Seq(("a", 10L))))
   }
 
+  test("property: any batch split of random facts merges to the one-shot aggregate") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val facts0 = Seq.fill(120)(
+        (s"g${rnd.nextInt(7)}", (rnd.nextInt(2000) - 500).toLong))
+      val nBatches = 1 + rnd.nextInt(4)
+      val batches = facts0.zipWithIndex.groupBy(_._2 % nBatches)
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      val dir = tmp(s"prop$trial")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        AggStore.merge(spark, dir,
+          AggStore.aggregate(facts(b), Seq("grp"), $"v"), Seq("grp"), 3, i.toLong)
+      }
+      assert(served(dir) == oneShot(facts0),
+        s"trial $trial: $nBatches-way split must merge losslessly")
+    }
+  }
+
   test("multi-column groups and null values follow SQL aggregate semantics") {
     val dir = tmp("multi")
     val df = Seq(("x", "p", Some(4L)), ("x", "p", None), ("x", "q", Some(2L)))

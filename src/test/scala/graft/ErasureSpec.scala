@@ -48,6 +48,29 @@ class ErasureSpec extends SparkSpec {
         "on the next load would look like corruption")
   }
 
+  test("property: erasure is batch-insensitive — one sweep equals sequential sweeps") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i => (i, i % 5, s"v$i"))
+    val all = rnd.shuffle((1L to 200L).filter(_ => rnd.nextBoolean()).toList).take(30)
+    val (ka, kb) = all.splitAt(all.length / 2)
+
+    def build(tag: String): String = {
+      val dir = tmp(tag)
+      rows.toDF("id", "part", "v").write.partitionBy("part").parquet(dir)
+      dir
+    }
+    def content(dir: String) =
+      spark.read.parquet(dir).collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+    val once = build("once")
+    Erasure.eraseByKey(spark, once, all.toDF("id"), "id", Seq("part"))
+    val seq = build("seq")
+    Erasure.eraseByKey(spark, seq, ka.toDF("id"), "id", Seq("part"))
+    Erasure.eraseByKey(spark, seq, kb.toDF("id"), "id", Seq("part"))
+    assert(content(once) == content(seq),
+      "erase(A ∪ B) must equal erase(A) then erase(B)")
+  }
+
   test("recoverRetired restores a store whose promote never landed") {
     val dir = tmp("recover")
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
