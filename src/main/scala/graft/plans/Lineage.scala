@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, BRound, Concat, Crc32, Expression, IsNotNull, IsNull, Literal, Md5, NamedExpression, Round, Sha1, Sha2}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, BRound, Concat, Crc32, Expression, IsNotNull, IsNull, Literal, Md5, NamedExpression, Round, Sha1, Sha2, Substring}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, Union}
 
 /** Column-level lineage extracted from the ANALYZED Catalyst plan: for
@@ -43,13 +43,25 @@ object Lineage {
     *   - comparisons against a foldable side (`c != ''`, range checks):
     *     the guard conditions inside every masking CASE — also ≤1 bit;
     *   - the partial-phone fingerprint: a concat carrying MaskModel's
-    *     literal `" XX XX XX XX"` padding. Deliberately the FULL compiled
-    *     shape, not bare `substring` — `substring(contact_email, 1, 3)`
-    *     under an innocent alias is the canonical disguised LEAK and must
-    *     stay raw-path.
+    *     literal `" XX XX XX XX"` padding whose every non-literal child
+    *     is a bounded-prefix `substring` (literal start/length) — the
+    *     FULL compiled shape. The padding literal alone is NOT enough:
+    *     `concat(contact_email, ' XX XX XX XX')` keeps the whole raw
+    *     value and must stay raw-path, and bare
+    *     `substring(contact_email, 1, 3)` under an innocent alias is the
+    *     canonical disguised LEAK and must too.
     *
     * Anything else (cast, trim, lower, concat, arithmetic, bare
     * substring) is value-preserving enough to keep the raw-path taint.
+    *
+    * Honesty bound: this certifies HONEST pipelines, not adversarial
+    * ones. The ≤1-bit channels (presence bits, literal comparisons) are
+    * sanitizers because the reference publishes them by design, but an
+    * adversary could chain many of them (a CASE dictionary over
+    * equality probes) into a decoder; mechanically bounding that needs
+    * information-flow budgets (the DP layer's territory), not shape
+    * matching. The gate's job is catching accidental raw paths, which
+    * are shaped like projections — and those it catches structurally.
     */
   private def isSanitizer(e: Expression): Boolean = e match {
     case _: Sha2 | _: Sha1 | _: Md5 | _: Crc32 => true
@@ -60,7 +72,12 @@ object Lineage {
       c.children.exists {
         case Literal(v, _) => v != null && v.toString == " XX XX XX XX"
         case _ => false
-      }
+      } &&
+        c.children.forall {
+          case Literal(_, _) => true
+          case s: Substring => s.pos.foldable && s.len.foldable
+          case _ => false
+        }
     case _ => false
   }
 

@@ -141,6 +141,15 @@ class LineageSpec extends SparkSpec {
       concat(substring(trim($"phone"), 1, 6), lit("-rest")).as("p"))
     assert(!Lineage.allPiiMasked(fake, Set("phone")),
       "only the compiled maskPhone shape (its exact padding literal) sanitizes")
+    // ...and the padding literal alone must not bless a raw passthrough:
+    // concat(phone, ' XX XX XX XX') carries the WHOLE value
+    val padded = base.select(
+      concat($"phone", lit(" XX XX XX XX")).as("p"))
+    assert(!Lineage.allPiiMasked(padded, Set("phone")),
+      "the fingerprint requires bounded-substring children, not just the padding")
+    // the genuine compiled shape still certifies
+    val real = base.select(graft.masking.Masking.maskPhone($"phone").as("p"))
+    assert(Lineage.allPiiMasked(real, Set("phone")))
   }
 
   test("an injected raw passthrough flips the release-cert masking gate; the mart certifies") {
