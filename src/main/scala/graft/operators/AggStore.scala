@@ -117,7 +117,17 @@ object AggStore {
 
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dirPath)) {
+    // bootstrap keys on DATA presence, not directory existence: an empty
+    // first batch leaves only markers behind (a partitionBy write of zero
+    // rows emits NO files, and loading it would die on schema inference),
+    // so the first NON-empty batch must still take the bootstrap path
+    val hasData = fs.exists(dirPath) &&
+      fs.listStatus(dirPath).exists(_.getPath.getName.startsWith("bucket="))
+    if (!hasData) {
+      if (batchStates.isEmpty) {
+        PartitionSwap.markApplied(spark, dir, batchId)
+        return
+      }
       write(batchStates, groupCols, dir, buckets)
       PartitionSwap.markApplied(spark, dir, batchId)
       return

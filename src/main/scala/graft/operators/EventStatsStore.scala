@@ -95,8 +95,18 @@ object EventStatsStore {
 
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val dfs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!dfs.exists(dirPath)) {
-      // first batch bootstraps the store
+    // bootstrap keys on DATA presence, not directory existence: an empty
+    // first batch leaves only markers behind (a partitionBy write of zero
+    // rows emits NO files, and loading it would die on schema inference),
+    // so the first NON-empty batch must still take the bootstrap path
+    val hasData = dfs.exists(dirPath) &&
+      dfs.listStatus(dirPath).exists(_.getPath.getName.startsWith("day="))
+    if (!hasData) {
+      if (batchHourly.isEmpty) {
+        PartitionSwap.markApplied(spark, dir, batchId)
+        return
+      }
+      // first non-empty batch bootstraps the store
       write(batchHourly, dir)
       PartitionSwap.markApplied(spark, dir, batchId)
       return

@@ -653,12 +653,17 @@ object StreamingPipeline {
         val spark = batch.sparkSession
         val dir = new org.apache.hadoop.fs.Path(storeDir)
         val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(dir))
-          Snapshot.writeStore(
-            Snapshot.initial(batch, uniqueKey, updatedAt),
-            uniqueKey, storeDir, buckets)
-        else
-          Snapshot.mergeStore(spark, storeDir, batch, uniqueKey, updatedAt, buckets)
+        // an empty epoch contributes nothing and must not bootstrap: a
+        // partitionBy write of zero rows emits NO files and later merges
+        // would die on schema inference (the AggStore bootstrap lesson)
+        if (!batch.isEmpty) {
+          if (!fs.exists(dir))
+            Snapshot.writeStore(
+              Snapshot.initial(batch, uniqueKey, updatedAt),
+              uniqueKey, storeDir, buckets)
+          else
+            Snapshot.mergeStore(spark, storeDir, batch, uniqueKey, updatedAt, buckets)
+        }
       }
       .start()
 

@@ -83,6 +83,22 @@ class AggStoreSpec extends SparkSpec {
     assert(served(dir) == oneShot(b1 ++ Seq(("a", 10L))))
   }
 
+  test("an empty bootstrap batch defers the store; the first non-empty batch bootstraps") {
+    val dir = tmp("emptyboot")
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(Nil), Seq("grp"), $"v"), Seq("grp"), 4, 0L)
+    // marker recorded, no unreadable file-less store left behind
+    assert(graft.operators.PartitionSwap.alreadyApplied(spark, dir, 0L))
+    val b = Seq(("a", 10L), ("b", 3L))
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(b), Seq("grp"), $"v"), Seq("grp"), 4, 1L)
+    assert(served(dir) == oneShot(b))
+    // and an empty LATER batch is a plain no-op
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(Nil), Seq("grp"), $"v"), Seq("grp"), 4, 2L)
+    assert(served(dir) == oneShot(b))
+  }
+
   test("property: any batch split of random facts merges to the one-shot aggregate") {
     val rnd = new scala.util.Random(42)
     (0 until 3).foreach { trial =>
