@@ -490,51 +490,64 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame,
-      maxIter: Int = 10
+      maxIter: Int = 20
   ): DataFrame = {
+    // The edge list is PAIRS-sized (only docs with near-dup candidates,
+    // never corpus-sized): materialize it ONCE — the PageRank edge-list
+    // convention — so the per-round joins reference a LogicalRDD leaf
+    // instead of re-deriving the candidate-generation plan every round.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    // cacheOnce: the FINAL round's frame deliberately outlives this call (it
-    // backs the returned labels), so a repeated invocation over the same
-    // input re-derives plans that sameResult the still-cached one — a bare
-    // .cache() then logs "Asked to cache already cached data". The guard
-    // reuses instead of re-caching: at most one resident frame per distinct
-    // input, and intermediate rounds are unpersisted below as before.
-    def cacheOnce(df: DataFrame): DataFrame =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache() else df
-    var cached = cacheOnce(
-      edges
-        .groupBy(col("src").as("id"))
-        .agg(least(min(col("dst")), first(col("src"))).as("label")))
-    var labels = cached
+      .localCheckpoint()
+    // Per-round localCheckpoint is LOAD-BEARING, not an optimization:
+    // each round references the previous round's frame TWICE (the union
+    // branch and the neighbor join), so an uncheckpointed iteration
+    // doubles the logical plan per round — 2^rounds copies of the edge
+    // subtree. Caching does not help (cached plans still NEST for
+    // analysis), and with a heavy candidate plan (the perceptual-hash
+    // decode chain) round ~10 OOM'd the driver merely RENDERING the plan
+    // string for the execution event. Checkpointing truncates lineage to
+    // O(1) per round; the handful of |V|-sized checkpointed frames are
+    // freed by the context cleaner when dereferenced.
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      // One shuffle + ONE action per round: the same aggregation computes
-      // the new label and carries the previous one, so the convergence
-      // check is a count on the cached result instead of a second join.
+      // Each round: (1) neighbor-min — pull the smallest label one hop;
+      // (2) POINTER JUMP — label(id) <- label(label(id)). The jump is
+      // what makes convergence logarithmic instead of linear in the
+      // component diameter: plain propagation needs DIAMETER rounds, and
+      // a chain-shaped near-dup family (each image within the Hamming
+      // ball of the next) blew straight past maxIter at sf0.1 while the
+      // oracle's recursive closure was exact. Labels are always node ids
+      // present in `labels` (min over node ids), so the jump join always
+      // resolves; the left join + coalesce is belt-and-braces.
       val viaNeighbors = edges
         .join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"), lit(false).as("is_cur"))
-      val nextFull = cacheOnce(
-        labels
-          .select(col("id"), col("label"), lit(true).as("is_cur"))
-          .unionAll(viaNeighbors)
-          .groupBy("id")
-          .agg(
-            min("label").as("label"),
-            min(when(col("is_cur"), col("label"))).as("prev_label")
-          ))
-      // count() (not isEmpty) so the one action scans — and thus fully
-      // caches — every partition of nextFull before the parent is dropped
-      converged = nextFull.filter(col("label") < col("prev_label")).count() == 0
-      // unpersist the FRAME THAT WAS CACHED: calling it on a projection of
-      // the cached plan is a silent no-op (cache keys on plan sameResult),
-      // which would pile up one cached aggregate per iteration
-      cached.unpersist()
-      cached = nextFull
-      labels = nextFull.select(col("id"), col("label"))
+        .select(edges("src").as("id"), col("label"))
+      val minStep = labels
+        .select(col("id"), col("label"))
+        .unionAll(viaNeighbors)
+        .groupBy("id")
+        .agg(min("label").as("label"))
+      val jumpTo = minStep
+        .select(col("id").as("_jid"), col("label").as("_jlabel"))
+      val jumped = minStep
+        .join(jumpTo, col("label") === col("_jid"), "left")
+        .select(col("id"),
+          coalesce(col("_jlabel"), col("label")).as("label"))
+        .localCheckpoint()
+      // labels only shrink (min semilattice), so "any change?" is the
+      // convergence test; one join + count per round
+      converged = jumped
+        .join(labels.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") =!= col("_old"))
+        .count() == 0
+      labels = jumped
       i += 1
     }
     labels
@@ -643,7 +656,7 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxIter: Int = 10
+      maxIter: Int = 20
   ): DataFrame = {
     val labels = connectedComponents(pairs, maxIter)
     val q6 = {
