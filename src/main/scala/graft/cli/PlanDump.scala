@@ -103,7 +103,9 @@ object PlanDump {
     "q_erasure_exact",    // prefix-index purge, frozen-order probe
     "q_image_phash",      // mapPartitions raster decode -> 64-bit hashes
     "q_image_near_dup",   // quarter-block hamming pairs over aHash
-    "q_audio_fingerprint" // WAV decode -> envelope-sign hash
+    "q_audio_fingerprint",// WAV decode -> envelope-sign hash
+    "q_image_clusters",   // pointer-jumping CC over perceptual pairs
+    "q_agg_store"         // materialized-aggregate store build + serve
   )
 
   def main(args: Array[String]): Unit = {
