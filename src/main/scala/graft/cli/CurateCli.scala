@@ -488,9 +488,6 @@ object CurateCli {
     val keys = spark.read.parquet(keysPath).select(col("doc_id")).distinct()
     val nKeys = keys.count()
 
-    // corpus first for the count the BM25 stats decrement needs (ids
-    // matched IN the corpus, not ids requested — a request for a doc
-    // never admitted must not decrement _n_docs)
     Erasure.recoverRetired(spark, corpusDir)
     val nCorpus =
       if (exists(corpusDir)) Erasure.eraseByKey(spark, corpusDir, keys, "doc_id")
@@ -499,10 +496,13 @@ object CurateCli {
       if (exists(s"$outDir/index/meta"))
         graft.dedup.Dedup.eraseFromBandIndex(spark, s"$outDir/index", keys, "doc_id")
       else 0L
+    // the BM25 decrement is self-contained: the index's docs leg knows
+    // exactly which requested ids it holds (zero-token docs included),
+    // so no corpus-derived count crosses stores and a replay of a
+    // crashed sweep cannot over- or under-decrement _n_docs
     val nSearch =
       if (exists(s"$outDir/search/stats"))
-        graft.text.Bm25.eraseFromSearchIndex(
-          spark, s"$outDir/search", keys, "doc_id", nCorpus)
+        graft.text.Bm25.eraseFromSearchIndex(spark, s"$outDir/search", keys, "doc_id")
       else 0L
     val nDense =
       if (exists(s"$outDir/dense/centroids"))

@@ -110,6 +110,18 @@ object SetSimJoin {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Crash recovery for the stored index: replays any pending
+    * append/erase commit ([[graft.operators.PartitionSwap]] marker) and
+    * the legacy per-leg erase swaps, after which sets and postings are
+    * consistent with each other — never a half-appended epoch. The
+    * mutators and [[searchIndex]] call it themselves.
+    */
+  def recoverIndex(spark: SparkSession, dir: String): Unit = {
+    graft.operators.Erasure.recoverRetired(spark, s"$dir/sets")
+    graft.operators.Erasure.recoverRetired(spark, s"$dir/postings")
+    graft.operators.PartitionSwap.recover(spark, dir, "/.swap-stage", "")
+  }
+
   /** Append a batch to the stored index under the FROZEN token order:
     * the batch's sets and prefix postings are keyed with the stored
     * dfreq (unseen tokens take df 0) and appended — no existing file is
@@ -119,16 +131,33 @@ object SetSimJoin {
     * frequencies drift from the frozen ones). Monitor that decay with
     * [[orderDrift]] and rebuild via [[writeIndex]] when it crosses the
     * caller's budget — the Ivf.appendIndex / clusterDrift convention.
+    *
+    * Atomic: the batch's set files and posting files stage under
+    * `.swap-stage/` and promote in ONE
+    * [[graft.operators.PartitionSwap]] commit whose pending marker lists
+    * every staged file — a crash between the legs (the old mid-epoch
+    * window that could only be recovered by rebuilding) now rolls back
+    * to the exact pre-append index, and a replay re-appends from
+    * consistent state. Pass `batchId` to make replays of an applied
+    * epoch no-ops (the streaming-sink recipe).
     */
   def appendIndex(
       spark: SparkSession,
       dir: String,
       batch: DataFrame,
       idCol: String,
-      setCol: String
+      setCol: String,
+      batchId: Option[Long] = None
   ): Unit = {
+    import graft.operators.PartitionSwap
+    recoverIndex(spark, dir)
+    if (batchId.exists(PartitionSwap.alreadyApplied(spark, dir, _))) return
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (num, den) = (meta.getAs[Int]("num"), meta.getAs[Int]("den"))
+    val stage = s"$dir/.swap-stage"
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
 
     val ex = batch.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
     val keyed = ex
@@ -143,15 +172,23 @@ object SetSimJoin {
         sort_array(collect_list(col("key"))).as("keys"),
         count(lit(1)).cast("int").as("sz"))
       .cache()
-    assembled.write.mode("append").parquet(s"$dir/sets")
+    assembled.write.mode("overwrite").parquet(s"$stage/sets")
 
     val prefixLen =
       (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
     assembled
       .select(col("id"), col("sz"),
         explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
-      .write.mode("append").parquet(s"$dir/postings")
+      .write.mode("overwrite").parquet(s"$stage/postings")
     assembled.unpersist()
+
+    val entries =
+      PartitionSwap.stagedParquetFiles(spark, s"$stage/sets")
+        .map(f => s"sets/$f") ++
+        PartitionSwap.stagedParquetFiles(spark, s"$stage/postings")
+          .map(f => s"postings/$f")
+    PartitionSwap.commit(spark, dir, stage, entries,
+      batchId.getOrElse(System.nanoTime()))
   }
 
   /** Right-to-erasure through the stored prefix index: purge the erased
@@ -166,8 +203,7 @@ object SetSimJoin {
     */
   def eraseFromIndex(spark: SparkSession, dir: String, keys: DataFrame, idCol: String): Long = {
     import graft.operators.Erasure
-    Erasure.recoverRetired(spark, s"$dir/sets")
-    Erasure.recoverRetired(spark, s"$dir/postings")
+    recoverIndex(spark, dir)
     val k = keys.select(col(idCol).as("id"))
     Erasure.eraseByKey(spark, s"$dir/sets", k, "id") +
       Erasure.eraseByKey(spark, s"$dir/postings", k, "id")
@@ -210,6 +246,7 @@ object SetSimJoin {
       setCol: String,
       maxPostingsPerKey: Option[Int] = None
   ): DataFrame = {
+    recoverIndex(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (num, den) = (meta.getAs[Int]("num"), meta.getAs[Int]("den"))
 

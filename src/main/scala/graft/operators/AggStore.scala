@@ -128,8 +128,17 @@ object AggStore {
         PartitionSwap.markApplied(spark, dir, batchId)
         return
       }
-      write(batchStates, groupCols, dir, buckets)
-      PartitionSwap.markApplied(spark, dir, batchId)
+      // bootstrap THROUGH the stage + commit protocol, not a direct
+      // overwrite of the live tree: a crash mid-bootstrap would leave a
+      // partial set of live bucket= directories, hasData would read true
+      // on replay, and the replayed batch would MERGE into its own
+      // partial data. Staged, a crash before the pending marker leaves
+      // the live tree empty (replay re-bootstraps); after it, recover's
+      // entry-list rollback deletes the newly-promoted buckets.
+      val stage = stageDir(dir)
+      write(batchStates, groupCols, stage, buckets)
+      PartitionSwap.commit(spark, dir, stage,
+        PartitionSwap.listEntries(spark, stage, "bucket="), batchId)
       return
     }
 

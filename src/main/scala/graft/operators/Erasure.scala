@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Right-to-erasure propagation (GDPR Art. 17) into persisted SERVING
@@ -19,19 +19,24 @@ import org.apache.spark.sql.functions._
   * Mechanics shared by every leg: the erasure key set is REQUEST-sized
   * (a few ids to a few thousand), the store is corpus-sized — so the
   * purge is a broadcast LEFT ANTI join streamed through a narrow
-  * scan→filter→write with NO shuffle. Each input file rewrites to its
-  * own output file, so whatever clustering the store relies on
-  * (term-sorted BM25 postings, key-sorted prefix postings,
-  * centroid-partitioned IVF rows, band-partitioned band rows) survives
-  * the rewrite untouched. At 100 TB an erasure sweep is one linear pass
-  * per store — batch requests and amortize, exactly like compaction.
+  * scan→filter→write with NO shuffle, and the store is read exactly
+  * ONCE: the audit counts (rows seen / rows kept, whose difference is
+  * the erased-row report number) ride the SAME scan as `observe`
+  * metrics instead of a separate pre-count pass, so a batched
+  * multi-subject sweep at 100 TB costs one linear pass per store. Each
+  * input file rewrites to its own output file, so whatever clustering
+  * the store relies on (term-sorted BM25 postings, key-sorted prefix
+  * postings, centroid-partitioned IVF rows, band-partitioned band rows)
+  * survives the rewrite untouched.
   *
   * Crash safety: every rewrite lands in `<live>__erasing`, then swaps by
   * retire/promote rename (`<live>` → `<live>__retired`, tmp → `<live>`,
   * delete retired) — the [[graft.cli.CurateCli]] compaction protocol, so
   * its existing `recoverRetired` startup recovery covers erasure crashes
   * too: a crash before the promote leaves the old store live or retired
-  * (restorable), never half-rewritten.
+  * (restorable), never half-rewritten. When the staged rewrite turns out
+  * to have erased NOTHING, the stage is discarded and the live files are
+  * left byte-identical (a no-match sweep must not rewrite the store).
   */
 object Erasure {
 
@@ -65,20 +70,95 @@ object Erasure {
     fs.delete(old, true)
   }
 
-  /** Count the store rows matching the erasure keys (the audit number an
-    * erasure report carries), without rewriting anything.
+  /** Count the store rows matching the erasure keys without rewriting
+    * anything — the read-only probe (access sweeps, dry runs). The
+    * erase paths do NOT call this: their counts ride the rewrite scan
+    * (see [[eraseWith]]).
     */
   def matchCount(spark: SparkSession, live: String, keys: DataFrame, idCol: String): Long =
     spark.read.parquet(live)
       .join(broadcast(keys.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
       .count()
 
+  /** Single-pass erase core: stage `shape(kept)` under `<live>__erasing`
+    * with observe metrics counting rows seen and rows kept on the same
+    * scan, then either discard the stage (nothing matched — live files
+    * stay byte-identical) or swap it in. `shape` lets stores append
+    * their own re-shaping (e.g. [[Shards]] re-closing `shard_pos`) and
+    * choose the write layout via `writeTo`. Returns rows erased.
+    */
+  def eraseWith(
+      spark: SparkSession,
+      live: String,
+      keys: DataFrame,
+      idCol: String,
+      shape: DataFrame => DataFrame,
+      writeTo: (DataFrame, String) => Unit
+  ): Long = {
+    val k = keys.select(col(idCol)).distinct()
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"${live}__erasing")
+    val old = new org.apache.hadoop.fs.Path(s"${live}__retired")
+    fs.delete(tmp, true) // stale leftovers from a crashed run
+    fs.delete(old, true)
+
+    val seen = Observation()
+    val keptObs = Observation()
+    val kept = spark.read.parquet(live)
+      .observe(seen, count(lit(1)).as("n"))
+      .join(broadcast(k), Seq(idCol), "left_anti")
+      .observe(keptObs, count(lit(1)).as("n"))
+    val shaped = shape(kept)
+    writeTo(shaped, tmp.toString)
+    val hit = seen.get("n").asInstanceOf[Long] - keptObs.get("n").asInstanceOf[Long]
+    if (hit == 0L) {
+      // no-match sweep: the staged copy is discarded, live stays
+      // byte-identical — the audit still reports an exact 0
+      fs.delete(tmp, true)
+      return 0L
+    }
+    // a fully-erased store must stay READABLE: a FLAT write of an empty
+    // frame emits a schema-bearing file, but a partitionBy write of zero
+    // rows emits NO files at all — re-stage flat in that case so the
+    // swapped store loads as zero rows instead of dying on schema
+    // inference (and so a hive-partitioned leg CAN complete a total
+    // erasure rather than aborting its sweep forever). Guard by FILE
+    // LISTING, not a spark.read (which fires a footer job per swept leg).
+    if (!hasParquetFile(fs, tmp)) {
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], shaped.schema)
+        .write.mode("overwrite").parquet(tmp.toString)
+      require(hasParquetFile(fs, tmp),
+        s"erasure staged ZERO parquet files for $live — the swapped store " +
+          "would be unreadable; this Spark version no longer writes " +
+          "schema-bearing empty files")
+    }
+    fs.rename(livePath, old)
+    fs.rename(tmp, livePath)
+    fs.delete(old, true)
+    hit
+  }
+
+  private def hasParquetFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path
+  ): Boolean = {
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
+  }
+
   /** Remove every row whose `idCol` appears in `keys` from the parquet
     * tree at `live` (flat, or hive-partitioned when `partitionCols` is
     * set — the rewrite re-declares the same partitioning so the layout
-    * survives). No-op (and no swap) when no key matches, so sweeping a
-    * store that never contained the subject leaves its files byte-
-    * identical. Returns the number of rows erased.
+    * survives; a TOTAL erasure of a partitioned leg degrades to a flat
+    * schema-bearing empty file, see [[eraseWith]]). No-op (and no swap)
+    * when no key matches, so sweeping a store that never contained the
+    * subject leaves its files byte-identical. One scan of the store
+    * total. Returns the number of rows erased.
     */
   def eraseByKey(
       spark: SparkSession,
@@ -86,34 +166,10 @@ object Erasure {
       keys: DataFrame,
       idCol: String,
       partitionCols: Seq[String] = Nil
-  ): Long = {
-    val k = keys.select(col(idCol)).distinct()
-    val hit = matchCount(spark, live, k, idCol)
-    if (hit == 0L) return 0L
-    rewriteSwap(spark, live, tmp => {
-      val kept = spark.read.parquet(live)
-        .join(broadcast(k), Seq(idCol), "left_anti")
+  ): Long =
+    eraseWith(spark, live, keys, idCol, identity, (kept, tmp) => {
       val w = kept.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp)
-      // a fully-erased store must stay READABLE: Spark's writer emits a
-      // schema-bearing empty file for an empty frame (ErasureSpec pins
-      // it), so later loads see zero rows rather than a schema-inference
-      // error. Guard by FILE LISTING, not a spark.read (which fires a
-      // footer job per swept leg and eats the plan-guard job budget): if
-      // a future Spark stops writing that file, fail here rather than
-      // strand an unreadable store.
-      val tp = new org.apache.hadoop.fs.Path(tmp)
-      val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = tfs.listFiles(tp, true)
-      var readable = false
-      while (!readable && it.hasNext)
-        readable = it.next().getPath.getName.endsWith(".parquet")
-      require(readable,
-        s"erasure staged ZERO parquet files for $live — the swapped store " +
-          "would be unreadable; this Spark version no longer writes " +
-          "schema-bearing empty files")
     })
-    hit
-  }
 }

@@ -106,9 +106,15 @@ object EventStatsStore {
         PartitionSwap.markApplied(spark, dir, batchId)
         return
       }
-      // first non-empty batch bootstraps the store
-      write(batchHourly, dir)
-      PartitionSwap.markApplied(spark, dir, batchId)
+      // first non-empty batch bootstraps the store — THROUGH the stage +
+      // commit protocol, not a direct overwrite of the live tree: a crash
+      // mid-bootstrap would leave a partial set of live day= directories,
+      // hasData would read true on replay, and the replayed batch would
+      // merge into its own partial data (the AggStore bootstrap argument)
+      val stage = stageDir(dir)
+      write(batchHourly, stage)
+      PartitionSwap.commit(spark, dir, stage,
+        PartitionSwap.listEntries(spark, stage, "day="), batchId)
       return
     }
 

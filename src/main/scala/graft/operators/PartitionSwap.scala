@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Crash-safe commit protocol for incremental partition-tree stores —
   * the retire/promote rename swap shared by [[EventStatsStore]] (day
-  * partitions) and [[AggStore]] (bucket partitions).
+  * partitions), [[AggStore]] (bucket partitions), and the multi-leg
+  * index stores ([[graft.text.Bm25]] postings+docs+stats,
+  * [[graft.dedup.SetSimJoin]] sets+postings deltas).
   *
   * Dynamic partition overwrite is NOT crash-safe for multi-directory
   * commits: Spark replaces the touched partition directories
@@ -13,20 +15,36 @@ import org.apache.spark.sql.SparkSession
   * itself to the already-rewritten ones. This protocol makes the commit
   * all-or-nothing from the replayer's point of view:
   *
-  *   1. a pending marker (carrying the batch id) lands first;
-  *   2. the touched live partition directories RETIRE (rename into
-  *      `<dir>.retired`) — nothing is destroyed;
-  *   3. the staged partition directories promote into place;
+  *   1. a pending marker (carrying the batch id AND the touched-entry
+  *      list) lands first;
+  *   2. the touched live entries RETIRE (rename into `<dir>.retired`,
+  *      preserving relative paths) — nothing is destroyed;
+  *   3. the staged entries promote into place;
   *   4. the applied batch marker lands — the point of no return: a
   *      replay of this id is a no-op from here on;
   *   5. retired + stage + pending clean up.
   *
-  * [[recover]] classifies any crash by the two markers: pending without
-  * applied rolls BACK (every retired directory replaces its possibly-
-  * promoted live counterpart, restoring the exact pre-merge store — the
-  * replayed batch then re-merges from consistent state, never
-  * double-adding); pending with applied rolls the lost cleanup FORWARD.
-  * One FS `exists` per call on the healthy path.
+  * Entries are RELATIVE paths under `dir` — flat partition directories
+  * (`day=2024-01-01`, `bucket=3`), whole legs (`postings`, `stats`), or
+  * nested files (`postings/part-...parquet` for append deltas).
+  *
+  * [[recover]] classifies any crash by the two markers. Pending without
+  * applied rolls BACK, per entry listed in the marker:
+  *   - retired counterpart exists → it holds the full pre-merge content
+  *     (cleanup only runs after the applied marker), so it replaces the
+  *     possibly-promoted live entry;
+  *   - no retired counterpart but the STAGED entry still exists → the
+  *     promote never ran for it; the live entry (if any) is still the
+  *     original and is left alone;
+  *   - neither retired nor staged → the entry was PROMOTED and had no
+  *     live predecessor (a partition newly created by the crashed
+  *     batch): the live entry is deleted, restoring its pre-batch
+  *     absence. Without the marker's entry list this case is
+  *     indistinguishable from an untouched partition, and the replayed
+  *     batch would re-merge its own promoted data — the double-add this
+  *     protocol exists to prevent.
+  * Pending WITH applied rolls the lost cleanup forward. One FS `exists`
+  * per call on the healthy path.
   *
   * Directory renames are atomic on HDFS-semantics filesystems; on
   * rename-as-copy object stores, front these stores with a consistent
@@ -54,15 +72,16 @@ object PartitionSwap {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true).close()
   }
 
-  /** Swap the staged partition directories into the live tree (steps
-    * 1-5 above). `stage` must hold one `<name>` directory per entry of
-    * `partitions` (e.g. `day=2024-01-01`, `bucket=3`).
+  /** Swap the staged entries into the live tree (steps 1-5 above).
+    * `stage` must hold one `<entry>` path per element of `entries`
+    * (e.g. `day=2024-01-01`, `bucket=3`, `stats`,
+    * `postings/part-0-uuid.parquet`).
     */
   def commit(
       spark: SparkSession,
       dir: String,
       stage: String,
-      partitions: Seq[String],
+      entries: Seq[String],
       batchId: Long
   ): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -71,15 +90,21 @@ object PartitionSwap {
     fs.delete(retired, true)
     fs.mkdirs(retired)
     val pend = fs.create(new org.apache.hadoop.fs.Path(pendingMarker(dir)), true)
-    pend.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    pend.write((batchId.toString +: entries).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     pend.close()
-    partitions.foreach { p =>
+    entries.foreach { p =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$p")
-      if (fs.exists(live)) fs.rename(live, new org.apache.hadoop.fs.Path(retired, p))
+      if (fs.exists(live)) {
+        val dst = new org.apache.hadoop.fs.Path(retired, p)
+        fs.mkdirs(dst.getParent)
+        fs.rename(live, dst)
+      }
     }
-    partitions.foreach { p =>
-      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$p"),
-        new org.apache.hadoop.fs.Path(s"$dir/$p"))
+    entries.foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$p")
+      fs.mkdirs(dst.getParent)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$p"), dst)
     }
     markApplied(spark, dir, batchId)
     fs.delete(retired, true)
@@ -87,9 +112,11 @@ object PartitionSwap {
     fs.delete(new org.apache.hadoop.fs.Path(pendingMarker(dir)), false)
   }
 
-  /** Crash recovery — see class doc. `partitionPrefix` names the
-    * partition-directory scheme (`day=`, `bucket=`) so rollback only
-    * touches partition directories.
+  /** Crash recovery — see class doc. `stageSuffix` appends to `dir` to
+    * locate the stage tree (`.merge-stage`, `/.erase-stage`);
+    * `partitionPrefix` names the partition-directory scheme (`day=`,
+    * `bucket=`) for the defensive retired sweep covering entries a
+    * marker might not list.
     */
   def recover(
       spark: SparkSession,
@@ -100,24 +127,43 @@ object PartitionSwap {
     val pending = new org.apache.hadoop.fs.Path(pendingMarker(dir))
     val fs = pending.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(pending)) return
-    val batchId = {
+    val lines = {
       val in = fs.open(pending)
       try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
       } finally in.close()
     }
+    val batchId = lines.head.toLong
+    val entries = lines.tail
     val retired = new org.apache.hadoop.fs.Path(retiredDir(dir))
+    val stagePath = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + stageSuffix)
     if (!fs.exists(new org.apache.hadoop.fs.Path(appliedMarker(dir, batchId)))) {
-      // roll back: every retired partition replaces its (possibly
-      // promoted) live counterpart — retired still holds the full
-      // pre-merge content because cleanup only runs after the applied
-      // marker lands
+      // roll back, per listed entry (class doc): restore from retired,
+      // leave not-yet-promoted originals alone, delete promoted entries
+      // that had no live predecessor
+      entries.foreach { p =>
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$p")
+        val ret = new org.apache.hadoop.fs.Path(retired, p)
+        val staged = new org.apache.hadoop.fs.Path(stagePath, p)
+        if (fs.exists(ret)) {
+          fs.delete(live, true)
+          fs.mkdirs(live.getParent)
+          fs.rename(ret, live)
+        } else if (!fs.exists(staged)) {
+          fs.delete(live, true)
+        }
+      }
+      // defensive sweep: restore any retired partition the marker did
+      // not list (legacy id-only markers)
       if (fs.exists(retired)) {
         fs.listStatus(retired).foreach { st =>
-          if (st.getPath.getName.startsWith(partitionPrefix)) {
+          if (st.getPath.getName.startsWith(partitionPrefix) &&
+            partitionPrefix.nonEmpty) {
             val live = new org.apache.hadoop.fs.Path(dir, st.getPath.getName)
             fs.delete(live, true)
             fs.rename(st.getPath, live)
@@ -126,7 +172,32 @@ object PartitionSwap {
       }
     }
     fs.delete(retired, true)
-    fs.delete(new org.apache.hadoop.fs.Path(dir.stripSuffix("/") + stageSuffix), true)
+    fs.delete(stagePath, true)
     fs.delete(pending, false)
+  }
+
+  /** Child names under `stage` matching `prefix` — the staged partition
+    * list a bootstrap-through-stage commit promotes.
+    */
+  def listEntries(spark: SparkSession, stage: String, prefix: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(stage)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).sorted.toSeq
+  }
+
+  /** Parquet file names directly under a staged leg — the delta-file
+    * entry list an APPEND commit promotes into a live leg directory
+    * (part-file names carry a fresh job UUID, so they never collide with
+    * live files; `_SUCCESS` and other markers stay behind and are
+    * removed with the stage).
+    */
+  def stagedParquetFiles(spark: SparkSession, stagedLeg: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(stagedLeg)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
   }
 }

@@ -118,18 +118,20 @@ object Shards {
       orderCols: Seq[String] = Nil
   ): Long = {
     Erasure.recoverRetired(spark, dir)
-    val k = keys.select(col(idCol)).distinct()
-    val hit = Erasure.matchCount(spark, dir, k, idCol)
+    // single pass over the shard directory: the audit count rides the
+    // rewrite scan as observe metrics (Erasure.eraseWith), the position
+    // re-close is the store-specific `shape`
+    val hit = Erasure.eraseWith(spark, dir, keys, idCol,
+      shape = kept => {
+        val w = Window.partitionBy(col("shard")).orderBy(col("shard_pos").asc)
+        kept
+          .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("shard").asc, col("shard_pos").asc)
+      },
+      writeTo = (shaped, tmp) =>
+        shaped.write.mode("overwrite").partitionBy("shard").parquet(tmp))
     if (hit == 0L) return 0L
-    Erasure.rewriteSwap(spark, dir, tmp => {
-      val w = Window.partitionBy(col("shard")).orderBy(col("shard_pos").asc)
-      spark.read.parquet(dir)
-        .join(broadcast(k), Seq(idCol), "left_anti")
-        .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
-        .repartition(col("shard"))
-        .sortWithinPartitions(col("shard").asc, col("shard_pos").asc)
-        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
-    })
     DataSkipping.writeManifest(
       spark, dir, (orderCols :+ idCol).distinct,
       s"$dir/${DataSkipping.ManifestSubdir}")

@@ -75,7 +75,17 @@ object Lineage {
       } &&
         c.children.forall {
           case Literal(_, _) => true
-          case s: Substring => s.pos.foldable && s.len.foldable
+          // the EXACT compiled shape MaskModel emits: a prefix of at
+          // most 6 characters from position 1 (Masking.maskPhone's
+          // substring(trim(c), 1, keepChars<=6)). A merely-foldable
+          // pos/len would also admit substring(c, 1, 100) — a near-shape
+          // variant carrying essentially the whole raw value, which must
+          // stay raw-path
+          case s: Substring =>
+            (s.pos, s.len) match {
+              case (Literal(p: Int, _), Literal(l: Int, _)) => p == 1 && l <= 6
+              case _ => false
+            }
           case _ => false
         }
     case _ => false

@@ -2950,8 +2950,7 @@ object ExtensionQueries {
         graft.text.Bm25.writeSearchIndex(all, "doc_id", col("text"), idx)
         val keys = all.filter(pmod(col("doc_id"), lit(7)) === 0)
           .select(col("doc_id"))
-        graft.text.Bm25.eraseFromSearchIndex(
-          s, idx, keys, "doc_id", nErased = keys.count())
+        graft.text.Bm25.eraseFromSearchIndex(s, idx, keys, "doc_id")
         val (postings, stats) = graft.text.Bm25.loadSearchIndex(s, idx)
         graft.text.Bm25
           .retrieveTopKIndexed(postings, stats, "doc_id",

@@ -677,12 +677,14 @@ object StreamingPipeline {
     * epoch bootstraps the index at `num/den`.
     *
     * Exactly-once: the append is NOT idempotent (a replayed epoch would
-    * duplicate sets and postings), so each epoch records a
-    * `_batches/<id>` marker AFTER its append and a replay of an applied
-    * id is a no-op — the [[hourlyStatsStoreSink]] recipe. A crash
-    * BETWEEN the sets and postings appends inside one epoch leaves a
-    * partial append the replay would double — the documented
-    * appendIndex window: recover by rebuilding, not re-appending.
+    * duplicate sets and postings), so each epoch's `batchId` rides into
+    * [[graft.dedup.SetSimJoin.appendIndex]], which records it as an
+    * applied marker inside its atomic commit and no-ops replays — and
+    * whose staged single-commit protocol closed the old mid-epoch crash
+    * window (a crash between the sets and postings legs now rolls back
+    * to the exact pre-epoch index instead of demanding a rebuild). The
+    * sink keeps its own marker only for the BOOTSTRAP epoch, whose
+    * `writeIndex` overwrite is value-idempotent anyway.
     */
   def exactIndexSink(
       stream: DataFrame,
@@ -711,11 +713,12 @@ object StreamingPipeline {
             array_distinct(transform(
               Dedup.wordShingles(col(textCol), shingleK), x => md5(x))).as("_sh"))
           val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-          if (!fs.exists(meta))
+          if (!fs.exists(meta)) {
             SetSimJoin.writeIndex(sets, idCol, "_sh", num, den, indexDir)
-          else
-            SetSimJoin.appendIndex(spark, indexDir, sets, idCol, "_sh")
-          fs.create(marker, true).close()
+            fs.create(marker, true).close()
+          } else
+            SetSimJoin.appendIndex(spark, indexDir, sets, idCol, "_sh",
+              batchId = Some(batchId))
         }
       }
       .start()

@@ -222,20 +222,27 @@ object Bm25 {
         col("_rounded").as("score"))
   }
 
-  /** Persist a BM25 search index: `postings/` — one row per (doc, term)
-    * carrying `tf` and the doc length `dl`, REPARTITIONED BY term and
-    * sorted within partitions so a query-term probe prunes parquet row
-    * groups via min/max statistics — and `stats/`, the one-row
-    * (`_n_docs`, `_tot_tokens`, `_avgdl`) corpus aggregate. The
-    * search-service leg of the index-persistence family (band index,
+  /** Persist a BM25 search index, three legs under one directory:
+    *
+    *   - `postings/` — one row per (doc, term) carrying `tf` and the doc
+    *     length `dl`, REPARTITIONED BY term and sorted within partitions
+    *     so a query-term probe prunes parquet row groups via min/max
+    *     statistics;
+    *   - `docs/` — one row per indexed document (`idCol`, `dl`),
+    *     INCLUDING zero-token documents (which leave no posting rows and
+    *     would otherwise be invisible to the index): the membership leg
+    *     that makes the corpus stats exactly recomputable from index
+    *     state alone, so erasure and append need no caller-supplied
+    *     counts and replays of a crashed sweep cannot drift `_n_docs`;
+    *   - `stats/` — the one-row (`_n_docs`, `_tot_tokens`, `_avgdl`)
+    *     corpus aggregate, always DERIVED from `docs/` by
+    *     [[statsFromDocs]] so every writer produces bit-identical values
+    *     (counts and token totals are integer-valued doubles).
+    *
+    * The search-service leg of the index-persistence family (band index,
     * IVF, PQ, model): tokenize the corpus ONCE at build; retrieval reads
     * only the probed slice of the postings table and never touches
     * document text again.
-    *
-    * `_tot_tokens` exists for [[appendSearchIndex]]: counts and token
-    * totals are integer-valued doubles, so a merged `_avgdl` =
-    * merged-total / merged-count is BIT-IDENTICAL to a full rebuild —
-    * appending never drifts from the from-scratch index.
     */
   def writeSearchIndex(
       docsDf: DataFrame,
@@ -245,18 +252,17 @@ object Bm25 {
   ): Unit = {
     require(!Reserved.contains(idCol),
       s"bm25: idCol '$idCol' collides with a working column")
-    writePostings(docsDf, idCol, textCol, dir, "overwrite")
-    indexStats(docsDf, idCol, textCol)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    writePostings(docsDf, idCol, textCol, s"$dir/postings")
+    writeDocsLeg(docsDf, idCol, textCol, s"$dir/docs")
+    writeStatsFromDocs(docsDf.sparkSession, s"$dir/docs", s"$dir/stats")
   }
 
-  /** The postings write shared by build (`overwrite`) and append. */
+  /** The postings write shared by build and append staging. */
   private def writePostings(
       docsDf: DataFrame,
       idCol: String,
       textCol: Column,
-      dir: String,
-      mode: String
+      out: String
   ): Unit = {
     val toks = docsDf.select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
     val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
@@ -267,19 +273,67 @@ object Bm25 {
       .join(dl, idCol)
       .repartition(col("term"))
       .sortWithinPartitions(col("term"))
-      .write.mode(mode).parquet(s"$dir/postings")
+      .write.mode("overwrite").parquet(out)
   }
 
-  /** [[corpusStats]] plus the exact token total — the stored-stats schema
-    * (same `_avgdl` association order, so the value is identical).
+  /** The membership leg: one (`idCol`, `dl`) row per document, zero-token
+    * documents included.
     */
-  private def indexStats(docsDf: DataFrame, idCol: String, textCol: Column): DataFrame =
+  private def writeDocsLeg(
+      docsDf: DataFrame,
+      idCol: String,
+      textCol: Column,
+      out: String
+  ): Unit =
     docsDf
-      .select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
+      .select(col(idCol),
+        size(TextAnalysis.tokens(textCol)).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(out)
+
+  /** The one-row stats frame derived from a `docs/` leg: `count` and
+    * `sum(dl)` are integer-valued, so the doubles — and the `_avgdl`
+    * division — are bit-identical no matter which writer (build, append,
+    * erase) computed them, which is what lets an erased index serve
+    * exactly like a rebuild over the retained corpus.
+    */
+  private def statsFromDocs(spark: org.apache.spark.sql.SparkSession, docsLeg: String): DataFrame = {
+    val r = spark.read.parquet(docsLeg)
       .agg(
         count(lit(1)).cast("double").as("_n_docs"),
-        sum(size(col("_toks"))).cast("double").as("_tot_tokens"),
-        (sum(size(col("_toks"))).cast("double") / count(lit(1))).as("_avgdl"))
+        coalesce(sum(col("dl")), lit(0L)).cast("double").as("_tot_tokens"))
+      .head()
+    val n = r.getAs[Double]("_n_docs")
+    val tot = r.getAs[Double]("_tot_tokens")
+    import spark.implicits._
+    Seq((n, tot, if (n > 0.0) tot / n else 0.0))
+      .toDF("_n_docs", "_tot_tokens", "_avgdl")
+  }
+
+  private def writeStatsFromDocs(
+      spark: org.apache.spark.sql.SparkSession,
+      docsLeg: String,
+      out: String
+  ): Unit =
+    statsFromDocs(spark, docsLeg).coalesce(1).write.mode("overwrite").parquet(out)
+
+  /** The single swap-stage root shared by [[appendSearchIndex]] and
+    * [[eraseFromSearchIndex]] — ONE stage path per index, so
+    * [[recoverSearchIndex]] can classify any crashed commit without
+    * knowing which operation staged it.
+    */
+  private def swapStage(dir: String) = s"$dir/.swap-stage"
+
+  /** Crash recovery for the stored index: replays any pending
+    * [[graft.operators.PartitionSwap]] commit (append or erase), after
+    * which the index is either fully pre-operation or fully
+    * post-operation — never postings purged with stale stats, never a
+    * half-appended batch. Call before serving or mutating; [[loadSearchIndex]]
+    * and the mutators call it themselves.
+    */
+  def recoverSearchIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    graft.operators.Erasure.recoverRetired(spark, s"$dir/postings")
+    graft.operators.PartitionSwap.recover(spark, dir, "/.swap-stage", "")
+  }
 
   /** Append a new batch's postings to a stored index and merge the corpus
     * stats exactly — the daily-ingest shape (crawl increments land, the
@@ -287,105 +341,130 @@ object Bm25 {
     * caller is responsible for batch ids being new to the index (run the
     * dedup gate first — the CurateCli ordering).
     *
-    * Write order is postings first, then a temp-dir swap of `stats/`: a
-    * crash between the two leaves retrieval serving slightly-stale
-    * N/avgdl against complete postings (bounded score drift, no wrong
-    * rows); a crash mid-swap leaves `stats_new/` complete on disk next to
-    * the old `stats/` (or a missing `stats/` recoverable by renaming
-    * `stats_new/` in). Re-running a partially-applied append would double
-    * the batch's postings — recover by rebuilding, not re-appending.
+    * Atomic: the batch's posting files, docs-leg files, and the merged
+    * stats all stage under `.swap-stage/` and promote in ONE
+    * [[graft.operators.PartitionSwap]] commit whose pending marker lists
+    * every staged file — a crash anywhere rolls back to the exact
+    * pre-append index (the delta files, having no retired counterpart,
+    * are deleted by the entry-list rollback), so a replay re-appends
+    * from consistent state instead of doubling the batch. Pass
+    * `batchId` to make replays of an applied append no-ops (the
+    * streaming-sink recipe); without it the commit still gets a unique
+    * internal id for crash classification.
     */
   def appendSearchIndex(
       docsDf: DataFrame,
       idCol: String,
       textCol: Column,
-      dir: String
+      dir: String,
+      batchId: Option[Long] = None
   ): Unit = {
     require(!Reserved.contains(idCol),
       s"bm25: idCol '$idCol' collides with a working column")
     val spark = docsDf.sparkSession
+    import graft.operators.PartitionSwap
+    recoverSearchIndex(spark, dir)
+    if (batchId.exists(PartitionSwap.alreadyApplied(spark, dir, _))) return
     val storedCols = spark.read.parquet(s"$dir/postings").columns
     require(storedCols.contains(idCol),
       s"bm25: stored postings carry ${storedCols.mkString(",")} — no '$idCol'")
-    // one-row reads/aggs, driver-bounded by design
-    val old = spark.read.parquet(s"$dir/stats").head()
-    val batch = indexStats(docsDf, idCol, textCol).head()
-    writePostings(docsDf, idCol, textCol, dir, "append")
+    val stage = swapStage(dir)
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    writePostings(docsDf, idCol, textCol, s"$stage/postings")
+    writeDocsLeg(docsDf, idCol, textCol, s"$stage/docs")
+    // merged stats: old + batch, integer-valued doubles, so the merge is
+    // bit-identical to a recompute over the combined docs leg
+    val old = statsFromDocs(spark, s"$dir/docs").head()
+    val batch = statsFromDocs(spark, s"$stage/docs").head()
     val n = old.getAs[Double]("_n_docs") + batch.getAs[Double]("_n_docs")
     val tot = old.getAs[Double]("_tot_tokens") + batch.getAs[Double]("_tot_tokens")
     import spark.implicits._
-    Seq((n, tot, tot / n))
+    Seq((n, tot, if (n > 0.0) tot / n else 0.0))
       .toDF("_n_docs", "_tot_tokens", "_avgdl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_new")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val fs = statsPath.getFileSystem(conf)
-    fs.delete(statsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats_new"), statsPath)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
+    // entries: each staged parquet file lands INSIDE the live leg
+    // directories (part-file names carry a fresh job UUID, so they never
+    // collide with live files); `stats` swaps as a whole leg
+    val entries =
+      PartitionSwap.stagedParquetFiles(spark, s"$stage/postings")
+        .map(f => s"postings/$f") ++
+        PartitionSwap.stagedParquetFiles(spark, s"$stage/docs")
+          .map(f => s"docs/$f") ++
+        Seq("stats")
+    PartitionSwap.commit(spark, dir, stage, entries,
+      batchId.getOrElse(System.nanoTime()))
   }
 
-  /** Right-to-erasure through the stored index: purge every posting of
-    * the erased documents and decrement the corpus stats EXACTLY, so the
-    * served index is value-identical to a rebuild over the retained
-    * corpus ([[graft.operators.Erasure]] scaladoc: erasure that leaves a
+  /** Right-to-erasure through the stored index: purge the erased
+    * documents' posting and docs-leg rows and recompute the corpus stats
+    * EXACTLY from the retained docs leg, so the served index is
+    * value-identical to a rebuild over the retained corpus
+    * ([[graft.operators.Erasure]] scaladoc: erasure that leaves a
     * subject's documents recoverable from a postings index is not
-    * erasure).
+    * erasure). Zero-token documents decrement `_n_docs` through their
+    * docs-leg rows — no caller-supplied count, so a replayed sweep
+    * (whatever already happened to the corpus store) can never over- or
+    * under-decrement: the decrement IS the docs-leg purge.
     *
-    * Stats exactness: a document's token total IS its `dl`, carried on
-    * every one of its posting rows — one distinct (id, dl) row per
-    * erased doc recovers the exact token decrement. Counts and totals
-    * are integer-valued doubles, so `(_n_docs − e, _tot_tokens − etok,
-    * tot/n)` is bit-identical to [[indexStats]] over the retained corpus
-    * (the [[appendSearchIndex]] merge argument, run in reverse) — EXCEPT
-    * for zero-token documents, which have no posting rows to count.
-    * That is why the caller passes `nErased`, the number of erased ids
-    * actually present in the indexed corpus: the corpus owner (e.g. the
-    * CurateCli sweep) knows it from its own corpus purge.
-    *
-    * The postings rewrite is a broadcast anti-join — narrow, no shuffle,
-    * term-clustering preserved file-for-file; the stats swap reuses the
-    * append path's `stats_new` rename.
+    * One scan per leg: the erased-row counts ride the rewrite scans as
+    * observe metrics (the [[graft.operators.Erasure.eraseWith]]
+    * single-pass recipe), the rewrites are broadcast anti-joins — narrow,
+    * no shuffle, term clustering preserved file-for-file. All three legs
+    * promote in ONE [[graft.operators.PartitionSwap]] commit: a crash
+    * anywhere leaves the fully-erased or fully-intact index, never
+    * purged postings under pre-erase `_n_docs`/`_avgdl`. Returns posting
+    * rows removed.
     */
   def eraseFromSearchIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       keys: DataFrame,
-      idCol: String,
-      nErased: Long
+      idCol: String
   ): Long = {
-    import graft.operators.Erasure
-    Erasure.recoverRetired(spark, s"$dir/postings")
+    import graft.operators.PartitionSwap
+    import org.apache.spark.sql.Observation
+    recoverSearchIndex(spark, dir)
     val k = keys.select(col(idCol)).distinct()
-    val erasedTok = spark.read.parquet(s"$dir/postings")
-      .join(broadcast(k), Seq(idCol), "left_semi")
-      .select(col(idCol), col("dl")).distinct()
-      .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
-    val removed = Erasure.eraseByKey(spark, s"$dir/postings", k, idCol)
-    if (nErased == 0L && removed == 0L) return 0L
-    val old = spark.read.parquet(s"$dir/stats").head()
-    val n = old.getAs[Double]("_n_docs") - nErased.toDouble
-    val tot = old.getAs[Double]("_tot_tokens") - erasedTok.toDouble
-    require(n >= 0.0 && tot >= 0.0,
-      s"bm25 erase: stats would go negative (n=$n tot=$tot) — nErased " +
-        "must count only ids present in the indexed corpus")
-    import spark.implicits._
-    Seq((n, tot, if (n > 0.0) tot / n else 0.0))
-      .toDF("_n_docs", "_tot_tokens", "_avgdl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats_new")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val fs = statsPath.getFileSystem(conf)
-    fs.delete(statsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats_new"), statsPath)
-    removed
+    val stage = swapStage(dir)
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+
+    def stageKept(leg: String): Long = {
+      val seen = Observation()
+      val kept = Observation()
+      spark.read.parquet(s"$dir/$leg")
+        .observe(seen, count(lit(1)).as("n"))
+        .join(broadcast(k), Seq(idCol), "left_anti")
+        .observe(kept, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$stage/$leg")
+      seen.get("n").asInstanceOf[Long] - kept.get("n").asInstanceOf[Long]
+    }
+    val removedPostings = stageKept("postings")
+    val removedDocs = stageKept("docs")
+    if (removedPostings == 0L && removedDocs == 0L) {
+      // no-match sweep: discard the stage, live files stay byte-identical
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      return 0L
+    }
+    writeStatsFromDocs(spark, s"$stage/docs", s"$stage/stats")
+    PartitionSwap.commit(spark, dir, stage,
+      Seq("postings", "docs", "stats"), System.nanoTime())
+    removedPostings
   }
 
-  /** Load an index written by [[writeSearchIndex]]: (postings, stats). */
+  /** Load an index written by [[writeSearchIndex]]: (postings, stats).
+    * Replays any pending commit first ([[recoverSearchIndex]]).
+    */
   def loadSearchIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String
-  ): (DataFrame, DataFrame) =
+  ): (DataFrame, DataFrame) = {
+    recoverSearchIndex(spark, dir)
     (spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"))
+  }
 
   /** [[retrieveTopK]] against a stored index: same output contract, same
     * BM25 arithmetic, same rounded-ranking cut — but the corpus text is

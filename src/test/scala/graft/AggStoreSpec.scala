@@ -83,6 +83,80 @@ class AggStoreSpec extends SparkSpec {
     assert(served(dir) == oneShot(b1 ++ Seq(("a", 10L))))
   }
 
+  private def copyDir(src: String, dst: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(src),
+      fs, new org.apache.hadoop.fs.Path(dst),
+      false, spark.sparkContext.hadoopConfiguration)
+  }
+
+  private def buckets(dir: String): Set[String] = {
+    val f = new java.io.File(dir)
+    if (!f.exists()) Set.empty
+    else f.listFiles().map(_.getName).filter(_.startsWith("bucket=")).toSet
+  }
+
+  test("a crash that PROMOTED a newly-created bucket rolls back to its absence") {
+    import java.nio.file.Paths
+    val dir = tmp("newbucket")
+    val b1 = Seq(("a", 10L))
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(b1), Seq("grp"), $"v"), Seq("grp"), 8, 1L)
+    val before = buckets(dir)
+    // find a group that lands in a bucket the store does not have yet,
+    // by merging candidates into a scratch clone
+    val (g, newBucket, scratch) = ('b' to 'z').iterator.map { c =>
+      val s = tmp(s"scratch$c")
+      copyDir(dir, s)
+      AggStore.merge(spark, s,
+        AggStore.aggregate(facts(Seq((c.toString, 7L))), Seq("grp"), $"v"),
+        Seq("grp"), 8, 99L)
+      (c.toString, buckets(s) -- before, s)
+    }.collectFirst { case (c, diff, s) if diff.nonEmpty => (c, diff.head, s) }.get
+    // fabricate the crash: the new bucket was PROMOTED (no retired
+    // counterpart — it never existed), pending lists it, applied never
+    // landed. Without the marker's entry list this partition is
+    // indistinguishable from an untouched one and the replay double-adds.
+    copyDir(s"$scratch/$newBucket", s"$dir/$newBucket")
+    Files.write(Paths.get(dir, "_batches", "_pending"),
+      s"99\n$newBucket".getBytes)
+    assert(served(dir) == oneShot(b1),
+      "rollback must delete the promoted newly-created bucket")
+    assert(buckets(dir) == before)
+    // the replayed batch merges from consistent state — NO double-add
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(Seq((g, 7L))), Seq("grp"), $"v"),
+      Seq("grp"), 8, 99L)
+    assert(served(dir) == oneShot(b1 ++ Seq((g, 7L))))
+  }
+
+  test("a crash mid-bootstrap cannot leave a partial live tree that replays into") {
+    import java.nio.file.Paths
+    // learn the bootstrap layout (spanning several buckets) in a scratch
+    val b = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L), ("e", 5L))
+    val scratch = tmp("bootscratch")
+    AggStore.merge(spark, scratch,
+      AggStore.aggregate(facts(b), Seq("grp"), $"v"), Seq("grp"), 8, 5L)
+    val bs = buckets(scratch).toSeq.sorted
+    assert(bs.size >= 2, "fixture must span at least two buckets")
+    // fabricate: one bucket promoted into live, the rest still staged,
+    // pending lists all — the crash-mid-bootstrap window where the old
+    // direct-overwrite write made hasData true with PARTIAL data
+    val dir = tmp("bootcrash")
+    copyDir(s"$scratch/${bs.head}", s"$dir/${bs.head}")
+    bs.tail.foreach(p => copyDir(s"$scratch/$p", s"$dir.merge-stage/$p"))
+    Files.createDirectories(Paths.get(dir, "_batches"))
+    Files.write(Paths.get(dir, "_batches", "_pending"),
+      (5L.toString +: bs).mkString("\n").getBytes)
+    // the replayed batch must see an EMPTY store and bootstrap cleanly
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(b), Seq("grp"), $"v"), Seq("grp"), 8, 5L)
+    assert(served(dir) == oneShot(b),
+      "replay after a mid-bootstrap crash must equal the one-shot aggregate")
+  }
+
   test("an empty bootstrap batch defers the store; the first non-empty batch bootstraps") {
     val dir = tmp("emptyboot")
     AggStore.merge(spark, dir,

@@ -48,6 +48,23 @@ class ErasureSpec extends SparkSpec {
         "on the next load would look like corruption")
   }
 
+  test("erasing EVERY row of a hive-PARTITIONED leg completes and stays readable") {
+    // a partitionBy write of zero rows emits no files, so the old guard
+    // aborted the sweep forever — total erasure must instead degrade to
+    // a flat schema-bearing empty store
+    val dir = tmp("total_part")
+    (1L to 20L).map(i => (i, i % 3, s"v$i")).toDF("id", "part", "v")
+      .write.partitionBy("part").parquet(dir)
+    val n = Erasure.eraseByKey(spark, dir, (1L to 20L).toDF("id"), "id", Seq("part"))
+    assert(n == 20L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 0L)
+    assert(back.columns.toSet == Set("id", "part", "v"),
+      "schema including the partition column must survive a total erasure")
+    // the emptied store keeps sweeping as a no-op
+    assert(Erasure.eraseByKey(spark, dir, Seq(1L).toDF("id"), "id", Seq("part")) == 0L)
+  }
+
   test("property: erasure is batch-insensitive — one sweep equals sequential sweeps") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 200L).map(i => (i, i % 5, s"v$i"))
@@ -93,9 +110,10 @@ class ErasureSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val dir = tmp("bm25")
     Bm25.writeSearchIndex(docs, "doc_id", col("text"), dir)
-    // erase docs 2 (3 tokens) and 4 (ZERO tokens — only nErased can know)
+    // erase docs 2 (3 tokens) and 4 (ZERO tokens — no posting rows: only
+    // the docs leg can decrement _n_docs for it)
     val removed = Bm25.eraseFromSearchIndex(
-      spark, dir, Seq(2L, 4L).toDF("doc_id"), "doc_id", nErased = 2L)
+      spark, dir, Seq(2L, 4L).toDF("doc_id"), "doc_id")
     assert(removed > 0L)
     val retained = docs.filter(!col("doc_id").isin(2L, 4L))
     val rebuildDir = tmp("bm25_rebuild")

@@ -1,0 +1,208 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PartitionSwap
+
+/** Store-level replays of the [[graft.operators.PartitionSwap]] crash
+  * matrix for the multi-leg index commits: BM25 append and erase
+  * (postings + docs + stats must never be observable half-swapped, in
+  * either promote order) and the SetSimJoin epoch append (the old
+  * "recover by rebuilding" mid-epoch window). Each test fabricates an
+  * exact mid-commit state from the diff of a before/after clone, runs
+  * recovery, and proves the index serves the PRE-operation results —
+  * then replays the operation and proves convergence to the
+  * post-operation index.
+  */
+class IndexCommitCrashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fs = new org.apache.hadoop.fs.Path("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"idxcrash_$tag").toString + "/idx"
+
+  private def copyDir(src: String, dst: String): Unit =
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(src),
+      fs, new org.apache.hadoop.fs.Path(dst),
+      false, spark.sparkContext.hadoopConfiguration)
+
+  private def files(leg: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(leg)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+  }
+
+  private def writeMarker(dir: String, batchId: Long, entries: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_batches/_pending")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.write((batchId.toString +: entries).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  // ---------- BM25 ----------
+
+  private val docsA = Seq(
+    (1L, "spark streams data"), (2L, "spark spark window"),
+    (3L, "hash join plan"), (4L, ""))
+  private val docsB = Seq(
+    (5L, "window stream stream spark"), (6L, "join data spark"))
+
+  private def bm25Rows(dir: String): Seq[Seq[Any]] = {
+    val q = Seq((1, "spark"), (2, "stream"), (3, "join")).toDF("query_id", "term")
+    val (p, st) = graft.text.Bm25.loadSearchIndex(spark, dir)
+    graft.text.Bm25.retrieveTopKIndexed(p, st, "doc_id", q, topK = 5)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+  }
+
+  private def bm25Stats(dir: String) =
+    spark.read.parquet(s"$dir/stats").head()
+
+  /** Build at `pre`, clone, append at the clone; return the clone plus
+    * the append's delta entries and a stage-dir materializer.
+    */
+  private def bm25AppendFixture(): (String, String, Seq[String], Seq[String]) = {
+    val pre = tmp("bm25pre")
+    graft.text.Bm25.writeSearchIndex(
+      docsA.toDF("doc_id", "text"), "doc_id", col("text"), pre)
+    val full = tmp("bm25full")
+    copyDir(pre, full)
+    graft.text.Bm25.appendSearchIndex(
+      docsB.toDF("doc_id", "text"), "doc_id", col("text"), full, Some(2L))
+    val deltaPost = (files(s"$full/postings") -- files(s"$pre/postings")).toSeq.sorted
+    val deltaDocs = (files(s"$full/docs") -- files(s"$pre/docs")).toSeq.sorted
+    (pre, full, deltaPost, deltaDocs)
+  }
+
+  test("bm25 append crash AFTER postings deltas promoted, docs+stats still staged") {
+    val (pre, full, deltaPost, deltaDocs) = bm25AppendFixture()
+    val crash = tmp("bm25c1")
+    copyDir(pre, crash)
+    deltaPost.foreach(f => copyDir(s"$full/postings/$f", s"$crash/postings/$f"))
+    deltaDocs.foreach(f => copyDir(s"$full/docs/$f", s"$crash/.swap-stage/docs/$f"))
+    copyDir(s"$full/stats", s"$crash/.swap-stage/stats")
+    writeMarker(crash, 2L,
+      deltaPost.map("postings/" + _) ++ deltaDocs.map("docs/" + _) :+ "stats")
+    graft.text.Bm25.recoverSearchIndex(spark, crash)
+    assert(bm25Stats(crash) == bm25Stats(pre),
+      "rollback must restore pre-append stats")
+    assert(bm25Rows(crash) == bm25Rows(pre),
+      "a recovered index must serve the exact pre-append results")
+    // the replayed epoch converges to the batch-maintained index
+    graft.text.Bm25.appendSearchIndex(
+      docsB.toDF("doc_id", "text"), "doc_id", col("text"), crash, Some(2L))
+    assert(bm25Stats(crash) == bm25Stats(full))
+    assert(bm25Rows(crash) == bm25Rows(full))
+  }
+
+  test("bm25 append crash AFTER stats retired, promote never ran (the other order)") {
+    val (pre, full, deltaPost, deltaDocs) = bm25AppendFixture()
+    val crash = tmp("bm25c2")
+    copyDir(pre, crash)
+    deltaPost.foreach(f => copyDir(s"$full/postings/$f", s"$crash/postings/$f"))
+    deltaDocs.foreach(f => copyDir(s"$full/docs/$f", s"$crash/docs/$f"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$crash/stats"),
+      new org.apache.hadoop.fs.Path(s"$crash.retired/stats"))
+    copyDir(s"$full/stats", s"$crash/.swap-stage/stats")
+    writeMarker(crash, 2L,
+      deltaPost.map("postings/" + _) ++ deltaDocs.map("docs/" + _) :+ "stats")
+    graft.text.Bm25.recoverSearchIndex(spark, crash)
+    assert(bm25Stats(crash) == bm25Stats(pre))
+    assert(bm25Rows(crash) == bm25Rows(pre))
+    graft.text.Bm25.appendSearchIndex(
+      docsB.toDF("doc_id", "text"), "doc_id", col("text"), crash, Some(2L))
+    assert(bm25Stats(crash) == bm25Stats(full))
+    assert(bm25Rows(crash) == bm25Rows(full))
+  }
+
+  test("bm25 erase crash between postings promote and stats promote") {
+    val all = (docsA ++ docsB).toDF("doc_id", "text")
+    val pre = tmp("bm25e_pre")
+    graft.text.Bm25.writeSearchIndex(all, "doc_id", col("text"), pre)
+    val erased = tmp("bm25e_done")
+    copyDir(pre, erased)
+    val keys = Seq(2L, 4L).toDF("doc_id")
+    graft.text.Bm25.eraseFromSearchIndex(spark, erased, keys, "doc_id")
+
+    val crash = tmp("bm25e_crash")
+    copyDir(pre, crash)
+    // postings leg promoted (original retired); docs and stats staged
+    fs.rename(new org.apache.hadoop.fs.Path(s"$crash/postings"),
+      new org.apache.hadoop.fs.Path(s"$crash.retired/postings"))
+    copyDir(s"$erased/postings", s"$crash/postings")
+    copyDir(s"$erased/docs", s"$crash/.swap-stage/docs")
+    copyDir(s"$erased/stats", s"$crash/.swap-stage/stats")
+    writeMarker(crash, 31L, Seq("postings", "docs", "stats"))
+    graft.text.Bm25.recoverSearchIndex(spark, crash)
+    assert(bm25Stats(crash) == bm25Stats(pre),
+      "rollback must leave the fully-intact index — never purged " +
+        "postings under pre-erase stats")
+    assert(bm25Rows(crash) == bm25Rows(pre))
+    // the replayed sweep converges, with NO caller-supplied count
+    graft.text.Bm25.eraseFromSearchIndex(spark, crash, keys, "doc_id")
+    assert(bm25Stats(crash) == bm25Stats(erased))
+    assert(bm25Rows(crash) == bm25Rows(erased))
+    // and a second replay is a value no-op
+    assert(graft.text.Bm25.eraseFromSearchIndex(spark, crash, keys, "doc_id") == 0L)
+    assert(bm25Stats(crash) == bm25Stats(erased))
+  }
+
+  // ---------- SetSimJoin ----------
+
+  private def shingled(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text").select(
+      col("doc_id"),
+      array_distinct(transform(
+        graft.dedup.Dedup.wordShingles(col("text"), 3), x => md5(x))).as("_sh"))
+
+  private val corpusA = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy cat today"),
+    (3L, "completely different words about spark execution plans"))
+  private val corpusB = Seq(
+    (4L, "the quick brown fox jumps over the lazy dog today"),
+    (5L, "unrelated streaming watermark state expiry semantics"))
+
+  private def probeRows(dir: String): Seq[Seq[Any]] =
+    graft.dedup.SetSimJoin
+      .searchIndex(spark, dir, shingled(corpusA ++ corpusB), "doc_id", "_sh")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  test("setsim epoch append crash between the sets and postings legs rolls back") {
+    val pre = tmp("ssj_pre")
+    graft.dedup.SetSimJoin.writeIndex(shingled(corpusA), "doc_id", "_sh", 2, 5, pre)
+    val full = tmp("ssj_full")
+    copyDir(pre, full)
+    graft.dedup.SetSimJoin.appendIndex(
+      spark, full, shingled(corpusB), "doc_id", "_sh", Some(4L))
+    val deltaSets = (files(s"$full/sets") -- files(s"$pre/sets")).toSeq.sorted
+    val deltaPost = (files(s"$full/postings") -- files(s"$pre/postings")).toSeq.sorted
+    assert(deltaSets.nonEmpty && deltaPost.nonEmpty)
+
+    val crash = tmp("ssj_crash")
+    copyDir(pre, crash)
+    // sets deltas promoted; postings deltas still staged — the exact
+    // mid-epoch window the old append documented as unrecoverable
+    deltaSets.foreach(f => copyDir(s"$full/sets/$f", s"$crash/sets/$f"))
+    deltaPost.foreach(f => copyDir(s"$full/postings/$f", s"$crash/.swap-stage/postings/$f"))
+    writeMarker(crash, 4L, deltaSets.map("sets/" + _) ++ deltaPost.map("postings/" + _))
+    graft.dedup.SetSimJoin.recoverIndex(spark, crash)
+    assert(probeRows(crash) == probeRows(pre),
+      "recovery must restore the exact pre-epoch index")
+    // replay the epoch: converges to the batch-maintained index
+    graft.dedup.SetSimJoin.appendIndex(
+      spark, crash, shingled(corpusB), "doc_id", "_sh", Some(4L))
+    assert(probeRows(crash) == probeRows(full))
+    // applied-marker replay: a third call is a no-op
+    graft.dedup.SetSimJoin.appendIndex(
+      spark, crash, shingled(corpusB), "doc_id", "_sh", Some(4L))
+    assert(probeRows(crash) == probeRows(full))
+  }
+}

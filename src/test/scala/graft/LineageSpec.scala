@@ -150,6 +150,18 @@ class LineageSpec extends SparkSpec {
     // the genuine compiled shape still certifies
     val real = base.select(graft.masking.Masking.maskPhone($"phone").as("p"))
     assert(Lineage.allPiiMasked(real, Set("phone")))
+    // a near-shape variant carrying the padding literal AND a substring —
+    // but with an unbounded keep length — must stay raw: substring(c,1,100)
+    // under the padding literal is essentially the whole value
+    val wide = base.select(
+      concat(substring(trim($"phone"), 1, 100), lit(" XX XX XX XX")).as("p"))
+    assert(!Lineage.allPiiMasked(wide, Set("phone")),
+      "the fingerprint must bound the substring length to MaskModel's " +
+        "compiled keepChars, not accept any foldable length")
+    val offset = base.select(
+      concat(substring(trim($"phone"), 3, 4), lit(" XX XX XX XX")).as("p"))
+    assert(!Lineage.allPiiMasked(offset, Set("phone")),
+      "the compiled shape starts at position 1")
   }
 
   test("an injected raw passthrough flips the release-cert masking gate; the mart certifies") {
