@@ -180,7 +180,8 @@ object CurateCli {
       hybridIndex: Boolean = false,
       hybridK: Int = 16,
       profileStats: Boolean = false,
-      exactIndex: Boolean = false
+      exactIndex: Boolean = false,
+      aggStats: Boolean = false
   ): IncrementalSummary = {
     import graft.dedup.Dedup
     val fs = new org.apache.hadoop.fs.Path(outDir)
@@ -349,6 +350,25 @@ object CurateCli {
             ProfileStore.append(spark, profDir, landed,
               col("text"), col("n_tokens"), sourceCol = Some("source"))
         }
+        // optional maintained aggregate: per-source token stats
+        // (cnt/sum/min/max of n_tokens) as an AggStore — the ALGEBRAIC
+        // twin of the sketch profile, value-identical to a one-shot
+        // groupBy over the accumulated corpus and, unlike the sketches,
+        // exactly erasable (runErase). First enable bootstraps from the
+        // corpus read-back; later batches merge only their landed states.
+        if (aggStats) {
+          import graft.operators.AggStore
+          val aggDir = s"$outDir/agg"
+          val states =
+            if (!exists(aggDir))
+              AggStore.aggregate(spark.read.parquet(corpusDir),
+                Seq("source"), col("n_tokens").cast("long"))
+            else
+              AggStore.aggregate(landed,
+                Seq("source"), col("n_tokens").cast("long"))
+          AggStore.merge(spark, aggDir, states, Seq("source"),
+            buckets = AggBuckets, batchId = batchId.toLong)
+        }
         auditShards(spark, shardDir, nFresh)
       }
     val profileEst =
@@ -457,7 +477,11 @@ object CurateCli {
       nExact: Long,
       nShards: Long,
       profileRebuilt: Boolean,
-      profileStaleness: Long)
+      profileStaleness: Long,
+      nAggGroups: Long = 0L)
+
+  /** Bucket count for the `--agg` per-source token-stats store. */
+  private val AggBuckets = 8
 
   /** GDPR erasure sweep over EVERY maintained leg of an incremental
     * state directory — the one-run answer to "delete this subject": the
@@ -489,9 +513,39 @@ object CurateCli {
     val nKeys = keys.count()
 
     Erasure.recoverRetired(spark, corpusDir)
+    // the agg leg needs the subject's FACTS, which only the corpus still
+    // holds — capture them BEFORE the purge, materialized to a temp
+    // parquet (a cached plan would silently recompute against the purged
+    // corpus: Spark invalidates caches on writes to a path they read)
+    val aggDir = s"$outDir/agg"
+    val erasedFactsPath = s"$outDir/.erase-facts"
+    val hasAgg = exists(aggDir)
+    if (hasAgg && exists(corpusDir))
+      spark.read.parquet(corpusDir)
+        .join(broadcast(keys), Seq("doc_id"), "left_semi")
+        .select(col("source"), col("n_tokens"))
+        .write.mode("overwrite").parquet(erasedFactsPath)
     val nCorpus =
       if (exists(corpusDir)) Erasure.eraseByKey(spark, corpusDir, keys, "doc_id")
       else 0L
+    // maintained per-source aggregate: cnt/sum subtract exactly from the
+    // captured facts; min/max rebuild from the RETAINED corpus (the
+    // post-purge read), with the subtraction double-checking the rebuild
+    // (AggStore.erase scaladoc). Erased subjects leave no trace in the
+    // served stats — the same obligation the sketch profile meets by
+    // rebuild, met here exactly and incrementally.
+    val nAgg =
+      if (hasAgg && exists(erasedFactsPath)) {
+        val n = graft.operators.AggStore.erase(
+          spark, aggDir, spark.read.parquet(erasedFactsPath),
+          Seq("source"), col("n_tokens").cast("long"),
+          buckets = AggBuckets, batchId = System.nanoTime(),
+          retainedFacts =
+            if (exists(corpusDir)) Some(spark.read.parquet(corpusDir))
+            else None)
+        fs.delete(new org.apache.hadoop.fs.Path(erasedFactsPath), true)
+        n
+      } else 0L
     val nBand =
       if (exists(s"$outDir/index/meta"))
         graft.dedup.Dedup.eraseFromBandIndex(spark, s"$outDir/index", keys, "doc_id")
@@ -536,14 +590,15 @@ object CurateCli {
     }
     val staleness = graft.sketch.ProfileStore.stalenessCount(spark, profDir)
     val s = EraseSummary(nKeys, nCorpus, nBand, nSearch, nDense, nExact,
-      nShards, rebuilt, staleness)
+      nShards, rebuilt, staleness, nAgg)
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(
       Paths.get(s"$outDir/erase_report.json"),
       s"""{"n_keys":$nKeys,"n_corpus":$nCorpus,"n_band_index":$nBand,""" +
         s""""n_search_index":$nSearch,"n_dense_index":$nDense,""" +
         s""""n_exact_index":$nExact,"n_shard_rows":$nShards,""" +
-        s""""profile_rebuilt":$rebuilt,"profile_staleness":$staleness}""" + "\n")
+        s""""profile_rebuilt":$rebuilt,"profile_staleness":$staleness,""" +
+        s""""n_agg_groups":$nAgg}""" + "\n")
     s
   }
 
@@ -717,8 +772,10 @@ object CurateCli {
     val withHybrid = args0.contains("--hybrid")
     val withProfile = args0.contains("--profile")
     val withExact = args0.contains("--exact")
+    val withAgg = args0.contains("--agg")
     val args = args0.filterNot(a =>
-      a == "--search" || a == "--hybrid" || a == "--profile" || a == "--exact")
+      a == "--search" || a == "--hybrid" || a == "--profile" ||
+        a == "--exact" || a == "--agg")
     if (args.headOption.contains("access")) {
       require(args.length >= 4,
         "usage: CurateCli access <keys.parquet> <stateDir> <reportDir>")
@@ -749,13 +806,14 @@ object CurateCli {
     if (args.headOption.contains("incremental")) {
       require(args.length >= 3,
         "usage: CurateCli incremental <batch.parquet> <stateDir> [nShards] " +
-          "[--model <dir> <minScore>] [--search] [--hybrid] [--profile] [--exact]")
+          "[--model <dir> <minScore>] [--search] [--hybrid] [--profile] " +
+          "[--exact] [--agg]")
       val nShards = if (args.length > 3) args(3).toInt else 64
       val spark = session()
       val s = runIncremental(spark, args(1), args(2), nShards,
         cfg = gateConfig(spark, modelArgs), searchIndex = withSearch,
         hybridIndex = withHybrid, profileStats = withProfile,
-        exactIndex = withExact)
+        exactIndex = withExact, aggStats = withAgg)
       println(s"[curate] batch=${s.batch} in=${s.nIn} kept=${s.nKept} " +
         s"fresh=${s.nFresh} dup_of_corpus=${s.nDupOfCorpus} " +
         s"shards=${s.nShards} audit_ok=${s.auditOk} compacted=${s.corpusCompacted}" +

@@ -177,4 +177,181 @@ object AggStore {
     load(spark, dir)
       .drop("bucket")
       .withColumn("avg", col("sum") / col("cnt"))
+
+  /** Right-to-erasure through the maintained aggregate (GDPR Art. 17 /
+    * the reference's per-column `retention_days` obligation,
+    * `/root/reference/dbt_project/models/staging/schema.yml:57-64`,
+    * reaching the LAST maintained artifact that silently remembers
+    * erased subjects): remove the erased facts' contribution so the
+    * served store equals a one-shot groupBy over the retained history.
+    *
+    *   - `cnt` and `sum` are group aggregates: they subtract EXACTLY
+    *     from the erased rows' own states (the merge law run in
+    *     reverse), no rescan needed;
+    *   - `min`/`max` are NOT subtractable (removing the minimum says
+    *     nothing about the runner-up), so the touched groups rebuild
+    *     from `retainedFacts` — and since that rescan yields cnt/sum
+    *     too, the subtraction doubles as an exactness CROSS-CHECK: a
+    *     mismatch means the caller's erased/retained frames disagree
+    *     with the maintained history, and the sweep aborts rather than
+    *     serve silently-wrong state. Without `retainedFacts` the store
+    *     keeps cnt/sum exact and charges the staleness ledger for every
+    *     group whose stored extreme was touched (the
+    *     [[graft.sketch.ProfileStore]] honesty convention: what cannot
+    *     be subtracted is accounted, not faked).
+    *
+    * Scale shape: erasure requests are request-sized, so `erasedFacts`
+    * aggregates to a handful of group states; only their buckets are
+    * read and rewritten ([[PartitionSwap]] commit — a bucket whose last
+    * group empties is DELETED through the same marker), and the
+    * min/max rebuild scans `retainedFacts` pre-filtered by a broadcast
+    * semi-join on the touched groups. Replays of an applied `batchId`
+    * are no-ops. Returns the number of stored group rows affected.
+    */
+  def erase(
+      spark: SparkSession,
+      dir: String,
+      erasedFacts: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column,
+      buckets: Int,
+      batchId: Long,
+      retainedFacts: Option[DataFrame] = None
+  ): Long = {
+    require(buckets > 0, s"agg store: buckets must be positive, got $buckets")
+    PartitionSwap.recover(spark, dir, ".merge-stage", "bucket=")
+    if (PartitionSwap.alreadyApplied(spark, dir, batchId)) return 0L
+
+    val eStates = withBucket(
+      canonical(aggregate(erasedFacts, groupCols, valueCol)), groupCols, buckets)
+      .select(
+        (groupCols.map(col) :+ col("bucket")) ++ Seq(
+          col("cnt").as("_cnt_e"), col("sum").as("_sum_e"),
+          col("min").as("_min_e"), col("max").as("_max_e")): _*)
+      .cache()
+    val touched = eStates.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) {
+      eStates.unpersist()
+      PartitionSwap.markApplied(spark, dir, batchId)
+      return 0L
+    }
+
+    val slice = spark.read.parquet(dir)
+      .filter(col("bucket").isin(touched.toSeq: _*))
+    val joined = slice.join(broadcast(eStates), groupCols :+ "bucket", "left")
+    val subtracted = joined
+      .withColumn("cnt", col("cnt") - coalesce(col("_cnt_e"), lit(0L)))
+      .withColumn("sum",
+        col("sum") - coalesce(col("_sum_e"), lit(0).cast(joined.schema("sum").dataType)))
+
+    // one audit pass over the (bucket-sized) subtracted slice: how many
+    // stored groups the request touches, and whether any would go negative
+    val audit = subtracted.agg(
+      sum(when(col("_cnt_e").isNotNull, 1L).otherwise(0L)).as("_affected"),
+      sum(when(col("cnt") < 0L, 1L).otherwise(0L)).as("_neg")).head()
+    val affected = Option(audit.getAs[Long]("_affected")).getOrElse(0L)
+    val negatives = Option(audit.getAs[Long]("_neg")).getOrElse(0L)
+    require(negatives == 0L,
+      s"agg store erase: $negatives groups would go negative — the erased " +
+        "facts are not a subset of the maintained history")
+
+    var cachedRebuilt: Option[DataFrame] = None
+    val kept = retainedFacts match {
+      case Some(retained) =>
+        val touchedGroups = eStates.select(groupCols.map(col): _*).distinct()
+        // cached: request-sized, and both the cross-check and the staged
+        // write read it — the retained-facts scan must run ONCE
+        val rebuilt = withBucket(
+          canonical(aggregate(
+            retained.join(broadcast(touchedGroups), groupCols, "left_semi"),
+            groupCols, valueCol)),
+          groupCols, buckets)
+          .cache()
+        cachedRebuilt = Some(rebuilt)
+        // exactness cross-check: the subtracted cnt/sum must equal the
+        // rebuilt ones group-for-group (groups fully erased appear in
+        // neither). Request-sized on both sides.
+        val zeroSum = lit(0).cast(joined.schema("sum").dataType)
+        val mismatches = subtracted
+          .filter(col("_cnt_e").isNotNull)
+          .select(groupCols.map(col) :+ col("cnt").as("_c") :+ col("sum").as("_s"): _*)
+          .join(rebuilt, groupCols, "full")
+          // null-safe: a fully-erased group is absent from the rebuild
+          // and must have subtracted down to exactly (0, 0)
+          .filter(!(coalesce(col("_c"), lit(0L)) <=> coalesce(col("cnt"), lit(0L)) &&
+            coalesce(col("_s"), zeroSum) <=> coalesce(col("sum"), zeroSum)))
+          .count()
+        require(mismatches == 0L,
+          s"agg store erase: $mismatches touched groups disagree between " +
+            "cnt/sum subtraction and the retained-facts rebuild — erased " +
+            "and retained frames are inconsistent with the maintained history")
+        subtracted
+          .filter(col("_cnt_e").isNull)
+          .select(slice.columns.map(col): _*)
+          .unionByName(rebuilt.select(slice.columns.map(col): _*))
+      case None =>
+        // cnt/sum exact; min/max kept, staleness charged for groups
+        // whose stored extreme belonged to an erased row
+        val stale = joined
+          .filter(col("_cnt_e").isNotNull)
+          .filter(col("min") === col("_min_e") || col("max") === col("_max_e"))
+          .count()
+        chargeStaleness(spark, dir, stale)
+        subtracted
+          .filter(col("cnt") > 0L)
+          .select(slice.columns.map(col): _*)
+    }
+
+    val stage = stageDir(dir)
+    canonical(kept)
+      .repartition(touched.length, col("bucket"))
+      .sortWithinPartitions(col("bucket") +: groupCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy("bucket").parquet(stage)
+    eStates.unpersist()
+    cachedRebuilt.foreach(_.unpersist())
+    PartitionSwap.commit(spark, dir, stage,
+      touched.toSeq.map(b => s"bucket=$b"), batchId)
+    affected
+  }
+
+  private def stalenessPath(dir: String) = s"$dir/_staleness"
+
+  /** Groups whose stored min/max may no longer reflect the retained
+    * history (erasures ran without `retainedFacts`). 0 means every
+    * served extreme is exact.
+    */
+  def stalenessCount(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(stalenessPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      } finally in.close()
+    }
+  }
+
+  private def chargeStaleness(spark: SparkSession, dir: String, add: Long): Unit =
+    if (add > 0L) {
+      val p = new org.apache.hadoop.fs.Path(stalenessPath(dir))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val next = stalenessCount(spark, dir) + add
+      val out = fs.create(p, true)
+      out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+
+  /** Clear the staleness ledger after a caller-driven rebuild (e.g. a
+    * fresh [[write]] from the retained history).
+    */
+  def clearStaleness(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stalenessPath(dir))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
 }

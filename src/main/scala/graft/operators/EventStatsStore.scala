@@ -145,6 +145,71 @@ object EventStatsStore {
     }
   }
 
+  /** Right-to-erasure through the hourly-count store: subtract the
+    * erased events' hourly counts (`erasedHourly`, same shape as a merge
+    * batch — [[Anomaly.hourlyCounts]] of the subject's events) so the
+    * store equals a one-shot aggregate over the retained history. Counts
+    * are EXACTLY subtractable — no rebuild, no staleness: `n' = n − nₑ`,
+    * rows reaching zero disappear entirely (a count store must not
+    * retain even the (key, hour) existence of a fully-erased subject's
+    * activity). A subtraction that would go negative aborts loudly: the
+    * erased counts then exceed the maintained history.
+    *
+    * Same scale shape as [[merge]]: only the erased days' partitions are
+    * read and rewritten under the [[PartitionSwap]] protocol (a day
+    * whose last row disappears is deleted through the same marker), and
+    * replays of an applied `batchId` are no-ops. Returns the number of
+    * stored (key, hour) rows affected.
+    */
+  def erase(
+      spark: SparkSession,
+      dir: String,
+      erasedHourly: DataFrame,
+      keyCols: Seq[String],
+      batchId: Long
+  ): Long = {
+    require(!erasedHourly.columns.contains("day"),
+      "event-stats store: erased batch must not already have a day column")
+    recover(spark, dir)
+    if (alreadyApplied(spark, dir, batchId)) return 0L
+
+    val e = withDay(erasedHourly)
+      .groupBy((keyCols.map(col) :+ col("hour") :+ col("day")): _*)
+      .agg(sum(col("n")).as("_n_e"))
+      .cache()
+    val touched = e.select(col("day")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (touched.isEmpty) {
+      e.unpersist()
+      PartitionSwap.markApplied(spark, dir, batchId)
+      return 0L
+    }
+
+    val slice = spark.read.parquet(dir).filter(col("day").isin(touched.toSeq: _*))
+    val joinCols = keyCols ++ Seq("hour", "day")
+    val joined = slice.join(broadcast(e), joinCols, "left")
+    val subtracted = joined
+      .withColumn("n", col("n") - coalesce(col("_n_e"), lit(0L)))
+    val affected = joined.filter(col("_n_e").isNotNull).count()
+    val negatives = subtracted.filter(col("n") < 0L).count()
+    require(negatives == 0L,
+      s"event-stats erase: $negatives (key, hour) rows would go negative — " +
+        "the erased counts exceed the maintained history")
+
+    val stage = stageDir(dir)
+    subtracted
+      .filter(col("n") > 0L)
+      .select(slice.columns.map(col): _*)
+      .repartition(touched.length, col("day"))
+      .sortWithinPartitions(col("day"), col("hour"))
+      .write.mode("overwrite")
+      .partitionBy("day").parquet(stage)
+    e.unpersist()
+    PartitionSwap.commit(spark, dir, stage,
+      touched.toSeq.map(d => s"day=$d"), batchId)
+    affected
+  }
+
   /** Score the store's hours at or after `fromHour` against their trailing
     * baselines, reading only the day partitions the window can reach
     * (`fromHour − baselineHours`, partition-pruned at the scan). Row-

@@ -102,9 +102,16 @@ object PartitionSwap {
       }
     }
     entries.foreach { p =>
-      val dst = new org.apache.hadoop.fs.Path(s"$dir/$p")
-      fs.mkdirs(dst.getParent)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$stage/$p"), dst)
+      val src = new org.apache.hadoop.fs.Path(s"$stage/$p")
+      // a listed entry with NO staged counterpart is a DELETION: the
+      // retire above already moved the live entry aside (an erasure that
+      // empties a whole partition stages nothing for it), and rollback
+      // restores it from retired like any other entry
+      if (fs.exists(src)) {
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/$p")
+        fs.mkdirs(dst.getParent)
+        fs.rename(src, dst)
+      }
     }
     markApplied(spark, dir, batchId)
     fs.delete(retired, true)

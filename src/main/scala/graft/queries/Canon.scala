@@ -75,6 +75,7 @@ object Canon {
     "q_bm25_indexed" -> Seq("score"),
     "q_erasure_indexes" -> Seq("score"),
     "q_agg_store" -> Seq("total", "min_price", "max_price"),
+    "q_agg_store_erase" -> Seq("total", "min_price", "max_price"),
     "q_erasure_exact" -> Seq("jaccard"),
     "q_hybrid_rrf" -> Seq("rrf_score"),
     "q_hybrid_indexed" -> Seq("rrf_score"),

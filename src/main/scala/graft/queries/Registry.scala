@@ -985,6 +985,62 @@ object Registry {
         group by o_orderstatus, o_orderpriority
         order by o_orderstatus, o_orderpriority""")
     ),
+    // GDPR erasure through the maintained aggregate (AggStore.erase):
+    // two batch merges build the store, then a subject's facts are
+    // erased — cnt/sum by exact subtraction from the erased facts'
+    // states, min/max by touched-group rebuild from the retained facts,
+    // each cross-checking the other — and a deliberate REPLAY of the
+    // erase batch proves idempotence. The twin is the one-shot groupBy
+    // over the RETAINED orders, so the erased store must reproduce it
+    // exactly: erased subjects leave no trace in the served stats. Build
+    // jobs bounded (PlanGuard exemption).
+    "q_agg_store_erase" -> Q(
+      (s, dir) => {
+        import graft.operators.AggStore
+        val store =
+          s"${sys.props("java.io.tmpdir")}/graft_aggerase_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        val src = Tables.read(s, dir, "orders")
+        val groups = Seq("o_orderstatus", "o_orderpriority")
+        val value = col("o_totalprice").cast("decimal(18,2)")
+        def states(pred: org.apache.spark.sql.Column) =
+          AggStore.aggregate(src.filter(pred), groups, value)
+        AggStore.merge(s, store,
+          states(col("o_orderkey") % 2 === 0), groups, buckets = 4, batchId = 1L)
+        AggStore.merge(s, store,
+          states(col("o_orderkey") % 2 =!= 0), groups, buckets = 4, batchId = 2L)
+        val erased = src.filter(col("o_custkey") % 13 === 0)
+        val retained = src.filter(col("o_custkey") % 13 =!= 0)
+        AggStore.erase(s, store, erased, groups, value,
+          buckets = 4, batchId = 3L, retainedFacts = Some(retained))
+        // replay of the erase: the applied marker makes it a no-op
+        AggStore.erase(s, store, erased, groups, value,
+          buckets = 4, batchId = 3L, retainedFacts = Some(retained))
+        AggStore.serve(s, store)
+          .select(
+            col("o_orderstatus"), col("o_orderpriority"),
+            col("cnt"),
+            col("sum").cast("decimal(38,2)").as("total"),
+            col("min").cast("decimal(18,2)").as("min_price"),
+            col("max").cast("decimal(18,2)").as("max_price"),
+            (col("sum").cast("double") / col("cnt").cast("double")).as("avg_price"))
+          .orderBy("o_orderstatus", "o_orderpriority")
+      },
+      Some("""
+        select o_orderstatus, o_orderpriority,
+          count(o_totalprice) as cnt,
+          cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)) as total,
+          cast(min(o_totalprice) as decimal(18,2)) as min_price,
+          cast(max(o_totalprice) as decimal(18,2)) as max_price,
+          cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+            / cast(count(o_totalprice) as double) as avg_price
+        from orders
+        where o_custkey % 13 <> 0
+        group by o_orderstatus, o_orderpriority
+        order by o_orderstatus, o_orderpriority""")
+    ),
     "q_sessionize" -> Q(
       (s, dir) =>
         graft.streaming.StreamingPipeline

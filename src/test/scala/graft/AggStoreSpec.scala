@@ -173,6 +173,75 @@ class AggStoreSpec extends SparkSpec {
     assert(served(dir) == oneShot(b))
   }
 
+  test("erase with retained facts: serve equals the one-shot over retained; min/max rebuilt") {
+    val dir = tmp("erase")
+    // subject owns group b entirely AND the minimum of group a
+    val subject = Seq(("a", 1L), ("b", 5L), ("b", 9L))
+    val others = Seq(("a", 10L), ("a", 20L), ("c", 7L))
+    val all = subject ++ others
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(all.take(3)), Seq("grp"), $"v"), Seq("grp"), 4, 1L)
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(all.drop(3)), Seq("grp"), $"v"), Seq("grp"), 4, 2L)
+    val affected = AggStore.erase(spark, dir, facts(subject), Seq("grp"), $"v",
+      buckets = 4, batchId = 10L, retainedFacts = Some(facts(others)))
+    assert(affected == 2L, "groups a and b held subject facts")
+    assert(served(dir) == oneShot(others),
+      "after erasure the store must equal a one-shot groupBy over the " +
+        "retained facts — including the REBUILT min of group a and the " +
+        "disappearance of group b")
+    assert(AggStore.stalenessCount(spark, dir) == 0L,
+      "a rebuild-backed erase leaves no stale extremes")
+    // replaying the applied erase batch is a no-op
+    assert(AggStore.erase(spark, dir, facts(subject), Seq("grp"), $"v",
+      4, 10L, Some(facts(others))) == 0L)
+    assert(served(dir) == oneShot(others))
+  }
+
+  test("erase without retained facts: cnt/sum exact, staleness charged only for touched extremes") {
+    val dir = tmp("erasestale")
+    val subject = Seq(("a", 1L), ("c", 3L)) // a's MIN, c's interior value
+    val others = Seq(("a", 10L), ("a", 20L), ("c", 1L), ("c", 7L))
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(subject ++ others), Seq("grp"), $"v"),
+      Seq("grp"), 4, 1L)
+    AggStore.erase(spark, dir, facts(subject), Seq("grp"), $"v",
+      buckets = 4, batchId = 11L, retainedFacts = None)
+    val rows = AggStore.serve(spark, dir)
+      .select($"grp", $"cnt", $"sum".cast("long"), $"min".cast("long"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows("a") == ((2L, 30L, 1L)),
+      "cnt/sum subtract exactly; the stored min stays (possibly stale)")
+    assert(rows("c") == ((2L, 8L, 1L)),
+      "c's min was NOT erased — cnt/sum exact, min still exact")
+    assert(AggStore.stalenessCount(spark, dir) == 1L,
+      "only group a's extreme was touched by the erasure")
+    AggStore.clearStaleness(spark, dir)
+    assert(AggStore.stalenessCount(spark, dir) == 0L)
+  }
+
+  test("erase aborts when erased facts disagree with the maintained history") {
+    val dir = tmp("eraseabort")
+    AggStore.merge(spark, dir,
+      AggStore.aggregate(facts(Seq(("a", 10L))), Seq("grp"), $"v"), Seq("grp"), 4, 1L)
+    // negative-count abort: erasing more rows than the group holds
+    val exNeg = intercept[IllegalArgumentException] {
+      AggStore.erase(spark, dir, facts(Seq(("a", 10L), ("a", 10L))),
+        Seq("grp"), $"v", 4, 12L, None)
+    }
+    assert(exNeg.getMessage.contains("negative"))
+    // cross-check abort: retained facts inconsistent with the subtraction
+    val exBad = intercept[IllegalArgumentException] {
+      AggStore.erase(spark, dir, facts(Seq(("a", 10L))),
+        Seq("grp"), $"v", 4, 13L, Some(facts(Seq(("a", 999L)))))
+    }
+    assert(exBad.getMessage.contains("disagree"))
+    // the store is untouched after both aborts
+    assert(served(dir) == oneShot(Seq(("a", 10L))))
+  }
+
   test("property: any batch split of random facts merges to the one-shot aggregate") {
     val rnd = new scala.util.Random(42)
     (0 until 3).foreach { trial =>

@@ -1155,9 +1155,19 @@ class CurationOpsSpec extends SparkSpec {
     Seq(s"$batches/b0", s"$batches/b1").foreach { b =>
       val s = graft.cli.CurateCli.runIncremental(
         spark, b, state, nShards = 2, searchIndex = true, hybridIndex = true,
-        profileStats = true, exactIndex = true)
+        profileStats = true, exactIndex = true, aggStats = true)
       assert(s.auditOk)
     }
+    // the maintained per-source aggregate equals a one-shot groupBy over
+    // the accumulated corpus (the AggStore merge law, end to end)
+    def aggRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "cnt", "sum", "min", "max")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def corpusOneShot() = graft.operators.AggStore.aggregate(
+      spark.read.parquet(s"$state/corpus"), Seq("source"),
+      col("n_tokens").cast("long"))
+    assert(aggRows(graft.operators.AggStore.serve(spark, s"$state/agg")) ==
+      aggRows(corpusOneShot()))
     val before = spark.read.parquet(s"$state/corpus").cache()
     val nBefore = before.count()
     // erasure request: ~1/7 of the landed corpus, plus one id that was
@@ -1270,6 +1280,16 @@ class CurationOpsSpec extends SparkSpec {
       assert(bad.isEmpty, s"batch=$b shard positions must stay dense after erasure")
     }
 
+    // agg leg: after erasure the maintained per-source stats equal a
+    // one-shot groupBy over the RETAINED corpus — cnt/sum by exact
+    // subtraction, min/max by touched-group rebuild (AggStore.erase),
+    // cross-checked against each other inside the sweep
+    assert(es.nAggGroups > 0L, "the sweep must touch the agg leg")
+    assert(aggRows(graft.operators.AggStore.serve(spark, s"$state/agg")) ==
+      aggRows(corpusOneShot()),
+      "erased agg store must equal the one-shot over the retained corpus")
+    assert(graft.operators.AggStore.stalenessCount(spark, s"$state/agg") == 0L)
+
     // profile: rebuilt sketches are DATA-identical to a one-shot profile
     // of the retained corpus (sketches cannot subtract; rebuild is the heal)
     val storedHll = spark.read.parquet(s"$state/profile/hll")
@@ -1281,7 +1301,8 @@ class CurationOpsSpec extends SparkSpec {
     // idempotence: a second sweep with the same keys finds nothing
     val es2 = graft.cli.CurateCli.runErase(spark, keysPath, state)
     assert(es2.nCorpus == 0L && es2.nSearch == 0L && es2.nExact == 0L &&
-      es2.nDense == 0L && es2.nBand == 0L && es2.nShards == 0L)
+      es2.nDense == 0L && es2.nBand == 0L && es2.nShards == 0L &&
+      es2.nAggGroups == 0L)
     retained.unpersist()
   }
 

@@ -48,6 +48,50 @@ class EventStatsStoreSpec extends SparkSpec {
     assert(merged.contains(("a", ts(1, 10), 3L)))
   }
 
+  test("erase subtracts a subject's hourly counts exactly; emptied rows and days disappear") {
+    val dir = tmp("erase")
+    val subject = Seq((ts(1, 10), "a"), (ts(1, 10, 30), "a"), (ts(3, 8), "c"))
+    val others = Seq((ts(1, 10, 45), "a"), (ts(1, 11), "b"), (ts(2, 9), "a"))
+    EventStatsStore.merge(spark, dir,
+      Anomaly.hourlyCounts(mkEvents(subject ++ others.take(2)), "ts", Seq("event_type")),
+      Seq("event_type"), 1L)
+    EventStatsStore.merge(spark, dir,
+      Anomaly.hourlyCounts(mkEvents(others.drop(2)), "ts", Seq("event_type")),
+      Seq("event_type"), 2L)
+    val affected = EventStatsStore.erase(spark, dir,
+      Anomaly.hourlyCounts(mkEvents(subject), "ts", Seq("event_type")),
+      Seq("event_type"), 10L)
+    assert(affected == 2L, "two stored (key, hour) rows held subject counts")
+    // the store equals a one-shot aggregate over the RETAINED events
+    assert(sortedRows(EventStatsStore.load(spark, dir).drop("day")) ==
+      sortedRows(Anomaly.hourlyCounts(mkEvents(others), "ts", Seq("event_type"))))
+    // day 3 held only subject activity: its partition is GONE, not zeroed
+    assert(!new java.io.File(dir).listFiles().map(_.getName).contains("day=2024-01-03"))
+    // replaying the applied erase batch is a no-op
+    assert(EventStatsStore.erase(spark, dir,
+      Anomaly.hourlyCounts(mkEvents(subject), "ts", Seq("event_type")),
+      Seq("event_type"), 10L) == 0L)
+    assert(sortedRows(EventStatsStore.load(spark, dir).drop("day")) ==
+      sortedRows(Anomaly.hourlyCounts(mkEvents(others), "ts", Seq("event_type"))))
+  }
+
+  test("erase of counts exceeding the history aborts instead of serving negatives") {
+    val dir = tmp("eraseneg")
+    EventStatsStore.merge(spark, dir,
+      Anomaly.hourlyCounts(mkEvents(Seq((ts(1, 10), "a"))), "ts", Seq("event_type")),
+      Seq("event_type"), 1L)
+    val tooMany = mkEvents(Seq((ts(1, 10), "a"), (ts(1, 10, 5), "a")))
+    val ex = intercept[IllegalArgumentException] {
+      EventStatsStore.erase(spark, dir,
+        Anomaly.hourlyCounts(tooMany, "ts", Seq("event_type")),
+        Seq("event_type"), 11L)
+    }
+    assert(ex.getMessage.contains("negative"))
+    // the store is untouched
+    assert(sortedRows(EventStatsStore.load(spark, dir).drop("day")) ==
+      Seq(("a", ts(1, 10), 1L)))
+  }
+
   test("replaying an applied batchId is a no-op") {
     val dir = tmp("replay")
     val b1 = mkEvents(Seq((ts(1, 10), "a")))

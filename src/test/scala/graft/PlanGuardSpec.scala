@@ -113,6 +113,7 @@ class PlanGuardSpec extends SparkSpec {
     // builds the materialized-aggregate store (two merges + a replay):
     // touched-bucket collects are |buckets|-bounded, writes the operator
     "q_agg_store",
+    "q_agg_store_erase",    // AggStore build + erase (touched-bucket collects, cross-check counts, staged writes)
     // bloom build: ONE driver collect of the mBits/8-byte bitset (256 KiB)
     "q_bloom_decontam",
     // edge-list localCheckpoint: ONE k*|V|-row materialization so the 5
