@@ -496,7 +496,16 @@ object CurateCli {
     * [[graft.operators.Erasure]] broadcast-anti-join rewrite, so after
     * the sweep NO maintained artifact can reproduce the erased
     * documents — search, ANN, and dedup serve exactly what a rebuild
-    * from the retained corpus would serve.
+    * from the retained corpus would serve. (The maintained `agg/` leg is
+    * swept too — see the capture-before-purge note in the body.)
+    *
+    * Scope bound: STREAMING checkpoint state is outside this sweep — an
+    * in-flight subject session lives in the state store until its
+    * event-time timeout, see
+    * [[graft.streaming.StreamingPipeline.sessionize]]'s erasure-bound
+    * scaladoc and StreamingSpec's state-expiry proof. A full-compliance
+    * erasure runs this sweep AND waits out (or advances) one
+    * watermark+gap interval on the live queries.
     */
   def runErase(
       spark: SparkSession,

@@ -726,6 +726,21 @@ object StreamingPipeline {
   /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
     * timeout: a session closes when no event arrives within `gapMs` of the
     * last one (by watermark). Emits one row per closed session.
+    *
+    * Erasure bound (GDPR): store purges ([[graft.cli.CurateCli]] erase,
+    * [[graft.operators.Erasure]]) do NOT reach this query's checkpointed
+    * state — a subject's OPEN session (user id, timestamps, event count,
+    * value total) persists in the state store until its event-time
+    * timeout fires. The bound is `watermark past lastSeen + gapMs`: the
+    * timeout path `state.remove()`s the key, and expiry needs no further
+    * traffic from the subject (any event advances the watermark).
+    * StreamingSpec's "erasure bound" case pins this against the state
+    * files themselves via the state data source — after expiry, no
+    * state-store row holds the subject's key. An erasure sweep that must
+    * also cover in-flight state therefore waits out (or advances) one
+    * watermark+gap interval; stream-stream join state (attribution join)
+    * carries the same bound through its watermark-derived state
+    * retention.
     */
   def sessionize(
       events: Dataset[Event],

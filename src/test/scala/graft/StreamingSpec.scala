@@ -597,6 +597,48 @@ class StreamingSpec extends SparkSpec {
     assert(batch(1).getAs[Long]("n_events") == 1)
   }
 
+  test("erasure bound: sessionize state expires by watermark — no state row outlives the timeout") {
+    // Store purges (CurateCli erase / Erasure.eraseByKey) do NOT reach
+    // flatMapGroupsWithState checkpoints: a subject's open session lives
+    // in the state store until its event-time timeout fires. This pins
+    // the BOUND of that exposure — watermark past lastSeen+gap ⇒ the
+    // subject's key is gone from the persisted state files themselves
+    // (read back via the state data source, not inferred from output).
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("sess_state").toString
+    val input = MemoryStream[Event]
+    val sessions = StreamingPipeline.sessionize(
+      input.toDS(), gapMs = 10 * 60 * 1000, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("erase_sessions")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    // the subject (user 7) and a bystander (user 8)
+    input.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(5), 7, "click", 2.0),
+      Event(3, ts(1), 8, "click", 9.0))
+    q.processAllAvailable()
+
+    def stateKeys(): Set[Long] =
+      spark.read.format("statestore").load(ckpt)
+        .select(col("key.*")).collect().map(_.getLong(0)).toSet
+    assert(stateKeys().contains(7L),
+      "while the session is open, the subject's key IS in the persisted " +
+        "state — the documented erasure bound")
+
+    // any event advancing the watermark past lastSeen+gap expires the
+    // subject's state (EventTimeTimeout fires without subject traffic)
+    input.addData(Event(9, Timestamp.valueOf("2024-01-01 13:00:00"), 8, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(!stateKeys().contains(7L),
+      "after the watermark passes the timeout, no state-store row may " +
+        "hold the subject's key")
+    // ...and the timeout emitted the subject's closed session downstream
+    assert(spark.table("erase_sessions").as[Session].collect()
+      .exists(s => s.user_id == 7L && s.n_events == 2))
+  }
+
   test("property: streaming sessionize == batch twin on randomized event streams") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(42)
