@@ -263,10 +263,94 @@ object Codec {
     * BYTES, not the declared `kind` (a mislabelled blob must decode as what
     * it is or fail, never be misparsed).
     */
+  /** A decoded multi-frame video: monochrome luma planes on a fixed
+    * raster (one byte per pixel, row-major), one plane per keyframe.
+    */
+  final case class VideoFrames(width: Int, height: Int, frames: Array[Array[Byte]])
+
+  /** Encode mono keyframes as YUV4MPEG2 (`Cmono`) — the uncompressed
+    * video container (header line, then `FRAME\n` + one w*h luma plane
+    * per frame). Real format, trivially seekable, and mono planes ARE
+    * the luminance the perceptual hashes sample — no colorspace matrix
+    * between container bytes and hash bits.
+    */
+  def encodeY4mMono(v: VideoFrames): Array[Byte] = {
+    val header =
+      s"YUV4MPEG2 W${v.width} H${v.height} F25:1 Ip A1:1 Cmono\n"
+        .getBytes(StandardCharsets.US_ASCII)
+    val frameMarker = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
+    val planeSize = v.width * v.height
+    val out = new Array[Byte](
+      header.length + v.frames.length * (frameMarker.length + planeSize))
+    var off = 0
+    System.arraycopy(header, 0, out, off, header.length); off += header.length
+    v.frames.foreach { f =>
+      require(f.length == planeSize,
+        s"y4m encode: frame plane ${f.length} != $planeSize")
+      System.arraycopy(frameMarker, 0, out, off, frameMarker.length)
+      off += frameMarker.length
+      System.arraycopy(f, 0, out, off, planeSize); off += planeSize
+    }
+    out
+  }
+
+  def decodeY4mMono(bytes: Array[Byte]): VideoFrames = {
+    var off = 0
+    def line(): String = {
+      val start = off
+      while (off < bytes.length && bytes(off) != '\n') off += 1
+      if (off >= bytes.length) fail("y4m: unterminated header line")
+      off += 1
+      new String(bytes, start, off - 1 - start, StandardCharsets.US_ASCII)
+    }
+    val header = line()
+    val tokens = header.split(" ")
+    if (tokens.isEmpty || tokens(0) != "YUV4MPEG2") fail("y4m: bad magic")
+    var w = -1
+    var h = -1
+    var cs = "C420jpeg" // the y4m default when no C token is present
+    tokens.tail.foreach { t =>
+      if (t.startsWith("W")) w = t.drop(1).toInt
+      else if (t.startsWith("H")) h = t.drop(1).toInt
+      else if (t.startsWith("C")) cs = t
+    }
+    if (w <= 0 || h <= 0) fail(s"y4m: bad dims ${w}x$h")
+    if (cs != "Cmono") fail(s"y4m: only Cmono is supported, got $cs")
+    val planeSize = w * h
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (off < bytes.length) {
+      val marker = line()
+      if (marker != "FRAME" && !marker.startsWith("FRAME "))
+        fail(s"y4m: expected FRAME marker, got '$marker'")
+      if (off + planeSize > bytes.length) fail("y4m: truncated frame plane")
+      frames += java.util.Arrays.copyOfRange(bytes, off, off + planeSize)
+      off += planeSize
+    }
+    if (frames.isEmpty) fail("y4m: zero frames")
+    VideoFrames(w, h, frames.toArray)
+  }
+
+  /** Expand a mono luma plane to the [[ImagePixels]] RGB layout
+    * (r = g = b = Y), so the perceptual hashes' (r+g+b)/3 luminance
+    * recovers the plane byte EXACTLY.
+    */
+  def monoFrame(v: VideoFrames, idx: Int): ImagePixels = {
+    val plane = v.frames(idx)
+    val rgb = new Array[Byte](3 * plane.length)
+    var i = 0
+    while (i < plane.length) {
+      rgb(3 * i) = plane(i); rgb(3 * i + 1) = plane(i); rgb(3 * i + 2) = plane(i)
+      i += 1
+    }
+    ImagePixels(v.width, v.height, rgb)
+  }
+
   def sniffFormat(bytes: Array[Byte]): String =
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') "ppm"
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F') "wav"
+    else if (bytes.length >= 9 &&
+      new String(bytes, 0, 9, StandardCharsets.US_ASCII) == "YUV4MPEG2") "y4m"
     else fail(s"unrecognized media container (first bytes: ${bytes.take(4).mkString(",")})")
 }

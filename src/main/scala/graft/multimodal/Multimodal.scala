@@ -109,6 +109,52 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].map(synthesizeOne)
   }
 
+  /** Multi-keyframe synthetic video for the video lane (doc_id % 3 = 2):
+    * a REAL YUV4MPEG2 `Cmono` container carrying every keyframe on the
+    * declared 10s frame grid — `nFrames = durationMs/10000 + 1`, exactly
+    * [[frameOffsets]]' sequence — not just the first frame. Videos in
+    * the same FAMILY (`media_id % 23`) share dims and the per-frame
+    * pixel formula, with frame counts family-anchored plus a small
+    * per-id jitter (`(id/3) % 3` extra frames — a trim/truncation
+    * stand-in), so a shorter video's keyframes are a prefix of a longer
+    * family-mate's and family-mates overlap heavily (near-dups at 2/3)
+    * while 3-frame families and cross-family hash coincidences exercise
+    * the reject side. Frame `f`'s luma at (x, y) is
+    * `(family*7 + f*131 + x*13 + y*101) % 256` — integer-replayable by
+    * the DuckDB oracle without parsing container bytes, the
+    * [[synthesizeOne]] convention.
+    */
+  def synthesizeVideoOne(id: Long): MediaRecord = {
+    val family = (id % 23).toInt
+    val w = family % 11 + 4
+    val h = family % 5 + 4
+    val nFrames = (family % 24 + 3 + (id / 3) % 3).toInt
+    val frames = Array.tabulate(nFrames) { f =>
+      val plane = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          plane(y * w + x) =
+            ((family * 7 + f * 131 + x * 13 + y * 101) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      plane
+    }
+    MediaRecord(id, "video", Codec.encodeY4mMono(Codec.VideoFrames(w, h, frames)),
+      MediaMeta(w, h, 0, (nFrames - 1) * 10000, "y4m"))
+  }
+
+  def synthesizeVideos(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .filter(_ % 3 == 2)
+      .map(synthesizeVideoOne)
+  }
+
   /** Size partitions by a byte budget (blob-aware), not a row count. */
   def repartitionForMedia(
       ds: Dataset[MediaRecord],

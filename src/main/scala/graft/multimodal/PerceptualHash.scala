@@ -157,6 +157,70 @@ object PerceptualHash {
     }
   }
 
+  final case class KeyframeHash(media_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Decode every multi-keyframe video (YUV4MPEG2 records; other
+    * containers drop) and dHash EVERY keyframe — the video leg stops
+    * being first-frame-only: one mapPartitions pass over the blobs, one
+    * 8-byte hash per keyframe on the container's frame grid
+    * ([[Multimodal.frameOffsets]] declares the same grid from
+    * durationMs). Mono planes expand to the shared RGB raster layout, so
+    * the hash arithmetic is IDENTICAL to the image lane's.
+    */
+  def videoKeyframeHashes(ds: Dataset[Multimodal.MediaRecord]): Dataset[KeyframeHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { rec =>
+        Codec.sniffFormat(rec.bytes) match {
+          case "y4m" =>
+            val v = Codec.decodeY4mMono(rec.bytes)
+            (0 until v.frames.length).iterator.map(f =>
+              KeyframeHash(rec.media_id, f, dHash64(Codec.monoFrame(v, f))))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate videos by KEYFRAME-HASH-SET overlap — the
+    * [[graft.dedup.SetSimJoin]] shape on 64-bit keys: two videos pair
+    * when the Jaccard of their distinct keyframe-hash sets reaches
+    * `num/den` (re-encodes, truncations, and trims share most
+    * keyframes; the threshold compare is cross-multiplied integer
+    * arithmetic, no FP). Candidates come from an equi-join on the hash
+    * value itself — a 64-bit perceptual hash is its own blocking key, so
+    * only videos SHARING a keyframe ever meet, never all-pairs; the
+    * per-pair intersection count then verifies exactly.
+    *
+    * Returns (id_a, id_b, inter, union_sz, jaccard), id_a < id_b.
+    */
+  def videoNearDupPairs(
+      keyframes: Dataset[KeyframeHash],
+      num: Int,
+      den: Int
+  ): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+    val hs = keyframes.toDF()
+      .select(col("media_id"), col("dhash")).distinct()
+    val sizes = hs.groupBy(col("media_id")).agg(count(lit(1)).as("sz"))
+    val inter = hs.as("l")
+      .join(hs.as("r"),
+        col("l.dhash") === col("r.dhash") &&
+          col("l.media_id") < col("r.media_id"))
+      .groupBy(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("media_id", "id_a")
+        .withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("media_id", "id_b")
+        .withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("inter"))
+      .filter(col("inter") * den >= col("union_sz") * num)
+      .select(col("id_a"), col("id_b"), col("inter"), col("union_sz"),
+        (col("inter").cast("double") / col("union_sz").cast("double")).as("jaccard"))
+  }
+
   /** Hamming-banded near-dup pairs over any 64-bit hash column — the
     * [[graft.dedup.Dedup.simhashNearDupPairs]] block join generalized to
     * a precomputed hash: quarter-block candidates, exact popcount verify,

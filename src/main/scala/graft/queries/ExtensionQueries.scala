@@ -2184,6 +2184,73 @@ object ExtensionQueries {
         select src as id, least(src, min(dst)) as label
         from reach group by src order by id""")
     ),
+    // Multi-keyframe video near-dup: every keyframe on the declared 10s
+    // grid of the REAL y4m containers is dHashed (not just the first
+    // frame), and videos pair by keyframe-hash-SET Jaccard at 2/3 — the
+    // SetSimJoin shape on 64-bit keys, candidates from an equi-join on
+    // the hash itself (a perceptual hash is its own blocking key). The
+    // twin replays every frame's 9x8 grid samples from the synthetic
+    // mono formula, packs bits via the hugeint powers table, and
+    // re-derives the pairs with plain SQL set arithmetic — a mismatch in
+    // the y4m walk, the per-frame hash, or the overlap join hash-fails.
+    "q_video_near_dup" -> Q(
+      (s, dir) =>
+        graft.multimodal.PerceptualHash
+          .videoNearDupPairs(
+            graft.multimodal.PerceptualHash.videoKeyframeHashes(
+              Multimodal.synthesizeVideos(docs(s, dir))),
+            num = 2, den = 3)
+          .orderBy("id_a", "id_b"),
+      Some {
+        val powers = (0 until 64)
+          .map(k => s"($k, ${BigInt(1) << k}::hugeint)").mkString(", ")
+        def mono(gx: String): String =
+          s"((family*7 + f*131 + ($gx)*13 + ((k // 8) * h // 8)*101) % 256)"
+        val signed =
+          "(case when dhsum >= 9223372036854775808::hugeint " +
+            "then dhsum - 18446744073709551616::hugeint else dhsum end)::bigint"
+        s"""
+        with vid as (
+          select doc_id as media_id,
+            cast(doc_id % 23 as bigint) as family,
+            cast((doc_id % 23) % 11 + 4 as bigint) as w,
+            cast((doc_id % 23) % 5 + 4 as bigint) as h,
+            cast((doc_id % 23) % 24 + 3 + (doc_id // 3) % 3 as bigint) as nf
+          from documents where doc_id % 3 = 2
+        ),
+        powers (k, p) as (values $powers),
+        frames as (
+          select media_id, family, w, h, unnest(range(0, nf)) as f from vid
+        ),
+        cells as (select media_id, family, w, h, f, k, p
+                  from frames cross join powers),
+        dbits as (
+          select media_id, f,
+            sum(case when l0 > l1 then p else 0::hugeint end) as dhsum
+          from (
+            select media_id, f, p,
+              ${mono("(k % 8) * w // 9")} as l0,
+              ${mono("((k % 8) + 1) * w // 9")} as l1
+            from cells
+          ) group by media_id, f
+        ),
+        hs as (select distinct media_id, $signed as dhash from dbits),
+        sizes as (select media_id, count(*) as sz from hs group by media_id),
+        pairs as (
+          select l.media_id as id_a, r.media_id as id_b, count(*) as inter
+          from hs l join hs r on l.dhash = r.dhash and l.media_id < r.media_id
+          group by 1, 2
+        )
+        select id_a, id_b, inter,
+          sa.sz + sb.sz - inter as union_sz,
+          cast(inter as double) / cast(sa.sz + sb.sz - inter as double) as jaccard
+        from pairs
+        join sizes sa on sa.media_id = id_a
+        join sizes sb on sb.media_id = id_b
+        where inter * 3 >= (sa.sz + sb.sz - inter) * 2
+        order by id_a, id_b"""
+      }
+    ),
     "q_multimodal_meta" -> Q(
       (s, dir) => {
         val media = Multimodal.synthesizeFromDocuments(docs(s, dir)).toDF()

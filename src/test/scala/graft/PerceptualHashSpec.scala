@@ -109,4 +109,71 @@ class PerceptualHashSpec extends SparkSpec {
     assert(out.select("kind").distinct().collect().map(_.getString(0)).toSet
       .subsetOf(Set("image", "video")))
   }
+
+  test("y4m mono container round-trips frames byte-for-byte; sniff and guards hold") {
+    val frames = Array(
+      Array.tabulate(5 * 3)(i => (i * 7 % 256).toByte),
+      Array.tabulate(5 * 3)(i => (255 - i).toByte))
+    val v = Codec.VideoFrames(5, 3, frames)
+    val bytes = Codec.encodeY4mMono(v)
+    assert(Codec.sniffFormat(bytes) == "y4m")
+    val back = Codec.decodeY4mMono(bytes)
+    assert(back.width == 5 && back.height == 3 && back.frames.length == 2)
+    assert(back.frames(0).sameElements(frames(0)) &&
+      back.frames(1).sameElements(frames(1)))
+    // mono expansion: (r+g+b)/3 recovers the plane byte exactly
+    val img = Codec.monoFrame(back, 1)
+    assert((0 until 15).forall { i =>
+      val p = 3 * i
+      ((img.rgb(p) & 0xff) + (img.rgb(p + 1) & 0xff) + (img.rgb(p + 2) & 0xff)) / 3 ==
+        (frames(1)(i) & 0xff)
+    })
+    intercept[IllegalArgumentException](
+      Codec.decodeY4mMono("YUV4MPEG2 W4 H4 C420\nFRAME\n".getBytes ++ new Array[Byte](24)))
+  }
+
+  test("every keyframe on the declared grid hashes — count equals frameOffsets' sequence") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val vids = Multimodal.synthesizeVideos(docs)
+    val perVideo = PerceptualHash.videoKeyframeHashes(vids).toDF()
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_hashes"))
+    val declared = Multimodal.frameOffsets(
+        vids.toDF().select(col("media_id"), col("kind"), col("meta")))
+      .select(col("media_id"), size(col("frame_offsets_ms")).as("n_frames"))
+    assert(perVideo.join(declared, "media_id")
+      .filter(col("n_hashes") =!= col("n_frames")).isEmpty,
+      "one dHash per keyframe on the 10s grid the metadata declares")
+    // frame hashes vary across the grid (not first-frame-only replicated)
+    assert(PerceptualHash.videoKeyframeHashes(vids).toDF()
+      .groupBy(col("media_id"))
+      .agg(countDistinct(col("dhash")).as("nd"), count(lit(1)).as("n"))
+      .filter(col("nd") === 1 && col("n") > 2).count() <
+      vids.count() / 2,
+      "most multi-frame videos must carry more than one distinct keyframe hash")
+  }
+
+  test("video near-dup pairs equal brute-force jaccard over keyframe hash sets") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val kf = PerceptualHash.videoKeyframeHashes(
+      Multimodal.synthesizeVideos(docs)).cache()
+    val got = PerceptualHash.videoNearDupPairs(kf, 2, 3)
+      .select("id_a", "id_b", "inter", "union_sz")
+      .collect().map(_.toSeq).toSet
+    // brute force over the collected hash sets
+    val sets = kf.collect().groupBy(_.media_id)
+      .map { case (id, rows) => id -> rows.map(_.dhash).toSet }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size if inter * 3 >= (sa.size + sb.size - inter) * 2
+    } yield Seq[Any](a, b, inter.toLong, (sa.size + sb.size - inter).toLong)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "fixture must produce at least one accepted pair")
+    // family structure dominates: most accepted pairs share the family
+    // residue (tiny rasters CAN hash-collide across families — real
+    // perceptual-hash behavior, and exactly why the verify step exists)
+    val sameFamily = want.count { case Seq(a: Long, b: Long, _, _) => a % 23 == b % 23 }
+    assert(sameFamily * 2 > want.size,
+      s"only $sameFamily of ${want.size} accepted pairs share a family")
+    kf.unpersist()
+  }
 }
