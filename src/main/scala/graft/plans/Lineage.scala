@@ -63,32 +63,40 @@ object Lineage {
     * matching. The gate's job is catching accidental raw paths, which
     * are shaped like projections — and those it catches structurally.
     */
-  private def isSanitizer(e: Expression): Boolean = e match {
-    case _: Sha2 | _: Sha1 | _: Md5 | _: Crc32 => true
-    case _: Round | _: BRound => true
-    case _: IsNull | _: IsNotNull => true
-    case cmp: BinaryComparison => cmp.children.exists(_.foldable)
-    case c: Concat =>
-      c.children.exists {
-        case Literal(v, _) => v != null && v.toString == " XX XX XX XX"
-        case _ => false
-      } &&
-        c.children.forall {
-          case Literal(_, _) => true
-          // the EXACT compiled shape MaskModel emits: a prefix of at
-          // most 6 characters from position 1 (Masking.maskPhone's
-          // substring(trim(c), 1, keepChars<=6)). A merely-foldable
-          // pos/len would also admit substring(c, 1, 100) — a near-shape
-          // variant carrying essentially the whole raw value, which must
-          // stay raw-path
-          case s: Substring =>
-            (s.pos, s.len) match {
-              case (Literal(p: Int, _), Literal(l: Int, _)) => p == 1 && l <= 6
-              case _ => false
-            }
+  private def isSanitizer(e: Expression): Boolean = sanitizerKind(e).isDefined
+
+  /** The sanitizer KIND a node applies — the vocabulary the
+    * declared-method reconciliation matches against: `hash` (crypto
+    * digests), `round`, `partial` (the compiled partial-mask concat),
+    * and the one-bit auxiliary channels `presence` / `compare` that the
+    * reference publishes by design and that no declared method claims.
+    */
+  private def sanitizerKind(e: Expression): Option[String] = e match {
+    case _: Sha2 | _: Sha1 | _: Md5 | _: Crc32 => Some("hash")
+    case _: Round | _: BRound => Some("round")
+    case _: IsNull | _: IsNotNull => Some("presence")
+    case cmp: BinaryComparison if cmp.children.exists(_.foldable) => Some("compare")
+    case c: Concat
+        if c.children.exists {
+          case Literal(v, _) => v != null && v.toString == " XX XX XX XX"
           case _ => false
-        }
-    case _ => false
+        } &&
+          c.children.forall {
+            case Literal(_, _) => true
+            // the EXACT compiled shape MaskModel emits: a prefix of at
+            // most 6 characters from position 1 (Masking.maskPhone's
+            // substring(trim(c), 1, keepChars<=6)). A merely-foldable
+            // pos/len would also admit substring(c, 1, 100) — a near-shape
+            // variant carrying essentially the whole raw value, which must
+            // stay raw-path
+            case s: Substring =>
+              (s.pos, s.len) match {
+                case (Literal(p: Int, _), Literal(l: Int, _)) => p == 1 && l <= 6
+                case _ => false
+              }
+            case _ => false
+          } => Some("partial")
+    case _ => None
   }
 
   /** One bottom-up fold computing BOTH lineage maps per attribute id:
@@ -98,11 +106,26 @@ object Lineage {
     * [[isSanitizer]]). `raw ⊆ full` by construction; a PII source in
     * `full` but not `raw` flows exclusively through approved masking.
     */
+  /** Per source column, the set of PATH SIGNATURES from an attribute back
+    * to it: each signature is the set of sanitizer kinds crossed on one
+    * distinct path (∅ = a raw path). Bounded: at most 2^5 distinct
+    * signatures exist, so the fold stays plan-sized.
+    */
+  private type PathKinds = Map[String, Set[Set[String]]]
+
+  private def selfRooted(name: String): PathKinds =
+    Map(name -> Set(Set.empty[String]))
+
+  private def mergePathKinds(ms: Seq[PathKinds]): PathKinds =
+    ms.flatten.groupBy(_._1).map { case (s, vs) => s -> vs.flatMap(_._2).toSet }
+
   private def foldLineage(
       plan: LogicalPlan
-  ): (mutable.Map[Long, Set[String]], mutable.Map[Long, Set[String]]) = {
+  ): (mutable.Map[Long, Set[String]], mutable.Map[Long, Set[String]],
+      mutable.Map[Long, PathKinds]) = {
     val lin = mutable.Map.empty[Long, Set[String]]
     val raw = mutable.Map.empty[Long, Set[String]]
+    val knd = mutable.Map.empty[Long, PathKinds]
 
     def exprRefs(e: Expression): Set[String] =
       e.references.toSeq.flatMap(a => lin.getOrElse(a.exprId.id, Set(a.name))).toSet
@@ -113,6 +136,17 @@ object Lineage {
       case other => other.children.flatMap(rawRefs).toSet
     }
 
+    def kindRefs(e: Expression): PathKinds = {
+      val base = e match {
+        case a: Attribute => knd.getOrElse(a.exprId.id, selfRooted(a.name))
+        case other => mergePathKinds(other.children.map(kindRefs))
+      }
+      sanitizerKind(e) match {
+        case Some(k) => base.map { case (s, paths) => s -> paths.map(_ + k) }
+        case None => base
+      }
+    }
+
     def visit(p: LogicalPlan): Unit = {
       p.children.foreach(visit)
       p match {
@@ -121,6 +155,7 @@ object Lineage {
           leaf.output.foreach { a =>
             lin(a.exprId.id) = Set(a.name)
             raw(a.exprId.id) = Set(a.name)
+            knd(a.exprId.id) = selfRooted(a.name)
           }
         case g: Generate =>
           // the generator's output attributes (explode/posexplode/inline
@@ -129,13 +164,16 @@ object Lineage {
           // miss them and the pass-through default would self-root them
           val genLin = exprRefs(g.generator)
           val genRaw = rawRefs(g.generator)
+          val genKnd = kindRefs(g.generator)
           g.generatorOutput.foreach { a =>
             lin(a.exprId.id) = genLin
             raw(a.exprId.id) = genRaw
+            knd(a.exprId.id) = genKnd
           }
           g.output.foreach { a =>
             if (!lin.contains(a.exprId.id)) lin(a.exprId.id) = Set(a.name)
             if (!raw.contains(a.exprId.id)) raw(a.exprId.id) = Set(a.name)
+            if (!knd.contains(a.exprId.id)) knd(a.exprId.id) = selfRooted(a.name)
           }
         case u: Union =>
           // each output column merges the positionally-corresponding
@@ -150,6 +188,10 @@ object Lineage {
               val ca = c.output(i)
               raw.getOrElse(ca.exprId.id, Set(ca.name))
             }.toSet
+            knd(a.exprId.id) = mergePathKinds(u.children.map { c =>
+              val ca = c.output(i)
+              knd.getOrElse(ca.exprId.id, selfRooted(ca.name))
+            })
           }
         case other =>
           // named expressions (projections, aggregates, window outputs)
@@ -159,6 +201,7 @@ object Lineage {
               case ne: NamedExpression if !ne.isInstanceOf[Attribute] =>
                 lin(ne.exprId.id) = exprRefs(ne)
                 raw(ne.exprId.id) = rawRefs(ne)
+                knd(ne.exprId.id) = kindRefs(ne)
               case _ =>
             }
           }
@@ -166,17 +209,18 @@ object Lineage {
           other.output.foreach { a =>
             if (!lin.contains(a.exprId.id)) lin(a.exprId.id) = Set(a.name)
             if (!raw.contains(a.exprId.id)) raw(a.exprId.id) = Set(a.name)
+            if (!knd.contains(a.exprId.id)) knd(a.exprId.id) = selfRooted(a.name)
           }
       }
     }
     visit(plan)
-    (lin, raw)
+    (lin, raw, knd)
   }
 
   /** (out_col, src_cols sorted and comma-joined, n_src) per output column. */
   def columnLineage(df: DataFrame): Seq[(String, Seq[String])] = {
     val plan = df.queryExecution.analyzed
-    val (lin, _) = foldLineage(plan)
+    val (lin, _, _) = foldLineage(plan)
     plan.output.map(a =>
       a.name -> lin.getOrElse(a.exprId.id, Set(a.name)).toSeq.sorted)
   }
@@ -186,7 +230,7 @@ object Lineage {
     */
   def columnLineageWithRaw(df: DataFrame): Seq[(String, Seq[String], Seq[String])] = {
     val plan = df.queryExecution.analyzed
-    val (lin, raw) = foldLineage(plan)
+    val (lin, raw, _) = foldLineage(plan)
     plan.output.map { a =>
       (a.name,
         lin.getOrElse(a.exprId.id, Set(a.name)).toSeq.sorted,
@@ -238,6 +282,71 @@ object Lineage {
       .toDF("out_col", "pii_sources", "derives_from_pii",
         "raw_pii_sources", "all_pii_masked")
   }
+
+
+  /** Value-bearing sanitizer kinds — the ones a declared anonymization
+    * method claims. `presence`/`compare` are the reference's one-bit
+    * auxiliary channels (flags, completeness, CASE guards) that no
+    * method declares and every method tolerates.
+    */
+  private val ValueKinds = Set("hash", "round", "partial")
+
+  /** Which sanitizer kinds SATISFY a declared method. A cryptographic
+    * hash satisfies every method — it is strictly stronger than any
+    * partial mask or coarsening (the surrogate key md5-hashes columns
+    * whose own method is weaker, and a DPO would never flag strength).
+    * The gate exists for the opposite direction: a WEAKER-than-declared
+    * sanitizer (round where hash_sha256 was declared) must fail.
+    */
+  private def allowedKinds(method: String): Option[Set[String]] = method match {
+    case "hash_sha256" => Some(Set("hash"))
+    case "mask_partial" => Some(Set("partial", "hash"))
+    case "round_2_decimals" => Some(Set("round", "hash"))
+    // suppress references nothing; aggregate_to_city publishes a
+    // presence-gated non-PII value; unknown methods fail open and are
+    // caught as RAW paths — none constrains the sanitized-path kinds
+    case _ => None
+  }
+
+  /** Declared-method reconciliation (the policy's `anonymization_method`
+    * against the PLAN): for every output column, the PII sources whose
+    * sanitized paths use a kind the declared method does not allow —
+    * `round` where `hash_sha256` was declared certifies as masked under
+    * [[allPiiMasked]] but is NOT the promised protection, and must fail
+    * the release certificate's method bit. Raw paths are excluded here
+    * (they are [[allPiiMasked]]'s verdict); auxiliary-only paths
+    * (presence bits, CASE guards) pass for every method.
+    *
+    * Precision note: signatures are per PATH (the fold keeps the set of
+    * kind-sets, not their union), so a column mixing a correct-method
+    * path with a separate weaker-sanitizer path IS flagged. Plan-sized,
+    * zero jobs.
+    */
+  def methodMismatches(
+      df: DataFrame,
+      declaredMethods: Map[String, String]
+  ): Seq[(String, Seq[String])] = {
+    val plan = df.queryExecution.analyzed
+    val (_, _, knd) = foldLineage(plan)
+    plan.output.map { a =>
+      val paths = knd.getOrElse(a.exprId.id, selfRooted(a.name))
+      val bad = declaredMethods.toSeq.sorted.collect {
+        case (src, method) if {
+          val allowed = allowedKinds(method)
+          allowed.isDefined && paths.getOrElse(src, Set.empty).exists(p =>
+            (p & ValueKinds).nonEmpty && (p & allowed.get).isEmpty)
+        } => src
+      }
+      a.name -> bad
+    }
+  }
+
+  /** True iff every sanitized PII path uses a kind its declared method
+    * allows — the per-method bit the release certificate carries next to
+    * [[allPiiMasked]].
+    */
+  def methodsReconcile(df: DataFrame, declaredMethods: Map[String, String]): Boolean =
+    methodMismatches(df, declaredMethods).forall(_._2.isEmpty)
 
   /** True iff NO published column carries a raw (unmasked) PII path —
     * the one-bit form [[maskedPiiExposure]] feeds the release

@@ -1648,11 +1648,23 @@ object Registry {
           .flatMap(_.collect { case (n, p) if p.pii => n }).toSet
         val allMasked =
           if (graft.plans.Lineage.allPiiMasked(mart, piiCols)) 1 else 0
+        // the per-method bit: every sanitized PII path must use the kind
+        // its policy DECLARES (round where hash_sha256 was declared
+        // certifies as "masked" but is not the promised protection) —
+        // Lineage.methodsReconcile, plan-sized, zero jobs
+        val declaredMethods = PolicyCatalog.reference.models.values
+          .flatMap(_.collect {
+            case (n, p) if p.pii && p.anonymizationMethod.isDefined =>
+              n -> p.anonymizationMethod.get.name
+          }).toMap
+        val methodsOk =
+          if (graft.plans.Lineage.methodsReconcile(mart, declaredMethods)) 1 else 0
         base
           .crossJoin(broadcast(kFloor))
           .withColumn("k5_ok",
             when(col("min_group_size") >= 5, 1).otherwise(0))
           .withColumn("all_pii_masked", lit(allMasked))
+          .withColumn("methods_reconcile", lit(methodsOk))
       },
       Some(OracleSql.pipelineCtes + """
         , base as (
@@ -1673,7 +1685,8 @@ object Registry {
           avg_completeness,
           cast(min_group_size as bigint) as min_group_size,
           cast(case when min_group_size >= 5 then 1 else 0 end as int) as k5_ok,
-          cast(1 as int) as all_pii_masked
+          cast(1 as int) as all_pii_masked,
+          cast(1 as int) as methods_reconcile
         from base cross join kf""")
     ),
     // Lineage-based PII exposure audit: which published columns

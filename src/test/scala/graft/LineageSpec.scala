@@ -164,6 +164,64 @@ class LineageSpec extends SparkSpec {
       "the compiled shape starts at position 1")
   }
 
+  test("declared-method reconciliation: a weaker-than-declared sanitizer fails, strength passes") {
+    import graft.plans.Lineage
+    val base = leaf(Seq(("a@x.fr", 48.85, 52000.0)).toDF("contact_email", "latitude", "salary"))
+    val declared = Map(
+      "contact_email" -> "hash_sha256",
+      "latitude" -> "round_2_decimals",
+      "salary" -> "hash_sha256")
+
+    // the genuine compiled masks reconcile with their declared methods
+    val good = base.select(
+      graft.masking.Masking.maskEmail($"contact_email", "s", "d").as("email_anon"),
+      round($"latitude", 2).as("lat_anon"))
+    assert(Lineage.methodsReconcile(good, declared))
+
+    // the gap this gate exists for: salary declared hash_sha256 but
+    // published through ROUND — sanitized (allPiiMasked holds!) yet NOT
+    // the promised protection
+    val swapped = base.select(round($"salary", -3).as("salary_anon"))
+    assert(Lineage.allPiiMasked(swapped, Set("salary")),
+      "the swap is invisible to the any-sanitizer gate — that is the gap")
+    assert(!Lineage.methodsReconcile(swapped, declared),
+      "round where hash_sha256 was declared must fail the method bit")
+    assert(Lineage.methodMismatches(swapped, declared)
+      .exists { case (out, bad) => out == "salary_anon" && bad == Seq("salary") })
+
+    // per-PATH precision: a column mixing a correct-method path with a
+    // separate weaker-sanitizer path is still flagged
+    val mixed = base.select(
+      concat(sha2($"salary".cast("string"), 256),
+        round($"salary", -3).cast("string")).as("salary_blend"))
+    assert(!Lineage.methodsReconcile(mixed, declared))
+
+    // strength passes: a crypto hash satisfies a weaker declared method
+    val stronger = base.select(sha2($"latitude".cast("string"), 256).as("lat_anon"))
+    assert(Lineage.methodsReconcile(stronger, declared))
+
+    // auxiliary one-bit channels are method-agnostic
+    val flags = base.select($"salary".isNotNull.cast("int").as("has_salary"))
+    assert(Lineage.methodsReconcile(flags, declared))
+
+    // ...and the REAL mart reconciles against the reference catalog
+    import graft.policy.PolicyCatalog
+    val cat = PolicyCatalog.reference
+    val catDeclared = cat.models.values.flatMap(_.collect {
+      case (n, p) if p.pii && p.anonymizationMethod.isDefined =>
+        n -> p.anonymizationMethod.get.name
+    }).toMap
+    val svc = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      graft.queries.Tables.services(spark, "/root/testdata/sf0.001").schema)
+    val mart = graft.pipeline.Pipeline.mart(
+      graft.pipeline.Pipeline.enrich(
+        graft.pipeline.Pipeline.anonymize(
+          graft.pipeline.Pipeline.staging(svc), cat)))
+    assert(Lineage.methodsReconcile(mart, catDeclared),
+      "every published mart column must sanitize via its DECLARED method")
+  }
+
   test("an injected raw passthrough flips the release-cert masking gate; the mart certifies") {
     import graft.pipeline.Pipeline
     import graft.policy.PolicyCatalog
