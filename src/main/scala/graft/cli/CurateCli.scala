@@ -796,6 +796,26 @@ object CurateCli {
       spark.stop()
       return
     }
+    if (args.headOption.contains("fsck")) {
+      require(args.length >= 2, "usage: CurateCli fsck <stateDir>")
+      val spark = session()
+      val checks = graft.operators.Fsck.state(spark, args(1))
+      checks.foreach(c => println(
+        s"[fsck] ${c.component}.${c.check} " +
+          s"${if (c.ok) "OK" else "FAIL"} ${c.detail}"))
+      val bad = checks.count(!_.ok)
+      Files.createDirectories(Paths.get(args(1)))
+      Files.writeString(
+        Paths.get(s"${args(1)}/fsck_report.json"),
+        checks.map(c =>
+          s"""{"component":${jstr(c.component)},"check":${jstr(c.check)},""" +
+            s""""ok":${c.ok},"detail":${jstr(c.detail)}}""")
+          .mkString("[", ",", "]") + "\n")
+      println(s"[fsck] ${checks.size} checks, $bad failed")
+      spark.stop()
+      if (bad > 0) sys.exit(1)
+      return
+    }
     if (args.headOption.contains("erase")) {
       require(args.length >= 3,
         "usage: CurateCli erase <keys.parquet> <stateDir> [profileBudget]")

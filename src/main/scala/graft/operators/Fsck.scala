@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Store consistency auditor — the `fsck` for the incremental state
+  * directory. Every maintained store now commits under a crash protocol
+  * ([[PartitionSwap]], the retire/promote swaps) and several carry
+  * REDUNDANT state by design (BM25 stats derivable from the docs leg,
+  * prefix postings derivable from the sets leg, every serving leg keyed
+  * by corpus membership). This module turns that redundancy into
+  * mechanical invariants an operator can check BEFORE serving — the
+  * difference between "the crash protocol should have worked" and "the
+  * store is provably consistent right now".
+  *
+  * Checks are read-only and scale-shaped: marker hygiene is pure
+  * filesystem metadata; membership checks are anti-join COUNTS over the
+  * id projections (column-pruned scans, no data movement beyond the
+  * aggregate); the stats check recomputes one row from the docs leg.
+  * Nothing corpus-sized shuffles, nothing is rewritten.
+  */
+object Fsck {
+
+  final case class Check(component: String, check: String, ok: Boolean, detail: String)
+
+  private def exists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  /** Commit-protocol hygiene for one store root: a pending marker, a
+    * `.retired` sibling, or a leftover stage dir mean a crashed commit
+    * nobody has recovered yet — serving such a store skips the rollback
+    * the protocol prescribes. (Stores recover on their own load paths;
+    * fsck reports the debt without mutating anything.)
+    */
+  def markerHygiene(spark: SparkSession, dir: String, label: String): Seq[Check] = {
+    val stripped = dir.stripSuffix("/")
+    Seq(
+      Check(label, "no_pending_marker",
+        !exists(spark, s"$dir/_batches/_pending"),
+        s"$dir/_batches/_pending"),
+      Check(label, "no_retired_tree",
+        !exists(spark, s"$stripped.retired") &&
+          !exists(spark, s"${stripped}__retired"),
+        s"$stripped.retired"),
+      Check(label, "no_stage_tree",
+        !exists(spark, s"$stripped.merge-stage") &&
+          !exists(spark, s"$dir/.swap-stage") &&
+          !exists(spark, s"${stripped}__erasing"),
+        "merge-stage/.swap-stage/__erasing"))
+  }
+
+  /** BM25 search-index invariants, checkable because the docs leg makes
+    * the corpus stats REDUNDANT:
+    *   - `stats_exact`: the stored one-row stats are value-identical to
+    *     a recompute from `docs/` (the erase/append exactness contract);
+    *   - `postings_subset_docs`: every posting row's doc is a member of
+    *     the docs leg (an erase that purged docs but not postings — or
+    *     vice versa — breaks this);
+    *   - `docs_unique`: one membership row per document;
+    *   - `dl_consistent`: every posting's carried `dl` equals its doc's
+    *     membership `dl` (postings and docs legs agree on lengths).
+    */
+  def searchIndex(spark: SparkSession, dir: String): Seq[Check] = {
+    val docs = spark.read.parquet(s"$dir/docs")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val idCol = docs.columns.filterNot(_ == "dl").head
+
+    val stored = spark.read.parquet(s"$dir/stats").head()
+    // one docs-leg pass: stats recompute + uniqueness
+    val dAgg = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      coalesce(sum(col("dl")), lit(0L)).cast("double").as("tot"),
+      (count(lit(1)) - count_distinct(col(idCol))).as("dups")).head()
+    val n = dAgg.getAs[Double]("n")
+    val tot = dAgg.getAs[Double]("tot")
+    val avg = if (n > 0.0) tot / n else 0.0
+    val statsOk = stored.getAs[Double]("_n_docs") == n &&
+      stored.getAs[Double]("_tot_tokens") == tot &&
+      stored.getAs[Double]("_avgdl") == avg
+    val dupDocs = dAgg.getAs[Long]("dups")
+
+    // one postings⋈docs pass: membership AND dl agreement
+    val j = postings.select(col(idCol), col("dl").as("_p_dl"))
+      .join(docs.withColumnRenamed("dl", "_d_dl"), Seq(idCol), "left")
+      .agg(
+        sum(when(col("_d_dl").isNull, 1L).otherwise(0L)).as("orphans"),
+        sum(when(col("_d_dl").isNotNull && col("_p_dl") =!= col("_d_dl"), 1L)
+          .otherwise(0L)).as("dl_bad")).head()
+    val orphanPostings = Option(j.getAs[Long]("orphans")).getOrElse(0L)
+    val dlMismatch = Option(j.getAs[Long]("dl_bad")).getOrElse(0L)
+
+    markerHygiene(spark, dir, "search") ++ Seq(
+      Check("search", "stats_exact", statsOk,
+        s"stored=(${stored.mkString(",")}) recomputed=($n,$tot,$avg)"),
+      Check("search", "postings_subset_docs", orphanPostings == 0L,
+        s"$orphanPostings orphan posting rows"),
+      Check("search", "docs_unique", dupDocs == 0L, s"$dupDocs duplicated ids"),
+      Check("search", "dl_consistent", dlMismatch == 0L,
+        s"$dlMismatch postings disagree with the docs leg on dl"))
+  }
+
+  /** SetSimJoin prefix-index invariants: every posting row's id has a
+    * sets-leg row (`postings_subset_sets`), sets ids are unique, and
+    * each id's posting count equals the prefix length its stored `sz`
+    * implies under the index threshold (`prefix_count_exact`) — a
+    * half-appended or half-erased epoch breaks one of these.
+    */
+  def exactIndex(spark: SparkSession, dir: String): Seq[Check] = {
+    val sets = spark.read.parquet(s"$dir/sets")
+    val postings = spark.read.parquet(s"$dir/postings")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (num, den) = (meta.getAs[Int]("num"), meta.getAs[Int]("den"))
+
+    val expectedPrefix =
+      (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1))
+        .cast("long")
+    // one full-join pass: membership, uniqueness, and prefix exactness
+    val agg = postings.groupBy(col("id")).agg(count(lit(1)).as("_np"))
+      .join(sets.select(col("id"), expectedPrefix.as("_want")), Seq("id"), "full")
+      .agg(
+        sum(when(col("_want").isNull, 1L).otherwise(0L)).as("orphans"),
+        sum(when(col("_want").isNotNull &&
+          !(coalesce(col("_np"), lit(0L)) === col("_want")), 1L)
+          .otherwise(0L)).as("prefix_bad")).head()
+    val orphan = Option(agg.getAs[Long]("orphans")).getOrElse(0L)
+    val prefixBad = Option(agg.getAs[Long]("prefix_bad")).getOrElse(0L)
+    val sAgg = sets.agg(
+      (count(lit(1)) - count_distinct(col("id"))).as("dups")).head()
+    val dupSets = sAgg.getAs[Long]("dups")
+
+    markerHygiene(spark, dir, "exact") ++ Seq(
+      Check("exact", "postings_subset_sets", orphan == 0L,
+        s"$orphan orphan posting rows"),
+      Check("exact", "sets_unique", dupSets == 0L, s"$dupSets duplicated ids"),
+      Check("exact", "prefix_count_exact", prefixBad == 0L,
+        s"$prefixBad ids whose posting count disagrees with sz at $num/$den"))
+  }
+
+  /** A serving leg's ids must be a subset of the corpus — an erasure
+    * that purged the corpus but missed a leg (or a crashed append that
+    * landed a leg before the corpus) surfaces as orphans.
+    */
+  def membership(
+      spark: SparkSession,
+      corpusIds: DataFrame,
+      legPath: String,
+      legIdCol: String,
+      label: String
+  ): Check = {
+    val orphans = spark.read.parquet(legPath)
+      .select(col(legIdCol).as("doc_id")).distinct()
+      .join(corpusIds, Seq("doc_id"), "left_anti").count()
+    Check(label, "ids_subset_corpus", orphans == 0L, s"$orphans orphan ids")
+  }
+
+  /** Full state-directory audit over every leg that exists (the
+    * [[graft.cli.CurateCli]] layout). Returns every check; the CLI exits
+    * nonzero when any fails.
+    */
+  def state(spark: SparkSession, outDir: String): Seq[Check] = {
+    val checks = scala.collection.mutable.ArrayBuffer.empty[Check]
+    val corpusDir = s"$outDir/corpus"
+    checks ++= markerHygiene(spark, corpusDir, "corpus")
+    val corpusIds =
+      if (exists(spark, corpusDir))
+        Some(spark.read.parquet(corpusDir).select(col("doc_id")).distinct())
+      else None
+    if (exists(spark, s"$outDir/search/stats"))
+      checks ++= searchIndex(spark, s"$outDir/search")
+    if (exists(spark, s"$outDir/exact/meta"))
+      checks ++= exactIndex(spark, s"$outDir/exact")
+    corpusIds.foreach { ids =>
+      Seq(
+        (s"$outDir/search/docs", "doc_id", "search"),
+        (s"$outDir/index/bands", "doc_id", "band"),
+        (s"$outDir/dense/assigned", "doc_id", "dense"),
+        (s"$outDir/exact/sets", "id", "exact"))
+        .foreach { case (p, idc, label) =>
+          if (exists(spark, p)) checks += membership(spark, ids, p, idc, label)
+        }
+      // agg leg: total cnt must equal the corpus row count (per-source
+      // token stats aggregate EVERY corpus row exactly once). Hygiene
+      // FIRST, and a RAW read — AggStore.load would helpfully run
+      // recovery, and fsck must report commit debt, not repay it
+      if (exists(spark, s"$outDir/agg")) {
+        checks ++= markerHygiene(spark, s"$outDir/agg", "agg")
+        val total = spark.read.parquet(s"$outDir/agg")
+          .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+        val corpusN = ids.count()
+        checks += Check("agg", "cnt_equals_corpus", total == corpusN,
+          s"agg cnt total $total vs corpus $corpusN")
+      }
+    }
+    checks.toSeq
+  }
+
+  def toDf(spark: SparkSession, checks: Seq[Check]): DataFrame = {
+    import spark.implicits._
+    checks.toDF("component", "check", "ok", "detail")
+  }
+}

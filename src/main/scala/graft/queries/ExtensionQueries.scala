@@ -3032,6 +3032,51 @@ object ExtensionQueries {
       },
       Some(bm25TopKOracleOver("(select * from documents where doc_id % 7 <> 0)"))
     ),
+    // Store-consistency auditor (fsck): build the BM25 and exact prefix
+    // indexes in-query, then verify the invariants their REDUNDANT state
+    // makes checkable — stored stats bit-equal to a docs-leg recompute,
+    // postings ⊆ membership legs, per-id prefix counts exactly what the
+    // stored sz implies at the index threshold, no unrecovered commit
+    // markers. The literal oracle pins the full check list at ok=1: a
+    // maintenance change that breaks an invariant (or silently DROPS a
+    // check) hash-fails. Build jobs bounded (PlanGuard exemption).
+    "q_fsck" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val root = s"${sys.props("java.io.tmpdir")}/graft_fsck_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val all = docs(s, dir)
+        graft.text.Bm25.writeSearchIndex(all, "doc_id", col("text"), s"$root/search")
+        val sets = all.select(col("doc_id"),
+          array_distinct(transform(
+            graft.dedup.Dedup.wordShingles(col("text"), 3), x => md5(x))).as("sh"))
+        graft.dedup.SetSimJoin.writeIndex(sets, "doc_id", "sh", 2, 5, s"$root/exact")
+        val checks = graft.operators.Fsck.searchIndex(s, s"$root/search") ++
+          graft.operators.Fsck.exactIndex(s, s"$root/exact")
+        checks.map(c => (c.component, c.check, if (c.ok) 1 else 0))
+          .toDF("component", "check", "ok")
+          .orderBy("component", "check")
+      },
+      Some("""
+        select * from (values
+          ('exact', 'no_pending_marker', 1),
+          ('exact', 'no_retired_tree', 1),
+          ('exact', 'no_stage_tree', 1),
+          ('exact', 'postings_subset_sets', 1),
+          ('exact', 'prefix_count_exact', 1),
+          ('exact', 'sets_unique', 1),
+          ('search', 'dl_consistent', 1),
+          ('search', 'docs_unique', 1),
+          ('search', 'no_pending_marker', 1),
+          ('search', 'no_retired_tree', 1),
+          ('search', 'no_stage_tree', 1),
+          ('search', 'postings_subset_docs', 1),
+          ('search', 'stats_exact', 1)
+        ) t(component, "check", ok)
+        order by component, "check"""")
+    ),
     "q_hybrid_rrf" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -114,6 +114,7 @@ class PlanGuardSpec extends SparkSpec {
     // touched-bucket collects are |buckets|-bounded, writes the operator
     "q_agg_store",
     "q_agg_store_erase",    // AggStore build + erase (touched-bucket collects, cross-check counts, staged writes)
+    "q_fsck",               // builds BM25 + exact indexes, then bounded invariant-count probes
     // bloom build: ONE driver collect of the mBits/8-byte bitset (256 KiB)
     "q_bloom_decontam",
     // edge-list localCheckpoint: ONE k*|V|-row materialization so the 5
@@ -173,8 +174,12 @@ class PlanGuardSpec extends SparkSpec {
             "in-plan (crossJoin(broadcast(singleRowAgg)) or a post-agg window)")
       } else {
         // exempted builders are still BOUNDED: k-means iters, CC maxIter,
-        // ladder/lattice probes — a runaway iteration must not hide here
-        assert(buildJobs.length <= 40,
+        // ladder/lattice probes — a runaway iteration must not hide here.
+        // q_fsck's higher budget is structural, not iterative: it builds
+        // TWO serving indexes (BM25 three-leg + exact four-leg writes)
+        // before the audit's fused single-pass probes
+        val budget = if (name == "q_fsck") 60 else 40
+        assert(buildJobs.length <= budget,
           s"$name ran ${buildJobs.length} build jobs — exceeds the bounded-" +
             "iteration budget; its exemption no longer holds")
       }
