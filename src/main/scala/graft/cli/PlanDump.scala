@@ -105,7 +105,11 @@ object PlanDump {
     "q_image_near_dup",   // quarter-block hamming pairs over aHash
     "q_audio_fingerprint",// WAV decode -> envelope-sign hash
     "q_image_clusters",   // pointer-jumping CC over perceptual pairs
-    "q_agg_store"         // materialized-aggregate store build + serve
+    "q_agg_store",        // materialized-aggregate store build + serve
+    "q_agg_store_erase",  // store build + exact-subtraction erase + rebuilt serve
+    "q_video_near_dup",   // y4m multi-keyframe dHash + hash-equality set overlap
+    "q_fsck",             // two index builds + fused single-pass invariant probes
+    "q_release_cert"      // validator compose + zero-job lineage/method bits
   )
 
   def main(args: Array[String]): Unit = {
