@@ -638,6 +638,82 @@ object CurateCli {
     * NO per-subject rows (sketches are aggregates), which the report
     * records as a structural fact rather than a zero.
     */
+  final case class RetentionSummary(
+      nBatchesExpired: Int,
+      nDocsExpired: Long,
+      erase: EraseSummary)
+
+  /** Storage-limitation sweep (the reference's per-column
+    * `retention_days` meta,
+    * `/root/reference/dbt_project/models/staging/schema.yml:57-64`,
+    * operationalized over the incremental state): expire every ingest
+    * batch older than the newest `keepBatches`, where a batch is the
+    * daily-increment unit `runIncremental` lands — the engine-side
+    * analogue of "rows older than N days". Age-based deletion COMPOSES
+    * with subject erasure rather than duplicating it:
+    *
+    *   1. the expired batches' shard directories are DROPPED whole — at
+    *     100 TB aging out a batch must be O(1) metadata, never a rewrite
+    *     (the [[graft.operators.Ttl]] argument applied to the durable
+    *     training record);
+    *   2. their doc ids become an erasure key set and ride the standard
+    *     [[runErase]] sweep, so the corpus and EVERY serving leg (band /
+    *     BM25 / dense / exact / agg / profile ledger) forget the expired
+    *     documents with all the crash-safety and exactness guarantees
+    *     subject erasure already carries — and [[graft.operators.Fsck]]
+    *     audits clean afterwards.
+    *
+    * Returns the expired-batch count, the expired doc count, and the
+    * inner erase summary. Idempotent: a second call with the same
+    * `keepBatches` finds nothing to expire.
+    */
+  def runRetention(
+      spark: SparkSession,
+      outDir: String,
+      keepBatches: Int,
+      profileBudget: Long = 0L
+  ): RetentionSummary = {
+    require(keepBatches >= 0, s"retention: keepBatches must be >= 0, got $keepBatches")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardsRoot = new org.apache.hadoop.fs.Path(s"$outDir/shards")
+    val batchDirs =
+      if (!fs.exists(shardsRoot)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(shardsRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .sortBy(_.getPath.getName.stripPrefix("batch=").toInt)
+    val expired = batchDirs.dropRight(keepBatches)
+    if (expired.isEmpty) {
+      val empty = EraseSummary(0L, 0L, 0L, 0L, 0L, 0L, 0L, false,
+        graft.sketch.ProfileStore.stalenessCount(spark, s"$outDir/profile"))
+      return RetentionSummary(0, 0L, empty)
+    }
+    // capture the expired ids BEFORE dropping their directories (the
+    // shard files are the only record of batch membership)
+    val keysPath = s"$outDir/.retention-keys"
+    expired.map(st => spark.read.parquet(st.getPath.toString)
+        .select(col("doc_id")))
+      .reduce(_ unionByName _)
+      .distinct()
+      .write.mode("overwrite").parquet(keysPath)
+    val nDocs = spark.read.parquet(keysPath).count()
+    // age-out is metadata: drop the expired batch directories whole, so
+    // the erase sweep below never rewrites a directory that is about to
+    // disappear anyway
+    expired.foreach(st => fs.delete(st.getPath, true))
+    val erase = runErase(spark, keysPath, outDir, profileBudget)
+    fs.delete(new org.apache.hadoop.fs.Path(keysPath), true)
+    val s = RetentionSummary(expired.length, nDocs, erase)
+    Files.writeString(
+      Paths.get(s"$outDir/retention_report.json"),
+      s"""{"n_batches_expired":${expired.length},"n_docs_expired":$nDocs,""" +
+        s""""n_corpus":${erase.nCorpus},"n_band_index":${erase.nBand},""" +
+        s""""n_search_index":${erase.nSearch},"n_dense_index":${erase.nDense},""" +
+        s""""n_exact_index":${erase.nExact},"n_agg_groups":${erase.nAggGroups},""" +
+        s""""profile_rebuilt":${erase.profileRebuilt}}""" + "\n")
+    s
+  }
+
   def runAccess(
       spark: SparkSession,
       keysPath: String,
@@ -814,6 +890,19 @@ object CurateCli {
       println(s"[fsck] ${checks.size} checks, $bad failed")
       spark.stop()
       if (bad > 0) sys.exit(1)
+      return
+    }
+    if (args.headOption.contains("retention")) {
+      require(args.length >= 3,
+        "usage: CurateCli retention <stateDir> <keepBatches> [profileBudget]")
+      val budget = if (args.length > 3) args(3).toLong else 0L
+      val spark = session()
+      val s = runRetention(spark, args(1), args(2).toInt, budget)
+      println(s"[curate] retention expired_batches=${s.nBatchesExpired} " +
+        s"expired_docs=${s.nDocsExpired} corpus=${s.erase.nCorpus} " +
+        s"profile_rebuilt=${s.erase.profileRebuilt}")
+      spark.stop()
+      if (s.erase.profileStaleness > budget) sys.exit(2)
       return
     }
     if (args.headOption.contains("erase")) {

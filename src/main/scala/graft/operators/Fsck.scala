@@ -138,6 +138,39 @@ object Fsck {
         s"$prefixBad ids whose posting count disagrees with sz at $num/$den"))
   }
 
+  /** MinHash band-index invariants: every document carries EXACTLY
+    * `num_bands` band rows (a half-appended or half-erased batch leaves
+    * a partial signature that silently weakens near-dup recall) and
+    * exactly one shingle-set row, and the two legs agree on membership.
+    * One full-join pass plus a shingles-leg aggregate.
+    */
+  def bandIndex(spark: SparkSession, dir: String): Seq[Check] = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val idCol = meta.getAs[String]("id_col")
+    val numBands = meta.getAs[Int]("num_bands")
+    val bands = spark.read.parquet(s"$dir/bands")
+    val shingles = spark.read.parquet(s"$dir/shingles")
+
+    val agg = bands.groupBy(col(idCol)).agg(count(lit(1)).as("_nb"))
+      .join(shingles.select(col(idCol), lit(1L).as("_s")), Seq(idCol), "full")
+      .agg(
+        sum(when(col("_s").isNull, 1L).otherwise(0L)).as("bands_only"),
+        sum(when(col("_nb").isNull, 1L).otherwise(0L)).as("shingles_only"),
+        sum(when(col("_nb").isNotNull && col("_nb") =!= numBands.toLong, 1L)
+          .otherwise(0L)).as("partial_sigs")).head()
+    def n(f: String) = Option(agg.getAs[Long](f)).getOrElse(0L)
+    val dupShingles = shingles.agg(
+      (count(lit(1)) - count_distinct(col(idCol))).as("dups")).head().getAs[Long]("dups")
+
+    markerHygiene(spark, dir, "band") ++ Seq(
+      Check("band", "legs_agree", n("bands_only") == 0L && n("shingles_only") == 0L,
+        s"${n("bands_only")} ids bands-only, ${n("shingles_only")} shingles-only"),
+      Check("band", "signature_complete", n("partial_sigs") == 0L,
+        s"${n("partial_sigs")} ids without exactly $numBands band rows"),
+      Check("band", "shingles_unique", dupShingles == 0L,
+        s"$dupShingles duplicated ids"))
+  }
+
   /** A serving leg's ids must be a subset of the corpus — an erasure
     * that purged the corpus but missed a leg (or a crashed append that
     * landed a leg before the corpus) surfaces as orphans.
@@ -171,6 +204,8 @@ object Fsck {
       checks ++= searchIndex(spark, s"$outDir/search")
     if (exists(spark, s"$outDir/exact/meta"))
       checks ++= exactIndex(spark, s"$outDir/exact")
+    if (exists(spark, s"$outDir/index/meta"))
+      checks ++= bandIndex(spark, s"$outDir/index")
     corpusIds.foreach { ids =>
       Seq(
         (s"$outDir/search/docs", "doc_id", "search"),

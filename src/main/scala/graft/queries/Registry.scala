@@ -1744,6 +1744,68 @@ object Registry {
         ) t(out_col, pii_sources, derives_from_pii, raw_pii_sources, all_pii_masked)
         order by out_col""")
     ),
+    // Declared-method lineage reconciliation as a REPORT: for every
+    // published mart column, the PII sources whose sanitized paths use a
+    // kind the policy's declared anonymization_method does not allow
+    // (Lineage.methodMismatches — per-path signatures, zero jobs, the
+    // q_pii_lineage LocalRelation shape). The literal oracle pins EVERY
+    // column at methods_ok=1 with no mismatch sources: a masking change
+    // that swaps a weaker sanitizer under a declared method hash-fails
+    // here column-by-column, not just in the one-bit certificate.
+    "q_method_lineage" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val cat = PolicyCatalog.reference
+        val declared = cat.models.values.flatMap(_.collect {
+          case (n, p) if p.pii && p.anonymizationMethod.isDefined =>
+            n -> p.anonymizationMethod.get.name
+        }).toMap
+        val svc = s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          Tables.services(s, dir).schema)
+        val mart = Pipeline.mart(
+          Pipeline.enrich(Pipeline.anonymize(Pipeline.staging(svc), cat)))
+        graft.plans.Lineage.methodMismatches(mart, declared)
+          .map { case (out, bad) =>
+            (out, bad.mkString(","), if (bad.isEmpty) 1 else 0)
+          }
+          .toDF("out_col", "method_mismatch_sources", "methods_ok")
+          .orderBy("out_col")
+      },
+      Some("""
+        select * from (values
+          ('anonymization_version', '', 1),
+          ('anonymized_at', '', 1),
+          ('city', '', 1),
+          ('commune', '', 1),
+          ('contact_email', '', 1),
+          ('contact_phone', '', 1),
+          ('data_completeness_score', '', 1),
+          ('data_quality_level', '', 1),
+          ('department_code', '', 1),
+          ('geohash', '', 1),
+          ('has_address', '', 1),
+          ('has_coordinates', '', 1),
+          ('has_email', '', 1),
+          ('has_phone', '', 1),
+          ('insee_code', '', 1),
+          ('last_updated', '', 1),
+          ('latitude', '', 1),
+          ('legal_status', '', 1),
+          ('license', '', 1),
+          ('longitude', '', 1),
+          ('mart_created_at', '', 1),
+          ('organization_type', '', 1),
+          ('organization_type_label', '', 1),
+          ('parent_organization', '', 1),
+          ('postal_code', '', 1),
+          ('processing_pipeline', '', 1),
+          ('region', '', 1),
+          ('service_id', '', 1),
+          ('service_name', '', 1)
+        ) t(out_col, method_mismatch_sources, methods_ok)
+        order by out_col""")
+    ),
     // Right-to-erasure (GDPR Art. 17) through the bucketed store: build,
     // erase a deterministic subject set touching only their buckets, and
     // read back — the oracle is simply the source minus the erased keys,

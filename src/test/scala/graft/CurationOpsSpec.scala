@@ -1306,6 +1306,55 @@ class CurationOpsSpec extends SparkSpec {
     retained.unpersist()
   }
 
+  test("retention sweep: expired batches age out of EVERY leg; fsck audits clean after") {
+    import java.nio.file.Files
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val batches = Files.createTempDirectory("ret_b").toString
+    val state = Files.createTempDirectory("ret_s").toString
+    (0 until 3).foreach { b =>
+      docs.filter(col("doc_id") % 3 === b).write.parquet(s"$batches/b$b")
+      graft.cli.CurateCli.runIncremental(
+        spark, s"$batches/b$b", state, nShards = 2,
+        searchIndex = true, exactIndex = true, aggStats = true,
+        profileStats = true)
+    }
+    val batch0Ids = spark.read.parquet(s"$state/shards/batch=0")
+      .select(col("doc_id")).cache()
+    val n0 = batch0Ids.count()
+    assert(n0 > 0)
+    val nBefore = spark.read.parquet(s"$state/corpus").count()
+
+    val s1 = graft.cli.CurateCli.runRetention(spark, state, keepBatches = 2)
+    assert(s1.nBatchesExpired == 1 && s1.nDocsExpired == n0)
+    assert(s1.erase.nCorpus == n0,
+      "every expired doc must purge from the corpus")
+    // the expired batch directory is GONE (age-out is metadata), the
+    // survivors intact
+    assert(!new java.io.File(s"$state/shards/batch=0").exists())
+    assert(new java.io.File(s"$state/shards/batch=1").exists() &&
+      new java.io.File(s"$state/shards/batch=2").exists())
+    assert(spark.read.parquet(s"$state/corpus").count() == nBefore - n0)
+    // every serving leg forgot the expired subjects
+    Seq(s"$state/search/docs" -> "doc_id", s"$state/index/bands" -> "doc_id",
+      s"$state/exact/sets" -> "id").foreach { case (leg, idc) =>
+      assert(spark.read.parquet(leg)
+        .select(col(idc).as("doc_id"))
+        .join(broadcast(batch0Ids), Seq("doc_id"), "left_semi").isEmpty,
+        s"$leg must forget the expired batch")
+    }
+    // the whole state audits consistent after the sweep
+    val checks = graft.operators.Fsck.state(spark, state)
+    assert(checks.forall(_.ok), s"post-retention fsck: ${checks.filterNot(_.ok)}")
+    assert(Files.readString(java.nio.file.Paths.get(s"$state/retention_report.json"))
+      .contains("\"n_batches_expired\":1"))
+    // idempotent: nothing left to expire at the same horizon
+    val s2 = graft.cli.CurateCli.runRetention(spark, state, keepBatches = 2)
+    assert(s2.nBatchesExpired == 0 && s2.nDocsExpired == 0L)
+    batch0Ids.unpersist()
+  }
+
   test("CurateCli.run: an all-filtered corpus reports cleanly instead of crashing") {
     val out = java.nio.file.Files.createTempDirectory("curate_empty").toString
     val s = graft.cli.CurateCli.run(

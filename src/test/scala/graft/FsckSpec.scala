@@ -43,6 +43,24 @@ class FsckSpec extends SparkSpec {
     assert(clean.exists(c => c.component == "search" && c.check == "stats_exact"))
     assert(clean.exists(c => c.component == "exact" && c.check == "prefix_count_exact"))
     assert(clean.exists(c => c.component == "agg" && c.check == "cnt_equals_corpus"))
+    assert(clean.exists(c => c.component == "band" && c.check == "signature_complete"))
+
+    // partial signature: drop SOME of one doc's band rows (a torn append)
+    val bandsDir = s"$state/index/bands"
+    val victim = spark.read.parquet(bandsDir)
+      .select(col("doc_id")).head().getLong(0)
+    val pruned = Files.createTempDirectory("fsck_band").toString + "/bands"
+    spark.read.parquet(bandsDir)
+      .filter(!(col("doc_id") === victim && col("band") > 0))
+      .write.partitionBy("band").parquet(pruned)
+    val bfs = new org.apache.hadoop.fs.Path(bandsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bfs.delete(new org.apache.hadoop.fs.Path(bandsDir), true)
+    bfs.rename(new org.apache.hadoop.fs.Path(pruned),
+      new org.apache.hadoop.fs.Path(bandsDir))
+    assert(Fsck.state(spark, state).exists(c =>
+      c.component == "band" && c.check == "signature_complete" && !c.ok),
+      "a torn band signature must flag")
 
     // 1. tampered redundant state: corrupt the stored BM25 stats
     val scratch = Files.createTempDirectory("fsck_stats").toString
