@@ -42,7 +42,12 @@ import org.apache.spark.sql.SparkSession
   *     absence. Without the marker's entry list this case is
   *     indistinguishable from an untouched partition, and the replayed
   *     batch would re-merge its own promoted data — the double-add this
-  *     protocol exists to prevent.
+  *     protocol exists to prevent;
+  *   - "-"-tagged DELETION entries (listed but never staged — an
+  *     erasure emptying a whole partition) are never promoted, so
+  *     absent a retired counterpart their live data is still the
+  *     original and is KEPT — the exhaustive crash property caught the
+  *     untagged form of this as data loss.
   * Pending WITH applied rolls the lost cleanup forward. One FS `exists`
   * per call on the healthy path.
   *
@@ -83,19 +88,49 @@ object PartitionSwap {
       stage: String,
       entries: Seq[String],
       batchId: Long
+  ): Unit = commit(spark, dir, stage, entries, batchId, _ => ())
+
+  /** [[commit]] with a fault-injection hook: `beforeStep` runs before
+    * every filesystem mutation with an increasing step index, so the
+    * crash-matrix property test (PartitionSwapSpec) can kill the REAL
+    * commit at every step rather than fabricating states by hand — one
+    * code path, exhaustively interrupted. Production callers use the
+    * no-hook overload.
+    */
+  private[graft] def commit(
+      spark: SparkSession,
+      dir: String,
+      stage: String,
+      entries: Seq[String],
+      batchId: Long,
+      beforeStep: Int => Unit
   ): Unit = {
+    var step = 0
+    def stepped[A](body: => A): A = { beforeStep(step); step += 1; body }
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val retired = new org.apache.hadoop.fs.Path(retiredDir(dir))
-    fs.delete(retired, true)
-    fs.mkdirs(retired)
-    val pend = fs.create(new org.apache.hadoop.fs.Path(pendingMarker(dir)), true)
-    pend.write((batchId.toString +: entries).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    pend.close()
+    stepped(fs.delete(retired, true))
+    stepped(fs.mkdirs(retired))
+    stepped {
+      // DELETION entries (no staged counterpart at commit time) are
+      // tagged "-" in the marker: at rollback, a deletion whose retire
+      // never ran still holds the ORIGINAL live data and must be kept,
+      // while an untagged entry with neither retired nor staged
+      // counterpart was a promoted newly-created partition and must go —
+      // without the tag the two states are indistinguishable (the
+      // exhaustive crash property caught exactly this as data loss)
+      val tagged = entries.map { p =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$stage/$p"))) p else s"-$p"
+      }
+      val pend = fs.create(new org.apache.hadoop.fs.Path(pendingMarker(dir)), true)
+      pend.write((batchId.toString +: tagged).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      pend.close()
+    }
     entries.foreach { p =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$p")
-      if (fs.exists(live)) {
+      if (fs.exists(live)) stepped {
         val dst = new org.apache.hadoop.fs.Path(retired, p)
         fs.mkdirs(dst.getParent)
         fs.rename(live, dst)
@@ -107,16 +142,16 @@ object PartitionSwap {
       // retire above already moved the live entry aside (an erasure that
       // empties a whole partition stages nothing for it), and rollback
       // restores it from retired like any other entry
-      if (fs.exists(src)) {
+      if (fs.exists(src)) stepped {
         val dst = new org.apache.hadoop.fs.Path(s"$dir/$p")
         fs.mkdirs(dst.getParent)
         fs.rename(src, dst)
       }
     }
-    markApplied(spark, dir, batchId)
-    fs.delete(retired, true)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    fs.delete(new org.apache.hadoop.fs.Path(pendingMarker(dir)), false)
+    stepped(markApplied(spark, dir, batchId))
+    stepped(fs.delete(retired, true))
+    stepped(fs.delete(new org.apache.hadoop.fs.Path(stage), true))
+    stepped(fs.delete(new org.apache.hadoop.fs.Path(pendingMarker(dir)), false))
   }
 
   /** Crash recovery — see class doc. `stageSuffix` appends to `dir` to
@@ -152,8 +187,12 @@ object PartitionSwap {
     if (!fs.exists(new org.apache.hadoop.fs.Path(appliedMarker(dir, batchId)))) {
       // roll back, per listed entry (class doc): restore from retired,
       // leave not-yet-promoted originals alone, delete promoted entries
-      // that had no live predecessor
-      entries.foreach { p =>
+      // that had no live predecessor. "-"-tagged DELETION entries are
+      // never promoted, so absent a retired counterpart their live data
+      // is the original and stays.
+      entries.foreach { raw =>
+        val deletion = raw.startsWith("-")
+        val p = if (deletion) raw.drop(1) else raw
         val live = new org.apache.hadoop.fs.Path(s"$dir/$p")
         val ret = new org.apache.hadoop.fs.Path(retired, p)
         val staged = new org.apache.hadoop.fs.Path(stagePath, p)
@@ -161,7 +200,7 @@ object PartitionSwap {
           fs.delete(live, true)
           fs.mkdirs(live.getParent)
           fs.rename(ret, live)
-        } else if (!fs.exists(staged)) {
+        } else if (!deletion && !fs.exists(staged)) {
           fs.delete(live, true)
         }
       }

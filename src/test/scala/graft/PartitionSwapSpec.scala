@@ -149,6 +149,62 @@ class PartitionSwapSpec extends SparkSpec {
       "retired stats must be restored")
   }
 
+  test("property: the REAL commit killed at EVERY step rolls back or forward exactly") {
+    // one code path, exhaustively interrupted: the fault hook kills the
+    // actual commit before each filesystem mutation; recovery must then
+    // restore EXACTLY the pre-commit tree (no applied marker) or EXACTLY
+    // the post-commit tree (applied marker landed), and a replay must
+    // converge to post. The fixture covers all three entry classes:
+    // updated (p=1), newly created (p=2), and deleted (p=3, listed but
+    // unstaged).
+    final case class Crash(step: Int) extends RuntimeException
+    val entries = Seq("p=1", "p=2", "p=3")
+    val pre = Map("p=1" -> Some("old1"), "p=2" -> None, "p=3" -> Some("old3"))
+    val post = Map("p=1" -> Some("new1"), "p=2" -> Some("new2"), "p=3" -> None)
+
+    def build(tag: String): (String, String) = {
+      val dir = tmp(tag)
+      val stage = s"$dir.merge-stage"
+      put(s"$dir/p=1/data", "old1")
+      put(s"$dir/p=3/data", "old3")
+      put(s"$stage/p=1/data", "new1")
+      put(s"$stage/p=2/data", "new2")
+      (dir, stage)
+    }
+    def restage(stage: String): Unit = {
+      put(s"$stage/p=1/data", "new1")
+      put(s"$stage/p=2/data", "new2")
+    }
+
+    // count the steps of a clean run
+    var nSteps = 0
+    val (cd, cs) = build("prop_count")
+    PartitionSwap.commit(spark, cd, cs, entries, 1L, i => nSteps = i + 1)
+    assert(snapshot(cd, entries) == post)
+    assert(nSteps >= 8, s"fixture must exercise every phase, got $nSteps steps")
+
+    (0 until nSteps).foreach { k =>
+      val (dir, stage) = build(s"prop_$k")
+      intercept[Crash] {
+        PartitionSwap.commit(spark, dir, stage, entries, 1L,
+          i => if (i == k) throw Crash(i))
+      }
+      PartitionSwap.recover(spark, dir, ".merge-stage", "p=")
+      val expected =
+        if (PartitionSwap.alreadyApplied(spark, dir, 1L)) post else pre
+      assert(snapshot(dir, entries) == expected,
+        s"crash at step $k/$nSteps: recovered tree must be exactly " +
+          s"${if (expected == pre) "PRE" else "POST"}, got ${snapshot(dir, entries)}")
+      // the replayer re-derives the batch and commits from consistent state
+      if (!PartitionSwap.alreadyApplied(spark, dir, 1L)) {
+        restage(stage)
+        PartitionSwap.commit(spark, dir, stage, entries, 1L)
+      }
+      assert(snapshot(dir, entries) == post,
+        s"crash at step $k: replay must converge to the post-commit tree")
+    }
+  }
+
   test("legacy id-only marker still rolls retired partitions back (defensive sweep)") {
     val dir = tmp("legacy")
     put(s"$dir/p=1/data", "corrupt")
