@@ -310,12 +310,25 @@ object Dedup {
       keyCol: String
   ): Long = {
     import graft.operators.Erasure
-    Erasure.recoverRetired(spark, s"$dir/bands")
-    Erasure.recoverRetired(spark, s"$dir/shingles")
+    recoverBandIndex(spark, dir)
     val idCol = spark.read.parquet(s"$dir/meta").head().getAs[String]("id_col")
     val k = keys.select(col(keyCol).as(idCol))
-    Erasure.eraseByKey(spark, s"$dir/bands", k, idCol, Seq("band")) +
-      Erasure.eraseByKey(spark, s"$dir/shingles", k, idCol)
+    // both legs stage and promote under ONE commit: a crash between the
+    // bands and shingles purges would otherwise leave an index whose
+    // legs disagree on membership (Fsck.bandIndex's legs_agree)
+    Erasure.eraseLegs(spark, dir, k,
+      Seq(Erasure.Leg("bands", idCol, Seq("band")),
+        Erasure.Leg("shingles", idCol))).sum
+  }
+
+  /** Crash recovery for the stored band index: replays a pending
+    * multi-leg erase commit and the legacy per-leg swaps. The mutators
+    * and [[loadBandIndex]] call it themselves.
+    */
+  def recoverBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    graft.operators.Erasure.recoverRetired(spark, s"$dir/bands")
+    graft.operators.Erasure.recoverRetired(spark, s"$dir/shingles")
+    graft.operators.PartitionSwap.recover(spark, dir, "/.swap-stage", "")
   }
 
   /** Load a stored index bundle written by [[writeBandIndex]]. */
@@ -323,6 +336,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       dir: String
   ): BandIndex = {
+    recoverBandIndex(spark, dir)
     val m = spark.read.parquet(s"$dir/meta").head()
     val idCol = m.getAs[String]("id_col")
     BandIndex(

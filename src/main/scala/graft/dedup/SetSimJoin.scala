@@ -205,8 +205,11 @@ object SetSimJoin {
     import graft.operators.Erasure
     recoverIndex(spark, dir)
     val k = keys.select(col(idCol).as("id"))
-    Erasure.eraseByKey(spark, s"$dir/sets", k, "id") +
-      Erasure.eraseByKey(spark, s"$dir/postings", k, "id")
+    // both legs stage and promote under ONE commit: a crash between the
+    // sets and postings purges would otherwise leave an index whose legs
+    // disagree on membership (Fsck.exactIndex's postings_subset_sets)
+    Erasure.eraseLegs(spark, dir, k,
+      Seq(Erasure.Leg("sets", "id"), Erasure.Leg("postings", "id"))).sum
   }
 
   /** Staleness audit for an appended-to index: the fraction of the

@@ -172,4 +172,76 @@ object Erasure {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp)
     })
+
+  /** One leg of a multi-leg store erase: directory name under the store
+    * root, the key column inside it, and its hive partitioning (if any).
+    */
+  final case class Leg(name: String, idCol: String, partitionCols: Seq[String] = Nil)
+
+  /** Erase the keys from EVERY leg of a multi-leg store ATOMICALLY: each
+    * leg's kept rows stage under `<root>/.swap-stage/<leg>` (one scan
+    * per leg, counts via observe — the [[eraseWith]] recipe), then all
+    * legs promote in ONE [[PartitionSwap]] commit whose pending marker
+    * lists them. A crash anywhere leaves the store fully pre-erase or
+    * fully post-erase — never one leg purged and its sibling not, which
+    * is an INCONSISTENT index ([[Fsck]]'s `legs_agree`/membership checks
+    * exist to catch exactly that state). No-op with live files
+    * byte-identical when no leg matched. Callers must run
+    * `PartitionSwap.recover(root, "/.swap-stage", "")` on their load
+    * path. Returns rows erased per leg, in `legs` order.
+    */
+  def eraseLegs(
+      spark: SparkSession,
+      root: String,
+      keys: DataFrame,
+      legs: Seq[Leg]
+  ): Seq[Long] = eraseLegs(spark, root, keys, legs, _ => ())
+
+  /** [[eraseLegs]] with [[PartitionSwap]]'s fault-injection hook passed
+    * through to the commit, so the store-level crash matrix
+    * (IndexCommitCrashSpec) can kill the REAL multi-leg erase at every
+    * commit step. Production callers use the no-hook overload.
+    */
+  private[graft] def eraseLegs(
+      spark: SparkSession,
+      root: String,
+      keys: DataFrame,
+      legs: Seq[Leg],
+      beforeStep: Int => Unit
+  ): Seq[Long] = {
+    PartitionSwap.recover(spark, root, "/.swap-stage", "")
+    val stage = s"$root/.swap-stage"
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(stagePath, true)
+
+    val removed = legs.map { leg =>
+      val k = keys.select(col(leg.idCol)).distinct()
+      val seen = Observation()
+      val keptObs = Observation()
+      val kept = spark.read.parquet(s"$root/${leg.name}")
+        .observe(seen, count(lit(1)).as("n"))
+        .join(broadcast(k), Seq(leg.idCol), "left_anti")
+        .observe(keptObs, count(lit(1)).as("n"))
+      val w = kept.write.mode("overwrite")
+      (if (leg.partitionCols.nonEmpty) w.partitionBy(leg.partitionCols: _*) else w)
+        .parquet(s"$stage/${leg.name}")
+      val hit = seen.get("n").asInstanceOf[Long] - keptObs.get("n").asInstanceOf[Long]
+      if (hit > 0L && !hasParquetFile(fs, new org.apache.hadoop.fs.Path(s"$stage/${leg.name}"))) {
+        // total erasure of a partitioned leg: re-stage flat so the
+        // swapped leg stays readable (eraseWith's argument)
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], kept.schema)
+          .write.mode("overwrite").parquet(s"$stage/${leg.name}")
+      }
+      hit
+    }
+    if (removed.forall(_ == 0L)) {
+      fs.delete(stagePath, true)
+      return removed
+    }
+    PartitionSwap.commit(spark, root, stage, legs.map(_.name), System.nanoTime(),
+      beforeStep)
+    removed
+  }
 }

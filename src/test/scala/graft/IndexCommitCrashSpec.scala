@@ -205,4 +205,104 @@ class IndexCommitCrashSpec extends SparkSpec {
       spark, crash, shingled(corpusB), "doc_id", "_sh", Some(4L))
     assert(probeRows(crash) == probeRows(full))
   }
+
+  // ---------- atomic multi-leg erase (Erasure.eraseLegs) ----------
+
+  private def bandRows(dir: String): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+    // loadBandIndex IS the recovery-bearing load path under test
+    val idx = graft.dedup.Dedup.loadBandIndex(spark, dir)
+    (idx.bands.collect().map(_.toSeq).sortBy(_.toString).toSeq,
+      idx.shingles.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
+  test("property: band-index erase killed at EVERY commit step serves pre or post, never mixed legs") {
+    // the REAL multi-leg erase (bands partitioned by band + flat
+    // shingles under ONE commit), interrupted before each filesystem
+    // mutation of the swap: loadBandIndex recovery must then serve
+    // EXACTLY the pre-erase or EXACTLY the post-erase index — a state
+    // where one leg is purged and its sibling is not is precisely what
+    // Fsck.bandIndex's legs_agree flags as corruption
+    final case class Crash(step: Int) extends RuntimeException
+    val corpus = (corpusA ++ corpusB).toDF("doc_id", "text")
+    def build(tag: String): String = {
+      val dir = tmp(s"blegs_$tag")
+      graft.dedup.Dedup.writeBandIndex(
+        graft.dedup.Dedup.buildBandIndex(corpus, "doc_id", "text"), dir)
+      dir
+    }
+    val pre = build("pre")
+    val preRows = bandRows(pre)
+    val post = build("post")
+    val keys = Seq(2L, 4L).toDF("doc_id")
+    val nErased =
+      graft.dedup.Dedup.eraseFromBandIndex(spark, post, keys, "doc_id")
+    assert(nErased > 0L)
+    val postRows = bandRows(post)
+    assert(postRows != preRows)
+
+    val legs = Seq(
+      graft.operators.Erasure.Leg("bands", "doc_id", Seq("band")),
+      graft.operators.Erasure.Leg("shingles", "doc_id"))
+    var nSteps = 0
+    val count = build("count")
+    graft.operators.Erasure.eraseLegs(
+      spark, count, keys, legs, i => nSteps = i + 1)
+    assert(bandRows(count) == postRows)
+    assert(nSteps >= 8, s"fixture must exercise every phase, got $nSteps")
+
+    (0 until nSteps).foreach { k =>
+      val dir = build(s"k$k")
+      intercept[Crash] {
+        graft.operators.Erasure.eraseLegs(
+          spark, dir, keys, legs, i => if (i == k) throw Crash(i))
+      }
+      val recovered = bandRows(dir)
+      assert(recovered == preRows || recovered == postRows,
+        s"crash at step $k/$nSteps: index must be exactly PRE or POST")
+      // the replayed sweep converges and a further replay is a no-op
+      graft.dedup.Dedup.eraseFromBandIndex(spark, dir, keys, "doc_id")
+      assert(bandRows(dir) == postRows,
+        s"crash at step $k: replayed erase must converge to POST")
+      assert(graft.dedup.Dedup.eraseFromBandIndex(spark, dir, keys, "doc_id") == 0L)
+    }
+  }
+
+  test("setsim erase crash mid-swap rolls back both legs together; no-match sweep stays byte-identical") {
+    final case class Crash(step: Int) extends RuntimeException
+    val pre = tmp("ssje_pre")
+    graft.dedup.SetSimJoin.writeIndex(
+      shingled(corpusA ++ corpusB), "doc_id", "_sh", 2, 5, pre)
+    val preRows = probeRows(pre)
+    val post = tmp("ssje_post")
+    copyDir(pre, post)
+    val keys = Seq(2L, 4L).toDF("id")
+    assert(graft.dedup.SetSimJoin.eraseFromIndex(spark, post, keys, "id") > 0L)
+    val postRows = probeRows(post)
+    assert(postRows != preRows)
+
+    // kill between the two legs' promotes (sets promoted, postings not):
+    // step 5 = pending marker + both retires done, first promote next
+    val crash = tmp("ssje_crash")
+    copyDir(pre, crash)
+    intercept[Crash] {
+      graft.operators.Erasure.eraseLegs(spark, crash, keys,
+        Seq(graft.operators.Erasure.Leg("sets", "id"),
+          graft.operators.Erasure.Leg("postings", "id")),
+        i => if (i == 6) throw Crash(i))
+    }
+    graft.dedup.SetSimJoin.recoverIndex(spark, crash)
+    assert(probeRows(crash) == preRows,
+      "mid-swap crash must roll BOTH legs back — a sets-purged/" +
+        "postings-intact index violates postings_subset_sets")
+    assert(graft.dedup.SetSimJoin.eraseFromIndex(spark, crash, keys, "id") > 0L)
+    assert(probeRows(crash) == postRows)
+
+    // a sweep that matches nothing must leave every live file untouched
+    val byteState = files(s"$post/sets") -> files(s"$post/postings")
+    assert(graft.dedup.SetSimJoin.eraseFromIndex(
+      spark, post, Seq(999L).toDF("id"), "id") == 0L)
+    assert(files(s"$post/sets") -> files(s"$post/postings") == byteState)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$post/.swap-stage")),
+      "no-match sweep must discard its stage")
+  }
 }
