@@ -284,15 +284,50 @@ object Dedup {
     * after an incremental batch passes dedup (its parameters come from the
     * stored meta, so an append can never mix banding schemes). Caller is
     * responsible for `docs` ids being new to the index.
+    *
+    * Atomic: the batch's band files (nested under their `band=`
+    * partitions) and shingle files stage under `.swap-stage/` and
+    * promote in ONE [[graft.operators.PartitionSwap]] commit whose
+    * pending marker lists every staged file — a crash between the legs
+    * (this was the store family's last plain two-job `mode("append")`)
+    * rolls back to the exact pre-append index instead of leaving bands
+    * that shingles don't know about (Fsck.bandIndex's `legs_agree`).
+    * Pass `batchId` to make replays of an applied epoch no-ops (the
+    * streaming-sink recipe).
     */
-  def appendBandIndex(docs: DataFrame, textCol: String, dir: String): Unit = {
-    val loaded = loadBandIndex(docs.sparkSession, dir)
+  def appendBandIndex(
+      docs: DataFrame,
+      textCol: String,
+      dir: String,
+      batchId: Option[Long] = None
+  ): Unit = {
+    import graft.operators.PartitionSwap
+    val spark = docs.sparkSession
+    val loaded = loadBandIndex(spark, dir) // runs recovery
+    if (batchId.exists(PartitionSwap.alreadyApplied(spark, dir, _))) return
+    val stage = s"$dir/.swap-stage"
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(stagePath, true)
     bandIndex(docs, loaded.idCol, textCol,
       loaded.shingleK, loaded.numHashes, loaded.numBands)
-      .write.mode("append").partitionBy("band").parquet(s"$dir/bands")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$stage/bands")
     shingleSets(docs, loaded.idCol, textCol, loaded.shingleK,
       loaded.idCol, "shingles")
-      .write.mode("append").parquet(s"$dir/shingles")
+      .write.mode("overwrite").parquet(s"$stage/shingles")
+    val stagedBands = new org.apache.hadoop.fs.Path(s"$stage/bands")
+    val bandDirs =
+      if (!fs.exists(stagedBands)) Seq.empty[String]
+      else fs.listStatus(stagedBands).map(_.getPath.getName)
+        .filter(_.startsWith("band=")).sorted.toSeq
+    val entries =
+      bandDirs.flatMap(b =>
+        PartitionSwap.stagedParquetFiles(spark, s"$stage/bands/$b")
+          .map(f => s"bands/$b/$f")) ++
+        PartitionSwap.stagedParquetFiles(spark, s"$stage/shingles")
+          .map(f => s"shingles/$f")
+    PartitionSwap.commit(spark, dir, stage, entries,
+      batchId.getOrElse(System.nanoTime()))
   }
 
   /** Right-to-erasure through the stored band index: purge the erased
@@ -322,7 +357,9 @@ object Dedup {
   }
 
   /** Crash recovery for the stored band index: replays a pending
-    * multi-leg erase commit and the legacy per-leg swaps. The mutators
+    * multi-leg commit (append or erase — one `.swap-stage` root per
+    * index, so any crashed commit classifies without knowing which
+    * operation staged it) and the legacy per-leg swaps. The mutators
     * and [[loadBandIndex]] call it themselves.
     */
   def recoverBandIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {

@@ -723,6 +723,110 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming maintenance of the stored MinHash/LSH band index
+    * ([[graft.dedup.Dedup.writeBandIndex]]) — the dedup-admission leg of
+    * the serving-index family: each micro-batch's documents band under
+    * the STORED parameters (an append can never mix banding schemes)
+    * and append atomically, so a concurrent
+    * [[graft.dedup.Dedup.dedupAgainstCorpus]] reader sees every admitted
+    * epoch or none of it. The first non-empty epoch bootstraps the index
+    * at (`shingleK`, `numHashes`, `bands`).
+    *
+    * Exactly-once: the append is NOT idempotent (a replayed epoch would
+    * duplicate band rows and shingle sets, inflating Jaccard estimates),
+    * so each epoch's `batchId` rides into
+    * [[graft.dedup.Dedup.appendBandIndex]], which records it inside its
+    * atomic [[graft.operators.PartitionSwap]] commit and no-ops replays.
+    * The sink keeps its own marker only for the bootstrap and
+    * empty-epoch cases (a zero-row `partitionBy` write emits no files —
+    * the AggStore bootstrap lesson — so an empty epoch must not
+    * bootstrap).
+    */
+  def bandIndexSink(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.dedup.Dedup
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+        val fs = marker.getFileSystem(conf)
+        if (!fs.exists(marker)) {
+          val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+          if (batch.isEmpty) {
+            fs.mkdirs(marker.getParent)
+            fs.create(marker, true).close()
+          } else if (!fs.exists(meta)) {
+            Dedup.writeBandIndex(
+              Dedup.buildBandIndex(batch, idCol, textCol, shingleK, numHashes, bands),
+              indexDir)
+            fs.create(marker, true).close()
+          } else
+            Dedup.appendBandIndex(batch, textCol, indexDir, Some(batchId))
+        }
+      }
+      .start()
+
+  /** Streaming maintenance of the stored BM25 search index
+    * ([[graft.text.Bm25.writeSearchIndex]]) — the search-service leg:
+    * each micro-batch's documents tokenize ONCE and their postings,
+    * docs-leg rows, and the exactly-merged corpus stats commit
+    * atomically, so retrieval between epochs always ranks under stats
+    * consistent with the postings it reads. The first non-empty epoch
+    * bootstraps the index.
+    *
+    * Exactly-once: `batchId` rides into
+    * [[graft.text.Bm25.appendSearchIndex]], whose
+    * [[graft.operators.PartitionSwap]] commit no-ops replays — a
+    * replayed epoch can neither double postings nor double-count
+    * `_n_docs`. The sink's own marker covers only bootstrap (the
+    * three-leg overwrite is value-idempotent) and empty epochs.
+    */
+  def searchIndexSink(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.text.Bm25
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
+        val fs = marker.getFileSystem(conf)
+        if (!fs.exists(marker)) {
+          val postings = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+          if (batch.isEmpty) {
+            fs.mkdirs(marker.getParent)
+            fs.create(marker, true).close()
+          } else if (!fs.exists(postings)) {
+            Bm25.writeSearchIndex(batch, idCol, col(textCol), indexDir)
+            fs.create(marker, true).close()
+          } else
+            Bm25.appendSearchIndex(batch, idCol, col(textCol), indexDir,
+              Some(batchId))
+        }
+      }
+      .start()
+
   /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
     * timeout: a session closes when no event arrives within `gapMs` of the
     * last one (by watermark). Emits one row per closed session.

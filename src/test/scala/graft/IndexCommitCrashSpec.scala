@@ -305,4 +305,55 @@ class IndexCommitCrashSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$post/.swap-stage")),
       "no-match sweep must discard its stage")
   }
+
+  // ---------- band-index append (Dedup.appendBandIndex) ----------
+
+  test("band append crash AFTER band deltas promoted, shingles still staged") {
+    // the store family's last plain two-job append is now a staged
+    // commit: fabricate the worst mid-commit state (bands leg already
+    // carries the batch, shingles leg does not — exactly the
+    // legs-disagree corruption Fsck.bandIndex flags), recover through
+    // the load path, and prove the index serves the exact pre-append
+    // results before a replay converges
+    import graft.dedup.Dedup
+    val pre = tmp("bandapp_pre")
+    Dedup.writeBandIndex(
+      Dedup.buildBandIndex(corpusA.toDF("doc_id", "text"), "doc_id", "text"), pre)
+    val preRows = bandRows(pre)
+    val full = tmp("bandapp_full")
+    copyDir(pre, full)
+    val batch = corpusB.toDF("doc_id", "text")
+    Dedup.appendBandIndex(batch, "text", full, Some(2L))
+    val postRows = bandRows(full)
+    assert(postRows != preRows)
+
+    def bandDirs(dir: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/bands"))
+        .map(_.getPath.getName).filter(_.startsWith("band=")).sorted.toSeq
+    val deltaBands = bandDirs(full).flatMap { b =>
+      (files(s"$full/bands/$b") -- files(s"$pre/bands/$b")).toSeq.sorted
+        .map(f => s"bands/$b/$f")
+    }
+    val deltaSh = (files(s"$full/shingles") -- files(s"$pre/shingles"))
+      .toSeq.sorted.map(f => s"shingles/$f")
+    assert(deltaBands.nonEmpty && deltaSh.nonEmpty,
+      "fixture must produce deltas on both legs")
+
+    val crash = tmp("bandapp_crash")
+    copyDir(pre, crash)
+    deltaBands.foreach(e => copyDir(s"$full/$e", s"$crash/$e"))
+    deltaSh.foreach(e => copyDir(s"$full/$e", s"$crash/.swap-stage/$e"))
+    writeMarker(crash, 2L, deltaBands ++ deltaSh)
+
+    // loadBandIndex IS the recovery-bearing load path: the promoted band
+    // deltas (no retired counterpart) must be rolled back out
+    assert(bandRows(crash) == preRows,
+      "recovered index must serve the exact pre-append results")
+    Dedup.appendBandIndex(batch, "text", crash, Some(2L))
+    assert(bandRows(crash) == postRows,
+      "replayed epoch must converge to the batch-maintained index")
+    Dedup.appendBandIndex(batch, "text", crash, Some(2L))
+    assert(bandRows(crash) == postRows,
+      "replay of an applied epoch must be a no-op")
+  }
 }

@@ -531,6 +531,107 @@ class StreamingSpec extends SparkSpec {
     assert(probeRows(streamDir) == served)
   }
 
+  test("streaming band-index maintenance equals the batch-maintained index after two epochs") {
+    import java.nio.file.Files
+    import graft.dedup.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b0, b1) = docs.partition(_._1 % 2 == 0)
+
+    val streamDir = Files.createTempDirectory("band_stream").toString + "/band"
+    val ckpt = Files.createTempDirectory("band_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData(b0: _*)
+    StreamingPipeline.bandIndexSink(stream, streamDir, ckpt).awaitTermination()
+    input.addData(b1: _*)
+    StreamingPipeline.bandIndexSink(stream, streamDir, ckpt).awaitTermination()
+
+    // batch-maintained twin: writeBandIndex epoch 0, appendBandIndex epoch 1
+    val batchDir = Files.createTempDirectory("band_batch").toString + "/band"
+    Dedup.writeBandIndex(
+      Dedup.buildBandIndex(b0.toDF("doc_id", "text"), "doc_id", "text"), batchDir)
+    Dedup.appendBandIndex(b1.toDF("doc_id", "text"), "text", batchDir)
+
+    // identical stored data: band rows and shingle sets row-for-row
+    def sorted(dir: String, leg: String, cols: String*) =
+      spark.read.parquet(s"$dir/$leg").select(cols.map(col): _*)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(sorted(streamDir, "bands", "doc_id", "band", "hash") ==
+      sorted(batchDir, "bands", "doc_id", "band", "hash"),
+      "stream-maintained band rows must equal the batch-maintained ones")
+    assert(sorted(streamDir, "shingles", "doc_id", "shingles") ==
+      sorted(batchDir, "shingles", "doc_id", "shingles"))
+
+    // and identical serving: dedup held-out near-copies against both
+    val probes = docs.take(10).map { case (id, t) => (id + 900000L, t) }
+      .toDF("doc_id", "text")
+    def flagged(dir: String) = Dedup
+      .dedupAgainstCorpus(Dedup.loadBandIndex(spark, dir), probes, "text")
+      .select("doc_id", "dup_of", "is_dup")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val served = flagged(streamDir)
+    assert(served == flagged(batchDir))
+    assert(served.exists(_.last == true), "held-out copies must flag as dups")
+
+    // replayed epoch (same checkpoint, no new data): markers make it a no-op
+    StreamingPipeline.bandIndexSink(stream, streamDir, ckpt).awaitTermination()
+    assert(flagged(streamDir) == served)
+  }
+
+  test("streaming search-index maintenance equals the batch-maintained index after two epochs") {
+    import java.nio.file.Files
+    import graft.text.Bm25
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (b0, b1) = docs.partition(_._1 % 2 == 0)
+
+    val streamDir = Files.createTempDirectory("bm25_stream").toString + "/bm25"
+    val ckpt = Files.createTempDirectory("bm25_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData(b0: _*)
+    StreamingPipeline.searchIndexSink(stream, streamDir, ckpt).awaitTermination()
+    input.addData(b1: _*)
+    StreamingPipeline.searchIndexSink(stream, streamDir, ckpt).awaitTermination()
+
+    // batch-maintained twin: writeSearchIndex epoch 0, appendSearchIndex epoch 1
+    val batchDir = Files.createTempDirectory("bm25_batch").toString + "/bm25"
+    Bm25.writeSearchIndex(b0.toDF("doc_id", "text"), "doc_id", col("text"), batchDir)
+    Bm25.appendSearchIndex(b1.toDF("doc_id", "text"), "doc_id", col("text"), batchDir)
+
+    // identical stored data: stats bit-for-bit, postings row-for-row
+    assert(spark.read.parquet(s"$streamDir/stats").head() ==
+      spark.read.parquet(s"$batchDir/stats").head(),
+      "stream-merged stats must be bit-identical to the batch-merged ones")
+    def sorted(dir: String, leg: String, cols: String*) =
+      spark.read.parquet(s"$dir/$leg").select(cols.map(col): _*)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(sorted(streamDir, "postings", "doc_id", "term", "tf", "dl") ==
+      sorted(batchDir, "postings", "doc_id", "term", "tf", "dl"))
+    assert(sorted(streamDir, "docs", "doc_id", "dl") ==
+      sorted(batchDir, "docs", "doc_id", "dl"))
+
+    // and identical serving
+    val queries = Seq((1, "data"), (2, "model"), (3, "spark")).toDF("query_id", "term")
+    def topk(dir: String) = {
+      val (p, st) = Bm25.loadSearchIndex(spark, dir)
+      Bm25.retrieveTopKIndexed(p, st, "doc_id", queries, topK = 5)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    val served = topk(streamDir)
+    assert(served == topk(batchDir))
+    assert(served.nonEmpty, "corpus terms must retrieve")
+
+    // replayed epoch (same checkpoint, no new data): markers make it a no-op
+    StreamingPipeline.searchIndexSink(stream, streamDir, ckpt).awaitTermination()
+    assert(topk(streamDir) == served)
+  }
+
   test("checkpointed parquet sink: a restarted query resumes exactly-once") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
