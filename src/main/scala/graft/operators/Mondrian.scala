@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Strict Mondrian multidimensional k-anonymization (LeFevre, DeWitt,
+  * Ramakrishnan, "Mondrian Multidimensional K-Anonymity", ICDE 2006):
+  * recursively bisect the table on the quasi-identifier with the widest
+  * normalized range until no group can split without dropping below `k`
+  * rows, then generalize each QI to its group's `[lo, hi]` envelope.
+  *
+  * The reference VALIDATES k-anonymity after the fact
+  * (validate_anonymization.py:216-243 — count quasi-identifier
+  * combinations, flag groups under k); this operator PRODUCES the
+  * k-anonymous generalization that check certifies, closing the loop:
+  * anonymize → validate green by construction.
+  *
+  * Determinism contract (what makes the DuckDB twin possible):
+  *
+  *  - Dimension choice per group: argmax over QIs of
+  *    `(max - min) / globalRange` (zero-range QIs score 0; ties go to
+  *    the lowest QI index). A group is FINAL when it has fewer than
+  *    `2k` rows or every QI's in-group range is zero. All inputs are
+  *    doubles derived identically in both engines, and IEEE arithmetic
+  *    is deterministic, so the comparisons agree bit-for-bit.
+  *  - Split point: the median POSITION, not an interpolated median
+  *    value — rows rank by `(value, id)` and the lower `floor(cnt/2)`
+  *    go left. Rank splits sidestep the one cross-engine hazard of
+  *    value-based medians (two engines interpolating `(a+b)/2` with
+  *    differently-ordered operations can disagree by 1 ulp exactly when
+  *    a data value sits on the boundary) and guarantee both children
+  *    hold at least `k` rows whenever the parent holds `2k`.
+  *  - Relabeling: unsplit `g → 3g`, left child `3g+1`, right `3g+2` —
+  *    injective across a round (base-3 heap numbering), so labels never
+  *    collide between split and unsplit groups. 39 rounds fit a signed
+  *    long (3^39 < 2^62); rank-splits halve groups exactly, so rounds
+  *    needed = ceil(log2(n/k)) — 39 covers any n/k below ~5·10^11.
+  *
+  * Scale shape: each round is one small per-group aggregate, a join of
+  * the data against it (group-count-sized — AQE broadcasts it while it
+  * fits and shuffle-joins on `_gid` once it doesn't), and one
+  * `row_number` window partitioned by `_gid` (one shuffle of the data).
+  * O(log(n/k)) rounds, no driver-side row state; the per-round
+  * `localCheckpoint` is load-bearing lineage truncation (the
+  * connectedComponents lesson: an uncheckpointed loop doubles the plan
+  * every round).
+  */
+object Mondrian {
+
+  private def working(qiCols: Seq[String]): Seq[String] =
+    qiCols.indices.map(i => s"_q$i") ++ Seq("_gid", "_dim", "_cnt", "_rnk", "_gid2")
+
+  /** Label every row with its Mondrian group: returns `df`'s columns
+    * plus `_q<i>` (the QIs cast to double — the values the split
+    * decisions and [[groupRanges]] read) and the group label `_gid`.
+    */
+  def anonymize(
+      df: DataFrame,
+      idCol: String,
+      qiCols: Seq[String],
+      k: Int,
+      maxRounds: Int = 39
+  ): DataFrame = {
+    require(k >= 1, s"mondrian: k must be positive, got $k")
+    require(qiCols.nonEmpty, "mondrian: at least one quasi-identifier")
+    require(maxRounds >= 0 && maxRounds <= 39,
+      s"mondrian: base-3 labels overflow a long past 39 rounds, got $maxRounds")
+    val clash = df.columns.toSet.intersect(working(qiCols).toSet)
+    require(clash.isEmpty,
+      s"mondrian: input collides with working columns ${clash.mkString(",")}")
+
+    var cur = df.select(
+      df.columns.map(col) ++
+        qiCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"_q$i") } :+
+        lit(0L).as("_gid"): _*)
+
+    // global ranges normalize the per-group ranges once, up front
+    val gAggs = qiCols.indices.flatMap(i => Seq(min(col(s"_q$i")), max(col(s"_q$i"))))
+    val gRow = cur.agg(gAggs.head, gAggs.tail: _*).head()
+    if (gRow.isNullAt(0)) return cur // empty input: zero groups, done
+    val grange = qiCols.indices.map(i => gRow.getDouble(2 * i + 1) - gRow.getDouble(2 * i))
+
+    var round = 0
+    var splitting = true
+    while (splitting && round < maxRounds) {
+      val statAggs = count(lit(1L)).as("_cnt") +: qiCols.indices.flatMap(i =>
+        Seq(min(col(s"_q$i")).as(s"_mn$i"), max(col(s"_q$i")).as(s"_mx$i")))
+      val stats = cur.groupBy("_gid").agg(statAggs.head, statAggs.tail: _*)
+      val nr: Seq[Column] = qiCols.indices.map { i =>
+        if (grange(i) > 0.0) (col(s"_mx$i") - col(s"_mn$i")) / lit(grange(i))
+        else lit(0.0)
+      }
+      val best = if (nr.size == 1) nr.head else greatest(nr: _*)
+      val pick = qiCols.indices.reverse.foldLeft(lit(-1)) { (acc, i) =>
+        when(nr(i) === best, lit(i)).otherwise(acc)
+      }
+      val chose = stats.select(
+        col("_gid"), col("_cnt"),
+        when(col("_cnt") >= lit(2L * k) && best > lit(0.0), pick)
+          .otherwise(lit(-1)).as("_dim"))
+
+      if (chose.filter(col("_dim") >= 0).isEmpty) splitting = false
+      else {
+        val splitVal = qiCols.indices.reverse
+          .foldLeft(lit(null).cast("double")) { (acc, i) =>
+            when(col("_dim") === i, col(s"_q$i")).otherwise(acc)
+          }
+        val w = Window.partitionBy(col("_gid")).orderBy(splitVal.asc, col(idCol).asc)
+        cur = cur.join(chose, Seq("_gid"))
+          .withColumn("_rnk", row_number().over(w))
+          .withColumn("_gid2",
+            when(col("_dim") < 0, col("_gid") * 3)
+              .when(col("_rnk") <= floor(col("_cnt") / lit(2)), col("_gid") * 3 + 1)
+              .otherwise(col("_gid") * 3 + 2))
+          .drop("_gid", "_dim", "_cnt", "_rnk")
+          .withColumnRenamed("_gid2", "_gid")
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    cur
+  }
+
+  /** The generalization a Mondrian labeling publishes: one row per
+    * group — `group_id` (the group's minimum `idCol` — a deterministic,
+    * engine-stable key), `n_rows` (>= k by construction), and each QI's
+    * `[<qi>_lo, <qi>_hi]` envelope. Releasing envelopes instead of
+    * values is what makes the table k-anonymous: every row inside a
+    * group is indistinguishable on the QIs.
+    */
+  def groupRanges(labeled: DataFrame, idCol: String, qiCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1L)).as("n_rows") +:
+      qiCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(s"_q$i")).as(s"${c}_lo"), max(col(s"_q$i")).as(s"${c}_hi"))
+      }
+    labeled.groupBy("_gid")
+      .agg(min(col(idCol)).as("group_id"), aggs: _*)
+      .drop("_gid")
+  }
+}

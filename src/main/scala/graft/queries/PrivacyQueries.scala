@@ -37,6 +37,7 @@ object PrivacyQueries {
   private val DpEps = 1.0
   private val DpSalt = "graft_release_2026_08"
   private val KmvK = 128
+  private val MondrianK = 20
 
   val all: ListMap[String, Q] = ListMap(
     "q_l_diversity" -> Q(
@@ -515,6 +516,91 @@ object PrivacyQueries {
         from agg left join ex using (src_a, src_b)
         order by src_a, src_b"""
       }
+    ),
+    "q_mondrian" -> Q(
+      (s, dir) => {
+        // strict Mondrian k-anonymization over customer with QIs
+        // (nationkey, acctbal): rank-based median bisection until no
+        // group can split without dropping below k, published as the
+        // per-group QI envelopes (operators/Mondrian.scala — this is
+        // the transform whose output the reference's k-anonymity check
+        // validates). The twin unrolls the recursion: rank splits halve
+        // groups exactly, so ceil(log2(n/k)) rounds suffice and the
+        // extra unrolled rounds are literal no-ops.
+        val cust = Tables.read(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val labeled = graft.operators.Mondrian.anonymize(
+          cust, "c_custkey", Seq("c_nationkey", "c_acctbal"), k = MondrianK)
+        graft.operators.Mondrian
+          .groupRanges(labeled, "c_custkey", Seq("c_nationkey", "c_acctbal"))
+          .select(
+            col("group_id"),
+            col("n_rows"),
+            col("c_nationkey_lo").as("nation_lo"),
+            col("c_nationkey_hi").as("nation_hi"),
+            col("c_acctbal_lo").as("acctbal_lo"),
+            col("c_acctbal_hi").as("acctbal_hi"))
+          .orderBy("group_id")
+      },
+      Some(mondrianOracle(MondrianK, rounds = 10))
     )
   )
+
+  /** The unrolled-recursion twin of `q_mondrian`: each round replays the
+    * operator's split rule verbatim — per-group count/min/max, the
+    * widest-normalized-range dimension (ties to the lower index, zero
+    * global ranges score 0), `row_number` over `(value, id)`, left =
+    * rank <= floor(cnt/2), base-3 relabel. Both engines derive every
+    * compared double identically (casts of the same parquet values, the
+    * same IEEE subtract/divide), so the comparisons — the only places a
+    * float enters control flow — agree bit-for-bit; rank splits keep
+    * interpolated medians (the classic 1-ulp cross-engine hazard) out
+    * of the recursion entirely.
+    */
+  private def mondrianOracle(k: Int, rounds: Int): String = {
+    val blocks = (0 until rounds).map { n =>
+      s"""
+        , s$n as (
+          select gid, count(*) as cnt,
+            min(q1) as mn1, max(q1) as mx1, min(q2) as mn2, max(q2) as mx2
+          from r$n group by gid
+        ), c$n as (
+          select gid, cnt,
+            case when cnt >= ${2 * k} and greatest(nr1, nr2) > 0
+              then (case when nr1 = greatest(nr1, nr2) then 0 else 1 end)
+              else -1 end as dim
+          from (
+            select gid, cnt,
+              case when g1 > 0 then (mx1 - mn1) / g1 else 0 end as nr1,
+              case when g2 > 0 then (mx2 - mn2) / g2 else 0 end as nr2
+            from s$n, grng)
+        ), r${n + 1} as (
+          select id, q1, q2,
+            case when dim = -1 then gid * 3
+                 when rnk <= floor(cnt / 2) then gid * 3 + 1
+                 else gid * 3 + 2 end as gid
+          from (
+            select t.id, t.q1, t.q2, t.gid, c.dim, c.cnt,
+              row_number() over (partition by t.gid
+                order by (case c.dim when 0 then t.q1 when 1 then t.q2 end), t.id) as rnk
+            from r$n t join c$n c using (gid))
+        )"""
+    }.mkString
+    s"""
+        with r0 as (
+          select c_custkey as id,
+            cast(c_nationkey as double) as q1,
+            cast(c_acctbal as double) as q2,
+            cast(0 as bigint) as gid
+          from customer
+        ), grng as (
+          select max(q1) - min(q1) as g1, max(q2) - min(q2) as g2 from r0
+        )$blocks
+        select min(id) as group_id, count(*) as n_rows,
+          min(q1) as nation_lo, max(q1) as nation_hi,
+          min(q2) as acctbal_lo, max(q2) as acctbal_hi
+        from r$rounds
+        group by gid
+        order by group_id"""
+  }
 }

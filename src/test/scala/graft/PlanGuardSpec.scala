@@ -138,7 +138,11 @@ class PlanGuardSpec extends SparkSpec {
     // the bucket count)
     "q_erasure",
     // hourly-store build + TTL directory expiry (|days|-bounded listing)
-    "q_retention_ttl"
+    "q_retention_ttl",
+    // Mondrian recursion: each build job is one bisection round (group
+    // stats + localCheckpoint), bounded by ceil(log2(n/k)) — the CC /
+    // k-means iterative shape
+    "q_mondrian"
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
