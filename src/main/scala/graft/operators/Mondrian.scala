@@ -49,21 +49,41 @@ import org.apache.spark.sql.functions._
 object Mondrian {
 
   private def working(qiCols: Seq[String]): Seq[String] =
-    qiCols.indices.map(i => s"_q$i") ++ Seq("_gid", "_dim", "_cnt", "_rnk", "_gid2")
+    qiCols.indices.map(i => s"_q$i") ++
+      Seq("_gid", "_dim", "_cnt", "_rnk", "_gid2", "_side", "_ds", "_mds")
 
   /** Label every row with its Mondrian group: returns `df`'s columns
     * plus `_q<i>` (the QIs cast to double — the values the split
     * decisions and [[groupRanges]] read) and the group label `_gid`.
+    *
+    * With `sensitiveCol` set, splits are additionally l-DIVERSITY
+    * constrained (Machanavajjhala et al., "l-Diversity: Privacy Beyond
+    * k-Anonymity", ICDE 2006, §6's Mondrian adaptation): a group splits
+    * only if BOTH candidate children retain at least `l` distinct
+    * sensitive values; a group whose widest-dimension split would
+    * concentrate the sensitive attribute becomes FINAL instead (the
+    * conservative strict variant — no fallback to narrower dimensions,
+    * which keeps the recursion replayable round-for-round). Every final
+    * group then satisfies k-anonymity AND distinct-l-diversity, except
+    * the root-inherited bound: a group can never offer more distinct
+    * values than it inherited, so callers should check the published
+    * `n_sensitive` floor on the output (a table with fewer than `l`
+    * global sensitive values cannot be l-diverse at all).
     */
   def anonymize(
       df: DataFrame,
       idCol: String,
       qiCols: Seq[String],
       k: Int,
-      maxRounds: Int = 39
+      maxRounds: Int = 39,
+      sensitiveCol: Option[String] = None,
+      l: Int = 1
   ): DataFrame = {
     require(k >= 1, s"mondrian: k must be positive, got $k")
     require(qiCols.nonEmpty, "mondrian: at least one quasi-identifier")
+    require(l >= 1, s"mondrian: l must be positive, got $l")
+    require(sensitiveCol.forall(df.columns.contains),
+      s"mondrian: sensitive column ${sensitiveCol.orNull} not in input")
     require(maxRounds >= 0 && maxRounds <= 39,
       s"mondrian: base-3 labels overflow a long past 39 rounds, got $maxRounds")
     val clash = df.columns.toSet.intersect(working(qiCols).toSet)
@@ -95,18 +115,39 @@ object Mondrian {
       val pick = qiCols.indices.reverse.foldLeft(lit(-1)) { (acc, i) =>
         when(nr(i) === best, lit(i)).otherwise(acc)
       }
-      val chose = stats.select(
+      val splitVal = qiCols.indices.reverse
+        .foldLeft(lit(null).cast("double")) { (acc, i) =>
+          when(col("_dim") === i, col(s"_q$i")).otherwise(acc)
+        }
+      val w = Window.partitionBy(col("_gid")).orderBy(splitVal.asc, col(idCol).asc)
+
+      val chose0 = stats.select(
         col("_gid"), col("_cnt"),
         when(col("_cnt") >= lit(2L * k) && best > lit(0.0), pick)
           .otherwise(lit(-1)).as("_dim"))
 
+      val chose = sensitiveCol match {
+        case None => chose0
+        case Some(sv) =>
+          // l-diversity guard: rank the would-split groups with the SAME
+          // (value, id) window the relabel uses, count each candidate
+          // side's distinct sensitive values, and demote any group whose
+          // weaker side drops below l to final
+          val ranked = cur.join(chose0, Seq("_gid"))
+            .withColumn("_rnk", row_number().over(w))
+          val weaker = ranked.filter(col("_dim") >= 0)
+            .groupBy(col("_gid"),
+              (col("_rnk") <= floor(col("_cnt") / lit(2))).as("_side"))
+            .agg(countDistinct(col(sv)).as("_ds"))
+            .groupBy("_gid").agg(min(col("_ds")).as("_mds"))
+          chose0.join(weaker, Seq("_gid"), "left")
+            .select(col("_gid"), col("_cnt"),
+              when(col("_dim") >= 0 && coalesce(col("_mds"), lit(0L)) >= l,
+                col("_dim")).otherwise(lit(-1)).as("_dim"))
+      }
+
       if (chose.filter(col("_dim") >= 0).isEmpty) splitting = false
       else {
-        val splitVal = qiCols.indices.reverse
-          .foldLeft(lit(null).cast("double")) { (acc, i) =>
-            when(col("_dim") === i, col(s"_q$i")).otherwise(acc)
-          }
-        val w = Window.partitionBy(col("_gid")).orderBy(splitVal.asc, col(idCol).asc)
         cur = cur.join(chose, Seq("_gid"))
           .withColumn("_rnk", row_number().over(w))
           .withColumn("_gid2",
@@ -129,11 +170,17 @@ object Mondrian {
     * values is what makes the table k-anonymous: every row inside a
     * group is indistinguishable on the QIs.
     */
-  def groupRanges(labeled: DataFrame, idCol: String, qiCols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1L)).as("n_rows") +:
+  def groupRanges(
+      labeled: DataFrame,
+      idCol: String,
+      qiCols: Seq[String],
+      sensitiveCol: Option[String] = None
+  ): DataFrame = {
+    val aggs = (count(lit(1L)).as("n_rows") +:
       qiCols.zipWithIndex.flatMap { case (c, i) =>
         Seq(min(col(s"_q$i")).as(s"${c}_lo"), max(col(s"_q$i")).as(s"${c}_hi"))
-      }
+      }) ++
+      sensitiveCol.map(sv => countDistinct(col(sv)).as("n_sensitive")).toSeq
     labeled.groupBy("_gid")
       .agg(min(col(idCol)).as("group_id"), aggs: _*)
       .drop("_gid")

@@ -37,7 +37,10 @@ object PrivacyQueries {
   private val DpEps = 1.0
   private val DpSalt = "graft_release_2026_08"
   private val KmvK = 128
+  // declared ABOVE `all`: these feed EAGERLY-built oracle strings, and a
+  // constant defined below the ListMap is still 0 at construction time
   private val MondrianK = 20
+  private val MondrianL = 5
 
   val all: ListMap[String, Q] = ListMap(
     "q_l_diversity" -> Q(
@@ -543,6 +546,34 @@ object PrivacyQueries {
           .orderBy("group_id")
       },
       Some(mondrianOracle(MondrianK, rounds = 10))
+    ),
+    "q_mondrian_ldiv" -> Q(
+      (s, dir) => {
+        // l-diversity-constrained Mondrian (conservative strict variant):
+        // a split is accepted only if BOTH candidate children keep at
+        // least l distinct c_mktsegment values, so no published group
+        // concentrates the sensitive attribute; blocked groups go final.
+        // Same unrolled twin, plus a per-round candidate-diversity CTE.
+        val cust = Tables.read(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment"))
+        val labeled = graft.operators.Mondrian.anonymize(
+          cust, "c_custkey", Seq("c_nationkey", "c_acctbal"), k = MondrianK,
+          sensitiveCol = Some("c_mktsegment"), l = MondrianL)
+        graft.operators.Mondrian
+          .groupRanges(labeled, "c_custkey", Seq("c_nationkey", "c_acctbal"),
+            sensitiveCol = Some("c_mktsegment"))
+          .select(
+            col("group_id"),
+            col("n_rows"),
+            col("n_sensitive"),
+            col("c_nationkey_lo").as("nation_lo"),
+            col("c_nationkey_hi").as("nation_hi"),
+            col("c_acctbal_lo").as("acctbal_lo"),
+            col("c_acctbal_hi").as("acctbal_hi"))
+          .orderBy("group_id")
+      },
+      Some(mondrianOracle(MondrianK, rounds = 10, ldiv = Some(MondrianL)))
     )
   )
 
@@ -557,14 +588,56 @@ object PrivacyQueries {
     * interpolated medians (the classic 1-ulp cross-engine hazard) out
     * of the recursion entirely.
     */
-  private def mondrianOracle(k: Int, rounds: Int): String = {
+  private def mondrianOracle(
+      k: Int,
+      rounds: Int,
+      ldiv: Option[Int] = None
+  ): String = {
+    val svSel = if (ldiv.isDefined) ", t.sv" else ""
+    val svCol = if (ldiv.isDefined) ", sv" else ""
     val blocks = (0 until rounds).map { n =>
+      val ranked = s"""rk$n as materialized (
+            select t.id, t.q1, t.q2$svSel, t.gid, c.dim, c.cnt,
+              row_number() over (partition by t.gid
+                order by (case c.dim when 0 then t.q1 when 1 then t.q2 end), t.id) as rnk
+            from r$n t join c$n c using (gid))"""
+      val relabel = ldiv match {
+        case None =>
+          // final dim IS c's dim: relabel straight off the ranked rows
+          s"""$ranked, r${n + 1} as materialized (
+          select id, q1, q2,
+            case when dim = -1 then gid * 3
+                 when rnk <= floor(cnt / 2) then gid * 3 + 1
+                 else gid * 3 + 2 end as gid
+          from rk$n
+        )"""
+        case Some(l) =>
+          // diversity guard: each would-split group's candidate sides
+          // must BOTH keep >= l distinct sensitive values, else demote
+          s"""$ranked, d$n as (
+          select gid, min(ds) as mds from (
+            select gid, rnk <= floor(cnt / 2) as side, count(distinct sv) as ds
+            from rk$n where dim >= 0 group by 1, 2)
+          group by gid
+        ), f$n as (
+          select c.gid,
+            case when c.dim >= 0 and coalesce(d.mds, 0) >= $l
+              then c.dim else -1 end as dim
+          from c$n c left join d$n d using (gid)
+        ), r${n + 1} as materialized (
+          select id, q1, q2, sv,
+            case when f.dim = -1 then t.gid * 3
+                 when t.rnk <= floor(t.cnt / 2) then t.gid * 3 + 1
+                 else t.gid * 3 + 2 end as gid
+          from rk$n t join f$n f using (gid)
+        )"""
+      }
       s"""
         , s$n as (
           select gid, count(*) as cnt,
             min(q1) as mn1, max(q1) as mx1, min(q2) as mn2, max(q2) as mx2
           from r$n group by gid
-        ), c$n as (
+        ), c$n as materialized (
           select gid, cnt,
             case when cnt >= ${2 * k} and greatest(nr1, nr2) > 0
               then (case when nr1 = greatest(nr1, nr2) then 0 else 1 end)
@@ -574,29 +647,21 @@ object PrivacyQueries {
               case when g1 > 0 then (mx1 - mn1) / g1 else 0 end as nr1,
               case when g2 > 0 then (mx2 - mn2) / g2 else 0 end as nr2
             from s$n, grng)
-        ), r${n + 1} as (
-          select id, q1, q2,
-            case when dim = -1 then gid * 3
-                 when rnk <= floor(cnt / 2) then gid * 3 + 1
-                 else gid * 3 + 2 end as gid
-          from (
-            select t.id, t.q1, t.q2, t.gid, c.dim, c.cnt,
-              row_number() over (partition by t.gid
-                order by (case c.dim when 0 then t.q1 when 1 then t.q2 end), t.id) as rnk
-            from r$n t join c$n c using (gid))
-        )"""
+        ), $relabel"""
     }.mkString
+    val svSrc = if (ldiv.isDefined) ",\n            c_mktsegment as sv" else ""
+    val svOut = if (ldiv.isDefined) ", count(distinct sv) as n_sensitive" else ""
     s"""
-        with r0 as (
+        with r0 as materialized (
           select c_custkey as id,
             cast(c_nationkey as double) as q1,
-            cast(c_acctbal as double) as q2,
+            cast(c_acctbal as double) as q2$svSrc,
             cast(0 as bigint) as gid
           from customer
-        ), grng as (
+        ), grng as materialized (
           select max(q1) - min(q1) as g1, max(q2) - min(q2) as g2 from r0
         )$blocks
-        select min(id) as group_id, count(*) as n_rows,
+        select min(id) as group_id, count(*) as n_rows$svOut,
           min(q1) as nation_lo, max(q1) as nation_hi,
           min(q2) as acctbal_lo, max(q2) as acctbal_hi
         from r$rounds

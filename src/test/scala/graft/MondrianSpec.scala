@@ -72,6 +72,34 @@ class MondrianSpec extends SparkSpec {
     assert(bounds == Seq((0.0, 24.0), (25.0, 49.0), (50.0, 74.0), (75.0, 99.0)))
   }
 
+  test("l-diversity guard blocks the split that would concentrate the sensitive value") {
+    // qb is the widest QI, so the rank split sends rows 40..79 right —
+    // and that side is all-"A": with l=3 the split must be refused and
+    // the root published whole; with l=1 the guard is vacuous and the
+    // same data splits into 4 groups of 20
+    val df = (0 until 80).map { i =>
+      val sv = if (i < 40) Seq("A", "B", "C")(i % 3) else "A"
+      (i.toLong, i.toDouble, sv)
+    }.toDF("id", "qb", "sv")
+    val blocked = Mondrian.groupRanges(
+      Mondrian.anonymize(df, "id", Seq("qb"), k = 20,
+        sensitiveCol = Some("sv"), l = 3),
+      "id", Seq("qb"), sensitiveCol = Some("sv")).collect()
+    assert(blocked.length == 1, "the concentrating split must be refused")
+    assert(blocked.head.getAs[Long]("n_rows") == 80L)
+    assert(blocked.head.getAs[Long]("n_sensitive") == 3L)
+
+    val vacuous = Mondrian.groupRanges(
+      Mondrian.anonymize(df, "id", Seq("qb"), k = 20,
+        sensitiveCol = Some("sv"), l = 1),
+      "id", Seq("qb"), sensitiveCol = Some("sv"))
+      .orderBy("group_id").collect()
+    assert(vacuous.length == 4)
+    assert(vacuous.map(_.getAs[Long]("n_rows")).toSeq == Seq(20L, 20L, 20L, 20L))
+    // the all-"A" tail really is concentrated — the guard was load-bearing
+    assert(vacuous.map(_.getAs[Long]("n_sensitive")).toSeq == Seq(3L, 3L, 1L, 1L))
+  }
+
   test("all-constant QIs and empty input both return the root labeling") {
     val const = (0 until 60).map(i => (i.toLong, 1.0, 2.0)).toDF("id", "qa", "qb")
     val r = Mondrian.groupRanges(

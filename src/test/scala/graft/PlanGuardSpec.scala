@@ -142,7 +142,8 @@ class PlanGuardSpec extends SparkSpec {
     // Mondrian recursion: each build job is one bisection round (group
     // stats + localCheckpoint), bounded by ceil(log2(n/k)) — the CC /
     // k-means iterative shape
-    "q_mondrian"
+    "q_mondrian",
+    "q_mondrian_ldiv"     // same recursion + per-round diversity guard
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
