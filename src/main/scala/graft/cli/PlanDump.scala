@@ -109,7 +109,10 @@ object PlanDump {
     "q_agg_store_erase",  // store build + exact-subtraction erase + rebuilt serve
     "q_video_near_dup",   // y4m multi-keyframe dHash + hash-equality set overlap
     "q_fsck",             // two index builds + fused single-pass invariant probes
-    "q_release_cert"      // validator compose + zero-job lineage/method bits
+    "q_release_cert",     // validator compose + zero-job lineage/method bits
+    "q_mondrian",         // rank-split bisection rounds, per-round checkpoint
+    "q_mondrian_ldiv",    // same + candidate-side diversity guard
+    "q_mondrian_tclose"   // same + integer-exact TVD guard vs global dist
   )
 
   def main(args: Array[String]): Unit = {

@@ -50,7 +50,8 @@ object Mondrian {
 
   private def working(qiCols: Seq[String]): Seq[String] =
     qiCols.indices.map(i => s"_q$i") ++
-      Seq("_gid", "_dim", "_cnt", "_rnk", "_gid2", "_side", "_ds", "_mds")
+      Seq("_gid", "_dim", "_cnt", "_rnk", "_gid2", "_side", "_ds", "_mds",
+        "_sv", "_c", "_gc", "_n", "_nump", "_gcp", "_num", "_okf", "_mok")
 
   /** Label every row with its Mondrian group: returns `df`'s columns
     * plus `_q<i>` (the QIs cast to double — the values the split
@@ -69,6 +70,18 @@ object Mondrian {
     * values than it inherited, so callers should check the published
     * `n_sensitive` floor on the output (a table with fewer than `l`
     * global sensitive values cannot be l-diverse at all).
+    *
+    * With `maxTvd` additionally set (requires `sensitiveCol`), splits
+    * are t-CLOSENESS constrained (Li, Li, Venkatasubramanian,
+    * "t-Closeness: Privacy Beyond k-Anonymity and l-Diversity", ICDE
+    * 2007, with total variation distance as the ground metric): a split
+    * is refused when either candidate child's sensitive distribution
+    * sits more than `maxTvd` from the WHOLE TABLE's distribution — the
+    * attacker's baseline — so no published group leaks much more about
+    * the sensitive attribute than the table already does. The test
+    * compares an integer-exact numerator against `t * 2nN` (one double
+    * product), so no float-summation order enters control flow and the
+    * recursion stays engine-replayable.
     */
   def anonymize(
       df: DataFrame,
@@ -77,13 +90,18 @@ object Mondrian {
       k: Int,
       maxRounds: Int = 39,
       sensitiveCol: Option[String] = None,
-      l: Int = 1
+      l: Int = 1,
+      maxTvd: Option[Double] = None
   ): DataFrame = {
     require(k >= 1, s"mondrian: k must be positive, got $k")
     require(qiCols.nonEmpty, "mondrian: at least one quasi-identifier")
     require(l >= 1, s"mondrian: l must be positive, got $l")
     require(sensitiveCol.forall(df.columns.contains),
       s"mondrian: sensitive column ${sensitiveCol.orNull} not in input")
+    require(maxTvd.isEmpty || sensitiveCol.isDefined,
+      "mondrian: maxTvd needs a sensitive column")
+    require(maxTvd.forall(t => t > 0.0 && t <= 1.0),
+      s"mondrian: maxTvd must be in (0, 1], got ${maxTvd.orNull}")
     require(maxRounds >= 0 && maxRounds <= 39,
       s"mondrian: base-3 labels overflow a long past 39 rounds, got $maxRounds")
     val clash = df.columns.toSet.intersect(working(qiCols).toSet)
@@ -95,11 +113,21 @@ object Mondrian {
         qiCols.zipWithIndex.map { case (c, i) => col(c).cast("double").as(s"_q$i") } :+
         lit(0L).as("_gid"): _*)
 
-    // global ranges normalize the per-group ranges once, up front
-    val gAggs = qiCols.indices.flatMap(i => Seq(min(col(s"_q$i")), max(col(s"_q$i"))))
+    // global ranges normalize the per-group ranges once, up front; the
+    // total row count anchors the t-closeness reference distribution
+    val gAggs = count(lit(1L)).as("_nt") +:
+      qiCols.indices.flatMap(i => Seq(min(col(s"_q$i")), max(col(s"_q$i"))))
     val gRow = cur.agg(gAggs.head, gAggs.tail: _*).head()
-    if (gRow.isNullAt(0)) return cur // empty input: zero groups, done
-    val grange = qiCols.indices.map(i => gRow.getDouble(2 * i + 1) - gRow.getDouble(2 * i))
+    val nTotal = gRow.getLong(0)
+    if (nTotal == 0L) return cur // empty input: zero groups, done
+    val grange =
+      qiCols.indices.map(i => gRow.getDouble(2 * i + 2) - gRow.getDouble(2 * i + 1))
+    // the global sensitive distribution (t-closeness reference):
+    // |distinct sensitive values| rows, pinned before the loop mutates
+    // `cur`, materialized once
+    val gdist = sensitiveCol.filter(_ => maxTvd.isDefined).map { sv =>
+      cur.groupBy(col(sv).as("_sv")).agg(count(lit(1L)).as("_gc")).localCheckpoint()
+    }
 
     var round = 0
     var splitting = true
@@ -129,20 +157,58 @@ object Mondrian {
       val chose = sensitiveCol match {
         case None => chose0
         case Some(sv) =>
-          // l-diversity guard: rank the would-split groups with the SAME
-          // (value, id) window the relabel uses, count each candidate
-          // side's distinct sensitive values, and demote any group whose
-          // weaker side drops below l to final
+          // sensitive-attribute guards: rank the would-split groups with
+          // the SAME (value, id) window the relabel uses, then demote any
+          // group whose weaker candidate side drops below l distinct
+          // sensitive values — or, with maxTvd, whose side's sensitive
+          // distribution strays more than t (total variation) from the
+          // global reference. The TVD test compares an INTEGER-exact
+          // numerator (sum |c*N - gc*n| over present values, plus n*(N -
+          // sum gc) for the absent ones — hugeint-style, order-free)
+          // against t * 2nN computed as one double product, so no
+          // float-summation order ever enters control flow.
           val ranked = cur.join(chose0, Seq("_gid"))
             .withColumn("_rnk", row_number().over(w))
-          val weaker = ranked.filter(col("_dim") >= 0)
-            .groupBy(col("_gid"),
-              (col("_rnk") <= floor(col("_cnt") / lit(2))).as("_side"))
-            .agg(countDistinct(col(sv)).as("_ds"))
-            .groupBy("_gid").agg(min(col("_ds")).as("_mds"))
+          val sides = ranked.filter(col("_dim") >= 0)
+            .groupBy(col("_gid"), col("_cnt"),
+              (col("_rnk") <= floor(col("_cnt") / lit(2))).as("_side"),
+              col(sv).as("_sv"))
+            .agg(count(lit(1L)).as("_c"))
+          val weaker = (maxTvd, gdist) match {
+            case (Some(t), Some(gd)) =>
+              val dec = "decimal(38,0)"
+              // side totals are KNOWN from the rank split — floor(cnt/2)
+              // left, the rest right — so no window/shuffle to derive them
+              sides.join(gd, Seq("_sv"))
+                .withColumn("_n",
+                  when(col("_side"), floor(col("_cnt") / lit(2)))
+                    .otherwise(col("_cnt") - floor(col("_cnt") / lit(2))))
+                .groupBy("_gid", "_side")
+                .agg(
+                  count(lit(1L)).as("_ds"),
+                  max(col("_n")).as("_n"),
+                  sum(abs(col("_c").cast(dec) * lit(nTotal) -
+                    col("_gc").cast(dec) * col("_n"))).as("_nump"),
+                  sum(col("_gc")).as("_gcp"))
+                .withColumn("_num",
+                  col("_nump") +
+                    col("_n").cast(dec) * (lit(nTotal) - col("_gcp")).cast(dec))
+                .withColumn("_okf",
+                  when(col("_num").cast("double") <=
+                    lit(2.0 * t) * col("_n").cast("double") * lit(nTotal.toDouble),
+                    lit(1)).otherwise(lit(0)))
+                .groupBy("_gid")
+                .agg(min(col("_ds")).as("_mds"), min(col("_okf")).as("_mok"))
+            case _ =>
+              sides.groupBy("_gid", "_side")
+                .agg(count(lit(1L)).as("_ds"))
+                .groupBy("_gid")
+                .agg(min(col("_ds")).as("_mds"), min(lit(1)).as("_mok"))
+          }
           chose0.join(weaker, Seq("_gid"), "left")
             .select(col("_gid"), col("_cnt"),
-              when(col("_dim") >= 0 && coalesce(col("_mds"), lit(0L)) >= l,
+              when(col("_dim") >= 0 && coalesce(col("_mds"), lit(0L)) >= l &&
+                coalesce(col("_mok"), lit(1)) === 1,
                 col("_dim")).otherwise(lit(-1)).as("_dim"))
       }
 

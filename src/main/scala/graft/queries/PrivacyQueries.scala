@@ -41,6 +41,7 @@ object PrivacyQueries {
   // constant defined below the ListMap is still 0 at construction time
   private val MondrianK = 20
   private val MondrianL = 5
+  private val MondrianT = 0.15
 
   val all: ListMap[String, Q] = ListMap(
     "q_l_diversity" -> Q(
@@ -574,6 +575,36 @@ object PrivacyQueries {
           .orderBy("group_id")
       },
       Some(mondrianOracle(MondrianK, rounds = 10, ldiv = Some(MondrianL)))
+    ),
+    "q_mondrian_tclose" -> Q(
+      (s, dir) => {
+        // t-closeness-constrained Mondrian: a split is refused when
+        // either candidate child's sensitive distribution strays more
+        // than t (total variation) from the WHOLE TABLE's — so no
+        // published group leaks much more about c_mktsegment than the
+        // table already does. Completes the trio: the engine now
+        // PRODUCES k-anonymous, l-diverse, and t-close generalizations,
+        // the three properties its audit queries check.
+        val cust = Tables.read(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment"))
+        val labeled = graft.operators.Mondrian.anonymize(
+          cust, "c_custkey", Seq("c_nationkey", "c_acctbal"), k = MondrianK,
+          sensitiveCol = Some("c_mktsegment"), maxTvd = Some(MondrianT))
+        graft.operators.Mondrian
+          .groupRanges(labeled, "c_custkey", Seq("c_nationkey", "c_acctbal"),
+            sensitiveCol = Some("c_mktsegment"))
+          .select(
+            col("group_id"),
+            col("n_rows"),
+            col("n_sensitive"),
+            col("c_nationkey_lo").as("nation_lo"),
+            col("c_nationkey_hi").as("nation_hi"),
+            col("c_acctbal_lo").as("acctbal_lo"),
+            col("c_acctbal_hi").as("acctbal_hi"))
+          .orderBy("group_id")
+      },
+      Some(mondrianOracle(MondrianK, rounds = 10, tvd = Some(MondrianT)))
     )
   )
 
@@ -591,18 +622,19 @@ object PrivacyQueries {
   private def mondrianOracle(
       k: Int,
       rounds: Int,
-      ldiv: Option[Int] = None
+      ldiv: Option[Int] = None,
+      tvd: Option[Double] = None
   ): String = {
-    val svSel = if (ldiv.isDefined) ", t.sv" else ""
-    val svCol = if (ldiv.isDefined) ", sv" else ""
+    val sensitive = ldiv.isDefined || tvd.isDefined
+    val svSel = if (sensitive) ", t.sv" else ""
     val blocks = (0 until rounds).map { n =>
       val ranked = s"""rk$n as materialized (
             select t.id, t.q1, t.q2$svSel, t.gid, c.dim, c.cnt,
               row_number() over (partition by t.gid
                 order by (case c.dim when 0 then t.q1 when 1 then t.q2 end), t.id) as rnk
             from r$n t join c$n c using (gid))"""
-      val relabel = ldiv match {
-        case None =>
+      val relabel = (ldiv, tvd) match {
+        case (None, None) =>
           // final dim IS c's dim: relabel straight off the ranked rows
           s"""$ranked, r${n + 1} as materialized (
           select id, q1, q2,
@@ -611,7 +643,7 @@ object PrivacyQueries {
                  else gid * 3 + 2 end as gid
           from rk$n
         )"""
-        case Some(l) =>
+        case (Some(l), None) =>
           // diversity guard: each would-split group's candidate sides
           // must BOTH keep >= l distinct sensitive values, else demote
           s"""$ranked, d$n as (
@@ -622,6 +654,42 @@ object PrivacyQueries {
         ), f$n as (
           select c.gid,
             case when c.dim >= 0 and coalesce(d.mds, 0) >= $l
+              then c.dim else -1 end as dim
+          from c$n c left join d$n d using (gid)
+        ), r${n + 1} as materialized (
+          select id, q1, q2, sv,
+            case when f.dim = -1 then t.gid * 3
+                 when t.rnk <= floor(t.cnt / 2) then t.gid * 3 + 1
+                 else t.gid * 3 + 2 end as gid
+          from rk$n t join f$n f using (gid)
+        )"""
+        case (lOpt, Some(t)) =>
+          // l-diversity AND t-closeness guards on the candidate sides:
+          // integer-exact TVD numerator (hugeint |c*N - gc*n| over
+          // present values + n*(N - sum gc) for absent ones) against
+          // t * 2nN as one double product — the operator's exact test
+          val l = lOpt.getOrElse(1)
+          s"""$ranked, sc$n as (
+          select gid, cnt, rnk <= floor(cnt / 2) as side, sv, count(*) as c
+          from rk$n where dim >= 0 group by 1, 2, 3, 4
+        ), scn$n as (
+          select s.gid, s.side, s.c, g.gc,
+            case when s.side then cast(floor(s.cnt / 2) as bigint)
+                 else s.cnt - cast(floor(s.cnt / 2) as bigint) end as n
+          from sc$n s join gdist g using (sv)
+        ), d$n as (
+          select gid, min(ds) as mds, min(okf) as mok from (
+            select gid, side, count(*) as ds,
+              case when cast(sum(abs(cast(c as hugeint) * nt - cast(gc as hugeint) * n))
+                         + max(n) * (max(nt) - sum(gc)) as double)
+                   <= ${2 * t} * cast(max(n) as double) * cast(max(nt) as double)
+                then 1 else 0 end as okf
+            from scn$n, gtot group by gid, side)
+          group by gid
+        ), f$n as (
+          select c.gid,
+            case when c.dim >= 0 and coalesce(d.mds, 0) >= $l
+                      and coalesce(d.mok, 1) = 1
               then c.dim else -1 end as dim
           from c$n c left join d$n d using (gid)
         ), r${n + 1} as materialized (
@@ -649,8 +717,16 @@ object PrivacyQueries {
             from s$n, grng)
         ), $relabel"""
     }.mkString
-    val svSrc = if (ldiv.isDefined) ",\n            c_mktsegment as sv" else ""
-    val svOut = if (ldiv.isDefined) ", count(distinct sv) as n_sensitive" else ""
+    val svSrc = if (sensitive) ",\n            c_mktsegment as sv" else ""
+    val svOut = if (sensitive) ", count(distinct sv) as n_sensitive" else ""
+    val gRef =
+      if (tvd.isDefined)
+        """, gdist as materialized (
+          select sv, count(*) as gc from r0 group by sv
+        ), gtot as materialized (
+          select count(*) as nt from r0
+        )"""
+      else ""
     s"""
         with r0 as materialized (
           select c_custkey as id,
@@ -660,7 +736,7 @@ object PrivacyQueries {
           from customer
         ), grng as materialized (
           select max(q1) - min(q1) as g1, max(q2) - min(q2) as g2 from r0
-        )$blocks
+        )$gRef$blocks
         select min(id) as group_id, count(*) as n_rows$svOut,
           min(q1) as nation_lo, max(q1) as nation_hi,
           min(q2) as acctbal_lo, max(q2) as acctbal_hi

@@ -100,6 +100,37 @@ class MondrianSpec extends SparkSpec {
     assert(vacuous.map(_.getAs[Long]("n_sensitive")).toSeq == Seq(3L, 3L, 1L, 1L))
   }
 
+  test("t-closeness guard blocks the split that would skew the sensitive distribution") {
+    // global distribution: 50 A / 30 B (p = 0.625 / 0.375). The rank
+    // split on qb sends 0..39 left (20 A / 20 B -> TVD 0.125) and
+    // 40..79 right (30 A / 10 B -> TVD 0.125): t = 0.1 refuses the root
+    // split outright; t = 0.2 allows it, then blocks ONLY the right
+    // child's follow-up (its left side 40..59 is all-A, TVD 0.375)
+    // while the left child splits clean — all margins far from the
+    // thresholds, so no boundary float sensitivity
+    val df = (0 until 80).map { i =>
+      val sv =
+        if (i < 40) { if (i % 2 == 0) "A" else "B" }
+        else if (i < 70) "A"
+        else "B"
+      (i.toLong, i.toDouble, sv)
+    }.toDF("id", "qb", "sv")
+    def groupsAt(t: Double) = Mondrian.groupRanges(
+      Mondrian.anonymize(df, "id", Seq("qb"), k = 20,
+        sensitiveCol = Some("sv"), maxTvd = Some(t)),
+      "id", Seq("qb"), sensitiveCol = Some("sv"))
+      .orderBy("group_id").collect()
+
+    val tight = groupsAt(0.1)
+    assert(tight.length == 1 && tight.head.getAs[Long]("n_rows") == 80L,
+      "t=0.1 must refuse the root split (both children at TVD 0.125)")
+
+    val loose = groupsAt(0.2)
+    assert(loose.map(r => (r.getAs[Long]("group_id"), r.getAs[Long]("n_rows")))
+      .toSeq == Seq((0L, 20L), (20L, 20L), (40L, 40L)),
+      "t=0.2 must allow the balanced splits and block only the skewing one")
+  }
+
   test("all-constant QIs and empty input both return the root labeling") {
     val const = (0 until 60).map(i => (i.toLong, 1.0, 2.0)).toDF("id", "qa", "qb")
     val r = Mondrian.groupRanges(

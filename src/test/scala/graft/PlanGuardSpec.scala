@@ -143,7 +143,8 @@ class PlanGuardSpec extends SparkSpec {
     // stats + localCheckpoint), bounded by ceil(log2(n/k)) — the CC /
     // k-means iterative shape
     "q_mondrian",
-    "q_mondrian_ldiv"     // same recursion + per-round diversity guard
+    "q_mondrian_ldiv",    // same recursion + per-round diversity guard
+    "q_mondrian_tclose"   // same recursion + per-round TVD guard
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
