@@ -42,6 +42,7 @@ object PrivacyQueries {
   private val MondrianK = 20
   private val MondrianL = 5
   private val MondrianT = 0.15
+  private val MondrianGeoK = 10
 
   val all: ListMap[String, Q] = ListMap(
     "q_l_diversity" -> Q(
@@ -605,6 +606,42 @@ object PrivacyQueries {
           .orderBy("group_id")
       },
       Some(mondrianOracle(MondrianK, rounds = 10, tvd = Some(MondrianT)))
+    ),
+    "q_mondrian_geo" -> Q(
+      (s, dir) => {
+        // spatial k-anonymization (location privacy): Mondrian over the
+        // services table's (latitude, longitude) — each published group
+        // is a geographic bounding box holding >= k services, the
+        // classic Mondrian use on geodata. Runs on the reference's own
+        // pipeline surface, where coordinates are the PII the masking
+        // layer rounds (privacy__mask_coordinates); this publishes
+        // k-anonymous envelopes instead.
+        val svc = Tables.services(s, dir)
+          .filter(col("latitude").isNotNull && col("longitude").isNotNull)
+          .select(col("service_id"), col("latitude"), col("longitude"))
+        val labeled = graft.operators.Mondrian.anonymize(
+          svc, "service_id", Seq("latitude", "longitude"), k = MondrianGeoK)
+        graft.operators.Mondrian
+          .groupRanges(labeled, "service_id", Seq("latitude", "longitude"))
+          .select(
+            col("group_id"),
+            col("n_rows"),
+            col("latitude_lo").as("lat_lo"),
+            col("latitude_hi").as("lat_hi"),
+            col("longitude_lo").as("lon_lo"),
+            col("longitude_hi").as("lon_hi"))
+          .orderBy("group_id")
+      },
+      Some(mondrianOracle(MondrianGeoK, rounds = 12,
+        pre = s"services as (${ServicesSynth.sql}), ",
+        src = """
+          select service_id as id,
+            cast(latitude as double) as q1,
+            cast(longitude as double) as q2,
+            cast(0 as bigint) as gid
+          from services
+          where latitude is not null and longitude is not null""",
+        outCols = ("lat_lo", "lat_hi", "lon_lo", "lon_hi")))
     )
   )
 
@@ -619,11 +656,19 @@ object PrivacyQueries {
     * interpolated medians (the classic 1-ulp cross-engine hazard) out
     * of the recursion entirely.
     */
+  /** `pre` prepends extra CTEs (e.g. the services synth); `src` is the
+    * full r0 SELECT producing (id, q1, q2[, sv], gid); `outCols` names
+    * the published (q1_lo, q1_hi, q2_lo, q2_hi) envelope columns.
+    */
   private def mondrianOracle(
       k: Int,
       rounds: Int,
       ldiv: Option[Int] = None,
-      tvd: Option[Double] = None
+      tvd: Option[Double] = None,
+      pre: String = "",
+      src: String = "",
+      outCols: (String, String, String, String) =
+        ("nation_lo", "nation_hi", "acctbal_lo", "acctbal_hi")
   ): String = {
     val sensitive = ldiv.isDefined || tvd.isDefined
     val svSel = if (sensitive) ", t.sv" else ""
@@ -727,19 +772,21 @@ object PrivacyQueries {
           select count(*) as nt from r0
         )"""
       else ""
-    s"""
-        with r0 as materialized (
+    val r0 = if (src.nonEmpty) src else s"""
           select c_custkey as id,
             cast(c_nationkey as double) as q1,
             cast(c_acctbal as double) as q2$svSrc,
             cast(0 as bigint) as gid
-          from customer
+          from customer"""
+    val (lo1, hi1, lo2, hi2) = outCols
+    s"""
+        with ${pre}r0 as materialized ($r0
         ), grng as materialized (
           select max(q1) - min(q1) as g1, max(q2) - min(q2) as g2 from r0
         )$gRef$blocks
         select min(id) as group_id, count(*) as n_rows$svOut,
-          min(q1) as nation_lo, max(q1) as nation_hi,
-          min(q2) as acctbal_lo, max(q2) as acctbal_hi
+          min(q1) as $lo1, max(q1) as $hi1,
+          min(q2) as $lo2, max(q2) as $hi2
         from r$rounds
         group by gid
         order by group_id"""

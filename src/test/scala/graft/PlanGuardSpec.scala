@@ -144,7 +144,8 @@ class PlanGuardSpec extends SparkSpec {
     // k-means iterative shape
     "q_mondrian",
     "q_mondrian_ldiv",    // same recursion + per-round diversity guard
-    "q_mondrian_tclose"   // same recursion + per-round TVD guard
+    "q_mondrian_tclose",  // same recursion + per-round TVD guard
+    "q_mondrian_geo"      // same recursion over (lat, lon) envelopes
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
