@@ -131,6 +131,74 @@ class MondrianSpec extends SparkSpec {
       "t=0.2 must allow the balanced splits and block only the skewing one")
   }
 
+  test("property: distributed recursion matches a sequential reference on random data") {
+    // an independent ~30-line sequential Mondrian (depth-first recursion
+    // instead of round-based iteration — the final partition is
+    // order-independent because each split decision reads only its own
+    // group plus the global ranges), with both guards, compared against
+    // the distributed operator on seeded random datasets. Every float
+    // the reference computes ((mx-mn)/g, c/n vs global) uses the same
+    // IEEE ops as the operator, so agreement is exact, not approximate.
+    final case class R(id: Long, qa: Double, qb: Double, sv: String)
+    def reference(
+        rows: Vector[R], k: Int, lOpt: Option[Int], tOpt: Option[Double]
+    ): Set[Vector[Long]] = {
+      val g1 = rows.map(_.qa).max - rows.map(_.qa).min
+      val g2 = rows.map(_.qb).max - rows.map(_.qb).min
+      val gDist = rows.groupBy(_.sv).view.mapValues(_.size.toLong).toMap
+      val nTot = rows.size.toLong
+      def tvdOk(side: Vector[R]): Boolean = tOpt.forall { t =>
+        val n = side.size.toLong
+        val cnts = side.groupBy(_.sv).view.mapValues(_.size.toLong).toMap
+        val present = cnts.map { case (v, c) =>
+          (BigInt(c) * nTot - BigInt(gDist(v)) * n).abs
+        }.sum
+        // keysIterator, NOT keys.map: mapping the key SET dedupes equal
+        // global counts and silently inflates the absent mass
+        val absent = BigInt(n) * (nTot - cnts.keysIterator.map(gDist).sum)
+        (present + absent).toDouble <= 2.0 * t * n.toDouble * nTot.toDouble
+      }
+      def lOk(side: Vector[R]): Boolean =
+        lOpt.forall(l => side.map(_.sv).distinct.size >= l)
+      def split(g: Vector[R]): Vector[Vector[R]] = {
+        if (g.size < 2 * k) return Vector(g)
+        val nr1 = if (g1 > 0) (g.map(_.qa).max - g.map(_.qa).min) / g1 else 0.0
+        val nr2 = if (g2 > 0) (g.map(_.qb).max - g.map(_.qb).min) / g2 else 0.0
+        val best = math.max(nr1, nr2)
+        if (!(best > 0)) return Vector(g)
+        val sorted =
+          if (nr1 == best) g.sortBy(r => (r.qa, r.id)) else g.sortBy(r => (r.qb, r.id))
+        val (left, right) = sorted.splitAt(g.size / 2)
+        if (!(lOk(left) && lOk(right) && tvdOk(left) && tvdOk(right))) Vector(g)
+        else split(left) ++ split(right)
+      }
+      split(rows).map(_.map(_.id).sorted).toSet
+    }
+
+    for {
+      seed <- Seq(1, 7, 42)
+      (lOpt, tOpt) <- Seq(
+        (None, None), (Some(3), None), (None, Some(0.22)), (Some(2), Some(0.3)))
+    } {
+      val rnd = new scala.util.Random(seed)
+      val n = 150 + rnd.nextInt(150)
+      val rows = Vector.tabulate(n) { i =>
+        R(i.toLong, rnd.nextInt(40).toDouble,
+          (rnd.nextInt(4000) / 7).toDouble, s"s${rnd.nextInt(6)}")
+      }
+      val expected = reference(rows, 12, lOpt, tOpt)
+      val df = rows.map(r => (r.id, r.qa, r.qb, r.sv)).toDF("id", "qa", "qb", "sv")
+      val labeled = Mondrian.anonymize(df, "id", Seq("qa", "qb"), k = 12,
+        sensitiveCol = if (lOpt.isDefined || tOpt.isDefined) Some("sv") else None,
+        l = lOpt.getOrElse(1), maxTvd = tOpt)
+      val got = labeled.select("id", "_gid").collect()
+        .groupBy(_.getLong(1)).values
+        .map(_.map(_.getLong(0)).sorted.toVector).toSet
+      assert(got == expected,
+        s"seed=$seed l=$lOpt t=$tOpt: distributed partition diverges from reference")
+    }
+  }
+
   test("all-constant QIs and empty input both return the root labeling") {
     val const = (0 until 60).map(i => (i.toLong, 1.0, 2.0)).toDF("id", "qa", "qb")
     val r = Mondrian.groupRanges(
