@@ -70,6 +70,20 @@ object PipelineCli {
     val report = Validate.piiReport(spark, PolicyCatalog.reference)
     report.coalesce(1).write.mode("overwrite").json(s"$outDir/pii_report")
 
+    // k-anonymous geographic release (Pipeline.geoRelease): adaptive
+    // Mondrian envelopes from the precise staged coordinates, same k
+    // floor as the gate; n_rows >= k holds by construction (MondrianSpec
+    // pins it), so the release needs no extra gate leg
+    Pipeline.geoRelease(staged, cfg.kAnonymityMin) match {
+      case Some(geo) =>
+        geo.write.mode("overwrite").parquet(s"$outDir/geo_release")
+        println(s"[pipeline] geo_release groups=" +
+          spark.read.parquet(s"$outDir/geo_release").count())
+      case None =>
+        println(s"[pipeline] geo_release skipped: fewer than " +
+          s"${cfg.kAnonymityMin} located services")
+    }
+
     spark.stop()
     if (nPii + nScan > 0 || nK > 0) {
       println("[validate] FAILED — PII or k-anonymity violations detected")

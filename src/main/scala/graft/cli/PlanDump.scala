@@ -112,7 +112,8 @@ object PlanDump {
     "q_release_cert",     // validator compose + zero-job lineage/method bits
     "q_mondrian",         // rank-split bisection rounds, per-round checkpoint
     "q_mondrian_ldiv",    // same + candidate-side diversity guard
-    "q_mondrian_tclose"   // same + integer-exact TVD guard vs global dist
+    "q_mondrian_tclose",  // same + integer-exact TVD guard vs global dist
+    "q_mondrian_geo"      // spatial envelopes over service coordinates
   )
 
   def main(args: Array[String]): Unit = {

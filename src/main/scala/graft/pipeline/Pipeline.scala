@@ -235,4 +235,37 @@ object Pipeline {
       now: Column = current_timestamp()
   ): DataFrame =
     mart(enrich(anonymize(staging(raw, now), catalog, cfg, now)), cfg, now)
+
+  /** k-anonymous geographic release: Mondrian bounding boxes over the
+    * STAGED (precise, pre-mask) coordinates, each holding at least `k`
+    * services — higher location utility than the mart's uniform
+    * coordinate rounding (`privacy__mask_coordinates` keeps ~1.1 km
+    * everywhere; envelopes adapt to density) under the same k floor the
+    * compliance gate enforces. Returns None when fewer than `k` services
+    * have coordinates at all: the root group itself would violate the
+    * floor, so there is nothing publishable.
+    *
+    * Output: `group_id` (min service_id), `n_rows` (>= k), and the
+    * `[lat_lo, lat_hi] x [lon_lo, lon_hi]` box.
+    */
+  def geoRelease(staged: DataFrame, k: Int): Option[DataFrame] = {
+    val src = staged
+      .filter(col("latitude").isNotNull && col("longitude").isNotNull)
+      .select(col("service_id"), col("latitude"), col("longitude"))
+    if (src.limit(k).count() < k) None
+    else {
+      val labeled = graft.operators.Mondrian.anonymize(
+        src, "service_id", Seq("latitude", "longitude"), k)
+      Some(
+        graft.operators.Mondrian
+          .groupRanges(labeled, "service_id", Seq("latitude", "longitude"))
+          .select(
+            col("group_id"),
+            col("n_rows"),
+            col("latitude_lo").as("lat_lo"),
+            col("latitude_hi").as("lat_hi"),
+            col("longitude_lo").as("lon_lo"),
+            col("longitude_hi").as("lon_hi")))
+    }
+  }
 }

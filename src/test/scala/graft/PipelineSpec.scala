@@ -163,6 +163,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[String]("city_anon") == "Paris")
   }
 
+  test("geoRelease: adaptive k-anonymous envelopes from staged coordinates; under-k skips") {
+    // the CI fixture has only 3 located services: below k=5 there is
+    // nothing publishable and the release must decline, not emit a
+    // root group violating the floor
+    assert(Pipeline.geoRelease(staged, k = 5).isEmpty)
+    // at k=2 the 3 located rows publish as one root group (3 < 2k keeps
+    // it whole) with the true coordinate envelope
+    val rel = Pipeline.geoRelease(staged, k = 2).get.collect()
+    assert(rel.length == 1)
+    val r = rel.head
+    assert(r.getAs[Long]("n_rows") == 3L)
+    assert(r.getAs[Double]("lat_lo") == 43.2965 && r.getAs[Double]("lat_hi") == 50.62925)
+    assert(r.getAs[Double]("lon_lo") == 2.3522 && r.getAs[Double]("lon_hi") == 5.3698)
+    assert(r.getAs[String]("group_id") == "TEST001")
+  }
+
   test("store_failures persists violating rows to a queryable test_results table") {
     val dupes = Seq(("A", 1), ("A", 2), ("B", 3)).toDF("service_id", "x")
     val viol = Validate.uniquenessViolations(dupes, "service_id")
