@@ -806,6 +806,235 @@ object CurateCli {
     summary
   }
 
+  final case class RectifySummary(
+      nRequested: Long,
+      nMatched: Long,
+      nCorpus: Long,
+      nBand: Long,
+      nSearch: Long,
+      nDense: Long,
+      nExact: Long,
+      nShards: Long,
+      nAggGroups: Long,
+      profileRebuilt: Boolean,
+      profileStaleness: Long)
+
+  /** Right-to-rectification sweep (GDPR Art. 16 — the third member of
+    * the data-subject-rights family: [[runAccess]] answers Art. 15,
+    * [[runErase]] Art. 17): for a parquet of corrected documents
+    * (`doc_id`, `text`, optionally `embedding`), REPLACE the subject's
+    * content in the accumulated corpus and in every maintained serving
+    * artifact derived from it, re-deriving every derived value exactly
+    * as ingest derived the original — PII redaction then quality/token
+    * stats on the raw corrected text ([[CorpusPipeline.prepare]]'s
+    * order), per-term postings and corpus stats in the BM25 index,
+    * banded minhashes and shingle sets in the dedup index, frozen-order
+    * prefix sets in the exact index, per-source token aggregates in the
+    * agg store, and the shard rows in place (ids and order keys don't
+    * change, so every `shard_pos` survives). After the sweep each store
+    * serves exactly what a rebuild over the corrected corpus serves; the
+    * old content is no longer retrievable anywhere, including through
+    * stale ranking statistics.
+    *
+    * Replace-only: corrected ids the corpus does not hold rectify
+    * nothing and are reported as unmatched — insertion is
+    * [[runIncremental]]'s job, behind the dedup and quality gates.
+    * (Rectification deliberately does NOT re-run those admission gates
+    * on corrected text: Art. 16 corrects data already admitted; whether
+    * corrected-but-now-low-quality documents should be RETIRED is
+    * [[runRetention]]'s policy decision, not this sweep's.)
+    *
+    * Crash consistency: the subject's pre-rectification facts (source,
+    * token counts) are captured to a durable `.rectify-facts` parquet
+    * BEFORE the corpus rewrite — the agg-store subtraction needs the OLD
+    * values, which no store holds after the corpus swap — and every
+    * multi-leg index commit carries a batch id derived from the
+    * corrected content, so a crashed sweep RE-RUN WITH THE SAME FILE
+    * converges: content replacements are idempotent, applied index
+    * commits and agg legs no-op, and the facts capture is reused (not
+    * recomputed from the already-rectified corpus, which would subtract
+    * the wrong values). A different rectification is refused while a
+    * crashed one's facts are pending — finish (re-run) the first sweep.
+    *
+    * Scope bounds, same as [[runErase]]: streaming checkpoint state
+    * rectifies only via its event-time expiry, and the sketch profile
+    * cannot subtract the old text — its staleness ledger is charged and
+    * the profile re-sketched from the corrected corpus past
+    * `profileBudget`. The dense IVF leg holds INPUT embeddings (the
+    * corpus stores none), so it rectifies only when the corrected file
+    * carries an `embedding` column.
+    */
+  def runRectify(
+      spark: SparkSession,
+      correctedPath: String,
+      outDir: String,
+      profileBudget: Long = 0L
+  ): RectifySummary = {
+    import graft.operators.{Erasure, Rectify, Shards}
+    import graft.text.TextAnalysis
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val corpusDir = s"$outDir/corpus"
+    Erasure.recoverRetired(spark, corpusDir)
+
+    val correctedRaw = spark.read.parquet(correctedPath)
+    require(correctedRaw.columns.contains("doc_id") &&
+      correctedRaw.columns.contains("text"),
+      "rectify: corrected parquet must carry doc_id and text")
+    val nRequested = correctedRaw.count()
+    require(correctedRaw.select(col("doc_id")).distinct().count() == nRequested,
+      "rectify: corrected parquet has duplicate doc_id rows")
+    require(correctedRaw.filter(col("text").isNull).limit(1).count() == 0,
+      "rectify: corrected text must not be null — removal is the erase " +
+        "sweep's job, not a null rectification")
+    // content-derived batch id: replays of the same corrected file reuse
+    // the same commit ids, so applied index/agg legs no-op exactly
+    val batchBase = correctedRaw
+      .agg(coalesce(sum(xxhash64(col("doc_id").cast("string"), col("text"))),
+        lit(0L)).as("h"))
+      .head().getAs[Long]("h")
+
+    // re-derive EXACTLY as ingest derived the landed rows
+    // (CorpusPipeline.prepare): quality/token stats on the RAW corrected
+    // text first, PII redaction after — the stored n_tokens counts
+    // pre-redaction tokens
+    val derived = correctedRaw
+      .withColumn("_st", TextAnalysis.textStats(col("text")))
+      .select(
+        col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("text"),
+        TextAnalysis.qualityScoreOfStats(col("_st")).as("quality_score"),
+        TextAnalysis.tokenCountOfStats(col("_st")).as("n_tokens"))
+
+    // durable pre-rectification capture (see scaladoc). _SUCCESS guards a
+    // partially-written capture from a killed run; the batch column makes
+    // an interleaved DIFFERENT rectification refuse instead of reusing
+    // another sweep's facts.
+    val factsPath = s"$outDir/.rectify-facts"
+    val factsValid = exists(s"$factsPath/_SUCCESS")
+    if (factsValid) {
+      val prior = spark.read.parquet(factsPath)
+        .agg(max(col("_batch"))).head()
+      require(prior.isNullAt(0) || prior.getLong(0) == batchBase,
+        s"rectify: a crashed sweep (batch ${prior.getLong(0)}) left pending " +
+          s"facts under $factsPath — re-run THAT sweep to completion (or " +
+          "delete the capture if its corrected file is truly gone) before " +
+          "starting a different rectification")
+    } else if (exists(corpusDir)) {
+      spark.read.parquet(corpusDir)
+        .join(broadcast(derived.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          lit(batchBase).as("_batch"))
+        .write.mode("overwrite").parquet(factsPath)
+    }
+    val factsOpt =
+      if (exists(s"$factsPath/_SUCCESS")) Some(spark.read.parquet(factsPath))
+      else None
+    val nMatched = factsOpt.map(_.count()).getOrElse(0L)
+
+    val nCorpus =
+      if (exists(corpusDir))
+        Rectify.updateByKey(spark, corpusDir, derived, "doc_id")
+      else 0L
+
+    // maintained per-source aggregate: subtract the captured OLD facts
+    // (cnt/sum exactly; min/max rebuilt from the corpus MINUS the
+    // subjects), then merge the corrected facts back — group for group
+    // the result is a one-shot groupBy over the corrected corpus
+    val aggDir = s"$outDir/agg"
+    val nAgg =
+      if (exists(aggDir) && nMatched > 0) {
+        import graft.operators.AggStore
+        val facts = factsOpt.get
+        val matchedIds = facts.select(col("doc_id")).distinct()
+        val retained =
+          if (exists(corpusDir))
+            Some(spark.read.parquet(corpusDir)
+              .join(broadcast(matchedIds), Seq("doc_id"), "left_anti")
+              .select(col("source"), col("n_tokens")))
+          else None
+        val n = AggStore.erase(spark, aggDir,
+          facts.select(col("source"), col("n_tokens")),
+          Seq("source"), col("n_tokens").cast("long"),
+          buckets = AggBuckets, batchId = batchBase, retainedFacts = retained)
+        val newFacts = facts.select(col("doc_id"), col("source"))
+          .join(broadcast(derived.select(col("doc_id"), col("n_tokens"))),
+            Seq("doc_id"))
+        AggStore.merge(spark, aggDir,
+          AggStore.aggregate(newFacts, Seq("source"), col("n_tokens").cast("long")),
+          Seq("source"), buckets = AggBuckets, batchId = batchBase + 1)
+        n
+      } else 0L
+
+    val textOnly = derived.select(col("doc_id"), col("text"))
+    val nBand =
+      if (exists(s"$outDir/index/meta"))
+        graft.dedup.Dedup.rectifyBandIndex(textOnly, "text", s"$outDir/index",
+          Some(batchBase + 2))
+      else 0L
+    val nSearch =
+      if (exists(s"$outDir/search/stats"))
+        graft.text.Bm25.rectifySearchIndex(spark, s"$outDir/search", textOnly,
+          "doc_id", col("text"), Some(batchBase + 3))
+      else 0L
+    val nExact =
+      if (exists(s"$outDir/exact/meta")) {
+        val sets = derived.select(col("doc_id"),
+          array_distinct(transform(
+            graft.dedup.Dedup.wordShingles(col("text"), 3), x => md5(x))).as("sh"))
+        graft.dedup.SetSimJoin.rectifyIndex(spark, s"$outDir/exact", sets,
+          "doc_id", "sh", Some(batchBase + 4))
+      } else 0L
+    val nDense =
+      if (exists(s"$outDir/dense/centroids") &&
+        correctedRaw.columns.contains("embedding"))
+        graft.similarity.Ivf.rectifyIndex(spark, s"$outDir/dense",
+          correctedRaw.select(col("doc_id"), col("embedding")),
+          "doc_id", "embedding")
+      else 0L
+    val nShardRows =
+      if (!exists(s"$outDir/shards")) 0L
+      else
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$outDir/shards"))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .map(s => Shards.rectifyByKey(
+            spark, s.getPath.toString, derived, "doc_id",
+            orderCols = Seq("source")))
+          .sum
+
+    // sketch profile: the old text's contribution cannot be subtracted —
+    // charge the same staleness ledger erasure charges, rebuild from the
+    // (now corrected) corpus once past budget
+    var rebuilt = false
+    val profDir = s"$outDir/profile"
+    if (graft.sketch.ProfileStore.exists(spark, profDir)) {
+      graft.sketch.ProfileStore.recordErasure(spark, profDir, nCorpus)
+      if (graft.sketch.ProfileStore.isStale(spark, profDir, profileBudget) &&
+          exists(corpusDir)) {
+        graft.sketch.ProfileStore.rebuild(spark, profDir,
+          spark.read.parquet(corpusDir),
+          col("text"), col("n_tokens"), sourceCol = Some("source"))
+        rebuilt = true
+      }
+    }
+    val staleness = graft.sketch.ProfileStore.stalenessCount(spark, profDir)
+    fs.delete(new org.apache.hadoop.fs.Path(factsPath), true)
+
+    val s = RectifySummary(nRequested, nMatched, nCorpus, nBand, nSearch,
+      nDense, nExact, nShardRows, nAgg, rebuilt, staleness)
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(
+      Paths.get(s"$outDir/rectify_report.json"),
+      s"""{"n_requested":$nRequested,"n_matched":$nMatched,""" +
+        s""""n_unmatched":${nRequested - nMatched},"n_corpus":$nCorpus,""" +
+        s""""n_band_index":$nBand,"n_search_index":$nSearch,""" +
+        s""""n_dense_index":$nDense,"n_exact_index":$nExact,""" +
+        s""""n_shard_rows":$nShardRows,"n_agg_groups":$nAgg,""" +
+        s""""profile_rebuilt":$rebuilt,"profile_staleness":$staleness}""" + "\n")
+    s
+  }
+
   private def session(): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -903,6 +1132,21 @@ object CurateCli {
         s"profile_rebuilt=${s.erase.profileRebuilt}")
       spark.stop()
       if (s.erase.profileStaleness > budget) sys.exit(2)
+      return
+    }
+    if (args.headOption.contains("rectify")) {
+      require(args.length >= 3,
+        "usage: CurateCli rectify <corrected.parquet> <stateDir> [profileBudget]")
+      val budget = if (args.length > 3) args(3).toLong else 0L
+      val spark = session()
+      val s = runRectify(spark, args(1), args(2), budget)
+      println(s"[curate] rectify requested=${s.nRequested} matched=${s.nMatched} " +
+        s"corpus=${s.nCorpus} band=${s.nBand} search=${s.nSearch} " +
+        s"dense=${s.nDense} exact=${s.nExact} shard_rows=${s.nShards} " +
+        s"agg_groups=${s.nAggGroups} profile_rebuilt=${s.profileRebuilt} " +
+        s"profile_staleness=${s.profileStaleness}")
+      spark.stop()
+      if (s.profileStaleness > budget) sys.exit(2)
       return
     }
     if (args.headOption.contains("erase")) {

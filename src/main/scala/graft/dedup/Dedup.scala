@@ -356,6 +356,62 @@ object Dedup {
         Erasure.Leg("shingles", idCol))).sum
   }
 
+  /** Right-to-rectification (GDPR Art. 16) through the stored band
+    * index: REPLACE the corrected documents' band rows and shingle sets
+    * with rows re-derived from the corrected text under the index's own
+    * stored parameters — so [[dedupAgainstCorpus]] after rectification
+    * flags exactly what an index rebuilt from the corrected corpus flags
+    * (future batches near-dup against the CORRECTED content, not the
+    * old). Replace-only: corrected ids absent from `shingles/` update
+    * nothing. Both legs stage — kept rows via broadcast anti-join,
+    * corrected rows as extra files in the same staged legs — and promote
+    * in ONE [[graft.operators.PartitionSwap]] commit ([[Fsck]]'s
+    * `legs_agree`: never bands that shingles disagree with). Pass
+    * `batchId` to make replays exact no-ops. Returns documents
+    * rectified.
+    */
+  def rectifyBandIndex(
+      corrected: DataFrame,
+      textCol: String,
+      dir: String,
+      batchId: Option[Long] = None
+  ): Long = {
+    import graft.operators.PartitionSwap
+    val spark = corrected.sparkSession
+    val loaded = loadBandIndex(spark, dir) // runs recovery
+    if (batchId.exists(PartitionSwap.alreadyApplied(spark, dir, _))) return 0L
+    val idCol = loaded.idCol
+    val matched = spark.read.parquet(s"$dir/shingles")
+      .join(broadcast(corrected.select(col(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol))
+    val hits = corrected.join(broadcast(matched), Seq(idCol), "left_semi")
+    val nHits = hits.count()
+    if (nHits == 0L) return 0L
+    val k = hits.select(col(idCol)).distinct()
+
+    val stage = s"$dir/.swap-stage"
+    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(stagePath, true)
+    // kept bands re-declare the band partitioning; the corrected rows'
+    // bands then append into the same staged partition tree
+    spark.read.parquet(s"$dir/bands")
+      .join(broadcast(k), Seq(idCol), "left_anti")
+      .write.mode("overwrite").partitionBy("band").parquet(s"$stage/bands")
+    bandIndex(hits, idCol, textCol,
+      loaded.shingleK, loaded.numHashes, loaded.numBands)
+      .write.mode("append").partitionBy("band").parquet(s"$stage/bands")
+    spark.read.parquet(s"$dir/shingles")
+      .join(broadcast(k), Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(s"$stage/shingles")
+    shingleSets(hits, idCol, textCol, loaded.shingleK, idCol, "shingles")
+      .write.mode("append").parquet(s"$stage/shingles")
+    PartitionSwap.commit(spark, dir, stage, Seq("bands", "shingles"),
+      batchId.getOrElse(System.nanoTime()))
+    nHits
+  }
+
   /** Crash recovery for the stored band index: replays a pending
     * multi-leg commit (append or erase — one `.swap-stage` root per
     * index, so any crashed commit classifies without knowing which

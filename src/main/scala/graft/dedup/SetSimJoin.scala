@@ -159,26 +159,9 @@ object SetSimJoin {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
 
-    val ex = batch.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
-    val keyed = ex
-      .join(spark.read.parquet(s"$dir/dfreq"), Seq("tok"), "left")
-      .select(
-        col("id"),
-        concat(lpad(coalesce(col("df"), lit(0L)).cast("string"), 10, "0"),
-          col("tok")).as("key"))
-    val assembled = keyed
-      .groupBy("id")
-      .agg(
-        sort_array(collect_list(col("key"))).as("keys"),
-        count(lit(1)).cast("int").as("sz"))
-      .cache()
+    val assembled = assembleFrozen(spark, dir, batch, idCol, setCol).cache()
     assembled.write.mode("overwrite").parquet(s"$stage/sets")
-
-    val prefixLen =
-      (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
-    assembled
-      .select(col("id"), col("sz"),
-        explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
+    prefixOf(assembled, num, den)
       .write.mode("overwrite").parquet(s"$stage/postings")
     assembled.unpersist()
 
@@ -189,6 +172,98 @@ object SetSimJoin {
           .map(f => s"postings/$f")
     PartitionSwap.commit(spark, dir, stage, entries,
       batchId.getOrElse(System.nanoTime()))
+  }
+
+  /** Key a batch's sets under the index's FROZEN token order (unseen
+    * tokens take df 0 — maximally rare, unable to match any stored
+    * posting) and assemble (id, keys, sz) — the shared derivation of
+    * [[appendIndex]] and [[rectifyIndex]].
+    */
+  private def assembleFrozen(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String,
+      setCol: String
+  ): DataFrame = {
+    val ex = batch.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
+    ex
+      .join(spark.read.parquet(s"$dir/dfreq"), Seq("tok"), "left")
+      .select(
+        col("id"),
+        concat(lpad(coalesce(col("df"), lit(0L)).cast("string"), 10, "0"),
+          col("tok")).as("key"))
+      .groupBy("id")
+      .agg(
+        sort_array(collect_list(col("key"))).as("keys"),
+        count(lit(1)).cast("int").as("sz"))
+  }
+
+  /** Explode an assembled frame's prefix postings at threshold num/den. */
+  private def prefixOf(assembled: DataFrame, num: Int, den: Int): DataFrame = {
+    val prefixLen =
+      (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
+    assembled
+      .select(col("id"), col("sz"),
+        explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
+  }
+
+  /** Right-to-rectification (GDPR Art. 16) through the stored prefix
+    * index: REPLACE the corrected documents' assembled sets and prefix
+    * postings with rows re-derived from the corrected shingle sets under
+    * the index's frozen token order — so probes after rectification
+    * return exactly what a rebuild over the corrected corpus returns at
+    * the index threshold (prefix filtering is exact under ANY shared
+    * total order, [[writeIndex]] scaladoc; `dfreq/` stays frozen like an
+    * append, and [[orderDrift]] monitors the pruning decay). Replace-only:
+    * corrected ids absent from `sets/` update nothing. Both legs stage
+    * (kept rows via broadcast anti-join, corrected rows as extra files in
+    * the same staged legs) and promote in ONE
+    * [[graft.operators.PartitionSwap]] commit — never sets that postings
+    * disagree with. Pass `batchId` to make replays exact no-ops. Returns
+    * documents rectified.
+    */
+  def rectifyIndex(
+      spark: SparkSession,
+      dir: String,
+      corrected: DataFrame,
+      idCol: String,
+      setCol: String,
+      batchId: Option[Long] = None
+  ): Long = {
+    import graft.operators.PartitionSwap
+    recoverIndex(spark, dir)
+    if (batchId.exists(PartitionSwap.alreadyApplied(spark, dir, _))) return 0L
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (num, den) = (meta.getAs[Int]("num"), meta.getAs[Int]("den"))
+    val matched = spark.read.parquet(s"$dir/sets")
+      .join(broadcast(corrected.select(col(idCol).as("id")).distinct()),
+        Seq("id"), "left_semi")
+      .select(col("id"))
+    val hits = corrected
+      .join(broadcast(matched.select(col("id").as(idCol))), Seq(idCol), "left_semi")
+    val nHits = hits.count()
+    if (nHits == 0L) return 0L
+    val k = hits.select(col(idCol).as("id")).distinct()
+
+    val stage = s"$dir/.swap-stage"
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    def stageKept(leg: String): Unit =
+      spark.read.parquet(s"$dir/$leg")
+        .join(broadcast(k), Seq("id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$stage/$leg")
+    stageKept("sets")
+    stageKept("postings")
+    val assembled = assembleFrozen(spark, dir, hits, idCol, setCol).cache()
+    assembled.write.mode("append").parquet(s"$stage/sets")
+    prefixOf(assembled, num, den)
+      .write.mode("append").parquet(s"$stage/postings")
+    assembled.unpersist()
+    PartitionSwap.commit(spark, dir, stage, Seq("sets", "postings"),
+      batchId.getOrElse(System.nanoTime()))
+    nHits
   }
 
   /** Right-to-erasure through the stored prefix index: purge the erased

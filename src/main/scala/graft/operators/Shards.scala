@@ -138,6 +138,40 @@ object Shards {
     hit
   }
 
+  /** Right-to-rectification (GDPR Art. 16) through a written shard
+    * directory: replace the corrected columns on the subject's rows IN
+    * PLACE — `shard` is an id hash and `shard_pos` encodes the
+    * (`orderCols`, id) order, and rectification changes neither the ids
+    * nor the order keys, so membership and every position survive
+    * exactly: the rectified directory is row-identical to a from-scratch
+    * [[write]] of the corrected corpus, and the read-back audit
+    * (dense positions, per-shard `content_hash` over (pos, id)) keeps
+    * holding without re-closing anything. One pass
+    * ([[Rectify.updateByKey]] broadcast-left-join rewrite), whole-
+    * directory retire/promote swap, manifest refresh (file stats
+    * change). Returns rows rectified.
+    */
+  def rectifyByKey(
+      spark: SparkSession,
+      dir: String,
+      corrected: DataFrame,
+      idCol: String,
+      orderCols: Seq[String] = Nil
+  ): Long = {
+    Erasure.recoverRetired(spark, dir)
+    val hit = Rectify.updateByKey(spark, dir, corrected, idCol,
+      shape = _
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard").asc, col("shard_pos").asc),
+      writeTo = (shaped, tmp) =>
+        shaped.write.mode("overwrite").partitionBy("shard").parquet(tmp))
+    if (hit == 0L) return 0L
+    DataSkipping.writeManifest(
+      spark, dir, (orderCols :+ idCol).distinct,
+      s"$dir/${DataSkipping.ManifestSubdir}")
+    hit
+  }
+
   /** Per-shard manifest of a written shard directory: (shard, n_rows,
     * n_files, bytes, content_hash) — the bookkeeping record a training job
     * reads to resume/verify a data epoch without re-reading the corpus.

@@ -74,6 +74,7 @@ object Canon {
     "q_bm25_topk" -> Seq("score"),
     "q_bm25_indexed" -> Seq("score"),
     "q_erasure_indexes" -> Seq("score"),
+    "q_rectify" -> Seq("score"),
     "q_agg_store" -> Seq("total", "min_price", "max_price"),
     "q_agg_store_erase" -> Seq("total", "min_price", "max_price"),
     "q_erasure_exact" -> Seq("jaccard"),

@@ -3032,6 +3032,51 @@ object ExtensionQueries {
       },
       Some(bm25TopKOracleOver("(select * from documents where doc_id % 7 <> 0)"))
     ),
+    // GDPR Art. 16 rectification through the SERVING index (the Art. 17
+    // q_erasure_indexes' dual — graft.operators.Rectify scaladoc:
+    // rectification that leaves the OLD text retrievable from a postings
+    // index, or ranking through stale stats, has not rectified anything):
+    // build the BM25 index over the full corpus, REPLACE every
+    // doc_id % 41 == 0 document's text in the STORE (postings + docs-leg
+    // rows re-derived from the corrected text, corpus stats recomputed —
+    // Bm25.rectifySearchIndex, one commit), then serve. The twin replays
+    // retrieval over a REBUILD from the corrected corpus — the hash match
+    // proves the old text is gone, the new text is retrievable, and
+    // N/avgdl/df reflect the corrected token counts exactly (the appended
+    // " rectified data spark" suffix shifts dl, avgdl AND the probed
+    // 'spark' tf/df, so stale stats cannot hide). Build jobs bounded
+    // (PlanGuardSpec exemption).
+    "q_rectify" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val idx =
+          s"${sys.props("java.io.tmpdir")}/graft_bm25_rectify_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(idx)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+        val all = docs(s, dir)
+        graft.text.Bm25.writeSearchIndex(all, "doc_id", col("text"), idx)
+        val corrected = all.filter(pmod(col("doc_id"), lit(41)) === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" rectified data spark")).as("text"))
+        graft.text.Bm25.rectifySearchIndex(s, idx, corrected, "doc_id", col("text"))
+        val (postings, stats) = graft.text.Bm25.loadSearchIndex(s, idx)
+        graft.text.Bm25
+          .retrieveTopKIndexed(postings, stats, "doc_id",
+            Bm25QuerySet.toDF("query_id", "term"), topK = 10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rank"),
+            col("doc_id"),
+            col("n_matched").cast("int").as("n_matched"),
+            col("score").cast("decimal(14,6)").as("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25TopKOracleOver(
+        "(select doc_id, case when doc_id % 41 = 0 " +
+          "then text || ' rectified data spark' else text end as text " +
+          "from documents)"))
+    ),
     // Store-consistency auditor (fsck): build the BM25 and exact prefix
     // indexes in-query, then verify the invariants their REDUNDANT state
     // makes checkable — stored stats bit-equal to a docs-leg recompute,

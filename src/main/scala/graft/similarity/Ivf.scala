@@ -222,6 +222,46 @@ object Ivf {
       .write.mode("append").partitionBy("centroid_id").parquet(s"$dir/assigned")
   }
 
+  /** Right-to-rectification (GDPR Art. 16) through the stored ANN index:
+    * REPLACE the corrected documents' vectors in `assigned/` and
+    * re-assign them to their nearest stored centroid — one
+    * [[graft.operators.Rectify.updateByKey]] pass (broadcast left join,
+    * no shuffle; the `partitionBy` rewrite relocates a row whose nearest
+    * centroid changed), whole-directory retire/promote swap, so search
+    * over the rectified index with the same centroids is exactly what a
+    * rebuild-with-these-centroids over the corrected vectors serves (the
+    * [[appendIndex]] exactness argument). Replace-only: corrected ids
+    * absent from the index update nothing. Centroids stay — they are
+    * training-sample statistics ([[eraseFromIndex]] scaladoc), and
+    * [[clusterDrift]] is the staleness audit when many rectified vectors
+    * pile away from them. Refuses IVF-PQ layouts: stored PQ codes are
+    * derived from the vector and would go stale — re-encode and go
+    * through erase+append instead. Returns rows rectified.
+    */
+  def rectifyIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corrected: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Long = {
+    import graft.operators.{Erasure, Rectify}
+    Erasure.recoverRetired(spark, s"$dir/assigned")
+    val stored = spark.read.parquet(s"$dir/assigned").columns.toSet
+    val extra = stored -- Set(idCol, vecCol, "centroid_id")
+    require(extra.isEmpty,
+      s"ivf rectify: assigned/ carries derived column(s) ${extra.mkString(", ")} " +
+        "(an IVF-PQ layout?) that a vector replacement would leave stale — " +
+        "re-encode them and rectify via eraseFromIndex + appendIndex")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("centroid_id"), col("centroid"))
+    val reassigned = assign(corrected, idCol, vecCol, centroids)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    Rectify.updateByKey(spark, s"$dir/assigned", reassigned, idCol,
+      writeTo = (df, tmp) =>
+        df.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp))
+  }
+
   /** Right-to-erasure through the stored ANN index: purge the erased
     * documents' rows from `assigned/` (which, in the IVF-PQ layout, also
     * carries their PQ codes — one purge covers both). Centroids stay:

@@ -257,12 +257,16 @@ object Bm25 {
     writeStatsFromDocs(docsDf.sparkSession, s"$dir/docs", s"$dir/stats")
   }
 
-  /** The postings write shared by build and append staging. */
+  /** The postings write shared by build, append staging, and the rectify
+    * re-derivation (which `mode("append")`s the corrected docs' postings
+    * into a staged leg already holding the kept rows).
+    */
   private def writePostings(
       docsDf: DataFrame,
       idCol: String,
       textCol: Column,
-      out: String
+      out: String,
+      mode: String = "overwrite"
   ): Unit = {
     val toks = docsDf.select(col(idCol), TextAnalysis.tokens(textCol).as("_toks"))
     val dl = toks.select(col(idCol), size(col("_toks")).cast("long").as("dl"))
@@ -273,7 +277,7 @@ object Bm25 {
       .join(dl, idCol)
       .repartition(col("term"))
       .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(out)
+      .write.mode(mode).parquet(out)
   }
 
   /** The membership leg: one (`idCol`, `dl`) row per document, zero-token
@@ -283,12 +287,13 @@ object Bm25 {
       docsDf: DataFrame,
       idCol: String,
       textCol: Column,
-      out: String
+      out: String,
+      mode: String = "overwrite"
   ): Unit =
     docsDf
       .select(col(idCol),
         size(TextAnalysis.tokens(textCol)).cast("long").as("dl"))
-      .write.mode("overwrite").parquet(out)
+      .write.mode(mode).parquet(out)
 
   /** The one-row stats frame derived from a `docs/` leg: `count` and
     * `sum(dl)` are integer-valued, so the doubles — and the `_avgdl`
@@ -453,6 +458,76 @@ object Bm25 {
     PartitionSwap.commit(spark, dir, stage,
       Seq("postings", "docs", "stats"), System.nanoTime())
     removedPostings
+  }
+
+  /** Right-to-rectification (GDPR Art. 16) through the stored index:
+    * REPLACE the corrected documents' posting and docs-leg rows with rows
+    * re-derived from the corrected text, and recompute the corpus stats
+    * from the resulting docs leg — so the served index is value-identical
+    * to a rebuild over the corrected corpus: the old text is no longer
+    * retrievable, the new text is, and `_n_docs`/`_avgdl`/per-term `df`
+    * all reflect the corrected token counts exactly
+    * ([[graft.operators.Rectify]] scaladoc: rectification that leaves the
+    * old text retrievable from a postings index, or ranking through stale
+    * stats, has not rectified anything).
+    *
+    * Replace-only: corrected ids absent from the `docs/` membership leg
+    * update nothing (insertion is [[appendSearchIndex]]'s job, behind the
+    * ingest pipeline's gates). One scan per live leg — the kept rows are
+    * broadcast anti-joins riding observe metrics, the corrected docs'
+    * postings/docs rows land as extra files in the same staged legs — and
+    * all three legs promote in ONE [[graft.operators.PartitionSwap]]
+    * commit: a crash anywhere leaves the fully-rectified or fully-intact
+    * index, never new postings under old stats. Pass `batchId` to make
+    * replays of an applied rectification exact no-ops (re-running without
+    * one still converges: equal content replaces equal content). Returns
+    * the number of documents rectified.
+    */
+  def rectifySearchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corrected: DataFrame,
+      idCol: String,
+      textCol: Column,
+      batchId: Option[Long] = None
+  ): Long = {
+    import graft.operators.PartitionSwap
+    import org.apache.spark.sql.Observation
+    require(!Reserved.contains(idCol),
+      s"bm25: idCol '$idCol' collides with a working column")
+    recoverSearchIndex(spark, dir)
+    if (batchId.exists(PartitionSwap.alreadyApplied(spark, dir, _))) return 0L
+    // replace-only membership probe: one narrow scan of the (id, dl) docs
+    // leg, request-sized result — corrected ids the index never held must
+    // not be inserted past the admission gates
+    val matched = spark.read.parquet(s"$dir/docs")
+      .join(broadcast(corrected.select(col(idCol)).distinct()),
+        Seq(idCol), "left_semi")
+      .select(col(idCol))
+    val hits = corrected.join(broadcast(matched), Seq(idCol), "left_semi")
+    val nHits = hits.count()
+    if (nHits == 0L) return 0L
+    val k = hits.select(col(idCol)).distinct()
+
+    val stage = swapStage(dir)
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    def stageKept(leg: String): Unit =
+      spark.read.parquet(s"$dir/$leg")
+        .join(broadcast(k), Seq(idCol), "left_anti")
+        .write.mode("overwrite").parquet(s"$stage/$leg")
+    stageKept("postings")
+    stageKept("docs")
+    // corrected rows re-derive through the SAME writers as build/append,
+    // appended into the staged legs (fresh job UUIDs — no collisions)
+    writePostings(hits, idCol, textCol, s"$stage/postings", mode = "append")
+    writeDocsLeg(hits, idCol, textCol, s"$stage/docs", mode = "append")
+    writeStatsFromDocs(spark, s"$stage/docs", s"$stage/stats")
+    PartitionSwap.commit(spark, dir, stage,
+      Seq("postings", "docs", "stats"),
+      batchId.getOrElse(System.nanoTime()))
+    nHits
   }
 
   /** Load an index written by [[writeSearchIndex]]: (postings, stats).

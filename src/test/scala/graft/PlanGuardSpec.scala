@@ -42,6 +42,7 @@ class PlanGuardSpec extends SparkSpec {
       // served like q_bm25_indexed: the one-row stored stats frame is
       // broadcast-crossed onto the pruned postings
       "q_erasure_indexes",
+      "q_rectify",
       // merged-vs-direct-vs-exact: three single-row estimate aggregates
       // broadcast-crossed into the one-row comparison output
       "q_hll_merged",
@@ -131,6 +132,10 @@ class PlanGuardSpec extends SparkSpec {
     // builds the BM25 index then ERASES from it (postings purge counts +
     // one-row stats decrement are the operator under test)
     "q_erasure_indexes",
+    // builds the BM25 index then RECTIFIES it (replace-only membership
+    // probe + kept-leg staging + stats recompute are the operator under
+    // test — the Art. 16 dual of q_erasure_indexes)
+    "q_rectify",
     // builds the prefix index then erases its sets/postings (purge
     // match-counts bounded; the erased probe is the operator under test)
     "q_erasure_exact",
@@ -184,8 +189,15 @@ class PlanGuardSpec extends SparkSpec {
         // ladder/lattice probes — a runaway iteration must not hide here.
         // q_fsck's higher budget is structural, not iterative: it builds
         // TWO serving indexes (BM25 three-leg + exact four-leg writes)
-        // before the audit's fused single-pass probes
-        val budget = if (name == "q_fsck") 60 else 40
+        // before the audit's fused single-pass probes. q_rectify is the
+        // same shape: one full BM25 build plus the rectification's
+        // membership probe + five staged writes (two kept-leg anti-joins,
+        // postings/docs re-derivations, stats recompute), each carrying
+        // its own AQE shuffle sub-jobs — fixed writes, zero iteration.
+        val budget =
+          if (name == "q_fsck") 60
+          else if (name == "q_rectify") 68
+          else 40
         assert(buildJobs.length <= budget,
           s"$name ran ${buildJobs.length} build jobs — exceeds the bounded-" +
             "iteration budget; its exemption no longer holds")
