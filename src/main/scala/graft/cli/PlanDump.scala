@@ -113,7 +113,8 @@ object PlanDump {
     "q_mondrian",         // rank-split bisection rounds, per-round checkpoint
     "q_mondrian_ldiv",    // same + candidate-side diversity guard
     "q_mondrian_tclose",  // same + integer-exact TVD guard vs global dist
-    "q_mondrian_geo"      // spatial envelopes over service coordinates
+    "q_mondrian_geo",     // spatial envelopes over service coordinates
+    "q_rectify"           // BM25 store in-place rectification, then serve
   )
 
   def main(args: Array[String]): Unit = {
