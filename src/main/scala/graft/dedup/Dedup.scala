@@ -386,7 +386,14 @@ object Dedup {
         Seq(idCol), "left_semi")
       .select(col(idCol))
     val hits = corrected.join(broadcast(matched), Seq(idCol), "left_semi")
-    val nHits = hits.count()
+    // fused hit count + uniqueness contract: duplicate corrected ids
+    // would stage DOUBLED band rows and shingle sets for the same doc
+    val hitAgg = hits
+      .agg(count(lit(1)).as("n"), count_distinct(col(idCol)).as("nd")).head()
+    val nHits = hitAgg.getLong(0)
+    require(hitAgg.getLong(1) == nHits,
+      s"band rectify: corrected frame has duplicate '$idCol' rows — each " +
+        "id must carry exactly one corrected text")
     if (nHits == 0L) return 0L
     val k = hits.select(col(idCol)).distinct()
 

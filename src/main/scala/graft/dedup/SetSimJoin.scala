@@ -242,7 +242,14 @@ object SetSimJoin {
       .select(col("id"))
     val hits = corrected
       .join(broadcast(matched.select(col("id").as(idCol))), Seq(idCol), "left_semi")
-    val nHits = hits.count()
+    // fused hit count + uniqueness contract: duplicate corrected ids
+    // would stage DOUBLED sets and postings for the same document
+    val hitAgg = hits
+      .agg(count(lit(1)).as("n"), count_distinct(col(idCol)).as("nd")).head()
+    val nHits = hitAgg.getLong(0)
+    require(hitAgg.getLong(1) == nHits,
+      s"ssjoin rectify: corrected frame has duplicate '$idCol' rows — each " +
+        "id must carry exactly one corrected set")
     if (nHits == 0L) return 0L
     val k = hits.select(col(idCol).as("id")).distinct()
 

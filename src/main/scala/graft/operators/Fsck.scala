@@ -196,6 +196,22 @@ object Fsck {
     val checks = scala.collection.mutable.ArrayBuffer.empty[Check]
     val corpusDir = s"$outDir/corpus"
     checks ++= markerHygiene(spark, corpusDir, "corpus")
+    // a durable pre-rectification facts capture outlives only a CRASHED
+    // rectify sweep (a completed sweep deletes it; see
+    // CurateCli.runRectify) — report it as commit debt, the same
+    // read-only stance as markerHygiene: the heal is re-running THAT
+    // sweep, never deleting the capture it needs
+    val factsPath = s"$outDir/.rectify-facts"
+    if (exists(spark, s"$factsPath/_SUCCESS")) {
+      val b = spark.read.parquet(factsPath).agg(max(col("_batch"))).head()
+      val batch = if (b.isNullAt(0)) "empty" else b.getLong(0).toString
+      checks += Check("rectify", "no_pending_sweep", ok = false,
+        s"pending facts capture (batch $batch) — re-run the crashed " +
+          "rectification to completion")
+    } else {
+      checks += Check("rectify", "no_pending_sweep", ok = true,
+        "no pending facts capture")
+    }
     val corpusIds =
       if (exists(spark, corpusDir))
         Some(spark.read.parquet(corpusDir).select(col("doc_id")).distinct())

@@ -235,8 +235,9 @@ object Ivf {
     * training-sample statistics ([[eraseFromIndex]] scaladoc), and
     * [[clusterDrift]] is the staleness audit when many rectified vectors
     * pile away from them. Refuses IVF-PQ layouts: stored PQ codes are
-    * derived from the vector and would go stale — re-encode and go
-    * through erase+append instead. Returns rows rectified.
+    * derived from the vector and would go stale — those rectify through
+    * [[graft.similarity.Pq.rectifyIvfPqIndex]], which re-encodes under
+    * the frozen codebook. Returns rows rectified.
     */
   def rectifyIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -252,7 +253,8 @@ object Ivf {
     require(extra.isEmpty,
       s"ivf rectify: assigned/ carries derived column(s) ${extra.mkString(", ")} " +
         "(an IVF-PQ layout?) that a vector replacement would leave stale — " +
-        "re-encode them and rectify via eraseFromIndex + appendIndex")
+        "rectify through Pq.rectifyIvfPqIndex, which re-encodes under the " +
+        "frozen codebook")
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("centroid_id"), col("centroid"))
     val reassigned = assign(corrected, idCol, vecCol, centroids)

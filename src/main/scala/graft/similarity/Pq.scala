@@ -382,6 +382,52 @@ object Pq {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** Right-to-rectification (GDPR Art. 16) through the stored IVF-PQ
+    * index ([[encodeAssigned]]'s (id, code word, centroid_id) rows
+    * written by [[Ivf.writeIndex]] with vecCol = the codes column):
+    * REPLACE the corrected documents' code words and cluster assignments
+    * with values re-derived from the corrected VECTORS under the index's
+    * frozen codebook and stored centroids — one
+    * [[graft.operators.Rectify.updateByKey]] pass (broadcast left join;
+    * the partitionBy rewrite relocates rows whose nearest centroid
+    * changed), whole-directory retire/promote swap — so
+    * [[searchIvfAdc]]/[[searchAllAdc]] over the rectified index is
+    * exactly what a rebuild-with-these-centroids-and-codebook over the
+    * corrected vectors serves. Codebook and centroids stay frozen: both
+    * are training-sample statistics, not per-subject data
+    * ([[Ivf.eraseFromIndex]] scaladoc), and [[Ivf.clusterDrift]] is the
+    * staleness audit when rectified vectors pile away from them.
+    * Replace-only: corrected ids absent from the index update nothing.
+    * This is the path [[Ivf.rectifyIndex]]'s layout guard points at —
+    * there the stored rows hold raw vectors, here codes derived from
+    * them, and a rectification must re-derive whichever the store
+    * actually holds. Returns rows rectified.
+    */
+  def rectifyIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      corrected: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Codebook,
+      codesCol: String = "codes"
+  ): Long = {
+    import graft.operators.{Erasure, Rectify}
+    Erasure.recoverRetired(spark, s"$dir/assigned")
+    val stored = spark.read.parquet(s"$dir/assigned").columns.toSet
+    require(stored == Set(idCol, codesCol, "centroid_id"),
+      s"pq rectify: assigned/ columns (${stored.mkString(", ")}) are not " +
+        s"the IVF-PQ layout ($idCol, $codesCol, centroid_id) — a plain " +
+        "vector layout rectifies via Ivf.rectifyIndex")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("centroid_id"), col("centroid"))
+    val replaced = Ivf.assign(corrected, idCol, vecCol, centroids)
+      .select(col(idCol), encode(col(vecCol), cb).as(codesCol), col("centroid_id"))
+    Rectify.updateByKey(spark, s"$dir/assigned", replaced, idCol,
+      writeTo = (df, tmp) =>
+        df.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp))
+  }
+
   /** Load a codebook written by [[writeCodebook]]. */
   def loadCodebook(spark: org.apache.spark.sql.SparkSession, dir: String): Codebook = {
     val rows = spark.read.parquet(dir).collect()

@@ -827,6 +827,49 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming Art. 16 maintenance of a stored BM25 index: a stream of
+    * CORRECTED documents (id, text) rectified into the index epoch by
+    * epoch through [[graft.text.Bm25.rectifySearchIndex]] — the
+    * correction-queue shape of a live compliance pipeline, where
+    * rectification requests accumulate and must reach the serving index
+    * without a rebuild. Same-id corrections across epochs converge to
+    * the LAST epoch's content (each rectify replaces in place); inside
+    * ONE epoch a duplicate id is refused by the store's uniqueness
+    * contract, never applied in arbitrary order. Replace-only rides
+    * through: corrected ids the index never held rectify nothing —
+    * admission stays with [[searchIndexSink]]/the ingest CLI.
+    *
+    * Exactly-once: `batchId` rides into the rectify's single
+    * [[graft.operators.PartitionSwap]] commit, which no-ops replays; a
+    * no-match epoch commits nothing and its replay is a no-op by value.
+    * NOTE: a rectify sink and an append sink maintaining the SAME index
+    * directory share its applied-batch namespace — drive both from one
+    * checkpoint lineage (or disjoint epoch ranges), or an append epoch
+    * could shadow a rectify epoch's id.
+    */
+  def rectifySink(
+      stream: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.text.Bm25
+        if (!batch.isEmpty) {
+          Bm25.rectifySearchIndex(batch.sparkSession, indexDir,
+            batch.select(col(idCol), col(textCol)), idCol, col(textCol),
+            Some(batchId))
+          ()
+        }
+      }
+      .start()
+
   /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
     * timeout: a session closes when no event arrives within `gapMs` of the
     * last one (by watermark). Emits one row per closed session.

@@ -505,7 +505,15 @@ object Bm25 {
         Seq(idCol), "left_semi")
       .select(col(idCol))
     val hits = corrected.join(broadcast(matched), Seq(idCol), "left_semi")
-    val nHits = hits.count()
+    // one bounded action for both the hit count and the uniqueness
+    // contract: duplicate corrected ids would append DOUBLED postings
+    // and docs rows for the same document — refuse, never corrupt
+    val hitAgg = hits
+      .agg(count(lit(1)).as("n"), count_distinct(col(idCol)).as("nd")).head()
+    val nHits = hitAgg.getLong(0)
+    require(hitAgg.getLong(1) == nHits,
+      s"bm25 rectify: corrected frame has duplicate '$idCol' rows — each id " +
+        "must carry exactly one corrected text")
     if (nHits == 0L) return 0L
     val k = hits.select(col(idCol)).distinct()
 

@@ -95,5 +95,25 @@ class FsckSpec extends SparkSpec {
     pend.write("999".getBytes); pend.close()
     assert(Fsck.state(spark, state).exists(c =>
       c.component == "agg" && c.check == "no_pending_marker" && !c.ok))
+
+    // 4. crashed rectify sweep: a valid .rectify-facts capture (only a
+    // crashed CurateCli.runRectify leaves one) flags as commit debt;
+    // a capture without _SUCCESS (killed mid-write) stays clean here —
+    // runRectify itself ignores and overwrites those
+    assert(clean.exists(c =>
+      c.component == "rectify" && c.check == "no_pending_sweep" && c.ok))
+    spark.read.parquet(s"$state/corpus").limit(2)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        org.apache.spark.sql.functions.lit(42L).as("_batch"))
+      .write.mode("overwrite").parquet(s"$state/.rectify-facts")
+    val pendingRect = Fsck.state(spark, state)
+    assert(pendingRect.exists(c =>
+      c.component == "rectify" && c.check == "no_pending_sweep" && !c.ok &&
+        c.detail.contains("42")),
+      "a pending facts capture must flag with its batch id")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/.rectify-facts/_SUCCESS"), false)
+    assert(Fsck.state(spark, state).exists(c =>
+      c.component == "rectify" && c.check == "no_pending_sweep" && c.ok),
+      "a torn capture (no _SUCCESS) is not a pending sweep")
   }
 }

@@ -330,6 +330,60 @@ class RectifySpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq rectify: ADC search equals a rebuild with the same centroids and codebook") {
+    import graft.similarity.{Ivf, Pq}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (centroids, assigned) = Ivf.build(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val cb = Pq.train(emb, "vec_id", "embedding", dim = 64, m = 8, ks = 16, iters = 2)
+    val idx = tmp("ivfpq_rect") + "/idx"
+    Ivf.writeIndex(centroids, Pq.encodeAssigned(assigned, "vec_id", "embedding", cb),
+      "vec_id", "codes", idx)
+
+    // the correction: docs 5 and 17 now carry OTHER documents' content,
+    // so their corrected embeddings are other rows' vectors
+    val donors = emb.filter(col("vec_id").isin(400L, 401L))
+      .orderBy(col("vec_id"))
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+    val corrected = Seq((5L, donors(0)), (17L, donors(1)))
+      .toDF("vec_id", "embedding")
+    val n = Pq.rectifyIvfPqIndex(spark, idx, corrected, "vec_id", "embedding", cb)
+    assert(n == 2L)
+
+    // rebuild: same centroids, same codebook, corrected vectors
+    val correctedVecs = emb.as("v")
+      .join(corrected.withColumnRenamed("embedding", "_new"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("_new"), col("embedding")).as("embedding"))
+    val (lc, la) = Ivf.loadIndex(spark, idx)
+    val rebuiltEnc = Pq.encodeAssigned(
+      Ivf.assign(correctedVecs, "vec_id", "embedding", lc),
+      "vec_id", "embedding", cb)
+    assert(rowsOf(la.select(col("vec_id"), col("codes"), col("centroid_id"))) ==
+      rowsOf(rebuiltEnc))
+
+    // served search identical; a query AT doc 5's corrected vector finds it
+    val qv = donors(0).map(_.toDouble)
+    def adc(encDf: DataFrame) =
+      Pq.searchIvfAdc(encDf, lc, "vec_id", "codes", qv, cb, k = 10, nprobe = 3)
+    assert(rowsOf(adc(la)) == rowsOf(adc(rebuiltEnc)))
+    assert(adc(la).collect().map(_.getLong(0)).toSet.contains(5L),
+      "the rectified code word must be retrievable at its corrected vector")
+
+    // replace-only: an id the index never held updates nothing
+    val sig = fileSig(s"$idx/assigned")
+    assert(Pq.rectifyIvfPqIndex(spark, idx,
+      Seq((999999L, donors(0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cb) == 0L)
+    assert(fileSig(s"$idx/assigned") == sig)
+
+    // a PLAIN vector layout is refused here (Ivf.rectifyIndex's job)
+    val plain = tmp("ivfplain_rect") + "/idx"
+    Ivf.writeIndex(centroids, assigned.select(col("vec_id"), col("embedding"),
+      col("centroid_id")), "vec_id", "embedding", plain)
+    intercept[IllegalArgumentException] {
+      Pq.rectifyIvfPqIndex(spark, plain, corrected, "vec_id", "embedding", cb)
+    }
+  }
+
   test("shards rectify: every shard_pos and content hash survives, audit holds, text replaced") {
     val docs = (1 to 80).map(i =>
       (i.toLong, s"src${i % 3}", s"original text $i")).toDF("doc_id", "source", "text")

@@ -632,6 +632,72 @@ class StreamingSpec extends SparkSpec {
     assert(topk(streamDir) == served)
   }
 
+  test("streaming rectify sink: a correction queue converges the index to the last corrections") {
+    import java.nio.file.Files
+    import graft.text.Bm25
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(80)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(3).collect().map(_.getLong(0))
+
+    val idx = Files.createTempDirectory("rect_stream").toString + "/bm25"
+    Bm25.writeSearchIndex(docs, "doc_id", col("text"), idx)
+
+    // epoch 0 corrects docs 0 and 1; epoch 1 corrects doc 1 AGAIN and
+    // doc 2 — the queue's last word on doc 1 must win; an id the index
+    // never held rides along and must not be inserted
+    val e0 = Seq((ids(0), "epoch zero correction spark data"),
+      (ids(1), "first correction of doc one"))
+    val e1 = Seq((ids(1), "second correction of doc one wins model data"),
+      (ids(2), "epoch one correction stream"),
+      (999999999L, "never admitted"))
+    val ckpt = Files.createTempDirectory("rect_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData(e0: _*)
+    StreamingPipeline.rectifySink(stream, idx, ckpt).awaitTermination()
+    input.addData(e1: _*)
+    StreamingPipeline.rectifySink(stream, idx, ckpt).awaitTermination()
+
+    // twin: a rebuild over the corpus with the queue's LAST corrections
+    val last = (e0.toMap ++ e1.toMap).toSeq.toDF("doc_id", "_new")
+    val correctedCorpus = docs
+      .join(last, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_new"), col("text")).as("text"))
+    val rebuilt = Files.createTempDirectory("rect_rebuild").toString + "/bm25"
+    Bm25.writeSearchIndex(correctedCorpus, "doc_id", col("text"), rebuilt)
+    assert(spark.read.parquet(s"$idx/stats").head() ==
+      spark.read.parquet(s"$rebuilt/stats").head())
+    assert(spark.read.parquet(s"$idx/docs").count() == 80,
+      "the unmatched correction must not be inserted")
+    val queries = Seq((1, "spark"), (2, "correction"), (3, "model"))
+      .toDF("query_id", "term")
+    def topk(dir: String) = {
+      val (p, st) = Bm25.loadSearchIndex(spark, dir)
+      Bm25.retrieveTopKIndexed(p, st, "doc_id", queries, topK = 5)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    val served = topk(idx)
+    assert(served == topk(rebuilt))
+    assert(served.nonEmpty)
+
+    // replay (same checkpoint, no new data): applied markers no-op
+    StreamingPipeline.rectifySink(stream, idx, ckpt).awaitTermination()
+    assert(topk(idx) == served)
+
+    // a duplicate id INSIDE one epoch is refused, never applied in
+    // arbitrary order (the store's uniqueness contract)
+    input.addData(Seq((ids(0), "conflict a"), (ids(0), "conflict b")): _*)
+    val q = StreamingPipeline.rectifySink(stream, idx, ckpt)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(err.getMessage.contains("duplicate") ||
+      Option(err.getCause).exists(_.getMessage.contains("duplicate")))
+    assert(topk(idx) == served, "a refused epoch must leave the index intact")
+  }
+
   test("checkpointed parquet sink: a restarted query resumes exactly-once") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
