@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, BRound, Concat, Crc32, Expression, IsNotNull, IsNull, Literal, Md5, NamedExpression, Round, Sha1, Sha2, Substring}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BinaryComparison, BRound, CaseWhen, Concat, Crc32, DateDiff, Expression, IsNotNull, IsNull, LessThanOrEqual, Literal, Md5, NamedExpression, Round, Sha1, Sha2, Substring}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LeafNode, LogicalPlan, Union}
 
 /** Column-level lineage extracted from the ANALYZED Catalyst plan: for
@@ -99,6 +99,40 @@ object Lineage {
     case _ => None
   }
 
+  /** The EXACT compiled shape [[graft.policy.ColumnRetention.expire]]
+    * emits — `CASE WHEN isnotnull(ts) AND datediff(asOf, ts) <= days
+    * THEN value END` with an attribute-free `asOf`, the SAME ts
+    * attribute on both conjuncts, and no ELSE — recognized as a
+    * retention-window
+    * guard of `days` days. Not a sanitizer (inside the window the raw
+    * value passes through untouched — a guard must never launder a raw
+    * path into a masked one); it contributes only the `retention:<days>`
+    * path kind the storage-limitation reconciliation
+    * ([[retentionMismatches]]) matches against. Near-shape variants
+    * (a different ts in the two conjuncts, a non-foldable asOf, an ELSE
+    * branch) stay unrecognized, the same strictness as the partial-mask
+    * fingerprint.
+    */
+  private def retentionGuardDays(e: Expression): Option[Int] = e match {
+    case CaseWhen(
+        Seq((And(IsNotNull(ts1: Attribute),
+          LessThanOrEqual(dd: DateDiff, Literal(days: Int, _))), _)),
+        None) =>
+      dd.children match {
+        // "constant asOf" = references no attribute (foldable would be
+        // cleaner but RuntimeReplaceable wrappers like ParseToDate report
+        // non-foldable before replacement): the bound must not depend on
+        // row data, or "now()-per-row" shapes could masquerade as guards
+        case Seq(asOf, ts2: Attribute)
+            if asOf.references.isEmpty && ts2.exprId == ts1.exprId =>
+          Some(days)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def retentionKind(days: Int): String = s"retention:$days"
+
   /** One bottom-up fold computing BOTH lineage maps per attribute id:
     * full data-flow lineage (every leaf column whose value can reach the
     * attribute) and RAW-path lineage (leaf columns reachable via at
@@ -141,10 +175,10 @@ object Lineage {
         case a: Attribute => knd.getOrElse(a.exprId.id, selfRooted(a.name))
         case other => mergePathKinds(other.children.map(kindRefs))
       }
-      sanitizerKind(e) match {
-        case Some(k) => base.map { case (s, paths) => s -> paths.map(_ + k) }
-        case None => base
-      }
+      val kinds =
+        sanitizerKind(e).toSeq ++ retentionGuardDays(e).map(retentionKind)
+      kinds.foldLeft(base)((m, k) =>
+        m.map { case (s, paths) => s -> paths.map(_ + k) })
     }
 
     def visit(p: LogicalPlan): Unit = {
@@ -347,6 +381,50 @@ object Lineage {
     */
   def methodsReconcile(df: DataFrame, declaredMethods: Map[String, String]): Boolean =
     methodMismatches(df, declaredMethods).forall(_._2.isEmpty)
+
+  /** The one-bit auxiliary channels (presence flags, foldable
+    * comparisons) the reference publishes by design: a path that crosses
+    * one carries at most a bit of the source value, so neither the
+    * declared-method gate nor the retention gate constrains it.
+    */
+  private val AuxKinds = Set("presence", "compare")
+
+  /** Storage-limitation reconciliation (the policy's `retention_days`
+    * against the PLAN): for every output column, the governed PII
+    * sources with at least one VALUE-BEARING path (raw or sanitized —
+    * a hash of an expired email is still derived from data past its
+    * window) that never crosses that column's declared retention guard
+    * ([[retentionGuardDays]] — the shape
+    * [[graft.policy.ColumnRetention.expire]] compiles, with EXACTLY the
+    * declared day count: a hand-written `<= 9999` guard does not
+    * discharge a 730-day obligation). Auxiliary-only paths (presence
+    * bits, CASE guards) pass: they survive expiry by design. Per-path
+    * like [[methodMismatches]] — a column mixing a guarded path with an
+    * unguarded one IS flagged. Plan-sized, zero jobs.
+    */
+  def retentionMismatches(
+      df: DataFrame,
+      declaredWindows: Map[String, Int]
+  ): Seq[(String, Seq[String])] = {
+    val plan = df.queryExecution.analyzed
+    val (_, _, knd) = foldLineage(plan)
+    plan.output.map { a =>
+      val paths = knd.getOrElse(a.exprId.id, selfRooted(a.name))
+      val bad = declaredWindows.toSeq.sorted.collect {
+        case (src, days) if paths.getOrElse(src, Set.empty).exists(p =>
+          (p & AuxKinds).isEmpty && !p.contains(retentionKind(days))) => src
+      }
+      a.name -> bad
+    }
+  }
+
+  /** True iff every value-bearing path from a `retention_days`-governed
+    * PII source crosses its declared retention guard — the
+    * storage-limitation bit next to [[allPiiMasked]] and
+    * [[methodsReconcile]] in the certificate family.
+    */
+  def retentionEnforced(df: DataFrame, declaredWindows: Map[String, Int]): Boolean =
+    retentionMismatches(df, declaredWindows).forall(_._2.isEmpty)
 
   /** True iff NO published column carries a raw (unmasked) PII path —
     * the one-bit form [[maskedPiiExposure]] feeds the release

@@ -229,6 +229,7 @@ object PolicyCatalog {
           // falls through to passthrough (SURVEY.md §2.6).
           anonymizationMethod = Some(MaskMethod.AggregateToCity),
           legalBasis = Some("legitimate_interest"),
+          retentionDays = Some(730),
           dataOwner = Some("DPO"),
           sensitivity = Some("medium")
         ),
@@ -237,6 +238,7 @@ object PolicyCatalog {
           piiType = Some(PiiType.QuasiIdentifier),
           anonymizationMethod = Some(MaskMethod.Round2Decimals),
           legalBasis = Some("legitimate_interest"),
+          retentionDays = Some(730),
           dataOwner = Some("DPO"),
           sensitivity = Some("medium"),
           kAnonymityTarget = Some(5)
@@ -246,6 +248,7 @@ object PolicyCatalog {
           piiType = Some(PiiType.QuasiIdentifier),
           anonymizationMethod = Some(MaskMethod.Round2Decimals),
           legalBasis = Some("legitimate_interest"),
+          retentionDays = Some(730),
           dataOwner = Some("DPO"),
           sensitivity = Some("medium"),
           kAnonymityTarget = Some(5)

@@ -337,6 +337,88 @@ object Registry {
                     then 1 else 0 end) as bigint) as coords_properly_rounded
         from enriched""")
     ),
+    // Column-level storage limitation (GDPR Art. 5.1.e): the reference
+    // declares retention_days: 730 on every PII column (schema.yml:62
+    // et al.) but never executes it — ColumnRetention.expire does, as a
+    // pure projection over the staged scan (zero shuffle, zero extra
+    // jobs): a PII cell whose row's last_updated falls strictly outside
+    // the column's window as of the pinned audit date is suppressed,
+    // while the row and its non-PII facts survive. The twin replays the
+    // per-cell case-whens in DuckDB — day 730 itself retained, day 731
+    // expired, row counts unchanged.
+    "q_retention_expire" -> Q(
+      (s, dir) => {
+        import graft.policy.ColumnRetention
+        ColumnRetention
+          .expire(stagedDf(s, dir), "stg_services_publics",
+            PolicyCatalog.reference, "last_updated",
+            to_date(lit("2027-06-30")))
+          .select(
+            col("service_id"), col("contact_email"), col("contact_phone"),
+            col("street_address"), col("latitude"), col("longitude"),
+            col("last_updated"))
+          .orderBy("service_id")
+      },
+      Some(OracleSql.pipelineCtes + """
+        select service_id,
+          case when last_updated is not null
+                and date_diff('day', last_updated, date '2027-06-30') <= 730
+               then contact_email end as contact_email,
+          case when last_updated is not null
+                and date_diff('day', last_updated, date '2027-06-30') <= 730
+               then contact_phone end as contact_phone,
+          case when last_updated is not null
+                and date_diff('day', last_updated, date '2027-06-30') <= 730
+               then street_address end as street_address,
+          case when last_updated is not null
+                and date_diff('day', last_updated, date '2027-06-30') <= 730
+               then latitude end as latitude,
+          case when last_updated is not null
+                and date_diff('day', last_updated, date '2027-06-30') <= 730
+               then longitude end as longitude,
+          last_updated
+        from staged
+        order by service_id""")
+    ),
+    // Storage-limitation certificate (the retention analogue of
+    // q_release_cert's masking/method bits): per retention_days-governed
+    // PII column, whether the RELEASED plan provably crosses that
+    // column's declared retention guard on every value-bearing path —
+    // Lineage.retentionEnforced over the expire()d staging plan,
+    // re-rooted at the modeled source boundary (the q_lineage pattern:
+    // zero rows touched, zero jobs run; the oracle is the expected
+    // certificate as a literal table, so a pipeline change that drops or
+    // widens a window hash-fails here).
+    "q_retention_cert" -> Q(
+      (s, dir) => {
+        import graft.policy.{ColumnRetention, PolicyCatalog}
+        val svc = s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          Tables.services(s, dir).schema)
+        val released = ColumnRetention.expire(
+          Pipeline.staging(svc), "stg_services_publics",
+          PolicyCatalog.reference, "last_updated", to_date(lit("2027-06-30")))
+        val windows = PolicyCatalog.reference.models("stg_services_publics")
+          .collect { case (c, p) if p.pii && p.retentionDays.isDefined =>
+            c -> p.retentionDays.get }
+        val flagged = graft.plans.Lineage
+          .retentionMismatches(released, windows.toMap)
+          .flatMap(_._2).toSet
+        import s.implicits._
+        windows.toSeq.sortBy(_._1)
+          .map { case (c, d) => (c, d, if (flagged(c)) 0 else 1) }
+          .toDF("column_name", "retention_days", "window_enforced")
+      },
+      Some("""
+        select * from (values
+          ('contact_email', 730, 1),
+          ('contact_phone', 730, 1),
+          ('latitude', 730, 1),
+          ('longitude', 730, 1),
+          ('street_address', 730, 1))
+          t(column_name, retention_days, window_enforced)
+        order by column_name""")
+    ),
     "q_k_anonymity" -> Q(
       (s, dir) =>
         Validate
