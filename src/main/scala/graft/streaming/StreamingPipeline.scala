@@ -870,6 +870,54 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming Art. 17 maintenance of a curated state directory: a
+    * stream of ERASURE REQUESTS (`doc_id` rows) honored epoch by epoch
+    * through the full [[graft.cli.CurateCli.runErase]] sweep — corpus,
+    * band index, BM25 index (exact stats decrement), exact prefix index,
+    * dense IVF leg, shards, agg store, and the sketch profile's
+    * staleness ledger — so the rights-request queue of a live compliance
+    * pipeline reaches EVERY serving artifact continuously, not on a
+    * batch cadence. Completes the data-subject-rights streaming trio:
+    * admission ([[searchIndexSink]]/[[exactIndexSink]]/[[bandIndexSink]]),
+    * rectification ([[rectifySink]]), erasure (here).
+    *
+    * Exactly-once WITHOUT markers: erasure is idempotent by value — a
+    * replayed epoch re-purges already-absent keys and every store's
+    * no-match path leaves its files byte-identical (CurationOpsSpec's
+    * second-sweep no-op pin) — so a crash anywhere simply re-runs the
+    * epoch. Each epoch's keys land in a per-batch scratch parquet under
+    * the checkpoint (the sweep reads keys from a path, and the write
+    * doubles as the epoch's durable request record for the
+    * `erase_report.json` audit trail).
+    *
+    * Scope bound, inherited from the sweep ([[sessionize]] scaladoc):
+    * checkpointed streaming STATE elsewhere (open sessions, join
+    * buffers) erases only via its event-time expiry.
+    */
+  def eraseSink(
+      stream: DataFrame,
+      stateDir: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      profileBudget: Long = 0L,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val keysPath = s"$checkpoint/erase-keys/batch=$batchId"
+          batch.select(col(idCol).as("doc_id")).distinct()
+            .write.mode("overwrite").parquet(keysPath)
+          graft.cli.CurateCli.runErase(
+            batch.sparkSession, keysPath, stateDir, profileBudget)
+          ()
+        }
+      }
+      .start()
+
   /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
     * timeout: a session closes when no event arrives within `gapMs` of the
     * last one (by watermark). Emits one row per closed session.

@@ -698,6 +698,82 @@ class StreamingSpec extends SparkSpec {
     assert(topk(idx) == served, "a refused epoch must leave the index intact")
   }
 
+  test("streaming erase sink: a rights-request queue purges every leg like one batch sweep") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    def build(tag: String): String = {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val work = Files.createTempDirectory(s"erase_sink_$tag").toString
+      docs.write.parquet(s"$work/b0")
+      val state = s"$work/state"
+      graft.cli.CurateCli.runIncremental(
+        spark, s"$work/b0", state, nShards = 2,
+        searchIndex = true, exactIndex = true, aggStats = true)
+      state
+    }
+    val streamed = build("s")
+    val batched = build("b")
+    val subjects = spark.read.parquet(s"$streamed/corpus")
+      .orderBy(col("doc_id")).limit(4).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+
+    // two epochs of requests (one id never admitted rides along), then
+    // the twin: ONE batch sweep of the union on the other state dir
+    val ckpt = Files.createTempDirectory("erase_sink_ckpt").toString
+    val input = MemoryStream[Long]
+    val stream = input.toDF().toDF("doc_id")
+    input.addData(subjects(0), subjects(1))
+    StreamingPipeline.eraseSink(stream, streamed, ckpt).awaitTermination()
+    input.addData(subjects(2), subjects(3), 999999999L)
+    StreamingPipeline.eraseSink(stream, streamed, ckpt).awaitTermination()
+
+    val allKeys = Files.createTempDirectory("erase_sink_keys").toString + "/keys"
+    (subjects :+ 999999999L).toSeq.toDF("doc_id").write.parquet(allKeys)
+    graft.cli.CurateCli.runErase(spark, allKeys, batched)
+
+    def leg(state: String, p: String, cols: String*): Set[String] =
+      spark.read.parquet(s"$state/$p").select(cols.map(col): _*)
+        .collect().map(_.toString).toSet
+    assert(leg(streamed, "corpus", "doc_id") == leg(batched, "corpus", "doc_id"))
+    assert(!subjects.exists(id =>
+      leg(streamed, "corpus", "doc_id").contains(s"[$id]")))
+    assert(leg(streamed, "search/docs", "doc_id", "dl") ==
+      leg(batched, "search/docs", "doc_id", "dl"))
+    assert(leg(streamed, "search/stats", "_n_docs", "_avgdl") ==
+      leg(batched, "search/stats", "_n_docs", "_avgdl"))
+    assert(leg(streamed, "exact/sets", "id", "sz") ==
+      leg(batched, "exact/sets", "id", "sz"))
+    assert(leg(streamed, "index/shingles", "doc_id") ==
+      leg(batched, "index/shingles", "doc_id"))
+
+    // served retrieval equal between the two erasure routes
+    val queries = Seq((1, "data"), (2, "spark")).toDF("query_id", "term")
+    def topk(state: String) = {
+      val (p, st) = graft.text.Bm25.loadSearchIndex(spark, s"$state/search")
+      graft.text.Bm25.retrieveTopKIndexed(p, st, "doc_id", queries, topK = 5)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    }
+    assert(topk(streamed) == topk(batched))
+
+    // replay from the same checkpoint (no new requests): nothing rewrites
+    def sig(state: String): Set[(String, Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(state), true)
+      val b = Set.newBuilder[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.getPath.getName.endsWith(".parquet"))
+          b += ((s.getPath.toString, s.getLen, s.getModificationTime))
+      }
+      b.result()
+    }
+    val before = sig(streamed)
+    StreamingPipeline.eraseSink(stream, streamed, ckpt).awaitTermination()
+    assert(sig(streamed) == before,
+      "a drained queue's replay must leave every store byte-identical")
+  }
+
   test("checkpointed parquet sink: a restarted query resumes exactly-once") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
