@@ -413,6 +413,78 @@ class RectifySpec extends SparkSpec {
       == "original text 11")
   }
 
+  test("differential property: random corrected subsets — rectified store equals a rebuild, every seed") {
+    // the Mondrian-differential methodology pointed at this round's
+    // operator family: for seeded random correction sets (varying size,
+    // content, and overlap with shared vocabulary), the RECTIFIED store
+    // must be row-identical to a from-scratch build over the corrected
+    // corpus, and serve identically — any drift in the staged
+    // kept/re-derived split, the frozen-order keying, or the banded
+    // re-derivation shows up as a seed-specific mismatch here
+    val vocab = Seq("spark", "stream", "window", "filter", "shuffle",
+      "join", "broadcast", "partition", "codegen", "parquet")
+    for (seed <- Seq(11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      def sentence(id: Long): String =
+        (0 until 8).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ") +
+          s" token$id"
+      val docs = (1 to 60).map(i => (i.toLong, sentence(i))).toDF("doc_id", "text")
+      val nCorr = 3 + rnd.nextInt(8)
+      val ids = rnd.shuffle((1 to 60).toList).take(nCorr).map(_.toLong)
+      val corrected = ids.map(id => (id, sentence(id + 1000))).toDF("doc_id", "text")
+      val correctedCorpus = docs
+        .join(corrected.withColumnRenamed("text", "_new"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("_new"), col("text")).as("text"))
+
+      // BM25: all three legs row-identical to the rebuild
+      val idx = tmp(s"prop_bm25_$seed") + "/idx"
+      graft.text.Bm25.writeSearchIndex(docs, "doc_id", col("text"), idx)
+      assert(graft.text.Bm25.rectifySearchIndex(
+        spark, idx, corrected, "doc_id", col("text")) == nCorr)
+      val rebuilt = tmp(s"prop_bm25r_$seed") + "/idx"
+      graft.text.Bm25.writeSearchIndex(correctedCorpus, "doc_id", col("text"), rebuilt)
+      Seq("postings", "docs", "stats").foreach { leg =>
+        assert(rowsOf(spark.read.parquet(s"$idx/$leg")) ==
+          rowsOf(spark.read.parquet(s"$rebuilt/$leg")),
+          s"seed $seed: bm25 $leg diverged from the rebuild")
+      }
+
+      // band index: banded rows and shingle sets identical to the rebuild
+      val band = tmp(s"prop_band_$seed") + "/idx"
+      graft.dedup.Dedup.writeBandIndex(
+        graft.dedup.Dedup.buildBandIndex(docs, "doc_id", "text"), band)
+      assert(graft.dedup.Dedup.rectifyBandIndex(corrected, "text", band) == nCorr)
+      val bandR = tmp(s"prop_bandr_$seed") + "/idx"
+      graft.dedup.Dedup.writeBandIndex(
+        graft.dedup.Dedup.buildBandIndex(correctedCorpus, "doc_id", "text"), bandR)
+      Seq("bands", "shingles").foreach { leg =>
+        assert(rowsOf(spark.read.parquet(s"$band/$leg")) ==
+          rowsOf(spark.read.parquet(s"$bandR/$leg")),
+          s"seed $seed: band $leg diverged from the rebuild")
+      }
+
+      // exact prefix index: probes equal the rebuild's at the threshold
+      // (sets re-key under the FROZEN order, so the postings legs may
+      // order-differ from a fresh build — serving equality is the
+      // contract, sets membership the stored pin)
+      val ex = tmp(s"prop_exact_$seed") + "/idx"
+      graft.dedup.SetSimJoin.writeIndex(setsOf(docs), "doc_id", "sh", 2, 5, ex)
+      assert(graft.dedup.SetSimJoin.rectifyIndex(
+        spark, ex, setsOf(corrected), "doc_id", "sh") == nCorr)
+      val exR = tmp(s"prop_exactr_$seed") + "/idx"
+      graft.dedup.SetSimJoin.writeIndex(
+        setsOf(correctedCorpus), "doc_id", "sh", 2, 5, exR)
+      assert(rowsOf(spark.read.parquet(s"$ex/sets").select(col("id"), col("sz"))) ==
+        rowsOf(spark.read.parquet(s"$exR/sets").select(col("id"), col("sz"))),
+        s"seed $seed: exact sets diverged from the rebuild")
+      val probe = setsOf(corrected.select(
+        (col("doc_id") + 5000).as("doc_id"), col("text")))
+      assert(rowsOf(graft.dedup.SetSimJoin.searchIndex(spark, ex, probe, "doc_id", "sh")) ==
+        rowsOf(graft.dedup.SetSimJoin.searchIndex(spark, exR, probe, "doc_id", "sh")),
+        s"seed $seed: exact probes diverged from the rebuild")
+    }
+  }
+
   test("CurateCli.runRectify: every maintained leg serves the corrected corpus; pending-facts guard") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val state = tmp("sweep_state")
