@@ -1005,7 +1005,12 @@ object CurateCli {
 
     // sketch profile: the old text's contribution cannot be subtracted —
     // charge the same staleness ledger erasure charges, rebuild from the
-    // (now corrected) corpus once past budget
+    // (now corrected) corpus once past budget. A replayed crashed sweep
+    // charges the ledger AGAIN (unlike erase, whose replay matches zero
+    // rows): content replacement is idempotent so re-matched rows are
+    // indistinguishable from first-time matches. The drift is
+    // conservative — staleness only ever OVERcounts, triggering an
+    // earlier rebuild, never hiding one
     var rebuilt = false
     val profDir = s"$outDir/profile"
     if (graft.sketch.ProfileStore.exists(spark, profDir)) {

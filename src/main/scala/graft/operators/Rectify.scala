@@ -58,6 +58,10 @@ object Rectify {
       writeTo: (DataFrame, String) => Unit =
         (df, tmp) => df.write.mode("overwrite").parquet(tmp)
   ): Long = {
+    // a crashed run's mid-swap state (live retired, promote not landed)
+    // heals here, so DIRECT callers are covered too — the store-level
+    // rectifies run their own recovery first, and this replay is a no-op
+    Erasure.recoverRetired(spark, live)
     val replaceCols = corrected.columns.filterNot(_ == idCol).toSeq
     require(replaceCols.nonEmpty,
       s"rectify: corrected frame carries only '$idCol' — nothing to replace")

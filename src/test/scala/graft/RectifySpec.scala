@@ -69,6 +69,22 @@ class RectifySpec extends SparkSpec {
     assert(fileSig(dir) == sig, "no-match sweep must not rewrite the store")
   }
 
+  test("updateByKey recovers a crashed swap before rectifying") {
+    val dir = tmp("updcrash") + "/store"
+    (1L to 20L).map(i => (i, s"v$i")).toDF("id", "s").write.parquet(dir)
+    // fabricate the mid-swap crash: live retired, promote never landed
+    val fs = fsOf(dir)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"${dir}__retired"))
+    val hit = Rectify.updateByKey(spark, dir,
+      Seq((3L, "RECOVERED")).toDF("id", "s"), "id")
+    assert(hit == 1L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 20)
+    assert(back.filter(col("id") === 3L).head().getAs[String]("s") == "RECOVERED")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${dir}__retired")))
+  }
+
   test("updateByKey refuses duplicate corrected ids and unknown columns") {
     val dir = tmp("updbad") + "/store"
     (1L to 5L).map(i => (i, s"v$i")).toDF("id", "s").write.parquet(dir)
