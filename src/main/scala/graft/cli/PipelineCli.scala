@@ -15,12 +15,34 @@ import graft.validate.Validate
   * non-zero on any violation.
   *
   * Usage: PipelineCli <input.csv> <outputDir> [saltKey]
+  *                    [--retention-asof YYYY-MM-DD]
+  *
+  * `--retention-asof` additionally enforces the policy's per-column
+  * `retention_days` windows on the staged rows as of the given audit
+  * date ([[graft.policy.ColumnRetention]] — storage limitation, GDPR
+  * Art. 5.1.e: PII cells older than their declared window are
+  * suppressed BEFORE anonymization, and `retention_report/` records the
+  * per-column expiry counts). Off by default: the reference declares
+  * the windows but its own pipeline does not execute them, so parity
+  * behavior stays the default.
   */
 object PipelineCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: PipelineCli <input.csv> <outputDir> [saltKey]")
+    require(args.length >= 2,
+      "usage: PipelineCli <input.csv> <outputDir> [saltKey] " +
+        "[--retention-asof YYYY-MM-DD]")
     val Array(input, outDir) = args.take(2)
-    val cfg = if (args.length > 2) EngineConfig(saltKey = args(2)) else EngineConfig()
+    val retentionAsOf = args.indexOf("--retention-asof") match {
+      case -1 => None
+      case i =>
+        require(args.length > i + 1,
+          "--retention-asof requires a YYYY-MM-DD date")
+        Some(args(i + 1))
+    }
+    val positional = args.drop(2).takeWhile(!_.startsWith("--"))
+    val cfg =
+      if (positional.nonEmpty) EngineConfig(saltKey = positional.head)
+      else EngineConfig()
 
     val spark = SparkSession
       .builder()
@@ -37,7 +59,24 @@ object PipelineCli {
     // dbt_project.yml:125-137); staging does the typing casts.
     val raw = spark.read.option("header", "true").csv(input)
 
-    val staged   = Pipeline.staging(raw)
+    val stagedAll = Pipeline.staging(raw)
+    // storage limitation, opt-in: suppress PII cells older than their
+    // declared retention window BEFORE anonymization (an expired cell
+    // must not even reach the masker), and record the audit counts
+    val staged = retentionAsOf match {
+      case Some(asOf) =>
+        import graft.policy.ColumnRetention
+        ColumnRetention
+          .expiryReport(stagedAll, "stg_services_publics",
+            PolicyCatalog.reference, "last_updated", to_date(lit(asOf)))
+          .coalesce(1)
+          .write.mode("overwrite").json(s"$outDir/retention_report")
+        println(s"[pipeline] retention enforced as of $asOf " +
+          s"(report at $outDir/retention_report)")
+        ColumnRetention.expire(stagedAll, "stg_services_publics",
+          PolicyCatalog.reference, "last_updated", to_date(lit(asOf)))
+      case None => stagedAll
+    }
     val anon     = Pipeline.anonymize(staged, PolicyCatalog.reference, cfg)
     val enriched = Pipeline.enrich(anon, cfg.gpsPrecision)
     val mart     = Pipeline.mart(enriched, cfg)

@@ -163,6 +163,37 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[String]("city_anon") == "Paris")
   }
 
+  test("retention-enforced pipeline: expired PII never reaches the masker") {
+    import graft.policy.ColumnRetention
+    // as of 2027-06-30, rows last_updated before 2025-06-30 are past the
+    // 730-day windows: TEST001/TEST002 expire, TEST003 was updated
+    // 2025-01-04 — also expired; use an asOf keeping only nothing?
+    // Pick asOf 2026-12-31: cutoff 2025-01-01 — TEST001 (2025-01-01) is
+    // exactly 729 days -> retained; all other dated rows retained too.
+    // Then asOf 2027-06-30 expires every 2025 row before 2025-07-01.
+    val expired = ColumnRetention.expire(staged, "stg_services_publics",
+      PolicyCatalog.reference, "last_updated", to_date(lit("2027-06-30")))
+    val anonExpired = Pipeline.anonymize(expired, PolicyCatalog.reference, cfg)
+    val r1 = anonExpired.filter($"service_id_anon" === "TEST001").head()
+    // the masker sees NULL, so the published _anon cell is NULL — the
+    // expired email neither leaks nor survives as a pseudonym
+    assert(r1.getAs[String]("contact_email_anon") == null)
+    assert(r1.getAs[String]("contact_phone_anon") == null)
+    assert(r1.isNullAt(r1.fieldIndex("latitude_anon")))
+    // non-governed columns survive expiry into the anonymize step
+    assert(r1.getAs[String]("service_name_anon") == "Service Test 1")
+    // a fresh-enough asOf keeps everything: identical to the plain path
+    // (modulo the current_timestamp audit columns every oracle drops)
+    val kept = Pipeline.anonymize(
+      ColumnRetention.expire(staged, "stg_services_publics",
+        PolicyCatalog.reference, "last_updated", to_date(lit("2025-12-31"))),
+      PolicyCatalog.reference, cfg)
+      .drop("loaded_at_anon", "anonymized_at")
+    assert(kept.collect().map(_.toString).sorted.toSeq ==
+      anon.drop("loaded_at_anon", "anonymized_at")
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("geoRelease: adaptive k-anonymous envelopes from staged coordinates; under-k skips") {
     // the CI fixture has only 3 located services: below k=5 there is
     // nothing publishable and the release must decline, not emit a
