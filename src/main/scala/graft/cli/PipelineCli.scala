@@ -73,8 +73,20 @@ object PipelineCli {
           .write.mode("overwrite").json(s"$outDir/retention_report")
         println(s"[pipeline] retention enforced as of $asOf " +
           s"(report at $outDir/retention_report)")
-        ColumnRetention.expire(stagedAll, "stg_services_publics",
+        val released = ColumnRetention.expire(stagedAll, "stg_services_publics",
           PolicyCatalog.reference, "last_updated", to_date(lit(asOf)))
+        // plan-level tripwire (zero jobs): every value-bearing path from
+        // a governed column must cross its declared window on THIS run's
+        // actual plan — true by construction today, and the check is what
+        // keeps a future pipeline edit from silently routing a raw staged
+        // column around the guard
+        val windows = PolicyCatalog.reference.models("stg_services_publics")
+          .collect { case (c, p) if p.pii && p.retentionDays.isDefined =>
+            c -> p.retentionDays.get }.toMap
+        require(graft.plans.Lineage.retentionEnforced(released, windows),
+          "retention enforcement did not reach every governed column's " +
+            "path — the pipeline routes a raw staged column around the guard")
+        released
       case None => stagedAll
     }
     val anon     = Pipeline.anonymize(staged, PolicyCatalog.reference, cfg)
