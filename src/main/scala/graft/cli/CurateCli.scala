@@ -483,6 +483,56 @@ object CurateCli {
   /** Bucket count for the `--agg` per-source token-stats store. */
   private val AggBuckets = 8
 
+  /** Heal a facts-capture purge ([[purgePendingRectifyFacts]]) that
+    * crashed between the delete and the rename: the purged capture is
+    * complete (its `_SUCCESS` landed) but never moved into place, and
+    * without the heal a rectify replay would see NO capture and
+    * re-capture from the possibly-already-rectified corpus — subtracting
+    * the new values instead of the old, the exact drift the capture
+    * exists to prevent. Called on entry by every sweep that reads or
+    * rewrites the capture. An INCOMPLETE purged tree (no `_SUCCESS`) is
+    * dropped: the original capture is still in place.
+    */
+  private def recoverRectifyFacts(spark: SparkSession, outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val facts = new org.apache.hadoop.fs.Path(s"$outDir/.rectify-facts")
+    val purged = new org.apache.hadoop.fs.Path(s"$outDir/.rectify-facts.purged")
+    def done(p: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (done(purged) && !done(facts)) {
+      fs.delete(facts, true)
+      fs.rename(purged, facts)
+    } else fs.delete(purged, true)
+  }
+
+  /** Remove the erased subjects' rows from a crashed rectification's
+    * pending `.rectify-facts` capture (the erase × pending-rectify
+    * guard — see the call site in [[runErase]] for why). The rewrite is
+    * complete-or-absent: the surviving rows land under a `.purged` name
+    * first and RENAME into place, with [[recoverRectifyFacts]] healing
+    * the one window between the delete and the rename. Re-running the
+    * purge is idempotent (an anti-join only ever removes the same rows).
+    */
+  private def purgePendingRectifyFacts(
+      spark: SparkSession,
+      outDir: String,
+      keys: DataFrame
+  ): Unit = {
+    recoverRectifyFacts(spark, outDir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val factsPath = s"$outDir/.rectify-facts"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$factsPath/_SUCCESS"))) return
+    val purgedPath = s"$outDir/.rectify-facts.purged"
+    spark.read.parquet(factsPath)
+      .join(broadcast(keys), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(purgedPath)
+    fs.delete(new org.apache.hadoop.fs.Path(factsPath), true)
+    fs.rename(new org.apache.hadoop.fs.Path(purgedPath),
+      new org.apache.hadoop.fs.Path(factsPath))
+  }
+
   /** GDPR erasure sweep over EVERY maintained leg of an incremental
     * state directory — the one-run answer to "delete this subject": the
     * accumulated corpus, the dedup band index, the BM25 postings (with
@@ -499,6 +549,18 @@ object CurateCli {
     * from the retained corpus would serve. (The maintained `agg/` leg is
     * swept too — see the capture-before-purge note in the body.)
     *
+    * Crash consistency (the runRectify recipe): the sweep id derives
+    * from the KEY SET's content, the pre-purge facts capture is durable
+    * under a `_SUCCESS` guard and stamped with that id — a replayed
+    * sweep REUSES it rather than re-capturing from the already-purged
+    * corpus, a different erasure is refused while one is pending, and
+    * the capture is deleted only at sweep completion — so a sweep
+    * killed between ANY two legs converges when re-run with the same
+    * keys file (applied per-store commits no-op on their markers). The
+    * sweep also purges the erased ids from a crashed rectification's
+    * pending facts capture, so healing that sweep later cannot
+    * resurrect an erased subject's aggregate facts.
+    *
     * Scope bound: STREAMING checkpoint state is outside this sweep — an
     * in-flight subject session lives in the state store until its
     * event-time timeout, see
@@ -511,9 +573,10 @@ object CurateCli {
       spark: SparkSession,
       keysPath: String,
       outDir: String,
-      profileBudget: Long = 0L
+      profileBudget: Long = 0L,
+      failpoint: String => Unit = _ => ()
   ): EraseSummary = {
-    import graft.operators.{Erasure, Shards}
+    import graft.operators.{Erasure, PartitionSwap, Shards}
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
@@ -522,21 +585,91 @@ object CurateCli {
     val nKeys = keys.count()
 
     Erasure.recoverRetired(spark, corpusDir)
-    // the agg leg needs the subject's FACTS, which only the corpus still
-    // holds — capture them BEFORE the purge, materialized to a temp
-    // parquet (a cached plan would silently recompute against the purged
-    // corpus: Spark invalidates caches on writes to a path they read)
+    // content-derived sweep id: a crashed sweep RE-RUN WITH THE SAME KEY
+    // SET derives the same id, so its applied per-store commits no-op
+    // exactly (the runRectify recipe — a nanoTime id gave a replay no
+    // alreadyApplied protection at all)
+    val eraseBatch = keys
+      .agg(coalesce(bit_xor(xxhash64(col("doc_id").cast("string"))),
+        lit(0L)).as("h"))
+      .head().getAs[Long]("h")
+
+    // erase × pending-rectify interleaving: a crashed rectification's
+    // facts capture holds the subject's PRE-rectification facts (doc_id,
+    // source, n_tokens) — personal data this sweep must remove — and a
+    // later heal of that sweep would re-SUBTRACT agg facts this erasure
+    // already removed and re-MERGE the erased subject's corrected facts
+    // back into the agg store. The sweep purges the erased ids from the
+    // pending capture (below), so the replayed rectification converges
+    // to erase-only for them — but the capture's state must be READ
+    // FIRST: while the crashed sweep's agg legs have not committed, the
+    // agg store still holds the matched ids' OLD facts even though the
+    // corpus may already carry the corrected ones, and the subtraction
+    // must see the store's view, not the corpus's.
+    recoverRectifyFacts(spark, outDir) // a prior purge's crashed rename
+    val pendingPath = s"$outDir/.rectify-facts"
+    val hasPending = exists(s"$pendingPath/_SUCCESS")
+    val pendingBatch =
+      if (hasPending) {
+        val b = spark.read.parquet(pendingPath).agg(max(col("_batch"))).head()
+        if (b.isNullAt(0)) None else Some(b.getLong(0))
+      } else None
     val aggDir = s"$outDir/agg"
-    val erasedFactsPath = s"$outDir/.erase-facts"
     val hasAgg = exists(aggDir)
-    if (hasAgg && exists(corpusDir))
-      spark.read.parquet(corpusDir)
+    // true while the crashed rectification's agg merge has NOT committed:
+    // the agg store lags the corpus for the capture's matched ids
+    val aggLags = pendingBatch.exists(b => !PartitionSwap.alreadyApplied(
+      spark, aggDir, PartitionSwap.legBatchId(b, "rectify-agg-merge")))
+
+    // the agg leg needs the subject's FACTS, which only the corpus (or a
+    // pending rectification's capture) still holds — capture them BEFORE
+    // the purge, durable under a _SUCCESS guard with the sweep id
+    // stamped per row: a replay REUSES the capture (re-capturing from
+    // the already-purged corpus would find zero rows, subtract nothing,
+    // and silently serve the erased subject's stats forever), a
+    // DIFFERENT erasure is refused while one is pending, and the capture
+    // is deleted only at sweep completion.
+    val erasedFactsPath = s"$outDir/.erase-facts"
+    if (exists(s"$erasedFactsPath/_SUCCESS")) {
+      val prior = spark.read.parquet(erasedFactsPath)
+        .agg(max(col("_batch"))).head()
+      require(prior.isNullAt(0) || prior.getLong(0) == eraseBatch,
+        s"erase: a crashed sweep (batch ${prior.getLong(0)}) left pending " +
+          s"facts under $erasedFactsPath — re-run THAT sweep (same keys " +
+          "file) to completion before starting a different erasure")
+    } else if (hasAgg && exists(corpusDir)) {
+      val fromCorpus = spark.read.parquet(corpusDir)
         .join(broadcast(keys), Seq("doc_id"), "left_semi")
-        .select(col("source"), col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+      // erased subjects' facts AS THE AGG STORE HOLDS THEM: where the
+      // pending rectification swapped the corpus but not the agg legs,
+      // the store still carries the PRE-rectification values — take
+      // those from the pending capture, the corpus values otherwise
+      val capture =
+        if (aggLags) {
+          val old = spark.read.parquet(pendingPath)
+            .join(broadcast(keys), Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("source"), col("n_tokens"))
+          fromCorpus
+            .join(old.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .unionByName(old)
+        } else fromCorpus
+      capture
+        .select(col("source"), col("n_tokens"), lit(eraseBatch).as("_batch"))
         .write.mode("overwrite").parquet(erasedFactsPath)
+    }
+    failpoint("facts-captured")
+
+    // now the pending capture may forget the erased subjects (the
+    // personal-data removal); what the heal still needs — the OLD facts
+    // of the NON-erased matched ids — survives the anti-join
+    purgePendingRectifyFacts(spark, outDir, keys)
+    failpoint("rectify-facts-purged")
+
     val nCorpus =
       if (exists(corpusDir)) Erasure.eraseByKey(spark, corpusDir, keys, "doc_id")
       else 0L
+    failpoint("corpus-purged")
     // maintained per-source aggregate: cnt/sum subtract exactly from the
     // captured facts; min/max rebuild from the RETAINED corpus (the
     // post-purge read), with the subtraction double-checking the rebuild
@@ -544,17 +677,34 @@ object CurateCli {
     // served stats — the same obligation the sketch profile meets by
     // rebuild, met here exactly and incrementally.
     val nAgg =
-      if (hasAgg && exists(erasedFactsPath)) {
-        val n = graft.operators.AggStore.erase(
-          spark, aggDir, spark.read.parquet(erasedFactsPath),
+      if (hasAgg && exists(s"$erasedFactsPath/_SUCCESS")) {
+        // the min/max rebuild reads the retained corpus through the agg
+        // store's lens: ids still pending rectification carry their OLD
+        // n_tokens (the post-purge capture holds exactly those ids), so
+        // the cross-check compares like with like — once the heal's agg
+        // legs commit, the lens is the corpus itself
+        val retained =
+          if (!exists(corpusDir)) None
+          else if (aggLags && exists(s"$pendingPath/_SUCCESS")) {
+            val over = spark.read.parquet(pendingPath)
+              .select(col("doc_id"), col("n_tokens").as("_old_nt"))
+            Some(spark.read.parquet(corpusDir)
+              .join(broadcast(over), Seq("doc_id"), "left")
+              .select(col("source"),
+                coalesce(col("_old_nt"), col("n_tokens")).as("n_tokens")))
+          } else
+            Some(spark.read.parquet(corpusDir)
+              .select(col("source"), col("n_tokens")))
+        graft.operators.AggStore.erase(
+          spark, aggDir,
+          spark.read.parquet(erasedFactsPath)
+            .select(col("source"), col("n_tokens")),
           Seq("source"), col("n_tokens").cast("long"),
-          buckets = AggBuckets, batchId = System.nanoTime(),
-          retainedFacts =
-            if (exists(corpusDir)) Some(spark.read.parquet(corpusDir))
-            else None)
-        fs.delete(new org.apache.hadoop.fs.Path(erasedFactsPath), true)
-        n
+          buckets = AggBuckets,
+          batchId = PartitionSwap.legBatchId(eraseBatch, "erase-agg"),
+          retainedFacts = retained)
       } else 0L
+    failpoint("agg-erased")
     val nBand =
       if (exists(s"$outDir/index/meta"))
         graft.dedup.Dedup.eraseFromBandIndex(spark, s"$outDir/index", keys, "doc_id")
@@ -598,6 +748,9 @@ object CurateCli {
       }
     }
     val staleness = graft.sketch.ProfileStore.stalenessCount(spark, profDir)
+    // sweep completion: only now may the facts capture go — a crash in
+    // ANY earlier leg leaves it for the replay to reuse
+    fs.delete(new org.apache.hadoop.fs.Path(erasedFactsPath), true)
     val s = EraseSummary(nKeys, nCorpus, nBand, nSearch, nDense, nExact,
       nShards, rebuilt, staleness, nAgg)
     Files.createDirectories(Paths.get(outDir))
@@ -676,6 +829,18 @@ object CurateCli {
     require(keepBatches >= 0, s"retention: keepBatches must be >= 0, got $keepBatches")
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a leftover keys capture means a previous retention dropped its
+    // expired batch directories and crashed before (or inside) the erase
+    // sweep — without this resume a replay would find nothing left to
+    // expire and return early, leaving the expired documents served by
+    // every leg forever. The resumed erase converges (content-derived
+    // sweep id + reusable facts capture, see runErase), and the emptied
+    // leftover state ages out on the next expiry.
+    val pendingKeys = s"$outDir/.retention-keys"
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$pendingKeys/_SUCCESS"))) {
+      runErase(spark, pendingKeys, outDir, profileBudget)
+      fs.delete(new org.apache.hadoop.fs.Path(pendingKeys), true)
+    }
     val shardsRoot = new org.apache.hadoop.fs.Path(s"$outDir/shards")
     val batchDirs =
       if (!fs.exists(shardsRoot)) Array.empty[org.apache.hadoop.fs.FileStatus]
@@ -690,7 +855,7 @@ object CurateCli {
     }
     // capture the expired ids BEFORE dropping their directories (the
     // shard files are the only record of batch membership)
-    val keysPath = s"$outDir/.retention-keys"
+    val keysPath = pendingKeys
     expired.map(st => spark.read.parquet(st.getPath.toString)
         .select(col("doc_id")))
       .reduce(_ unionByName _)
@@ -868,15 +1033,19 @@ object CurateCli {
       spark: SparkSession,
       correctedPath: String,
       outDir: String,
-      profileBudget: Long = 0L
+      profileBudget: Long = 0L,
+      failpoint: String => Unit = _ => ()
   ): RectifySummary = {
-    import graft.operators.{Erasure, Rectify, Shards}
+    import graft.operators.{Erasure, PartitionSwap, Rectify, Shards}
     import graft.text.TextAnalysis
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
     val corpusDir = s"$outDir/corpus"
     Erasure.recoverRetired(spark, corpusDir)
+    // an interleaved erase sweep may have purged erased subjects from a
+    // pending capture and crashed mid-rename — heal before reading it
+    recoverRectifyFacts(spark, outDir)
 
     val correctedRaw = spark.read.parquet(correctedPath)
     require(correctedRaw.columns.contains("doc_id") &&
@@ -891,7 +1060,7 @@ object CurateCli {
     // content-derived batch id: replays of the same corrected file reuse
     // the same commit ids, so applied index/agg legs no-op exactly
     val batchBase = correctedRaw
-      .agg(coalesce(sum(xxhash64(col("doc_id").cast("string"), col("text"))),
+      .agg(coalesce(bit_xor(xxhash64(col("doc_id").cast("string"), col("text"))),
         lit(0L)).as("h"))
       .head().getAs[Long]("h")
 
@@ -932,11 +1101,13 @@ object CurateCli {
       if (exists(s"$factsPath/_SUCCESS")) Some(spark.read.parquet(factsPath))
       else None
     val nMatched = factsOpt.map(_.count()).getOrElse(0L)
+    failpoint("facts-captured")
 
     val nCorpus =
       if (exists(corpusDir))
         Rectify.updateByKey(spark, corpusDir, derived, "doc_id")
       else 0L
+    failpoint("corpus-updated")
 
     // maintained per-source aggregate: subtract the captured OLD facts
     // (cnt/sum exactly; min/max rebuilt from the corpus MINUS the
@@ -954,29 +1125,39 @@ object CurateCli {
               .join(broadcast(matchedIds), Seq("doc_id"), "left_anti")
               .select(col("source"), col("n_tokens")))
           else None
+        // per-leg ids ([[PartitionSwap.legBatchId]]): several legs commit
+        // into shared _batches namespaces, and additive offsets from a
+        // 64-bit content hash can land one sweep's offset id on another
+        // sweep's base (or a streaming epoch's small integer id),
+        // silently no-opping a leg via alreadyApplied
         val n = AggStore.erase(spark, aggDir,
           facts.select(col("source"), col("n_tokens")),
           Seq("source"), col("n_tokens").cast("long"),
-          buckets = AggBuckets, batchId = batchBase, retainedFacts = retained)
+          buckets = AggBuckets,
+          batchId = PartitionSwap.legBatchId(batchBase, "rectify-agg-sub"),
+          retainedFacts = retained)
         val newFacts = facts.select(col("doc_id"), col("source"))
           .join(broadcast(derived.select(col("doc_id"), col("n_tokens"))),
             Seq("doc_id"))
         AggStore.merge(spark, aggDir,
           AggStore.aggregate(newFacts, Seq("source"), col("n_tokens").cast("long")),
-          Seq("source"), buckets = AggBuckets, batchId = batchBase + 1)
+          Seq("source"), buckets = AggBuckets,
+          batchId = PartitionSwap.legBatchId(batchBase, "rectify-agg-merge"))
         n
       } else 0L
+    failpoint("agg-updated")
 
     val textOnly = derived.select(col("doc_id"), col("text"))
     val nBand =
       if (exists(s"$outDir/index/meta"))
         graft.dedup.Dedup.rectifyBandIndex(textOnly, "text", s"$outDir/index",
-          Some(batchBase + 2))
+          Some(PartitionSwap.legBatchId(batchBase, "rectify-band")))
       else 0L
     val nSearch =
       if (exists(s"$outDir/search/stats"))
         graft.text.Bm25.rectifySearchIndex(spark, s"$outDir/search", textOnly,
-          "doc_id", col("text"), Some(batchBase + 3))
+          "doc_id", col("text"),
+          Some(PartitionSwap.legBatchId(batchBase, "rectify-search")))
       else 0L
     val nExact =
       if (exists(s"$outDir/exact/meta")) {
@@ -984,7 +1165,8 @@ object CurateCli {
           array_distinct(transform(
             graft.dedup.Dedup.wordShingles(col("text"), 3), x => md5(x))).as("sh"))
         graft.dedup.SetSimJoin.rectifyIndex(spark, s"$outDir/exact", sets,
-          "doc_id", "sh", Some(batchBase + 4))
+          "doc_id", "sh",
+          Some(PartitionSwap.legBatchId(batchBase, "rectify-exact")))
       } else 0L
     val nDense =
       if (exists(s"$outDir/dense/centroids") &&

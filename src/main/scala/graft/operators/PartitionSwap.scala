@@ -61,6 +61,21 @@ object PartitionSwap {
   private def appliedMarker(dir: String, batchId: Long) = s"$dir/_batches/$batchId"
   private def retiredDir(dir: String) = dir.stripSuffix("/") + ".retired"
 
+  /** Namespace a content-derived batch id per commit LEG: a multi-store
+    * sweep (CurateCli rectify/erase) derives ONE id from its request
+    * content and commits several stores under it — but two sweeps'
+    * additive offsets (`base + 1..n`) can collide inside a shared
+    * `_batches` namespace (another sweep's base landing on this sweep's
+    * offset silently no-ops a leg via [[alreadyApplied]]). Folding the
+    * leg name in with an FNV-1a hash keeps the id deterministic for
+    * replays while spreading legs across the 64-bit space.
+    */
+  def legBatchId(base: Long, leg: String): Long = {
+    var h = 0xcbf29ce484222325L
+    leg.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+    h ^ base
+  }
+
   /** True when `batchId` already committed (check before re-deriving a
     * batch on replay).
     */
@@ -123,11 +138,19 @@ object PartitionSwap {
       val tagged = entries.map { p =>
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$stage/$p"))) p else s"-$p"
       }
-      val pend = fs.create(new org.apache.hadoop.fs.Path(pendingMarker(dir)), true)
+      val pend = fs.create(
+        new org.apache.hadoop.fs.Path(pendingMarker(dir) + ".tmp"), true)
       pend.write((batchId.toString +: tagged).mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       pend.close()
     }
+    // the marker lands by RENAME, so `_pending` is always complete or
+    // absent: a crash mid-write of the multi-line entry list would
+    // otherwise leave a truncated marker that bricks every subsequent
+    // recover (lines.head.toLong throws forever until manual cleanup)
+    stepped(fs.rename(
+      new org.apache.hadoop.fs.Path(pendingMarker(dir) + ".tmp"),
+      new org.apache.hadoop.fs.Path(pendingMarker(dir))))
     entries.foreach { p =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/$p")
       if (fs.exists(live)) stepped {
@@ -168,6 +191,11 @@ object PartitionSwap {
   ): Unit = {
     val pending = new org.apache.hadoop.fs.Path(pendingMarker(dir))
     val fs = pending.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stale `.tmp` means the marker write itself crashed: no retire or
+    // promote has run (they follow the marker rename), so the live tree
+    // is untouched — just drop the partial and, if no complete marker
+    // landed, there is nothing to roll back
+    fs.delete(new org.apache.hadoop.fs.Path(pendingMarker(dir) + ".tmp"), false)
     if (!fs.exists(pending)) return
     val lines = {
       val in = fs.open(pending)

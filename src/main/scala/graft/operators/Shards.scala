@@ -158,6 +158,17 @@ object Shards {
       idCol: String,
       orderCols: Seq[String] = Nil
   ): Long = {
+    // the in-place contract above RESTS on the corrected columns leaving
+    // the order keys and the layout columns alone — a corrected frame
+    // carrying one would silently leave shard_pos inconsistent with the
+    // declared (orderCols, id) order while the (pos, id) content-hash
+    // audit still passed. Enforce it instead of documenting it.
+    val touched = corrected.columns
+      .intersect(orderCols ++ Seq("shard", "shard_pos"))
+    require(touched.isEmpty,
+      s"shards rectify: corrected frame must not carry order/layout " +
+        s"column(s) ${touched.mkString(", ")} — changing an order key is a " +
+        "retire+re-admit, not an in-place rectification")
     Erasure.recoverRetired(spark, dir)
     val hit = Rectify.updateByKey(spark, dir, corrected, idCol,
       shape = _

@@ -205,6 +205,23 @@ class PartitionSwapSpec extends SparkSpec {
     }
   }
 
+  test("a crashed marker WRITE cannot brick the store: _pending is complete or absent") {
+    // the pending marker lands by rename, so a kill mid-write leaves only
+    // a .tmp — recover must clean it and treat the commit as never
+    // started (the old in-place write could leave a truncated multi-line
+    // marker that made every subsequent recover throw on lines.head.toLong)
+    val dir = tmp("tmpmarker")
+    put(s"$dir/p=1/data", "old1")
+    put(s"$dir/_batches/_pending.tmp", "7\np=")
+    PartitionSwap.recover(spark, dir, ".merge-stage", "p=")
+    assert(read(s"$dir/p=1/data") == Some("old1"))
+    assert(read(s"$dir/_batches/_pending.tmp").isEmpty)
+    // and a fresh commit over the recovered store works
+    put(s"$dir.merge-stage/p=1/data", "new1")
+    PartitionSwap.commit(spark, dir, s"$dir.merge-stage", Seq("p=1"), 7L)
+    assert(read(s"$dir/p=1/data") == Some("new1"))
+  }
+
   test("legacy id-only marker still rolls retired partitions back (defensive sweep)") {
     val dir = tmp("legacy")
     put(s"$dir/p=1/data", "corrupt")

@@ -427,6 +427,21 @@ class RectifySpec extends SparkSpec {
       == "CORRECTED ten")
     assert(after.filter(col("doc_id") === 11L).head().getAs[String]("text")
       == "original text 11")
+
+    // the in-place contract rests on corrected columns excluding the
+    // order keys and layout columns — a frame carrying one is refused
+    // (it would silently leave shard_pos inconsistent with the declared
+    // order while the (pos, id) content-hash audit still passed)
+    Seq(
+      Seq((10L, "x", "s")).toDF("doc_id", "text", "source"),
+      Seq((10L, "x", 3L)).toDF("doc_id", "text", "shard_pos")
+    ).foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Shards.rectifyByKey(
+          spark, dir, bad, "doc_id", orderCols = Seq("source"))
+      }
+      assert(e.getMessage.contains("order/layout"))
+    }
   }
 
   test("differential property: random corrected subsets — rectified store equals a rebuild, every seed") {
