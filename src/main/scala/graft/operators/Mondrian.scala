@@ -39,10 +39,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each round is one small per-group aggregate, a join of
   * the data against it (group-count-sized — AQE broadcasts it while it
-  * fits and shuffle-joins on `_gid` once it doesn't), and one
-  * `row_number` window partitioned by `_gid` (one shuffle of the data).
-  * O(log(n/k)) rounds, no driver-side row state; the per-round
-  * `localCheckpoint` is load-bearing lineage truncation (the
+  * fits and shuffle-joins on `_gid` once it doesn't), and ONE ranking
+  * pass over the data whose physical plan adapts to the round
+  * ([[withRank]]): early rounds — where a `_gid`-keyed window would
+  * sort the whole table in a handful of tasks (round 0: exactly one) —
+  * range-partition on the sort key and rank with per-partition offsets;
+  * late rounds use the keyed window, whose tasks are already
+  * cluster-width. O(log(n/k)) rounds, no driver-side row state; the
+  * per-round `localCheckpoint` is load-bearing lineage truncation (the
   * connectedComponents lesson: an uncheckpointed loop doubles the plan
   * every round).
   */
@@ -51,7 +55,71 @@ object Mondrian {
   private def working(qiCols: Seq[String]): Seq[String] =
     qiCols.indices.map(i => s"_q$i") ++
       Seq("_gid", "_dim", "_cnt", "_rnk", "_gid2", "_side", "_ds", "_mds",
-        "_sv", "_c", "_gc", "_n", "_nump", "_gcp", "_num", "_okf", "_mok")
+        "_sv", "_c", "_gc", "_n", "_nump", "_gcp", "_num", "_okf", "_mok",
+        "_rsv", "_rpid", "_roff", "_rpc")
+
+  /** Rank every row within its `_gid` group by `(splitVal, idCol)` — the
+    * median-split rank the relabel and the sensitive-side guards read.
+    * Two physical plans, bit-identical ranks:
+    *
+    *  - EARLY rounds (fewer than `par` groups — `par` = the session's
+    *    shuffle parallelism): a window keyed on `_gid` alone would put
+    *    the WHOLE table into at most `2^round` sort tasks — round 0 is
+    *    literally ONE task sorting everything, a straggler-then-OOM at
+    *    cluster scale. Instead the frame range-partitions on
+    *    `(_gid, splitVal, id)` (each partition then holds a CONTIGUOUS
+    *    run of each group's sort order), ranks within
+    *    `(partition, group)` through a well-spread window, and adds the
+    *    group's row count from all PRECEDING partitions. Because the
+    *    partitioning is contiguous in the sort key, the offsets frame
+    *    has at most `par + groups - 1` rows — a broadcast-sized
+    *    cumulative sum, never driver-side row state. The persist pins
+    *    the partition ids: the offsets pass and the rank pass must
+    *    observe ONE layout. A side benefit: the composed rank is a
+    *    LONG, so a round-0 "group" bigger than 2^31 rows (a 100 TB
+    *    table) cannot overflow `row_number`'s int.
+    *  - LATE rounds (groups >= par): the keyed window itself spreads
+    *    across the cluster with ~(n/par)-sized sort tasks; use it
+    *    directly.
+    */
+  private[graft] def withRank(
+      joined: DataFrame,
+      splitVal: Column,
+      idCol: String,
+      round: Int,
+      cacheOut: DataFrame => Unit = _ => ()
+  ): DataFrame = {
+    val spark = joined.sparkSession
+    val par = spark.conf.get("spark.sql.shuffle.partitions")
+      .toIntOption.getOrElse(spark.sparkContext.defaultParallelism)
+    if (round >= 31 || (1L << round) >= par) {
+      val w = Window.partitionBy(col("_gid")).orderBy(splitVal.asc, col(idCol).asc)
+      joined.withColumn("_rnk", row_number().over(w))
+    } else {
+      // persisted, not checkpointed: materialization rides the caller's
+      // first action (no extra eager pass per round) while still pinning
+      // ONE partition layout for the offsets pass and the rank pass; the
+      // handle goes to `cacheOut` so the caller unpersists at round end
+      val ranged = joined
+        .withColumn("_rsv", splitVal)
+        .repartitionByRange(par, col("_gid"), col("_rsv"), col(idCol))
+        .withColumn("_rpid", spark_partition_id())
+        .persist()
+      cacheOut(ranged)
+      val cum = Window.partitionBy(col("_gid")).orderBy(col("_rpid").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranged
+        .groupBy(col("_rpid"), col("_gid"))
+        .agg(count(lit(1L)).as("_rpc"))
+        .withColumn("_roff", coalesce(sum(col("_rpc")).over(cum), lit(0L)))
+        .select(col("_rpid"), col("_gid"), col("_roff"))
+      val wp = Window.partitionBy(col("_rpid"), col("_gid"))
+        .orderBy(col("_rsv").asc, col(idCol).asc)
+      ranged.join(broadcast(offsets), Seq("_rpid", "_gid"))
+        .withColumn("_rnk", row_number().over(wp) + col("_roff"))
+        .drop("_rpid", "_rsv", "_roff")
+    }
+  }
 
   /** Label every row with its Mondrian group: returns `df`'s columns
     * plus `_q<i>` (the QIs cast to double — the values the split
@@ -132,6 +200,7 @@ object Mondrian {
     var round = 0
     var splitting = true
     while (splitting && round < maxRounds) {
+      val roundCaches = scala.collection.mutable.Buffer.empty[DataFrame]
       val statAggs = count(lit(1L)).as("_cnt") +: qiCols.indices.flatMap(i =>
         Seq(min(col(s"_q$i")).as(s"_mn$i"), max(col(s"_q$i")).as(s"_mx$i")))
       val stats = cur.groupBy("_gid").agg(statAggs.head, statAggs.tail: _*)
@@ -147,18 +216,19 @@ object Mondrian {
         .foldLeft(lit(null).cast("double")) { (acc, i) =>
           when(col("_dim") === i, col(s"_q$i")).otherwise(acc)
         }
-      val w = Window.partitionBy(col("_gid")).orderBy(splitVal.asc, col(idCol).asc)
 
       val chose0 = stats.select(
         col("_gid"), col("_cnt"),
         when(col("_cnt") >= lit(2L * k) && best > lit(0.0), pick)
           .otherwise(lit(-1)).as("_dim"))
 
-      val chose = sensitiveCol match {
-        case None => chose0
+      val (chose, rankedReuse) = sensitiveCol match {
+        case None => (chose0, None)
         case Some(sv) =>
           // sensitive-attribute guards: rank the would-split groups with
-          // the SAME (value, id) window the relabel uses, then demote any
+          // the SAME (value, id) order the relabel uses (the relabel
+          // then REUSES these ranks — kept groups keep their dim, and
+          // demoted groups never read the rank), then demote any
           // group whose weaker candidate side drops below l distinct
           // sensitive values — or, with maxTvd, whose side's sensitive
           // distribution strays more than t (total variation) from the
@@ -167,8 +237,12 @@ object Mondrian {
           // sum gc) for the absent ones — hugeint-style, order-free)
           // against t * 2nN computed as one double product, so no
           // float-summation order ever enters control flow.
-          val ranked = cur.join(chose0, Seq("_gid"))
-            .withColumn("_rnk", row_number().over(w))
+          // persisted for the round: the split gate AND the relabel both
+          // read the ranked frame and the guard verdicts — without the
+          // cache each action re-runs the guard aggregates (a full extra
+          // pass per round, and the budgeted job count doubles)
+          val ranked = withRank(cur.join(chose0, Seq("_gid")),
+            splitVal, idCol, round, roundCaches += _).persist()
           val sides = ranked.filter(col("_dim") >= 0)
             .groupBy(col("_gid"), col("_cnt"),
               (col("_rnk") <= floor(col("_cnt") / lit(2))).as("_side"),
@@ -205,17 +279,28 @@ object Mondrian {
                 .groupBy("_gid")
                 .agg(min(col("_ds")).as("_mds"), min(lit(1)).as("_mok"))
           }
-          chose0.join(weaker, Seq("_gid"), "left")
+          val guarded = chose0.join(weaker, Seq("_gid"), "left")
             .select(col("_gid"), col("_cnt"),
               when(col("_dim") >= 0 && coalesce(col("_mds"), lit(0L)) >= l &&
                 coalesce(col("_mok"), lit(1)) === 1,
                 col("_dim")).otherwise(lit(-1)).as("_dim"))
+            .persist()
+          (guarded, Some(ranked))
       }
 
       if (chose.filter(col("_dim") >= 0).isEmpty) splitting = false
       else {
-        cur = cur.join(chose, Seq("_gid"))
-          .withColumn("_rnk", row_number().over(w))
+        // guard variants already ranked the rows for chose0's dims;
+        // groups the guards kept have the SAME dim (so the same ranks),
+        // and demoted groups take the `_dim < 0` branch without reading
+        // `_rnk` — reusing the ranks saves a full per-round sort pass
+        val rankedAll = rankedReuse match {
+          case Some(r) => r.drop("_dim", "_cnt").join(chose, Seq("_gid"))
+          case None =>
+            withRank(cur.join(chose, Seq("_gid")), splitVal, idCol, round,
+              roundCaches += _)
+        }
+        cur = rankedAll
           .withColumn("_gid2",
             when(col("_dim") < 0, col("_gid") * 3)
               .when(col("_rnk") <= floor(col("_cnt") / lit(2)), col("_gid") * 3 + 1)
@@ -225,6 +310,10 @@ object Mondrian {
           .localCheckpoint()
         round += 1
       }
+      // the round's caches die with the round (the checkpoint above has
+      // already materialized everything the next round reads)
+      rankedReuse.foreach { r => r.unpersist(); chose.unpersist() }
+      roundCaches.foreach(_.unpersist())
     }
     cur
   }

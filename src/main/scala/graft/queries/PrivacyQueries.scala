@@ -44,6 +44,18 @@ object PrivacyQueries {
   private val MondrianT = 0.15
   private val MondrianGeoK = 10
 
+  /** Unroll depth of the q_mondrian* DuckDB twins — and, passed as the
+    * operator's `maxRounds`, the ENGINE's depth for these queries, so
+    * the two stay hash-identical at ANY scale factor: splitting halves
+    * groups exactly, so `rounds` rounds reach full Mondrian minimality
+    * for n < 2k * 2^rounds (customer at k=20: ~655k rows ≈ sf4; services
+    * at k=10: ~327k). Beyond that bound BOTH engines stop at the same
+    * depth — the published groups stay k-anonymous (early stop only
+    * coarsens), never a silent hash drift. Extra rounds under the bound
+    * are literal no-ops on both sides.
+    */
+  private val MondrianRounds = 14
+
   val all: ListMap[String, Q] = ListMap(
     "q_l_diversity" -> Q(
       (s, dir) =>
@@ -535,7 +547,8 @@ object PrivacyQueries {
         val cust = Tables.read(s, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
         val labeled = graft.operators.Mondrian.anonymize(
-          cust, "c_custkey", Seq("c_nationkey", "c_acctbal"), k = MondrianK)
+          cust, "c_custkey", Seq("c_nationkey", "c_acctbal"), k = MondrianK,
+          maxRounds = MondrianRounds)
         graft.operators.Mondrian
           .groupRanges(labeled, "c_custkey", Seq("c_nationkey", "c_acctbal"))
           .select(
@@ -547,7 +560,7 @@ object PrivacyQueries {
             col("c_acctbal_hi").as("acctbal_hi"))
           .orderBy("group_id")
       },
-      Some(mondrianOracle(MondrianK, rounds = 10))
+      Some(mondrianOracle(MondrianK, rounds = MondrianRounds))
     ),
     "q_mondrian_ldiv" -> Q(
       (s, dir) => {
@@ -561,7 +574,8 @@ object PrivacyQueries {
             col("c_mktsegment"))
         val labeled = graft.operators.Mondrian.anonymize(
           cust, "c_custkey", Seq("c_nationkey", "c_acctbal"), k = MondrianK,
-          sensitiveCol = Some("c_mktsegment"), l = MondrianL)
+          sensitiveCol = Some("c_mktsegment"), l = MondrianL,
+          maxRounds = MondrianRounds)
         graft.operators.Mondrian
           .groupRanges(labeled, "c_custkey", Seq("c_nationkey", "c_acctbal"),
             sensitiveCol = Some("c_mktsegment"))
@@ -575,7 +589,7 @@ object PrivacyQueries {
             col("c_acctbal_hi").as("acctbal_hi"))
           .orderBy("group_id")
       },
-      Some(mondrianOracle(MondrianK, rounds = 10, ldiv = Some(MondrianL)))
+      Some(mondrianOracle(MondrianK, rounds = MondrianRounds, ldiv = Some(MondrianL)))
     ),
     "q_mondrian_tclose" -> Q(
       (s, dir) => {
@@ -591,7 +605,8 @@ object PrivacyQueries {
             col("c_mktsegment"))
         val labeled = graft.operators.Mondrian.anonymize(
           cust, "c_custkey", Seq("c_nationkey", "c_acctbal"), k = MondrianK,
-          sensitiveCol = Some("c_mktsegment"), maxTvd = Some(MondrianT))
+          sensitiveCol = Some("c_mktsegment"), maxTvd = Some(MondrianT),
+          maxRounds = MondrianRounds)
         graft.operators.Mondrian
           .groupRanges(labeled, "c_custkey", Seq("c_nationkey", "c_acctbal"),
             sensitiveCol = Some("c_mktsegment"))
@@ -605,7 +620,7 @@ object PrivacyQueries {
             col("c_acctbal_hi").as("acctbal_hi"))
           .orderBy("group_id")
       },
-      Some(mondrianOracle(MondrianK, rounds = 10, tvd = Some(MondrianT)))
+      Some(mondrianOracle(MondrianK, rounds = MondrianRounds, tvd = Some(MondrianT)))
     ),
     "q_mondrian_geo" -> Q(
       (s, dir) => {
@@ -620,7 +635,8 @@ object PrivacyQueries {
           .filter(col("latitude").isNotNull && col("longitude").isNotNull)
           .select(col("service_id"), col("latitude"), col("longitude"))
         val labeled = graft.operators.Mondrian.anonymize(
-          svc, "service_id", Seq("latitude", "longitude"), k = MondrianGeoK)
+          svc, "service_id", Seq("latitude", "longitude"), k = MondrianGeoK,
+          maxRounds = MondrianRounds)
         graft.operators.Mondrian
           .groupRanges(labeled, "service_id", Seq("latitude", "longitude"))
           .select(
@@ -632,7 +648,7 @@ object PrivacyQueries {
             col("longitude_hi").as("lon_hi"))
           .orderBy("group_id")
       },
-      Some(mondrianOracle(MondrianGeoK, rounds = 12,
+      Some(mondrianOracle(MondrianGeoK, rounds = MondrianRounds,
         pre = s"services as (${ServicesSynth.sql}), ",
         src = """
           select service_id as id,

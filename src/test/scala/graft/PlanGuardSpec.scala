@@ -194,9 +194,16 @@ class PlanGuardSpec extends SparkSpec {
         // membership probe + five staged writes (two kept-leg anti-joins,
         // postings/docs re-derivations, stats recompute), each carrying
         // its own AQE shuffle sub-jobs — fixed writes, zero iteration.
+        // The guarded Mondrian variants' budget is also structural: the
+        // scale-safe early-round rank (range sampling + offsets
+        // aggregate + broadcast, Mondrian.withRank) adds ~3 bounded AQE
+        // stages for each of the <= log2(parallelism) early rounds, and
+        // the l/t guards' side aggregates double the per-round stage
+        // count — rounds stay capped at maxRounds, zero open iteration.
         val budget =
           if (name == "q_fsck") 60
           else if (name == "q_rectify") 68
+          else if (name == "q_mondrian_ldiv" || name == "q_mondrian_tclose") 80
           else 40
         assert(buildJobs.length <= budget,
           s"$name ran ${buildJobs.length} build jobs — exceeds the bounded-" +
