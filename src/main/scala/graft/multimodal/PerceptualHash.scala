@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Codec.ImagePixels
@@ -193,23 +194,63 @@ object PerceptualHash {
     * only videos SHARING a keyframe ever meet, never all-pairs; the
     * per-pair intersection count then verifies exactly.
     *
+    * Skew guard: real corpora are full of DEGENERATE keyframes — black,
+    * white, and constant frames all dHash to the same 64-bit value, so
+    * one hash bucket can hold k videos and the self-join would emit k²
+    * candidate pairs from content that matches nothing perceptually.
+    * `maxBucket` applies the [[graft.dedup.Dedup.capBuckets]] convention
+    * to the keyframe-hash buckets: each bucket contributes candidates
+    * from its first `maxBucket` ids only (deterministic by id), bounding
+    * any bucket's work at maxBucket² while the EMITTED pairs' inter /
+    * union / jaccard stay EXACT — accepted candidates re-count their
+    * intersection against the full uncapped sets. Recall degrades only
+    * for pairs whose EVERY shared keyframe sits beyond a cap — with the
+    * cap sized above the corpus's true near-dup cluster width, exactly
+    * the degenerate-only pairs a perceptual matcher should not claim.
+    *
     * Returns (id_a, id_b, inter, union_sz, jaccard), id_a < id_b.
     */
   def videoNearDupPairs(
       keyframes: Dataset[KeyframeHash],
       num: Int,
-      den: Int
+      den: Int,
+      maxBucket: Option[Int] = None
   ): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+    require(maxBucket.forall(_ >= 2),
+      s"video near-dup: maxBucket below 2 can never emit a pair, got $maxBucket")
     val hs = keyframes.toDF()
       .select(col("media_id"), col("dhash")).distinct()
     val sizes = hs.groupBy(col("media_id")).agg(count(lit(1)).as("sz"))
-    val inter = hs.as("l")
-      .join(hs.as("r"),
-        col("l.dhash") === col("r.dhash") &&
-          col("l.media_id") < col("r.media_id"))
-      .groupBy(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter = maxBucket match {
+      case None =>
+        hs.as("l")
+          .join(hs.as("r"),
+            col("l.dhash") === col("r.dhash") &&
+              col("l.media_id") < col("r.media_id"))
+          .groupBy(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+      case Some(cap) =>
+        val w = Window.partitionBy(col("dhash")).orderBy(col("media_id"))
+        val capped = hs.withColumn("_bn", row_number().over(w))
+          .filter(col("_bn") <= cap).drop("_bn")
+        val candidates = capped.as("l")
+          .join(capped.as("r"),
+            col("l.dhash") === col("r.dhash") &&
+              col("l.media_id") < col("r.media_id"))
+          .select(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"))
+          .distinct()
+        // exact re-count over the UNCAPPED sets: candidate pairs are few
+        // post-cap, and each expands only by its videos' keyframe counts
+        candidates
+          .join(hs.select(col("media_id").as("id_a"), col("dhash").as("_ha")),
+            "id_a")
+          .join(hs.select(col("media_id").as("id_b"), col("dhash").as("_hb")),
+            "id_b")
+          .filter(col("_ha") === col("_hb"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.withColumnRenamed("media_id", "id_a")
         .withColumnRenamed("sz", "sz_a"), "id_a")

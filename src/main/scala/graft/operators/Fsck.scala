@@ -171,6 +171,150 @@ object Fsck {
         s"$dupShingles duplicated ids"))
   }
 
+  /** Dense IVF / IVF-PQ index invariants ([[graft.similarity.Ivf]]
+    * layout: `centroids/` + `assigned/` partitioned by cluster):
+    *   - `assigned_subset_centroids`: every assignment references a
+    *     stored centroid (a purge or rectify that rewrote one leg but
+    *     not the other breaks this; EMPTY centroids are legal — erasure
+    *     can drain a cluster);
+    *   - `centroid_ids_unique` and `centroid_dims_consistent`;
+    *   - `vec_dims_consistent`: every stored vector has one length —
+    *     equal to the centroid dimension for a raw-embedding index
+    *     (PQ `codes` are length-m and deliberately exempt);
+    *   - `no_null_vectors`.
+    * One pass over the assignments (per-cluster fused aggregate joined
+    * against the centroid list), one over the small centroid matrix.
+    */
+  def denseIndex(spark: SparkSession, dir: String): Seq[Check] = {
+    import org.apache.spark.sql.types.ArrayType
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val vecCol = assigned.schema.fields
+      .find(f => f.dataType.isInstanceOf[ArrayType] && f.name != "centroid_id")
+      .map(_.name)
+      .getOrElse(sys.error(s"dense fsck: no vector column in $dir/assigned"))
+
+    val cAgg = centroids.agg(
+      (count(lit(1)) - count_distinct(col("centroid_id"))).as("dups"),
+      count_distinct(size(col("centroid"))).as("cdims"),
+      max(size(col("centroid"))).as("cdim")).head()
+    val perCluster = assigned
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("_n"),
+        min(size(col(vecCol))).as("_lo"),
+        max(size(col(vecCol))).as("_hi"),
+        sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("_nulls"))
+    val aAgg = perCluster
+      .join(centroids.select(col("centroid_id"), lit(1).as("_c")),
+        Seq("centroid_id"), "left")
+      .agg(
+        sum(when(col("_c").isNull, col("_n")).otherwise(0L)).as("orphans"),
+        min(col("_lo")).as("lo"),
+        max(col("_hi")).as("hi"),
+        coalesce(sum(col("_nulls")), lit(0L)).as("nulls")).head()
+    val orphans = Option(aAgg.getAs[Long]("orphans")).getOrElse(0L)
+    val dimsOk = aAgg.isNullAt(1) ||
+      (aAgg.getInt(1) == aAgg.getInt(2) &&
+        (vecCol == "codes" || aAgg.getInt(2) == cAgg.getAs[Int]("cdim")))
+
+    markerHygiene(spark, s"$dir/assigned", "dense") ++ Seq(
+      Check("dense", "assigned_subset_centroids", orphans == 0L,
+        s"$orphans assignments reference a missing centroid"),
+      Check("dense", "centroid_ids_unique", cAgg.getAs[Long]("dups") == 0L,
+        s"${cAgg.getAs[Long]("dups")} duplicated centroid ids"),
+      Check("dense", "centroid_dims_consistent",
+        cAgg.getAs[Long]("cdims") <= 1L,
+        s"${cAgg.getAs[Long]("cdims")} distinct centroid dims"),
+      Check("dense", "vec_dims_consistent", dimsOk,
+        s"$vecCol sizes [${aAgg.get(1)}, ${aAgg.get(2)}] vs centroid dim " +
+          s"${cAgg.getAs[Int]("cdim")}"),
+      Check("dense", "no_null_vectors", aAgg.getAs[Long]("nulls") == 0L,
+        s"${aAgg.getAs[Long]("nulls")} null vectors"))
+  }
+
+  /** Shard-directory invariants across every `batch=N` directory under
+    * `root` — what [[Shards.rectifyByKey]] and the read-back audit REST
+    * on: per-(batch, shard) positions are dense 0..n-1 with no
+    * duplicates (one fused aggregate over a union of the batch trees),
+    * and no batch directory has in-flight swap debris (`__retired` /
+    * `__rectifying` / `__erasing` siblings a crashed rewrite leaves).
+    */
+  def shards(spark: SparkSession, root: String): Seq[Check] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val children = fs.listStatus(rootPath).map(_.getPath.getName)
+    val debris = children.filter(n =>
+      n.contains("__retired") || n.contains("__rectifying") ||
+        n.contains("__erasing"))
+    val batchDirs = children.filter(n =>
+      n.startsWith("batch=") && !n.contains("__")).sorted
+    val badPositions =
+      if (batchDirs.isEmpty) 0L
+      else batchDirs
+        .map(b => spark.read.parquet(s"$root/$b")
+          .select(lit(b).as("_b"), col("shard"), col("shard_pos")))
+        .reduce(_ unionByName _)
+        .groupBy(col("_b"), col("shard"))
+        .agg(
+          count(lit(1)).as("_n"),
+          count_distinct(col("shard_pos")).as("_nd"),
+          min(col("shard_pos")).as("_lo"),
+          max(col("shard_pos")).as("_hi"))
+        .filter(col("_lo") =!= 0L || col("_hi") =!= col("_n") - 1 ||
+          col("_nd") =!= col("_n"))
+        .count()
+    Seq(
+      Check("shards", "positions_dense", badPositions == 0L,
+        s"$badPositions (batch, shard) groups with non-contiguous positions"),
+      Check("shards", "no_swap_debris", debris.isEmpty,
+        if (debris.isEmpty) "clean" else debris.mkString(",")))
+  }
+
+  /** SCD-2 snapshot-store invariants ([[graft.pipeline.Snapshot]]
+    * bucketed layout): every key has EXACTLY one current row
+    * (`valid_to` null) and it is the LAST version, and superseded
+    * versions chain exactly — each `valid_to` equals the next version's
+    * `valid_from`, so validity intervals can neither overlap nor gap.
+    * One keyed-window pass (keys are many, the window spreads), plus
+    * marker hygiene for the merge stage and the pruned-read manifest's
+    * dirty marker.
+    */
+  def snapshotStore(
+      spark: SparkSession,
+      dir: String,
+      uniqueKey: String
+  ): Seq[Check] = {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(dir)
+    val w = Window.partitionBy(col(uniqueKey)).orderBy(col("valid_from").asc)
+    val agg = df.select(col(uniqueKey), col("valid_from"), col("valid_to"))
+      .withColumn("_nx", lead(col("valid_from"), 1).over(w))
+      .agg(
+        sum(when(col("valid_to").isNull && col("_nx").isNotNull, 1L)
+          .otherwise(0L)).as("nonterm"),
+        sum(when(col("valid_to").isNotNull && !(col("valid_to") <=> col("_nx")),
+          1L).otherwise(0L)).as("breaks"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("curs"),
+        count_distinct(col(uniqueKey)).as("keys")).head()
+    def n(f: String) = Option(agg.getAs[Long](f)).getOrElse(0L)
+    val stripped = dir.stripSuffix("/")
+    Seq(
+      Check("snapshot", "one_current_per_key",
+        n("nonterm") == 0L && n("curs") == n("keys"),
+        s"${n("curs")} current rows over ${n("keys")} keys, " +
+          s"${n("nonterm")} non-terminal currents"),
+      Check("snapshot", "validity_chained", n("breaks") == 0L,
+        s"${n("breaks")} superseded versions whose valid_to misses the " +
+          "next valid_from"),
+      Check("snapshot", "no_stage_tree",
+        !exists(spark, s"$stripped.merge-stage"), s"$stripped.merge-stage"),
+      Check("snapshot", "manifest_clean",
+        !exists(spark,
+          s"$dir/${DataSkipping.ManifestSubdir}__dirty"),
+        "dirty manifest marker (a crashed merge left pruned reads unsafe)"))
+  }
+
   /** A serving leg's ids must be a subset of the corpus — an erasure
     * that purged the corpus but missed a leg (or a crashed append that
     * landed a leg before the corpus) surfaces as orphans.
@@ -201,16 +345,20 @@ object Fsck {
     // CurateCli.runRectify) — report it as commit debt, the same
     // read-only stance as markerHygiene: the heal is re-running THAT
     // sweep, never deleting the capture it needs
-    val factsPath = s"$outDir/.rectify-facts"
-    if (exists(spark, s"$factsPath/_SUCCESS")) {
-      val b = spark.read.parquet(factsPath).agg(max(col("_batch"))).head()
-      val batch = if (b.isNullAt(0)) "empty" else b.getLong(0).toString
-      checks += Check("rectify", "no_pending_sweep", ok = false,
-        s"pending facts capture (batch $batch) — re-run the crashed " +
-          "rectification to completion")
-    } else {
-      checks += Check("rectify", "no_pending_sweep", ok = true,
-        "no pending facts capture")
+    Seq(
+      (s"$outDir/.rectify-facts", "rectify", "rectification"),
+      (s"$outDir/.erase-facts", "erase", "erase sweep")).foreach {
+      case (factsPath, component, sweepName) =>
+        if (exists(spark, s"$factsPath/_SUCCESS")) {
+          val b = spark.read.parquet(factsPath).agg(max(col("_batch"))).head()
+          val batch = if (b.isNullAt(0)) "empty" else b.getLong(0).toString
+          checks += Check(component, "no_pending_sweep", ok = false,
+            s"pending facts capture (batch $batch) — re-run the crashed " +
+              s"$sweepName to completion")
+        } else {
+          checks += Check(component, "no_pending_sweep", ok = true,
+            "no pending facts capture")
+        }
     }
     val corpusIds =
       if (exists(spark, corpusDir))
@@ -222,6 +370,24 @@ object Fsck {
       checks ++= exactIndex(spark, s"$outDir/exact")
     if (exists(spark, s"$outDir/index/meta"))
       checks ++= bandIndex(spark, s"$outDir/index")
+    if (exists(spark, s"$outDir/dense/centroids"))
+      checks ++= denseIndex(spark, s"$outDir/dense")
+    if (exists(spark, s"$outDir/shards"))
+      checks ++= shards(spark, s"$outDir/shards")
+    // profile ledger: the staleness counter must PARSE (a corrupt ledger
+    // would crash every sweep's honesty accounting) and the store's legs
+    // must be complete — hdr lands before hll by design, so hll without
+    // hdr is a crashed bootstrap nobody recovered
+    if (graft.sketch.ProfileStore.exists(spark, s"$outDir/profile")) {
+      val ledger = scala.util.Try(
+        graft.sketch.ProfileStore.stalenessCount(spark, s"$outDir/profile"))
+      checks += Check("profile", "ledger_parses",
+        ledger.toOption.exists(_ >= 0L),
+        ledger.fold(e => e.toString, c => s"staleness $c"))
+      checks += Check("profile", "legs_complete",
+        exists(spark, s"$outDir/profile/hdr"),
+        "hll present without hdr — crashed bootstrap")
+    }
     corpusIds.foreach { ids =>
       Seq(
         (s"$outDir/search/docs", "doc_id", "search"),

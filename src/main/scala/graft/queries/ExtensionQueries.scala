@@ -3122,6 +3122,67 @@ object ExtensionQueries {
         ) t(component, "check", ok)
         order by component, "check"""")
     ),
+    "q_fsck_stores" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        // the auditor's OTHER store families (q_fsck covers the search
+        // and exact indexes): a dense IVF index, a two-batch shard tree,
+        // and an SCD-2 snapshot store with real supersessions — built
+        // in-query, then audited. The literal oracle pins every check
+        // name and verdict, so a broken invariant OR a silently-dropped
+        // check both hash-fail.
+        val root = s"${sys.props("java.io.tmpdir")}/graft_fsckst_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val all = docs(s, dir)
+        graft.operators.Shards.write(
+          all.filter(col("doc_id") % 2 === 0), "doc_id",
+          s"$root/shards/batch=0", 4, orderCols = Seq("source"))
+        graft.operators.Shards.write(
+          all.filter(col("doc_id") % 2 === 1), "doc_id",
+          s"$root/shards/batch=1", 4, orderCols = Seq("source"))
+        val e = emb(s, dir)
+        val (centroids, assigned) =
+          graft.similarity.Ivf.build(e, "vec_id", "embedding", k = 8, iters = 2)
+        graft.similarity.Ivf.writeIndex(
+          centroids, assigned, "vec_id", "embedding", s"$root/dense")
+        import graft.pipeline.Snapshot
+        val b0 = all.select(col("doc_id"), col("source"), col("n_chars"),
+          lit(1).as("updated_at"))
+        Snapshot.writeStore(Snapshot.initial(b0, "doc_id", "updated_at"),
+          "doc_id", s"$root/snapshot", buckets = 4)
+        val b1 = all.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("source"),
+            (col("n_chars") + 7).as("n_chars"), lit(2).as("updated_at"))
+        Snapshot.mergeStore(s, s"$root/snapshot", b1, "doc_id", "updated_at",
+          buckets = 4)
+        val checks = graft.operators.Fsck.denseIndex(s, s"$root/dense") ++
+          graft.operators.Fsck.shards(s, s"$root/shards") ++
+          graft.operators.Fsck.snapshotStore(s, s"$root/snapshot", "doc_id")
+        checks.map(c => (c.component, c.check, if (c.ok) 1 else 0))
+          .toDF("component", "check", "ok")
+          .orderBy("component", "check")
+      },
+      Some("""
+        select * from (values
+          ('dense', 'assigned_subset_centroids', 1),
+          ('dense', 'centroid_dims_consistent', 1),
+          ('dense', 'centroid_ids_unique', 1),
+          ('dense', 'no_null_vectors', 1),
+          ('dense', 'no_pending_marker', 1),
+          ('dense', 'no_retired_tree', 1),
+          ('dense', 'no_stage_tree', 1),
+          ('dense', 'vec_dims_consistent', 1),
+          ('shards', 'no_swap_debris', 1),
+          ('shards', 'positions_dense', 1),
+          ('snapshot', 'manifest_clean', 1),
+          ('snapshot', 'no_stage_tree', 1),
+          ('snapshot', 'one_current_per_key', 1),
+          ('snapshot', 'validity_chained', 1)
+        ) t(component, "check", ok)
+        order by component, "check"""")
+    ),
     "q_hybrid_rrf" -> Q(
       (s, dir) => {
         import s.implicits._

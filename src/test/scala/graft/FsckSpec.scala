@@ -115,5 +115,122 @@ class FsckSpec extends SparkSpec {
     assert(Fsck.state(spark, state).exists(c =>
       c.component == "rectify" && c.check == "no_pending_sweep" && c.ok),
       "a torn capture (no _SUCCESS) is not a pending sweep")
+
+    // 5. crashed ERASE sweep debt: same shape as the rectify capture
+    spark.read.parquet(s"$state/corpus").limit(2)
+      .select(col("source"), col("n_tokens"), lit(7L).as("_batch"))
+      .write.mode("overwrite").parquet(s"$state/.erase-facts")
+    assert(Fsck.state(spark, state).exists(c =>
+      c.component == "erase" && c.check == "no_pending_sweep" && !c.ok &&
+        c.detail.contains("7")),
+      "a pending erase-facts capture must flag with its batch id")
+  }
+
+  /** In-place rewrite of a parquet directory through a temp + rename —
+    * the corruption injector for the store-family tests below.
+    */
+  private def rewriteDir(dir: String, partitionCol: Option[String] = None)(
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = dir + "__fscktmp"
+    val w = f(spark.read.parquet(dir)).write.mode("overwrite")
+    partitionCol.fold(w)(w.partitionBy(_)).parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir))
+  }
+
+  test("dense / shards / snapshot auditors pass healthy stores and flag each corruption class") {
+    val work = Files.createTempDirectory("fsck_stores").toString
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // dense IVF
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (cents, assigned) =
+      graft.similarity.Ivf.build(e, "vec_id", "embedding", k = 4, iters = 2)
+    graft.similarity.Ivf.writeIndex(
+      cents, assigned, "vec_id", "embedding", s"$work/dense")
+    assert(Fsck.denseIndex(spark, s"$work/dense").forall(_.ok))
+    val firstVec = spark.read.parquet(s"$work/dense/assigned")
+      .select(col("vec_id")).head().getLong(0)
+    // a) orphan assignment: one row references a centroid nobody stored
+    rewriteDir(s"$work/dense/assigned", Some("centroid_id")) { df =>
+      df.withColumn("centroid_id",
+        when(col("vec_id") === firstVec, lit(999)).otherwise(col("centroid_id")))
+    }
+    assert(Fsck.denseIndex(spark, s"$work/dense").exists(c =>
+      c.check == "assigned_subset_centroids" && !c.ok))
+    rewriteDir(s"$work/dense/assigned", Some("centroid_id")) { df =>
+      df.filter(col("vec_id") =!= firstVec)
+    }
+    // b) vector-dimension drift: one stored vector loses elements
+    rewriteDir(s"$work/dense/assigned", Some("centroid_id")) { df =>
+      df.withColumn("embedding",
+        when(col("vec_id") === firstVec + 1, slice(col("embedding"), 1, 3))
+          .otherwise(col("embedding")))
+    }
+    assert(Fsck.denseIndex(spark, s"$work/dense").exists(c =>
+      c.check == "vec_dims_consistent" && !c.ok))
+    // c) duplicated centroid id
+    rewriteDir(s"$work/dense/centroids") { df => df.unionByName(df.limit(1)) }
+    assert(Fsck.denseIndex(spark, s"$work/dense").exists(c =>
+      c.check == "centroid_ids_unique" && !c.ok))
+
+    // shards
+    val sdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    graft.operators.Shards.write(
+      sdocs, "doc_id", s"$work/shards/batch=0", 2, orderCols = Seq("source"))
+    assert(Fsck.shards(spark, s"$work/shards").forall(_.ok))
+    // a) torn rewrite debris
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$work/shards/batch=0__rectifying"))
+    assert(Fsck.shards(spark, s"$work/shards").exists(c =>
+      c.check == "no_swap_debris" && !c.ok))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$work/shards/batch=0__rectifying"), true)
+    // b) a hole in the position sequence (a lost row nobody re-closed)
+    val firstDoc = spark.read.parquet(s"$work/shards/batch=0")
+      .filter(col("shard_pos") === 0).select(col("doc_id")).head().getLong(0)
+    rewriteDir(s"$work/shards/batch=0", Some("shard")) { df =>
+      df.filter(col("doc_id") =!= firstDoc)
+    }
+    assert(Fsck.shards(spark, s"$work/shards").exists(c =>
+      c.check == "positions_dense" && !c.ok))
+
+    // SCD-2 snapshot store
+    import graft.pipeline.Snapshot
+    val b0 = sdocs.select(col("doc_id"), col("source"), lit(1).as("updated_at"))
+    Snapshot.writeStore(Snapshot.initial(b0, "doc_id", "updated_at"),
+      "doc_id", s"$work/snapshot", buckets = 2)
+    Snapshot.mergeStore(spark, s"$work/snapshot",
+      b0.filter(col("doc_id") % 3 === 0).withColumn("updated_at", lit(2)),
+      "doc_id", "updated_at", buckets = 2)
+    assert(Fsck.snapshotStore(spark, s"$work/snapshot", "doc_id").forall(_.ok))
+    val verKey = spark.read.parquet(s"$work/snapshot")
+      .filter(col("valid_to").isNotNull).select(col("doc_id")).head().getLong(0)
+    // a) a superseded version resurrected as current: two current rows
+    rewriteDir(s"$work/snapshot", Some("bucket")) { df =>
+      df.withColumn("valid_to",
+        when(col("doc_id") === verKey && col("valid_to").isNotNull,
+          lit(null).cast("int")).otherwise(col("valid_to")))
+    }
+    val res = Fsck.snapshotStore(spark, s"$work/snapshot", "doc_id")
+    assert(res.exists(c => c.check == "one_current_per_key" && !c.ok))
+    // b) a broken chain: valid_to no longer meets the next valid_from
+    rewriteDir(s"$work/snapshot", Some("bucket")) { df =>
+      df.withColumn("valid_to",
+        when(col("doc_id") === verKey && col("valid_from") === 1,
+          lit(99)).otherwise(col("valid_to")))
+    }
+    assert(Fsck.snapshotStore(spark, s"$work/snapshot", "doc_id").exists(c =>
+      c.check == "validity_chained" && !c.ok))
+    // c) a crashed merge's dirty manifest marker
+    val marker = fs.create(new org.apache.hadoop.fs.Path(
+      s"$work/snapshot/_stats__dirty"), true)
+    marker.write("doc_id".getBytes); marker.close()
+    assert(Fsck.snapshotStore(spark, s"$work/snapshot", "doc_id").exists(c =>
+      c.check == "manifest_clean" && !c.ok))
   }
 }

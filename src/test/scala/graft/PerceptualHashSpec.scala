@@ -176,4 +176,49 @@ class PerceptualHashSpec extends SparkSpec {
       s"only $sameFamily of ${want.size} accepted pairs share a family")
     kf.unpersist()
   }
+
+  test("degenerate keyframes: the bucket cap bounds candidates; true dups keep exact values") {
+    import spark.implicits._
+    // adversarial corpus: 50 videos ALL sharing the constant-frame hash 0
+    // (black frames), each with 3 unique hashes — and one TRUE near-dup
+    // pair (900, 901) sharing 3 real keyframes on top of the black frame
+    val degenerate = (1L to 50L).flatMap { id =>
+      PerceptualHash.KeyframeHash(id, 0, 0L) +:
+        (1 to 3).map(f => PerceptualHash.KeyframeHash(id, f, id * 1000 + f))
+    }
+    val dups = Seq(900L, 901L).flatMap { id =>
+      PerceptualHash.KeyframeHash(id, 0, 0L) +:
+        (1 to 3).map(f => PerceptualHash.KeyframeHash(id, f, 777000L + f))
+    }
+    val kf = spark.createDataset(degenerate ++ dups)
+
+    // uncapped, a permissive threshold accepts every degenerate-only
+    // pair: the shared black frame alone clears 1/8 — 50*49/2 pairs of
+    // perceptually unrelated videos, the k^2 blow-up
+    val uncapped = PerceptualHash.videoNearDupPairs(kf, 1, 8)
+    assert(uncapped.count() > 1000L)
+
+    // capped: the black-frame bucket contributes at most cap^2/2
+    // candidates, so the output collapses to the capped bucket's pairs
+    // plus the true dup — which keeps its EXACT inter/union (4 shared of
+    // 4 each, jaccard 1.0) because accepted candidates re-count against
+    // the full uncapped sets
+    val capped = PerceptualHash.videoNearDupPairs(kf, 1, 8, maxBucket = Some(4))
+    val rows = capped.collect()
+    assert(rows.length <= 4 * 3 / 2 + 1,
+      s"capped candidates must be bounded by the bucket cap, got ${rows.length}")
+    val dup = rows.find(r => r.getAs[Long]("id_a") == 900L &&
+      r.getAs[Long]("id_b") == 901L)
+    assert(dup.isDefined, "the true near-dup must survive the cap")
+    assert(dup.get.getAs[Long]("inter") == 4L &&
+      dup.get.getAs[Long]("union_sz") == 4L,
+      s"accepted pairs must keep exact uncapped counts: ${dup.get}")
+
+    // at a REAL threshold the degenerate-only pairs never pass anyway —
+    // capped and uncapped agree exactly (the production contract)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rowSet(PerceptualHash.videoNearDupPairs(kf, 2, 3, Some(4))) ==
+      rowSet(PerceptualHash.videoNearDupPairs(kf, 2, 3)))
+  }
 }

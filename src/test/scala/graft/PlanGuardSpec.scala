@@ -150,7 +150,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_mondrian",
     "q_mondrian_ldiv",    // same recursion + per-round diversity guard
     "q_mondrian_tclose",  // same recursion + per-round TVD guard
-    "q_mondrian_geo"      // same recursion over (lat, lon) envelopes
+    "q_mondrian_geo",     // same recursion over (lat, lon) envelopes
+    "q_fsck_stores"       // builds dense/shards/snapshot stores, then audits
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
@@ -200,9 +201,14 @@ class PlanGuardSpec extends SparkSpec {
         // stages for each of the <= log2(parallelism) early rounds, and
         // the l/t guards' side aggregates double the per-round stage
         // count — rounds stay capped at maxRounds, zero open iteration.
+        // q_fsck_stores is the widest fixed-build query: two shard
+        // writes, a k-means build + cluster-partitioned index write, a
+        // snapshot bootstrap + merge, then the three store audits — each
+        // write carrying AQE sub-jobs; fixed store count, zero iteration.
         val budget =
           if (name == "q_fsck") 60
           else if (name == "q_rectify") 68
+          else if (name == "q_fsck_stores") 85
           else if (name == "q_mondrian_ldiv" || name == "q_mondrian_tclose") 80
           else 40
         assert(buildJobs.length <= budget,
