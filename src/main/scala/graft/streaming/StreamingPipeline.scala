@@ -846,6 +846,17 @@ object StreamingPipeline {
     * directory share its applied-batch namespace — drive both from one
     * checkpoint lineage (or disjoint epoch ranges), or an append epoch
     * could shadow a rectify epoch's id.
+    *
+    * Composed with [[eraseSink]] on the same state directory, ERASURE
+    * WINS: once an id's erasure epoch completes, any redelivery of an
+    * earlier-queued rectification leaves it erased — an already-applied
+    * epoch id no-ops on its commit marker, and a fresh delivery
+    * no-ops by replace-only (the id is absent from the docs leg). A
+    * rectification QUEUED AFTER an erasure is vacuous for that subject
+    * by the same replace-only contract — corrections for erased data
+    * have nothing left to correct (re-admission is the ingest sinks'
+    * job). StreamingSpec's "composed rights queues" case pins both
+    * delivery shapes against the batchwise request-log twin.
     */
   def rectifySink(
       stream: DataFrame,
@@ -892,7 +903,11 @@ object StreamingPipeline {
     *
     * Scope bound, inherited from the sweep ([[sessionize]] scaladoc):
     * checkpointed streaming STATE elsewhere (open sessions, join
-    * buffers) erases only via its event-time expiry.
+    * buffers) erases only via its event-time expiry. Composed-order
+    * bound with [[rectifySink]] on the same state directory: see the
+    * rectify sink's scaladoc — erasure wins over any redelivered
+    * earlier rectification, and later corrections for an erased subject
+    * are vacuous by replace-only.
     */
   def eraseSink(
       stream: DataFrame,

@@ -774,6 +774,92 @@ class StreamingSpec extends SparkSpec {
       "a drained queue's replay must leave every store byte-identical")
   }
 
+  test("composed rights queues: an erased id stays erased when an earlier rectification replays") {
+    import java.nio.file.Files
+    import graft.text.Bm25
+    implicit val sqlCtx = spark.sqlContext
+    // the two rights sinks drain DIFFERENT queues against ONE state
+    // directory; the bound to pin: erasure wins over any REDELIVERY of an
+    // earlier-queued rectification — whether the replay carries an
+    // already-applied epoch id (marker no-op) or a fresh one
+    // (replace-only no-ops on the absent id)
+    def build(tag: String): String = {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val work = Files.createTempDirectory(s"rights_$tag").toString
+      docs.write.parquet(s"$work/b0")
+      graft.cli.CurateCli.runIncremental(
+        spark, s"$work/b0", s"$work/state", nShards = 2,
+        searchIndex = true, aggStats = true)
+      s"$work/state"
+    }
+    val state = build("live")
+    val twin = build("twin")
+    val ids = spark.read.parquet(s"$state/corpus")
+      .orderBy(col("doc_id")).limit(2).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val (x, y) = (ids(0), ids(1))
+    val corrections = Seq((x, "corrected text for the erased subject"),
+      (y, "corrected text for the retained subject"))
+
+    // live: rectification queue applies, THEN the erasure queue, THEN the
+    // rectification is REDELIVERED through a fresh checkpoint lineage —
+    // first under a fresh epoch id (a no-op filler epoch shifts it), the
+    // at-least-once delivery case
+    val rectCkpt = Files.createTempDirectory("rights_rect").toString
+    val rectIn = MemoryStream[(Long, String)]
+    rectIn.addData(corrections: _*)
+    StreamingPipeline.rectifySink(
+      rectIn.toDF().toDF("doc_id", "text"), s"$state/search", rectCkpt)
+      .awaitTermination()
+    val eraseCkpt = Files.createTempDirectory("rights_erase").toString
+    val eraseIn = MemoryStream[Long]
+    eraseIn.addData(x)
+    StreamingPipeline.eraseSink(
+      eraseIn.toDF().toDF("doc_id"), state, eraseCkpt).awaitTermination()
+    val replayCkpt = Files.createTempDirectory("rights_replay").toString
+    val replayIn = MemoryStream[(Long, String)]
+    replayIn.addData((999999999L, "filler epoch never admitted"))
+    StreamingPipeline.rectifySink(
+      replayIn.toDF().toDF("doc_id", "text"), s"$state/search", replayCkpt)
+      .awaitTermination()
+    replayIn.addData(corrections: _*)
+    StreamingPipeline.rectifySink(
+      replayIn.toDF().toDF("doc_id", "text"), s"$state/search", replayCkpt)
+      .awaitTermination()
+
+    // twin: the request log applied batchwise in order — rectify, erase,
+    // redelivered rectify — through the batch surfaces
+    Bm25.rectifySearchIndex(spark, s"$twin/search",
+      corrections.toDF("doc_id", "text"), "doc_id", col("text"), Some(1001L))
+    val keys = Files.createTempDirectory("rights_keys").toString + "/k"
+    Seq(x).toDF("doc_id").write.parquet(keys)
+    graft.cli.CurateCli.runErase(spark, keys, twin)
+    Bm25.rectifySearchIndex(spark, s"$twin/search",
+      corrections.toDF("doc_id", "text"), "doc_id", col("text"), Some(1002L))
+
+    def leg(state: String, p: String, cols: String*): Set[String] =
+      spark.read.parquet(s"$state/$p").select(cols.map(col): _*)
+        .collect().map(_.toString).toSet
+    assert(!leg(state, "search/docs", "doc_id").contains(s"[$x]"),
+      "the erased id must stay erased after the rectification replay")
+    assert(!leg(state, "search/postings", "doc_id").contains(s"[$x]"))
+    assert(leg(state, "search/docs", "doc_id", "dl") ==
+      leg(twin, "search/docs", "doc_id", "dl"),
+      "composed sinks must equal the request log applied batchwise")
+    assert(leg(state, "search/postings", "doc_id", "term", "tf") ==
+      leg(twin, "search/postings", "doc_id", "term", "tf"))
+    assert(leg(state, "search/stats", "_n_docs", "_avgdl") ==
+      leg(twin, "search/stats", "_n_docs", "_avgdl"))
+    assert(leg(state, "corpus", "doc_id") == leg(twin, "corpus", "doc_id"))
+
+    // and the marker-no-op delivery case: replaying the ORIGINAL
+    // checkpoint (already-applied epoch ids) changes nothing either
+    StreamingPipeline.rectifySink(
+      rectIn.toDF().toDF("doc_id", "text"), s"$state/search", rectCkpt)
+      .awaitTermination()
+    assert(!leg(state, "search/docs", "doc_id").contains(s"[$x]"))
+  }
+
   test("checkpointed parquet sink: a restarted query resumes exactly-once") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
