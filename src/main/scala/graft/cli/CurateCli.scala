@@ -764,6 +764,51 @@ object CurateCli {
     s
   }
 
+  /** Small-file compaction across every maintained serving index — the
+    * scheduled-maintenance verb next to `incremental` (which grows the
+    * legs one delta file per epoch) and `fsck` (which audits them):
+    * BM25 postings/docs, the dedup band index, the exact prefix index,
+    * and the dense IVF assignments each rewrite their CURRENT rows
+    * through their canonical layout into `targetBytes`-ish files, under
+    * the same crash protocols their appends use. Content-identical —
+    * serving before and after is value-equal (q_compact_serve pins the
+    * BM25 leg against the full-rebuild twin) — so the verb is safe to
+    * run on any cadence. The corpus itself is excluded: `incremental`
+    * already self-compacts it at its `compactAt` threshold. Returns
+    * (leg, filesBefore, filesAfter) per compacted leg.
+    */
+  def runCompact(
+      spark: SparkSession,
+      outDir: String,
+      targetBytes: Long = 128L << 20
+  ): Seq[(String, Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    if (exists(s"$outDir/search/stats")) {
+      val (b, a) = graft.text.Bm25.compactSearchIndex(
+        spark, s"$outDir/search", targetBytes)
+      out += (("search", b, a))
+    }
+    if (exists(s"$outDir/index/meta")) {
+      val (b, a) = graft.dedup.Dedup.compactBandIndex(
+        spark, s"$outDir/index", targetBytes)
+      out += (("band", b, a))
+    }
+    if (exists(s"$outDir/exact/meta")) {
+      val (b, a) = graft.dedup.SetSimJoin.compactIndex(
+        spark, s"$outDir/exact", targetBytes)
+      out += (("exact", b, a))
+    }
+    if (exists(s"$outDir/dense/centroids")) {
+      val (b, a) = graft.similarity.Ivf.compactIndex(
+        spark, s"$outDir/dense", targetBytes)
+      out += (("dense", b, a))
+    }
+    out.toSeq
+  }
+
   final case class AccessSummary(
       nKeys: Long,
       nCorpus: Long,
@@ -1306,6 +1351,24 @@ object CurateCli {
       println(s"[fsck] ${checks.size} checks, $bad failed")
       spark.stop()
       if (bad > 0) sys.exit(1)
+      return
+    }
+    if (args.headOption.contains("compact")) {
+      require(args.length >= 2, "usage: CurateCli compact <stateDir> [targetMB]")
+      val target =
+        if (args.length > 2) args(2).toLong << 20 else 128L << 20
+      val spark = session()
+      val legs = runCompact(spark, args(1), target)
+      legs.foreach { case (leg, b, a) =>
+        println(s"[compact] $leg files $b -> $a")
+      }
+      Files.createDirectories(Paths.get(args(1)))
+      Files.writeString(
+        Paths.get(s"${args(1)}/compact_report.json"),
+        legs.map { case (leg, b, a) =>
+          s"""{"leg":${jstr(leg)},"files_before":$b,"files_after":$a}"""
+        }.mkString("[", ",", "]") + "\n")
+      spark.stop()
       return
     }
     if (args.headOption.contains("retention")) {

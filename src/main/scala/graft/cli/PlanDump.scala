@@ -110,11 +110,12 @@ object PlanDump {
     "q_video_near_dup",   // y4m multi-keyframe dHash + hash-equality set overlap
     "q_fsck",             // two index builds + fused single-pass invariant probes
     "q_release_cert",     // validator compose + zero-job lineage/method bits
-    "q_mondrian",         // rank-split bisection rounds, per-round checkpoint
+    "q_mondrian",         // rank-split rounds: early range-partitioned rank
     "q_mondrian_ldiv",    // same + candidate-side diversity guard
     "q_mondrian_tclose",  // same + integer-exact TVD guard vs global dist
     "q_mondrian_geo",     // spatial envelopes over service coordinates
-    "q_rectify"           // BM25 store in-place rectification, then serve
+    "q_rectify",          // BM25 store in-place rectification, then serve
+    "q_fsck_stores"       // dense/shards/snapshot builds + fused audits
   )
 
   def main(args: Array[String]): Unit = {

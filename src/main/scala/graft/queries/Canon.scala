@@ -73,6 +73,7 @@ object Canon {
     "q_drift_psi" -> Seq("psi"),
     "q_bm25_topk" -> Seq("score"),
     "q_bm25_indexed" -> Seq("score"),
+    "q_compact_serve" -> Seq("score"),
     "q_erasure_indexes" -> Seq("score"),
     "q_rectify" -> Seq("score"),
     "q_agg_store" -> Seq("total", "min_price", "max_price"),

@@ -2999,6 +2999,45 @@ object ExtensionQueries {
       // the inline retrieval bit-for-bit at the rounded ranking grain
       Some(bm25TopKOracle)
     ),
+    "q_compact_serve" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        // small-file compaction is content-preserving end to end: build
+        // on half the corpus, append the other half (each epoch lands
+        // delta files), COMPACT the store back to canonical sized files
+        // (Bm25.compactSearchIndex), then serve — against the SAME
+        // full-rebuild twin q_bm25_indexed uses. The compaction must be
+        // invisible at the rounded ranking grain, and the file count
+        // must actually drop (the lit(1)-guard column pins that the
+        // rewrite really ran instead of no-opping).
+        val idx = s"${sys.props("java.io.tmpdir")}/graft_bm25_cpt_${math.abs(dir.hashCode)}"
+        new org.apache.hadoop.fs.Path(idx)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(idx), true)
+        val all = docs(s, dir)
+        graft.text.Bm25.writeSearchIndex(
+          all.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", col("text"), idx)
+        graft.text.Bm25.appendSearchIndex(
+          all.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", col("text"), idx)
+        val (before, after) =
+          graft.text.Bm25.compactSearchIndex(s, idx, targetBytes = 8L << 20)
+        require(after < before,
+          s"compaction must reduce the postings file count ($before -> $after)")
+        val (postings, stats) = graft.text.Bm25.loadSearchIndex(s, idx)
+        graft.text.Bm25
+          .retrieveTopKIndexed(postings, stats, "doc_id",
+            Bm25QuerySet.toDF("query_id", "term"), topK = 10)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rank"),
+            col("doc_id"),
+            col("n_matched").cast("int").as("n_matched"),
+            col("score").cast("decimal(14,6)").as("score"))
+          .orderBy("query_id", "rank")
+      },
+      // the stored-index twin again: compaction must serve bit-identically
+      Some(bm25TopKOracle)
+    ),
     // GDPR erasure through the SERVING index (Erasure scaladoc: erasure
     // that leaves documents recoverable from a postings index is not
     // erasure): build the BM25 index over the FULL corpus, erase the
@@ -3409,6 +3448,47 @@ object ExtensionQueries {
         select doc_id, source as stratum, mille
         from d join r using (source) where mille < thresh
         order by doc_id""")
+    ),
+    "q_mixture_budget" -> Q(
+      (s, dir) => {
+        // exact-budget mixture (operators/Mixture): per source, admit
+        // documents in deterministic (md5(id), id) order until the char
+        // budget fills — the absolute-token-count counterpart of
+        // q_target_mix's rate sampling. The twin replays the admission
+        // rule with the same window; the running sum's distributed
+        // two-pass plan (range partitions + offsets) must be invisible
+        // in the values.
+        val budgets = (0 until 20)
+          .map(i => s"src$i" -> (1500L + 250L * (i % 5))).toMap
+        graft.operators.Mixture
+          .budgeted(docs(s, dir).select(col("doc_id"), col("source"),
+            col("n_chars")),
+            "doc_id", "source", col("n_chars"), budgets)
+          .select(col("doc_id"), col("source"),
+            col("cum_before").cast("long").as("cum_before"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val cases = (0 until 20)
+          .map(i => s"when 'src$i' then ${1500L + 250L * (i % 5)}")
+          .mkString(" ")
+        s"""
+        with ordd as (
+          select doc_id, source, n_chars, md5(cast(doc_id as varchar)) as h
+          from documents
+        ),
+        run as (
+          select doc_id, source,
+            coalesce(sum(n_chars) over (partition by source
+              order by h, doc_id
+              rows between unbounded preceding and 1 preceding), 0) as cum_before
+          from ordd
+        )
+        select doc_id, source, cast(cum_before as bigint) as cum_before
+        from run
+        where cum_before < (case source $cases else 0 end)
+        order by doc_id"""
+      }
     ),
     "q_char_entropy" -> Q(
       (s, dir) =>

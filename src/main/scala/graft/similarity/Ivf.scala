@@ -222,6 +222,43 @@ object Ivf {
       .write.mode("append").partitionBy("centroid_id").parquet(s"$dir/assigned")
   }
 
+  /** Compact the accumulated append-epoch delta files
+    * ([[graft.operators.Compact]] scaladoc): each [[appendIndex]] epoch
+    * `mode("append")`s one file per touched `centroid_id=` partition, so
+    * a probed cluster eventually opens one file per epoch. Rewrite the
+    * CURRENT assignments back into sized files per cluster partition —
+    * content-identical for any layout (raw vectors or PQ codes ride
+    * through untouched), value-idempotent, crash-safe via the
+    * whole-directory retire/promote swap ([[graft.operators.Erasure]]
+    * convention; `recoverRetired` heals a torn promote). Returns
+    * (assigned files before, after).
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetBytes: Long = 128L << 20
+  ): (Long, Long) = {
+    import graft.operators.{Compact, Erasure}
+    val assigned = s"$dir/assigned"
+    Erasure.recoverRetired(spark, assigned)
+    val livePath = new org.apache.hadoop.fs.Path(assigned)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"${assigned}__compacting")
+    val old = new org.apache.hadoop.fs.Path(s"${assigned}__retired")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    val before = Compact.parquetFiles(spark, assigned)
+    spark.read.parquet(assigned)
+      .repartition(Compact.partsFor(spark, assigned, targetBytes),
+        col("centroid_id"))
+      .sortWithinPartitions(col("centroid_id"))
+      .write.partitionBy("centroid_id").parquet(tmp.toString)
+    fs.rename(livePath, old)
+    fs.rename(tmp, livePath)
+    fs.delete(old, true)
+    (before, Compact.parquetFiles(spark, assigned))
+  }
+
   /** Right-to-rectification (GDPR Art. 16) through the stored ANN index:
     * REPLACE the corrected documents' vectors in `assigned/` and
     * re-assign them to their nearest stored centroid — one

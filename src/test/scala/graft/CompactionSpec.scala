@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Compact
+
+/** Small-file compaction (the `compact` maintenance verb): every serving
+  * leg's file count drops back to the canonical sized layout while
+  * serving stays value-identical, fsck audits clean afterwards, and
+  * re-compacting is a stable fixed point. The crash-safety of each
+  * rewrite rides the commit protocols PartitionSwapSpec exhausts.
+  */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toIndexedSeq).sortBy(_.toString).toSeq
+
+  test("compact verb: legs shrink, serving is identical, fsck clean, idempotent") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val work = Files.createTempDirectory("compact").toString
+    val state = s"$work/state"
+    (0 until 3).foreach { b =>
+      docs.filter(col("doc_id") % 3 === b).write.parquet(s"$work/b$b")
+      graft.cli.CurateCli.runIncremental(
+        spark, s"$work/b$b", state, nShards = 2,
+        searchIndex = true, exactIndex = true, aggStats = true)
+    }
+
+    val queries = Seq((1, "spark"), (2, "data"), (3, "stream"))
+      .toDF("query_id", "term")
+    def topk() = {
+      val (p, st) = graft.text.Bm25.loadSearchIndex(spark, s"$state/search")
+      rows(graft.text.Bm25.retrieveTopKIndexed(p, st, "doc_id", queries, topK = 10))
+    }
+    def exactProbe() = {
+      val probes = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          array_distinct(transform(
+            graft.dedup.Dedup.wordShingles(col("text"), 3), x => md5(x))).as("sh"))
+        .withColumn("doc_id", col("doc_id") + 500000L)
+      rows(graft.dedup.SetSimJoin
+        .searchIndex(spark, s"$state/exact", probes, "doc_id", "sh")
+        .select("id_l", "id_r", "inter", "union_sz"))
+    }
+    def bandProbe() = {
+      val idx = graft.dedup.Dedup.loadBandIndex(spark, s"$state/index")
+      rows(graft.dedup.Dedup.dedupAgainstCorpus(idx,
+        docs.limit(10).withColumn("doc_id", col("doc_id") + 600000L),
+        "text", 0.7, maxBucket = None)
+        .select(col("doc_id"), col("is_dup")))
+    }
+    val (t0, e0, b0) = (topk(), exactProbe(), bandProbe())
+    val filesBefore = Seq("search/postings", "index/bands", "exact/postings")
+      .map(l => l -> Compact.parquetFiles(spark, s"$state/$l")).toMap
+
+    val legs = graft.cli.CurateCli.runCompact(spark, state, targetBytes = 8L << 20)
+    assert(legs.map(_._1).toSet == Set("search", "band", "exact"),
+      s"every maintained index leg must compact: $legs")
+    legs.foreach { case (leg, before, after) =>
+      assert(after <= before, s"$leg grew: $before -> $after")
+    }
+    assert(Compact.parquetFiles(spark, s"$state/search/postings") <
+      filesBefore("search/postings"),
+      "three append epochs' postings deltas must collapse")
+
+    assert(topk() == t0, "compaction must not change BM25 serving")
+    assert(exactProbe() == e0, "compaction must not change exact-index probes")
+    assert(bandProbe() == b0, "compaction must not change band-index dedup")
+    val fsck = graft.operators.Fsck.state(spark, state)
+    assert(fsck.forall(_.ok), s"fsck after compact: ${fsck.filterNot(_.ok)}")
+
+    // fixed point: a second compaction neither grows nor changes serving
+    val legs2 = graft.cli.CurateCli.runCompact(spark, state, targetBytes = 8L << 20)
+    legs2.foreach { case (leg, before, after) =>
+      assert(after == before, s"$leg must be a compaction fixed point: $legs2")
+    }
+    assert(topk() == t0)
+  }
+
+  test("ivf compaction: appended cluster deltas collapse; probes identical") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (cents, assigned) = graft.similarity.Ivf.build(
+      e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", k = 4, iters = 2)
+    val dir = Files.createTempDirectory("compact_ivf").toString + "/dense"
+    graft.similarity.Ivf.writeIndex(cents, assigned, "vec_id", "embedding", dir)
+    Seq(1, 2).foreach { m =>
+      graft.similarity.Ivf.appendIndex(
+        e.filter(col("vec_id") % 3 === m), "vec_id", "embedding", dir)
+    }
+    val qv = e.orderBy("vec_id").head().getSeq[Float](1).map(_.toDouble).toSeq
+    def probe() = {
+      val (c, a) = graft.similarity.Ivf.loadIndex(spark, dir)
+      rows(graft.similarity.Ivf.search(a, c, "vec_id", "embedding", qv,
+        k = 10, nprobe = 2).select(col("vec_id")))
+    }
+    val before = probe()
+    val (fb, fa) = graft.similarity.Ivf.compactIndex(spark, dir, 8L << 20)
+    assert(fa < fb, s"appended cluster files must collapse ($fb -> $fa)")
+    assert(probe() == before, "compaction must not change IVF probes")
+    assert(graft.operators.Fsck.denseIndex(spark, dir).forall(_.ok))
+  }
+}

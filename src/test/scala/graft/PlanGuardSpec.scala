@@ -43,6 +43,7 @@ class PlanGuardSpec extends SparkSpec {
       // broadcast-crossed onto the pruned postings
       "q_erasure_indexes",
       "q_rectify",
+      "q_compact_serve",
       // merged-vs-direct-vs-exact: three single-row estimate aggregates
       // broadcast-crossed into the one-row comparison output
       "q_hll_merged",
@@ -151,7 +152,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_mondrian_ldiv",    // same recursion + per-round diversity guard
     "q_mondrian_tclose",  // same recursion + per-round TVD guard
     "q_mondrian_geo",     // same recursion over (lat, lon) envelopes
-    "q_fsck_stores"       // builds dense/shards/snapshot stores, then audits
+    "q_fsck_stores",      // builds dense/shards/snapshot stores, then audits
+    "q_mixture_budget",   // one layout-pinning checkpoint for the running sum
+    "q_compact_serve"     // build + append + compact the BM25 store in-query
   )
 
   /** Warm Tables' per-session memo: the FIRST read of each parquet table
