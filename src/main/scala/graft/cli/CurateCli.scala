@@ -781,11 +781,11 @@ object CurateCli {
       spark: SparkSession,
       outDir: String,
       targetBytes: Long = 128L << 20
-  ): Seq[(String, Long, Long)] = {
+  ): Seq[(String, Int, Int)] = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
     if (exists(s"$outDir/search/stats")) {
       val (b, a) = graft.text.Bm25.compactSearchIndex(
         spark, s"$outDir/search", targetBytes)

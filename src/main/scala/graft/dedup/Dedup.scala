@@ -432,11 +432,12 @@ object Dedup {
   }
 
   /** Compact the accumulated append-epoch delta files
-    * ([[graft.operators.Compact]] scaladoc): rewrite the CURRENT band
-    * rows back into one sized file set per `band=` partition (each
-    * epoch's append nests a delta file under every partition, so after
-    * many epochs a bucket probe opens one file per epoch) and the
-    * shingle sets range-laid by id, swapping both legs in ONE
+    * ([[graft.operators.Compaction]] scaladoc): rewrite the CURRENT
+    * band rows back into one sized file set per `band=` partition
+    * ([[graft.operators.Compaction.compactPartitioned]] — each epoch's
+    * append nests a delta file under every partition, so after many
+    * epochs a bucket probe opens one file per epoch) and the shingle
+    * sets keyed by id, swapping both legs in ONE
     * [[graft.operators.PartitionSwap]] commit. Content-identical,
     * value-idempotent, crash-safe. Returns (band files before, after).
     */
@@ -444,8 +445,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       targetBytes: Long = 128L << 20
-  ): (Long, Long) = {
-    import graft.operators.{Compact, PartitionSwap}
+  ): (Int, Int) = {
+    import graft.operators.{Compaction, PartitionSwap}
     recoverBandIndex(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").head()
     val idCol = meta.getAs[String]("id_col")
@@ -453,20 +454,13 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    val before = Compact.parquetFiles(spark, s"$dir/bands")
-    spark.read.parquet(s"$dir/bands")
-      .repartition(Compact.partsFor(spark, s"$dir/bands", targetBytes),
-        col("band"), col("hash"))
-      .sortWithinPartitions(col("hash"))
-      .write.partitionBy("band").parquet(s"$stage/bands")
-    spark.read.parquet(s"$dir/shingles")
-      .repartitionByRange(
-        Compact.partsFor(spark, s"$dir/shingles", targetBytes), col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .write.parquet(s"$stage/shingles")
+    val (before, after) = Compaction.compactPartitioned(
+      spark, s"$dir/bands", s"$stage/bands", targetBytes, Seq("band"))
+    Compaction.compactClustered(
+      spark, s"$dir/shingles", s"$stage/shingles", targetBytes, Seq(idCol))
     PartitionSwap.commit(spark, dir, stage,
       Seq("bands", "shingles"), System.nanoTime())
-    (before, Compact.parquetFiles(spark, s"$dir/bands"))
+    (before, after)
   }
 
   /** Load a stored index bundle written by [[writeBandIndex]]. */

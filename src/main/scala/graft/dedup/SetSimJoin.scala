@@ -295,10 +295,11 @@ object SetSimJoin {
   }
 
   /** Compact the accumulated append-epoch delta files
-    * ([[graft.operators.Compact]] scaladoc): rewrite the CURRENT sets
-    * and prefix-postings rows through the canonical layout — postings
-    * re-clustered and sorted by key (restoring the probe join's
-    * key-contiguity), sets range-laid by id — and swap both legs in ONE
+    * ([[graft.operators.Compaction]] scaladoc): rewrite the CURRENT
+    * sets and prefix-postings rows through the canonical layout
+    * ([[graft.operators.Compaction.compactClustered]] — postings
+    * re-clustered and sorted by key, restoring the probe join's
+    * key-contiguity; sets keyed by id) and swap both legs in ONE
     * [[graft.operators.PartitionSwap]] commit. The frozen dfreq leg
     * never accumulates (appends key against it, they do not extend it)
     * and stays untouched. Content-identical, value-idempotent,
@@ -308,27 +309,20 @@ object SetSimJoin {
       spark: SparkSession,
       dir: String,
       targetBytes: Long = 128L << 20
-  ): (Long, Long) = {
-    import graft.operators.{Compact, PartitionSwap}
+  ): (Int, Int) = {
+    import graft.operators.{Compaction, PartitionSwap}
     recoverIndex(spark, dir)
     val stage = s"$dir/.swap-stage"
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    val before = Compact.parquetFiles(spark, s"$dir/postings")
-    spark.read.parquet(s"$dir/postings")
-      .repartition(Compact.partsFor(spark, s"$dir/postings", targetBytes),
-        col("key"))
-      .sortWithinPartitions(col("key"))
-      .write.parquet(s"$stage/postings")
-    spark.read.parquet(s"$dir/sets")
-      .repartitionByRange(Compact.partsFor(spark, s"$dir/sets", targetBytes),
-        col("id"))
-      .sortWithinPartitions(col("id"))
-      .write.parquet(s"$stage/sets")
+    val (before, after) = Compaction.compactClustered(
+      spark, s"$dir/postings", s"$stage/postings", targetBytes, Seq("key"))
+    Compaction.compactClustered(
+      spark, s"$dir/sets", s"$stage/sets", targetBytes, Seq("id"))
     PartitionSwap.commit(spark, dir, stage,
       Seq("postings", "sets"), System.nanoTime())
-    (before, Compact.parquetFiles(spark, s"$dir/postings"))
+    (before, after)
   }
 
   /** Staleness audit for an appended-to index: the fraction of the

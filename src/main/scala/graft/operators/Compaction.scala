@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   * input files. Content is preserved exactly (same rows, any order);
   * compaction is a LAYOUT operation, not a semantic one — callers needing
   * deterministic order use [[Shards.write]] instead.
+  *
+  * These are the PRIMITIVES (rewrite into a NEW directory; the caller
+  * owns the swap). The maintained serving stores each expose an atomic
+  * store-level compaction on top — [[graft.text.Bm25.compactSearchIndex]],
+  * [[graft.dedup.SetSimJoin.compactIndex]],
+  * [[graft.dedup.Dedup.compactBandIndex]],
+  * [[graft.similarity.Ivf.compactIndex]], composed by the CurateCli
+  * `compact` verb — because every append epoch lands its rows as new
+  * part files by design (the crash protocols promote staged deltas by
+  * rename), so a year of daily epochs fragments each leg and spreads a
+  * term's postings across every epoch's file. The store compactions
+  * stage through these primitives and promote under the stores' own
+  * commit protocols: content-identical, value-idempotent, crash-safe.
   */
 object Compaction {
 

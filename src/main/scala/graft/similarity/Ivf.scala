@@ -223,11 +223,12 @@ object Ivf {
   }
 
   /** Compact the accumulated append-epoch delta files
-    * ([[graft.operators.Compact]] scaladoc): each [[appendIndex]] epoch
-    * `mode("append")`s one file per touched `centroid_id=` partition, so
-    * a probed cluster eventually opens one file per epoch. Rewrite the
-    * CURRENT assignments back into sized files per cluster partition —
-    * content-identical for any layout (raw vectors or PQ codes ride
+    * ([[graft.operators.Compaction]] scaladoc): each [[appendIndex]]
+    * epoch `mode("append")`s one file per touched `centroid_id=`
+    * partition, so a probed cluster eventually opens one file per
+    * epoch. Rewrites the CURRENT assignments back into sized files per
+    * cluster partition ([[graft.operators.Compaction.compactPartitioned]])
+    * — content-identical for any layout (raw vectors or PQ codes ride
     * through untouched), value-idempotent, crash-safe via the
     * whole-directory retire/promote swap ([[graft.operators.Erasure]]
     * convention; `recoverRetired` heals a torn promote). Returns
@@ -237,8 +238,8 @@ object Ivf {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       targetBytes: Long = 128L << 20
-  ): (Long, Long) = {
-    import graft.operators.{Compact, Erasure}
+  ): (Int, Int) = {
+    import graft.operators.{Compaction, Erasure}
     val assigned = s"$dir/assigned"
     Erasure.recoverRetired(spark, assigned)
     val livePath = new org.apache.hadoop.fs.Path(assigned)
@@ -247,16 +248,12 @@ object Ivf {
     val old = new org.apache.hadoop.fs.Path(s"${assigned}__retired")
     fs.delete(tmp, true)
     fs.delete(old, true)
-    val before = Compact.parquetFiles(spark, assigned)
-    spark.read.parquet(assigned)
-      .repartition(Compact.partsFor(spark, assigned, targetBytes),
-        col("centroid_id"))
-      .sortWithinPartitions(col("centroid_id"))
-      .write.partitionBy("centroid_id").parquet(tmp.toString)
+    val counts = Compaction.compactPartitioned(
+      spark, assigned, tmp.toString, targetBytes, Seq("centroid_id"))
     fs.rename(livePath, old)
     fs.rename(tmp, livePath)
     fs.delete(old, true)
-    (before, Compact.parquetFiles(spark, assigned))
+    counts
   }
 
   /** Right-to-rectification (GDPR Art. 16) through the stored ANN index:

@@ -461,48 +461,42 @@ object Bm25 {
   }
 
   /** Compact the stored index's accumulated delta files
-    * ([[graft.operators.Compact]] scaladoc for why): every append epoch
-    * lands extra part files in the live legs, spreading a term's
-    * postings across every epoch's file. Compaction rewrites the
-    * CURRENT rows of both data legs through the canonical layout —
-    * postings re-clustered and sorted by term (restoring the pruned
-    * probe-join locality the original build had), the docs leg
-    * range-laid by id — into `targetBytes`-ish files, recomputes the
-    * one-row stats from the staged docs (bit-identical by the
-    * integer-valued contract), and swaps all three legs in ONE
-    * [[graft.operators.PartitionSwap]] commit. Content-identical (the
-    * q_compact_serve oracle), value-idempotent (re-compacting rewrites
-    * equal content), crash-safe (a torn compaction rolls back whole).
-    * Returns (postings files before, after).
+    * ([[graft.operators.Compaction]] scaladoc for why): every append
+    * epoch lands extra part files in the live legs, spreading a term's
+    * postings across every epoch's file. Rewrites the CURRENT rows of
+    * both data legs through the canonical layout
+    * ([[graft.operators.Compaction.compactClustered]] — postings
+    * re-clustered and sorted by term, restoring the pruned probe-join
+    * locality the original build had; the docs leg keyed by id) into
+    * `targetBytes`-ish files, recomputes the one-row stats from the
+    * staged docs (bit-identical by the integer-valued contract), and
+    * swaps all three legs in ONE [[graft.operators.PartitionSwap]]
+    * commit. Content-identical (the q_compact_serve oracle),
+    * value-idempotent (re-compacting rewrites equal content),
+    * crash-safe (a torn compaction rolls back whole). Returns
+    * (postings files before, after).
     */
   def compactSearchIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       targetBytes: Long = 128L << 20
-  ): (Long, Long) = {
-    import graft.operators.{Compact, PartitionSwap}
+  ): (Int, Int) = {
+    import graft.operators.{Compaction, PartitionSwap}
     recoverSearchIndex(spark, dir)
     val stage = swapStage(dir)
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    val before = Compact.parquetFiles(spark, s"$dir/postings")
-    spark.read.parquet(s"$dir/postings")
-      .repartition(Compact.partsFor(spark, s"$dir/postings", targetBytes),
-        col("term"))
-      .sortWithinPartitions(col("term"))
-      .write.parquet(s"$stage/postings")
-    val docsDf = spark.read.parquet(s"$dir/docs")
-    val idCol = docsDf.columns.filterNot(_ == "dl").head
-    docsDf
-      .repartitionByRange(Compact.partsFor(spark, s"$dir/docs", targetBytes),
-        col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .write.parquet(s"$stage/docs")
+    val (before, after) = Compaction.compactClustered(
+      spark, s"$dir/postings", s"$stage/postings", targetBytes, Seq("term"))
+    val idCol = spark.read.parquet(s"$dir/docs")
+      .columns.filterNot(_ == "dl").head
+    Compaction.compactClustered(
+      spark, s"$dir/docs", s"$stage/docs", targetBytes, Seq(idCol))
     writeStatsFromDocs(spark, s"$stage/docs", s"$stage/stats")
     PartitionSwap.commit(spark, dir, stage,
       Seq("postings", "docs", "stats"), System.nanoTime())
-    (before, Compact.parquetFiles(spark, s"$dir/postings"))
+    (before, after)
   }
 
   /** Right-to-rectification (GDPR Art. 16) through the stored index:

@@ -5,8 +5,6 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.Compact
-
 /** Small-file compaction (the `compact` maintenance verb): every serving
   * leg's file count drops back to the canonical sized layout while
   * serving stays value-identical, fsck audits clean afterwards, and
@@ -18,6 +16,15 @@ class CompactionSpec extends SparkSpec {
 
   private def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().map(_.toSeq.toIndexedSeq).sortBy(_.toString).toSeq
+
+  private def parquetFiles(dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
 
   test("compact verb: legs shrink, serving is identical, fsck clean, idempotent") {
     val docs = spark.read
@@ -57,7 +64,7 @@ class CompactionSpec extends SparkSpec {
     }
     val (t0, e0, b0) = (topk(), exactProbe(), bandProbe())
     val filesBefore = Seq("search/postings", "index/bands", "exact/postings")
-      .map(l => l -> Compact.parquetFiles(spark, s"$state/$l")).toMap
+      .map(l => l -> parquetFiles(s"$state/$l")).toMap
 
     val legs = graft.cli.CurateCli.runCompact(spark, state, targetBytes = 8L << 20)
     assert(legs.map(_._1).toSet == Set("search", "band", "exact"),
@@ -65,7 +72,7 @@ class CompactionSpec extends SparkSpec {
     legs.foreach { case (leg, before, after) =>
       assert(after <= before, s"$leg grew: $before -> $after")
     }
-    assert(Compact.parquetFiles(spark, s"$state/search/postings") <
+    assert(parquetFiles(s"$state/search/postings") <
       filesBefore("search/postings"),
       "three append epochs' postings deltas must collapse")
 
