@@ -58,41 +58,57 @@ object Mondrian {
         "_sv", "_c", "_gc", "_n", "_nump", "_gcp", "_num", "_okf", "_mok",
         "_rsv", "_rpid", "_roff", "_rpc")
 
+  /** A keyed `_gid` window is replaced by the range-partitioned rank
+    * only while a single group's sort would EXCEED this many rows: the
+    * distributed rank costs an extra range exchange + offsets pass per
+    * round, which a one-task sort of a few thousand rows beats easily —
+    * the hazard it exists for is the multi-gigabyte round-0 sort of a
+    * cluster-scale table (straggler, then OOM, and past 2^31 rows an
+    * int row_number overflow). 4M rows is comfortably inside one
+    * healthy sort task and far below any of those cliffs.
+    */
+  private[graft] val RangeRankMinRows: Long = 1L << 22
+
   /** Rank every row within its `_gid` group by `(splitVal, idCol)` — the
     * median-split rank the relabel and the sensitive-side guards read.
     * Two physical plans, bit-identical ranks:
     *
-    *  - EARLY rounds (fewer than `par` groups — `par` = the session's
-    *    shuffle parallelism): a window keyed on `_gid` alone would put
-    *    the WHOLE table into at most `2^round` sort tasks — round 0 is
-    *    literally ONE task sorting everything, a straggler-then-OOM at
-    *    cluster scale. Instead the frame range-partitions on
-    *    `(_gid, splitVal, id)` (each partition then holds a CONTIGUOUS
-    *    run of each group's sort order), ranks within
-    *    `(partition, group)` through a well-spread window, and adds the
-    *    group's row count from all PRECEDING partitions. Because the
-    *    partitioning is contiguous in the sort key, the offsets frame
-    *    has at most `par + groups - 1` rows — a broadcast-sized
-    *    cumulative sum, never driver-side row state. The persist pins
-    *    the partition ids: the offsets pass and the rank pass must
-    *    observe ONE layout. A side benefit: the composed rank is a
-    *    LONG, so a round-0 "group" bigger than 2^31 rows (a 100 TB
-    *    table) cannot overflow `row_number`'s int.
-    *  - LATE rounds (groups >= par): the keyed window itself spreads
-    *    across the cluster with ~(n/par)-sized sort tasks; use it
-    *    directly.
+    *  - BIG-GROUP rounds (fewer than `par` groups — `par` = the
+    *    session's shuffle parallelism — while groups still hold more
+    *    than [[RangeRankMinRows]] rows, estimated from `nRows / 2^round`
+    *    since splits halve exactly): a window keyed on `_gid` alone
+    *    would put the WHOLE table into at most `2^round` sort tasks —
+    *    round 0 is literally ONE task sorting everything, a
+    *    straggler-then-OOM at cluster scale. Instead the frame
+    *    range-partitions on `(_gid, splitVal, id)` (each partition then
+    *    holds a CONTIGUOUS run of each group's sort order), ranks
+    *    within `(partition, group)` through a well-spread window, and
+    *    adds the group's row count from all PRECEDING partitions.
+    *    Because the partitioning is contiguous in the sort key, the
+    *    offsets frame has at most `par + groups - 1` rows — a
+    *    broadcast-sized cumulative sum, never driver-side row state.
+    *    The persist pins the partition ids: the offsets pass and the
+    *    rank pass must observe ONE layout. A side benefit: the
+    *    composed rank is a LONG, so a round-0 "group" bigger than 2^31
+    *    rows (a 100 TB table) cannot overflow `row_number`'s int.
+    *  - SMALL-GROUP rounds (groups >= par, or every group under the
+    *    bound): the keyed window's sort tasks are already healthy; use
+    *    it directly — at test scale this is ALSO the faster plan, which
+    *    is why the switch is size-aware rather than round-only.
     */
   private[graft] def withRank(
       joined: DataFrame,
       splitVal: Column,
       idCol: String,
       round: Int,
+      nRows: Long,
       cacheOut: DataFrame => Unit = _ => ()
   ): DataFrame = {
     val spark = joined.sparkSession
     val par = spark.conf.get("spark.sql.shuffle.partitions")
       .toIntOption.getOrElse(spark.sparkContext.defaultParallelism)
-    if (round >= 31 || (1L << round) >= par) {
+    if (round >= 31 || (1L << round) >= par ||
+      nRows / (1L << round) < RangeRankMinRows) {
       val w = Window.partitionBy(col("_gid")).orderBy(splitVal.asc, col(idCol).asc)
       joined.withColumn("_rnk", row_number().over(w))
     } else {
@@ -242,7 +258,7 @@ object Mondrian {
           // cache each action re-runs the guard aggregates (a full extra
           // pass per round, and the budgeted job count doubles)
           val ranked = withRank(cur.join(chose0, Seq("_gid")),
-            splitVal, idCol, round, roundCaches += _).persist()
+            splitVal, idCol, round, nTotal, roundCaches += _).persist()
           val sides = ranked.filter(col("_dim") >= 0)
             .groupBy(col("_gid"), col("_cnt"),
               (col("_rnk") <= floor(col("_cnt") / lit(2))).as("_side"),
@@ -298,7 +314,7 @@ object Mondrian {
           case Some(r) => r.drop("_dim", "_cnt").join(chose, Seq("_gid"))
           case None =>
             withRank(cur.join(chose, Seq("_gid")), splitVal, idCol, round,
-              roundCaches += _)
+              nTotal, roundCaches += _)
         }
         cur = rankedAll
           .withColumn("_gid2",

@@ -215,22 +215,33 @@ class MondrianSpec extends SparkSpec {
       .withColumn("_cnt", lit(5000L))
     val sv = when(col("_dim") === 0, col("_q0")).otherwise(lit(null).cast("double"))
 
-    val early = Mondrian.withRank(joined, sv, "id", round = 0)
-    val late = Mondrian.withRank(joined, sv, "id", round = 30)
+    // nRows above the bound forces the big-group plan; round 30 (groups
+    // >= parallelism) and a small table each take the keyed window
+    val big = Mondrian.RangeRankMinRows * 16
+    val early = Mondrian.withRank(joined, sv, "id", round = 0, nRows = big)
+    val late = Mondrian.withRank(joined, sv, "id", round = 30, nRows = big)
     def ranks(df: org.apache.spark.sql.DataFrame) =
       df.select(col("id"), col("_gid"), col("_rnk").cast("long"))
         .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(ranks(early) == ranks(late),
       "range-partitioned ranks must equal the keyed window's exactly")
 
-    // plan shape: the early-round window partitions by (_rpid, _gid) —
-    // cluster-width — and the data-sized sort is range-partitioned
+    // plan shape: the big-group round-0 window partitions by
+    // (_rpid, _gid) — cluster-width — and the data-sized sort is
+    // range-partitioned
     val plan = early.queryExecution.executedPlan.toString
     assert(plan.contains("_rpid"),
-      s"early-round rank must go through the (partition, group) window:\n$plan")
-    // the late round keeps the straight keyed window (no offset machinery)
+      s"round-0 rank over a big table must go through the " +
+        s"(partition, group) window:\n$plan")
+    // late rounds keep the straight keyed window (no offset machinery),
+    // and so does a table whose round-0 sort fits one healthy task —
+    // the size-aware switch is what keeps small-scale runs on the
+    // cheaper plan
     val latePlan = late.queryExecution.executedPlan.toString
     assert(!latePlan.contains("_rpid"))
+    val small = Mondrian.withRank(joined, sv, "id", round = 0, nRows = 5000L)
+    assert(!small.queryExecution.executedPlan.toString.contains("_rpid"))
+    assert(ranks(small) == ranks(late))
 
     // ranks are longs on the range path: a >2^31-row round-0 group
     // cannot overflow (the keyed path would; it is never used there)

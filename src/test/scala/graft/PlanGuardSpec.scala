@@ -208,11 +208,14 @@ class PlanGuardSpec extends SparkSpec {
         // writes, a k-means build + cluster-partitioned index write, a
         // snapshot bootstrap + merge, then the three store audits — each
         // write carrying AQE sub-jobs; fixed store count, zero iteration.
+        // q_compact_serve is three fixed staged-write phases (build,
+        // append, compact) before the serve — each with AQE sub-jobs.
         val budget =
           if (name == "q_fsck") 60
           else if (name == "q_rectify") 68
           else if (name == "q_fsck_stores") 85
           else if (name == "q_mondrian_ldiv" || name == "q_mondrian_tclose") 80
+          else if (name == "q_compact_serve") 55
           else 40
         assert(buildJobs.length <= budget,
           s"$name ran ${buildJobs.length} build jobs — exceeds the bounded-" +
