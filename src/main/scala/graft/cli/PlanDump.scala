@@ -115,7 +115,9 @@ object PlanDump {
     "q_mondrian_tclose",  // same + integer-exact TVD guard vs global dist
     "q_mondrian_geo",     // spatial envelopes over service coordinates
     "q_rectify",          // BM25 store in-place rectification, then serve
-    "q_fsck_stores"       // dense/shards/snapshot builds + fused audits
+    "q_fsck_stores",      // dense/shards/snapshot builds + fused audits
+    "q_compact_serve",    // build + append + COMPACT the BM25 store, serve
+    "q_mixture_budget"    // range-partitioned running sum + offsets broadcast
   )
 
   def main(args: Array[String]): Unit = {
