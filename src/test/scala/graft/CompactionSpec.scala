@@ -90,6 +90,68 @@ class CompactionSpec extends SparkSpec {
     assert(topk() == t0)
   }
 
+  test("a compaction killed mid-swap recovers to the exact pre state; re-run converges") {
+    import graft.text.Bm25
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def copyDir(src: String, dst: String): Unit =
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(src),
+        fs, new org.apache.hadoop.fs.Path(dst), false, true,
+        spark.sparkContext.hadoopConfiguration)
+    val work = Files.createTempDirectory("compact_crash").toString
+    val pre = s"$work/pre"
+    Bm25.writeSearchIndex(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", col("text"), pre)
+    Bm25.appendSearchIndex(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", col("text"), pre)
+    val queries = Seq((1, "spark"), (2, "data")).toDF("query_id", "term")
+    def topk(dir: String) = {
+      val (p, st) = Bm25.loadSearchIndex(spark, dir)
+      rows(Bm25.retrieveTopKIndexed(p, st, "doc_id", queries, topK = 5))
+    }
+    val served = topk(pre)
+    // a completed compaction, to source the staged/promoted pieces
+    val post = s"$work/post"
+    copyDir(pre, post)
+    Bm25.compactSearchIndex(spark, post, 8L << 20)
+
+    // fabricate the mid-swap kill: postings retired AND promoted, docs
+    // retired but its promote never ran, stats still staged — the worst
+    // interleaving (one leg swapped, two not)
+    val crash = s"$work/crash"
+    copyDir(pre, crash)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$crash.retired"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$crash/postings"),
+      new org.apache.hadoop.fs.Path(s"$crash.retired/postings"))
+    copyDir(s"$post/postings", s"$crash/postings")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$crash/docs"),
+      new org.apache.hadoop.fs.Path(s"$crash.retired/docs"))
+    copyDir(s"$post/docs", s"$crash/.swap-stage/docs")
+    copyDir(s"$post/stats", s"$crash/.swap-stage/stats")
+    val marker = fs.create(new org.apache.hadoop.fs.Path(
+      s"$crash/_batches/_pending"), true)
+    marker.write("77\npostings\ndocs\nstats".getBytes("UTF-8"))
+    marker.close()
+
+    // recovery rolls the torn compaction back whole; serving is the
+    // exact pre-compaction index
+    Bm25.recoverSearchIndex(spark, crash)
+    assert(topk(crash) == served,
+      "a torn compaction must roll back to the pre state")
+    assert(rows(spark.read.parquet(s"$crash/docs")) ==
+      rows(spark.read.parquet(s"$pre/docs")))
+    // and the re-run converges to the compacted layout, still serving
+    // identically
+    val (b, a) = Bm25.compactSearchIndex(spark, crash, 8L << 20)
+    assert(a < b)
+    assert(topk(crash) == served)
+    assert(graft.operators.Fsck.searchIndex(spark, crash).forall(_.ok))
+  }
+
   test("ivf compaction: appended cluster deltas collapse; probes identical") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
