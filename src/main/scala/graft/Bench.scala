@@ -50,20 +50,35 @@ object Bench {
     names.foreach(runOnce)
 
     val results = names.map { name =>
-      val samples = Seq(runOnce(name), runOnce(name), runOnce(name))
+      // three measured passes, then three MORE for sub-second queries:
+      // two consecutive rounds adjudicated a sub-second cross-round
+      // breach as "box noise" from plan identity alone (r8 q_*, r9
+      // q_bm25 1.54x) — the artifact now carries every sample so the
+      // next adjudication can cite variance DATA, and short queries
+      // (where scheduler jitter is a whole multiple of the runtime) get
+      // doubled sample counts instead of argument.
+      val base = Seq(runOnce(name), runOnce(name), runOnce(name))
+      val samples =
+        if (base.exists(_ < 0) || base.min >= 1.5) base
+        else base ++ Seq(runOnce(name), runOnce(name), runOnce(name))
       // a single failed pass must surface as a failure, not be papered over
       // by the other passes' timings — intermittent errors matter more
       // than a missing sample
-      name -> (if (samples.exists(_ < 0)) {
-        System.err.println(
-          s"[bench] WARN: $name failed in a measured pass (${samples.mkString(", ")})")
-        (-1.0, -1.0)
-      } else (samples.sorted.apply(1), samples.min))
+      val summary =
+        if (samples.exists(_ < 0)) {
+          System.err.println(
+            s"[bench] WARN: $name failed in a measured pass (${samples.mkString(", ")})")
+          (-1.0, -1.0)
+        } else (samples.sorted.apply((samples.length - 1) / 2), samples.min)
+      (name, summary, samples)
     }
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
+    val qs = results.map { case (k, (med, _), _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+    val qsMin = results.map { case (k, (_, mn), _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
+    val qsSamples = results.map { case (k, _, ss) =>
+      "\"" + k + "\":" + ss.map(s => f"$s%.4f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val failed = results.count(_._2._1 < 0)
     // ONE SHORT LINE PER QUERY first: the driver keeps a bounded tail of
@@ -72,14 +87,15 @@ object Bench {
     // Short lines degrade gracefully — a tail cut loses only the earliest
     // queries, never the middle of a JSON object. `value` stays the
     // headline number (now the median); `min` rides along.
-    results.foreach { case (k, (med, mn)) =>
+    results.foreach { case (k, (med, mn), _) =>
       println(s"""{"metric":"query","name":"$k","value":$med,"min":$mn,"unit":"sec"}""")
     }
     // and the full artifact on disk, readable whole regardless of capture
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
     val artifact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_min":$qsMin,"samples_per_query":3,"sf":"$sfDir"}"""
+        s""""queries_min":$qsMin,"samples":$qsSamples,""" +
+        s""""samples_per_query":"3, 6 when min < 1.5s","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), artifact + "\n")
     catch { case e: Throwable =>

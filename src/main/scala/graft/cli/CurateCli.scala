@@ -376,10 +376,9 @@ object CurateCli {
         Some(graft.sketch.ProfileStore.distinctEstimate(spark, s"$outDir/profile"))
       else None
 
-    // post-append maintenance: heal a directory's small files once enough
-    // batches accumulated (rewrite-and-swap, never in place). Clustered
-    // layouts compact cluster-keyed so their pruning survives the rewrite.
-    def healSmallFiles(live: String, cluster: Option[Seq[String]]): Boolean =
+    // post-append maintenance: heal the corpus parquet's small files once
+    // enough batches accumulated (rewrite-and-swap, never in place).
+    def healSmallFiles(live: String): Boolean =
       if (!exists(live)) false
       else {
         val nFiles = fs.listStatus(new org.apache.hadoop.fs.Path(live))
@@ -395,62 +394,60 @@ object CurateCli {
           val oldP = new org.apache.hadoop.fs.Path(s"${live}__retired")
           fs.delete(tmpP, true) // stale leftovers from a crashed run
           fs.delete(oldP, true)
-          val target = 128L * 1024 * 1024
-          cluster match {
-            case Some(c) =>
-              graft.operators.Compaction.compactClustered(spark, live, tmpP.toString, target, c)
-            case None =>
-              graft.operators.Compaction.compact(spark, live, tmpP.toString, target)
-          }
+          graft.operators.Compaction.compact(
+            spark, live, tmpP.toString, 128L * 1024 * 1024)
           fs.rename(new org.apache.hadoop.fs.Path(live), oldP)
           fs.rename(tmpP, new org.apache.hadoop.fs.Path(live))
           fs.delete(oldP, true)
           true
         }
       }
-    val compacted = healSmallFiles(corpusDir, None)
-    if (exactIndex) {
-      healSmallFiles(s"$exactDir/postings", None)
-      healSmallFiles(s"$exactDir/sets", None)
-    }
-    if (searchIndex)
-      healSmallFiles(s"$searchDir/postings", Some(Seq("term")))
-    // the dense store is hive-partitioned (assigned/centroid_id=N/), so
-    // its heal counts LEAF files and rewrites partition-preserving; same
-    // retire/promote swap as the flat heals
-    if (hybridIndex) {
-      val live = s"$denseDir/assigned"
-      if (exists(live)) {
-        def leafCount(p: String): Int = {
-          val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
-          var n = 0
-          while (it.hasNext) {
-            if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-          }
-          n
-        }
-        // the healed steady state is ONE file per centroid partition, so
-        // the trigger must count files IN EXCESS of the partition count —
-        // a bare `leafCount >= compactAt` with nPartitions ~ compactAt
-        // (both default 16) would re-trigger on every batch and rewrite
-        // the whole store each time
-        val nPartDirs = fs
-          .listStatus(new org.apache.hadoop.fs.Path(live))
-          .count(s => s.isDirectory &&
-            s.getPath.getName.startsWith("centroid_id="))
-        if (leafCount(live) >= nPartDirs + compactAt) {
-          val tmpP = new org.apache.hadoop.fs.Path(s"${live}__compacting")
-          val oldP = new org.apache.hadoop.fs.Path(s"${live}__retired")
-          fs.delete(tmpP, true)
-          fs.delete(oldP, true)
-          graft.operators.Compaction.compactPartitioned(
-            spark, live, tmpP.toString, 128L * 1024 * 1024, Seq("centroid_id"))
-          fs.rename(new org.apache.hadoop.fs.Path(live), oldP)
-          fs.rename(tmpP, new org.apache.hadoop.fs.Path(live))
-          fs.delete(oldP, true)
-        }
+    val compacted = healSmallFiles(corpusDir)
+    // auto-compaction cadence for the four serving stores (the corpus
+    // `compactAt` convention, applied per leg): every maintained store
+    // that EXISTS — whether or not this run's flags maintain it —
+    // self-heals through its STORE-LEVEL compactor once a leg's
+    // small-file count crosses the threshold, so an operator who never
+    // schedules the `compact` verb still cannot accrete one delta file
+    // per epoch per leg forever. The store compactors stage through the
+    // Compaction primitives and promote under each store's own commit
+    // protocol with an ephemeral marker (PartitionSwap.commitEphemeral),
+    // value-identical to serving off the fragmented legs; the manual
+    // verb remains for off-cadence maintenance. Partitioned legs
+    // (bands/assigned) trigger on files IN EXCESS of their partition
+    // count — their healed steady state is ~one file per partition, and
+    // a bare leaf-count trigger with nPartitions ~ compactAt would
+    // rewrite the whole store every batch.
+    def flatFileCount(p: String): Int =
+      if (!exists(p)) 0
+      else fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    def excessLeafCount(p: String, partPrefix: String): Int = {
+      if (!exists(p)) return 0
+      var leaves = 0
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) leaves += 1
       }
+      val nPart = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(s => s.isDirectory && s.getPath.getName.startsWith(partPrefix))
+      leaves - nPart
     }
+    val legTarget = 128L * 1024 * 1024
+    if (exists(s"$searchDir/stats") &&
+        flatFileCount(s"$searchDir/postings") >= compactAt)
+      graft.text.Bm25.compactSearchIndex(spark, searchDir, legTarget)
+    if (exists(s"$exactDir/meta") &&
+        (flatFileCount(s"$exactDir/postings") >= compactAt ||
+          flatFileCount(s"$exactDir/sets") >= compactAt))
+      graft.dedup.SetSimJoin.compactIndex(spark, exactDir, legTarget)
+    if (exists(s"$indexDir/meta") &&
+        (excessLeafCount(s"$indexDir/bands", "band=") >= compactAt ||
+          flatFileCount(s"$indexDir/shingles") >= compactAt))
+      Dedup.compactBandIndex(spark, indexDir, legTarget)
+    if (exists(s"$denseDir/centroids") &&
+        excessLeafCount(s"$denseDir/assigned", "centroid_id=") >= compactAt)
+      graft.similarity.Ivf.compactIndex(spark, denseDir, legTarget)
 
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(
@@ -654,8 +651,19 @@ object CurateCli {
             .join(old.select(col("doc_id")), Seq("doc_id"), "left_anti")
             .unionByName(old)
         } else fromCorpus
+      // _batch carries the CONTENT id (the same-keys refusal check and
+      // fsck debt reporting read it); _nonce carries a FRESH stamp taken
+      // at capture time, and the agg leg's commit id derives from the
+      // NONCE, not the content id: a crashed-sweep replay reuses the
+      // capture and therefore the nonce (keeping the convergence
+      // EraseCrashSpec pins), while a genuinely NEW sweep over the SAME
+      // key set — the subject re-admitted after a completed erasure, a
+      // flow rectifySink explicitly supports — captures a fresh nonce
+      // and so cannot silently no-op on the completed sweep's applied
+      // marker, which is never removed
       capture
-        .select(col("source"), col("n_tokens"), lit(eraseBatch).as("_batch"))
+        .select(col("source"), col("n_tokens"), lit(eraseBatch).as("_batch"),
+          lit(System.nanoTime()).as("_nonce"))
         .write.mode("overwrite").parquet(erasedFactsPath)
     }
     failpoint("facts-captured")
@@ -678,6 +686,16 @@ object CurateCli {
     // rebuild, met here exactly and incrementally.
     val nAgg =
       if (hasAgg && exists(s"$erasedFactsPath/_SUCCESS")) {
+        // per-leg commit id from the capture's STAMP (see the capture
+        // write above); an empty or pre-nonce capture falls back to the
+        // content id — both make the sweep's own replays exact no-ops
+        val capForNonce = spark.read.parquet(erasedFactsPath)
+        val sweepNonce =
+          if (!capForNonce.columns.contains("_nonce")) eraseBatch
+          else {
+            val r = capForNonce.agg(max(col("_nonce"))).head()
+            if (r.isNullAt(0)) eraseBatch else r.getLong(0)
+          }
         // the min/max rebuild reads the retained corpus through the agg
         // store's lens: ids still pending rectification carry their OLD
         // n_tokens (the post-purge capture holds exactly those ids), so
@@ -701,7 +719,7 @@ object CurateCli {
             .select(col("source"), col("n_tokens")),
           Seq("source"), col("n_tokens").cast("long"),
           buckets = AggBuckets,
-          batchId = PartitionSwap.legBatchId(eraseBatch, "erase-agg"),
+          batchId = PartitionSwap.legBatchId(sweepNonce, "erase-agg"),
           retainedFacts = retained)
       } else 0L
     failpoint("agg-erased")
@@ -725,14 +743,21 @@ object CurateCli {
       if (exists(s"$outDir/exact/meta"))
         graft.dedup.SetSimJoin.eraseFromIndex(spark, s"$outDir/exact", keys, "doc_id")
       else 0L
-    // every per-batch shard directory (the durable training record)
+    // every per-batch shard directory (the durable training record):
+    // ONE partitioned probe over all batch directories (`batch=` comes
+    // back as a partition column) finds which directories hold any of
+    // the keys, then the per-directory rewrites touch ONLY those — job
+    // count scales with directories MATCHED, never with directories
+    // ACCUMULATED (at a year of daily epochs the old per-directory loop
+    // was ~365 sequential probe jobs per sweep). The AggStore.merge
+    // touched-partition shape, applied to the shard tree.
     val nShards =
       if (!exists(s"$outDir/shards")) 0L
       else
-        fs.listStatus(new org.apache.hadoop.fs.Path(s"$outDir/shards"))
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-          .map(s => Shards.eraseByKey(
-            spark, s.getPath.toString, keys, "doc_id", orderCols = Seq("source")))
+        Shards.touchedBatchDirs(spark, s"$outDir/shards", keys, "doc_id")
+          .map(b => Shards.eraseByKey(
+            spark, s"$outDir/shards/$b", keys, "doc_id",
+            orderCols = Seq("source")))
           .sum
     // sketch profile: charge the ledger, rebuild once past budget
     var rebuilt = false
@@ -899,13 +924,28 @@ object CurateCli {
       return RetentionSummary(0, 0L, empty)
     }
     // capture the expired ids BEFORE dropping their directories (the
-    // shard files are the only record of batch membership)
+    // shard files are the only record of batch membership) — ONE
+    // partitioned scan over the expired directories, not a per-directory
+    // union reduce (the round-9 O(#batches) finding: at a year of daily
+    // epochs that was a 365-leg union plan)
     val keysPath = pendingKeys
-    expired.map(st => spark.read.parquet(st.getPath.toString)
-        .select(col("doc_id")))
-      .reduce(_ unionByName _)
-      .distinct()
-      .write.mode("overwrite").parquet(keysPath)
+    val expiredNames = expired.map(_.getPath.getName).toSet
+    val dataBearing = Shards.liveBatchDirs(spark, shardsRoot.toString)
+      .filter(expiredNames.contains)
+    if (dataBearing.nonEmpty)
+      Shards.readBatches(spark, shardsRoot.toString, dataBearing)
+        .select(col("doc_id"))
+        .distinct()
+        .write.mode("overwrite").parquet(keysPath)
+    else
+      // every expired directory is a flat schema-only husk a prior total
+      // erasure left — zero ids to capture, but the sweep below still
+      // needs a readable keys parquet
+      expired.map(st => spark.read.parquet(st.getPath.toString)
+          .select(col("doc_id")))
+        .reduce(_ unionByName _)
+        .distinct()
+        .write.mode("overwrite").parquet(keysPath)
     val nDocs = spark.read.parquet(keysPath).count()
     // age-out is metadata: drop the expired batch directories whole, so
     // the erase sweep below never rewrites a directory that is about to
@@ -969,22 +1009,20 @@ object CurateCli {
       else keys.limit(0)
         .withColumn("n_dense_rows", lit(0L))
         .withColumn("dense_centroid", lit(null).cast("int"))
-    val shardLoc =
-      if (!exists(s"$outDir/shards")) keys.limit(0).withColumn("n_shard_rows", lit(0L))
-      else {
-        val batchDirs = fs
-          .listStatus(new org.apache.hadoop.fs.Path(s"$outDir/shards"))
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-          .map(_.getPath.toString)
-        if (batchDirs.isEmpty) keys.limit(0).withColumn("n_shard_rows", lit(0L))
-        else batchDirs
-          .map(d => spark.read.parquet(d)
-            .select(col("doc_id"))
-            .join(broadcast(keys), Seq("doc_id"), "left_semi"))
-          .reduce(_ unionByName _)
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shard_rows"))
-      }
+    val shardLoc = {
+      // ONE partitioned scan over the batch tree (Shards.readBatches),
+      // not a per-directory union — the same O(#batches)-jobs fix as the
+      // erase/retention sweeps
+      val batchDirs =
+        if (!exists(s"$outDir/shards")) Seq.empty[String]
+        else Shards.liveBatchDirs(spark, s"$outDir/shards")
+      if (batchDirs.isEmpty) keys.limit(0).withColumn("n_shard_rows", lit(0L))
+      else Shards.readBatches(spark, s"$outDir/shards", batchDirs)
+        .select(col("doc_id"))
+        .join(broadcast(keys), Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shard_rows"))
+    }
 
     val subjects = keys
       .join(band, Seq("doc_id"), "left")
@@ -1103,8 +1141,16 @@ object CurateCli {
       "rectify: corrected text must not be null — removal is the erase " +
         "sweep's job, not a null rectification")
     // content-derived batch id: replays of the same corrected file reuse
-    // the same commit ids, so applied index/agg legs no-op exactly
+    // the same commit ids, so applied index/agg legs no-op exactly.
+    // Hash a DEDUPLICATED projection (the runErase keys convention):
+    // bit_xor cancels pair-duplicated rows, so without the distinct a
+    // file holding {A, A, B} would hash identically to {B} and a second,
+    // materially different sweep could no-op on the first one's applied
+    // markers. The duplicate-doc_id require above already refuses such
+    // files today; the distinct keeps the id collision-free even if that
+    // gate is ever relaxed.
     val batchBase = correctedRaw
+      .select(col("doc_id"), col("text")).distinct()
       .agg(coalesce(bit_xor(xxhash64(col("doc_id").cast("string"), col("text"))),
         lit(0L)).as("h"))
       .head().getAs[Long]("h")

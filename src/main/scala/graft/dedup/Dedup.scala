@@ -458,8 +458,10 @@ object Dedup {
       spark, s"$dir/bands", s"$stage/bands", targetBytes, Seq("band"))
     Compaction.compactClustered(
       spark, s"$dir/shingles", s"$stage/shingles", targetBytes, Seq(idCol))
-    PartitionSwap.commit(spark, dir, stage,
-      Seq("bands", "shingles"), System.nanoTime())
+    // ephemeral marker: compaction is value-idempotent, and a scheduled
+    // verb must not grow _batches/ by one file per invocation
+    PartitionSwap.commitEphemeral(spark, dir, stage,
+      Seq("bands", "shingles"))
     (before, after)
   }
 

@@ -320,8 +320,10 @@ object SetSimJoin {
       spark, s"$dir/postings", s"$stage/postings", targetBytes, Seq("key"))
     Compaction.compactClustered(
       spark, s"$dir/sets", s"$stage/sets", targetBytes, Seq("id"))
-    PartitionSwap.commit(spark, dir, stage,
-      Seq("postings", "sets"), System.nanoTime())
+    // ephemeral marker: compaction is value-idempotent, and a scheduled
+    // verb must not grow _batches/ by one file per invocation
+    PartitionSwap.commitEphemeral(spark, dir, stage,
+      Seq("postings", "sets"))
     (before, after)
   }
 

@@ -208,13 +208,19 @@ object PerceptualHash {
     * cap sized above the corpus's true near-dup cluster width, exactly
     * the degenerate-only pairs a perceptual matcher should not claim.
     *
+    * The cap DEFAULTS ON at the image-query convention (64): a
+    * production caller who forgets the parameter must inherit the skew
+    * guard, not the k² hazard it closes — running uncapped (exhaustive
+    * audits, oracle twins that replay the full join) is the explicit
+    * `maxBucket = None` opt-out.
+    *
     * Returns (id_a, id_b, inter, union_sz, jaccard), id_a < id_b.
     */
   def videoNearDupPairs(
       keyframes: Dataset[KeyframeHash],
       num: Int,
       den: Int,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = Some(64)
   ): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
     require(maxBucket.forall(_ >= 2),

@@ -70,6 +70,35 @@ object Erasure {
     fs.delete(old, true)
   }
 
+  /** Observed-count accessor with an exactness fallback: AQE's
+    * empty-relation propagation can replace an all-filtered-out subtree
+    * — its `CollectMetrics` (observe) nodes included — so a sweep that
+    * empties a store ENTIRELY may complete with no observed metrics at
+    * all (partial and no-match sweeps keep theirs: their stages carry
+    * rows). When the metrics row is gone, fall back to counting
+    * directly — one extra bounded job on that rare total-erasure path,
+    * never on the hot one.
+    */
+  private[graft] def observedOr(o: Observation, fallback: => Long): Long =
+    try {
+      // the action already completed when this is called, so the future
+      // resolves immediately on the healthy path; the bounded wait only
+      // guards the wiped-metrics path where nothing may ever arrive
+      val row = scala.concurrent.Await.result(
+        o.future, scala.concurrent.duration.Duration(10, "s"))
+      row.getAs[Long]("n")
+    } catch { case scala.util.control.NonFatal(_) => fallback }
+
+  /** Row count of a staged directory that may hold no parquet at all
+    * (a partitionBy write of zero rows emits no files).
+    */
+  private[graft] def stagedCount(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || !hasParquetFile(fs, p)) 0L
+    else spark.read.parquet(dir).count()
+  }
+
   /** Count the store rows matching the erasure keys without rewriting
     * anything — the read-only probe (access sweeps, dry runs). The
     * erase paths do NOT call this: their counts ride the rewrite scan
@@ -111,7 +140,8 @@ object Erasure {
       .observe(keptObs, count(lit(1)).as("n"))
     val shaped = shape(kept)
     writeTo(shaped, tmp.toString)
-    val hit = seen.get("n").asInstanceOf[Long] - keptObs.get("n").asInstanceOf[Long]
+    val hit = observedOr(seen, spark.read.parquet(live).count()) -
+      observedOr(keptObs, stagedCount(spark, tmp.toString))
     if (hit == 0L) {
       // no-match sweep: the staged copy is discarded, live stays
       // byte-identical — the audit still reports an exact 0
@@ -226,7 +256,8 @@ object Erasure {
       val w = kept.write.mode("overwrite")
       (if (leg.partitionCols.nonEmpty) w.partitionBy(leg.partitionCols: _*) else w)
         .parquet(s"$stage/${leg.name}")
-      val hit = seen.get("n").asInstanceOf[Long] - keptObs.get("n").asInstanceOf[Long]
+      val hit = observedOr(seen, spark.read.parquet(s"$root/${leg.name}").count()) -
+        observedOr(keptObs, stagedCount(spark, s"$stage/${leg.name}"))
       if (hit > 0L && !hasParquetFile(fs, new org.apache.hadoop.fs.Path(s"$stage/${leg.name}"))) {
         // total erasure of a partitioned leg: re-stage flat so the
         // swapped leg stays readable (eraseWith's argument)

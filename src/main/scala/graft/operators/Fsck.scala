@@ -236,9 +236,17 @@ object Fsck {
   /** Shard-directory invariants across every `batch=N` directory under
     * `root` — what [[Shards.rectifyByKey]] and the read-back audit REST
     * on: per-(batch, shard) positions are dense 0..n-1 with no
-    * duplicates (one fused aggregate over a union of the batch trees),
-    * and no batch directory has in-flight swap debris (`__retired` /
-    * `__rectifying` / `__erasing` siblings a crashed rewrite leaves).
+    * duplicates (one fused aggregate over ONE partitioned scan of the
+    * whole batch tree — `batch`/`shard` come back as partition columns,
+    * so the audit plan has a single scan relation however many batches
+    * accumulated, never an N-leg union), and no batch directory has
+    * in-flight swap debris (`__retired` / `__rectifying` / `__erasing`
+    * siblings a crashed rewrite leaves). Because fsck must REPORT debt,
+    * not repay it, the debris census runs on the RAW listing before the
+    * data read (which deliberately skips debris and flat husks —
+    * [[Shards.liveBatchDirs]] heals nothing here when debris is absent,
+    * and a retired-only directory surfaces as debris rather than being
+    * silently restored mid-audit).
     */
   def shards(spark: SparkSession, root: String): Seq[Check] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -248,14 +256,15 @@ object Fsck {
       n.contains("__retired") || n.contains("__rectifying") ||
         n.contains("__erasing"))
     val batchDirs = children.filter(n =>
-      n.startsWith("batch=") && !n.contains("__")).sorted
+      n.startsWith("batch=") && !n.contains("__"))
+      .filter(n => fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$n"))
+        .exists(c => c.isDirectory && c.getPath.getName.startsWith("shard=")))
+      .sorted
     val badPositions =
       if (batchDirs.isEmpty) 0L
-      else batchDirs
-        .map(b => spark.read.parquet(s"$root/$b")
-          .select(lit(b).as("_b"), col("shard"), col("shard_pos")))
-        .reduce(_ unionByName _)
-        .groupBy(col("_b"), col("shard"))
+      else Shards.readBatches(spark, root, batchDirs.toSeq)
+        .select(col("batch"), col("shard"), col("shard_pos"))
+        .groupBy(col("batch"), col("shard"))
         .agg(
           count(lit(1)).as("_n"),
           count_distinct(col("shard_pos")).as("_nd"),
@@ -315,6 +324,92 @@ object Fsck {
         "dirty manifest marker (a crashed merge left pruned reads unsafe)"))
   }
 
+  /** [[EventStatsStore]] invariants (day-partitioned hourly-count store):
+    *   - `day_consistent`: every row's `day` partition value equals the
+    *     UTC day its `hour` bucket falls in — the store's partition-
+    *     pruning contract ([[EventStatsStore.score]] prunes on `day`
+    *     derived from the hour horizon; a mismatched row would silently
+    *     escape the baseline window);
+    *   - `counts_positive`: no zero/negative counts (merge sums positive
+    *     batches; erase DELETES rows reaching zero rather than storing
+    *     them — a `n <= 0` row is a corrupted subtraction);
+    *   - `rows_unique`: one row per (keys…, hour) — a torn merge that
+    *     double-landed a day would duplicate instead of summing.
+    * One fused aggregate over a RAW read (the store's own load path
+    * would repay commit debt before fsck could report it), plus the
+    * shared marker hygiene for the `.merge-stage` swap protocol.
+    */
+  def eventStats(spark: SparkSession, dir: String): Seq[Check] = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an all-marker store (empty bootstrap batches) holds no day
+    // partitions and nothing to scan — hygiene checks still apply
+    val hasData = fs.exists(dirPath) &&
+      fs.listStatus(dirPath).exists(_.getPath.getName.startsWith("day="))
+    if (!hasData)
+      return markerHygiene(spark, dir, "events") ++ Seq(
+        Check("events", "day_consistent", ok = true, "empty store"),
+        Check("events", "counts_positive", ok = true, "empty store"),
+        Check("events", "rows_unique", ok = true, "empty store"))
+    val df = spark.read.parquet(dir)
+    val keyish = df.columns.filterNot(c => c == "n" || c == "day")
+    val expectedDay = date_format(
+      date_add(to_date(lit("1970-01-01")),
+        floor(col("hour").cast("long") / 86400L).cast("int")),
+      "yyyy-MM-dd")
+    val agg = df.agg(
+      sum(when(!(col("day").cast("string") <=> expectedDay), 1L)
+        .otherwise(0L)).as("day_bad"),
+      sum(when(col("n") <= 0L, 1L).otherwise(0L)).as("nonpos"),
+      (count(lit(1)) -
+        count_distinct(struct(keyish.map(col): _*))).as("dups")).head()
+    def n(f: String) = Option(agg.getAs[Long](f)).getOrElse(0L)
+    markerHygiene(spark, dir, "events") ++ Seq(
+      Check("events", "day_consistent", n("day_bad") == 0L,
+        s"${n("day_bad")} rows whose day partition disagrees with hour"),
+      Check("events", "counts_positive", n("nonpos") == 0L,
+        s"${n("nonpos")} rows with non-positive counts"),
+      Check("events", "rows_unique", n("dups") == 0L,
+        s"${n("dups")} duplicated (keys, hour) rows"))
+  }
+
+  /** Pending-sweep commit debt for a state directory: a durable facts or
+    * keys capture outlives only a CRASHED sweep (completed sweeps delete
+    * theirs), and serving a store with one pending skips the replay the
+    * capture exists for. Read-only, the markerHygiene stance — the heal
+    * is re-running THAT sweep, never deleting the capture it needs.
+    * `.retention-keys` is the capture [[graft.cli.CurateCli.runRetention]]
+    * resumes from (expired batch directories already dropped, erase
+    * sweep not yet complete) — the round-9 audit blind spot.
+    */
+  def pendingSweepDebt(spark: SparkSession, outDir: String): Seq[Check] = {
+    val facts = Seq(
+      (s"$outDir/.rectify-facts", "rectify", "rectification"),
+      (s"$outDir/.erase-facts", "erase", "erase sweep")).map {
+      case (factsPath, component, sweepName) =>
+        if (exists(spark, s"$factsPath/_SUCCESS")) {
+          val b = spark.read.parquet(factsPath).agg(max(col("_batch"))).head()
+          val batch = if (b.isNullAt(0)) "empty" else b.getLong(0).toString
+          Check(component, "no_pending_sweep", ok = false,
+            s"pending facts capture (batch $batch) — re-run the crashed " +
+              s"$sweepName to completion")
+        } else
+          Check(component, "no_pending_sweep", ok = true,
+            "no pending facts capture")
+    }
+    val retKeys = s"$outDir/.retention-keys"
+    val retention =
+      if (exists(spark, s"$retKeys/_SUCCESS")) {
+        val nKeys = spark.read.parquet(retKeys).count()
+        Check("retention", "no_pending_sweep", ok = false,
+          s"pending retention keys ($nKeys expired ids, batch directories " +
+            "already dropped) — re-run the retention verb to completion")
+      } else
+        Check("retention", "no_pending_sweep", ok = true,
+          "no pending retention keys")
+    facts :+ retention
+  }
+
   /** A serving leg's ids must be a subset of the corpus — an erasure
     * that purged the corpus but missed a leg (or a crashed append that
     * landed a leg before the corpus) surfaces as orphans.
@@ -340,26 +435,7 @@ object Fsck {
     val checks = scala.collection.mutable.ArrayBuffer.empty[Check]
     val corpusDir = s"$outDir/corpus"
     checks ++= markerHygiene(spark, corpusDir, "corpus")
-    // a durable pre-rectification facts capture outlives only a CRASHED
-    // rectify sweep (a completed sweep deletes it; see
-    // CurateCli.runRectify) — report it as commit debt, the same
-    // read-only stance as markerHygiene: the heal is re-running THAT
-    // sweep, never deleting the capture it needs
-    Seq(
-      (s"$outDir/.rectify-facts", "rectify", "rectification"),
-      (s"$outDir/.erase-facts", "erase", "erase sweep")).foreach {
-      case (factsPath, component, sweepName) =>
-        if (exists(spark, s"$factsPath/_SUCCESS")) {
-          val b = spark.read.parquet(factsPath).agg(max(col("_batch"))).head()
-          val batch = if (b.isNullAt(0)) "empty" else b.getLong(0).toString
-          checks += Check(component, "no_pending_sweep", ok = false,
-            s"pending facts capture (batch $batch) — re-run the crashed " +
-              s"$sweepName to completion")
-        } else {
-          checks += Check(component, "no_pending_sweep", ok = true,
-            "no pending facts capture")
-        }
-    }
+    checks ++= pendingSweepDebt(spark, outDir)
     val corpusIds =
       if (exists(spark, corpusDir))
         Some(spark.read.parquet(corpusDir).select(col("doc_id")).distinct())
@@ -374,6 +450,10 @@ object Fsck {
       checks ++= denseIndex(spark, s"$outDir/dense")
     if (exists(spark, s"$outDir/shards"))
       checks ++= shards(spark, s"$outDir/shards")
+    // hourly-count store (the streaming/anomaly baseline leg, by the
+    // `events/` convention) — the last audited swap-protocol store
+    if (exists(spark, s"$outDir/events"))
+      checks ++= eventStats(spark, s"$outDir/events")
     // profile ledger: the staleness counter must PARSE (a corrupt ledger
     // would crash every sweep's honesty accounting) and the store's legs
     // must be complete — hdr lands before hll by design, so hll without

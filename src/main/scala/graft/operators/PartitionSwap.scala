@@ -92,6 +92,52 @@ object PartitionSwap {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true).close()
   }
 
+  /** Reserved batch id for [[commitEphemeral]] — one fixed id per store
+    * namespace, so the ephemeral path never collides with a
+    * content-derived sweep id that must PERSIST for replay idempotency.
+    */
+  private val EphemeralId: Long = legBatchId(0L, "ephemeral-maintenance")
+
+  /** [[commit]] for VALUE-IDEMPOTENT maintenance rewrites (the store
+    * compactions): the same staged swap and crash classification, but
+    * the applied marker is EPHEMERAL — a reserved id, deleted once the
+    * commit's cleanup completed — so scheduled compaction never grows
+    * the `_batches` namespace (a small-file-healing verb that itself
+    * accumulates one marker file per invocation would be the problem it
+    * exists to solve). Safe BECAUSE the rewrite is value-idempotent:
+    * nothing consults this marker through [[alreadyApplied]]; it exists
+    * only so a crash INSIDE the commit classifies (rollback before it
+    * lands, roll-forward after), and once the pending marker is gone
+    * recovery never reads it again. A crash between the pending delete
+    * and the marker delete strands at most ONE marker, pruned at the
+    * next ephemeral commit — bounded by crash count, not invocations.
+    */
+  def commitEphemeral(
+      spark: SparkSession,
+      dir: String,
+      stage: String,
+      entries: Seq[String]
+  ): Unit = commitEphemeral(spark, dir, stage, entries, _ => ())
+
+  private[graft] def commitEphemeral(
+      spark: SparkSession,
+      dir: String,
+      stage: String,
+      entries: Seq[String],
+      beforeStep: Int => Unit
+  ): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(appliedMarker(dir, EphemeralId))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stray marker here is a PREVIOUS ephemeral commit's crashed
+    // cleanup (the caller's recovery already settled any pending
+    // commit); it must go BEFORE this commit writes its pending marker,
+    // or a crash inside THIS commit would classify as already-applied
+    // and roll a half-swapped store forward
+    fs.delete(marker, false)
+    commit(spark, dir, stage, entries, EphemeralId, beforeStep)
+    fs.delete(marker, false)
+  }
+
   /** Swap the staged entries into the live tree (steps 1-5 above).
     * `stage` must hold one `<entry>` path per element of `entries`
     * (e.g. `day=2024-01-01`, `bucket=3`, `stats`,

@@ -99,7 +99,12 @@ object Rectify {
         else col(n)
       }: _*)
     writeTo(shape(updated), tmp.toString)
-    val hit = hitObs.get("n").asInstanceOf[Long]
+    // observedOr: rectifying an EMPTY store completes with no observed
+    // metrics (AQE empty-relation propagation, Erasure scaladoc); the
+    // fallback semi-join count is bounded by the corrected frame
+    val hit = Erasure.observedOr(hitObs,
+      liveDf.join(broadcast(c.select(col(idCol))), Seq(idCol), "left_semi")
+        .count())
     if (hit == 0L) {
       // no-match sweep: discard the stage, live files stay byte-identical
       fs.delete(tmp, true)

@@ -27,6 +27,76 @@ import org.apache.spark.sql.functions._
   */
 object Shards {
 
+  /** Live `batch=N` directories under a shards ROOT (the
+    * [[graft.cli.CurateCli]] `shards/batch=N/shard=S` tree) that hold
+    * data, in batch order. Driver METADATA only — one listing of the
+    * root plus one per batch directory, no Spark jobs. Along the way:
+    *   - heals a torn per-directory retire/promote swap (a crashed
+    *     rewrite leaves `batch=N` absent with `batch=N__retired`
+    *     holding the data) so a partitioned read never spans a
+    *     half-swapped tree;
+    *   - excludes in-flight swap debris (`__retired`/`__erasing`/
+    *     `__rectifying` siblings with their live twin present);
+    *   - excludes the FLAT schema-only directories a TOTAL erasure
+    *     leaves behind (zero rows, no `shard=` children — mixing one
+    *     into a multi-directory partitioned read trips Spark's
+    *     conflicting-directory-structure detection, and it has nothing
+    *     to probe anyway).
+    */
+  def liveBatchDirs(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(n => n.startsWith("batch=") && n.endsWith("__retired"))
+      .foreach(n =>
+        Erasure.recoverRetired(spark, s"$root/${n.stripSuffix("__retired")}"))
+    fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=") &&
+        !s.getPath.getName.contains("__"))
+      .filter(s => fs.listStatus(s.getPath).exists(c =>
+        c.isDirectory && c.getPath.getName.startsWith("shard=")))
+      .map(_.getPath.getName)
+      .sortBy(_.stripPrefix("batch=").toInt)
+      .toSeq
+  }
+
+  /** ONE partitioned read spanning the given batch directories: `batch`
+    * and `shard` come back as partition columns, so a membership probe
+    * or audit over N accumulated batches is a single scan relation —
+    * never N sequential jobs or an N-leg union plan (the round-9
+    * O(#batches) sweep-loop finding).
+    */
+  def readBatches(
+      spark: SparkSession,
+      root: String,
+      batchDirs: Seq[String]
+  ): DataFrame =
+    spark.read.option("basePath", root)
+      .parquet(batchDirs.map(n => s"$root/$n"): _*)
+
+  /** The `batch=N` directory names holding at least one of `keys` — the
+    * probe that makes a subject sweep's shard-leg job count scale with
+    * directories MATCHED (request-sized) instead of directories
+    * ACCUMULATED (a year of daily epochs). One partitioned scan +
+    * broadcast semi-join, aggregated to ≤ |batches| rows on the driver.
+    */
+  def touchedBatchDirs(
+      spark: SparkSession,
+      root: String,
+      keys: DataFrame,
+      idCol: String
+  ): Seq[String] = {
+    val dirs = liveBatchDirs(spark, root)
+    if (dirs.isEmpty) return Seq.empty
+    val hit = readBatches(spark, root, dirs)
+      .select(col(idCol), col("batch"))
+      .join(broadcast(keys.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
+      .select(col("batch").cast("string")).distinct()
+      .collect().map(r => s"batch=${r.getString(0)}").toSet
+    dirs.filter(hit.contains)
+  }
+
   /** Input plus `shard` (md5 bucket of `idCol` in [0, n)) and `shard_pos`
     * (dense 0-based ordinal within the shard by `orderCols`, id tie-break).
     */

@@ -2199,7 +2199,11 @@ object ExtensionQueries {
           .videoNearDupPairs(
             graft.multimodal.PerceptualHash.videoKeyframeHashes(
               Multimodal.synthesizeVideos(docs(s, dir))),
-            num = 2, den = 3)
+            // uncapped OPT-OUT (the production default is Some(64)): the
+            // DuckDB twin replays the FULL equi-join, and this oracle
+            // surface must stay sf-stable even if a scale factor ever
+            // pushed a synthetic hash bucket past the cap
+            num = 2, den = 3, maxBucket = None)
           .orderBy("id_a", "id_b"),
       Some {
         val powers = (0 until 64)
@@ -3196,9 +3200,32 @@ object ExtensionQueries {
             (col("n_chars") + 7).as("n_chars"), lit(2).as("updated_at"))
         Snapshot.mergeStore(s, s"$root/snapshot", b1, "doc_id", "updated_at",
           buckets = 4)
+        // hourly-count store: a bootstrap merge then a second-day merge,
+        // so the audited tree holds real multi-batch day partitions
+        import graft.operators.EventStatsStore
+        val hourly = all.groupBy(col("source"),
+            timestamp_seconds((col("doc_id") % 48) * 3600L).as("hour"))
+          .agg(count(lit(1)).as("n"))
+        EventStatsStore.merge(s, s"$root/events", hourly, Seq("source"),
+          batchId = 1L)
+        val hourly2 = all.filter(col("doc_id") % 3 === 0)
+          .groupBy(col("source"),
+            timestamp_seconds((col("doc_id") % 48) * 3600L + 86400L * 2)
+              .as("hour"))
+          .agg(count(lit(1)).as("n"))
+        EventStatsStore.merge(s, s"$root/events", hourly2, Seq("source"),
+          batchId = 2L)
+        // pending-sweep debt surface: a leftover .retention-keys capture
+        // (a retention that dropped its batch directories and crashed
+        // before the erase) must surface as debt — the round-9 audit
+        // blind spot — while the erase/rectify captures read clean
+        all.select(col("doc_id")).limit(5)
+          .write.mode("overwrite").parquet(s"$root/.retention-keys")
         val checks = graft.operators.Fsck.denseIndex(s, s"$root/dense") ++
           graft.operators.Fsck.shards(s, s"$root/shards") ++
-          graft.operators.Fsck.snapshotStore(s, s"$root/snapshot", "doc_id")
+          graft.operators.Fsck.snapshotStore(s, s"$root/snapshot", "doc_id") ++
+          graft.operators.Fsck.eventStats(s, s"$root/events") ++
+          graft.operators.Fsck.pendingSweepDebt(s, root)
         checks.map(c => (c.component, c.check, if (c.ok) 1 else 0))
           .toDF("component", "check", "ok")
           .orderBy("component", "check")
@@ -3213,6 +3240,15 @@ object ExtensionQueries {
           ('dense', 'no_retired_tree', 1),
           ('dense', 'no_stage_tree', 1),
           ('dense', 'vec_dims_consistent', 1),
+          ('erase', 'no_pending_sweep', 1),
+          ('events', 'counts_positive', 1),
+          ('events', 'day_consistent', 1),
+          ('events', 'no_pending_marker', 1),
+          ('events', 'no_retired_tree', 1),
+          ('events', 'no_stage_tree', 1),
+          ('events', 'rows_unique', 1),
+          ('rectify', 'no_pending_sweep', 1),
+          ('retention', 'no_pending_sweep', 0),
           ('shards', 'no_swap_debris', 1),
           ('shards', 'positions_dense', 1),
           ('snapshot', 'manifest_clean', 1),

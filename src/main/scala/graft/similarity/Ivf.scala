@@ -181,13 +181,21 @@ object Ivf {
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/assigned")
   }
 
-  /** Load an index written by [[writeIndex]]: (centroids, assigned). */
+  /** Load an index written by [[writeIndex]]: (centroids, assigned).
+    * Self-heals a compaction/erasure swap that crashed between retire
+    * and promote (`assigned/` absent, `assigned__retired` holding the
+    * data) — without this, every read path would fail until some later
+    * maintenance verb happened to run the recovery.
+    */
   def loadIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String
-  ): (DataFrame, DataFrame) = (
-    spark.read.parquet(s"$dir/centroids").select(col("centroid_id"), col("centroid")),
-    spark.read.parquet(s"$dir/assigned"))
+  ): (DataFrame, DataFrame) = {
+    graft.operators.Erasure.recoverRetired(spark, s"$dir/assigned")
+    (
+      spark.read.parquet(s"$dir/centroids").select(col("centroid_id"), col("centroid")),
+      spark.read.parquet(s"$dir/assigned"))
+  }
 
   /** Append a batch to a stored index ([[writeIndex]] layout) — the
     * daily-ingest maintenance of the index-persistence family (band
@@ -215,6 +223,10 @@ object Ivf {
       dir: String
   ): Unit = {
     val spark = batch.sparkSession
+    // self-heal a torn retire/promote swap before appending — an append
+    // landing while `assigned/` is absent would silently found a NEW
+    // store next to the retired one (loadIndex scaladoc)
+    graft.operators.Erasure.recoverRetired(spark, s"$dir/assigned")
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("centroid_id"), col("centroid"))
     assign(batch, idCol, vecCol, centroids)

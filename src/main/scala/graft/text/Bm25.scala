@@ -445,7 +445,12 @@ object Bm25 {
         .join(broadcast(k), Seq(idCol), "left_anti")
         .observe(kept, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$stage/$leg")
-      seen.get("n").asInstanceOf[Long] - kept.get("n").asInstanceOf[Long]
+      // observedOr: a TOTAL erasure's empty stage can lose its observe
+      // metrics to AQE empty-relation propagation (Erasure scaladoc)
+      graft.operators.Erasure.observedOr(
+        seen, spark.read.parquet(s"$dir/$leg").count()) -
+        graft.operators.Erasure.observedOr(
+          kept, graft.operators.Erasure.stagedCount(spark, s"$stage/$leg"))
     }
     val removedPostings = stageKept("postings")
     val removedDocs = stageKept("docs")
@@ -494,8 +499,10 @@ object Bm25 {
     Compaction.compactClustered(
       spark, s"$dir/docs", s"$stage/docs", targetBytes, Seq(idCol))
     writeStatsFromDocs(spark, s"$stage/docs", s"$stage/stats")
-    PartitionSwap.commit(spark, dir, stage,
-      Seq("postings", "docs", "stats"), System.nanoTime())
+    // ephemeral marker: compaction is value-idempotent, and a scheduled
+    // verb must not grow _batches/ by one file per invocation
+    PartitionSwap.commitEphemeral(spark, dir, stage,
+      Seq("postings", "docs", "stats"))
     (before, after)
   }
 

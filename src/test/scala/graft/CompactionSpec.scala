@@ -152,6 +152,86 @@ class CompactionSpec extends SparkSpec {
     assert(graft.operators.Fsck.searchIndex(spark, crash).forall(_.ok))
   }
 
+  test("compaction markers are ephemeral: repeated compactions do not grow _batches/") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val work = Files.createTempDirectory("compact_markers").toString
+    val state = s"$work/state"
+    (0 until 2).foreach { b =>
+      docs.filter(col("doc_id") % 2 === b).write.parquet(s"$work/b$b")
+      graft.cli.CurateCli.runIncremental(
+        spark, s"$work/b$b", state, nShards = 2,
+        searchIndex = true, exactIndex = true)
+    }
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markers(store: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$state/$store/_batches")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    val before = Seq("search", "exact", "index").map(markers)
+    // three compaction rounds: a scheduled maintenance verb must not
+    // accumulate one applied-marker file per invocation (round-9 ADVICE —
+    // the small-file healer was itself a small-file producer)
+    (0 until 3).foreach { _ =>
+      graft.cli.CurateCli.runCompact(spark, state, targetBytes = 8L << 20)
+    }
+    val after = Seq("search", "exact", "index").map(markers)
+    assert(after == before,
+      s"compaction must leave the _batches namespaces unchanged: $before -> $after")
+  }
+
+  test("auto-compaction cadence: appends past compactAt self-heal mid-incremental, serving identical") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    val work = Files.createTempDirectory("compact_auto").toString
+    val auto = s"$work/auto"     // compactAt = 3: the cadence trips
+    val manual = s"$work/manual" // compactAt huge: fragments accrete
+    (0 until 6).foreach { b =>
+      docs.filter(col("doc_id") % 6 === b).write.parquet(s"$work/b$b")
+      Seq(auto -> 3, manual -> 1000).foreach { case (state, at) =>
+        graft.cli.CurateCli.runIncremental(
+          spark, s"$work/b$b", state, nShards = 2, compactAt = at,
+          searchIndex = true, exactIndex = true)
+      }
+    }
+    // the cadence actually fired: the auto store's legs are healed while
+    // the manual one carries one delta file set per epoch
+    assert(parquetFiles(s"$auto/search/postings") <
+      parquetFiles(s"$manual/search/postings"),
+      "the compactAt threshold must have compacted the postings leg in-run")
+    assert(parquetFiles(s"$auto/exact/postings") <
+      parquetFiles(s"$manual/exact/postings"))
+
+    // and serving is value-identical between the self-healed store and
+    // the fragmented one — compaction is a layout operation
+    val queries = Seq((1, "spark"), (2, "data"), (3, "stream"))
+      .toDF("query_id", "term")
+    def topk(state: String) = {
+      val (p, st) = graft.text.Bm25.loadSearchIndex(spark, s"$state/search")
+      rows(graft.text.Bm25.retrieveTopKIndexed(p, st, "doc_id", queries, topK = 10))
+    }
+    def exactProbe(state: String) = {
+      val probes = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          array_distinct(transform(
+            graft.dedup.Dedup.wordShingles(col("text"), 3), x => md5(x))).as("sh"))
+        .withColumn("doc_id", col("doc_id") + 500000L)
+      rows(graft.dedup.SetSimJoin
+        .searchIndex(spark, s"$state/exact", probes, "doc_id", "sh")
+        .select("id_l", "id_r", "inter", "union_sz"))
+    }
+    assert(topk(auto) == topk(manual),
+      "auto-compaction mid-incremental must not change BM25 serving")
+    assert(exactProbe(auto) == exactProbe(manual),
+      "auto-compaction mid-incremental must not change exact-index probes")
+    val fsck = graft.operators.Fsck.state(spark, auto)
+    assert(fsck.forall(_.ok), s"fsck after auto-compaction: ${fsck.filterNot(_.ok)}")
+  }
+
   test("ivf compaction: appended cluster deltas collapse; probes identical") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

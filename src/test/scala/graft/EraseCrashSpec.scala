@@ -178,6 +178,46 @@ class EraseCrashSpec extends SparkSpec {
     }
   }
 
+  test("re-erasing the SAME key set after re-admission subtracts again (nonce-stamped capture)") {
+    // the round-9 ADVICE high: with the agg-leg commit id derived purely
+    // from the key set's CONTENT, a second erasure of the same keys —
+    // after the subject's documents were re-admitted, a flow the
+    // rectifySink scaladoc explicitly supports — silently no-ops
+    // AggStore.erase on the first sweep's never-removed applied marker:
+    // corpus and indexes purge, but the agg store serves the re-admitted
+    // subject's stats forever while the sweep reports success. The
+    // capture's fresh _nonce (reused by crash replays, new per sweep)
+    // closes it.
+    val work = tmp("readmit")
+    val state = s"$work/state"
+    copyDir(goldenState, state)
+    spark.read.parquet(s"$state/corpus").select(col("doc_id"))
+      .filter(col("doc_id") % 5 === 0).write.parquet(s"$work/keys")
+    CurateCli.runErase(spark, s"$work/keys", state)
+    assert(aggRows(AggStore.serve(spark, s"$state/agg")) ==
+      aggRows(corpusOneShot(state)))
+
+    // re-admit the erased subjects through the standard incremental path
+    // (their band-index rows were erased too, so they are fresh again)
+    docs.join(spark.read.parquet(s"$work/keys"), Seq("doc_id"), "left_semi")
+      .write.parquet(s"$work/b_readmit")
+    val s2 = CurateCli.runIncremental(
+      spark, s"$work/b_readmit", state, nShards = 2, aggStats = true)
+    assert(s2.nFresh > 0, "the erased documents must re-admit")
+    assert(aggRows(AggStore.serve(spark, s"$state/agg")) ==
+      aggRows(corpusOneShot(state)))
+
+    // the SAME keys file again: the second sweep's agg subtraction must
+    // APPLY, not no-op on the first sweep's marker
+    CurateCli.runErase(spark, s"$work/keys", state)
+    assert(spark.read.parquet(s"$state/corpus")
+      .join(spark.read.parquet(s"$work/keys"), Seq("doc_id"), "left_semi")
+      .isEmpty)
+    assert(aggRows(AggStore.serve(spark, s"$state/agg")) ==
+      aggRows(corpusOneShot(state)),
+      "the re-admitted subject's stats must not survive the second sweep")
+  }
+
   test("retention resumes a crashed sweep instead of abandoning its keys") {
     // simulate the crash window AFTER the expired batch directories were
     // dropped but BEFORE the erase sweep ran: the keys capture is the

@@ -132,6 +132,29 @@ class ErasureSpec extends SparkSpec {
     assert(rows(dir) == rows(rebuildDir))
   }
 
+  test("total erasure through a SHUFFLING shape keeps its audit count (AQE metrics wipe)") {
+    // round-10 regression: a TOTAL erasure whose store shape shuffles
+    // (the Shards position re-close: window + repartition) produces an
+    // empty downstream stage, and AQE's empty-relation propagation
+    // replaces the subtree INCLUDING the observe nodes — the sweep then
+    // crashed on the missing metric instead of reporting the count. The
+    // flat eraseByKey cases above never see it (no exchange, no query
+    // stages); the observedOr fallback covers the shaped path.
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(col("doc_id") % 5 === 0)
+    val dir = tmp("total_shuffle")
+    graft.operators.Shards.write(
+      docs, "doc_id", dir, 2, orderCols = Seq("source"))
+    val n = graft.operators.Shards.eraseByKey(
+      spark, dir, docs.select(col("doc_id")), "doc_id",
+      orderCols = Seq("source"))
+    assert(n == docs.count(), s"audit count must survive the wiped metrics: $n")
+    assert(spark.read.parquet(dir).isEmpty,
+      "the fully-erased store must stay readable and empty")
+  }
+
   test("ivf erase keeps centroid partition pruning and serves like the filtered index") {
     import graft.similarity.Ivf
     val vecs = (0 until 40).map { i =>

@@ -126,6 +126,77 @@ class FsckSpec extends SparkSpec {
       "a pending erase-facts capture must flag with its batch id")
   }
 
+  test("pending retention keys flag as sweep debt; a torn capture stays clean") {
+    val state = Files.createTempDirectory("fsck_ret").toString
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Fsck.state(spark, state).exists(c =>
+      c.component == "retention" && c.check == "no_pending_sweep" && c.ok))
+    // a leftover .retention-keys capture means a retention dropped its
+    // expired batch directories and crashed before the erase completed —
+    // the exact window runRetention's resume exists for, and the one
+    // pending-sweep artifact fsck was blind to in round 9
+    spark.range(5).select(col("id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$state/.retention-keys")
+    val flagged = Fsck.state(spark, state)
+    assert(flagged.exists(c =>
+      c.component == "retention" && c.check == "no_pending_sweep" && !c.ok &&
+        c.detail.contains("5 expired")),
+      s"pending retention keys must flag with their count: $flagged")
+    // killed mid-write (no _SUCCESS): not a pending sweep — runRetention
+    // itself ignores and overwrites a torn capture
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$state/.retention-keys/_SUCCESS"), false)
+    assert(Fsck.state(spark, state).exists(c =>
+      c.component == "retention" && c.check == "no_pending_sweep" && c.ok))
+  }
+
+  test("event-stats auditor passes a healthy store and flags each corruption class") {
+    import graft.operators.EventStatsStore
+    val state = Files.createTempDirectory("fsck_events").toString
+    val events = s"$state/events"
+    val hourly = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .groupBy(col("source"),
+        timestamp_seconds((col("doc_id") % 48) * 3600L).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    EventStatsStore.merge(spark, events, hourly, Seq("source"), batchId = 1L)
+    // healthy, and reachable through the full state audit
+    val clean = Fsck.state(spark, state).filter(_.component == "events")
+    assert(clean.nonEmpty && clean.forall(_.ok),
+      s"healthy event store must audit clean via Fsck.state: $clean")
+
+    val victimHour = spark.read.parquet(events)
+      .orderBy(col("source"), col("hour")).select(col("hour")).head()
+      .getTimestamp(0)
+    // a) day drift: a row filed under the wrong day partition escapes
+    // the score path's partition-pruned baseline window
+    rewriteDir(events, Some("day")) { df =>
+      df.withColumn("day",
+        when(col("hour") === victimHour, date_add(col("day"), 1))
+          .otherwise(col("day")))
+    }
+    assert(Fsck.eventStats(spark, events).exists(c =>
+      c.check == "day_consistent" && !c.ok))
+    rewriteDir(events, Some("day")) { df =>
+      df.withColumn("day",
+        when(col("hour") === victimHour, date_add(col("day"), -1))
+          .otherwise(col("day")))
+    }
+    // b) a zero count: erase deletes rows reaching zero, it never stores
+    // them — a stored zero is a corrupted subtraction
+    rewriteDir(events, Some("day")) { df =>
+      df.withColumn("n",
+        when(col("hour") === victimHour, lit(0L)).otherwise(col("n")))
+    }
+    assert(Fsck.eventStats(spark, events).exists(c =>
+      c.check == "counts_positive" && !c.ok))
+    // c) a duplicated (keys, hour) row: a torn merge that double-landed
+    rewriteDir(events, Some("day")) { df => df.unionByName(df.limit(1)) }
+    assert(Fsck.eventStats(spark, events).exists(c =>
+      c.check == "rows_unique" && !c.ok))
+  }
+
   /** In-place rewrite of a parquet directory through a temp + rename —
     * the corruption injector for the store-family tests below.
     */

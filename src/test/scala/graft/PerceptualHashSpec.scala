@@ -156,7 +156,9 @@ class PerceptualHashSpec extends SparkSpec {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
     val kf = PerceptualHash.videoKeyframeHashes(
       Multimodal.synthesizeVideos(docs)).cache()
-    val got = PerceptualHash.videoNearDupPairs(kf, 2, 3)
+    // explicit uncapped: this test pins the EXACT join semantics the
+    // brute force replays; the default-on cap has its own case below
+    val got = PerceptualHash.videoNearDupPairs(kf, 2, 3, maxBucket = None)
       .select("id_a", "id_b", "inter", "union_sz")
       .collect().map(_.toSeq).toSet
     // brute force over the collected hash sets
@@ -195,7 +197,7 @@ class PerceptualHashSpec extends SparkSpec {
     // uncapped, a permissive threshold accepts every degenerate-only
     // pair: the shared black frame alone clears 1/8 — 50*49/2 pairs of
     // perceptually unrelated videos, the k^2 blow-up
-    val uncapped = PerceptualHash.videoNearDupPairs(kf, 1, 8)
+    val uncapped = PerceptualHash.videoNearDupPairs(kf, 1, 8, maxBucket = None)
     assert(uncapped.count() > 1000L)
 
     // capped: the black-frame bucket contributes at most cap^2/2
@@ -219,6 +221,31 @@ class PerceptualHashSpec extends SparkSpec {
     def rowSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
     assert(rowSet(PerceptualHash.videoNearDupPairs(kf, 2, 3, Some(4))) ==
-      rowSet(PerceptualHash.videoNearDupPairs(kf, 2, 3)))
+      rowSet(PerceptualHash.videoNearDupPairs(kf, 2, 3, maxBucket = None)))
+
+    // DEFAULT path: a caller who passes no cap inherits the skew guard.
+    // The default equals an explicit Some(64) exactly...
+    assert(rowSet(PerceptualHash.videoNearDupPairs(kf, 1, 8)) ==
+      rowSet(PerceptualHash.videoNearDupPairs(kf, 1, 8, Some(64))))
+    assert(rowSet(PerceptualHash.videoNearDupPairs(kf, 2, 3)) ==
+      rowSet(PerceptualHash.videoNearDupPairs(kf, 2, 3, Some(64))))
+    // ...and on a bucket WIDER than 64 it actually guards: 150 videos
+    // sharing the constant-frame hash would emit 150*149/2 degenerate
+    // pairs uncapped at the permissive threshold; the forgotten-parameter
+    // default bounds them at 64*63/2 while the true dup survives with
+    // exact counts (its real keyframes are unique, so its bucket is
+    // never capped)
+    val wide = spark.createDataset((1L to 150L).flatMap { id =>
+      PerceptualHash.KeyframeHash(id, 0, 0L) +:
+        (1 to 3).map(f => PerceptualHash.KeyframeHash(id, f, id * 1000 + f))
+    } ++ dups)
+    val byDefault = PerceptualHash.videoNearDupPairs(wide, 1, 8).collect()
+    assert(byDefault.length.toLong <= 64L * 63 / 2 + 1,
+      s"default cap must bound a 150-wide degenerate bucket, got ${byDefault.length}")
+    val wideDup = byDefault.find(r => r.getAs[Long]("id_a") == 900L &&
+      r.getAs[Long]("id_b") == 901L)
+    assert(wideDup.exists(r => r.getAs[Long]("inter") == 4L &&
+      r.getAs[Long]("union_sz") == 4L),
+      "the true near-dup must survive the default cap with exact counts")
   }
 }

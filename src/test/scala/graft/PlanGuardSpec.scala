@@ -206,14 +206,18 @@ class PlanGuardSpec extends SparkSpec {
         // count — rounds stay capped at maxRounds, zero open iteration.
         // q_fsck_stores is the widest fixed-build query: two shard
         // writes, a k-means build + cluster-partitioned index write, a
-        // snapshot bootstrap + merge, then the three store audits — each
-        // write carrying AQE sub-jobs; fixed store count, zero iteration.
+        // snapshot bootstrap + merge, an EventStatsStore bootstrap +
+        // second-day merge (round 10: the last audited store family),
+        // a pending-retention capture write, then the five store audits
+        // + the sweep-debt probes — each write carrying AQE sub-jobs;
+        // fixed store count, zero iteration (~95 observed, headroom for
+        // AQE drift).
         // q_compact_serve is three fixed staged-write phases (build,
         // append, compact) before the serve — each with AQE sub-jobs.
         val budget =
           if (name == "q_fsck") 60
           else if (name == "q_rectify") 68
-          else if (name == "q_fsck_stores") 85
+          else if (name == "q_fsck_stores") 105
           else if (name == "q_mondrian_ldiv" || name == "q_mondrian_tclose") 80
           else if (name == "q_compact_serve") 55
           else 40
