@@ -202,11 +202,17 @@ object ExtensionQueries {
   /** Shared CTE computing 16-hash MinHash signatures + 4 band hashes
     * (3-word shingles) in DuckDB.
     */
-  private val duckMinhashCte: String = {
-    // One-hash MinHash family (Dedup.minhashBase/minhashHash): a single
-    // 32-bit md5-prefix base hash per shingle, signature element i =
-    // (a_i * h0 + b_i) mod 2^32 with the coefficients shared from
-    // Dedup.minhashCoeffs — bigint-safe in both engines.
+  /** Body of the MinHash twin CTE chain over an arbitrary relation (no
+    * leading `with`), so composed pipelines (q_curate_e2e) replay the
+    * SAME signature arithmetic over an intermediate stage instead of a
+    * drifting copy.
+    *
+    * One-hash MinHash family (Dedup.minhashBase/minhashHash): a single
+    * 32-bit md5-prefix base hash per shingle, signature element i =
+    * (a_i * h0 + b_i) mod 2^32 with the coefficients shared from
+    * Dedup.minhashCoeffs — bigint-safe in both engines.
+    */
+  private def duckMinhashBodyOver(rel: String): String = {
     val mins = (0 until 16)
       .map { h =>
         val (a, b) = graft.dedup.Dedup.minhashCoeff(h)
@@ -218,7 +224,7 @@ object ExtensionQueries {
       s"md5(concat_ws('|', $parts)) as band_$b"
     }.mkString(", ")
     s"""
-    with t as (select doc_id, text, $duckTokens as toks from documents),
+    t as (select doc_id, text, $duckTokens as toks from $rel),
     shingled as (
       select doc_id,
         list_transform(range(1, cast(greatest(len(toks) - 2, 1) as int) + 1),
@@ -234,6 +240,9 @@ object ExtensionQueries {
     bands as (select doc_id, $bandExprs from sigs)
     """
   }
+
+  private val duckMinhashCte: String =
+    "\n    with " + duckMinhashBodyOver("documents").trim + "\n    "
 
 
   /** DuckDB twin of [[graft.dedup.SimHash64]]: Spark's Murmur3_x86_32
@@ -3524,6 +3533,182 @@ object ExtensionQueries {
         from run
         where cum_before < (case source $cases else 0 end)
         order by doc_id"""
+      }
+    ),
+    "q_curate_e2e" -> Q(
+      (s, dir) => {
+        // the COMPOSED curation pipeline as one oracled query — every
+        // stage is individually oracled (q_dedup_exact,
+        // q_dedup_minhash_pairs, q_decontaminate, q_text_quality,
+        // q_mixture_budget, q_seq_pack); this chains them over
+        // `documents` so stage ORDER and interface drift the per-stage
+        // twins cannot see (e.g. the mixture admitting a document dedup
+        // should have dropped, or packing running before admission)
+        // hash-fail. Thresholds compare on the rounded grid each
+        // per-stage oracle already proved engine-identical (4 decimals
+        // for quality, 6 for overlap), so a boundary document cannot
+        // flip on 15th-decimal engine drift.
+        import graft.dedup.Dedup
+        val all = docs(s, dir)
+        // 1. exact dedup: keep the min doc_id of every byte-identical text
+        val d0 = all.join(
+          Dedup.exactDedup(all, "doc_id", "text")
+            .select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        // 2. near-dedup: drop every id band-shadowed by a smaller id
+        // (the conservative lower-id-wins rule — exactly replayable,
+        // and over-dropping only a near-dup's near-dup)
+        val d1 = d0.join(
+          Dedup.minhashCandidatePairs(d0, "doc_id", "text")
+            .select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        // 3. decontamination: the benchmark slice (every 50th RAW doc)
+        // leaves the pipeline entirely; surviving corpus docs with >= 0.5
+        // 5-shingle overlap against it drop
+        val corpus = d1.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        val clean = graft.text.Decontaminate
+          .overlapStats(
+            corpus = corpus,
+            benchmark = all.filter(pmod(col("doc_id"), lit(50)) === 0),
+            "doc_id", col("text"), k = 5)
+          .filter(roundHalfUp(col("overlap_frac"), 6) < 0.5)
+          .select(col("doc_id"))
+        val d2 = corpus.join(clean, Seq("doc_id"), "left_semi")
+        // 4. quality gate on the 4-decimal grid
+        val d3 = d2
+          .withColumn("_st", TextAnalysis.textStats(col("text")))
+          .filter(roundHalfUp(
+            TextAnalysis.qualityScoreOfStats(col("_st")), 4) >= 0.5)
+          .drop("_st")
+        // 5. exact-budget mixture (the q_mixture_budget budgets)
+        val budgets = (0 until 20)
+          .map(i => s"src$i" -> (1500L + 250L * (i % 5))).toMap
+        val admitted = graft.operators.Mixture
+          .budgeted(d3.select(col("doc_id"), col("source"), col("n_chars")),
+            "doc_id", "source", col("n_chars"), budgets)
+          .select(col("doc_id"), col("source"))
+        // 6. deterministic sequence packing of the admitted set
+        graft.text.SequencePacker
+          .pack(
+            all.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .select(col("doc_id"), col("text")),
+            "doc_id", TextAnalysis.tokenCount(col("text")),
+            budget = 512, buckets = 8)
+          .join(admitted, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("bucket"),
+            col("n_tokens"), col("cum_tokens"), col("pack_id"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val budgetCases = (0 until 20)
+          .map(i => s"when 'src$i' then ${1500L + 250L * (i % 5)}")
+          .mkString(" ")
+        val qualityScore = duckRound(
+          "least(n / 64.0, 1.0) * 0.3 + " +
+            "least(sw / greatest(n, 1.0) * 8.0, 1.0) * 0.3 + " +
+            "greatest(1.0 - punct * 4.0, 0.0) * 0.2 + " +
+            "(case when mtl between 3.0 and 9.0 then cast(1.0 as double) else cast(0.5 as double) end) * 0.2",
+          4)
+        // the composition of the per-stage twins' own CTEs, stage for
+        // stage: k0/d0 = q_dedup_exact, the minhash body + shadowed/d1 =
+        // q_dedup_minhash_pairs, sh5..d2 = q_decontaminate, qt/qm/d3 =
+        // q_text_quality, ordd/run/adm = q_mixture_budget, pt/pb/pw =
+        // q_seq_pack (duckPackCte's grid over the admitted set)
+        s"""
+        with k0 as (
+          select min(doc_id) as doc_id from documents group by md5(text)
+        ),
+        d0 as (select d.* from documents d join k0 using (doc_id)),
+        ${duckMinhashBodyOver("d0").trim},
+        e as (
+          select doc_id, band, hash from bands
+          unpivot (hash for band in (band_0, band_1, band_2, band_3))
+        ),
+        shadowed as (
+          select distinct r.doc_id
+          from e l join e r on l.band = r.band and l.hash = r.hash
+            and l.doc_id < r.doc_id
+        ),
+        d1 as (
+          select * from d0
+          where doc_id not in (select doc_id from shadowed)
+        ),
+        t5 as (select doc_id, $duckTokens as toks from documents),
+        sh5 as (
+          select doc_id,
+            list_distinct(list_transform(
+              range(1, cast(greatest(len(toks) - 4, 1) as int) + 1),
+              i -> array_to_string(list_slice(toks, i, i + 4), ' '))) as shs
+          from t5
+        ),
+        ex as (select doc_id, unnest(shs) as shingle from sh5),
+        bench as (select distinct shingle from ex where doc_id % 50 = 0),
+        corpex as (
+          select ex.doc_id, shingle from ex
+          join d1 using (doc_id) where ex.doc_id % 50 <> 0
+        ),
+        tot as (select doc_id, count(*) as n_shingles from corpex group by doc_id),
+        ov as (
+          select c.doc_id, count(*) as n_overlap
+          from corpex c join bench b using (shingle) group by c.doc_id
+        ),
+        d2 as (
+          select d1.* from d1 join tot using (doc_id)
+          left join ov using (doc_id)
+          where ${duckRound(
+            "coalesce(n_overlap, 0) / cast(n_shingles as double)", 6)} < 0.5
+        ),
+        qt as (select doc_id, text, $duckTokens as toks from d2),
+        qm as (
+          select doc_id,
+            cast(len(toks) as double) as n,
+            case when len(toks) > 0
+                 then cast(list_sum(list_transform(toks, x -> length(x))) as double) / cast(len(toks) as double)
+                 else 0.0 end as mtl,
+            case when length(text) > 0
+                 then cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) as double) / cast(length(text) as double)
+                 else 0.0 end as punct,
+            cast(len(list_filter(toks, x -> x in ('the','a','of','and','to','in','is','that'))) as double) as sw
+          from qt
+        ),
+        d3 as (
+          select d2.* from d2 join qm using (doc_id)
+          where $qualityScore >= 0.5
+        ),
+        ordd as (
+          select doc_id, source, n_chars, md5(cast(doc_id as varchar)) as h
+          from d3
+        ),
+        run as (
+          select doc_id, source,
+            coalesce(sum(n_chars) over (partition by source
+              order by h, doc_id
+              rows between unbounded preceding and 1 preceding), 0) as cum_before
+          from ordd
+        ),
+        adm as (
+          select doc_id, source from run
+          where cum_before < (case source $budgetCases else 0 end)
+        ),
+        pt as (
+          select d.doc_id, $duckTokens as toks
+          from documents d join adm using (doc_id)
+        ),
+        pb as (
+          select doc_id, cast(len(toks) as int) as n_tokens,
+                 ${duckMdBucket(8)} as bucket
+          from pt
+        ),
+        pw as (
+          select doc_id, bucket, n_tokens,
+            cast(sum(n_tokens) over (partition by bucket order by doc_id
+              rows between unbounded preceding and current row) as bigint) as cum_tokens
+          from pb
+        )
+        select pw.doc_id, adm.source, bucket, n_tokens, cum_tokens,
+          cast(floor((cum_tokens - n_tokens) / 512) as int) as pack_id
+        from pw join adm on pw.doc_id = adm.doc_id
+        order by pw.doc_id"""
       }
     ),
     "q_char_entropy" -> Q(

@@ -154,6 +154,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_mondrian_geo",     // same recursion over (lat, lon) envelopes
     "q_fsck_stores",      // builds dense/shards/snapshot stores, then audits
     "q_mixture_budget",   // one layout-pinning checkpoint for the running sum
+    "q_curate_e2e",       // composed pipeline: the mixture stage's checkpoint
     "q_compact_serve"     // build + append + compact the BM25 store in-query
   )
 

@@ -24,6 +24,24 @@ import sys
 BAND = 1.5  # min-vs-min ratio beyond which a named plan diff is required
 
 
+def load_samples(path):
+    """Per-query sample arrays, when the artifact carries them (round 10+:
+    graft.Bench emits `samples`, 6 per sub-second query) — the variance
+    data a breach adjudication must cite instead of plan-identity argument
+    (VERDICT r9 'what's wrong' #2)."""
+    try:
+        d = json.load(open(path))
+    except Exception:
+        return {}
+    s = d.get("samples")
+    if isinstance(s, dict):
+        return s
+    parsed = d.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("samples"), dict):
+        return parsed["samples"]
+    return {}
+
+
 def load_queries(path):
     d = json.load(open(path))
     q = d.get("queries_min") or d.get("queries")
@@ -81,8 +99,19 @@ def main(prev_path, run_paths):
     if flagged:
         print(f"\n{len(flagged)} queries past the {BAND:.1f}x band — each needs "
               "a named plan diff or a clean-box noise adjudication:")
+        samples = [load_samples(p) for p in run_paths]
+        prev_samples = load_samples(prev_path)
         for name, ratio in flagged:
             print(f"  {name}: {ratio:.2f}x")
+            for label, smap in [("prev", prev_samples)] + [
+                    (f"run{i + 1}", s) for i, s in enumerate(samples)]:
+                ss = smap.get(name)
+                if ss:
+                    lo, hi = min(ss), max(ss)
+                    spread = (hi / lo) if lo > 0 else float("inf")
+                    print(f"    {label} samples: "
+                          f"[{', '.join(f'{x:.3f}' for x in ss)}] "
+                          f"spread {spread:.2f}x")
         return 1
     print(f"\nall shared queries within the {BAND:.1f}x min-vs-min band")
     return 0
