@@ -802,6 +802,84 @@ object CurateCli {
     * already self-compacts it at its `compactAt` threshold. Returns
     * (leg, filesBefore, filesAfter) per compacted leg.
     */
+  /** Logical erasure — the O(request) fast path of the Art. 17 pair
+    * (see [[graft.operators.DeletionVectors]]'s contract): the request's
+    * key set lands as one tiny deletion vector and every serving surface
+    * that reads through [[graft.operators.DeletionVectors.maskServing]]
+    * (or passes the loaded vector as `maskIds`) stops returning the
+    * subject immediately — no store rewrite, no index sweep, latency
+    * independent of corpus size. Aggregate ranking statistics settle at
+    * [[runEraseSettle]], which drives the full [[runErase]] over the
+    * pending keys; until then [[graft.operators.Fsck.dvDebt]] reports
+    * the vector as auditable debt. Returns (masked keys, pending vector
+    * directories).
+    *
+    * Re-admission contract: the vector masks the ID, so a subject
+    * re-admitted under the same id BEFORE settle stays masked, and the
+    * settle sweep erases the re-admitted rows too (erase is by key,
+    * [[runErase]]'s own semantics). Re-admit after settle — the same
+    * ordering [[runRectify]]'s rectifySink documents for post-erasure
+    * corrections.
+    */
+  def runEraseLogical(
+      spark: SparkSession,
+      keysPath: String,
+      outDir: String
+  ): (Long, Int) = {
+    import graft.operators.DeletionVectors
+    val keys = spark.read.parquet(keysPath).select(col("doc_id"))
+    val n = DeletionVectors.append(spark, outDir, keys)
+    val (dirs, pendingKeys, _) = DeletionVectors.pending(spark, outDir)
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(
+      Paths.get(s"$outDir/erase_logical_report.json"),
+      s"""{"n_keys":$n,"n_pending_vectors":$dirs,""" +
+        s""""n_pending_keys":$pendingKeys}""" + "\n")
+    (n, dirs)
+  }
+
+  /** Settle every pending deletion vector through the physical sweep:
+    * snapshot the pending keys to a durable `.settle-keys` capture,
+    * drive [[runErase]] (which is where the agg/index/profile statistics
+    * actually subtract), then retire the settled keys from the vectors.
+    * The capture makes the verb crash-convergent the [[runRetention]]
+    * way — a replay resumes from the SAME snapshot (so the content-
+    * derived sweep id matches and the erase legs no-op), and a vector
+    * appended AFTER the snapshot is untouched by [[graft.operators
+    * .DeletionVectors.subtract]] and waits for the next settle. Returns
+    * None when nothing is pending.
+    */
+  def runEraseSettle(
+      spark: SparkSession,
+      outDir: String,
+      profileBudget: Long = 0L,
+      failpoint: String => Unit = _ => ()
+  ): Option[EraseSummary] = {
+    import graft.operators.DeletionVectors
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapPath = s"$outDir/.settle-keys"
+    val hasSnap =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$snapPath/_SUCCESS"))
+    if (!hasSnap) {
+      DeletionVectors.load(spark, outDir) match {
+        case None => return None
+        case Some(dv) =>
+          dv.select(col("doc_id")).write.mode("overwrite").parquet(snapPath)
+      }
+    }
+    failpoint("settle-keys-captured")
+    val summary = runErase(spark, snapPath, outDir, profileBudget)
+    failpoint("erase-complete")
+    // the physical sweep is done — retire the settled keys from the
+    // vectors (read from the capture, not the purged corpus), then drop
+    // the capture LAST so a crash replays into the no-op erase
+    DeletionVectors.subtract(spark, outDir, spark.read.parquet(snapPath))
+    failpoint("vectors-retired")
+    fs.delete(new org.apache.hadoop.fs.Path(snapPath), true)
+    Some(summary)
+  }
+
   def runCompact(
       spark: SparkSession,
       outDir: String,
@@ -1397,6 +1475,29 @@ object CurateCli {
       println(s"[fsck] ${checks.size} checks, $bad failed")
       spark.stop()
       if (bad > 0) sys.exit(1)
+      return
+    }
+    if (args.headOption.contains("erase-logical")) {
+      require(args.length >= 3,
+        "usage: CurateCli erase-logical <keys.parquet> <stateDir>")
+      val spark = session()
+      val (n, dirs) = runEraseLogical(spark, args(1), args(2))
+      println(s"[curate] erase-logical keys=$n pending_vectors=$dirs " +
+        "(serving masked now; run erase-settle to purge physically)")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("erase-settle")) {
+      require(args.length >= 2, "usage: CurateCli erase-settle <stateDir>")
+      val spark = session()
+      runEraseSettle(spark, args(1)) match {
+        case None => println("[curate] erase-settle: no pending vectors")
+        case Some(s) => println(
+          s"[curate] erase-settle keys=${s.nKeys} corpus=${s.nCorpus} " +
+            s"band=${s.nBand} search=${s.nSearch} dense=${s.nDense} " +
+            s"exact=${s.nExact} shards=${s.nShards} agg=${s.nAggGroups}")
+      }
+      spark.stop()
       return
     }
     if (args.headOption.contains("compact")) {

@@ -117,7 +117,11 @@ object PlanDump {
     "q_rectify",          // BM25 store in-place rectification, then serve
     "q_fsck_stores",      // dense/shards/snapshot builds + fused audits
     "q_compact_serve",    // build + append + COMPACT the BM25 store, serve
-    "q_mixture_budget"    // range-partitioned running sum + offsets broadcast
+    "q_mixture_budget",   // range-partitioned running sum + offsets broadcast
+    "q_curate_e2e",       // the six-stage composed curation pipeline
+    "q_erase_logical",    // deletion-vector mask between scoring and ranking
+    "q_dp_budget",        // ledger composition over content-addressed charges
+    "q_consent_gate"      // SCD-2 registry merges + the opt-in semi-join
   )
 
   def main(args: Array[String]): Unit = {

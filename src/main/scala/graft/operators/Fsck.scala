@@ -410,6 +410,37 @@ object Fsck {
     facts :+ retention
   }
 
+  /** Logical-erasure debt ([[DeletionVectors]]): pending vectors are
+    * SERVING-SAFE — every masked read already subtracts them — but they
+    * are still outstanding physical-purge work with a compliance clock
+    * on it, so the auditor reports them the retention-debt way: fsck
+    * green means the store is fully settled, and the heal is running
+    * the erase-settle verb. A pending `.settle-keys` capture is a
+    * CRASHED settle (snapshot taken, physical sweep or vector
+    * retirement incomplete) — re-run that settle to completion.
+    */
+  def dvDebt(spark: SparkSession, outDir: String): Seq[Check] = {
+    val (dirs, keys, _) = DeletionVectors.pending(spark, outDir)
+    val debt =
+      if (dirs == 0)
+        Check("dv", "no_settle_debt", ok = true, "no pending deletion vectors")
+      else
+        Check("dv", "no_settle_debt", ok = false,
+          s"$dirs pending vector(s) masking $keys ids — serving is " +
+            "masked; run erase-settle to purge physically")
+    val snap = s"$outDir/.settle-keys"
+    val settle =
+      if (exists(spark, s"$snap/_SUCCESS")) {
+        val n = spark.read.parquet(snap).count()
+        Check("dv", "no_pending_settle", ok = false,
+          s"pending settle capture ($n ids, physical sweep or vector " +
+            "retirement incomplete) — re-run erase-settle to completion")
+      } else
+        Check("dv", "no_pending_settle", ok = true,
+          "no pending settle capture")
+    Seq(debt, settle)
+  }
+
   /** A serving leg's ids must be a subset of the corpus — an erasure
     * that purged the corpus but missed a leg (or a crashed append that
     * landed a leg before the corpus) surfaces as orphans.
@@ -436,6 +467,7 @@ object Fsck {
     val corpusDir = s"$outDir/corpus"
     checks ++= markerHygiene(spark, corpusDir, "corpus")
     checks ++= pendingSweepDebt(spark, outDir)
+    checks ++= dvDebt(spark, outDir)
     val corpusIds =
       if (exists(spark, corpusDir))
         Some(spark.read.parquet(corpusDir).select(col("doc_id")).distinct())

@@ -1,0 +1,201 @@
+package graft.policy
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted differential-privacy budget accountant.
+  *
+  * [[graft.validate.DpRelease]] gives single releases the right
+  * mechanism; what it deliberately does NOT give is the thing the DP
+  * guarantee actually rests on across a release HISTORY: epsilons
+  * compose, and an engine that will happily release forever has no
+  * guarantee at all. This ledger is the accountant — every release
+  * charges one durable `(dataset, release_id, eps, delta)` entry, and
+  * [[authorize]] refuses a release whose composed spend would exceed
+  * the dataset's budget, BEFORE any noisy output exists.
+  *
+  * Accounting is standard and deterministic (auditable arithmetic, no
+  * randomness): basic sequential composition (`sum eps`, `sum delta` —
+  * Dwork & Roth, "The Algorithmic Foundations of Differential Privacy",
+  * Thm 3.16) as the binding spend, plus the heterogeneous advanced-
+  * composition bound (Dwork, Rothblum & Vadhan, FOCS 2010:
+  * `sqrt(2 ln(1/d') * sum eps_i^2) + sum eps_i (e^eps_i - 1)`, at slack
+  * `d'`) reported alongside so an operator can see when switching the
+  * policy to the tighter bound is worth it.
+  *
+  * Durability is the deletion-vector shape, not a swap protocol: a
+  * charge is one tiny `_SUCCESS`-guarded parquet under
+  * `ledger/charge=<md5(release_id)>/` — content-addressed by the
+  * RELEASE id, so a crashed release retried with the same id re-lands
+  * the same entry (never double-charges) while a genuinely new release
+  * gets a new directory; a torn write has no `_SUCCESS` and is
+  * invisible. Reads are ONE multi-path scan of the complete entries,
+  * never a per-entry union.
+  *
+  * Reference frame: tabodino/dbt-gdpr-anonymizer releases anonymized
+  * marts with no release accounting (the models/marts SQL layer) — fine for
+  * one-shot masking, unsound for repeated noisy statistics; this module
+  * is the missing compliance surface.
+  */
+object PrivacyLedger {
+
+  private def ledgerRoot(dir: String) = s"${dir.stripSuffix("/")}/ledger"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Content address of a release id — pure-JVM md5, no job. */
+  private def chargeKey(releaseId: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(releaseId.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  /** Durably record one release's spend. Returns true when the entry is
+    * new, false when the same release id was already charged (a crashed
+    * release's retry — the charge is idempotent by content address).
+    */
+  def charge(
+      spark: SparkSession,
+      dir: String,
+      dataset: String,
+      releaseId: String,
+      eps: Double,
+      delta: Double = 0.0
+  ): Boolean = {
+    require(eps > 0, s"ledger: eps must be positive, got $eps")
+    require(delta >= 0, s"ledger: delta must be non-negative, got $delta")
+    val entry = s"${ledgerRoot(dir)}/charge=${chargeKey(releaseId)}"
+    val fs = fsOf(spark, entry)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$entry/_SUCCESS"))) false
+    else {
+      import spark.implicits._
+      Seq((dataset, releaseId, eps, delta, System.currentTimeMillis()))
+        .toDF("dataset", "release_id", "eps", "delta", "_stamp")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(entry)
+      true
+    }
+  }
+
+  /** Pinned entry schema — skips the per-read footer-inference job (the
+    * authorization path reads the ledger once per release, so inference
+    * would double its job count for no information).
+    */
+  private val EntrySchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dataset",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("release_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("eps",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("delta",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("_stamp",
+      org.apache.spark.sql.types.LongType)))
+
+  /** `_SUCCESS`-complete ledger entries as one frame (one multi-path
+    * read; a torn charge is invisible until its retry overwrites it).
+    * None when nothing has been charged.
+    */
+  def entries(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val root = ledgerRoot(dir)
+    val fs = fsOf(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) return None
+    val dirs = fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("charge="))
+      .map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.toString).sorted
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema(EntrySchema).parquet(dirs.toIndexedSeq: _*))
+  }
+
+  /** Composed spend per dataset: `(n_releases, sum eps, sum delta,
+    * advanced-composition eps at slack deltaSlack)` — the frame the
+    * budget report and the authorization check both read.
+    */
+  def spentByDataset(
+      spark: SparkSession,
+      dir: String,
+      deltaSlack: Double = 1e-6
+  ): DataFrame = {
+    import spark.implicits._
+    val e = entries(spark, dir).getOrElse(
+      Seq.empty[(String, String, Double, Double, Long)]
+        .toDF("dataset", "release_id", "eps", "delta", "_stamp"))
+    e.groupBy(col("dataset"))
+      .agg(
+        count(lit(1)).as("n_releases"),
+        sum(col("eps")).as("spent_eps"),
+        sum(col("delta")).as("spent_delta"),
+        (sqrt(lit(2.0 * math.log(1.0 / deltaSlack)) *
+          sum(col("eps") * col("eps"))) +
+          sum(col("eps") * (exp(col("eps")) - lit(1.0)))).as("adv_eps"))
+  }
+
+  /** Basic-composition spend for one dataset: (n, eps, delta). */
+  def spent(spark: SparkSession, dir: String, dataset: String): (Long, Double, Double) =
+    entries(spark, dir) match {
+      case None => (0L, 0.0, 0.0)
+      case Some(e) =>
+        val r = e.filter(col("dataset") === dataset)
+          .agg(count(lit(1)), coalesce(sum(col("eps")), lit(0.0)),
+            coalesce(sum(col("delta")), lit(0.0)))
+          .head()
+        (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+
+  /** Refuse a release whose composed spend would exceed the dataset's
+    * budget — BEFORE any noisy output exists. Equality is allowed (the
+    * budget is a cap, not a strict bound); the error message carries the
+    * arithmetic an auditor needs.
+    */
+  def authorize(
+      spark: SparkSession,
+      dir: String,
+      dataset: String,
+      eps: Double,
+      budgetEps: Double,
+      delta: Double = 0.0,
+      budgetDelta: Double = 0.0
+  ): Unit = {
+    val (n, se, sd) = spent(spark, dir, dataset)
+    require(se + eps <= budgetEps + 1e-12,
+      f"privacy budget exhausted for '$dataset': spent eps=$se%.6f over " +
+        f"$n releases + requested $eps%.6f > budget $budgetEps%.6f — refuse " +
+        "the release or raise the dataset's budget policy")
+    require(sd + delta <= budgetDelta + 1e-18,
+      f"privacy budget exhausted for '$dataset': spent delta=$sd%.2e + " +
+        f"requested $delta%.2e > budget $budgetDelta%.2e")
+  }
+
+  /** The guarded release: authorize against the budget, charge the
+    * ledger durably, THEN hand back the go-ahead. Charging before the
+    * release errs on the safe side — a crash between charge and the
+    * released write burns budget without output, never the reverse
+    * (retrying with the SAME release id re-lands the same charge and
+    * proceeds to the release: the charge is the idempotency token).
+    */
+  def authorizeAndCharge(
+      spark: SparkSession,
+      dir: String,
+      dataset: String,
+      releaseId: String,
+      eps: Double,
+      budgetEps: Double,
+      delta: Double = 0.0,
+      budgetDelta: Double = 0.0
+  ): Unit = {
+    val entry = s"${ledgerRoot(dir)}/charge=${chargeKey(releaseId)}"
+    val replay = fsOf(spark, entry)
+      .exists(new org.apache.hadoop.fs.Path(s"$entry/_SUCCESS"))
+    // a replayed id is already paid for — authorizing it again would
+    // double-count its own spend against the budget
+    if (!replay) {
+      authorize(spark, dir, dataset, eps, budgetEps, delta, budgetDelta)
+      charge(spark, dir, dataset, releaseId, eps, delta)
+    }
+  }
+}

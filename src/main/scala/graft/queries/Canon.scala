@@ -75,6 +75,7 @@ object Canon {
     "q_bm25_indexed" -> Seq("score"),
     "q_compact_serve" -> Seq("score"),
     "q_erasure_indexes" -> Seq("score"),
+    "q_erase_logical" -> Seq("score"),
     "q_rectify" -> Seq("score"),
     "q_agg_store" -> Seq("total", "min_price", "max_price"),
     "q_agg_store_erase" -> Seq("total", "min_price", "max_price"),
@@ -109,6 +110,7 @@ object Canon {
     "q_geo_join" -> Seq("dist_km"),
     "q_release_cert" -> Seq("avg_completeness"),
     "q_dp_quantiles" -> Seq("est_dp", "est_exact"),
+    "q_dp_budget" -> Seq("spent_eps", "spent_delta", "adv_eps", "remaining_eps"),
     "q_pct_rank" -> Seq("pct_rank", "exact_pr"),
     "q_t_closeness" -> Seq("tvd"),
     "q_reid_risk" -> Seq("pct_unique"),

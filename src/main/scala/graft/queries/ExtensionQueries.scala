@@ -2505,6 +2505,26 @@ object ExtensionQueries {
           cast(rscore as decimal(14,6)) as score
         from r where rank <= 10 order by query_id, rank"""
 
+  /** The logical-erasure serve twin (`q_erase_logical`): scores come
+    * from the FULL corpus chain — the deletion vector has not settled,
+    * so N/avgdl/df still include the masked documents — and the mask
+    * subtracts candidates between scoring and ranking, exactly where
+    * [[graft.text.Bm25.retrieveTopKIndexed]]'s `maskIds` anti-join
+    * sits, so ranks are dense over the retained candidates.
+    */
+  private def bm25TopKOracleMasked(retainPred: String): String = s"""
+        with ${bm25RankCtesOver("documents")},
+        rm as (
+          select query_id, doc_id, n_matched, rscore,
+            row_number() over (partition by query_id
+              order by rscore desc, doc_id) as rank
+          from pq where $retainPred
+        )
+        select query_id, cast(rank as int) as rank, doc_id,
+          cast(n_matched as int) as n_matched,
+          cast(rscore as decimal(14,6)) as score
+        from rm where rank <= 10 order by query_id, rank"""
+
   val curationQueries: ListMap[String, Q] = ListMap(
     "q_seq_pack" -> Q(
       (s, dir) =>
@@ -3084,6 +3104,45 @@ object ExtensionQueries {
       },
       Some(bm25TopKOracleOver("(select * from documents where doc_id % 7 <> 0)"))
     ),
+    // logical erasure through the SERVING index — q_erasure_indexes' fast
+    // path (graft.operators.DeletionVectors): the subjects' key set lands
+    // as one request-sized deletion vector (NO store rewrite — the index
+    // on disk is untouched), and retrieval masks the vector between
+    // scoring and ranking. The twin replays the FULL-corpus ranking chain
+    // and subtracts the same ids before the rank — so the hash match
+    // proves masked docs are never returned, ranks stay dense over the
+    // retained candidates, and scores still carry the UNSETTLED
+    // N/avgdl/df (the module's documented eventual-consistency window;
+    // q_erasure_indexes pins the settled end state where those stats
+    // subtract). Build jobs bounded (PlanGuardSpec exemption).
+    "q_erase_logical" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_bm25_dv_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val all = docs(s, dir)
+        graft.text.Bm25.writeSearchIndex(all, "doc_id", col("text"), s"$root/search")
+        graft.operators.DeletionVectors.append(s, root,
+          all.filter(pmod(col("doc_id"), lit(17)) === 3).select(col("doc_id")))
+        val dv = graft.operators.DeletionVectors.load(s, root)
+        require(dv.nonEmpty, "erase-logical: the appended vector must load")
+        val (postings, stats) = graft.text.Bm25.loadSearchIndex(s, s"$root/search")
+        graft.text.Bm25
+          .retrieveTopKIndexed(postings, stats, "doc_id",
+            Bm25QuerySet.toDF("query_id", "term"), topK = 10, maskIds = dv)
+          .select(
+            col("query_id"),
+            col("rank").cast("int").as("rank"),
+            col("doc_id"),
+            col("n_matched").cast("int").as("n_matched"),
+            col("score").cast("decimal(14,6)").as("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25TopKOracleMasked("doc_id % 17 <> 3"))
+    ),
     // GDPR Art. 16 rectification through the SERVING index (the Art. 17
     // q_erasure_indexes' dual — graft.operators.Rectify scaladoc:
     // rectification that leaves the OLD text retrievable from a postings
@@ -3230,11 +3289,18 @@ object ExtensionQueries {
         // blind spot — while the erase/rectify captures read clean
         all.select(col("doc_id")).limit(5)
           .write.mode("overwrite").parquet(s"$root/.retention-keys")
+        // logical-erasure debt: a pending deletion vector is serving-safe
+        // (reads mask it) but still outstanding physical-purge work, so
+        // the auditor must report it not-settled — while the crashed-
+        // settle capture check reads clean
+        graft.operators.DeletionVectors.append(s, root,
+          all.select(col("doc_id")).filter(col("doc_id") % 97 === 0))
         val checks = graft.operators.Fsck.denseIndex(s, s"$root/dense") ++
           graft.operators.Fsck.shards(s, s"$root/shards") ++
           graft.operators.Fsck.snapshotStore(s, s"$root/snapshot", "doc_id") ++
           graft.operators.Fsck.eventStats(s, s"$root/events") ++
-          graft.operators.Fsck.pendingSweepDebt(s, root)
+          graft.operators.Fsck.pendingSweepDebt(s, root) ++
+          graft.operators.Fsck.dvDebt(s, root)
         checks.map(c => (c.component, c.check, if (c.ok) 1 else 0))
           .toDF("component", "check", "ok")
           .orderBy("component", "check")
@@ -3249,6 +3315,8 @@ object ExtensionQueries {
           ('dense', 'no_retired_tree', 1),
           ('dense', 'no_stage_tree', 1),
           ('dense', 'vec_dims_consistent', 1),
+          ('dv', 'no_pending_settle', 1),
+          ('dv', 'no_settle_debt', 0),
           ('erase', 'no_pending_sweep', 1),
           ('events', 'counts_positive', 1),
           ('events', 'day_consistent', 1),
@@ -3493,6 +3561,73 @@ object ExtensionQueries {
         select doc_id, source as stratum, mille
         from d join r using (source) where mille < thresh
         order by doc_id""")
+    ),
+    // consent-scoped admission (policy/Consent, GDPR Art. 6/7): the
+    // registry is the SCD-2 snapshot store keyed by subject|purpose —
+    // bootstrap grants for ~2/3 of subjects, then a WITHDRAWAL batch
+    // (Art. 7(3)) and a late-grant batch merge on top, and the gate
+    // admits exactly the subjects whose CURRENT state grants the
+    // purpose, absence-is-denial. The twin replays the event log with a
+    // latest-event-wins window (timestamps are distinct per key by
+    // construction, so the SCD-2 supersede order is total), so the hash
+    // match pins bootstrap + merge + current + gate end to end. Build
+    // jobs bounded (PlanGuardSpec exemption).
+    "q_consent_gate" -> Q(
+      (s, dir) => {
+        import graft.operators.StableHash
+        import graft.policy.Consent
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_consent_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val all = docs(s, dir)
+        Consent.init(s, root, all
+          .select(col("doc_id").as("subject_id"))
+          .withColumn("purpose", lit("training"))
+          .withColumn("granted", StableHash.bucket(col("subject_id"), 3) =!= 0)
+          .withColumn("updated_at", lit(1L)))
+        Consent.withdraw(s, root,
+          all.filter(StableHash.bucket(col("doc_id"), 7) === 0)
+            .select(col("doc_id")),
+          "training", updatedAt = 2L)
+        Consent.update(s, root, all
+          .filter(StableHash.bucket(col("doc_id"), 11) === 3 &&
+            StableHash.bucket(col("doc_id"), 7) =!= 0)
+          .select(col("doc_id").as("subject_id"))
+          .withColumn("purpose", lit("training"))
+          .withColumn("granted", lit(true))
+          .withColumn("updated_at", lit(2L)))
+        Consent.gate(s, root, all, "training")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some(s"""
+        with b as (
+          select doc_id, source, n_chars,
+            ${duckMdBucket(3)} as h3, ${duckMdBucket(7)} as h7,
+            ${duckMdBucket(11)} as h11
+          from documents
+        ),
+        ev as (
+          select doc_id, 1 as ts, (h3 <> 0) as g from b
+          union all select doc_id, 2 as ts, false as g from b where h7 = 0
+          union all select doc_id, 2 as ts, true as g from b
+            where h11 = 3 and h7 <> 0
+        ),
+        cur as (
+          select doc_id, g from (
+            select doc_id, g,
+              row_number() over (partition by doc_id order by ts desc) as rn
+            from ev
+          ) where rn = 1
+        )
+        select b.source, count(*) as n_docs,
+          cast(sum(b.n_chars) as bigint) as sum_chars
+        from b join cur using (doc_id)
+        where cur.g
+        group by b.source order by b.source""")
     ),
     "q_mixture_budget" -> Q(
       (s, dir) => {

@@ -316,6 +316,80 @@ object PrivacyQueries {
         order by d.l_returnflag, d.q"""
       }
     ),
+    // persisted DP budget accountant (graft.policy.PrivacyLedger): per
+    // source, a count release and a sum release charge the durable
+    // ledger — with one charge REPLAYED, which must not double-count
+    // (the content-addressed entry is the idempotency token) — then the
+    // budget report composes the spend: basic sequential composition as
+    // the binding number, the heterogeneous advanced-composition bound
+    // (DRV FOCS'10, slack 1e-6) alongside, remaining vs a 2.0-eps
+    // policy. Epsilons derive from the engine-portable md5 of the source
+    // name, so the twin recomputes every charge from the documents table
+    // — persistence, idempotent replay, and composition arithmetic all
+    // sit under the hash. Comparison on the half-up 6-decimal grid both
+    // engines share (Parity.roundHalfUp / duckRound).
+    "q_dp_budget" -> Q(
+      (s, dir) => {
+        import graft.policy.PrivacyLedger
+        val led =
+          s"${sys.props("java.io.tmpdir")}/graft_dpledger_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(led)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(led), true)
+        // bounded schedule (PlanGuardSpec exemption) — the first 8
+        // datasets in lexicographic order, each charge an authorize
+        // (ledger read) + a durable entry write: eps from the same
+        // md5-prefix recipe the DuckDB side replays
+        val sources = Tables.read(s, dir, "documents")
+          .select(col("source")).distinct()
+          .collect().map(_.getString(0)).sorted.take(8)
+        sources.foreach { src =>
+          val h = java.lang.Long.parseLong(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(src.getBytes("UTF-8"))
+              .take(4).map("%02x".format(_)).mkString, 16)
+          val e1 = 0.1 * (1 + (h % 5)).toDouble
+          PrivacyLedger.authorizeAndCharge(
+            s, led, src, s"cnt-$src", e1, budgetEps = 2.0)
+          PrivacyLedger.authorizeAndCharge(
+            s, led, src, s"sum-$src", e1 / 2, budgetEps = 2.0,
+            delta = 1e-9, budgetDelta = 1e-6)
+          // a crashed release's retry: same id, must not double-charge
+          PrivacyLedger.authorizeAndCharge(
+            s, led, src, s"cnt-$src", e1, budgetEps = 2.0)
+        }
+        PrivacyLedger.spentByDataset(s, led, deltaSlack = 1e-6)
+          .select(
+            col("dataset"),
+            col("n_releases").cast("int").as("n_releases"),
+            roundHalfUp(col("spent_eps"), 6)
+              .cast("decimal(14,6)").as("spent_eps"),
+            col("spent_delta").cast("decimal(18,12)").as("spent_delta"),
+            roundHalfUp(col("adv_eps"), 6)
+              .cast("decimal(14,6)").as("adv_eps"),
+            roundHalfUp(lit(2.0) - col("spent_eps"), 6)
+              .cast("decimal(14,6)").as("remaining_eps"))
+          .orderBy("dataset")
+      },
+      Some(s"""
+        with s as (
+          select distinct source from documents order by source limit 8
+        ),
+        e as (
+          select source,
+            0.1 * (1 + (cast('0x' || substr(md5(source), 1, 8) as bigint) % 5)) as e1
+          from s
+        )
+        select source as dataset, 2 as n_releases,
+          cast(${duckRound("e1 + e1/2", 6)} as decimal(14,6)) as spent_eps,
+          cast(0.000000001 as decimal(18,12)) as spent_delta,
+          cast(${duckRound(
+            "sqrt(2 * ln(1000000.0) * (e1*e1 + (e1/2)*(e1/2))) " +
+              "+ (e1 * (exp(e1) - 1) + (e1/2) * (exp(e1/2) - 1))", 6)}
+            as decimal(14,6)) as adv_eps,
+          cast(${duckRound("2.0 - (e1 + e1/2)", 6)} as decimal(14,6)) as remaining_eps
+        from e order by dataset""")
+    ),
     "q_anon_utility" -> Q(
       // utility cost of the k=5 enforcement (q_k_enforce's ladder): the
       // numbers a DPO weighs against the privacy gain — average

@@ -609,7 +609,8 @@ object Bm25 {
       queriesDf: DataFrame,
       topK: Int,
       k1: Double = 1.2,
-      b: Double = 0.75
+      b: Double = 0.75,
+      maskIds: Option[DataFrame] = None
   ): DataFrame = {
     require(topK > 0, "bm25: topK must be positive")
     require(b >= 0 && b <= 1, s"bm25: b must be in [0,1], got $b")
@@ -633,6 +634,18 @@ object Bm25 {
       .join(broadcast(queriesDf), "term")
       .groupBy(col("query_id"), col(idCol))
       .agg(count(lit(1)).as("n_matched"), sum(col("_ts")).as("score"))
-    rankPerQuery(perQueryDoc, idCol, topK)
+    // logical-erasure mask (graft.operators.DeletionVectors): subtract
+    // AFTER scoring, BEFORE ranking — masked ids are never returned and
+    // ranks stay dense, while N/avgdl/df stay the index's own until the
+    // vector settles through the physical sweep (the module's documented
+    // eventual-consistency window). The vector is request-sized, so the
+    // subtraction is a broadcast anti-join on the candidate set.
+    val masked = maskIds match {
+      case None => perQueryDoc
+      case Some(m) =>
+        val keys = m.select(col(m.columns.head).as(idCol)).distinct()
+        perQueryDoc.join(broadcast(keys), Seq(idCol), "left_anti")
+    }
+    rankPerQuery(masked, idCol, topK)
   }
 }

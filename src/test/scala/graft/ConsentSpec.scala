@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.cli.CurateCli
+import graft.operators.DeletionVectors
+import graft.pipeline.Snapshot
+import graft.policy.Consent
+
+/** Consent / lawful-basis registry ([[graft.policy.Consent]]): opt-in
+  * gating (absence is denial), the full grant/withdraw/re-grant chain
+  * with its Art. 7(1) audit history intact, withdrawal composing into
+  * immediate serving stoppage (deletion vector) plus physical purge at
+  * settle, idempotent event replays, and the snapshot-store auditor
+  * reaching the registry.
+  */
+class ConsentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"consent_$tag").toString
+
+  private def events(
+      ids: Seq[Long], purpose: String, granted: Boolean, at: Long) =
+    ids.toDF("subject_id")
+      .withColumn("purpose", lit(purpose))
+      .withColumn("granted", lit(granted))
+      .withColumn("updated_at", lit(at))
+
+  test("opt-in gate: absence is denial, only current grants admit") {
+    val dir = tmp("gate")
+    Consent.init(spark, dir, events(Seq(1L, 2L, 3L), "training", granted = true, 1L))
+    Consent.update(spark, dir, events(Seq(2L), "training", granted = false, 2L))
+    // subject 4 never consented; subject 5 granted a DIFFERENT purpose
+    Consent.update(spark, dir, events(Seq(5L), "analytics", granted = true, 2L))
+    val input = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val admitted = Consent.gate(spark, dir, input, "training")
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1L, 3L))
+  }
+
+  test("grant/withdraw/re-grant chain keeps the audit history (Art. 7(1))") {
+    val dir = tmp("chain")
+    Consent.init(spark, dir, events(Seq(7L), "training", granted = true, 1L))
+    Consent.update(spark, dir, events(Seq(7L), "training", granted = false, 2L))
+    Consent.update(spark, dir, events(Seq(7L), "training", granted = true, 3L))
+    val cur = Consent.currentState(spark, dir).collect()
+    assert(cur.length == 1 && cur.head.getAs[Boolean]("granted")
+      && cur.head.getAs[Long]("updated_at") == 3L)
+    // every superseded version survives with its validity interval —
+    // "was admission lawful when batch N ran" is answerable
+    val hist = Snapshot.loadStore(spark, dir)
+    assert(hist.count() == 3)
+    val at2 = Snapshot.asOf(hist, lit(2L)).collect()
+    assert(at2.length == 1 && !at2.head.getAs[Boolean]("granted"),
+      "asOf(2) must show the withdrawal in force")
+  }
+
+  test("withdrawal stops serving NOW and purges physically at settle") {
+    val work = tmp("withdraw")
+    val state = s"$work/state"
+    val consent = s"$work/consent"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .write.parquet(s"$work/b0")
+    val s0 = CurateCli.runIncremental(
+      spark, s"$work/b0", state, nShards = 2, aggStats = true)
+    assert(s0.auditOk)
+    val corpusIds = spark.read.parquet(s"$state/corpus").select(col("doc_id"))
+    Consent.init(spark, consent,
+      corpusIds.withColumnRenamed("doc_id", "subject_id")
+        .withColumn("purpose", lit("training"))
+        .withColumn("granted", lit(true))
+        .withColumn("updated_at", lit(1L)))
+    val toWithdraw = corpusIds.filter(col("doc_id") % 9 === 2)
+    toWithdraw.write.parquet(s"$work/withdraw_ids")
+    val wd = spark.read.parquet(s"$work/withdraw_ids")
+    val n = Consent.withdraw(spark, consent, wd, "training",
+      updatedAt = 2L, stateDir = Some(state))
+    assert(n == wd.count())
+    // immediate: the gate refuses them AND the masked serve hides them
+    val gated = Consent.gate(spark, consent,
+      spark.read.parquet(s"$state/corpus"), "training")
+    assert(gated.join(wd, Seq("doc_id"), "left_semi").isEmpty)
+    val served = DeletionVectors.maskServing(spark, state,
+      spark.read.parquet(s"$state/corpus"))
+    assert(served.join(wd, Seq("doc_id"), "left_semi").isEmpty)
+    // eventual: settle purges the corpus rows and clears the vector
+    CurateCli.runEraseSettle(spark, state)
+    assert(spark.read.parquet(s"$state/corpus")
+      .join(wd, Seq("doc_id"), "left_semi").isEmpty)
+    assert(DeletionVectors.pending(spark, state)._1 == 0)
+    // the registry still demonstrates the withdrawal
+    assert(Consent.grantedSubjects(spark, consent, "training")
+      .join(wd.withColumnRenamed("doc_id", "subject_id"),
+        Seq("subject_id"), "left_semi").isEmpty)
+  }
+
+  test("a redelivered withdrawal event is one version, not two") {
+    val dir = tmp("redeliver")
+    Consent.init(spark, dir, events(Seq(9L), "training", granted = true, 1L))
+    Consent.withdraw(spark, dir, Seq(9L).toDF("subject_id"), "training", 2L)
+    Consent.withdraw(spark, dir, Seq(9L).toDF("subject_id"), "training", 2L)
+    assert(Snapshot.loadStore(spark, dir).count() == 2,
+      "same-key same-timestamp redelivery must keep one version")
+    assert(Consent.grantedSubjects(spark, dir, "training").isEmpty)
+  }
+
+  test("the snapshot-store auditor reaches the registry") {
+    val dir = tmp("fsck")
+    Consent.init(spark, dir,
+      events(Seq(1L, 2L, 3L, 4L), "training", granted = true, 1L))
+    Consent.update(spark, dir, events(Seq(2L, 4L), "training", granted = false, 2L))
+    val checks = graft.operators.Fsck.snapshotStore(spark, dir, "consent_key")
+    assert(checks.nonEmpty && checks.forall(_.ok),
+      checks.filterNot(_.ok).mkString("; "))
+  }
+}

@@ -1,0 +1,262 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cli.CurateCli
+import graft.operators.{AggStore, DeletionVectors, Fsck}
+
+/** Logical erasure ([[graft.operators.DeletionVectors]]): the O(request)
+  * Art. 17 fast path. The mask must hide the subject from every read
+  * that goes through it WITHOUT touching the stores (scores keep the
+  * unsettled statistics — the documented eventual-consistency window),
+  * the settle verb must converge through every crash point onto exactly
+  * the physical sweep's end state, and fsck must report the pending
+  * debt until then.
+  */
+class DeletionVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"dv_$tag").toString
+
+  private def fsOf(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(p: String) =
+    fsOf(p).exists(new org.apache.hadoop.fs.Path(p))
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val fs = fsOf(src)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(src),
+      fs, new org.apache.hadoop.fs.Path(dst),
+      false, spark.sparkContext.hadoopConfiguration)
+  }
+
+  private final case class Crash(at: String) extends RuntimeException(at)
+  private def killAt(fp: String): String => Unit =
+    at => if (at == fp) throw Crash(at)
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("source"), col("lang"), col("text"))
+
+  /** One corpus+search+agg state directory, built once, copied per case. */
+  private lazy val goldenState: String = {
+    val work = tmp("golden")
+    docs.write.parquet(s"$work/b0")
+    val s = CurateCli.runIncremental(
+      spark, s"$work/b0", s"$work/state", nShards = 2,
+      searchIndex = true, aggStats = true)
+    assert(s.auditOk)
+    s"$work/state"
+  }
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+
+  test("mask subtracts after scoring: masked ids gone, survivors keep scores and dense ranks") {
+    val work = tmp("mask")
+    val state = s"$work/state"
+    copyDir(goldenState, state)
+    val corpus = spark.read.parquet(s"$state/corpus")
+    val masked = corpus.filter(col("doc_id") % 11 === 0).select(col("doc_id"))
+    val nMasked = DeletionVectors.append(spark, state, masked)
+    assert(nMasked == masked.count())
+
+    // corpus surface
+    val served = DeletionVectors.maskServing(spark, state, corpus)
+    assert(ids(served).intersect(ids(masked)).isEmpty)
+    assert(served.count() == corpus.count() - nMasked)
+
+    // index surface: scores of the survivors are IDENTICAL to the
+    // unmasked retrieval's (mask-after-score — the stats have not
+    // settled), ranks re-densify over the retained candidates
+    val (postings, stats) =
+      graft.text.Bm25.loadSearchIndex(spark, s"$state/search")
+    val queries = Seq(1 -> "spark", 2 -> "data").toDF("query_id", "term")
+    val dv = DeletionVectors.load(spark, state)
+    val big = 100000
+    val unmasked = graft.text.Bm25
+      .retrieveTopKIndexed(postings, stats, "doc_id", queries, big)
+    val withMask = graft.text.Bm25
+      .retrieveTopKIndexed(postings, stats, "doc_id", queries, big,
+        maskIds = dv)
+    assert(ids(withMask.select("doc_id")).intersect(ids(masked)).isEmpty)
+    val expect = unmasked
+      .join(broadcast(masked), Seq("doc_id"), "left_anti")
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = withMask
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expect, "survivor (query, doc) -> score must be unchanged")
+    val ranks = withMask.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"),
+        min(col("rank")).as("mn"))
+      .collect()
+    assert(ranks.forall(r => r.getLong(1) == r.getAs[Number]("mx").longValue()
+      && r.getAs[Number]("mn").longValue() == 1L),
+      "ranks must re-densify to 1..n per query")
+  }
+
+  test("append is idempotent and a torn vector is invisible") {
+    val work = tmp("idem")
+    val state = s"$work/state"
+    copyDir(goldenState, state)
+    val keys = spark.read.parquet(s"$state/corpus")
+      .filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+    DeletionVectors.append(spark, state, keys)
+    DeletionVectors.append(spark, state, keys) // replay: same directory
+    assert(DeletionVectors.liveDirs(spark, state).size == 1)
+    val (dirs, n, stamp) = DeletionVectors.pending(spark, state)
+    assert(dirs == 1 && n == keys.count() && stamp.nonEmpty)
+    // a torn append (no _SUCCESS) must be invisible to load and pending
+    val torn = s"$state/.dv/dv=deadbeef"
+    keys.limit(2).withColumn("_stamp", lit(0L))
+      .write.mode("overwrite").parquet(torn)
+    fsOf(torn).delete(new org.apache.hadoop.fs.Path(s"$torn/_SUCCESS"), false)
+    assert(DeletionVectors.liveDirs(spark, state).size == 1)
+    assert(DeletionVectors.pending(spark, state)._1 == 1)
+  }
+
+  test("settle drives the physical sweep: stores purged, vectors retired, fsck settled") {
+    val work = tmp("settle")
+    val state = s"$work/state"
+    copyDir(goldenState, state)
+    val corpus = spark.read.parquet(s"$state/corpus")
+    val keys = corpus.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+    keys.write.parquet(s"$work/keys")
+    CurateCli.runEraseLogical(spark, s"$work/keys", state)
+
+    // fsck reports the debt (not-settled) while serving stays masked
+    val before = Fsck.dvDebt(spark, state)
+    assert(before.exists(c => c.check == "no_settle_debt" && !c.ok))
+    assert(before.exists(c => c.check == "no_pending_settle" && c.ok))
+
+    val summary = CurateCli.runEraseSettle(spark, state)
+    assert(summary.nonEmpty && summary.get.nKeys ==
+      spark.read.parquet(s"$work/keys").count())
+    // physical end state: corpus purged, agg exact, vectors gone
+    val retained = spark.read.parquet(s"$state/corpus")
+    assert(retained.join(
+      spark.read.parquet(s"$work/keys"), Seq("doc_id"), "left_semi").isEmpty)
+    val aggServe = AggStore.serve(spark, s"$state/agg")
+      .select("source", "cnt", "sum").collect().map(_.toSeq).sortBy(_.toString)
+    val oneShot = AggStore.aggregate(retained, Seq("source"),
+      col("n_tokens").cast("long"))
+      .select("source", "cnt", "sum").collect().map(_.toSeq).sortBy(_.toString)
+    assert(aggServe.toSeq == oneShot.toSeq)
+    assert(DeletionVectors.pending(spark, state)._1 == 0)
+    assert(!exists(s"$state/.settle-keys"))
+    assert(Fsck.dvDebt(spark, state).forall(_.ok))
+    assert(Fsck.state(spark, state).forall(_.ok))
+    // nothing pending: a second settle is a no-op
+    assert(CurateCli.runEraseSettle(spark, state).isEmpty)
+  }
+
+  test("settle killed at EVERY failpoint converges on replay; a post-snapshot vector survives") {
+    Seq("settle-keys-captured", "erase-complete", "vectors-retired")
+      .foreach { fp =>
+        val work = tmp(s"kill_$fp")
+        val state = s"$work/state"
+        copyDir(goldenState, state)
+        spark.read.parquet(s"$state/corpus")
+          .filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+          .write.parquet(s"$work/keys")
+        CurateCli.runEraseLogical(spark, s"$work/keys", state)
+        assert(intercept[Crash] {
+          CurateCli.runEraseSettle(spark, state, failpoint = killAt(fp))
+        }.at == fp)
+        // a crashed settle is auditable debt until healed
+        assert(Fsck.dvDebt(spark, state).exists(!_.ok),
+          s"crash at $fp: fsck must report the unsettled state")
+        // a NEW erasure request arriving mid-crash must not be lost —
+        // derived from a FRESH corpus read: at the later failpoints the
+        // physical sweep already rewrote the corpus files, so a plan
+        // captured before the crash would re-scan purged files
+        spark.read.parquet(s"$state/corpus")
+          .filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+          .write.parquet(s"$work/late_keys")
+        CurateCli.runEraseLogical(spark, s"$work/late_keys", state)
+        // replay heals: the snapshot's sweep completes and its vectors
+        // retire; the post-snapshot vector still masks and still pends
+        CurateCli.runEraseSettle(spark, state)
+        val retained = spark.read.parquet(s"$state/corpus")
+        assert(retained.join(spark.read.parquet(s"$work/keys"),
+          Seq("doc_id"), "left_semi").isEmpty,
+          s"crash at $fp: replay must purge the snapshot's keys")
+        assert(!exists(s"$state/.settle-keys"), s"crash at $fp")
+        // the snapshot is durable BEFORE every failpoint, so the replay
+        // resumes the snapshot's sweep and the post-snapshot vector
+        // survives it, still masking its ids
+        val late = spark.read.parquet(s"$work/late_keys")
+        assert(DeletionVectors.pending(spark, state)._1 >= 1,
+          s"crash at $fp: the post-snapshot vector must survive")
+        val served = DeletionVectors.maskServing(spark, state,
+          spark.read.parquet(s"$state/corpus"))
+        assert(served.join(late, Seq("doc_id"), "left_semi").isEmpty,
+          s"crash at $fp: the late vector must still mask")
+        // and the NEXT settle purges it physically
+        CurateCli.runEraseSettle(spark, state)
+        assert(spark.read.parquet(s"$state/corpus")
+          .join(late, Seq("doc_id"), "left_semi").isEmpty)
+        assert(DeletionVectors.pending(spark, state)._1 == 0)
+        assert(Fsck.state(spark, state).forall(_.ok), s"crash at $fp")
+      }
+  }
+
+  test("subtract retires only covered keys and never loses a mask mid-crash") {
+    val work = tmp("subtract")
+    val state = s"$work/state"
+    copyDir(goldenState, state)
+    val corpus = spark.read.parquet(s"$state/corpus")
+    val a = corpus.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    val b = corpus.filter(col("doc_id") % 5 === 1).select(col("doc_id"))
+    DeletionVectors.append(spark, state, a)
+    DeletionVectors.append(spark, state, b)
+    // settle only a's keys: a's vector deletes whole, b's is untouched
+    DeletionVectors.subtract(spark, state, a)
+    val (dirs, n, _) = DeletionVectors.pending(spark, state)
+    assert(dirs == 1 && n == b.count())
+    // partial coverage: retire half of b — the remainder must keep
+    // masking (rewrite-then-delete, never delete-then-rewrite)
+    val half = b.orderBy(col("doc_id")).limit((b.count() / 2).toInt)
+    DeletionVectors.subtract(spark, state, half)
+    val remaining = DeletionVectors.load(spark, state).get
+    assert(ids(remaining) == ids(b) -- ids(half))
+  }
+
+  test("pending load is ONE scan: mask job count is independent of the vector count") {
+    val work1 = tmp("scan1")
+    val work4 = tmp("scan4")
+    Seq(work1 -> 1, work4 -> 4).foreach { case (w, nv) =>
+      docs.limit(200).select(col("doc_id"), col("source"))
+        .write.parquet(s"$w/data")
+      (0 until nv).foreach { i =>
+        DeletionVectors.append(spark, w,
+          docs.filter(col("doc_id") % 20 === i).select(col("doc_id")))
+      }
+    }
+    def jobsIn(group: String)(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      org.apache.spark.GraftListenerBus.waitUntilEmpty(sc)
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    def serve(w: String): Unit = {
+      val out = DeletionVectors.maskServing(spark, w,
+        spark.read.parquet(s"$w/data"))
+      assert(out.count() > 0)
+    }
+    serve(work1); serve(work4) // warm footer/schema paths
+    val j1 = jobsIn("dv-serve-1")(serve(work1))
+    val j4 = jobsIn("dv-serve-4")(serve(work4))
+    assert(j4 == j1,
+      s"masked serve must not scale jobs with pending vectors ($j1 vs $j4)")
+  }
+}

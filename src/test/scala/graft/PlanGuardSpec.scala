@@ -42,6 +42,7 @@ class PlanGuardSpec extends SparkSpec {
       // served like q_bm25_indexed: the one-row stored stats frame is
       // broadcast-crossed onto the pruned postings
       "q_erasure_indexes",
+      "q_erase_logical",
       "q_rectify",
       "q_compact_serve",
       // merged-vs-direct-vs-exact: three single-row estimate aggregates
@@ -133,6 +134,9 @@ class PlanGuardSpec extends SparkSpec {
     // builds the BM25 index then ERASES from it (postings purge counts +
     // one-row stats decrement are the operator under test)
     "q_erasure_indexes",
+    // builds the BM25 index then masks it with a deletion vector (the
+    // vector append's content-id fold + count are request-sized)
+    "q_erase_logical",
     // builds the BM25 index then RECTIFIES it (replace-only membership
     // probe + kept-leg staging + stats recompute are the operator under
     // test — the Art. 16 dual of q_erasure_indexes)
@@ -155,6 +159,12 @@ class PlanGuardSpec extends SparkSpec {
     "q_fsck_stores",      // builds dense/shards/snapshot stores, then audits
     "q_mixture_budget",   // one layout-pinning checkpoint for the running sum
     "q_curate_e2e",       // composed pipeline: the mixture stage's checkpoint
+    // per-dataset authorize (ledger read) + durable charge write, 8
+    // datasets x 2 releases + a no-op replay each
+    "q_dp_budget",
+    // consent registry bootstrap + two SCD-2 merges (touched-bucket
+    // collects bounded by the bucket count) before the gate
+    "q_consent_gate",
     "q_compact_serve"     // build + append + compact the BM25 store in-query
   )
 
@@ -209,18 +219,26 @@ class PlanGuardSpec extends SparkSpec {
         // writes, a k-means build + cluster-partitioned index write, a
         // snapshot bootstrap + merge, an EventStatsStore bootstrap +
         // second-day merge (round 10: the last audited store family),
-        // a pending-retention capture write, then the five store audits
-        // + the sweep-debt probes — each write carrying AQE sub-jobs;
-        // fixed store count, zero iteration (~95 observed, headroom for
-        // AQE drift).
+        // a pending-retention capture write, a deletion-vector append
+        // (content-id fold + write + count), then the five store audits
+        // + the sweep-debt and dv-debt probes — each write carrying AQE
+        // sub-jobs; fixed store count, zero iteration (~100 observed,
+        // headroom for AQE drift).
         // q_compact_serve is three fixed staged-write phases (build,
         // append, compact) before the serve — each with AQE sub-jobs.
         val budget =
           if (name == "q_fsck") 60
           else if (name == "q_rectify") 68
-          else if (name == "q_fsck_stores") 105
+          else if (name == "q_fsck_stores") 115
           else if (name == "q_mondrian_ldiv" || name == "q_mondrian_tclose") 80
           else if (name == "q_compact_serve") 55
+          // 8 datasets x (2 authorizes + 2 charge writes) + schedule
+          // collect + the final composed read
+          else if (name == "q_dp_budget") 60
+          // registry bootstrap (store + manifest writes) + two bucketed
+          // merges (touched collect, staged write, readback, manifest
+          // refresh each) + the withdraw count (~44 observed)
+          else if (name == "q_consent_gate") 55
           else 40
         assert(buildJobs.length <= budget,
           s"$name ran ${buildJobs.length} build jobs — exceeds the bounded-" +

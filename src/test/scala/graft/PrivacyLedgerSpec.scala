@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.policy.PrivacyLedger
+
+/** The DP budget accountant ([[graft.policy.PrivacyLedger]]): spend
+  * composes per dataset, a replayed release id never double-charges,
+  * authorization refuses BEFORE the budget would be exceeded (equality
+  * allowed), a torn charge is invisible until its retry, and the
+  * advanced-composition report matches the DRV bound computed directly.
+  */
+class PrivacyLedgerSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("ledger").toString
+
+  private def fsOf(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("charges compose per dataset and replays are no-ops") {
+    val dir = tmp()
+    assert(PrivacyLedger.charge(spark, dir, "a", "r1", 0.5))
+    assert(PrivacyLedger.charge(spark, dir, "a", "r2", 0.25, delta = 1e-9))
+    assert(PrivacyLedger.charge(spark, dir, "b", "r3", 1.0))
+    assert(!PrivacyLedger.charge(spark, dir, "a", "r1", 0.5),
+      "a replayed release id must not charge again")
+    val (na, ea, da) = PrivacyLedger.spent(spark, dir, "a")
+    assert(na == 2L && math.abs(ea - 0.75) < 1e-12 && math.abs(da - 1e-9) < 1e-21)
+    val (nb, eb, _) = PrivacyLedger.spent(spark, dir, "b")
+    assert(nb == 1L && eb == 1.0)
+    assert(PrivacyLedger.spent(spark, dir, "missing") == ((0L, 0.0, 0.0)))
+  }
+
+  test("authorize refuses past the eps budget, allows equality, isolates datasets") {
+    val dir = tmp()
+    PrivacyLedger.charge(spark, dir, "a", "r1", 1.5)
+    // equality is allowed: 1.5 + 0.5 == 2.0
+    PrivacyLedger.authorize(spark, dir, "a", eps = 0.5, budgetEps = 2.0)
+    val e = intercept[IllegalArgumentException] {
+      PrivacyLedger.authorize(spark, dir, "a", eps = 0.6, budgetEps = 2.0)
+    }
+    assert(e.getMessage.contains("budget exhausted"))
+    // another dataset's spend does not count against this one
+    PrivacyLedger.authorize(spark, dir, "b", eps = 2.0, budgetEps = 2.0)
+    // delta budget enforces independently
+    PrivacyLedger.charge(spark, dir, "c", "rc", 0.1, delta = 1e-6)
+    intercept[IllegalArgumentException] {
+      PrivacyLedger.authorize(spark, dir, "c", eps = 0.1, budgetEps = 10.0,
+        delta = 1e-6, budgetDelta = 1.5e-6)
+    }
+  }
+
+  test("a torn charge is invisible until its retry overwrites it") {
+    val dir = tmp()
+    PrivacyLedger.charge(spark, dir, "a", "r1", 0.5)
+    // fabricate a crash: a second charge whose _SUCCESS never landed
+    PrivacyLedger.charge(spark, dir, "a", "torn", 9.0)
+    val entry = fsOf(dir)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/ledger"))
+      .map(_.getPath)
+      .find(p => spark.read.parquet(p.toString)
+        .filter(org.apache.spark.sql.functions.col("release_id") === "torn")
+        .count() > 0).get
+    fsOf(dir).delete(new org.apache.hadoop.fs.Path(entry, "_SUCCESS"), false)
+    val (n, e, _) = PrivacyLedger.spent(spark, dir, "a")
+    assert(n == 1L && e == 0.5, "the torn charge must be invisible")
+    // the retry re-lands the same entry and it counts exactly once
+    assert(PrivacyLedger.charge(spark, dir, "a", "torn", 9.0))
+    assert(PrivacyLedger.spent(spark, dir, "a") == ((2L, 9.5, 0.0)))
+  }
+
+  test("authorizeAndCharge: a crashed release's retry proceeds even at a full budget") {
+    val dir = tmp()
+    PrivacyLedger.authorizeAndCharge(spark, dir, "a", "r1", eps = 2.0,
+      budgetEps = 2.0)
+    // the release crashed after charging; the retry must NOT refuse
+    // itself against its own spend (the charge is the idempotency token)
+    PrivacyLedger.authorizeAndCharge(spark, dir, "a", "r1", eps = 2.0,
+      budgetEps = 2.0)
+    assert(PrivacyLedger.spent(spark, dir, "a") == ((1L, 2.0, 0.0)))
+    // but a NEW release is refused — the budget really is spent
+    intercept[IllegalArgumentException] {
+      PrivacyLedger.authorizeAndCharge(spark, dir, "a", "r2", eps = 0.1,
+        budgetEps = 2.0)
+    }
+  }
+
+  test("advanced-composition report matches the DRV bound") {
+    val dir = tmp()
+    PrivacyLedger.charge(spark, dir, "a", "r1", 0.4)
+    PrivacyLedger.charge(spark, dir, "a", "r2", 0.2)
+    val row = PrivacyLedger.spentByDataset(spark, dir, deltaSlack = 1e-6)
+      .filter(org.apache.spark.sql.functions.col("dataset") === "a")
+      .head()
+    val expected =
+      math.sqrt(2 * math.log(1e6) * (0.4 * 0.4 + 0.2 * 0.2)) +
+        (0.4 * (math.exp(0.4) - 1) + 0.2 * (math.exp(0.2) - 1))
+    assert(math.abs(row.getAs[Double]("adv_eps") - expected) < 1e-9)
+    assert(row.getAs[Long]("n_releases") == 2L)
+  }
+}
