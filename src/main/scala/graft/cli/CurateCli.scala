@@ -869,7 +869,12 @@ object CurateCli {
       }
     }
     failpoint("settle-keys-captured")
-    val summary = runErase(spark, snapPath, outDir, profileBudget)
+    // the failpoint forwards into the sweep too: a settle that dies
+    // INSIDE runErase leaves .settle-keys AND .erase-facts pending, and
+    // the replay resumes the same snapshot into the same sweep (content
+    // ids match), converging through runErase's own machinery
+    val summary = runErase(spark, snapPath, outDir, profileBudget,
+      failpoint = failpoint)
     failpoint("erase-complete")
     // the physical sweep is done — retire the settled keys from the
     // vectors (read from the capture, not the purged corpus), then drop

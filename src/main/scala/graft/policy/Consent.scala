@@ -103,6 +103,11 @@ object Consent {
       purpose: String,
       subjectCol: String = "doc_id"
   ): DataFrame = {
+    // no registry at all = nobody has consented: the opt-in reading
+    // denies everything rather than erroring on the missing path
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return input.limit(0)
     val granted = grantedSubjects(spark, dir, purpose)
       .withColumnRenamed("subject_id", subjectCol)
     input.join(granted, Seq(subjectCol), "left_semi")
@@ -114,6 +119,17 @@ object Consent {
     * deletion vector for the subjects so every masked serve stops
     * returning them NOW; the physical purge rides the next
     * `erase-settle`. Returns the number of subjects withdrawn.
+    *
+    * The two legs do not commit atomically and need no protocol to:
+    * BOTH are idempotent under replay of the SAME request (the registry
+    * merge dedups same-key-same-timestamp redeliveries; the vector is
+    * content-addressed by the key set), so the caller's request file is
+    * the durable artifact and the heal for a crash between the legs is
+    * re-running the withdrawal — the sweep convention. Registry-first
+    * ordering errs on the strict side: a crash in the gap stops future
+    * ADMISSION (the gate reads the registry) while serving stops at the
+    * replay; vector-first would leave the registry still granting,
+    * which the gate must never see.
     */
   def withdraw(
       spark: SparkSession,
@@ -121,7 +137,8 @@ object Consent {
       subjects: DataFrame,
       purpose: String,
       updatedAt: Long,
-      stateDir: Option[String] = None
+      stateDir: Option[String] = None,
+      failpoint: String => Unit = _ => ()
   ): Long = {
     val subs = subjects
       .select(col(subjects.columns.head).as("subject_id")).distinct()
@@ -130,6 +147,7 @@ object Consent {
       .withColumn("granted", lit(false))
       .withColumn("updated_at", lit(updatedAt))
     update(spark, consentDir, events)
+    failpoint("registry-updated")
     stateDir.foreach { sd =>
       graft.operators.DeletionVectors.append(spark, sd,
         subs.withColumnRenamed("subject_id", "doc_id"))

@@ -39,6 +39,9 @@ class ConsentSpec extends SparkSpec {
     val admitted = Consent.gate(spark, dir, input, "training")
       .collect().map(_.getLong(0)).toSet
     assert(admitted == Set(1L, 3L))
+    // no registry at all: nobody consented, nothing admitted
+    assert(Consent.gate(spark, s"${tmp("none")}/missing", input, "training")
+      .isEmpty)
   }
 
   test("grant/withdraw/re-grant chain keeps the audit history (Art. 7(1))") {
@@ -96,6 +99,46 @@ class ConsentSpec extends SparkSpec {
     assert(Consent.grantedSubjects(spark, consent, "training")
       .join(wd.withColumnRenamed("doc_id", "subject_id"),
         Seq("subject_id"), "left_semi").isEmpty)
+  }
+
+  test("withdrawal killed between the registry and the vector heals by replay") {
+    final case class Crash(at: String) extends RuntimeException(at)
+    val work = tmp("crash")
+    val state = s"$work/state"
+    val consent = s"$work/consent"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .limit(200).write.parquet(s"$work/b0")
+    assert(CurateCli.runIncremental(
+      spark, s"$work/b0", state, nShards = 2).auditOk)
+    val ids = spark.read.parquet(s"$state/corpus").select(col("doc_id"))
+    Consent.init(spark, consent,
+      ids.withColumnRenamed("doc_id", "subject_id")
+        .withColumn("purpose", lit("training"))
+        .withColumn("granted", lit(true))
+        .withColumn("updated_at", lit(1L)))
+    ids.filter(col("doc_id") % 4 === 1).write.parquet(s"$work/wd")
+    val wd = spark.read.parquet(s"$work/wd")
+    assert(intercept[Crash] {
+      Consent.withdraw(spark, consent, wd, "training", 2L,
+        stateDir = Some(state),
+        failpoint = at => if (at == "registry-updated") throw Crash(at))
+    }.at == "registry-updated")
+    // the gap's invariant: admission already stopped (registry-first),
+    // serving not yet masked — the heal is replaying the SAME request
+    assert(Consent.gate(spark, consent,
+      spark.read.parquet(s"$state/corpus"), "training")
+      .join(wd, Seq("doc_id"), "left_semi").isEmpty,
+      "the registry leg landed: the gate must already refuse")
+    Consent.withdraw(spark, consent, wd, "training", 2L,
+      stateDir = Some(state))
+    // replay converged: one registry version, serving masked
+    assert(graft.pipeline.Snapshot.loadStore(spark, consent)
+      .filter(col("updated_at") === 2L).count() == wd.count(),
+      "redelivered events must not duplicate versions")
+    assert(DeletionVectors.maskServing(spark, state,
+      spark.read.parquet(s"$state/corpus"))
+      .join(wd, Seq("doc_id"), "left_semi").isEmpty)
   }
 
   test("a redelivered withdrawal event is one version, not two") {

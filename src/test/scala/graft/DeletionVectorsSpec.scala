@@ -209,6 +209,39 @@ class DeletionVectorsSpec extends SparkSpec {
       }
   }
 
+  test("settle killed INSIDE the physical sweep converges on replay") {
+    // the settle failpoint forwards into runErase, so a death between
+    // the sweep's own legs leaves .settle-keys AND .erase-facts pending;
+    // the replay resumes the SAME snapshot into the SAME sweep (content
+    // ids match) and runErase's convergence machinery takes it home
+    val work = tmp("kill_inner")
+    val state = s"$work/state"
+    copyDir(goldenState, state)
+    spark.read.parquet(s"$state/corpus")
+      .filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+      .write.parquet(s"$work/keys")
+    CurateCli.runEraseLogical(spark, s"$work/keys", state)
+    assert(intercept[Crash] {
+      CurateCli.runEraseSettle(spark, state, failpoint = killAt("corpus-purged"))
+    }.at == "corpus-purged")
+    assert(exists(s"$state/.settle-keys") && exists(s"$state/.erase-facts"),
+      "both captures must be pending after the in-sweep crash")
+    CurateCli.runEraseSettle(spark, state)
+    val keys = spark.read.parquet(s"$work/keys")
+    assert(spark.read.parquet(s"$state/corpus")
+      .join(keys, Seq("doc_id"), "left_semi").isEmpty)
+    assert(DeletionVectors.pending(spark, state)._1 == 0)
+    assert(!exists(s"$state/.settle-keys") && !exists(s"$state/.erase-facts"))
+    val agg = AggStore.serve(spark, s"$state/agg")
+      .select("source", "cnt").collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val oneShot = AggStore.aggregate(
+      spark.read.parquet(s"$state/corpus"), Seq("source"),
+      col("n_tokens").cast("long"))
+      .select("source", "cnt").collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(agg == oneShot, "agg must equal the one-shot over the retained corpus")
+    assert(Fsck.state(spark, state).forall(_.ok))
+  }
+
   test("subtract retires only covered keys and never loses a mask mid-crash") {
     val work = tmp("subtract")
     val state = s"$work/state"
