@@ -924,7 +924,8 @@ object CurateCli {
       nSearch: Long,
       nDense: Long,
       nExact: Long,
-      nShards: Long)
+      nShards: Long,
+      nMaskedPending: Long = 0L)
 
   /** Right-of-access sweep (GDPR Art. 15, the read-side dual of
     * [[runErase]]): for a set of subject document ids, report every
@@ -1125,7 +1126,16 @@ object CurateCli {
         sum(col("n_shard_rows")))
       .head()
     def s0(i: Int) = if (tot.isNullAt(i)) 0L else tot.getLong(i)
-    val summary = AccessSummary(nKeys, nCorpus, s0(0), s0(1), s0(2), s0(3), s0(4))
+    // Art. 15 discloses processing STATUS too: a requested subject whose
+    // id sits in a pending deletion vector is logically erased — still
+    // physically present (the rows above), but excluded from every
+    // masked serve until the settle sweep purges it
+    val nMasked = graft.operators.DeletionVectors.load(spark, outDir) match {
+      case None => 0L
+      case Some(dv) => dv.join(broadcast(keys), Seq("doc_id"), "left_semi").count()
+    }
+    val summary = AccessSummary(nKeys, nCorpus, s0(0), s0(1), s0(2), s0(3),
+      s0(4), nMasked)
     Files.createDirectories(Paths.get(reportDir))
     Files.writeString(
       Paths.get(s"$reportDir/access_report.json"),
@@ -1133,6 +1143,7 @@ object CurateCli {
         s""""n_band_rows":${summary.nBand},"n_search_postings":${summary.nSearch},""" +
         s""""n_dense_rows":${summary.nDense},"n_exact_rows":${summary.nExact},""" +
         s""""n_shard_rows":${summary.nShards},""" +
+        s""""n_pending_logical_erasure":${summary.nMaskedPending},""" +
         """"profile_note":"sketch stores hold aggregates, no per-subject rows"}""" + "\n")
     summary
   }
@@ -1458,7 +1469,8 @@ object CurateCli {
       val s = runAccess(spark, args(1), args(2), args(3))
       println(s"[curate] access keys=${s.nKeys} corpus_rows=${s.nCorpus} " +
         s"band=${s.nBand} search=${s.nSearch} dense=${s.nDense} " +
-        s"exact=${s.nExact} shard_rows=${s.nShards}")
+        s"exact=${s.nExact} shard_rows=${s.nShards} " +
+        s"pending_logical_erasure=${s.nMaskedPending}")
       spark.stop()
       return
     }

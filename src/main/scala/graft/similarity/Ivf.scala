@@ -362,6 +362,27 @@ object Ivf {
       domainSize = k)
   }
 
+  /** Logical-erasure mask on the dense serve path
+    * ([[graft.operators.DeletionVectors]] — the
+    * [[graft.text.Bm25.retrieveTopKIndexed]] `maskIds` convention):
+    * subtract the request-sized vector from the CANDIDATE set, after the
+    * probe join and before the top-k, so masked ids are never returned
+    * and k results still come back. The anti-join broadcasts the mask
+    * and sits above the cluster-partition pruning, which it leaves
+    * intact.
+    */
+  private def applyMask(
+      df: DataFrame,
+      idCol: String,
+      maskIds: Option[DataFrame]
+  ): DataFrame =
+    maskIds match {
+      case None => df
+      case Some(m) =>
+        val keys = m.select(col(m.columns.head).as(idCol)).distinct()
+        df.join(broadcast(keys), Seq(idCol), "left_anti")
+    }
+
   /** ANN search: exact cosine within the `nprobe` clusters nearest to the
     * query vector.
     */
@@ -372,7 +393,8 @@ object Ivf {
       vecCol: String,
       query: Seq[Double],
       k: Int,
-      nprobe: Int = 2
+      nprobe: Int = 2,
+      maskIds: Option[DataFrame] = None
   ): DataFrame = {
     val q = typedLit(query)
     val probes = centroids
@@ -380,8 +402,7 @@ object Ivf {
       .orderBy(col("_dist"), col("centroid_id"))
       .limit(nprobe)
       .select(col("centroid_id"))
-    assigned
-      .join(broadcast(probes), "centroid_id")
+    applyMask(assigned.join(broadcast(probes), "centroid_id"), idCol, maskIds)
       .select(
         col(idCol),
         Similarity.cosine(col(vecCol), q).as("cos_sim")
@@ -419,7 +440,8 @@ object Ivf {
       queryIdCol: String,
       queryVecCol: String,
       k: Int,
-      nprobe: Int = 2
+      nprobe: Int = 2,
+      maskIds: Option[DataFrame] = None
   ): DataFrame = {
     require(k > 0, s"ivf: k must be positive, got $k")
     require(nprobe > 0, s"ivf: nprobe must be positive, got $nprobe")
@@ -448,8 +470,7 @@ object Ivf {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= nprobe)
       .select(col(queryIdCol), col("_qv"), col("centroid_id"))
-    assigned
-      .join(broadcast(probes), "centroid_id")
+    applyMask(assigned.join(broadcast(probes), "centroid_id"), idCol, maskIds)
       .select(
         col(queryIdCol),
         col(idCol),

@@ -933,6 +933,57 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Streaming consent events into the registry (the rights queue's
+    * fourth member, GDPR Art. 6/7 next to rectifySink's Art. 16 and
+    * eraseSink's Art. 17): each micro-batch of
+    * `(subject_id, purpose, granted, updated_at)` events merges into the
+    * [[graft.policy.Consent]] SCD-2 registry, and the batch's
+    * WITHDRAWALS also land one deletion vector in `stateDir` so every
+    * masked serve stops returning those subjects at the batch boundary —
+    * the physical purge rides the next erase-settle, exactly
+    * [[graft.policy.Consent.withdraw]]'s contract, applied per batch.
+    *
+    * Exactly-once the sinks' usual way: a redelivered batch converges
+    * rather than double-applies (the registry merge dedups same-key-
+    * same-timestamp redeliveries; the vector is content-addressed by its
+    * key set). Ordering with the other queue members: a withdrawal's
+    * vector only MASKS — an erase sweep ordered before or after it
+    * commutes (the sweep purges, the mask over-masks purged ids
+    * harmlessly until settle retires it), and a rectification of a
+    * masked subject updates content that stays masked until the subject
+    * re-grants, the [[graft.cli.CurateCli.runEraseLogical]] re-admission
+    * contract.
+    */
+  def consentSink(
+      stream: DataFrame,
+      consentDir: String,
+      checkpoint: String,
+      stateDir: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val events = batch.select(
+            col("subject_id"), col("purpose"),
+            col("granted").cast("boolean").as("granted"),
+            col("updated_at").cast("long").as("updated_at"))
+          graft.policy.Consent.update(spark, consentDir, events)
+          stateDir.foreach { sd =>
+            val withdrawn = events.filter(!col("granted"))
+              .select(col("subject_id").as("doc_id")).distinct()
+            if (!withdrawn.isEmpty)
+              graft.operators.DeletionVectors.append(spark, sd, withdrawn)
+          }
+          ()
+        }
+      }
+      .start()
+
   /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
     * timeout: a session closes when no event arrives within `gapMs` of the
     * last one (by watermark). Emits one row per closed session.

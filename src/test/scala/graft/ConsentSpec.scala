@@ -151,6 +151,52 @@ class ConsentSpec extends SparkSpec {
     assert(Consent.grantedSubjects(spark, dir, "training").isEmpty)
   }
 
+  test("streaming consent events: the sink merges the registry and masks withdrawals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val work = tmp("sink")
+    val state = s"$work/state"
+    val consent = s"$work/consent"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .limit(120).write.parquet(s"$work/b0")
+    assert(CurateCli.runIncremental(
+      spark, s"$work/b0", state, nShards = 2).auditOk)
+    val ids = spark.read.parquet(s"$state/corpus")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    Consent.init(spark, consent, events(ids.toSeq, "training", granted = true, 1L))
+
+    // (subject_id, purpose, granted, updated_at)
+    val input = MemoryStream[(Long, String, Boolean, Long)]
+    val stream = input.toDF()
+      .toDF("subject_id", "purpose", "granted", "updated_at")
+    val withdrawn = ids.take(5).toSeq
+    input.addData(withdrawn.map(id => (id, "training", false, 2L)): _*)
+    StreamingPipeline.consentSink(stream, consent, s"$work/ckpt",
+      stateDir = Some(state)).awaitTermination()
+    // a second batch: one re-grant, one fresh withdrawal
+    input.addData((withdrawn.head, "training", true, 3L),
+      (ids(10), "training", false, 3L))
+    StreamingPipeline.consentSink(stream, consent, s"$work/ckpt",
+      stateDir = Some(state)).awaitTermination()
+
+    val granted = Consent.grantedSubjects(spark, consent, "training")
+      .collect().map(_.getLong(0)).toSet
+    assert(!granted.contains(ids(10)))
+    assert(withdrawn.tail.forall(!granted.contains(_)))
+    assert(granted.contains(withdrawn.head), "the re-grant must win")
+    // the withdrawals' vectors mask serving (the re-granted subject
+    // stays masked until its vector settles — the documented
+    // re-admission contract: settle, then re-admit)
+    val served = DeletionVectors.maskServing(spark, state,
+      spark.read.parquet(s"$state/corpus"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(withdrawn.tail.forall(!served.contains(_)))
+    assert(!served.contains(ids(10)))
+  }
+
   test("the snapshot-store auditor reaches the registry") {
     val dir = tmp("fsck")
     Consent.init(spark, dir,

@@ -263,6 +263,60 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(ids(remaining) == ids(b) -- ids(half))
   }
 
+  test("the dense serve path takes the mask: IVF search excludes masked ids, k results survive") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (centroids, assigned) =
+      graft.similarity.Ivf.build(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val q = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).head().getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }
+    val unmasked = graft.similarity.Ivf
+      .search(assigned, centroids, "vec_id", "embedding", q, k = 10, nprobe = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // mask the top 3 unmasked hits: the masked serve must return the
+    // SAME ranking with those ids removed and k still filled
+    val maskSet = unmasked.take(3).map(_._1).toSet
+    val mask = maskSet.toSeq.toDF("vec_id")
+    val masked = graft.similarity.Ivf
+      .search(assigned, centroids, "vec_id", "embedding", q, k = 10,
+        nprobe = 4, maskIds = Some(mask))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(masked.length == 10, "k results must survive the mask")
+    assert(!masked.exists(m => maskSet.contains(m._1)))
+    assert(masked.map(_._1).take(7).toSeq ==
+      unmasked.filterNot(m => maskSet.contains(m._1)).map(_._1).take(7).toSeq,
+      "survivors keep their relative order and scores")
+    // the batched path takes the same mask
+    val qdf = Seq((1, q)).toDF("qid", "qvec")
+    val multi = graft.similarity.Ivf
+      .searchAll(assigned, centroids, "vec_id", "embedding", qdf,
+        "qid", "qvec", k = 10, nprobe = 4, maskIds = Some(mask))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(multi.intersect(maskSet).isEmpty && multi.size == 10)
+  }
+
+  test("Art. 15 access discloses a pending logical erasure") {
+    val work = tmp("access")
+    val state = s"$work/state"
+    copyDir(goldenState, state)
+    spark.read.parquet(s"$state/corpus")
+      .filter(col("doc_id") % 13 === 1).select(col("doc_id"))
+      .write.parquet(s"$work/keys")
+    CurateCli.runEraseLogical(spark, s"$work/keys", state)
+    val s1 = CurateCli.runAccess(spark, s"$work/keys", state, s"$work/report")
+    assert(s1.nMaskedPending == s1.nKeys,
+      "every requested subject is pending logical erasure")
+    assert(s1.nCorpus > 0, "the rows are still physically present pre-settle")
+    CurateCli.runEraseSettle(spark, state)
+    val s2 = CurateCli.runAccess(spark, s"$work/keys", state, s"$work/report2")
+    assert(s2.nMaskedPending == 0L && s2.nCorpus == 0L,
+      "post-settle: no pending mask, no rows")
+  }
+
   test("pending load is ONE scan: mask job count is independent of the vector count") {
     val work1 = tmp("scan1")
     val work4 = tmp("scan4")
