@@ -58,15 +58,35 @@ object Consent {
     */
   def init(spark: SparkSession, dir: String, events: DataFrame): Unit =
     Snapshot.writeStore(
-      Snapshot.initial(keyed(events), "consent_key", "updated_at"),
+      Snapshot.initial(keyed(resolved(events)), "consent_key", "updated_at"),
       "consent_key", dir, buckets = Buckets)
+
+  /** A batch carrying BOTH a grant and a withdrawal for the same
+    * (subject, purpose) at the same timestamp resolves DENY-WINS
+    * (`bool_and`) before it reaches the store — the strict reading of
+    * an ambiguous simultaneous indication, and it keeps the SCD-2
+    * merge deterministic (its same-key-same-timestamp dedup would
+    * otherwise keep an arbitrary row). Same-timestamp REDELIVERIES
+    * across batches must carry the same verdict — that is what makes
+    * them redeliveries; this resolution covers conflicts within a
+    * batch, where simultaneous events actually collide.
+    */
+  private def resolved(events: DataFrame): DataFrame =
+    events
+      .filter(col("subject_id").isNotNull && col("purpose").isNotNull &&
+        col("granted").isNotNull && col("updated_at").isNotNull)
+      .groupBy(col("subject_id"), col("purpose"), col("updated_at"))
+      .agg(bool_and(col("granted")).as("granted"))
+      .select(col("subject_id"), col("purpose"), col("granted"),
+        col("updated_at"))
 
   /** Merge a later event batch — grants, withdrawals, purpose changes.
     * Timestamp-strategy semantics: a row supersedes the current version
-    * of its key when `updated_at` advances ([[Snapshot.mergeStore]]).
+    * of its key when `updated_at` advances ([[Snapshot.mergeStore]]);
+    * in-batch same-timestamp conflicts resolve deny-wins ([[resolved]]).
     */
   def update(spark: SparkSession, dir: String, events: DataFrame): Unit =
-    Snapshot.mergeStore(spark, dir, keyed(events), "consent_key",
+    Snapshot.mergeStore(spark, dir, keyed(resolved(events)), "consent_key",
       "updated_at", buckets = Buckets)
 
   /** Current consent state: one row per (subject, purpose) with the

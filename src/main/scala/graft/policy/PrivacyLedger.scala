@@ -67,8 +67,19 @@ object PrivacyLedger {
     require(delta >= 0, s"ledger: delta must be non-negative, got $delta")
     val entry = s"${ledgerRoot(dir)}/charge=${chargeKey(releaseId)}"
     val fs = fsOf(spark, entry)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$entry/_SUCCESS"))) false
-    else {
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$entry/_SUCCESS"))) {
+      // a replay must BE a replay: the same release id presented with
+      // different accounting is id reuse, and silently no-opping it
+      // would run an unauthorized release against a stale charge
+      val prior = spark.read.schema(EntrySchema).parquet(entry).head()
+      require(prior.getString(0) == dataset &&
+        prior.getDouble(2) == eps && prior.getDouble(3) == delta,
+        s"ledger: release id '$releaseId' was already charged as " +
+          s"(dataset=${prior.getString(0)}, eps=${prior.getDouble(2)}, " +
+          s"delta=${prior.getDouble(3)}) — a retry must carry the same " +
+          "accounting; a new release needs a new id")
+      false
+    } else {
       import spark.implicits._
       Seq((dataset, releaseId, eps, delta, System.currentTimeMillis()))
         .toDF("dataset", "release_id", "eps", "delta", "_stamp")
@@ -192,10 +203,12 @@ object PrivacyLedger {
     val replay = fsOf(spark, entry)
       .exists(new org.apache.hadoop.fs.Path(s"$entry/_SUCCESS"))
     // a replayed id is already paid for — authorizing it again would
-    // double-count its own spend against the budget
-    if (!replay) {
+    // double-count its own spend against the budget — but it must
+    // still go through charge, which verifies the retry carries the
+    // SAME accounting (id reuse is refused there)
+    if (!replay)
       authorize(spark, dir, dataset, eps, budgetEps, delta, budgetDelta)
-      charge(spark, dir, dataset, releaseId, eps, delta)
-    }
+    charge(spark, dir, dataset, releaseId, eps, delta)
+    ()
   }
 }

@@ -974,7 +974,10 @@ object StreamingPipeline {
             col("updated_at").cast("long").as("updated_at"))
           graft.policy.Consent.update(spark, consentDir, events)
           stateDir.foreach { sd =>
-            val withdrawn = events.filter(!col("granted"))
+            // null-id withdrawals can mask nothing; the update above
+            // already drops null-field events from the registry
+            val withdrawn = events
+              .filter(col("subject_id").isNotNull && !col("granted"))
               .select(col("subject_id").as("doc_id")).distinct()
             if (!withdrawn.isEmpty)
               graft.operators.DeletionVectors.append(spark, sd, withdrawn)

@@ -197,6 +197,34 @@ class ConsentSpec extends SparkSpec {
     assert(!served.contains(ids(10)))
   }
 
+  test("simultaneous conflicting events resolve deny-wins; null-field events are dropped") {
+    val dir = tmp("conflict")
+    Consent.init(spark, dir, events(Seq(1L, 2L), "training", granted = true, 1L))
+    // one batch carries BOTH verdicts for subject 1 at ts 2 — the
+    // strict reading denies; subject 2's clean grant rides along
+    val conflicted = Seq(
+      (1L, "training", true, 2L),
+      (1L, "training", false, 2L),
+      (2L, "training", true, 2L)).toDF(
+      "subject_id", "purpose", "granted", "updated_at")
+    Consent.update(spark, dir, conflicted)
+    val granted = Consent.grantedSubjects(spark, dir, "training")
+      .collect().map(_.getLong(0)).toSet
+    assert(granted == Set(2L), "the simultaneous conflict must deny")
+    // null-field events never reach the registry
+    val dirty = Seq(
+      (Some(3L), Some("training"), Some(true), Some(3L)),
+      (None, Some("training"), Some(true), Some(3L)),
+      (Some(4L), Some("training"), None, Some(3L))).toDF(
+      "subject_id", "purpose", "granted", "updated_at")
+    Consent.update(spark, dir, dirty)
+    val cur = Consent.currentState(spark, dir)
+    assert(cur.filter(col("subject_id").isNull).isEmpty)
+    assert(cur.filter(col("subject_id") === 4L).isEmpty)
+    assert(Consent.grantedSubjects(spark, dir, "training")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("the snapshot-store auditor reaches the registry") {
     val dir = tmp("fsck")
     Consent.init(spark, dir,

@@ -86,6 +86,24 @@ class PrivacyLedgerSpec extends SparkSpec {
     }
   }
 
+  test("release-id reuse with different accounting is refused, not silently no-opped") {
+    val dir = tmp()
+    PrivacyLedger.charge(spark, dir, "a", "r1", 0.5)
+    // a true retry passes the verification
+    assert(!PrivacyLedger.charge(spark, dir, "a", "r1", 0.5))
+    // id reuse with a different eps / dataset would run an unauthorized
+    // release against a stale charge — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      PrivacyLedger.charge(spark, dir, "a", "r1", 0.6)
+    }
+    assert(e.getMessage.contains("a new release needs a new id"))
+    intercept[IllegalArgumentException] {
+      PrivacyLedger.authorizeAndCharge(spark, dir, "b", "r1", eps = 0.5,
+        budgetEps = 10.0)
+    }
+    assert(PrivacyLedger.spent(spark, dir, "a") == ((1L, 0.5, 0.0)))
+  }
+
   test("advanced-composition report matches the DRV bound") {
     val dir = tmp()
     PrivacyLedger.charge(spark, dir, "a", "r1", 0.4)
