@@ -43,6 +43,10 @@ import org.apache.spark.sql.functions._
   * crash between the two leaves both live, which over-masks only ids
   * the physical sweep already purged.
   *
+  * Writer discipline: like every maintained store in this engine, the
+  * vector tree assumes ONE writer at a time (the CLI/sweep convention);
+  * readers are always safe — they see `_SUCCESS`-complete vectors only.
+  *
   * Reference frame: tabodino/dbt-gdpr-anonymizer deletes by rebuilding
   * anonymized models in place (the models/marts SQL layer); this module is the
   * incremental-store counterpart those rebuilds don't need but a
@@ -74,7 +78,9 @@ object DeletionVectors {
   /** Record a logical erasure: the distinct keys land as ONE parquet
     * vector at `dv=<contentId>` with a capture stamp per row (the fsck
     * debt-age signal). Returns the number of masked keys. Re-appending
-    * the same key set overwrites the same directory — a no-op at serve.
+    * the same key set overwrites the same directory — a no-op at serve,
+    * and it KEEPS the original capture stamp: a redelivered request
+    * must not make outstanding debt look younger than it is.
     */
   def append(
       spark: SparkSession,
@@ -85,7 +91,17 @@ object DeletionVectors {
     val ks = keys.select(col(idCol)).distinct()
     val id = contentId(ks, idCol)
     val dir = s"${dvRoot(outDir)}/dv=${java.lang.Long.toHexString(id)}"
-    ks.withColumn("_stamp", lit(System.currentTimeMillis()))
+    val fs = fsOf(spark, dir)
+    val stamp =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
+        System.currentTimeMillis()
+      else {
+        val prior = spark.read.parquet(dir).agg(min(col("_stamp"))).head()
+        if (prior.isNullAt(0)) System.currentTimeMillis() else prior.getLong(0)
+      }
+    // the prior read is materialized into a literal, so overwriting the
+    // directory it came from is safe
+    ks.withColumn("_stamp", lit(stamp))
       .write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir).count()
   }

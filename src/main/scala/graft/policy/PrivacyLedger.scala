@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   * invisible. Reads are ONE multi-path scan of the complete entries,
   * never a per-entry union.
   *
+  * Writer discipline: the engine-wide single-writer stance — one
+  * release pipeline charges at a time; concurrent releases against the
+  * same budget need external serialization, which [[authorize]]'s
+  * read-then-charge cannot replace.
+  *
   * Reference frame: tabodino/dbt-gdpr-anonymizer releases anonymized
   * marts with no release accounting (the models/marts SQL layer) — fine for
   * one-shot masking, unsound for repeated noisy statistics; this module

@@ -110,10 +110,14 @@ class DeletionVectorsSpec extends SparkSpec {
     val keys = spark.read.parquet(s"$state/corpus")
       .filter(col("doc_id") % 13 === 0).select(col("doc_id"))
     DeletionVectors.append(spark, state, keys)
+    val (_, _, stamp0) = DeletionVectors.pending(spark, state)
+    Thread.sleep(5)
     DeletionVectors.append(spark, state, keys) // replay: same directory
     assert(DeletionVectors.liveDirs(spark, state).size == 1)
     val (dirs, n, stamp) = DeletionVectors.pending(spark, state)
     assert(dirs == 1 && n == keys.count() && stamp.nonEmpty)
+    assert(stamp == stamp0,
+      "a redelivered request must not make the debt look younger")
     // a torn append (no _SUCCESS) must be invisible to load and pending
     val torn = s"$state/.dv/dv=deadbeef"
     keys.limit(2).withColumn("_stamp", lit(0L))
