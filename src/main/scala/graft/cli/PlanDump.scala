@@ -121,7 +121,8 @@ object PlanDump {
     "q_curate_e2e",       // the six-stage composed curation pipeline
     "q_erase_logical",    // deletion-vector mask between scoring and ranking
     "q_dp_budget",        // ledger composition over content-addressed charges
-    "q_consent_gate"      // SCD-2 registry merges + the opt-in semi-join
+    "q_consent_gate",     // SCD-2 registry merges + the opt-in semi-join
+    "q_consent_dp_release" // consent gate -> DP release -> ledger charge
   )
 
   def main(args: Array[String]): Unit = {

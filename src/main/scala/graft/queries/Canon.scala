@@ -111,6 +111,7 @@ object Canon {
     "q_release_cert" -> Seq("avg_completeness"),
     "q_dp_quantiles" -> Seq("est_dp", "est_exact"),
     "q_dp_budget" -> Seq("spent_eps", "spent_delta", "adv_eps", "remaining_eps"),
+    "q_consent_dp_release" -> Seq("spent_eps"),
     "q_pct_rank" -> Seq("pct_rank", "exact_pr"),
     "q_t_closeness" -> Seq("tvd"),
     "q_reid_risk" -> Seq("pct_unique"),

@@ -390,6 +390,100 @@ object PrivacyQueries {
           cast(${duckRound("2.0 - (e1 + e1/2)", 6)} as decimal(14,6)) as remaining_eps
         from e order by dataset""")
     ),
+    // the compliance pipeline composed end to end (the q_curate_e2e of
+    // the rights layer): a consent registry with withdrawals and late
+    // grants (graft.policy.Consent — only CURRENTLY-consenting subjects
+    // may enter released statistics), then an eps-DP per-source count
+    // release over the GATED corpus (DpRelease's derandomized geometric
+    // mechanism), charged against the privacy budget
+    // (graft.policy.PrivacyLedger) with the charge REPLAYED once — the
+    // ledger columns pin that the release was authorized and paid for
+    // exactly once. The twin composes the three surfaces' own CTE
+    // recipes: the latest-event-wins consent replay, the embedded-
+    // literal noise chain, and the (deterministic) ledger arithmetic.
+    // Build jobs bounded (PlanGuardSpec exemption).
+    "q_consent_dp_release" -> Q(
+      (s, dir) => {
+        import graft.operators.StableHash
+        import graft.policy.{Consent, PrivacyLedger}
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_cdpr_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val all = Tables.read(s, dir, "documents")
+        val consent = s"$root/consent"
+        Consent.init(s, consent, all
+          .select(col("doc_id").as("subject_id"))
+          .withColumn("purpose", lit("stats"))
+          .withColumn("granted", StableHash.bucket(col("subject_id"), 3) =!= 0)
+          .withColumn("updated_at", lit(1L)))
+        Consent.withdraw(s, consent,
+          all.filter(StableHash.bucket(col("doc_id"), 7) === 0)
+            .select(col("doc_id")),
+          "stats", updatedAt = 2L)
+        Consent.update(s, consent, all
+          .filter(StableHash.bucket(col("doc_id"), 11) === 3 &&
+            StableHash.bucket(col("doc_id"), 7) =!= 0)
+          .select(col("doc_id").as("subject_id"))
+          .withColumn("purpose", lit("stats"))
+          .withColumn("granted", lit(true))
+          .withColumn("updated_at", lit(2L)))
+        val gated = Consent.gate(s, consent, all, "stats")
+        val ledger = s"$root/ledger"
+        PrivacyLedger.authorizeAndCharge(s, ledger, "documents",
+          "rel-stats-source-counts", eps = DpEps, budgetEps = 2.0)
+        // a crashed release's retry: the charge must not double-count
+        PrivacyLedger.authorizeAndCharge(s, ledger, "documents",
+          "rel-stats-source-counts", eps = DpEps, budgetEps = 2.0)
+        val (nRel, spentE, _) = PrivacyLedger.spent(s, ledger, "documents")
+        DpRelease
+          .noisyCounts(gated, col("source"), keyName = "source",
+            eps = DpEps, releaseSalt = DpSalt)
+          .withColumn("n_releases", lit(nRel).cast("int"))
+          .withColumn("spent_eps",
+            roundHalfUp(lit(spentE), 6).cast("decimal(14,6)"))
+          .orderBy("source")
+      },
+      Some(s"""
+        with b as (
+          select doc_id, source,
+            cast(cast('0x' || substr(md5(coalesce(cast(doc_id as varchar), '')), 1, 8) as bigint) % 3 as int) as h3,
+            cast(cast('0x' || substr(md5(coalesce(cast(doc_id as varchar), '')), 1, 8) as bigint) % 7 as int) as h7,
+            cast(cast('0x' || substr(md5(coalesce(cast(doc_id as varchar), '')), 1, 8) as bigint) % 11 as int) as h11
+          from documents
+        ),
+        ev as (
+          select doc_id, 1 as ts, (h3 <> 0) as g from b
+          union all select doc_id, 2 as ts, false as g from b where h7 = 0
+          union all select doc_id, 2 as ts, true as g from b
+            where h11 = 3 and h7 <> 0
+        ),
+        cur as (
+          select doc_id, g from (
+            select doc_id, g,
+              row_number() over (partition by doc_id order by ts desc) as rn
+            from ev
+          ) where rn = 1
+        ),
+        cnt as (
+          select b.source, count(*) as exact_n
+          from b join cur using (doc_id)
+          where cur.g
+          group by b.source
+        ),
+        noisy as (
+          select source, exact_n,
+            ${DpRelease.duck.noiseCase(
+              DpRelease.duck.hash(DpSalt, "source"), DpEps)} as noise
+          from cnt
+        )
+        select source, exact_n, noise,
+          greatest(exact_n + noise, cast(0 as bigint)) as released_n,
+          1 as n_releases, cast(1.0 as decimal(14,6)) as spent_eps
+        from noisy
+        order by source""")
+    ),
     "q_anon_utility" -> Q(
       // utility cost of the k=5 enforcement (q_k_enforce's ladder): the
       // numbers a DPO weighs against the privacy gain — average

@@ -165,6 +165,9 @@ class PlanGuardSpec extends SparkSpec {
     // consent registry bootstrap + two SCD-2 merges (touched-bucket
     // collects bounded by the bucket count) before the gate
     "q_consent_gate",
+    // the same registry build + gate, then a ledger authorize/charge
+    // pair (replayed once) before the noisy release
+    "q_consent_dp_release",
     "q_compact_serve"     // build + append + compact the BM25 store in-query
   )
 
@@ -239,6 +242,9 @@ class PlanGuardSpec extends SparkSpec {
           // merges (touched collect, staged write, readback, manifest
           // refresh each) + the withdraw count (~44 observed)
           else if (name == "q_consent_gate") 55
+          // the registry build again + the ledger's authorize reads,
+          // charge write, replay verification, and spend read
+          else if (name == "q_consent_dp_release") 70
           else 40
         assert(buildJobs.length <= budget,
           s"$name ran ${buildJobs.length} build jobs — exceeds the bounded-" +
