@@ -69,7 +69,17 @@ object Bench {
           System.err.println(
             s"[bench] WARN: $name failed in a measured pass (${samples.mkString(", ")})")
           (-1.0, -1.0)
-        } else (samples.sorted.apply((samples.length - 1) / 2), samples.min)
+        } else {
+          // true median: for even counts average the two middle samples —
+          // the lower-middle alone is a systematically optimistic bias on
+          // the doubled 6-sample runs
+          val sorted = samples.sorted
+          val n = sorted.length
+          val med =
+            if (n % 2 == 1) sorted(n / 2)
+            else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+          (med, sorted.head)
+        }
       (name, summary, samples)
     }
     val qs = results.map { case (k, (med, _), _) => "\"" + k + "\":" + med }
@@ -77,7 +87,11 @@ object Bench {
     val qsMin = results.map { case (k, (_, mn), _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val qsSamples = results.map { case (k, _, ss) =>
-      "\"" + k + "\":" + ss.map(s => f"$s%.4f").mkString("[", ",", "]")
+      // Locale.ROOT: a comma-decimal default locale would render the
+      // samples array as invalid JSON while the toString numbers stay valid
+      "\"" + k + "\":" + ss.map(s =>
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(s)))
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val failed = results.count(_._2._1 < 0)

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * composition bound (Dwork, Rothblum & Vadhan, FOCS 2010:
   * `sqrt(2 ln(1/d') * sum eps_i^2) + sum eps_i (e^eps_i - 1)`, at slack
   * `d'`) reported alongside so an operator can see when switching the
-  * policy to the tighter bound is worth it.
+  * policy to the tighter bound is worth it — and [[authorize]] takes
+  * `composition = "advanced"` to actually BIND on that bound (charging
+  * the slack `d'` against the delta budget), so at many small releases
+  * the ledger can lawfully admit what the basic sum refuses.
   *
   * Durability is the deletion-vector shape, not a swap protocol: a
   * charge is one tiny `_SUCCESS`-guarded parquet under
@@ -77,6 +80,14 @@ object PrivacyLedger {
       // different accounting is id reuse, and silently no-opping it
       // would run an unauthorized release against a stale charge
       val prior = spark.read.schema(EntrySchema).parquet(entry).head()
+      // the stored release id must be THE requested one: chargeKey is an
+      // 8-byte md5 prefix, so two distinct ids colliding on it would
+      // otherwise be silently treated as one charge — and the second
+      // release would run unpaid against the budget
+      require(prior.getString(1) == releaseId,
+        s"ledger: charge-key collision — entry ${chargeKey(releaseId)} " +
+          s"holds release id '${prior.getString(1)}', not '$releaseId'; " +
+          "refusing rather than treating a distinct release as a replay")
       require(prior.getString(0) == dataset &&
         prior.getDouble(2) == eps && prior.getDouble(3) == delta,
         s"ledger: release id '$releaseId' was already charged as " +
@@ -163,10 +174,45 @@ object PrivacyLedger {
         (r.getLong(0), r.getDouble(1), r.getDouble(2))
     }
 
+  /** One dataset's per-release epsilons (bounded: one tiny row per
+    * release) — the advanced-composition bound needs `sum eps_i^2` and
+    * `sum eps_i (e^eps_i - 1)`, which the basic tuple cannot carry.
+    */
+  private def epsHistory(
+      spark: SparkSession, dir: String, dataset: String): Seq[Double] =
+    entries(spark, dir) match {
+      case None => Seq.empty
+      case Some(e) =>
+        e.filter(col("dataset") === dataset)
+          .select(col("eps")).collect().map(_.getDouble(0)).toSeq
+    }
+
+  /** The heterogeneous advanced-composition epsilon (Dwork, Rothblum &
+    * Vadhan, FOCS 2010) for a release history at slack `deltaSlack`:
+    * `sqrt(2 ln(1/d') * sum eps_i^2) + sum eps_i (e^eps_i - 1)`.
+    */
+  def advancedEps(epsilons: Seq[Double], deltaSlack: Double): Double = {
+    require(deltaSlack > 0 && deltaSlack < 1,
+      s"ledger: deltaSlack must be in (0,1), got $deltaSlack")
+    math.sqrt(2.0 * math.log(1.0 / deltaSlack) *
+      epsilons.map(e => e * e).sum) +
+      epsilons.map(e => e * (math.exp(e) - 1.0)).sum
+  }
+
   /** Refuse a release whose composed spend would exceed the dataset's
     * budget — BEFORE any noisy output exists. Equality is allowed (the
     * budget is a cap, not a strict bound); the error message carries the
     * arithmetic an auditor needs.
+    *
+    * `composition` selects the binding bound: `"basic"` (default) sums
+    * epsilons and deltas; `"advanced"` binds on the DRV FOCS'10 bound
+    * over the dataset's release history INCLUDING the requested release,
+    * at slack `deltaSlack` — the total is then
+    * `(advancedEps, sum delta + deltaSlack)`, so the delta check charges
+    * the slack against `budgetDelta` too. At many small releases the
+    * advanced bound admits schedules the basic sum refuses; it is the
+    * operator's policy switch, not a silent default, because it trades a
+    * slightly larger delta for the tighter epsilon.
     */
   def authorize(
       spark: SparkSession,
@@ -175,16 +221,36 @@ object PrivacyLedger {
       eps: Double,
       budgetEps: Double,
       delta: Double = 0.0,
-      budgetDelta: Double = 0.0
-  ): Unit = {
-    val (n, se, sd) = spent(spark, dir, dataset)
-    require(se + eps <= budgetEps + 1e-12,
-      f"privacy budget exhausted for '$dataset': spent eps=$se%.6f over " +
-        f"$n releases + requested $eps%.6f > budget $budgetEps%.6f — refuse " +
-        "the release or raise the dataset's budget policy")
-    require(sd + delta <= budgetDelta + 1e-18,
-      f"privacy budget exhausted for '$dataset': spent delta=$sd%.2e + " +
-        f"requested $delta%.2e > budget $budgetDelta%.2e")
+      budgetDelta: Double = 0.0,
+      composition: String = "basic",
+      deltaSlack: Double = 1e-6
+  ): Unit = composition match {
+    case "basic" =>
+      val (n, se, sd) = spent(spark, dir, dataset)
+      require(se + eps <= budgetEps + 1e-12,
+        f"privacy budget exhausted for '$dataset': spent eps=$se%.6f over " +
+          f"$n releases + requested $eps%.6f > budget $budgetEps%.6f — refuse " +
+          "the release or raise the dataset's budget policy")
+      require(sd + delta <= budgetDelta + 1e-18,
+        f"privacy budget exhausted for '$dataset': spent delta=$sd%.2e + " +
+          f"requested $delta%.2e > budget $budgetDelta%.2e")
+    case "advanced" =>
+      val hist = epsHistory(spark, dir, dataset)
+      val adv = advancedEps(hist :+ eps, deltaSlack)
+      require(adv <= budgetEps + 1e-12,
+        f"privacy budget exhausted for '$dataset' (advanced composition): " +
+          f"DRV bound $adv%.6f over ${hist.size + 1} releases at slack " +
+          f"$deltaSlack%.2e > budget $budgetEps%.6f")
+      val sd = entries(spark, dir).map(_.filter(col("dataset") === dataset)
+        .agg(coalesce(sum(col("delta")), lit(0.0))).head().getDouble(0))
+        .getOrElse(0.0)
+      require(sd + delta + deltaSlack <= budgetDelta + 1e-18,
+        f"privacy budget exhausted for '$dataset' (advanced composition): " +
+          f"spent delta=$sd%.2e + requested $delta%.2e + slack " +
+          f"$deltaSlack%.2e > budget $budgetDelta%.2e")
+    case other =>
+      throw new IllegalArgumentException(
+        s"ledger: unknown composition policy '$other' (basic|advanced)")
   }
 
   /** The guarded release: authorize against the budget, charge the
@@ -202,7 +268,9 @@ object PrivacyLedger {
       eps: Double,
       budgetEps: Double,
       delta: Double = 0.0,
-      budgetDelta: Double = 0.0
+      budgetDelta: Double = 0.0,
+      composition: String = "basic",
+      deltaSlack: Double = 1e-6
   ): Unit = {
     val entry = s"${ledgerRoot(dir)}/charge=${chargeKey(releaseId)}"
     val replay = fsOf(spark, entry)
@@ -212,7 +280,8 @@ object PrivacyLedger {
     // still go through charge, which verifies the retry carries the
     // SAME accounting (id reuse is refused there)
     if (!replay)
-      authorize(spark, dir, dataset, eps, budgetEps, delta, budgetDelta)
+      authorize(spark, dir, dataset, eps, budgetEps, delta, budgetDelta,
+        composition, deltaSlack)
     charge(spark, dir, dataset, releaseId, eps, delta)
     ()
   }

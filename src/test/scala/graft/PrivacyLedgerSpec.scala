@@ -104,6 +104,64 @@ class PrivacyLedgerSpec extends SparkSpec {
     assert(PrivacyLedger.spent(spark, dir, "a") == ((1L, 0.5, 0.0)))
   }
 
+  test("a charge-key collision is refused, never treated as a replay") {
+    val dir = tmp()
+    // fabricate the astronomically-unlikely event directly: an entry
+    // already sitting at the directory r2's 8-byte md5 prefix addresses,
+    // but recording a DIFFERENT release id with identical accounting
+    import spark.implicits._
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest("r2".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    Seq(("a", "collider", 0.5, 0.0, 1L))
+      .toDF("dataset", "release_id", "eps", "delta", "_stamp")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/ledger/charge=$key")
+    val e = intercept[IllegalArgumentException] {
+      PrivacyLedger.charge(spark, dir, "a", "r2", 0.5)
+    }
+    assert(e.getMessage.contains("charge-key collision"))
+    // authorizeAndCharge routes through the same guard: the colliding id
+    // must not ride the replay fast path into an unpaid release
+    intercept[IllegalArgumentException] {
+      PrivacyLedger.authorizeAndCharge(spark, dir, "a", "r2", eps = 0.5,
+        budgetEps = 10.0)
+    }
+  }
+
+  test("advanced composition admits a small-release schedule the basic sum refuses") {
+    val dir = tmp()
+    (1 to 28).foreach(i => PrivacyLedger.charge(spark, dir, "a", s"r$i", 0.04))
+    // basic: 28 * 0.04 = 1.12 spent — the 29th release overflows eps=1.0
+    intercept[IllegalArgumentException] {
+      PrivacyLedger.authorize(spark, dir, "a", eps = 0.04, budgetEps = 1.0)
+    }
+    // advanced at slack 1e-3: sqrt(2 ln 1e3 * 29 * 1.6e-3) + 29*0.04*(e^0.04-1)
+    // ~= 0.80 + 0.047 — inside the same eps budget, paying the slack
+    // against delta
+    PrivacyLedger.authorize(spark, dir, "a", eps = 0.04, budgetEps = 1.0,
+      budgetDelta = 1e-2, composition = "advanced", deltaSlack = 1e-3)
+    val adv = PrivacyLedger.advancedEps(Seq.fill(29)(0.04), 1e-3)
+    assert(adv < 1.0 && adv > 0.5)
+    // the slack charges against the delta budget: too tight a delta
+    // budget refuses even when the eps bound admits
+    val e = intercept[IllegalArgumentException] {
+      PrivacyLedger.authorize(spark, dir, "a", eps = 0.04, budgetEps = 1.0,
+        budgetDelta = 1e-4, composition = "advanced", deltaSlack = 1e-3)
+    }
+    assert(e.getMessage.contains("advanced composition"))
+    // and an unknown policy name fails loudly, not as "basic"
+    intercept[IllegalArgumentException] {
+      PrivacyLedger.authorize(spark, dir, "a", eps = 0.04, budgetEps = 1.0,
+        composition = "renyi")
+    }
+    // the end-to-end verb takes the policy too
+    PrivacyLedger.authorizeAndCharge(spark, dir, "a", "r29", eps = 0.04,
+      budgetEps = 1.0, budgetDelta = 1e-2,
+      composition = "advanced", deltaSlack = 1e-3)
+    assert(PrivacyLedger.spent(spark, dir, "a")._1 == 29L)
+  }
+
   test("advanced-composition report matches the DRV bound") {
     val dir = tmp()
     PrivacyLedger.charge(spark, dir, "a", "r1", 0.4)
