@@ -182,7 +182,8 @@ object CurateCli {
       profileStats: Boolean = false,
       exactIndex: Boolean = false,
       aggStats: Boolean = false
-  ): IncrementalSummary = {
+  ): IncrementalSummary =
+    graft.operators.Lease.withLease(spark, outDir, "incremental") {
     import graft.dedup.Dedup
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -572,7 +573,8 @@ object CurateCli {
       outDir: String,
       profileBudget: Long = 0L,
       failpoint: String => Unit = _ => ()
-  ): EraseSummary = {
+  ): EraseSummary =
+    graft.operators.Lease.withLease(spark, outDir, "erase") {
     import graft.operators.{Erasure, PartitionSwap, Shards}
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -825,7 +827,8 @@ object CurateCli {
       spark: SparkSession,
       keysPath: String,
       outDir: String
-  ): (Long, Int) = {
+  ): (Long, Int) =
+    graft.operators.Lease.withLease(spark, outDir, "erase-logical") {
     import graft.operators.DeletionVectors
     val keys = spark.read.parquet(keysPath).select(col("doc_id"))
     val n = DeletionVectors.append(spark, outDir, keys)
@@ -837,6 +840,80 @@ object CurateCli {
         s""""n_pending_keys":$pendingKeys}""" + "\n")
     (n, dirs)
   }
+
+  /** Resolve a SUBJECT-keyed rights request (GDPR Art. 16/17 requests
+    * name a PERSON) to the document keys every store verb speaks: one
+    * semi-join of the owner mapping (`subject_id`, `doc_id` — an owner
+    * column materialized as a table, or a dedicated mapping store)
+    * against the requested subjects, written to a durable
+    * content-addressed capture under `<outDir>/.rights-resolved/` —
+    * the audit record of what the request expanded to, and the replay
+    * anchor: the same request re-resolves into the SAME directory with
+    * the SAME key set (the mapping is single-writer-stable during a
+    * sweep), so the downstream sweep's content-derived id matches and
+    * its convergence machinery applies unchanged. Returns the capture
+    * path, ready to feed [[runErase]]/[[runEraseLogical]]/[[runRectify]].
+    *
+    * Scale shape: the request is subject-scale (broadcast side of the
+    * semi-join); the mapping is corpus-scale and never shuffles — the
+    * resolve is one pruned scan + one request-sized write.
+    */
+  def resolveSubjectKeys(
+      spark: SparkSession,
+      subjectKeysPath: String,
+      mappingPath: String,
+      outDir: String
+  ): String = {
+    val raw = spark.read.parquet(subjectKeysPath)
+    val subs = raw.select(col(raw.columns.head).as("subject_id")).distinct()
+    val rid = graft.operators.DeletionVectors.contentId(subs, "subject_id")
+    val resolved = spark.read.parquet(mappingPath)
+      .select(col("subject_id"), col("doc_id"))
+      .join(broadcast(subs), Seq("subject_id"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val out =
+      s"$outDir/.rights-resolved/req=${java.lang.Long.toHexString(rid)}"
+    resolved.write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Art. 17 erasure BY SUBJECT: resolve the subjects' documents
+    * through the owner mapping ([[resolveSubjectKeys]]), then run the
+    * full physical sweep over them. Crash-convergent end to end: the
+    * resolve replays into the same capture, the sweep converges through
+    * its own machinery (content-derived sweep id over the resolved doc
+    * set).
+    */
+  def runEraseBySubject(
+      spark: SparkSession,
+      subjectKeysPath: String,
+      mappingPath: String,
+      outDir: String,
+      profileBudget: Long = 0L,
+      failpoint: String => Unit = _ => ()
+  ): EraseSummary =
+    graft.operators.Lease.withLease(spark, outDir, "erase-by-subject") {
+      val keysPath =
+        resolveSubjectKeys(spark, subjectKeysPath, mappingPath, outDir)
+      failpoint("subject-resolved")
+      runErase(spark, keysPath, outDir, profileBudget, failpoint = failpoint)
+    }
+
+  /** [[runEraseLogical]] BY SUBJECT: resolve through the owner mapping,
+    * then land the documents' global deletion vector — the O(request)
+    * "stop serving this PERSON now" front door.
+    */
+  def runEraseLogicalBySubject(
+      spark: SparkSession,
+      subjectKeysPath: String,
+      mappingPath: String,
+      outDir: String
+  ): (Long, Int) =
+    graft.operators.Lease.withLease(spark, outDir, "erase-logical-by-subject") {
+      val keysPath =
+        resolveSubjectKeys(spark, subjectKeysPath, mappingPath, outDir)
+      runEraseLogical(spark, keysPath, outDir)
+    }
 
   /** Settle every pending deletion vector through the physical sweep:
     * snapshot the pending keys to a durable `.settle-keys` capture,
@@ -854,7 +931,8 @@ object CurateCli {
       outDir: String,
       profileBudget: Long = 0L,
       failpoint: String => Unit = _ => ()
-  ): Option[EraseSummary] = {
+  ): Option[EraseSummary] =
+    graft.operators.Lease.withLease(spark, outDir, "erase-settle") {
     import graft.operators.DeletionVectors
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -862,7 +940,10 @@ object CurateCli {
     val hasSnap =
       fs.exists(new org.apache.hadoop.fs.Path(s"$snapPath/_SUCCESS"))
     if (!hasSnap) {
-      DeletionVectors.load(spark, outDir) match {
+      // GLOBAL vectors only: a purpose-scoped mask is a standing consent
+      // artifact (retires on re-grant), never physical-sweep input — the
+      // masked data is still lawful for the purposes the subject grants
+      DeletionVectors.loadGlobal(spark, outDir) match {
         case None => return None
         case Some(dv) =>
           dv.select(col("doc_id")).write.mode("overwrite").parquet(snapPath)
@@ -889,7 +970,8 @@ object CurateCli {
       spark: SparkSession,
       outDir: String,
       targetBytes: Long = 128L << 20
-  ): Seq[(String, Int, Int)] = {
+  ): Seq[(String, Int, Int)] =
+    graft.operators.Lease.withLease(spark, outDir, "compact") {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
@@ -979,7 +1061,8 @@ object CurateCli {
       outDir: String,
       keepBatches: Int,
       profileBudget: Long = 0L
-  ): RetentionSummary = {
+  ): RetentionSummary =
+    graft.operators.Lease.withLease(spark, outDir, "retention") {
     require(keepBatches >= 0, s"retention: keepBatches must be >= 0, got $keepBatches")
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1046,6 +1129,24 @@ object CurateCli {
         s""""n_exact_index":${erase.nExact},"n_agg_groups":${erase.nAggGroups},""" +
         s""""profile_rebuilt":${erase.profileRebuilt}}""" + "\n")
     s
+  }
+
+  /** Art. 15 access BY SUBJECT: resolve the person's documents through
+    * the owner mapping ([[resolveSubjectKeys]]), then run the read-only
+    * access sweep over them — the disclosure request names a person, the
+    * stores speak doc ids, and the resolution step is the same front
+    * door the erase verbs use.
+    */
+  def runAccessBySubject(
+      spark: SparkSession,
+      subjectKeysPath: String,
+      mappingPath: String,
+      outDir: String,
+      reportDir: String
+  ): AccessSummary = {
+    val keysPath =
+      resolveSubjectKeys(spark, subjectKeysPath, mappingPath, outDir)
+    runAccess(spark, keysPath, outDir, reportDir)
   }
 
   def runAccess(
@@ -1212,7 +1313,8 @@ object CurateCli {
       outDir: String,
       profileBudget: Long = 0L,
       failpoint: String => Unit = _ => ()
-  ): RectifySummary = {
+  ): RectifySummary =
+    graft.operators.Lease.withLease(spark, outDir, "rectify") {
     import graft.operators.{Erasure, PartitionSwap, Rectify, Shards}
     import graft.text.TextAnalysis
     val fs = new org.apache.hadoop.fs.Path(outDir)
@@ -1474,6 +1576,19 @@ object CurateCli {
       spark.stop()
       return
     }
+    if (args.headOption.contains("access-by-subject")) {
+      require(args.length >= 5,
+        "usage: CurateCli access-by-subject <subjects.parquet> " +
+          "<mapping.parquet> <stateDir> <reportDir>")
+      val spark = session()
+      val s = runAccessBySubject(spark, args(1), args(2), args(3), args(4))
+      println(s"[curate] access-by-subject docs=${s.nKeys} " +
+        s"corpus_rows=${s.nCorpus} band=${s.nBand} search=${s.nSearch} " +
+        s"dense=${s.nDense} exact=${s.nExact} shard_rows=${s.nShards} " +
+        s"pending_logical_erasure=${s.nMaskedPending}")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("fsck")) {
       require(args.length >= 2, "usage: CurateCli fsck <stateDir>")
       val spark = session()
@@ -1501,6 +1616,46 @@ object CurateCli {
       val (n, dirs) = runEraseLogical(spark, args(1), args(2))
       println(s"[curate] erase-logical keys=$n pending_vectors=$dirs " +
         "(serving masked now; run erase-settle to purge physically)")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("erase-by-subject")) {
+      require(args.length >= 4,
+        "usage: CurateCli erase-by-subject <subjects.parquet> " +
+          "<mapping.parquet> <stateDir> [profileBudget]")
+      val budget = if (args.length > 4) args(4).toLong else 0L
+      val spark = session()
+      val s = runEraseBySubject(spark, args(1), args(2), args(3), budget)
+      println(s"[curate] erase-by-subject docs=${s.nKeys} " +
+        s"corpus=${s.nCorpus} band=${s.nBand} search=${s.nSearch} " +
+        s"dense=${s.nDense} exact=${s.nExact} shard_rows=${s.nShards}")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("erase-logical-by-subject")) {
+      require(args.length >= 4,
+        "usage: CurateCli erase-logical-by-subject <subjects.parquet> " +
+          "<mapping.parquet> <stateDir>")
+      val spark = session()
+      val (n, dirs) =
+        runEraseLogicalBySubject(spark, args(1), args(2), args(3))
+      println(s"[curate] erase-logical-by-subject docs=$n " +
+        s"pending_vectors=$dirs (serving masked now)")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("break-lease")) {
+      require(args.length >= 2, "usage: CurateCli break-lease <stateDir>")
+      val spark = session()
+      val had = graft.operators.Lease.read(spark, args(1))
+      val broke = graft.operators.Lease.break(spark, args(1))
+      println(had match {
+        case Some(i) if broke =>
+          s"[curate] break-lease: released ${i.holder}'s '${i.verb}' lease " +
+            s"(held ${System.currentTimeMillis() - i.stampMs} ms)"
+        case _ if broke => "[curate] break-lease: released an unreadable lease"
+        case _ => "[curate] break-lease: no lease held"
+      })
       spark.stop()
       return
     }

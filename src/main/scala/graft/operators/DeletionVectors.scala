@@ -14,25 +14,56 @@ import org.apache.spark.sql.functions._
   * engines use for the same problem (Delta's deletion vectors, Iceberg's
   * delete files — public designs, re-expressed here over plain parquet):
   * the erase request's KEY SET lands as one tiny `_SUCCESS`-guarded
-  * parquet under `<state>/.dv/dv=<contentId>/`, and every serving
-  * surface subtracts the union of pending vectors with a broadcast
-  * anti-join — O(request) writes, O(|result| + |request|) serve-time
-  * cost, zero store rewrites. The leading dot keeps the directory
-  * invisible to Spark's own file listing, so raw scans of sibling legs
-  * never pick vectors up as data.
+  * parquet under `<state>/.dv/dv=<contentId>/`, and a serving surface
+  * subtracts the pending vectors with an anti-join — O(request) writes,
+  * O(|result| + |request|) serve-time cost, zero store rewrites. The
+  * leading dot keeps the directory invisible to Spark's own file
+  * listing, so raw scans of sibling legs never pick vectors up as data.
+  *
+  * Masking is applied where serving happens: the `*Serving` entry
+  * points ([[maskServing]] here, [[graft.text.Bm25.searchServing]],
+  * [[graft.similarity.Ivf.searchServing]]) subtract the pending
+  * vectors BY DEFAULT; the lower-level index readers
+  * ([[graft.text.Bm25.loadSearchIndex]],
+  * [[graft.similarity.Ivf.loadIndex]]) return raw store state and take
+  * the mask as an explicit `maskIds` argument — they are maintenance
+  * surfaces (compaction, fsck, settle need the unmasked truth), not the
+  * serve path. A caller serving erased subjects has skipped the
+  * serving entry points, and that is the documented contract, not an
+  * accident.
+  *
+  * PURPOSE SCOPE (GDPR Art. 6(1)(a) x Art. 7(3)): a consent withdrawal
+  * names a purpose, and masking the subject from every OTHER purpose
+  * they still grant silently destroys lawful utility. Vectors therefore
+  * come in two kinds:
+  *
+  *   - GLOBAL (`.dv/dv=<id>`) — the plain Art. 17 erasure request:
+  *     masks every serve, settles through the physical sweep.
+  *   - PURPOSE-SCOPED (`.dv/purpose=<slug>/dv=<id>`) — an Art. 7(3)
+  *     withdrawal of ONE purpose: masks only serves declaring that
+  *     purpose, never settles physically (the data stays lawful for the
+  *     purposes still granted), and retires when the purpose is
+  *     RE-GRANTED ([[subtractPurpose]] — the mask exists purely because
+  *     consent lapsed, so its lifecycle is the registry's, not the
+  *     sweep's).
+  *
+  * A serve that declares a purpose ([[load]]/[[maskServing]] with
+  * `purpose = Some(p)`) subtracts the global vectors plus p's tree; a
+  * serve that declares NO purpose subtracts EVERYTHING — over-masking
+  * is the safe direction for an un-scoped read.
   *
   * Semantics served under a pending vector: masked ids are NEVER
   * returned, from the corpus or from any index — but aggregate ranking
   * statistics (BM25 N/avgdl/df, agg-store totals, the sketch profile)
   * still include them until the vector SETTLES through the physical
   * sweep ([[graft.cli.CurateCli.runEraseSettle]] snapshots the pending
-  * keys and drives [[graft.cli.CurateCli.runErase]], which is where the
-  * stats subtraction and the on-disk purge actually happen). That
-  * eventual-consistency window is the documented contract, the same one
-  * the sketch profile's staleness ledger already makes explicit — and
-  * [[Fsck.dvDebt]] reports the pending debt (vector count, key count,
-  * oldest capture stamp) so "without undue delay" is auditable, not
-  * assumed.
+  * GLOBAL keys and drives [[graft.cli.CurateCli.runErase]], which is
+  * where the stats subtraction and the on-disk purge actually happen).
+  * That eventual-consistency window is the documented contract, the
+  * same one the sketch profile's staleness ledger already makes
+  * explicit — and [[Fsck.dvDebt]] reports the pending debt (vector
+  * count, key count, oldest capture stamp) so "without undue delay" is
+  * auditable, not assumed.
   *
   * Crash safety is by construction rather than by protocol: a torn
   * vector write has no `_SUCCESS` and is invisible (the replay
@@ -43,6 +74,17 @@ import org.apache.spark.sql.functions._
   * crash between the two leaves both live, which over-masks only ids
   * the physical sweep already purged.
   *
+  * Scale shape of the mask itself: vectors are request-sized by
+  * construction, so the anti-join broadcasts — but "by construction"
+  * assumes settle runs. Under unbounded unsettled debt (mass
+  * withdrawals, settle never scheduled) a FORCED broadcast of the
+  * pending union would OOM the driver instead of degrading, so the
+  * hint is size-aware ([[hinted]]): applied below
+  * `graft.dv.broadcastMaxBytes` (default 64 MiB) of estimated mask
+  * bytes, dropped above it — the plan then degrades to a shuffle join
+  * and AQE may still pick broadcast from runtime sizes. The
+  * Mondrian adaptive-rank convention, applied to the rights layer.
+  *
   * Writer discipline: like every maintained store in this engine, the
   * vector tree assumes ONE writer at a time (the CLI/sweep convention);
   * readers are always safe — they see `_SUCCESS`-complete vectors only.
@@ -50,7 +92,9 @@ import org.apache.spark.sql.functions._
   * Reference frame: tabodino/dbt-gdpr-anonymizer deletes by rebuilding
   * anonymized models in place (the models/marts SQL layer); this module is the
   * incremental-store counterpart those rebuilds don't need but a
-  * maintained 100 TB corpus does.
+  * maintained 100 TB corpus does — and its per-column `legal_basis`
+  * metadata (schema.yml) is the same purpose-scoped idea this module's
+  * purpose trees serve.
   */
 object DeletionVectors {
 
@@ -58,6 +102,13 @@ object DeletionVectors {
     * state directory never list them as data files.
     */
   private def dvRoot(outDir: String) = s"${outDir.stripSuffix("/")}/.dv"
+
+  private def purposeRoot(outDir: String, purpose: String): String = {
+    require(purpose.nonEmpty && !purpose.exists(c => c == '/' || c == '=' ||
+      Character.isWhitespace(c)),
+      s"deletion vectors: purpose must be a slug, got '$purpose'")
+    s"${dvRoot(outDir)}/purpose=$purpose"
+  }
 
   private def fsOf(spark: SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -77,20 +128,24 @@ object DeletionVectors {
 
   /** Record a logical erasure: the distinct keys land as ONE parquet
     * vector at `dv=<contentId>` with a capture stamp per row (the fsck
-    * debt-age signal). Returns the number of masked keys. Re-appending
-    * the same key set overwrites the same directory — a no-op at serve,
-    * and it KEEPS the original capture stamp: a redelivered request
-    * must not make outstanding debt look younger than it is.
+    * debt-age signal). `purpose = None` writes a GLOBAL (Art. 17)
+    * vector; `Some(p)` a purpose-scoped one under `purpose=<p>/`.
+    * Returns the number of masked keys. Re-appending the same key set
+    * overwrites the same directory — a no-op at serve, and it KEEPS the
+    * original capture stamp: a redelivered request must not make
+    * outstanding debt look younger than it is.
     */
   def append(
       spark: SparkSession,
       outDir: String,
       keys: DataFrame,
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      purpose: Option[String] = None
   ): Long = {
+    val root = purpose.fold(dvRoot(outDir))(purposeRoot(outDir, _))
     val ks = keys.select(col(idCol)).distinct()
     val id = contentId(ks, idCol)
-    val dir = s"${dvRoot(outDir)}/dv=${java.lang.Long.toHexString(id)}"
+    val dir = s"$root/dv=${java.lang.Long.toHexString(id)}"
     val fs = fsOf(spark, dir)
     val stamp =
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
@@ -106,12 +161,12 @@ object DeletionVectors {
     spark.read.parquet(dir).count()
   }
 
-  /** `_SUCCESS`-complete vector directories (a torn append is invisible
-    * until its replay overwrites it). The listing is request-scale —
-    * one entry per pending erasure, not per corpus batch.
+  /** `_SUCCESS`-complete vector directories under one root (a torn
+    * append is invisible until its replay overwrites it). The listing
+    * is request-scale — one entry per pending erasure, not per corpus
+    * batch.
     */
-  def liveDirs(spark: SparkSession, outDir: String): Seq[String] = {
-    val root = dvRoot(outDir)
+  private def liveDirsUnder(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(rootPath)) Seq.empty
@@ -123,12 +178,68 @@ object DeletionVectors {
         .map(_.toString).sorted.toSeq
   }
 
-  /** The union of pending vectors as one distinct key frame — ONE
-    * multi-path read regardless of how many erasures are pending, never
-    * a per-directory union reduce. None when nothing is masked, so the
-    * serve path can skip the anti-join entirely.
+  /** GLOBAL (Art. 17) vector directories — the settle path's scope:
+    * purpose-scoped masks never settle physically.
+    */
+  def liveDirs(spark: SparkSession, outDir: String): Seq[String] =
+    liveDirsUnder(spark, dvRoot(outDir))
+
+  /** Purposes that currently have a vector tree (live or not — a tree
+    * whose vectors all retired may linger as an empty directory and
+    * lists here harmlessly).
+    */
+  def purposes(spark: SparkSession, outDir: String): Seq[String] = {
+    val root = dvRoot(outDir)
+    val fs = fsOf(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else
+      fs.listStatus(rootPath)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("purpose="))
+        .map(_.getPath.getName.stripPrefix("purpose=")).sorted.toSeq
+  }
+
+  /** The vector directories a serve with the given purpose scope must
+    * subtract: global always; `Some(p)` adds p's tree; `None` (an
+    * un-scoped read) adds EVERY purpose tree — over-masking is the safe
+    * direction when the reader does not say what the read is for.
+    */
+  def liveDirsFor(
+      spark: SparkSession,
+      outDir: String,
+      purpose: Option[String]
+  ): Seq[String] = {
+    val scoped = purpose match {
+      case Some(p) => liveDirsUnder(spark, purposeRoot(outDir, p))
+      case None =>
+        purposes(spark, outDir)
+          .flatMap(p => liveDirsUnder(spark, purposeRoot(outDir, p)))
+    }
+    liveDirs(spark, outDir) ++ scoped
+  }
+
+  /** The union of the serve-scope's pending vectors as one distinct key
+    * frame — ONE multi-path read regardless of how many erasures are
+    * pending, never a per-directory union reduce. None when nothing is
+    * masked, so the serve path can skip the anti-join entirely.
     */
   def load(
+      spark: SparkSession,
+      outDir: String,
+      idCol: String = "doc_id",
+      purpose: Option[String] = None
+  ): Option[DataFrame] = {
+    val dirs = liveDirsFor(spark, outDir, purpose)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).select(col(idCol)).distinct())
+  }
+
+  /** GLOBAL vectors only — what [[graft.cli.CurateCli.runEraseSettle]]
+    * snapshots: a purpose-scoped mask must never feed the physical
+    * sweep (the subject's data is still lawful for the purposes they
+    * grant).
+    */
+  def loadGlobal(
       spark: SparkSession,
       outDir: String,
       idCol: String = "doc_id"
@@ -138,30 +249,50 @@ object DeletionVectors {
     else Some(spark.read.parquet(dirs: _*).select(col(idCol)).distinct())
   }
 
-  /** Serve-side subtraction: a broadcast anti-join on the id column.
-    * Vectors are request-sized by construction, so the mask never
-    * shuffles the served frame.
+  /** Size-aware broadcast hint for a mask frame: below
+    * `graft.dv.broadcastMaxBytes` (default 64 MiB) of Catalyst-estimated
+    * bytes the anti-join build side is hinted broadcast (vectors are
+    * request-sized by construction, so this is the steady-state plan);
+    * above it the hint is DROPPED — a mass-withdrawal backlog that was
+    * never settled must degrade to a shuffle join, not OOM the driver
+    * through a forced broadcast. The estimate is plan metadata (parquet
+    * file bytes for vector-backed frames) — no job runs to decide.
+    */
+  def hinted(keys: DataFrame): DataFrame = {
+    val max = keys.sparkSession.conf
+      .getOption("graft.dv.broadcastMaxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    if (keys.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(max))
+      broadcast(keys)
+    else keys
+  }
+
+  /** Serve-side subtraction: an anti-join on the id column, broadcast
+    * when the mask is small ([[hinted]]).
     */
   def mask(df: DataFrame, dv: Option[DataFrame], idCol: String): DataFrame =
     dv match {
       case None => df
       case Some(d) =>
         val keys = d.select(col(d.columns.head).as(idCol)).distinct()
-        df.join(broadcast(keys), Seq(idCol), "left_anti")
+        df.join(hinted(keys), Seq(idCol), "left_anti")
     }
 
   /** [[load]] + [[mask]] in one call — the serving view of any leg
-    * under the state directory's pending vectors.
+    * under the state directory's pending vectors, scoped to the serve's
+    * purpose (None = subtract everything; see [[liveDirsFor]]).
     */
   def maskServing(
       spark: SparkSession,
       outDir: String,
       df: DataFrame,
-      idCol: String = "doc_id"
-  ): DataFrame = mask(df, load(spark, outDir, idCol), idCol)
+      idCol: String = "doc_id",
+      purpose: Option[String] = None
+  ): DataFrame = mask(df, load(spark, outDir, idCol, purpose), idCol)
 
-  /** Pending-debt summary for the auditor: (vector dirs, distinct keys,
-    * oldest capture stamp in epoch millis).
+  /** Pending GLOBAL debt for the auditor: (vector dirs, distinct keys,
+    * oldest capture stamp in epoch millis). Purpose-scoped masks are
+    * not settle debt — see [[pendingPurposeMasks]].
     */
   def pending(
       spark: SparkSession,
@@ -180,24 +311,40 @@ object DeletionVectors {
     }
   }
 
-  /** Retire settled keys from every pending vector: a vector fully
-    * covered by the settled set is deleted; a partially covered one is
-    * rewritten (remainder keys, fresh content-addressed directory,
-    * original stamps preserved) BEFORE the old directory goes, so a
-    * crash anywhere leaves the mask a superset of what it must be —
-    * over-masking only ids the physical sweep already purged. Replays
+  /** Per-purpose mask census for the auditor: (purpose, vector dirs,
+    * distinct keys). These are lawful standing masks, not debt — they
+    * retire on re-grant, not at settle.
+    */
+  def pendingPurposeMasks(
+      spark: SparkSession,
+      outDir: String,
+      idCol: String = "doc_id"
+  ): Seq[(String, Int, Long)] =
+    purposes(spark, outDir).flatMap { p =>
+      val dirs = liveDirsUnder(spark, purposeRoot(outDir, p))
+      if (dirs.isEmpty) None
+      else Some((p, dirs.size,
+        spark.read.parquet(dirs: _*).select(col(idCol)).distinct().count()))
+    }
+
+  /** Retire settled keys from every pending vector under one root: a
+    * vector fully covered by the settled set is deleted; a partially
+    * covered one is rewritten (remainder keys, fresh content-addressed
+    * directory, original stamps preserved) BEFORE the old directory
+    * goes, so a crash anywhere leaves the mask a superset of what it
+    * must be — over-masking only ids the physical sweep already purged
+    * (or, for a re-grant, ids the next replay retires again). Replays
     * converge: the remainder write is idempotent and the old directory
     * delete is the last step per vector.
     */
-  def subtract(
+  private def subtractUnder(
       spark: SparkSession,
-      outDir: String,
-      settled: DataFrame,
-      idCol: String = "doc_id"
+      root: String,
+      keys: DataFrame,
+      idCol: String
   ): Unit = {
-    val fs = fsOf(spark, dvRoot(outDir))
-    val keys = settled.select(col(settled.columns.head).as(idCol)).distinct()
-    liveDirs(spark, outDir).foreach { dir =>
+    val fs = fsOf(spark, root)
+    liveDirsUnder(spark, root).foreach { dir =>
       val remainder = spark.read.parquet(dir)
         .join(broadcast(keys), Seq(idCol), "left_anti")
       if (remainder.isEmpty)
@@ -211,10 +358,44 @@ object DeletionVectors {
         val rname = s"dv=${java.lang.Long.toHexString(rid)}"
         if (rname != new org.apache.hadoop.fs.Path(dir).getName) {
           remainder.select(col(idCol), col("_stamp"))
-            .write.mode("overwrite").parquet(s"${dvRoot(outDir)}/$rname")
+            .write.mode("overwrite").parquet(s"$root/$rname")
           fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         }
       }
     }
   }
+
+  /** Retire PHYSICALLY SETTLED keys from the whole tree — the global
+    * vectors and every purpose tree: a purged row needs no mask under
+    * any scope. (The settle keys come from the GLOBAL vectors, but a
+    * purpose tree may mask the same ids; leaving those would be
+    * harmless over-masking of rows that no longer exist — cleaned here
+    * for hygiene and so the purpose census stays honest.)
+    */
+  def subtract(
+      spark: SparkSession,
+      outDir: String,
+      settled: DataFrame,
+      idCol: String = "doc_id"
+  ): Unit = {
+    val keys = settled.select(col(settled.columns.head).as(idCol)).distinct()
+    subtractUnder(spark, dvRoot(outDir), keys, idCol)
+    purposes(spark, outDir).foreach(p =>
+      subtractUnder(spark, purposeRoot(outDir, p), keys, idCol))
+  }
+
+  /** Re-grant unmask (Art. 7 both ways): retire keys from ONE purpose's
+    * tree — the mask existed because consent for that purpose lapsed,
+    * so a new grant ends it, without touching the global vectors or any
+    * other purpose's state.
+    */
+  def subtractPurpose(
+      spark: SparkSession,
+      outDir: String,
+      keys: DataFrame,
+      purpose: String,
+      idCol: String = "doc_id"
+  ): Unit =
+    subtractUnder(spark, purposeRoot(outDir, purpose),
+      keys.select(col(keys.columns.head).as(idCol)).distinct(), idCol)
 }

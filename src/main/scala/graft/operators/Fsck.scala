@@ -438,7 +438,40 @@ object Fsck {
       } else
         Check("dv", "no_pending_settle", ok = true,
           "no pending settle capture")
-    Seq(debt, settle)
+    // purpose-scoped masks are lawful standing state (they retire on
+    // re-grant, not at settle) — reported as a census when present, ok
+    // by definition, so the auditor can see what consent has masked
+    val purposeMasks = DeletionVectors.pendingPurposeMasks(spark, outDir)
+      .map { case (p, dirs, keys) =>
+        Check("dv", s"purpose_mask_$p", ok = true,
+          s"$dirs vector(s) masking $keys ids for purpose '$p' " +
+            "(consent-scoped; retires on re-grant)")
+      }
+    Seq(debt, settle) ++ purposeMasks
+  }
+
+  /** Writer-lease debt ([[Lease]]): no lease (or this process's own, or
+    * a young foreign one — a writer may legitimately be running while
+    * fsck reads) is fine; a FOREIGN lease older than the TTL is a dead
+    * writer's leftover — mutating verbs refuse until it is broken, so it
+    * is operational debt the auditor must surface.
+    */
+  def leaseDebt(
+      spark: SparkSession,
+      outDir: String,
+      ttlMs: Long = Lease.DefaultTtlMs
+  ): Seq[Check] = Lease.read(spark, outDir) match {
+    case None =>
+      Seq(Check("lease", "no_stale_lease", ok = true, "no writer lease held"))
+    case Some(i) =>
+      val age = System.currentTimeMillis() - i.stampMs
+      if (i.holder == Lease.processId || age <= ttlMs)
+        Seq(Check("lease", "no_stale_lease", ok = true,
+          s"live '${i.verb}' lease (held $age ms) — a writer is running"))
+      else
+        Seq(Check("lease", "no_stale_lease", ok = false,
+          s"stale '${i.verb}' lease held $age ms by ${i.holder} — the " +
+            "writer is presumed dead; run break-lease to recover"))
   }
 
   /** A serving leg's ids must be a subset of the corpus — an erasure
@@ -468,6 +501,7 @@ object Fsck {
     checks ++= markerHygiene(spark, corpusDir, "corpus")
     checks ++= pendingSweepDebt(spark, outDir)
     checks ++= dvDebt(spark, outDir)
+    checks ++= leaseDebt(spark, outDir)
     val corpusIds =
       if (exists(spark, corpusDir))
         Some(spark.read.parquet(corpusDir).select(col("doc_id")).distinct())

@@ -24,12 +24,21 @@ object Snapshot {
   /** Apply new rows to an existing snapshot (may be empty). Both inputs
     * must carry `uniqueKey` and `updatedAt` columns; `snapshot` additionally
     * carries valid_from/valid_to from a prior application.
+    *
+    * `sameTsTiebreak`: by default a same-key-same-`updatedAt` redelivery
+    * keeps ONE arbitrary version (`dropDuplicates` — redeliveries are
+    * byte-identical by contract, so any choice is the same row). A caller
+    * whose key space can carry genuinely CONFLICTING rows at one
+    * timestamp (e.g. a consent grant and withdrawal racing across batch
+    * boundaries) passes an ordering; the FIRST row under it wins,
+    * deterministically and independent of arrival order.
     */
   def applyTimestampStrategy(
       snapshot: DataFrame,
       newRows: DataFrame,
       uniqueKey: String,
-      updatedAt: String
+      updatedAt: String,
+      sameTsTiebreak: Seq[Column] = Seq.empty
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
@@ -39,10 +48,17 @@ object Snapshot {
       .withColumn("valid_from", col(updatedAt))
       .withColumn("valid_to", lit(null).cast(newRows.schema(updatedAt).dataType))
 
-    val all = snapshot.select(withValidity.columns.map(col): _*)
+    val unioned = snapshot.select(withValidity.columns.map(col): _*)
       .unionByName(withValidity)
-      // same key + same updated_at re-delivered -> keep one version
-      .dropDuplicates(uniqueKey, updatedAt)
+    // same key + same updated_at re-delivered -> keep one version
+    val all =
+      if (sameTsTiebreak.isEmpty) unioned.dropDuplicates(uniqueKey, updatedAt)
+      else {
+        val w = Window.partitionBy(col(uniqueKey), col(updatedAt))
+          .orderBy(sameTsTiebreak: _*)
+        unioned.withColumn("_ts_rk", row_number().over(w))
+          .filter(col("_ts_rk") === 1).drop("_ts_rk")
+      }
 
     val byKey = Window.partitionBy(col(uniqueKey)).orderBy(col(updatedAt))
     all
@@ -163,7 +179,8 @@ object Snapshot {
       uniqueKey: String,
       updatedAt: String,
       buckets: Int,
-      maxRecordsPerFile: Long = 0L
+      maxRecordsPerFile: Long = 0L,
+      sameTsTiebreak: Seq[Column] = Seq.empty
   ): Unit = {
     require(buckets > 0, s"snapshot store: buckets must be positive, got $buckets")
     require(!newRows.columns.contains("bucket"),
@@ -175,7 +192,8 @@ object Snapshot {
     if (touched.nonEmpty) {
       val slice = spark.read.parquet(dir)
         .filter(col("bucket").isin(touched.toSeq: _*))
-      val merged = applyTimestampStrategy(slice, withB, uniqueKey, updatedAt)
+      val merged =
+        applyTimestampStrategy(slice, withB, uniqueKey, updatedAt, sameTsTiebreak)
       val stage = dir.stripSuffix("/") + ".merge-stage"
       merged
         .repartition(touched.length, col("bucket"))

@@ -25,21 +25,38 @@ import graft.pipeline.Snapshot
   * demonstrate that the data subject has consented"), not a storage
   * accident. Current state is [[Snapshot.current]]; the state at any
   * past moment (what was lawful when batch N was admitted) is
-  * [[Snapshot.asOf]].
+  * [[Snapshot.asOf]], and [[retroAudit]] computes the Art. 7(1)
+  * demonstration over an admission log directly.
   *
   * Scale shape: the registry is subject-scale metadata next to a
   * corpus-scale store. [[gate]] is one broadcast-or-shuffle semi-join
   * of the input batch against the granted-subjects frame (Catalyst
   * picks by size); [[withdraw]] writes one bucketed merge touching
   * only the withdrawn subjects' buckets plus one request-sized
-  * deletion vector ([[graft.operators.DeletionVectors]]) so serving
-  * stops IMMEDIATELY, with the physical purge riding the next
-  * erase-settle.
+  * PURPOSE-SCOPED deletion vector
+  * ([[graft.operators.DeletionVectors]]) so serving FOR THAT PURPOSE
+  * stops immediately — purposes the subject still grants keep serving
+  * (the registry's own data model is subject|purpose; masking them too
+  * would destroy lawful utility). [[grant]] is the inverse: registry
+  * merge plus retiring the subjects from that purpose's vectors. A
+  * plain Art. 17 "erase me" request is NOT a withdrawal — it goes
+  * through [[graft.cli.CurateCli.runEraseLogical]]'s global vectors
+  * and the physical sweep.
+  *
+  * SUBJECT vs DOCUMENT keys: rights requests name a PERSON; stores are
+  * keyed by document. When one subject owns many documents, pass the
+  * subject→document `mapping` (an owner table: `subject_id`,
+  * `doc_id`), and the vector legs resolve through ONE semi-join before
+  * the doc-keyed machinery — [[graft.cli.CurateCli.resolveSubjectKeys]]
+  * is the same front door for the sweep verbs. Without a mapping the
+  * engine keeps the subject==document default (this engine's corpora
+  * key documents by the subject they belong to).
   *
   * Reference frame: tabodino/dbt-gdpr-anonymizer models compliance as
   * anonymize-everything-you-have; consent-scoped admission is the
   * complementary surface a maintained corpus needs (its README's GDPR
-  * framing, re-expressed as an operator).
+  * framing — and its per-column `legal_basis` metadata in schema.yml is
+  * the purpose-scoped idea the vector trees serve).
   */
 object Consent {
 
@@ -65,11 +82,13 @@ object Consent {
     * (subject, purpose) at the same timestamp resolves DENY-WINS
     * (`bool_and`) before it reaches the store — the strict reading of
     * an ambiguous simultaneous indication, and it keeps the SCD-2
-    * merge deterministic (its same-key-same-timestamp dedup would
-    * otherwise keep an arbitrary row). Same-timestamp REDELIVERIES
-    * across batches must carry the same verdict — that is what makes
-    * them redeliveries; this resolution covers conflicts within a
-    * batch, where simultaneous events actually collide.
+    * merge deterministic. The same rule holds ACROSS batches: the
+    * merge's same-timestamp tiebreak ([[denyWins]]) prefers
+    * `granted = false`, so a conflicting verdict arriving in a later
+    * batch (trivially possible under a streaming sink's arbitrary
+    * micro-batch boundaries) converges on deny no matter the arrival
+    * order — a late deny DEMOTES a stored same-timestamp grant, and a
+    * late grant loses to a stored deny.
     */
   private def resolved(events: DataFrame): DataFrame =
     events
@@ -80,14 +99,27 @@ object Consent {
       .select(col("subject_id"), col("purpose"), col("granted"),
         col("updated_at"))
 
+  /** Same-timestamp tiebreak for the SCD-2 merge: deny first. */
+  private val denyWins = Seq(col("granted").asc)
+
   /** Merge a later event batch — grants, withdrawals, purpose changes.
     * Timestamp-strategy semantics: a row supersedes the current version
     * of its key when `updated_at` advances ([[Snapshot.mergeStore]]);
-    * in-batch same-timestamp conflicts resolve deny-wins ([[resolved]]).
+    * same-timestamp conflicts resolve deny-wins, within a batch
+    * ([[resolved]]) and across batches (the merge tiebreak).
+    *
+    * A missing registry bootstraps ([[init]]) instead of erroring: the
+    * first micro-batch of a fresh streaming deployment must not require
+    * a manual init step ordered before the stream.
     */
-  def update(spark: SparkSession, dir: String, events: DataFrame): Unit =
-    Snapshot.mergeStore(spark, dir, keyed(resolved(events)), "consent_key",
-      "updated_at", buckets = Buckets)
+  def update(spark: SparkSession, dir: String, events: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) init(spark, dir, events)
+    else
+      Snapshot.mergeStore(spark, dir, keyed(resolved(events)), "consent_key",
+        "updated_at", buckets = Buckets, sameTsTiebreak = denyWins)
+  }
 
   /** Current consent state: one row per (subject, purpose) with the
     * latest `granted` verdict.
@@ -133,12 +165,34 @@ object Consent {
     input.join(granted, Seq(subjectCol), "left_semi")
   }
 
+  /** Resolve subjects to the document ids the doc-keyed stores use:
+    * through the owner `mapping` (`subject_id`, `doc_id`) when given —
+    * one semi-join, one row per owned document — else 1:1 (subject IS
+    * the document key, this engine's corpus default).
+    */
+  private def docKeys(
+      subjects: DataFrame,
+      mapping: Option[DataFrame]
+  ): DataFrame = mapping match {
+    case None => subjects.withColumnRenamed("subject_id", "doc_id")
+    case Some(m) =>
+      m.select(col("subject_id"), col("doc_id"))
+        .join(subjects, Seq("subject_id"), "left_semi")
+        .select(col("doc_id")).distinct()
+  }
+
   /** Art. 7(3) withdrawal, composed end to end: record the withdrawal
     * event in the registry (the audit chain keeps the old grant as a
     * superseded version) and — when a state directory is given — land a
-    * deletion vector for the subjects so every masked serve stops
-    * returning them NOW; the physical purge rides the next
-    * `erase-settle`. Returns the number of subjects withdrawn.
+    * PURPOSE-SCOPED deletion vector for the subjects' documents so
+    * every serve declaring this purpose stops returning them NOW, while
+    * purposes they still grant keep serving. The vector retires when
+    * the purpose is re-granted ([[grant]]); it never feeds the physical
+    * sweep (an Art. 17 erasure is [[graft.cli.CurateCli
+    * .runEraseLogical]]'s global vector, not a withdrawal). When one
+    * subject owns many documents pass `mapping` — the vector leg
+    * resolves subject→doc through it. Returns the number of subjects
+    * withdrawn.
     *
     * The two legs do not commit atomically and need no protocol to:
     * BOTH are idempotent under replay of the SAME request (the registry
@@ -158,6 +212,7 @@ object Consent {
       purpose: String,
       updatedAt: Long,
       stateDir: Option[String] = None,
+      mapping: Option[DataFrame] = None,
       failpoint: String => Unit = _ => ()
   ): Long = {
     val subs = subjects
@@ -170,8 +225,82 @@ object Consent {
     failpoint("registry-updated")
     stateDir.foreach { sd =>
       graft.operators.DeletionVectors.append(spark, sd,
-        subs.withColumnRenamed("subject_id", "doc_id"))
+        docKeys(subs, mapping), purpose = Some(purpose))
     }
     subs.count()
+  }
+
+  /** Art. 7 grant (or RE-grant), composed end to end: record the grant
+    * in the registry and — when a state directory is given — retire the
+    * subjects' documents from THIS purpose's deletion vectors
+    * ([[graft.operators.DeletionVectors.subtractPurpose]]): the mask
+    * existed because consent lapsed, so a new grant ends it, without
+    * touching the global (Art. 17) vectors or any other purpose's
+    * state. Same idempotence-by-replay contract as [[withdraw]];
+    * registry-first so a crash in the gap errs on over-masking (the
+    * gate already admits, serving unmasks at the replay). Returns the
+    * number of subjects granted.
+    */
+  def grant(
+      spark: SparkSession,
+      consentDir: String,
+      subjects: DataFrame,
+      purpose: String,
+      updatedAt: Long,
+      stateDir: Option[String] = None,
+      mapping: Option[DataFrame] = None,
+      failpoint: String => Unit = _ => ()
+  ): Long = {
+    val subs = subjects
+      .select(col(subjects.columns.head).as("subject_id")).distinct()
+    val events = subs
+      .withColumn("purpose", lit(purpose))
+      .withColumn("granted", lit(true))
+      .withColumn("updated_at", lit(updatedAt))
+    update(spark, consentDir, events)
+    failpoint("registry-updated")
+    stateDir.foreach { sd =>
+      graft.operators.DeletionVectors.subtractPurpose(spark, sd,
+        docKeys(subs, mapping), purpose)
+    }
+    subs.count()
+  }
+
+  /** The Art. 7(1) retroactive-lawfulness audit: which admitted rows
+    * were admitted WITHOUT then-current consent? `admissions` carries
+    * one row per admitted document with its subject and admission
+    * stamp; a row passes when some granted version of (subject,
+    * `purpose`) was VALID at that stamp (`valid_from <= admitted_at <
+    * valid_to`, open-ended current versions included) — everything else
+    * returns: subjects never registered (absence is denial), grants
+    * that arrived only later, withdrawals in force at admission.
+    *
+    * One anti-join, equi-keyed on the subject with the validity
+    * interval as the residual condition — the registry side is
+    * subject-scale, so Catalyst broadcasts it and the admission log
+    * never shuffles. A missing registry returns every admission: if
+    * nothing was ever lawful, everything is a finding.
+    */
+  def retroAudit(
+      spark: SparkSession,
+      consentDir: String,
+      admissions: DataFrame,
+      purpose: String,
+      subjectCol: String = "subject_id",
+      admittedAtCol: String = "admitted_at"
+  ): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(consentDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(consentDir)))
+      return admissions
+    val lawful = Snapshot.loadStore(spark, consentDir)
+      .filter(col("purpose") === purpose && col("granted"))
+      .select(col("subject_id").as("_c_subject"),
+        col("valid_from").as("_c_from"), col("valid_to").as("_c_to"))
+    admissions.join(lawful,
+      admissions(subjectCol) === col("_c_subject") &&
+        col("_c_from") <= admissions(admittedAtCol) &&
+        (col("_c_to").isNull || col("_c_to") > admissions(admittedAtCol)),
+      "left_anti")
   }
 }

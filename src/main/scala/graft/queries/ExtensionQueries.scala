@@ -3127,12 +3127,14 @@ object ExtensionQueries {
         graft.text.Bm25.writeSearchIndex(all, "doc_id", col("text"), s"$root/search")
         graft.operators.DeletionVectors.append(s, root,
           all.filter(pmod(col("doc_id"), lit(17)) === 3).select(col("doc_id")))
-        val dv = graft.operators.DeletionVectors.load(s, root)
-        require(dv.nonEmpty, "erase-logical: the appended vector must load")
-        val (postings, stats) = graft.text.Bm25.loadSearchIndex(s, s"$root/search")
+        require(graft.operators.DeletionVectors.load(s, root).nonEmpty,
+          "erase-logical: the appended vector must load")
+        // served through the DEFAULT-masked entry point (round 11): the
+        // caller passes no maskIds — forgetting the mask is no longer
+        // possible on this path, and the oracle pins that default
         graft.text.Bm25
-          .retrieveTopKIndexed(postings, stats, "doc_id",
-            Bm25QuerySet.toDF("query_id", "term"), topK = 10, maskIds = dv)
+          .searchServing(s, s"$root/search", root,
+            Bm25QuerySet.toDF("query_id", "term"), topK = 10)
           .select(
             col("query_id"),
             col("rank").cast("int").as("rank"),
@@ -3142,6 +3144,47 @@ object ExtensionQueries {
           .orderBy("query_id", "rank")
       },
       Some(bm25TopKOracleMasked("doc_id % 17 <> 3"))
+    ),
+    // SUBJECT-keyed erasure (CurateCli.runEraseLogicalBySubject): a real
+    // Art. 17 request names a PERSON who owns MANY documents — the verb
+    // resolves the subjects through the owner mapping (one semi-join,
+    // durable content-addressed capture under .rights-resolved/) and
+    // lands the documents' global deletion vector; the masked serve must
+    // hide every owned document. The twin resolves through the SAME
+    // ownership rule (subject = doc_id % 97) as a predicate, so the hash
+    // match pins the resolution step end to end — the front door the
+    // whole rights layer assumed upstream until round 11. Build jobs
+    // bounded (PlanGuardSpec exemption).
+    "q_erase_by_subject" -> Q(
+      (s, dir) => {
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_bysubj_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val all = docs(s, dir)
+        // owner mapping: 97 subjects, each owning many documents
+        all.select(pmod(col("doc_id"), lit(97)).as("subject_id"),
+          col("doc_id"))
+          .write.parquet(s"$root/mapping")
+        // the request names subjects, never row ids
+        s.range(97).select(col("id").as("subject_id"))
+          .filter(pmod(col("subject_id"), lit(13)) === 5)
+          .write.parquet(s"$root/subjects")
+        graft.cli.CurateCli.runEraseLogicalBySubject(
+          s, s"$root/subjects", s"$root/mapping", root)
+        graft.operators.DeletionVectors.maskServing(s, root, all)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""
+        select source, count(*) as n_docs,
+          cast(sum(n_chars) as bigint) as sum_chars
+        from documents
+        where (doc_id % 97) % 13 <> 5
+        group by source order by source""")
     ),
     // GDPR Art. 16 rectification through the SERVING index (the Art. 17
     // q_erasure_indexes' dual — graft.operators.Rectify scaladoc:
@@ -3295,12 +3338,20 @@ object ExtensionQueries {
         // settle capture check reads clean
         graft.operators.DeletionVectors.append(s, root,
           all.select(col("doc_id")).filter(col("doc_id") % 97 === 0))
+        // writer-lease debt: a dead process's leftover lease (epoch
+        // stamp 0 = held forever, holder is not this JVM) must surface
+        // as stale — mutating verbs refuse until break-lease runs
+        val lout = fs.create(
+          new org.apache.hadoop.fs.Path(s"$root/.lease"), true)
+        lout.write("dead-process|erase|0".getBytes("UTF-8"))
+        lout.close()
         val checks = graft.operators.Fsck.denseIndex(s, s"$root/dense") ++
           graft.operators.Fsck.shards(s, s"$root/shards") ++
           graft.operators.Fsck.snapshotStore(s, s"$root/snapshot", "doc_id") ++
           graft.operators.Fsck.eventStats(s, s"$root/events") ++
           graft.operators.Fsck.pendingSweepDebt(s, root) ++
-          graft.operators.Fsck.dvDebt(s, root)
+          graft.operators.Fsck.dvDebt(s, root) ++
+          graft.operators.Fsck.leaseDebt(s, root)
         checks.map(c => (c.component, c.check, if (c.ok) 1 else 0))
           .toDF("component", "check", "ok")
           .orderBy("component", "check")
@@ -3319,6 +3370,7 @@ object ExtensionQueries {
           ('dv', 'no_settle_debt', 0),
           ('erase', 'no_pending_sweep', 1),
           ('events', 'counts_positive', 1),
+          ('lease', 'no_stale_lease', 0),
           ('events', 'day_consistent', 1),
           ('events', 'no_pending_marker', 1),
           ('events', 'no_retired_tree', 1),
@@ -3627,6 +3679,142 @@ object ExtensionQueries {
           cast(sum(b.n_chars) as bigint) as sum_chars
         from b join cur using (doc_id)
         where cur.g
+        group by b.source order by b.source""")
+    ),
+    // purpose-scoped logical erasure (policy/Consent x
+    // operators/DeletionVectors): every subject grants TWO purposes, one
+    // slice withdraws ONLY "training" (Art. 7(3) — a purpose-scoped
+    // vector) and another slice files a plain Art. 17 erasure (a GLOBAL
+    // vector). The query serves the corpus under BOTH purposes: the
+    // training serve must hide the withdrawn slice AND the erased slice;
+    // the analytics serve hides ONLY the erased slice — the withdrawal
+    // of one purpose must not destroy the other purpose's lawful
+    // utility. The twin replays both masks as plain predicates, so the
+    // hash match pins the vector routing (purpose tree vs global) and
+    // the serve-scope union end to end. Build jobs bounded
+    // (PlanGuardSpec exemption).
+    "q_consent_purpose" -> Q(
+      (s, dir) => {
+        import graft.operators.{DeletionVectors, StableHash}
+        import graft.policy.Consent
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_cpurpose_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val all = docs(s, dir)
+        val consent = s"$root/consent"
+        val subs = all.select(col("doc_id").as("subject_id"))
+        Consent.init(s, consent,
+          subs.withColumn("purpose", lit("training"))
+            .withColumn("granted", lit(true))
+            .withColumn("updated_at", lit(1L))
+            .unionByName(subs.withColumn("purpose", lit("analytics"))
+              .withColumn("granted", lit(true))
+              .withColumn("updated_at", lit(1L))))
+        Consent.withdraw(s, consent,
+          all.filter(StableHash.bucket(col("doc_id"), 7) === 0)
+            .select(col("doc_id")),
+          "training", updatedAt = 2L, stateDir = Some(root))
+        DeletionVectors.append(s, root,
+          all.filter(StableHash.bucket(col("doc_id"), 11) === 4)
+            .select(col("doc_id")))
+        def serve(purpose: String): DataFrame =
+          DeletionVectors
+            .maskServing(s, root, all, purpose = Some(purpose))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("purpose", lit(purpose))
+        serve("training").unionByName(serve("analytics"))
+          .select(col("purpose"), col("source"), col("n_docs"),
+            col("sum_chars"))
+          .orderBy("purpose", "source")
+      },
+      Some(s"""
+        with b as (
+          select doc_id, source, n_chars,
+            ${duckMdBucket(7)} as h7, ${duckMdBucket(11)} as h11
+          from documents
+        )
+        select 'analytics' as purpose, source, count(*) as n_docs,
+          cast(sum(n_chars) as bigint) as sum_chars
+        from b where h11 <> 4
+        group by source
+        union all
+        select 'training' as purpose, source, count(*) as n_docs,
+          cast(sum(n_chars) as bigint) as sum_chars
+        from b where h11 <> 4 and h7 <> 0
+        group by source
+        order by purpose, source""")
+    ),
+    // the Art. 7(1) retroactive-lawfulness audit (Consent.retroAudit):
+    // subjects granted at DIFFERENT times (one slice only after the
+    // admission stamp), one slice withdrawn before it — the audit joins
+    // the admission log against the registry's SCD-2 validity intervals
+    // and returns every document admitted while its subject's
+    // then-current state did NOT grant the purpose (absence is denial).
+    // The twin replays the event log with a latest-event-at-or-before-
+    // admission window, so the hash match pins the interval join against
+    // an independent as-of reconstruction. Build jobs bounded
+    // (PlanGuardSpec exemption).
+    "q_consent_asof" -> Q(
+      (s, dir) => {
+        import graft.operators.StableHash
+        import graft.policy.Consent
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_casof_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val all = docs(s, dir)
+        val consent = s"$root/consent"
+        // grants land at ts 2, EXCEPT the h3==0 slice which only grants
+        // at ts 10 — after the admission stamp below
+        Consent.init(s, consent, all
+          .select(col("doc_id").as("subject_id"))
+          .withColumn("purpose", lit("training"))
+          .withColumn("granted", lit(true))
+          .withColumn("updated_at",
+            when(StableHash.bucket(col("subject_id"), 3) === 0, lit(10L))
+              .otherwise(lit(2L))))
+        // the h5==0 slice withdraws at ts 6 — before the admission stamp
+        Consent.update(s, consent, all
+          .filter(StableHash.bucket(col("doc_id"), 5) === 0)
+          .select(col("doc_id").as("subject_id"))
+          .withColumn("purpose", lit("training"))
+          .withColumn("granted", lit(false))
+          .withColumn("updated_at", lit(6L)))
+        // every document admitted at ts 8, subject == document
+        val admissions = all.select(col("doc_id"),
+          col("doc_id").as("subject_id"), col("source"))
+          .withColumn("admitted_at", lit(8L))
+        Consent.retroAudit(s, consent, admissions, "training")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_violations"))
+          .orderBy("source")
+      },
+      Some(s"""
+        with b as (
+          select doc_id, source,
+            ${duckMdBucket(3)} as h3, ${duckMdBucket(5)} as h5
+          from documents
+        ),
+        ev as (
+          select doc_id, case when h3 = 0 then 10 else 2 end as ts, true as g
+          from b
+          union all select doc_id, 6 as ts, false as g from b where h5 = 0
+        ),
+        state_at_8 as (
+          select doc_id, g from (
+            select doc_id, g,
+              row_number() over (partition by doc_id order by ts desc) as rn
+            from ev where ts <= 8
+          ) where rn = 1
+        )
+        select b.source, count(*) as n_violations
+        from b left join state_at_8 using (doc_id)
+        where coalesce(state_at_8.g, false) = false
         group by b.source order by b.source""")
     ),
     "q_mixture_budget" -> Q(

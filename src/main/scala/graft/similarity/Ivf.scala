@@ -186,6 +186,10 @@ object Ivf {
     * and promote (`assigned/` absent, `assigned__retired` holding the
     * data) — without this, every read path would fail until some later
     * maintenance verb happened to run the recovery.
+    *
+    * This is the MAINTENANCE reader: raw store state, logically-erased
+    * subjects included. Serve through [[searchServing]] /
+    * [[searchAllServing]] (default-masked) or pass `maskIds` explicitly.
     */
   def loadIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -368,6 +372,8 @@ object Ivf {
     * subtract the request-sized vector from the CANDIDATE set, after the
     * probe join and before the top-k, so masked ids are never returned
     * and k results still come back. The anti-join broadcasts the mask
+    * while it is request-sized and degrades to a shuffle join under
+    * unsettled-backlog bytes ([[graft.operators.DeletionVectors.hinted]])
     * and sits above the cluster-partition pruning, which it leaves
     * intact.
     */
@@ -380,7 +386,8 @@ object Ivf {
       case None => df
       case Some(m) =>
         val keys = m.select(col(m.columns.head).as(idCol)).distinct()
-        df.join(broadcast(keys), Seq(idCol), "left_anti")
+        df.join(graft.operators.DeletionVectors.hinted(keys),
+          Seq(idCol), "left_anti")
     }
 
   /** ANN search: exact cosine within the `nprobe` clusters nearest to the
@@ -483,5 +490,58 @@ object Ivf {
         col("rank"),
         col("dst").as(idCol),
         col("score").as("cos_sim"))
+  }
+
+  /** The SERVING entry point for a stored index: [[loadIndex]] +
+    * [[search]] with the state directory's pending deletion vectors
+    * subtracted BY DEFAULT ([[graft.operators.DeletionVectors]] — the
+    * [[graft.text.Bm25.searchServing]] convention): a caller serving
+    * through here cannot forget the mask and keep returning
+    * logically-erased subjects. `purpose` scopes the mask (None
+    * subtracts every vector); `unmasked = true` is the explicit
+    * maintenance opt-out.
+    */
+  def searchServing(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      maskStateDir: String,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nprobe: Int = 2,
+      purpose: Option[String] = None,
+      unmasked: Boolean = false
+  ): DataFrame = {
+    val (centroids, assigned) = loadIndex(spark, indexDir)
+    val mask =
+      if (unmasked) None
+      else graft.operators.DeletionVectors.load(spark, maskStateDir, idCol, purpose)
+    search(assigned, centroids, idCol, vecCol, query, k, nprobe, mask)
+  }
+
+  /** [[searchAll]] over a stored index with the default mask — the
+    * batched [[searchServing]].
+    */
+  def searchAllServing(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      maskStateDir: String,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nprobe: Int = 2,
+      purpose: Option[String] = None,
+      unmasked: Boolean = false
+  ): DataFrame = {
+    val (centroids, assigned) = loadIndex(spark, indexDir)
+    val mask =
+      if (unmasked) None
+      else graft.operators.DeletionVectors.load(spark, maskStateDir, idCol, purpose)
+    searchAll(assigned, centroids, idCol, vecCol, queries, queryIdCol,
+      queryVecCol, k, nprobe, mask)
   }
 }

@@ -937,28 +937,34 @@ object StreamingPipeline {
     * fourth member, GDPR Art. 6/7 next to rectifySink's Art. 16 and
     * eraseSink's Art. 17): each micro-batch of
     * `(subject_id, purpose, granted, updated_at)` events merges into the
-    * [[graft.policy.Consent]] SCD-2 registry, and the batch's
-    * WITHDRAWALS also land one deletion vector in `stateDir` so every
-    * masked serve stops returning those subjects at the batch boundary —
-    * the physical purge rides the next erase-settle, exactly
-    * [[graft.policy.Consent.withdraw]]'s contract, applied per batch.
+    * [[graft.policy.Consent]] SCD-2 registry (bootstrapping it on the
+    * very first batch — no manual init step ordered before the stream),
+    * and per purpose the batch's WITHDRAWALS land one PURPOSE-SCOPED
+    * deletion vector in `stateDir` (serves declaring that purpose stop
+    * returning those subjects at the batch boundary; other purposes
+    * keep serving) while its GRANTS retire the subjects from that
+    * purpose's vectors — [[graft.policy.Consent.withdraw]] /
+    * [[graft.policy.Consent.grant]]'s contract, applied per batch. When
+    * subjects own many documents pass `mapping` (`subject_id`,
+    * `doc_id`); the vector legs resolve through it.
     *
     * Exactly-once the sinks' usual way: a redelivered batch converges
     * rather than double-applies (the registry merge dedups same-key-
-    * same-timestamp redeliveries; the vector is content-addressed by its
-    * key set). Ordering with the other queue members: a withdrawal's
-    * vector only MASKS — an erase sweep ordered before or after it
-    * commutes (the sweep purges, the mask over-masks purged ids
-    * harmlessly until settle retires it), and a rectification of a
-    * masked subject updates content that stays masked until the subject
-    * re-grants, the [[graft.cli.CurateCli.runEraseLogical]] re-admission
-    * contract.
+    * same-timestamp redeliveries, resolving cross-batch same-timestamp
+    * conflicts deny-wins; the vector is content-addressed by its key
+    * set; the re-grant retirement is a set subtraction). Ordering with
+    * the other queue members: a withdrawal's vector only MASKS — an
+    * erase sweep ordered before or after it commutes (the sweep purges,
+    * the mask over-masks purged ids harmlessly), and a rectification of
+    * a masked subject updates content that stays masked until the
+    * subject re-grants the purpose.
     */
   def consentSink(
       stream: DataFrame,
       consentDir: String,
       checkpoint: String,
       stateDir: Option[String] = None,
+      mapping: Option[DataFrame] = None,
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery =
     stream.writeStream
@@ -974,13 +980,35 @@ object StreamingPipeline {
             col("updated_at").cast("long").as("updated_at"))
           graft.policy.Consent.update(spark, consentDir, events)
           stateDir.foreach { sd =>
-            // null-id withdrawals can mask nothing; the update above
-            // already drops null-field events from the registry
-            val withdrawn = events
-              .filter(col("subject_id").isNotNull && !col("granted"))
-              .select(col("subject_id").as("doc_id")).distinct()
-            if (!withdrawn.isEmpty)
-              graft.operators.DeletionVectors.append(spark, sd, withdrawn)
+            // null-field events never reach the registry (update drops
+            // them); they must not reach the vectors either. The purpose
+            // set of one consent batch is bounded (purposes are a small
+            // vocabulary), so the per-purpose loop is a driver loop over
+            // a handful of slugs, not over subjects.
+            val clean = events.filter(col("subject_id").isNotNull &&
+              col("purpose").isNotNull && col("granted").isNotNull)
+            val purposes = clean.select(col("purpose")).distinct()
+              .collect().map(_.getString(0)).sorted
+            purposes.foreach { p =>
+              val ofP = clean.filter(col("purpose") === p)
+              val withdrawn = ofP.filter(!col("granted"))
+                .select(col("subject_id")).distinct()
+              val granted = ofP.filter(col("granted"))
+                .select(col("subject_id")).distinct()
+              def docs(subs: DataFrame): DataFrame = mapping match {
+                case None => subs.withColumnRenamed("subject_id", "doc_id")
+                case Some(m) =>
+                  m.select(col("subject_id"), col("doc_id"))
+                    .join(subs, Seq("subject_id"), "left_semi")
+                    .select(col("doc_id")).distinct()
+              }
+              if (!withdrawn.isEmpty)
+                graft.operators.DeletionVectors.append(spark, sd,
+                  docs(withdrawn), purpose = Some(p))
+              if (!granted.isEmpty)
+                graft.operators.DeletionVectors.subtractPurpose(spark, sd,
+                  docs(granted), p)
+            }
           }
           ()
         }

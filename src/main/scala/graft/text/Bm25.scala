@@ -586,6 +586,11 @@ object Bm25 {
 
   /** Load an index written by [[writeSearchIndex]]: (postings, stats).
     * Replays any pending commit first ([[recoverSearchIndex]]).
+    *
+    * This is the MAINTENANCE reader: it returns raw store state, with
+    * logically-erased subjects still present. Serve through
+    * [[searchServing]] (which subtracts the pending deletion vectors by
+    * default) — or pass the loaded vector as `maskIds` explicitly.
     */
   def loadSearchIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -639,13 +644,47 @@ object Bm25 {
     // ranks stay dense, while N/avgdl/df stay the index's own until the
     // vector settles through the physical sweep (the module's documented
     // eventual-consistency window). The vector is request-sized, so the
-    // subtraction is a broadcast anti-join on the candidate set.
+    // subtraction is a broadcast anti-join on the candidate set —
+    // size-aware (DeletionVectors.hinted): an unsettled mass-withdrawal
+    // backlog degrades to a shuffle join instead of a forced broadcast.
     val masked = maskIds match {
       case None => perQueryDoc
       case Some(m) =>
         val keys = m.select(col(m.columns.head).as(idCol)).distinct()
-        perQueryDoc.join(broadcast(keys), Seq(idCol), "left_anti")
+        perQueryDoc.join(graft.operators.DeletionVectors.hinted(keys),
+          Seq(idCol), "left_anti")
     }
     rankPerQuery(masked, idCol, topK)
+  }
+
+  /** The SERVING entry point: [[loadSearchIndex]] +
+    * [[retrieveTopKIndexed]] with the state directory's pending
+    * deletion vectors subtracted BY DEFAULT
+    * ([[graft.operators.DeletionVectors]]) — a caller who serves
+    * through here cannot forget the mask and keep returning
+    * logically-erased subjects. `maskStateDir` is the directory whose
+    * `.dv/` tree guards this index (under the
+    * [[graft.cli.CurateCli]] layout, the state dir holding `search/`);
+    * `purpose` scopes the mask (None subtracts every vector — the safe
+    * un-scoped read); `unmasked = true` is the explicit maintenance
+    * opt-out (compaction and fsck need raw truth, serving never does).
+    */
+  def searchServing(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      maskStateDir: String,
+      queriesDf: DataFrame,
+      topK: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      purpose: Option[String] = None,
+      unmasked: Boolean = false
+  ): DataFrame = {
+    val (postings, stats) = loadSearchIndex(spark, indexDir)
+    val mask =
+      if (unmasked) None
+      else graft.operators.DeletionVectors.load(spark, maskStateDir, idCol, purpose)
+    retrieveTopKIndexed(postings, stats, idCol, queriesDf, topK, k1, b, mask)
   }
 }

@@ -61,7 +61,7 @@ class ConsentSpec extends SparkSpec {
       "asOf(2) must show the withdrawal in force")
   }
 
-  test("withdrawal stops serving NOW and purges physically at settle") {
+  test("withdrawal stops serving for its purpose NOW; a global erase purges physically at settle") {
     val work = tmp("withdraw")
     val state = s"$work/state"
     val consent = s"$work/consent"
@@ -83,22 +83,118 @@ class ConsentSpec extends SparkSpec {
     val n = Consent.withdraw(spark, consent, wd, "training",
       updatedAt = 2L, stateDir = Some(state))
     assert(n == wd.count())
-    // immediate: the gate refuses them AND the masked serve hides them
+    // immediate: the gate refuses them AND serves for this purpose (and
+    // un-scoped serves, which subtract everything) hide them
     val gated = Consent.gate(spark, consent,
       spark.read.parquet(s"$state/corpus"), "training")
     assert(gated.join(wd, Seq("doc_id"), "left_semi").isEmpty)
     val served = DeletionVectors.maskServing(spark, state,
-      spark.read.parquet(s"$state/corpus"))
+      spark.read.parquet(s"$state/corpus"), purpose = Some("training"))
     assert(served.join(wd, Seq("doc_id"), "left_semi").isEmpty)
-    // eventual: settle purges the corpus rows and clears the vector
+    assert(DeletionVectors.maskServing(spark, state,
+      spark.read.parquet(s"$state/corpus"))
+      .join(wd, Seq("doc_id"), "left_semi").isEmpty)
+    // a withdrawal is NOT an erasure request: settle has nothing global
+    // to sweep, the rows stay physically present
+    assert(CurateCli.runEraseSettle(spark, state).isEmpty)
+    assert(!spark.read.parquet(s"$state/corpus")
+      .join(wd, Seq("doc_id"), "left_semi").isEmpty)
+    // the subject leaves the platform: an Art. 17 global erase files,
+    // settle purges the rows AND retires the purpose mask for them
+    CurateCli.runEraseLogical(spark, s"$work/withdraw_ids", state)
     CurateCli.runEraseSettle(spark, state)
     assert(spark.read.parquet(s"$state/corpus")
       .join(wd, Seq("doc_id"), "left_semi").isEmpty)
     assert(DeletionVectors.pending(spark, state)._1 == 0)
+    assert(DeletionVectors.pendingPurposeMasks(spark, state).isEmpty,
+      "the physical purge must retire the purpose mask for purged ids too")
     // the registry still demonstrates the withdrawal
     assert(Consent.grantedSubjects(spark, consent, "training")
       .join(wd.withColumnRenamed("doc_id", "subject_id"),
         Seq("subject_id"), "left_semi").isEmpty)
+  }
+
+  test("purpose-scoped masking: withdrawing one purpose keeps the others serving; re-grant unmasks") {
+    val work = tmp("purpose")
+    val state = s"$work/state"
+    val consent = s"$work/consent"
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source")).limit(300)
+    corpus.write.parquet(s"$work/corpus")
+    val all = spark.read.parquet(s"$work/corpus")
+    val subs = all.select(col("doc_id").as("subject_id"))
+    Consent.init(spark, consent,
+      subs.withColumn("purpose", lit("training"))
+        .withColumn("granted", lit(true)).withColumn("updated_at", lit(1L))
+        .unionByName(subs.withColumn("purpose", lit("analytics"))
+          .withColumn("granted", lit(true)).withColumn("updated_at", lit(1L))))
+    val wd = all.filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+    Consent.withdraw(spark, consent, wd, "training", 2L,
+      stateDir = Some(state))
+    // training serves masked; analytics serves EVERYTHING; an un-scoped
+    // serve over-masks (the safe direction)
+    assert(DeletionVectors.maskServing(spark, state, all,
+      purpose = Some("training"))
+      .join(wd, Seq("doc_id"), "left_semi").isEmpty)
+    assert(DeletionVectors.maskServing(spark, state, all,
+      purpose = Some("analytics")).count() == all.count())
+    assert(DeletionVectors.maskServing(spark, state, all).count() ==
+      all.count() - wd.count())
+    // the gate agrees per purpose
+    assert(Consent.gate(spark, consent, all, "training")
+      .join(wd, Seq("doc_id"), "left_semi").isEmpty)
+    assert(Consent.gate(spark, consent, all, "analytics").count() ==
+      all.count())
+    // purpose masks are NOT settle debt: nothing is pending globally
+    assert(DeletionVectors.pending(spark, state)._1 == 0)
+    val census = DeletionVectors.pendingPurposeMasks(spark, state)
+    assert(census == Seq(("training", 1, wd.count())))
+    // re-grant unmasks training WITHOUT touching analytics' state, and
+    // the registry keeps the full chain
+    Consent.grant(spark, consent, wd, "training", 3L, stateDir = Some(state))
+    assert(DeletionVectors.maskServing(spark, state, all,
+      purpose = Some("training")).count() == all.count())
+    assert(DeletionVectors.pendingPurposeMasks(spark, state).isEmpty)
+    assert(Consent.gate(spark, consent, all, "training").count() == all.count())
+    assert(Snapshot.loadStore(spark, consent)
+      .filter(col("purpose") === "training").count() ==
+      all.count() + 2 * wd.count(),
+      "grant -> withdraw -> re-grant must keep three versions for the cycled subjects")
+    // a GLOBAL (Art. 17) vector masks every purpose regardless of grants
+    val erased = all.filter(col("doc_id") % 7 === 1).select(col("doc_id"))
+    DeletionVectors.append(spark, state, erased)
+    Seq(Some("training"), Some("analytics"), None).foreach { scope =>
+      assert(DeletionVectors.maskServing(spark, state, all, purpose = scope)
+        .join(erased, Seq("doc_id"), "left_semi").isEmpty,
+        s"global vector must mask scope $scope")
+    }
+  }
+
+  test("subject-keyed withdrawal resolves to the owned documents through the mapping") {
+    val work = tmp("mapping")
+    val state = s"$work/state"
+    val consent = s"$work/consent"
+    // 40 documents owned by 8 subjects (5 docs each)
+    val mapping = (0L until 40L).map(d => (d % 8L, d))
+      .toDF("subject_id", "doc_id")
+    val corpus = mapping.select(col("doc_id"))
+    Consent.init(spark, consent,
+      mapping.select(col("subject_id")).distinct()
+        .withColumn("purpose", lit("training"))
+        .withColumn("granted", lit(true)).withColumn("updated_at", lit(1L)))
+    Consent.withdraw(spark, consent, Seq(3L, 5L).toDF("subject_id"),
+      "training", 2L, stateDir = Some(state), mapping = Some(mapping))
+    val served = DeletionVectors.maskServing(spark, state, corpus,
+      purpose = Some("training")).collect().map(_.getLong(0)).toSet
+    assert(served == (0L until 40L).filterNot(d => d % 8 == 3 || d % 8 == 5).toSet,
+      "every document the withdrawing subjects own must mask")
+    // re-grant through the same mapping unmasks all owned docs
+    Consent.grant(spark, consent, Seq(3L).toDF("subject_id"), "training",
+      3L, stateDir = Some(state), mapping = Some(mapping))
+    val after = DeletionVectors.maskServing(spark, state, corpus,
+      purpose = Some("training")).collect().map(_.getLong(0)).toSet
+    assert(after == (0L until 40L).filterNot(d => d % 8 == 5).toSet)
   }
 
   test("withdrawal killed between the registry and the vector heals by replay") {
@@ -187,14 +283,73 @@ class ConsentSpec extends SparkSpec {
     assert(!granted.contains(ids(10)))
     assert(withdrawn.tail.forall(!granted.contains(_)))
     assert(granted.contains(withdrawn.head), "the re-grant must win")
-    // the withdrawals' vectors mask serving (the re-granted subject
-    // stays masked until its vector settles — the documented
-    // re-admission contract: settle, then re-admit)
+    // the withdrawals' purpose vectors mask serving; the re-grant
+    // retired its subject from the purpose tree, so it serves again
     val served = DeletionVectors.maskServing(spark, state,
-      spark.read.parquet(s"$state/corpus"))
+      spark.read.parquet(s"$state/corpus"), purpose = Some("training"))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(withdrawn.tail.forall(!served.contains(_)))
     assert(!served.contains(ids(10)))
+    assert(served.contains(withdrawn.head),
+      "the re-granted subject must serve for the re-granted purpose")
+    // nothing global is pending: withdrawals are not erasure requests
+    assert(DeletionVectors.pending(spark, state)._1 == 0)
+  }
+
+  test("a conflicting same-timestamp verdict across batches resolves deny-wins, either order") {
+    // ADVICE r10: a grant and a withdrawal carrying the same updated_at
+    // arriving in DIFFERENT batches used to resolve by arrival order via
+    // the SCD-2 same-key-same-timestamp dedup; the merge tiebreak makes
+    // deny win deterministically in both orders
+    val dir1 = tmp("xbatch1")
+    Consent.init(spark, dir1, events(Seq(1L), "training", granted = true, 1L))
+    Consent.update(spark, dir1, events(Seq(1L), "training", granted = true, 2L))
+    Consent.update(spark, dir1, events(Seq(1L), "training", granted = false, 2L))
+    assert(Consent.grantedSubjects(spark, dir1, "training").isEmpty,
+      "a late deny must demote the stored same-timestamp grant")
+    val dir2 = tmp("xbatch2")
+    Consent.init(spark, dir2, events(Seq(1L), "training", granted = true, 1L))
+    Consent.update(spark, dir2, events(Seq(1L), "training", granted = false, 2L))
+    Consent.update(spark, dir2, events(Seq(1L), "training", granted = true, 2L))
+    assert(Consent.grantedSubjects(spark, dir2, "training").isEmpty,
+      "a late grant must lose to the stored same-timestamp deny")
+    // one version per (key, ts) either way, and the ts-1 grant history survives
+    Seq(dir1, dir2).foreach { d =>
+      val store = Snapshot.loadStore(spark, d)
+      assert(store.count() == 2, s"$d must hold exactly ts-1 and ts-2 versions")
+      assert(Snapshot.asOf(store, lit(1L)).head().getAs[Boolean]("granted"))
+    }
+  }
+
+  test("a missing registry bootstraps on the first update instead of crashing") {
+    val dir = s"${tmp("boot")}/never-inited"
+    Consent.update(spark, dir, events(Seq(1L, 2L), "training", granted = true, 1L))
+    Consent.update(spark, dir, events(Seq(2L), "training", granted = false, 2L))
+    assert(Consent.grantedSubjects(spark, dir, "training")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("retroAudit reports admissions that lacked then-current consent (Art. 7(1))") {
+    val dir = tmp("retro")
+    // s1 granted at ts 2 (lawful from 2); s2 granted only at ts 10;
+    // s3 granted at 2 then withdrawn at 6; s4 never registered
+    Consent.init(spark, dir,
+      events(Seq(1L, 3L), "training", granted = true, 2L))
+    Consent.update(spark, dir, events(Seq(3L), "training", granted = false, 6L))
+    Consent.update(spark, dir, events(Seq(2L), "training", granted = true, 10L))
+    val admissions = Seq(
+      (101L, 1L, 8L), // lawful: s1 granted since 2
+      (102L, 2L, 8L), // violation: s2's grant came later
+      (103L, 3L, 8L), // violation: s3 withdrawn at 6
+      (104L, 3L, 4L), // lawful: admitted inside s3's grant window
+      (105L, 4L, 8L)  // violation: absence is denial
+    ).toDF("doc_id", "subject_id", "admitted_at")
+    val bad = Consent.retroAudit(spark, dir, admissions, "training")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(bad == Set(102L, 103L, 105L))
+    // a missing registry: nothing was ever lawful, everything returns
+    assert(Consent.retroAudit(spark, s"${tmp("retro2")}/missing",
+      admissions, "training").count() == admissions.count())
   }
 
   test("simultaneous conflicting events resolve deny-wins; null-field events are dropped") {

@@ -321,6 +321,85 @@ class DeletionVectorsSpec extends SparkSpec {
       "post-settle: no pending mask, no rows")
   }
 
+  test("the mask hint is size-aware: broadcast below the byte threshold, shuffle join above") {
+    val work = tmp("hint")
+    docs.limit(150).select(col("doc_id"), col("source"))
+      .write.parquet(s"$work/data")
+    DeletionVectors.append(spark, work,
+      docs.limit(150).filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    val data = spark.read.parquet(s"$work/data")
+    def plan(): String =
+      DeletionVectors.maskServing(spark, work, data)
+        .queryExecution.sparkPlan.toString
+    def served(): Set[Long] =
+      DeletionVectors.maskServing(spark, work, data)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // isolate the HINT's effect: with auto-broadcast off, only the
+    // explicit hint can produce a broadcast join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // request-sized vector, default threshold: the hint forces broadcast
+      assert(plan().contains("BroadcastHashJoin"),
+        s"small mask must broadcast:\n${plan()}")
+      val small = served()
+      // force the "unbounded unsettled backlog" side: the hint is dropped
+      // and the anti-join degrades to a shuffle join instead of a forced
+      // driver-side broadcast
+      spark.conf.set("graft.dv.broadcastMaxBytes", "0")
+      val p = plan()
+      assert(!p.contains("BroadcastHashJoin"),
+        s"oversized mask must not force a broadcast:\n$p")
+      assert(served() == small, "both sides of the switch serve identically")
+    } finally {
+      spark.conf.unset("graft.dv.broadcastMaxBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("subject-keyed erase verbs resolve through the owner mapping and converge") {
+    val work = tmp("bysubject")
+    val state = s"$work/state"
+    copyDir(goldenState, state)
+    val corpus = spark.read.parquet(s"$state/corpus")
+    // owner mapping: 101 subjects, each owning many documents
+    corpus.select((col("doc_id") % 101).as("subject_id"), col("doc_id"))
+      .write.parquet(s"$work/mapping")
+    Seq(7L, 13L).toDF("subject_id").write.parquet(s"$work/subjects")
+    // materialized BEFORE the sweep: the physical erase rewrites the
+    // corpus files, so a lazily-planned frame over them would re-scan
+    // purged paths (the golden-state specs' fresh-read rule)
+    val expectedIds = ids(corpus
+      .filter(col("doc_id") % 101 === 7 || col("doc_id") % 101 === 13)
+      .select(col("doc_id")))
+    // logical: one vector covering every owned document
+    val (n, _) = CurateCli.runEraseLogicalBySubject(
+      spark, s"$work/subjects", s"$work/mapping", state)
+    assert(n == expectedIds.size, "the vector must cover all owned docs")
+    assert(ids(DeletionVectors.maskServing(spark, state, corpus)
+      .select(col("doc_id"))).intersect(expectedIds).isEmpty)
+    // Art. 15 by subject rides the same resolution: the disclosure
+    // covers every owned document, all pending logical erasure
+    val acc = CurateCli.runAccessBySubject(spark, s"$work/subjects",
+      s"$work/mapping", state, s"$work/report")
+    assert(acc.nKeys == expectedIds.size &&
+      acc.nMaskedPending == expectedIds.size)
+    // physical: a crash between resolve and sweep heals by replay (the
+    // resolve re-lands the same content-addressed capture)
+    assert(intercept[Crash] {
+      CurateCli.runEraseBySubject(spark, s"$work/subjects",
+        s"$work/mapping", state, failpoint = killAt("subject-resolved"))
+    }.at == "subject-resolved")
+    CurateCli.runEraseBySubject(
+      spark, s"$work/subjects", s"$work/mapping", state)
+    assert(ids(spark.read.parquet(s"$state/corpus").select(col("doc_id")))
+      .intersect(expectedIds).isEmpty,
+      "every document the subjects own must be physically gone")
+    // settle retires the now-vacuous vector through the usual machinery
+    CurateCli.runEraseSettle(spark, state)
+    assert(DeletionVectors.pending(spark, state)._1 == 0)
+    assert(Fsck.state(spark, state).forall(_.ok))
+  }
+
   test("pending load is ONE scan: mask job count is independent of the vector count") {
     val work1 = tmp("scan1")
     val work4 = tmp("scan4")

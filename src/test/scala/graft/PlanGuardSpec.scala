@@ -165,6 +165,15 @@ class PlanGuardSpec extends SparkSpec {
     // consent registry bootstrap + two SCD-2 merges (touched-bucket
     // collects bounded by the bucket count) before the gate
     "q_consent_gate",
+    // registry bootstrap (two purposes) + one withdrawal merge + two
+    // deletion-vector appends (content-id fold + write + count each)
+    // before the two masked serves
+    "q_consent_purpose",
+    // registry bootstrap + one withdrawal merge before the as-of audit
+    "q_consent_asof",
+    // mapping + request writes, the subject->doc resolve write, and one
+    // deletion-vector append before the masked serve
+    "q_erase_by_subject",
     // the same registry build + gate, then a ledger authorize/charge
     // pair (replayed once) before the noisy release
     "q_consent_dp_release",
@@ -242,6 +251,11 @@ class PlanGuardSpec extends SparkSpec {
           // merges (touched collect, staged write, readback, manifest
           // refresh each) + the withdraw count (~44 observed)
           else if (name == "q_consent_gate") 55
+          // registry bootstrap + withdrawal merge + two vector appends
+          // (or one, for the as-of audit's single merge) — the
+          // q_consent_gate shape with the vector legs riding along
+          else if (name == "q_consent_purpose") 55
+          else if (name == "q_consent_asof") 55
           // the registry build again + the ledger's authorize reads,
           // charge write, replay verification, and spend read
           else if (name == "q_consent_dp_release") 70
