@@ -122,7 +122,10 @@ object PlanDump {
     "q_erase_logical",    // deletion-vector mask between scoring and ranking
     "q_dp_budget",        // ledger composition over content-addressed charges
     "q_consent_gate",     // SCD-2 registry merges + the opt-in semi-join
-    "q_consent_dp_release" // consent gate -> DP release -> ledger charge
+    "q_consent_dp_release", // consent gate -> DP release -> ledger charge
+    "q_consent_purpose",  // purpose-scoped vs global vector masks, two serves
+    "q_consent_asof",     // validity-interval anti-join retro audit
+    "q_erase_by_subject"  // owner-mapping resolve + masked serve
   )
 
   def main(args: Array[String]): Unit = {
