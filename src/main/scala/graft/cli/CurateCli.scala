@@ -120,7 +120,25 @@ object CurateCli {
       corpusCompacted: Boolean,
       driftPsi: Option[Double] = None,
       profileDistinctEst: Option[Double] = None,
-      exactOrderDrift: Option[Double] = None)
+      exactOrderDrift: Option[Double] = None,
+      nConsentDenied: Long = 0L)
+
+  /** Consent-gated admission for [[runIncremental]] (GDPR Art. 6):
+    * input rows whose subject does not CURRENTLY grant `purpose` in the
+    * [[graft.policy.Consent]] registry at `consentDir` are refused
+    * before the pipeline sees them, and every ADMITTED document lands
+    * one row in the durable admission log
+    * (`<state>/.admissions/batch=<id>`: doc_id, purpose, admitted_at) —
+    * the data source [[graft.policy.Consent.retroAudit]] and the
+    * `consent-audit` verb need to answer Art. 7(1) ("demonstrate the
+    * subject had consented WHEN the data was processed"). `admittedAt`
+    * defaults to the wall clock; pin it for reproducible audits (the
+    * pipeline's pinnable-`now` convention).
+    */
+  final case class ConsentGateCfg(
+      consentDir: String,
+      purpose: String,
+      admittedAt: Option[Long] = None)
 
   /** The daily-increment twin of [[run]]: gate + redact + dedup a NEW
     * batch ([[CorpusPipeline.prepare]]), drop documents that
@@ -181,7 +199,8 @@ object CurateCli {
       hybridK: Int = 16,
       profileStats: Boolean = false,
       exactIndex: Boolean = false,
-      aggStats: Boolean = false
+      aggStats: Boolean = false,
+      consent: Option[ConsentGateCfg] = None
   ): IncrementalSummary =
     graft.operators.Lease.withLease(spark, outDir, "incremental") {
     import graft.dedup.Dedup
@@ -209,8 +228,17 @@ object CurateCli {
     graft.sketch.ProfileStore.recover(spark, s"$outDir/profile")
     val bootstrap = !exists(s"$indexDir/meta")
 
-    val docs = spark.read.parquet(input)
-    val nIn = docs.count()
+    val raw = spark.read.parquet(input)
+    val nIn = raw.count()
+    // consent admission gate (Art. 6, opt-in): refused subjects never
+    // reach the pipeline — one semi-join against the subject-scale
+    // registry, the input batch never shuffles
+    val docs = consent match {
+      case None => raw
+      case Some(cg) =>
+        graft.policy.Consent.gate(spark, cg.consentDir, raw, cg.purpose)
+    }
+    val nConsentDenied = if (consent.isEmpty) 0L else nIn - docs.count()
     val kept = CorpusPipeline.prepare(docs, cfg = cfg)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         col("quality_score"), col("n_tokens"))
@@ -269,6 +297,17 @@ object CurateCli {
         val landed = spark.read.parquet(shardDir)
           .select(col("doc_id"), col("source"), col("lang"), col("text"),
             col("quality_score"), col("n_tokens"))
+        // admission log BEFORE the serving appends: a crash mid-pipeline
+        // then over-reports admissions the corpus never saw — the safe
+        // direction for an audit that exists to FIND unlawful admissions
+        consent.foreach { cg =>
+          landed.select(col("doc_id"))
+            .withColumn("purpose", lit(cg.purpose))
+            .withColumn("admitted_at",
+              lit(cg.admittedAt.getOrElse(System.currentTimeMillis())))
+            .write.mode("overwrite")
+            .parquet(s"$outDir/.admissions/batch=$batchId")
+        }
         landed.write.mode("append").parquet(corpusDir)
         if (bootstrap)
           Dedup.writeBandIndex(
@@ -463,7 +502,56 @@ object CurateCli {
     kept.unpersist()
     IncrementalSummary(batchId, nIn, nKept, nFresh, nDup,
       if (nFresh == 0) 0 else nShards, auditOk, compacted, driftPsi, profileEst,
-      exactDrift)
+      exactDrift, nConsentDenied)
+  }
+
+  final case class ConsentAuditSummary(
+      nAdmissions: Long,
+      nViolations: Long)
+
+  /** The Art. 7(1) demonstration over the engine's OWN admission log:
+    * join `<state>/.admissions/` (written by consent-gated
+    * [[runIncremental]] batches) against the registry's SCD-2 validity
+    * intervals ([[graft.policy.Consent.retroAudit]]) and report every
+    * document admitted while its subject's then-current state did not
+    * grant the purpose it was admitted FOR — retroactive registry edits,
+    * backdated withdrawals, or admissions that bypassed the gate all
+    * surface here. Violations land as parquet under `reportDir` with a
+    * one-line JSON summary; read-only on the state (the fsck
+    * convention).
+    */
+  def runConsentAudit(
+      spark: SparkSession,
+      outDir: String,
+      consentDir: String,
+      purpose: String,
+      reportDir: String
+  ): ConsentAuditSummary = {
+    val admRoot = s"$outDir/.admissions"
+    val fs = new org.apache.hadoop.fs.Path(admRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val admissions =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(admRoot))) {
+        import spark.implicits._
+        Seq.empty[(Long, String, Long)]
+          .toDF("doc_id", "purpose", "admitted_at")
+      } else
+        spark.read.parquet(admRoot)
+          .select(col("doc_id"), col("purpose"), col("admitted_at"))
+    val ofPurpose = admissions.filter(col("purpose") === purpose)
+      .withColumn("subject_id", col("doc_id"))
+    val violations = graft.policy.Consent
+      .retroAudit(spark, consentDir, ofPurpose, purpose)
+      .select(col("doc_id"), col("purpose"), col("admitted_at"))
+    violations.write.mode("overwrite").parquet(s"$reportDir/violations")
+    val nV = spark.read.parquet(s"$reportDir/violations").count()
+    val nA = ofPurpose.count()
+    Files.createDirectories(Paths.get(reportDir))
+    Files.writeString(
+      Paths.get(s"$reportDir/consent_audit.json"),
+      s"""{"purpose":${jstr(purpose)},"n_admissions":$nA,""" +
+        s""""n_violations":$nV}""" + "\n")
+    ConsentAuditSummary(nA, nV)
   }
 
   final case class EraseSummary(
@@ -1555,7 +1643,18 @@ object CurateCli {
   private val DriftAlertPsi = 0.2
 
   def main(rawArgs: Array[String]): Unit = {
-    val (args0, modelArgs) = parseModelArgs(rawArgs)
+    val (argsM, modelArgs) = parseModelArgs(rawArgs)
+    // --consent <registryDir> <purpose>: gate admission + admission log
+    val (args0, consentCfg) = {
+      val i = argsM.indexOf("--consent")
+      if (i < 0) (argsM, None)
+      else {
+        require(argsM.length > i + 2,
+          "--consent needs <consentDir> <purpose>")
+        (argsM.patch(i, Nil, 3),
+          Some(ConsentGateCfg(argsM(i + 1), argsM(i + 2))))
+      }
+    }
     val withSearch = args0.contains("--search")
     val withHybrid = args0.contains("--hybrid")
     val withProfile = args0.contains("--profile")
@@ -1642,6 +1741,18 @@ object CurateCli {
       println(s"[curate] erase-logical-by-subject docs=$n " +
         s"pending_vectors=$dirs (serving masked now)")
       spark.stop()
+      return
+    }
+    if (args.headOption.contains("consent-audit")) {
+      require(args.length >= 5,
+        "usage: CurateCli consent-audit <stateDir> <consentDir> " +
+          "<purpose> <reportDir>")
+      val spark = session()
+      val s = runConsentAudit(spark, args(1), args(2), args(3), args(4))
+      println(s"[curate] consent-audit purpose=${args(3)} " +
+        s"admissions=${s.nAdmissions} violations=${s.nViolations}")
+      spark.stop()
+      if (s.nViolations > 0) sys.exit(2)
       return
     }
     if (args.headOption.contains("break-lease")) {
@@ -1744,10 +1855,11 @@ object CurateCli {
       val s = runIncremental(spark, args(1), args(2), nShards,
         cfg = gateConfig(spark, modelArgs), searchIndex = withSearch,
         hybridIndex = withHybrid, profileStats = withProfile,
-        exactIndex = withExact, aggStats = withAgg)
+        exactIndex = withExact, aggStats = withAgg, consent = consentCfg)
       println(s"[curate] batch=${s.batch} in=${s.nIn} kept=${s.nKept} " +
         s"fresh=${s.nFresh} dup_of_corpus=${s.nDupOfCorpus} " +
         s"shards=${s.nShards} audit_ok=${s.auditOk} compacted=${s.corpusCompacted}" +
+        (if (consentCfg.nonEmpty) s" consent_denied=${s.nConsentDenied}" else "") +
         s.driftPsi.map(p => s" drift_psi=$p").getOrElse("") +
         s.profileDistinctEst.map(e => s" profile_distinct_est=$e").getOrElse("") +
         s.exactOrderDrift.map(d => s" exact_order_drift=$d").getOrElse(""))

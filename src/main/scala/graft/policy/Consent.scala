@@ -74,9 +74,11 @@ object Consent {
     * (`subject_id`, `purpose`, `granted`, `updated_at`).
     */
   def init(spark: SparkSession, dir: String, events: DataFrame): Unit =
-    Snapshot.writeStore(
-      Snapshot.initial(keyed(resolved(events)), "consent_key", "updated_at"),
-      "consent_key", dir, buckets = Buckets)
+    graft.operators.Lease.withLease(spark, dir, "consent-init") {
+      Snapshot.writeStore(
+        Snapshot.initial(keyed(resolved(events)), "consent_key", "updated_at"),
+        "consent_key", dir, buckets = Buckets)
+    }
 
   /** A batch carrying BOTH a grant and a withdrawal for the same
     * (subject, purpose) at the same timestamp resolves DENY-WINS
@@ -102,6 +104,19 @@ object Consent {
   /** Same-timestamp tiebreak for the SCD-2 merge: deny first. */
   private val denyWins = Seq(col("granted").asc)
 
+  /** The registry exists when its STORE content does — the directory
+    * alone is not a signal (a writer lease or a crashed init may have
+    * created the path without any data).
+    */
+  private def storeExists(spark: SparkSession, dir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && (
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_stats")) ||
+        fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket=")))
+  }
+
   /** Merge a later event batch — grants, withdrawals, purpose changes.
     * Timestamp-strategy semantics: a row supersedes the current version
     * of its key when `updated_at` advances ([[Snapshot.mergeStore]]);
@@ -112,14 +127,16 @@ object Consent {
     * first micro-batch of a fresh streaming deployment must not require
     * a manual init step ordered before the stream.
     */
-  def update(spark: SparkSession, dir: String, events: DataFrame): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) init(spark, dir, events)
-    else
-      Snapshot.mergeStore(spark, dir, keyed(resolved(events)), "consent_key",
-        "updated_at", buckets = Buckets, sameTsTiebreak = denyWins)
-  }
+  def update(spark: SparkSession, dir: String, events: DataFrame): Unit =
+    graft.operators.Lease.withLease(spark, dir, "consent-update") {
+      if (!storeExists(spark, dir))
+        Snapshot.writeStore(
+          Snapshot.initial(keyed(resolved(events)), "consent_key", "updated_at"),
+          "consent_key", dir, buckets = Buckets)
+      else
+        Snapshot.mergeStore(spark, dir, keyed(resolved(events)), "consent_key",
+          "updated_at", buckets = Buckets, sameTsTiebreak = denyWins)
+    }
 
   /** Current consent state: one row per (subject, purpose) with the
     * latest `granted` verdict.
@@ -156,10 +173,9 @@ object Consent {
       subjectCol: String = "doc_id"
   ): DataFrame = {
     // no registry at all = nobody has consented: the opt-in reading
-    // denies everything rather than erroring on the missing path
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return input.limit(0)
+    // denies everything rather than erroring on the missing path (or on
+    // a path a lease/crashed init created with no store content)
+    if (!storeExists(spark, dir)) return input.limit(0)
     val granted = grantedSubjects(spark, dir, purpose)
       .withColumnRenamed("subject_id", subjectCol)
     input.join(granted, Seq(subjectCol), "left_semi")
@@ -214,7 +230,8 @@ object Consent {
       stateDir: Option[String] = None,
       mapping: Option[DataFrame] = None,
       failpoint: String => Unit = _ => ()
-  ): Long = {
+  ): Long = graft.operators.Lease
+    .withLease(spark, consentDir, "consent-withdraw") {
     val subs = subjects
       .select(col(subjects.columns.head).as("subject_id")).distinct()
     val events = subs
@@ -250,7 +267,8 @@ object Consent {
       stateDir: Option[String] = None,
       mapping: Option[DataFrame] = None,
       failpoint: String => Unit = _ => ()
-  ): Long = {
+  ): Long = graft.operators.Lease
+    .withLease(spark, consentDir, "consent-grant") {
     val subs = subjects
       .select(col(subjects.columns.head).as("subject_id")).distinct()
     val events = subs
@@ -289,10 +307,7 @@ object Consent {
       subjectCol: String = "subject_id",
       admittedAtCol: String = "admitted_at"
   ): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(consentDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(consentDir)))
-      return admissions
+    if (!storeExists(spark, consentDir)) return admissions
     val lawful = Snapshot.loadStore(spark, consentDir)
       .filter(col("purpose") === purpose && col("granted"))
       .select(col("subject_id").as("_c_subject"),

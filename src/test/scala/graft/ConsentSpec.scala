@@ -380,6 +380,56 @@ class ConsentSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("consent-gated admission: denied subjects never land; the admission log feeds the Art. 7(1) audit") {
+    val work = tmp("admit")
+    val state = s"$work/state"
+    val consent = s"$work/consent"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .limit(200).write.parquet(s"$work/b0")
+    val input = spark.read.parquet(s"$work/b0")
+    val granted = input.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    Consent.init(spark, consent,
+      events(granted.toSeq, "training", granted = true, 5L))
+    val s0 = CurateCli.runIncremental(spark, s"$work/b0", state,
+      nShards = 2, consent = Some(CurateCli.ConsentGateCfg(
+        consent, "training", admittedAt = Some(8L))))
+    assert(s0.auditOk)
+    assert(s0.nConsentDenied == input.count() - granted.size,
+      "every non-granted subject must be refused at the gate")
+    val landed = spark.read.parquet(s"$state/corpus")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(landed.subsetOf(granted),
+      "denied subjects must never reach the corpus")
+    // the admission log records what landed, stamped with the pinned now
+    val log = spark.read.parquet(s"$state/.admissions")
+    assert(log.count() == landed.size &&
+      log.filter(col("admitted_at") =!= 8L).isEmpty &&
+      log.filter(col("purpose") =!= "training").isEmpty)
+    // lawful at admission: the audit is clean
+    val a0 = CurateCli.runConsentAudit(spark, state, consent, "training",
+      s"$work/rep0")
+    assert(a0.nAdmissions == landed.size && a0.nViolations == 0)
+    // a BACKDATED withdrawal (effective ts 6, before the ts-8 admission)
+    // makes those admissions retroactively unlawful — the audit finds
+    // exactly them
+    val backdated = landed.toSeq.sorted.take(7)
+    Consent.update(spark, consent,
+      events(backdated, "training", granted = false, 6L))
+    val a1 = CurateCli.runConsentAudit(spark, state, consent, "training",
+      s"$work/rep1")
+    assert(a1.nViolations == backdated.size,
+      s"expected ${backdated.size} retroactive violations, got ${a1.nViolations}")
+    val flagged = spark.read.parquet(s"$work/rep1/violations")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(flagged == backdated.toSet)
+    // a mid-run writer lease on the registry refuses the gate's MUTATING
+    // siblings but never the read-only audit
+    assert(CurateCli.runConsentAudit(spark, state, consent, "training",
+      s"$work/rep2").nViolations == backdated.size)
+  }
+
   test("the snapshot-store auditor reaches the registry") {
     val dir = tmp("fsck")
     Consent.init(spark, dir,
