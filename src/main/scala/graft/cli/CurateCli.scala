@@ -509,6 +509,14 @@ object CurateCli {
       nAdmissions: Long,
       nViolations: Long)
 
+  /** Retention stance of the admission log: `.admissions/` is an
+    * Art. 30-style PROCESSING RECORD (pseudonymous keys + purpose +
+    * stamp, no content), deliberately outside the erase/retention
+    * sweeps — demonstrating that past processing was lawful requires
+    * the record to outlive the data. Its own expiry is an operator
+    * decision: per-batch directories drop in O(1).
+    */
+
   /** The Art. 7(1) demonstration over the engine's OWN admission log:
     * join `<state>/.admissions/` (written by consent-gated
     * [[runIncremental]] batches) against the registry's SCD-2 validity
