@@ -103,10 +103,24 @@ object DeletionVectors {
     */
   private def dvRoot(outDir: String) = s"${outDir.stripSuffix("/")}/.dv"
 
+  /** Purpose strings become directory names (`purpose=<slug>`), so they
+    * must be slugs: non-empty, no '/', '=', or whitespace. Exposed so the
+    * REGISTRY can refuse an invalid purpose BEFORE any state mutates —
+    * validating only here, at the vector leg, would let the registry
+    * record a withdrawal whose mask then throws forever on replay (a
+    * permanently poisoned request with serving never masked).
+    */
+  def requireSlug(purpose: String): Unit =
+    require(isSlug(purpose),
+      s"deletion vectors: purpose must be a slug (non-empty, no '/', '=' " +
+        s"or whitespace), got '$purpose'")
+
+  def isSlug(purpose: String): Boolean =
+    purpose.nonEmpty && !purpose.exists(c => c == '/' || c == '=' ||
+      Character.isWhitespace(c))
+
   private def purposeRoot(outDir: String, purpose: String): String = {
-    require(purpose.nonEmpty && !purpose.exists(c => c == '/' || c == '=' ||
-      Character.isWhitespace(c)),
-      s"deletion vectors: purpose must be a slug, got '$purpose'")
+    requireSlug(purpose)
     s"${dvRoot(outDir)}/purpose=$purpose"
   }
 
@@ -345,8 +359,11 @@ object DeletionVectors {
   ): Unit = {
     val fs = fsOf(spark, root)
     liveDirsUnder(spark, root).foreach { dir =>
+      // size-aware like the serve-side mask: a mass settle after a long
+      // backlog must degrade to a shuffle join, not force-broadcast a
+      // corpus-scale key set through the driver
       val remainder = spark.read.parquet(dir)
-        .join(broadcast(keys), Seq(idCol), "left_anti")
+        .join(hinted(keys), Seq(idCol), "left_anti")
       if (remainder.isEmpty)
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       else {

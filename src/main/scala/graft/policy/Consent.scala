@@ -75,10 +75,30 @@ object Consent {
     */
   def init(spark: SparkSession, dir: String, events: DataFrame): Unit =
     graft.operators.Lease.withLease(spark, dir, "consent-init") {
+      validatePurposes(events)
       Snapshot.writeStore(
         Snapshot.initial(keyed(resolved(events)), "consent_key", "updated_at"),
         "consent_key", dir, buckets = Buckets)
     }
+
+  /** Refuse an event batch carrying a purpose that is not a mask-tree
+    * slug BEFORE any state mutates. Validating only at the vector leg
+    * (after the registry merge) would record the withdrawal and then
+    * throw forever on the mask — a permanently poisoned request with
+    * serving never masked for that purpose. One tiny job on a
+    * request-scale frame (consent events are subject-scale metadata).
+    */
+  private def validatePurposes(events: DataFrame): Unit = {
+    val bad = events
+      .filter(col("purpose").isNotNull)
+      .select(col("purpose")).distinct()
+      .collect().map(_.getString(0))
+      .filterNot(graft.operators.DeletionVectors.isSlug)
+    require(bad.isEmpty,
+      s"consent: purpose must be a slug (non-empty, no '/', '=' or " +
+        s"whitespace) — refused before any state mutates: " +
+        bad.sorted.take(5).map(p => s"'$p'").mkString(", "))
+  }
 
   /** A batch carrying BOTH a grant and a withdrawal for the same
     * (subject, purpose) at the same timestamp resolves DENY-WINS
@@ -129,6 +149,7 @@ object Consent {
     */
   def update(spark: SparkSession, dir: String, events: DataFrame): Unit =
     graft.operators.Lease.withLease(spark, dir, "consent-update") {
+      validatePurposes(events)
       if (!storeExists(spark, dir))
         Snapshot.writeStore(
           Snapshot.initial(keyed(resolved(events)), "consent_key", "updated_at"),
@@ -172,6 +193,7 @@ object Consent {
       purpose: String,
       subjectCol: String = "doc_id"
   ): DataFrame = {
+    graft.operators.DeletionVectors.requireSlug(purpose)
     // no registry at all = nobody has consented: the opt-in reading
     // denies everything rather than erroring on the missing path (or on
     // a path a lease/crashed init created with no store content)
@@ -195,6 +217,55 @@ object Consent {
       m.select(col("subject_id"), col("doc_id"))
         .join(subjects, Seq("subject_id"), "left_semi")
         .select(col("doc_id")).distinct()
+  }
+
+  /** Reconcile one purpose's deletion vectors with the registry's
+    * POST-MERGE verdict for the touched subjects: mask those whose
+    * current state does NOT grant the purpose (denied or absent —
+    * absence is denial), retire those whose current state grants it.
+    * Deriving the vector actions from the raw event batch instead (the
+    * round-11 shape) diverges from the registry whenever the merge does
+    * not follow arrival order: a same-timestamp grant/withdraw conflict
+    * resolves deny-wins in the registry but the grant leg ran last and
+    * retired the mask; a backdated grant (updated_at older than a stored
+    * withdrawal) loses the merge but still unmasked — both over-SERVING
+    * a subject whose consent is withdrawn. Reading the post-merge state
+    * makes the two surfaces convergent by construction, in every arrival
+    * order and under any event-time skew.
+    *
+    * The vector legs mutate `stateDir`'s `.dv` tree, so they hold THAT
+    * directory's writer lease (the consent verbs' own lease is on the
+    * registry directory) — a grant's retirement racing an erase-settle's
+    * vector rewrite on the same tree is exactly the interleave the lease
+    * exists to refuse.
+    *
+    * Scale shape: `subs` is request-scale (broadcast side of the
+    * verdict semi-join); the registry read is the subject-scale snapshot
+    * store. One append and one subtract per purpose, both request-sized.
+    */
+  private[graft] def syncVectors(
+      spark: SparkSession,
+      consentDir: String,
+      stateDir: String,
+      subs: DataFrame,
+      purpose: String,
+      mapping: Option[DataFrame]
+  ): Unit = graft.operators.Lease
+    .withLease(spark, stateDir, "consent-vectors") {
+    val touched = subs
+      .select(col(subs.columns.head).as("subject_id")).distinct()
+    val grantedNow = currentState(spark, consentDir)
+      .filter(col("purpose") === purpose && col("granted"))
+      .select(col("subject_id"))
+      .join(broadcast(touched), Seq("subject_id"), "left_semi")
+    val deniedNow = touched
+      .join(grantedNow, Seq("subject_id"), "left_anti")
+    if (!deniedNow.isEmpty)
+      graft.operators.DeletionVectors.append(spark, stateDir,
+        docKeys(deniedNow, mapping), purpose = Some(purpose))
+    if (!grantedNow.isEmpty)
+      graft.operators.DeletionVectors.subtractPurpose(spark, stateDir,
+        docKeys(grantedNow, mapping), purpose)
   }
 
   /** Art. 7(3) withdrawal, composed end to end: record the withdrawal
@@ -232,6 +303,7 @@ object Consent {
       failpoint: String => Unit = _ => ()
   ): Long = graft.operators.Lease
     .withLease(spark, consentDir, "consent-withdraw") {
+    graft.operators.DeletionVectors.requireSlug(purpose)
     val subs = subjects
       .select(col(subjects.columns.head).as("subject_id")).distinct()
     val events = subs
@@ -240,10 +312,11 @@ object Consent {
       .withColumn("updated_at", lit(updatedAt))
     update(spark, consentDir, events)
     failpoint("registry-updated")
-    stateDir.foreach { sd =>
-      graft.operators.DeletionVectors.append(spark, sd,
-        docKeys(subs, mapping), purpose = Some(purpose))
-    }
+    // the vector action follows the POST-MERGE verdict, not this event:
+    // a withdrawal backdated behind a stored newer grant loses the merge
+    // and must NOT mask (and vice versa for grant) — see [[syncVectors]]
+    stateDir.foreach(sd =>
+      syncVectors(spark, consentDir, sd, subs, purpose, mapping))
     subs.count()
   }
 
@@ -269,6 +342,7 @@ object Consent {
       failpoint: String => Unit = _ => ()
   ): Long = graft.operators.Lease
     .withLease(spark, consentDir, "consent-grant") {
+    graft.operators.DeletionVectors.requireSlug(purpose)
     val subs = subjects
       .select(col(subjects.columns.head).as("subject_id")).distinct()
     val events = subs
@@ -277,10 +351,10 @@ object Consent {
       .withColumn("updated_at", lit(updatedAt))
     update(spark, consentDir, events)
     failpoint("registry-updated")
-    stateDir.foreach { sd =>
-      graft.operators.DeletionVectors.subtractPurpose(spark, sd,
-        docKeys(subs, mapping), purpose)
-    }
+    // post-merge verdict, not this event: a grant backdated behind a
+    // stored newer withdrawal loses the merge and must NOT unmask
+    stateDir.foreach(sd =>
+      syncVectors(spark, consentDir, sd, subs, purpose, mapping))
     subs.count()
   }
 

@@ -939,12 +939,15 @@ object StreamingPipeline {
     * `(subject_id, purpose, granted, updated_at)` events merges into the
     * [[graft.policy.Consent]] SCD-2 registry (bootstrapping it on the
     * very first batch — no manual init step ordered before the stream),
-    * and per purpose the batch's WITHDRAWALS land one PURPOSE-SCOPED
-    * deletion vector in `stateDir` (serves declaring that purpose stop
-    * returning those subjects at the batch boundary; other purposes
-    * keep serving) while its GRANTS retire the subjects from that
-    * purpose's vectors — [[graft.policy.Consent.withdraw]] /
-    * [[graft.policy.Consent.grant]]'s contract, applied per batch. When
+    * and per purpose the touched subjects' PURPOSE-SCOPED deletion
+    * vectors in `stateDir` reconcile with the POST-MERGE registry
+    * verdict ([[graft.policy.Consent.syncVectors]]): subjects the merge
+    * lands at not-granted are masked (serves declaring that purpose stop
+    * returning them at the batch boundary; other purposes keep serving),
+    * subjects it lands at granted retire from the purpose's vectors —
+    * so an intra-batch conflict, a same-timestamp tie (deny-wins), or a
+    * backdated late event ends on the SAME side in the registry and in
+    * serving, in every arrival order. When
     * subjects own many documents pass `mapping` (`subject_id`,
     * `doc_id`); the vector legs resolve through it.
     *
@@ -974,40 +977,39 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val events = batch.select(
-            col("subject_id"), col("purpose"),
-            col("granted").cast("boolean").as("granted"),
-            col("updated_at").cast("long").as("updated_at"))
-          graft.policy.Consent.update(spark, consentDir, events)
-          stateDir.foreach { sd =>
-            // null-field events never reach the registry (update drops
-            // them); they must not reach the vectors either. The purpose
-            // set of one consent batch is bounded (purposes are a small
-            // vocabulary), so the per-purpose loop is a driver loop over
-            // a handful of slugs, not over subjects.
-            val clean = events.filter(col("subject_id").isNotNull &&
-              col("purpose").isNotNull && col("granted").isNotNull)
-            val purposes = clean.select(col("purpose")).distinct()
-              .collect().map(_.getString(0)).sorted
-            purposes.foreach { p =>
-              val ofP = clean.filter(col("purpose") === p)
-              val withdrawn = ofP.filter(!col("granted"))
-                .select(col("subject_id")).distinct()
-              val granted = ofP.filter(col("granted"))
-                .select(col("subject_id")).distinct()
-              def docs(subs: DataFrame): DataFrame = mapping match {
-                case None => subs.withColumnRenamed("subject_id", "doc_id")
-                case Some(m) =>
-                  m.select(col("subject_id"), col("doc_id"))
-                    .join(subs, Seq("subject_id"), "left_semi")
-                    .select(col("doc_id")).distinct()
+          // the sink mutates the registry across the merge AND the vector
+          // legs, so it holds the registry lease for the whole batch (a
+          // cron'd consent verb interleaving mid-batch must refuse);
+          // update re-enters, and syncVectors takes stateDir's own lease
+          graft.operators.Lease
+            .withLease(spark, consentDir, "stream-consent") {
+            val events = batch.select(
+              col("subject_id"), col("purpose"),
+              col("granted").cast("boolean").as("granted"),
+              col("updated_at").cast("long").as("updated_at"))
+            graft.policy.Consent.update(spark, consentDir, events)
+            stateDir.foreach { sd =>
+              // null-field events never reach the registry (update drops
+              // them); they must not reach the vectors either. The purpose
+              // set of one consent batch is bounded (purposes are a small
+              // vocabulary), so the per-purpose loop is a driver loop over
+              // a handful of slugs, not over subjects. Vector actions
+              // follow the POST-MERGE registry verdict of the touched
+              // subjects ([[graft.policy.Consent.syncVectors]]) — NOT the
+              // raw event split: an intra-batch grant/withdraw conflict,
+              // a same-timestamp tie, or a late-arriving backdated grant
+              // all resolve in the merge, and the mask must land wherever
+              // the registry landed, in every arrival order.
+              val clean = events.filter(col("subject_id").isNotNull &&
+                col("purpose").isNotNull && col("granted").isNotNull)
+              val purposes = clean.select(col("purpose")).distinct()
+                .collect().map(_.getString(0)).sorted
+              purposes.foreach { p =>
+                val touched = clean.filter(col("purpose") === p)
+                  .select(col("subject_id")).distinct()
+                graft.policy.Consent
+                  .syncVectors(spark, consentDir, sd, touched, p, mapping)
               }
-              if (!withdrawn.isEmpty)
-                graft.operators.DeletionVectors.append(spark, sd,
-                  docs(withdrawn), purpose = Some(p))
-              if (!granted.isEmpty)
-                graft.operators.DeletionVectors.subtractPurpose(spark, sd,
-                  docs(granted), p)
             }
           }
           ()

@@ -321,6 +321,146 @@ class ConsentSpec extends SparkSpec {
     }
   }
 
+  test("a same-timestamp conflict ends denied AND masked in both orders (vector side)") {
+    // VERDICT r11: the vector legs used to follow arrival order while the
+    // registry followed deny-wins — withdraw(ts)+grant(ts) left the
+    // registry denied but serving UNMASKED (the over-serving direction).
+    // syncVectors derives the mask from the post-merge verdict, so both
+    // surfaces land on the same side in either order.
+    val corpus = Seq(1L, 2L, 3L).toDF("doc_id")
+    def servedIn(state: String): Set[Long] =
+      DeletionVectors.maskServing(spark, state, corpus,
+        purpose = Some("training"))
+        .collect().map(_.getLong(0)).toSet
+    // order A: withdraw then same-ts grant
+    val workA = tmp("vconflictA")
+    Consent.init(spark, s"$workA/consent",
+      events(Seq(1L, 2L, 3L), "training", granted = true, 1L))
+    Consent.withdraw(spark, s"$workA/consent", Seq(1L).toDF("subject_id"),
+      "training", updatedAt = 5L, stateDir = Some(s"$workA/state"))
+    Consent.grant(spark, s"$workA/consent", Seq(1L).toDF("subject_id"),
+      "training", updatedAt = 5L, stateDir = Some(s"$workA/state"))
+    assert(!Consent.grantedSubjects(spark, s"$workA/consent", "training")
+      .collect().map(_.getLong(0)).contains(1L), "registry must deny")
+    assert(servedIn(s"$workA/state") == Set(2L, 3L),
+      "a subject the registry denies must stay masked (order A)")
+    // order B: grant then same-ts withdraw
+    val workB = tmp("vconflictB")
+    Consent.init(spark, s"$workB/consent",
+      events(Seq(1L, 2L, 3L), "training", granted = true, 1L))
+    Consent.grant(spark, s"$workB/consent", Seq(1L).toDF("subject_id"),
+      "training", updatedAt = 5L, stateDir = Some(s"$workB/state"))
+    Consent.withdraw(spark, s"$workB/consent", Seq(1L).toDF("subject_id"),
+      "training", updatedAt = 5L, stateDir = Some(s"$workB/state"))
+    assert(servedIn(s"$workB/state") == Set(2L, 3L),
+      "a subject the registry denies must stay masked (order B)")
+  }
+
+  test("backdated events follow the merge, not arrival: a stale grant cannot unmask, a stale withdrawal cannot mask") {
+    val corpus = Seq(1L, 2L).toDF("doc_id")
+    def servedIn(state: String): Set[Long] =
+      DeletionVectors.maskServing(spark, state, corpus,
+        purpose = Some("training"))
+        .collect().map(_.getLong(0)).toSet
+    // a grant whose updated_at is OLDER than the stored withdrawal loses
+    // the merge — the registry stays denied and serving stays masked
+    val workA = tmp("backdatedA")
+    Consent.init(spark, s"$workA/consent",
+      events(Seq(1L, 2L), "training", granted = true, 1L))
+    Consent.withdraw(spark, s"$workA/consent", Seq(1L).toDF("subject_id"),
+      "training", updatedAt = 5L, stateDir = Some(s"$workA/state"))
+    Consent.grant(spark, s"$workA/consent", Seq(1L).toDF("subject_id"),
+      "training", updatedAt = 3L, stateDir = Some(s"$workA/state"))
+    assert(!Consent.grantedSubjects(spark, s"$workA/consent", "training")
+      .collect().map(_.getLong(0)).contains(1L))
+    assert(servedIn(s"$workA/state") == Set(2L),
+      "a backdated grant must not retire the standing mask")
+    // a withdrawal backdated behind a stored NEWER grant loses the merge
+    // — the registry stays granted and no mask may land
+    val workB = tmp("backdatedB")
+    Consent.init(spark, s"$workB/consent",
+      events(Seq(1L, 2L), "training", granted = true, 5L))
+    Consent.withdraw(spark, s"$workB/consent", Seq(1L).toDF("subject_id"),
+      "training", updatedAt = 3L, stateDir = Some(s"$workB/state"))
+    assert(Consent.grantedSubjects(spark, s"$workB/consent", "training")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(servedIn(s"$workB/state") == Set(1L, 2L),
+      "a backdated withdrawal must not mask a subject the registry grants")
+  }
+
+  test("the streaming sink's vector legs follow the post-merge verdict under intra-batch conflicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val work = tmp("sinkconflict")
+    val consent = s"$work/consent"
+    val state = s"$work/state"
+    val corpus = Seq(1L, 2L, 3L).toDF("doc_id")
+    val input = MemoryStream[(Long, String, Boolean, Long)]
+    val stream = input.toDF()
+      .toDF("subject_id", "purpose", "granted", "updated_at")
+    // one batch carries: s1 grant(ts5)+withdraw(ts9) — the withdrawal is
+    // NEWER and must win even though the raw-split order appended
+    // withdrawals first; s2 withdraw(ts5)+grant(ts9) — the grant wins;
+    // s3 both verdicts at ts5 — deny-wins
+    input.addData(
+      (1L, "training", true, 5L), (1L, "training", false, 9L),
+      (2L, "training", false, 5L), (2L, "training", true, 9L),
+      (3L, "training", true, 5L), (3L, "training", false, 5L))
+    StreamingPipeline.consentSink(stream, consent, s"$work/ckpt",
+      stateDir = Some(state)).awaitTermination()
+    val granted = Consent.grantedSubjects(spark, consent, "training")
+      .collect().map(_.getLong(0)).toSet
+    assert(granted == Set(2L))
+    val served = DeletionVectors.maskServing(spark, state, corpus,
+      purpose = Some("training"))
+      .collect().map(_.getLong(0)).toSet
+    assert(served == Set(2L),
+      "serving must mask exactly the subjects the registry denies")
+    // a later batch carrying a BACKDATED grant for s1 changes nothing on
+    // either surface
+    input.addData((1L, "training", true, 2L))
+    StreamingPipeline.consentSink(stream, consent, s"$work/ckpt",
+      stateDir = Some(state)).awaitTermination()
+    assert(Consent.grantedSubjects(spark, consent, "training")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    assert(DeletionVectors.maskServing(spark, state, corpus,
+      purpose = Some("training"))
+      .collect().map(_.getLong(0)).toSet == Set(2L),
+      "a late backdated grant must not retire the standing mask")
+  }
+
+  test("an invalid purpose is refused before any state mutates") {
+    // ADVICE r11: validation lived only at the vector leg, AFTER the
+    // registry merge — "ad tracking" recorded the withdrawal, then threw
+    // on the mask, and every replay failed the same way (a permanently
+    // poisoned request with serving never masked). Registry admission
+    // now refuses first.
+    val work = tmp("badslug")
+    val consent = s"$work/consent"
+    intercept[IllegalArgumentException] {
+      Consent.init(spark, consent,
+        events(Seq(1L), "ad tracking", granted = true, 1L))
+    }
+    Consent.init(spark, consent, events(Seq(1L), "ads", granted = true, 1L))
+    intercept[IllegalArgumentException] {
+      Consent.withdraw(spark, consent, Seq(1L).toDF("subject_id"),
+        "ad tracking", updatedAt = 2L, stateDir = Some(s"$work/state"))
+    }
+    intercept[IllegalArgumentException] {
+      Consent.update(spark, consent,
+        events(Seq(1L), "a=b", granted = false, 2L))
+    }
+    intercept[IllegalArgumentException] {
+      Consent.gate(spark, consent, Seq(1L).toDF("doc_id"), "ad tracking")
+    }
+    // nothing mutated: the registry still holds exactly the clean grant
+    val cur = Consent.currentState(spark, consent).collect()
+    assert(cur.length == 1 && cur.head.getAs[String]("purpose") == "ads" &&
+      cur.head.getAs[Boolean]("granted"))
+    assert(DeletionVectors.pendingPurposeMasks(spark, s"$work/state").isEmpty)
+  }
+
   test("a missing registry bootstraps on the first update instead of crashing") {
     val dir = s"${tmp("boot")}/never-inited"
     Consent.update(spark, dir, events(Seq(1L, 2L), "training", granted = true, 1L))
