@@ -776,6 +776,10 @@ object CurateCli {
       if (exists(corpusDir)) Erasure.eraseByKey(spark, corpusDir, keys, "doc_id")
       else 0L
     failpoint("corpus-purged")
+    // heartbeat: each store leg of a 100 TB sweep can be long on its
+    // own — re-stamp the lease between legs so the holder is never
+    // presumed dead while a leg runs (Lease.renew scaladoc)
+    graft.operators.Lease.renew(spark, outDir)
     // maintained per-source aggregate: cnt/sum subtract exactly from the
     // captured facts; min/max rebuild from the RETAINED corpus (the
     // post-purge read), with the subtraction double-checking the rebuild
@@ -821,6 +825,7 @@ object CurateCli {
           retainedFacts = retained)
       } else 0L
     failpoint("agg-erased")
+    graft.operators.Lease.renew(spark, outDir)
     val nBand =
       if (exists(s"$outDir/index/meta"))
         graft.dedup.Dedup.eraseFromBandIndex(spark, s"$outDir/index", keys, "doc_id")
@@ -833,6 +838,7 @@ object CurateCli {
       if (exists(s"$outDir/search/stats"))
         graft.text.Bm25.eraseFromSearchIndex(spark, s"$outDir/search", keys, "doc_id")
       else 0L
+    graft.operators.Lease.renew(spark, outDir)
     val nDense =
       if (exists(s"$outDir/dense/centroids"))
         graft.similarity.Ivf.eraseFromIndex(spark, s"$outDir/dense", keys, "doc_id")
@@ -857,6 +863,7 @@ object CurateCli {
             spark, s"$outDir/shards/$b", keys, "doc_id",
             orderCols = Seq("source")))
           .sum
+    graft.operators.Lease.renew(spark, outDir)
     // sketch profile: charge the ledger, rebuild once past budget
     var rebuilt = false
     val profDir = s"$outDir/profile"
@@ -1077,16 +1084,20 @@ object CurateCli {
         spark, s"$outDir/search", targetBytes)
       out += (("search", b, a))
     }
+    // heartbeat between legs: a 100 TB compaction can outlive the TTL
+    graft.operators.Lease.renew(spark, outDir)
     if (exists(s"$outDir/index/meta")) {
       val (b, a) = graft.dedup.Dedup.compactBandIndex(
         spark, s"$outDir/index", targetBytes)
       out += (("band", b, a))
     }
+    graft.operators.Lease.renew(spark, outDir)
     if (exists(s"$outDir/exact/meta")) {
       val (b, a) = graft.dedup.SetSimJoin.compactIndex(
         spark, s"$outDir/exact", targetBytes)
       out += (("exact", b, a))
     }
+    graft.operators.Lease.renew(spark, outDir)
     if (exists(s"$outDir/dense/centroids")) {
       val (b, a) = graft.similarity.Ivf.compactIndex(
         spark, s"$outDir/dense", targetBytes)
@@ -1529,6 +1540,8 @@ object CurateCli {
         n
       } else 0L
     failpoint("agg-updated")
+    // heartbeat between legs (Lease.renew scaladoc)
+    graft.operators.Lease.renew(spark, outDir)
 
     val textOnly = derived.select(col("doc_id"), col("text"))
     val nBand =
@@ -1542,6 +1555,7 @@ object CurateCli {
           "doc_id", col("text"),
           Some(PartitionSwap.legBatchId(batchBase, "rectify-search")))
       else 0L
+    graft.operators.Lease.renew(spark, outDir)
     val nExact =
       if (exists(s"$outDir/exact/meta")) {
         val sets = derived.select(col("doc_id"),

@@ -115,11 +115,33 @@ object Lease {
       case Some(i) if i.holder == processId =>
         write(spark, dir, verb, overwrite = true)
       case Some(i) if System.currentTimeMillis() - i.stampMs > ttlMs =>
-        // presumed-dead holder: take over
+        // presumed-dead holder: take over — LOUDLY, so a takeover of a
+        // long verb that should have renewed is diagnosable from the log
+        println(s"[lease] taking over stale '${i.verb}' lease on $dir " +
+          s"(holder ${i.holder}, " +
+          s"held ${System.currentTimeMillis() - i.stampMs} ms > TTL " +
+          s"$ttlMs ms; presumed dead) for '$verb'")
         write(spark, dir, verb, overwrite = true)
       case Some(i) => refuse(dir, verb, i)
     }
   }
+
+  /** Heartbeat for a long-running verb: re-stamp this process's lease so
+    * the holder is never presumed dead WHILE STILL RUNNING. Without it a
+    * sweep that legitimately outlives the TTL (plausible at 100 TB) is
+    * taken over mid-run — the exact two-writer interleave the lease
+    * exists to prevent, manufactured by the lease itself. Sweep-scale
+    * verbs call this between store legs; the streaming sinks get it for
+    * free (their per-micro-batch acquire re-stamps). A no-op when this
+    * process does not hold the lease (never resurrects a released or
+    * broken one), and one fs read + write — zero jobs.
+    */
+  def renew(spark: SparkSession, dir: String): Unit =
+    read(spark, dir) match {
+      case Some(i) if i.holder == processId =>
+        write(spark, dir, i.verb, overwrite = true)
+      case _ => ()
+    }
 
   private def refuse(dir: String, verb: String, i: Info): Nothing =
     throw new IllegalStateException(

@@ -582,9 +582,17 @@ object StreamingPipeline {
       .outputMode(OutputMode.Append())
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val hourly = graft.operators.Anomaly.hourlyCounts(batch, tsCol, keyCols)
-        graft.operators.EventStatsStore.merge(
-          batch.sparkSession, storeDir, hourly, keyCols, batchId)
+        // per-micro-batch writer lease (VERDICT r11: the streaming
+        // mutators held none — a cron'd maintenance verb interleaving
+        // with a live stream was the exact silent-corruption scenario
+        // the lease detects); the acquire re-stamps every batch, which
+        // doubles as the long-running stream's heartbeat
+        graft.operators.Lease
+          .withLease(batch.sparkSession, storeDir, "stream-hourly-stats") {
+          val hourly = graft.operators.Anomaly.hourlyCounts(batch, tsCol, keyCols)
+          graft.operators.EventStatsStore.merge(
+            batch.sparkSession, storeDir, hourly, keyCols, batchId)
+        }
       }
       .start()
 
@@ -612,9 +620,12 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.AggStore
-        AggStore.merge(batch.sparkSession, storeDir,
-          AggStore.aggregate(batch, groupCols, col(valueCol)),
-          groupCols, buckets, batchId)
+        graft.operators.Lease
+          .withLease(batch.sparkSession, storeDir, "stream-agg-store") {
+          AggStore.merge(batch.sparkSession, storeDir,
+            AggStore.aggregate(batch, groupCols, col(valueCol)),
+            groupCols, buckets, batchId)
+        }
       }
       .start()
 
@@ -651,19 +662,26 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import graft.pipeline.Snapshot
         val spark = batch.sparkSession
-        val dir = new org.apache.hadoop.fs.Path(storeDir)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // an empty epoch contributes nothing and must not bootstrap: a
         // partitionBy write of zero rows emits NO files and later merges
         // would die on schema inference (the AggStore bootstrap lesson)
-        if (!batch.isEmpty) {
-          if (!fs.exists(dir))
-            Snapshot.writeStore(
-              Snapshot.initial(batch, uniqueKey, updatedAt),
-              uniqueKey, storeDir, buckets)
-          else
-            Snapshot.mergeStore(spark, storeDir, batch, uniqueKey, updatedAt, buckets)
-        }
+        if (!batch.isEmpty)
+          graft.operators.Lease
+            .withLease(spark, storeDir, "stream-snapshot") {
+            val dir = new org.apache.hadoop.fs.Path(storeDir)
+            val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            // store presence judged by bucket content, not the path: the
+            // lease file itself creates the directory
+            val hasStore = fs.exists(dir) && fs.listStatus(dir)
+              .exists(st => st.getPath.getName.startsWith("bucket=") ||
+                st.getPath.getName == "_stats")
+            if (!hasStore)
+              Snapshot.writeStore(
+                Snapshot.initial(batch, uniqueKey, updatedAt),
+                uniqueKey, storeDir, buckets)
+            else
+              Snapshot.mergeStore(spark, storeDir, batch, uniqueKey, updatedAt, buckets)
+          }
       }
       .start()
 
@@ -707,7 +725,10 @@ object StreamingPipeline {
         val conf = spark.sparkContext.hadoopConfiguration
         val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
         val fs = marker.getFileSystem(conf)
-        if (!fs.exists(marker)) {
+        // per-micro-batch writer lease (re-stamped each batch = heartbeat):
+        // a cron'd compact/erase interleaving with a live stream refuses
+        if (!fs.exists(marker)) graft.operators.Lease
+          .withLease(spark, indexDir, "stream-exact-index") {
           val sets = batch.select(
             col(idCol),
             array_distinct(transform(
@@ -763,7 +784,8 @@ object StreamingPipeline {
         val conf = spark.sparkContext.hadoopConfiguration
         val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
         val fs = marker.getFileSystem(conf)
-        if (!fs.exists(marker)) {
+        if (!fs.exists(marker)) graft.operators.Lease
+          .withLease(spark, indexDir, "stream-band-index") {
           val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
           if (batch.isEmpty) {
             fs.mkdirs(marker.getParent)
@@ -812,7 +834,8 @@ object StreamingPipeline {
         val conf = spark.sparkContext.hadoopConfiguration
         val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_batches/$batchId")
         val fs = marker.getFileSystem(conf)
-        if (!fs.exists(marker)) {
+        if (!fs.exists(marker)) graft.operators.Lease
+          .withLease(spark, indexDir, "stream-search-index") {
           val postings = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
           if (batch.isEmpty) {
             fs.mkdirs(marker.getParent)
@@ -873,9 +896,12 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.text.Bm25
         if (!batch.isEmpty) {
-          Bm25.rectifySearchIndex(batch.sparkSession, indexDir,
-            batch.select(col(idCol), col(textCol)), idCol, col(textCol),
-            Some(batchId))
+          graft.operators.Lease
+            .withLease(batch.sparkSession, indexDir, "stream-rectify") {
+            Bm25.rectifySearchIndex(batch.sparkSession, indexDir,
+              batch.select(col(idCol), col(textCol)), idCol, col(textCol),
+              Some(batchId))
+          }
           ()
         }
       }
@@ -923,11 +949,17 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val keysPath = s"$checkpoint/erase-keys/batch=$batchId"
-          batch.select(col(idCol).as("doc_id")).distinct()
-            .write.mode("overwrite").parquet(keysPath)
-          graft.cli.CurateCli.runErase(
-            batch.sparkSession, keysPath, stateDir, profileBudget)
+          // take the state lease BEFORE the epoch's keys capture lands —
+          // runErase re-enters it (same process), and a foreign writer
+          // refuses the whole epoch rather than racing the sweep
+          graft.operators.Lease
+            .withLease(batch.sparkSession, stateDir, "stream-erase") {
+            val keysPath = s"$checkpoint/erase-keys/batch=$batchId"
+            batch.select(col(idCol).as("doc_id")).distinct()
+              .write.mode("overwrite").parquet(keysPath)
+            graft.cli.CurateCli.runErase(
+              batch.sparkSession, keysPath, stateDir, profileBudget)
+          }
           ()
         }
       }

