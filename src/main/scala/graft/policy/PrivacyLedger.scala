@@ -35,10 +35,14 @@ import org.apache.spark.sql.functions._
   * invisible. Reads are ONE multi-path scan of the complete entries,
   * never a per-entry union.
   *
-  * Writer discipline: the engine-wide single-writer stance — one
-  * release pipeline charges at a time; concurrent releases against the
-  * same budget need external serialization, which [[authorize]]'s
-  * read-then-charge cannot replace.
+  * Writer discipline: the engine-wide single-writer stance, DETECTED
+  * rather than assumed — [[authorizeAndCharge]] holds the ledger
+  * directory's writer lease across its read-check-write
+  * ([[graft.operators.Lease]]), so two concurrent releases cannot both
+  * authorize under the same remaining budget; the refused one retries
+  * after the first's charge is durable and re-authorizes against the
+  * updated spend. Bare [[authorize]] stays read-only (no lease): it is
+  * the report path, and only the composed verb carries the guarantee.
   *
   * Reference frame: tabodino/dbt-gdpr-anonymizer releases anonymized
   * marts with no release accounting (the models/marts SQL layer) — fine for
@@ -259,6 +263,15 @@ object PrivacyLedger {
     * released write burns budget without output, never the reverse
     * (retrying with the SAME release id re-lands the same charge and
     * proceeds to the release: the charge is the idempotency token).
+    *
+    * The read-check-write is NOT atomic on its own: two concurrent
+    * releases against the same dataset could BOTH authorize under the
+    * remaining budget and both charge, overspending epsilon — and an
+    * engine that can overspend has no guarantee at all. The whole
+    * sequence therefore holds the ledger directory's writer lease
+    * ([[graft.operators.Lease]]): a second release arriving while one is
+    * mid-authorization refuses loudly and retries after the first's
+    * charge is durable (its re-authorization then sees the spend).
     */
   def authorizeAndCharge(
       spark: SparkSession,
@@ -271,7 +284,8 @@ object PrivacyLedger {
       budgetDelta: Double = 0.0,
       composition: String = "basic",
       deltaSlack: Double = 1e-6
-  ): Unit = {
+  ): Unit = graft.operators.Lease
+    .withLease(spark, dir, "ledger-charge") {
     val entry = s"${ledgerRoot(dir)}/charge=${chargeKey(releaseId)}"
     val replay = fsOf(spark, entry)
       .exists(new org.apache.hadoop.fs.Path(s"$entry/_SUCCESS"))

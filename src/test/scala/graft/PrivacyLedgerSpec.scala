@@ -86,6 +86,44 @@ class PrivacyLedgerSpec extends SparkSpec {
     }
   }
 
+  test("authorize-then-charge is serialized: a concurrent release refuses instead of co-spending the budget") {
+    // VERDICT r11: the read-check-write was not atomic across processes —
+    // two releases could BOTH authorize under the remaining budget and
+    // both charge, overspending epsilon. authorizeAndCharge now holds the
+    // ledger directory's writer lease for the whole sequence.
+    val dir = tmp()
+    PrivacyLedger.authorizeAndCharge(spark, dir, "a", "r1", eps = 1.0,
+      budgetEps = 1.5)
+    // another process is mid-release (its lease is live): this release
+    // must refuse BEFORE authorizing, not race the budget check
+    val fs = fsOf(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/.lease"), true)
+    out.write(s"other-writer|ledger-charge|${System.currentTimeMillis()}"
+      .getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalStateException] {
+      PrivacyLedger.authorizeAndCharge(spark, dir, "a", "r2", eps = 0.5,
+        budgetEps = 1.5)
+    }
+    assert(e.getMessage.contains("lease") &&
+      e.getMessage.contains("other-writer"))
+    assert(PrivacyLedger.spent(spark, dir, "a") == ((1L, 1.0, 0.0)),
+      "the refused release must not have charged")
+    // after the other writer finishes (lease released), the retry
+    // re-authorizes against the NOW-durable spend and proceeds at the cap
+    graft.operators.Lease.break(spark, dir)
+    PrivacyLedger.authorizeAndCharge(spark, dir, "a", "r2", eps = 0.5,
+      budgetEps = 1.5)
+    assert(PrivacyLedger.spent(spark, dir, "a") == ((2L, 1.5, 0.0)))
+    // and past the cap the re-authorization refuses on the budget itself
+    intercept[IllegalArgumentException] {
+      PrivacyLedger.authorizeAndCharge(spark, dir, "a", "r3", eps = 0.1,
+        budgetEps = 1.5)
+    }
+    assert(graft.operators.Lease.read(spark, dir).isEmpty,
+      "a budget refusal must still release the lease")
+  }
+
   test("release-id reuse with different accounting is refused, not silently no-opped") {
     val dir = tmp()
     PrivacyLedger.charge(spark, dir, "a", "r1", 0.5)
