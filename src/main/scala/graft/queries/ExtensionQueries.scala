@@ -3817,6 +3817,97 @@ object ExtensionQueries {
         where coalesce(state_at_8.g, false) = false
         group by b.source order by b.source""")
     ),
+    // consent-gated STREAMING admission (StreamingPipeline
+    // .searchIndexSink + ConsentGateCfg, GDPR Art. 6 x 7(1)): a corpus
+    // streams into the BM25 index behind the consent gate — subjects
+    // whose current state denies (withdrawn, or never registered:
+    // absence is denial) never reach the index or the admission log;
+    // each admitted document lands one durable admission row, and the
+    // Art. 7(1) retro audit over that log flags the slice whose grant
+    // only became valid AFTER the pinned admission stamp. The twin
+    // replays the gate (current-state) and the audit (as-of-stamp) as
+    // plain predicates, so the hash match pins gate + log + interval
+    // audit end to end through the streaming path. Build jobs bounded
+    // (PlanGuardSpec exemption).
+    "q_consent_stream" -> Q(
+      (s, dir) => {
+        import graft.operators.StableHash
+        import graft.policy.Consent
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_cstream_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val consent = s"$root/consent"
+        val idx = s"$root/search"
+        // half the corpus streams in (the h2 slice bounds the in-query
+        // index build); per-subject verdicts by disjoint slices
+        val all = docs(s, dir)
+          .filter(StableHash.bucket(col("doc_id"), 2) === 0)
+        val b = all.select(col("doc_id").as("subject_id"))
+          .withColumn("h3", StableHash.bucket(col("subject_id"), 3))
+          .withColumn("h5", StableHash.bucket(col("subject_id"), 5))
+          .withColumn("h7", StableHash.bucket(col("subject_id"), 7))
+        def ev(f: org.apache.spark.sql.Column, at: Long) = b.filter(f)
+          .select(col("subject_id"))
+          .withColumn("purpose", lit("training"))
+          .withColumn("granted", lit(true))
+          .withColumn("updated_at", lit(at))
+        // h5==0: granted at 2 (withdrawn below at 5 — the gate denies);
+        // h3==0 (h5!=0): granted only at 10, AFTER the admission stamp
+        // (the gate admits on current state; the retro audit flags);
+        // h7==0 (h5!=0, h3!=0): never registered (absence is denial);
+        // everyone else: granted at 2 (lawful end to end)
+        Consent.init(s, consent,
+          ev(col("h5") === 0, 2L)
+            .unionByName(ev(col("h5") =!= 0 && col("h3") === 0, 10L))
+            .unionByName(ev(
+              col("h5") =!= 0 && col("h3") =!= 0 && col("h7") =!= 0, 2L)))
+        Consent.update(s, consent, b.filter(col("h5") === 0)
+          .select(col("subject_id"))
+          .withColumn("purpose", lit("training"))
+          .withColumn("granted", lit(false))
+          .withColumn("updated_at", lit(5L)))
+        // the stream: file source -> consent-gated BM25 index sink
+        val input = s"$root/input"
+        all.select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(input)
+        graft.streaming.StreamingPipeline.searchIndexSink(
+          s.readStream.schema(s.read.parquet(input).schema).parquet(input),
+          idx, s"$root/ckpt",
+          consent = Some(graft.cli.CurateCli.ConsentGateCfg(
+            consent, "training", admittedAt = Some(8L))))
+          .awaitTermination()
+        // the audit surface: per source, what was admitted and what of
+        // it lacked then-current consent at the admission stamp
+        val adm = s.read.parquet(s"$idx/.admissions")
+          .select(col("doc_id"), col("admitted_at"))
+          .withColumn("subject_id", col("doc_id"))
+        val viol = Consent.retroAudit(s, consent, adm, "training")
+          .select(col("doc_id")).withColumn("_v", lit(1L))
+        adm.join(all.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .join(viol, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_admitted"),
+            sum(coalesce(col("_v"), lit(0L))).as("n_violations"))
+          .orderBy("source")
+      },
+      Some(s"""
+        with b as (
+          select doc_id, source,
+            ${duckMdBucket(2)} as h2, ${duckMdBucket(3)} as h3,
+            ${duckMdBucket(5)} as h5, ${duckMdBucket(7)} as h7
+          from documents
+        ),
+        adm as (
+          select * from b
+          where h2 = 0 and h5 <> 0 and (h3 = 0 or h7 <> 0)
+        )
+        select source, count(*) as n_admitted,
+          cast(sum(case when h3 = 0 then 1 else 0 end) as bigint)
+            as n_violations
+        from adm group by source order by source""")
+    ),
     "q_mixture_budget" -> Q(
       (s, dir) => {
         // exact-budget mixture (operators/Mixture): per source, admit

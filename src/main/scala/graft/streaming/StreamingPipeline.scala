@@ -685,6 +685,46 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Consent gate for a streaming admission epoch (GDPR Art. 6),
+    * mirroring the batch path ([[graft.cli.CurateCli.runIncremental]]'s
+    * gate + admission log) so the Art. 7(1) machinery
+    * ([[graft.policy.Consent.retroAudit]], the `consent-audit` verb)
+    * covers STREAM-admitted documents too: rows whose subject does not
+    * CURRENTLY grant the purpose are refused before the index sees
+    * them (one semi-join against the subject-scale registry — the
+    * batch never shuffles), and every admitted document lands one row
+    * in the durable admission log under
+    * `<indexDir>/.admissions/batch=s<epoch>` (`doc_id`, `purpose`,
+    * `admitted_at`). The log is written BEFORE the index append — a
+    * crash mid-epoch over-reports admissions the index never saw, the
+    * safe direction for an audit that exists to FIND unlawful
+    * admissions — and the `s` prefix keeps streaming epochs from
+    * colliding with a batch pipeline's admission ordinals on a shared
+    * state directory. A replayed epoch overwrites the same log
+    * directory (the epoch id is the address), so redelivery cannot
+    * double-report.
+    */
+  private def gateAdmission(
+      batch: DataFrame,
+      indexDir: String,
+      batchId: Long,
+      idCol: String,
+      consent: Option[graft.cli.CurateCli.ConsentGateCfg]
+  ): DataFrame = consent match {
+    case None => batch
+    case Some(cg) =>
+      val spark = batch.sparkSession
+      val admitted = graft.policy.Consent
+        .gate(spark, cg.consentDir, batch, cg.purpose, subjectCol = idCol)
+      admitted.select(col(idCol).as("doc_id"))
+        .withColumn("purpose", lit(cg.purpose))
+        .withColumn("admitted_at",
+          lit(cg.admittedAt.getOrElse(System.currentTimeMillis())))
+        .write.mode("overwrite")
+        .parquet(s"$indexDir/.admissions/batch=s$batchId")
+      admitted
+  }
+
   /** Streaming maintenance of the [[graft.dedup.SetSimJoin]] exact
     * prefix index — the missing serving-index leg next to the batch CLI's
     * `--exact` (BM25/IVF maintenance runs through the same incremental
@@ -703,6 +743,9 @@ object StreamingPipeline {
     * to the exact pre-epoch index instead of demanding a rebuild). The
     * sink keeps its own marker only for the BOOTSTRAP epoch, whose
     * `writeIndex` overwrite is value-idempotent anyway.
+    *
+    * With `consent` set, each epoch is consent-gated and logged before
+    * it reaches the index ([[gateAdmission]]).
     */
   def exactIndexSink(
       stream: DataFrame,
@@ -713,7 +756,8 @@ object StreamingPipeline {
       shingleK: Int = 3,
       num: Int = 2,
       den: Int = 5,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      consent: Option[graft.cli.CurateCli.ConsentGateCfg] = None
   ): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -729,7 +773,8 @@ object StreamingPipeline {
         // a cron'd compact/erase interleaving with a live stream refuses
         if (!fs.exists(marker)) graft.operators.Lease
           .withLease(spark, indexDir, "stream-exact-index") {
-          val sets = batch.select(
+          val gated = gateAdmission(batch, indexDir, batchId, idCol, consent)
+          val sets = gated.select(
             col(idCol),
             array_distinct(transform(
               Dedup.wordShingles(col(textCol), shingleK), x => md5(x))).as("_sh"))
@@ -762,6 +807,9 @@ object StreamingPipeline {
     * empty-epoch cases (a zero-row `partitionBy` write emits no files —
     * the AggStore bootstrap lesson — so an empty epoch must not
     * bootstrap).
+    *
+    * With `consent` set, each epoch is consent-gated and logged before
+    * it reaches the index ([[gateAdmission]]).
     */
   def bandIndexSink(
       stream: DataFrame,
@@ -772,7 +820,8 @@ object StreamingPipeline {
       shingleK: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      consent: Option[graft.cli.CurateCli.ConsentGateCfg] = None
   ): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -787,16 +836,22 @@ object StreamingPipeline {
         if (!fs.exists(marker)) graft.operators.Lease
           .withLease(spark, indexDir, "stream-band-index") {
           val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-          if (batch.isEmpty) {
+          // gate BEFORE the empty check: a fully-denied epoch must not
+          // bootstrap (the zero-row partitionBy lesson applies to the
+          // gated frame, not the raw one)
+          val gated =
+            if (batch.isEmpty) batch
+            else gateAdmission(batch, indexDir, batchId, idCol, consent)
+          if (gated.isEmpty) {
             fs.mkdirs(marker.getParent)
             fs.create(marker, true).close()
           } else if (!fs.exists(meta)) {
             Dedup.writeBandIndex(
-              Dedup.buildBandIndex(batch, idCol, textCol, shingleK, numHashes, bands),
+              Dedup.buildBandIndex(gated, idCol, textCol, shingleK, numHashes, bands),
               indexDir)
             fs.create(marker, true).close()
           } else
-            Dedup.appendBandIndex(batch, textCol, indexDir, Some(batchId))
+            Dedup.appendBandIndex(gated, textCol, indexDir, Some(batchId))
         }
       }
       .start()
@@ -815,6 +870,10 @@ object StreamingPipeline {
     * replayed epoch can neither double postings nor double-count
     * `_n_docs`. The sink's own marker covers only bootstrap (the
     * three-leg overwrite is value-idempotent) and empty epochs.
+    *
+    * With `consent` set, each epoch is consent-gated and logged before
+    * it reaches the index ([[gateAdmission]]) — a fully-denied epoch
+    * commits only its marker, never a bootstrap.
     */
   def searchIndexSink(
       stream: DataFrame,
@@ -822,7 +881,8 @@ object StreamingPipeline {
       checkpoint: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      consent: Option[graft.cli.CurateCli.ConsentGateCfg] = None
   ): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -837,14 +897,17 @@ object StreamingPipeline {
         if (!fs.exists(marker)) graft.operators.Lease
           .withLease(spark, indexDir, "stream-search-index") {
           val postings = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
-          if (batch.isEmpty) {
+          val gated =
+            if (batch.isEmpty) batch
+            else gateAdmission(batch, indexDir, batchId, idCol, consent)
+          if (gated.isEmpty) {
             fs.mkdirs(marker.getParent)
             fs.create(marker, true).close()
           } else if (!fs.exists(postings)) {
-            Bm25.writeSearchIndex(batch, idCol, col(textCol), indexDir)
+            Bm25.writeSearchIndex(gated, idCol, col(textCol), indexDir)
             fs.create(marker, true).close()
           } else
-            Bm25.appendSearchIndex(batch, idCol, col(textCol), indexDir,
+            Bm25.appendSearchIndex(gated, idCol, col(textCol), indexDir,
               Some(batchId))
         }
       }
@@ -887,7 +950,8 @@ object StreamingPipeline {
       checkpoint: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      consent: Option[graft.cli.CurateCli.ConsentGateCfg] = None
   ): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)

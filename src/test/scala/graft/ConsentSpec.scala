@@ -570,6 +570,64 @@ class ConsentSpec extends SparkSpec {
       s"$work/rep2").nViolations == backdated.size)
   }
 
+  test("streaming admission is consent-gated and logged: the Art. 7(1) audit covers stream-admitted documents") {
+    // VERDICT r11: batch admission got the gate + admission log, but a
+    // corpus admitted through the streaming index sinks never passed
+    // Consent.gate and left no admission rows — retroAudit/consent-audit
+    // were blind to stream-admitted documents.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val work = tmp("streamgate")
+    val consent = s"$work/consent"
+    val idx = s"$work/search"
+    // s1: granted since ts 2 (lawful at admission); s2: granted only at
+    // ts 10 (AFTER the pinned admission stamp 8 — current state admits,
+    // the retro audit must flag); s3: withdrawn at ts 5 (gate refuses);
+    // s4: never registered (gate refuses)
+    Consent.init(spark, consent, Seq(
+      (1L, "training", true, 2L),
+      (2L, "training", true, 10L),
+      (3L, "training", true, 2L)).toDF(
+      "subject_id", "purpose", "granted", "updated_at"))
+    Consent.update(spark, consent,
+      events(Seq(3L), "training", granted = false, 5L))
+    val cfg = CurateCli.ConsentGateCfg(consent, "training",
+      admittedAt = Some(8L))
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData((1L, "alpha beta"), (2L, "beta gamma"),
+      (3L, "gamma delta"), (4L, "delta epsilon"))
+    StreamingPipeline.searchIndexSink(stream, idx, s"$work/ckpt",
+      consent = Some(cfg)).awaitTermination()
+    // the gate refused s3 and s4 before the index saw them
+    val (_, stats) = graft.text.Bm25.loadSearchIndex(spark, idx)
+    assert(stats.head().getAs[Double]("_n_docs") == 2.0)
+    // the admission log holds exactly the admitted documents at the
+    // pinned stamp
+    val adm = spark.read.parquet(s"$idx/.admissions")
+      .select(col("doc_id"), col("purpose"), col("admitted_at"))
+    assert(adm.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2))).toSet == Set((1L, "training", 8L), (2L, "training", 8L)))
+    // the consent-audit verb reads the same log: s2's grant was not yet
+    // valid at the admission stamp — one violation
+    val summary = CurateCli.runConsentAudit(spark, idx, consent,
+      "training", s"$work/report")
+    assert(summary.nAdmissions == 2L && summary.nViolations == 1L)
+    assert(spark.read.parquet(s"$work/report/violations")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // a second epoch appends under the same contract, and a fully-denied
+    // epoch commits only its marker (no bootstrap, no admission rows)
+    input.addData((5L, "epsilon zeta"))
+    StreamingPipeline.searchIndexSink(stream, idx, s"$work/ckpt",
+      consent = Some(cfg)).awaitTermination()
+    val (_, stats2) = graft.text.Bm25.loadSearchIndex(spark, idx)
+    assert(stats2.head().getAs[Double]("_n_docs") == 2.0,
+      "an unregistered subject's epoch must admit nothing")
+    assert(CurateCli.runConsentAudit(spark, idx, consent,
+      "training", s"$work/report2").nAdmissions == 2L)
+  }
+
   test("the snapshot-store auditor reaches the registry") {
     val dir = tmp("fsck")
     Consent.init(spark, dir,

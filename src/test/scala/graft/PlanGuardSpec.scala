@@ -171,6 +171,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_consent_purpose",
     // registry bootstrap + one withdrawal merge before the as-of audit
     "q_consent_asof",
+    // registry bootstrap + withdrawal merge, then the consent-gated
+    // STREAMING epoch: gate semi-join + admission-log write + the BM25
+    // three-leg index bootstrap, all driven to completion in-query
+    "q_consent_stream",
     // mapping + request writes, the subject->doc resolve write, and one
     // deletion-vector append before the masked serve
     "q_erase_by_subject",
@@ -251,11 +255,20 @@ class PlanGuardSpec extends SparkSpec {
           // merges (touched collect, staged write, readback, manifest
           // refresh each) + the withdraw count (~44 observed)
           else if (name == "q_consent_gate") 55
-          // registry bootstrap + withdrawal merge + two vector appends
-          // (or one, for the as-of audit's single merge) — the
-          // q_consent_gate shape with the vector legs riding along
-          else if (name == "q_consent_purpose") 55
+          // registry bootstrap + withdrawal merge + the post-merge
+          // vector sync (round 12: the registry current-state read, the
+          // touched-subject verdict split with its two isEmpty probes,
+          // then the append/subtract legs) + one global vector append —
+          // the q_consent_gate shape with the reconciling vector legs
+          // riding along; fixed per-verb stage count, zero iteration
+          // (~76 observed)
+          else if (name == "q_consent_purpose") 85
           else if (name == "q_consent_asof") 55
+          // the q_consent_gate registry shape + one full streaming epoch
+          // (checkpoint/offset bookkeeping, the gate semi-join, the
+          // admission-log write, the BM25 three-leg bootstrap) and the
+          // admission-log readback — fixed stage count, zero iteration
+          else if (name == "q_consent_stream") 80
           // the registry build again + the ledger's authorize reads,
           // charge write, replay verification, and spend read
           else if (name == "q_consent_dp_release") 70
