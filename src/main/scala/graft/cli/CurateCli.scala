@@ -1106,6 +1106,23 @@ object CurateCli {
     out.toSeq
   }
 
+  /** Vector-tree maintenance ([[graft.operators.DeletionVectors
+    * .compact]]): merge each tree's many request-sized vectors into one
+    * (global root and every purpose tree independently; per-key min
+    * stamps preserved so debt never looks younger). Census and mask
+    * results are byte-identical before and after — only the listing and
+    * file-count overhead drop. Rides the compaction conventions: one
+    * writer lease, crash-safe toward over-masking only, replays
+    * converge.
+    */
+  def runCompactVectors(
+      spark: SparkSession,
+      outDir: String
+  ): Seq[(String, Int, Int)] =
+    graft.operators.Lease.withLease(spark, outDir, "compact-vectors") {
+      graft.operators.DeletionVectors.compact(spark, outDir)
+    }
+
   final case class AccessSummary(
       nKeys: Long,
       nCorpus: Long,
@@ -1801,6 +1818,17 @@ object CurateCli {
           s"[curate] erase-settle keys=${s.nKeys} corpus=${s.nCorpus} " +
             s"band=${s.nBand} search=${s.nSearch} dense=${s.nDense} " +
             s"exact=${s.nExact} shards=${s.nShards} agg=${s.nAggGroups}")
+      }
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("compact-vectors")) {
+      require(args.length >= 2,
+        "usage: CurateCli compact-vectors <stateDir>")
+      val spark = session()
+      val trees = runCompactVectors(spark, args(1))
+      trees.foreach { case (scope, b, a) =>
+        println(s"[compact-vectors] $scope vectors $b -> $a")
       }
       spark.stop()
       return

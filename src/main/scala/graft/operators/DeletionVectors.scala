@@ -341,6 +341,92 @@ object DeletionVectors {
         spark.read.parquet(dirs: _*).select(col(idCol)).distinct().count()))
     }
 
+  /** Compact one vector tree: merge its many request-sized vectors into
+    * ONE vector (per-key MIN stamps preserved — a merge must not make
+    * outstanding debt look younger than its oldest capture), promote
+    * it, then retire the sources. Returns (dirs before, dirs after).
+    *
+    * Why: global vectors settle and purpose trees shrink on re-grant,
+    * but a long-lived deployment with ongoing withdrawals otherwise
+    * grows `dv=*` directories without bound — each serve stays ONE
+    * multi-path read, but the listing and file-count overhead grow per
+    * request and nothing else merges the tree (the corpus/index legs
+    * all have compaction; the vector trees didn't).
+    *
+    * Protocol, crash-safe in the only direction a mask may err
+    * (over-masking): the merged union stages under a dot-path
+    * (invisible to [[liveDirsUnder]]), promotes by rename to a
+    * content-addressed name — hashed over (key, stamp) with a
+    * compact-leg salt, so a replay of the same tree reuses the same
+    * name and an append between runs produces a fresh one — and only
+    * THEN are the source directories deleted. A crash anywhere leaves
+    * the mask a superset of what it must be, and the replay converges:
+    * a promoted-but-unretired run finds its own union live
+    * (content-verified by two anti-joins — a content-hash collision
+    * refuses loudly rather than risking an under-mask window) and just
+    * finishes the retirement.
+    */
+  private def compactUnder(
+      spark: SparkSession,
+      root: String,
+      idCol: String
+  ): (Int, Int) = {
+    val fs = fsOf(spark, root)
+    val dirs = liveDirsUnder(spark, root)
+    if (dirs.size <= 1) return (dirs.size, dirs.size)
+    val merged = spark.read.parquet(dirs: _*)
+      .groupBy(col(idCol)).agg(min(col("_stamp")).as("_stamp"))
+      .select(col(idCol), col("_stamp"))
+    val cid = merged
+      .agg(coalesce(bit_xor(xxhash64(concat_ws("|",
+        col(idCol).cast("string"), col("_stamp"), lit("dvc")))), lit(0L))
+        .as("h"))
+      .head().getAs[Long]("h")
+    val cname = s"dv=${java.lang.Long.toHexString(cid)}"
+    val dest = new org.apache.hadoop.fs.Path(s"$root/$cname")
+    if (fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"))) {
+      // a replay after a promote that crashed before retiring the
+      // sources: the live dest must BE the merged union
+      val existing = spark.read.parquet(dest.toString)
+        .select(col(idCol))
+      val mergedKeys = merged.select(col(idCol))
+      val same =
+        existing.join(mergedKeys, Seq(idCol), "left_anti").isEmpty &&
+          mergedKeys.join(existing, Seq(idCol), "left_anti").isEmpty
+      require(same, s"deletion vectors: compact content-hash collision " +
+        s"at $cname under $root — refusing rather than risking an " +
+        "under-masking retirement")
+    } else {
+      val stage = s"$root/.compact-stage"
+      merged.write.mode("overwrite").parquet(stage)
+      fs.delete(dest, true) // a torn (_SUCCESS-less) leftover is invisible
+      require(fs.rename(new org.apache.hadoop.fs.Path(stage), dest),
+        s"deletion vectors: compact promote $stage -> $dest failed")
+    }
+    dirs.map(new org.apache.hadoop.fs.Path(_))
+      .filter(_.getName != cname)
+      .foreach(p => fs.delete(p, true))
+    (dirs.size, 1)
+  }
+
+  /** Compact the whole tree — the global root and every purpose tree,
+    * each independently (a purpose's standing masks never mix with the
+    * global settle scope). Census and mask results are byte-identical
+    * before and after; only the directory count drops. Returns one
+    * (scope, dirs before, dirs after) row per tree touched.
+    */
+  def compact(
+      spark: SparkSession,
+      outDir: String,
+      idCol: String = "doc_id"
+  ): Seq[(String, Int, Int)] = {
+    val g = compactUnder(spark, dvRoot(outDir), idCol)
+    ("global", g._1, g._2) +: purposes(spark, outDir).map { p =>
+      val r = compactUnder(spark, purposeRoot(outDir, p), idCol)
+      (s"purpose=$p", r._1, r._2)
+    }
+  }
+
   /** Retire settled keys from every pending vector under one root: a
     * vector fully covered by the settled set is deleted; a partially
     * covered one is rewritten (remainder keys, fresh content-addressed

@@ -3817,6 +3817,63 @@ object ExtensionQueries {
         where coalesce(state_at_8.g, false) = false
         group by b.source order by b.source""")
     ),
+    // vector-tree compaction (operators/DeletionVectors.compact, the
+    // CurateCli compact-vectors verb): many overlapping request-sized
+    // vectors — three global (Art. 17) appends and two purpose-scoped
+    // (Art. 7(3)) ones — merge into ONE vector per tree (min stamps
+    // preserved), and the masked serves afterwards are byte-identical
+    // to the uncompacted masks: the purpose-scoped serve subtracts the
+    // compacted global + training trees, the other-purpose serve only
+    // the global one. The twin replays every mask as a plain predicate,
+    // so the hash match pins merge + promote + source retirement end to
+    // end. Build jobs bounded (PlanGuardSpec exemption).
+    "q_dv_compact" -> Q(
+      (s, dir) => {
+        import graft.operators.{DeletionVectors, StableHash}
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_dvc_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val all = docs(s, dir)
+        (0 until 3).foreach(i => DeletionVectors.append(s, root,
+          all.filter(StableHash.bucket(col("doc_id"), 11) === i)
+            .select(col("doc_id"))))
+        (0 until 2).foreach(i => DeletionVectors.append(s, root,
+          all.filter(StableHash.bucket(col("doc_id"), 7) === i)
+            .select(col("doc_id")), purpose = Some("training")))
+        val trees = graft.cli.CurateCli.runCompactVectors(s, root).toSet
+        require(trees == Set(("global", 3, 1), ("purpose=training", 2, 1)),
+          s"q_dv_compact: compaction did not merge the trees: $trees")
+        def serve(purpose: String): DataFrame =
+          DeletionVectors
+            .maskServing(s, root, all, purpose = Some(purpose))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_chars")).as("sum_chars"))
+            .withColumn("purpose", lit(purpose))
+        serve("training").unionByName(serve("analytics"))
+          .select(col("purpose"), col("source"), col("n_docs"),
+            col("sum_chars"))
+          .orderBy("purpose", "source")
+      },
+      Some(s"""
+        with b as (
+          select doc_id, source, n_chars,
+            ${duckMdBucket(11)} as h11, ${duckMdBucket(7)} as h7
+          from documents
+        )
+        select 'analytics' as purpose, source, count(*) as n_docs,
+          cast(sum(n_chars) as bigint) as sum_chars
+        from b where h11 not in (0, 1, 2)
+        group by source
+        union all
+        select 'training' as purpose, source, count(*) as n_docs,
+          cast(sum(n_chars) as bigint) as sum_chars
+        from b where h11 not in (0, 1, 2) and h7 not in (0, 1)
+        group by source
+        order by purpose, source""")
+    ),
     // consent-gated STREAMING admission (StreamingPipeline
     // .searchIndexSink + ConsentGateCfg, GDPR Art. 6 x 7(1)): a corpus
     // streams into the BM25 index behind the consent gate — subjects

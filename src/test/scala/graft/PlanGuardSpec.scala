@@ -171,6 +171,11 @@ class PlanGuardSpec extends SparkSpec {
     "q_consent_purpose",
     // registry bootstrap + one withdrawal merge before the as-of audit
     "q_consent_asof",
+    // five content-addressed vector appends (content-id fold + write +
+    // count each), then the two-tree compaction (merged-union agg,
+    // content-id fold, stage write + promote per tree) before the two
+    // masked serves
+    "q_dv_compact",
     // registry bootstrap + withdrawal merge, then the consent-gated
     // STREAMING epoch: gate semi-join + admission-log write + the BM25
     // three-leg index bootstrap, all driven to completion in-query
@@ -269,6 +274,10 @@ class PlanGuardSpec extends SparkSpec {
           // admission-log write, the BM25 three-leg bootstrap) and the
           // admission-log readback — fixed stage count, zero iteration
           else if (name == "q_consent_stream") 80
+          // 5 appends x ~4 jobs + 2 compactUnder passes (union agg,
+          // salted content-id fold, stage write each, with AQE sub-jobs)
+          // — fixed count, zero iteration (~64 observed)
+          else if (name == "q_dv_compact") 75
           // the registry build again + the ledger's authorize reads,
           // charge write, replay verification, and spend read
           else if (name == "q_consent_dp_release") 70
