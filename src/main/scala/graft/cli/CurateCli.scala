@@ -1106,6 +1106,72 @@ object CurateCli {
     out.toSeq
   }
 
+  /** Retention for the rights-metadata stores — the mechanism behind
+    * the admission log's documented stance ("its own expiry is an
+    * operator decision: per-batch directories drop in O(1)"). The
+    * admission log and the `.rights-resolved/` captures are Art. 30
+    * processing records that must OUTLIVE the data they describe, but
+    * not forever: past the controller's record-retention period this
+    * verb drops
+    *
+    *   - every `.admissions/batch=*` directory whose NEWEST admission
+    *     stamp is before `cutoffMs` (a directory with any still-young
+    *     row is kept whole — expiry is per-directory O(1), never a row
+    *     rewrite), found by ONE partitioned read of the log (`batch`
+    *     comes back as a partition column; job count independent of the
+    *     batch count), and
+    *   - every `.rights-resolved/req=*` capture whose directory
+    *     modification time is before the cutoff (the captures carry no
+    *     stamp column by design — they are content-addressed replay
+    *     anchors; once the sweep they anchored is complete and aged
+    *     out, the fs timestamp is the honest signal).
+    *
+    * `cutoffMs` is a pinned epoch stamp (the pipeline's pinnable-`now`
+    * convention — reproducible audits need reproducible expiry).
+    * Returns (admission dirs dropped, resolve captures dropped).
+    */
+  def runRecordsExpire(
+      spark: SparkSession,
+      outDir: String,
+      cutoffMs: Long
+  ): (Int, Int) =
+    graft.operators.Lease.withLease(spark, outDir, "records-expire") {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+      val admRoot = s"$outDir/.admissions"
+      val hasBatches = exists(admRoot) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(admRoot))
+          .exists(st => st.isDirectory &&
+            st.getPath.getName.startsWith("batch="))
+      val nAdm =
+        if (!hasBatches) 0
+        else {
+          val expired = spark.read.parquet(admRoot)
+            .groupBy(col("batch"))
+            .agg(max(col("admitted_at")).as("newest"))
+            .filter(col("newest") < cutoffMs)
+            .select(col("batch").cast("string"))
+            .collect().map(_.getString(0))
+          expired.foreach(b => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$admRoot/batch=$b"), true))
+          expired.length
+        }
+      val resRoot = s"$outDir/.rights-resolved"
+      val nRes =
+        if (!exists(resRoot)) 0
+        else {
+          val expired = fs
+            .listStatus(new org.apache.hadoop.fs.Path(resRoot))
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith("req=") &&
+              st.getModificationTime < cutoffMs)
+          expired.foreach(st => fs.delete(st.getPath, true))
+          expired.length
+        }
+      (nAdm, nRes)
+    }
+
   /** Vector-tree maintenance ([[graft.operators.DeletionVectors
     * .compact]]): merge each tree's many request-sized vectors into one
     * (global root and every purpose tree independently; per-key min
@@ -1819,6 +1885,16 @@ object CurateCli {
             s"band=${s.nBand} search=${s.nSearch} dense=${s.nDense} " +
             s"exact=${s.nExact} shards=${s.nShards} agg=${s.nAggGroups}")
       }
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("records-expire")) {
+      require(args.length >= 3,
+        "usage: CurateCli records-expire <stateDir> <cutoffEpochMs>")
+      val spark = session()
+      val (nAdm, nRes) = runRecordsExpire(spark, args(1), args(2).toLong)
+      println(s"[records-expire] admission_batch_dirs=$nAdm " +
+        s"resolve_captures=$nRes")
       spark.stop()
       return
     }

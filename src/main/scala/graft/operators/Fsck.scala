@@ -450,6 +450,61 @@ object Fsck {
     Seq(debt, settle) ++ purposeMasks
   }
 
+  /** Rights-metadata census (GDPR Art. 30): the admission log
+    * (`.admissions/` — written by consent-gated admission, batch and
+    * streaming) and the subject-resolution captures
+    * (`.rights-resolved/` — the by-subject verbs' audit anchors) are
+    * processing RECORDS: pseudonymous keys + purpose + stamp, no
+    * content, deliberately OUTSIDE the erase/retention sweeps
+    * (demonstrating that past processing was lawful requires the record
+    * to outlive the data). They are still pseudonymous personal data
+    * with their own retention clock, so the auditor must SEE them:
+    * one census row per tree (dirs, rows, oldest admission stamp) —
+    * informational, ok by definition; their expiry is the operator's
+    * `records-expire` verb ([[graft.cli.CurateCli.runRecordsExpire]]),
+    * per-directory O(1), never a row rewrite.
+    */
+  def recordsCensus(spark: SparkSession, outDir: String): Seq[Check] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Check]
+    val admRoot = s"$outDir/.admissions"
+    if (exists(spark, admRoot)) {
+      val fs = new org.apache.hadoop.fs.Path(admRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(admRoot))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      // a fully-expired tree is an empty root — censused without a read
+      // (schema inference over zero files would crash the audit)
+      val (n, oldest) =
+        if (dirs == 0) (0L, "none")
+        else {
+          val row = spark.read.parquet(admRoot)
+            .agg(count(lit(1)).as("n"), min(col("admitted_at")).as("oldest"))
+            .head()
+          (row.getLong(0),
+            if (row.isNullAt(1)) "none" else row.getLong(1).toString)
+        }
+      out += Check("records", "admissions_census", ok = true,
+        s"$dirs admission batch dir(s), $n row(s), oldest " +
+          s"stamp $oldest" +
+          " (Art. 30 processing record; expire with records-expire)")
+    }
+    val resRoot = s"$outDir/.rights-resolved"
+    if (exists(spark, resRoot)) {
+      val fs = new org.apache.hadoop.fs.Path(resRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val reqDirs = fs.listStatus(new org.apache.hadoop.fs.Path(resRoot))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("req="))
+      val n =
+        if (reqDirs.isEmpty) 0L
+        else spark.read.parquet(reqDirs.map(_.getPath.toString).toIndexedSeq: _*)
+          .count()
+      out += Check("records", "rights_resolved_census", ok = true,
+        s"${reqDirs.length} resolve capture(s), $n resolved key row(s) " +
+          "(rights-request audit anchors; expire with records-expire)")
+    }
+    out.toSeq
+  }
+
   /** Writer-lease debt ([[Lease]]): no lease (or this process's own, or
     * a young foreign one — a writer may legitimately be running while
     * fsck reads) is fine; a FOREIGN lease older than the TTL is a dead
@@ -502,6 +557,7 @@ object Fsck {
     checks ++= pendingSweepDebt(spark, outDir)
     checks ++= dvDebt(spark, outDir)
     checks ++= leaseDebt(spark, outDir)
+    checks ++= recordsCensus(spark, outDir)
     val corpusIds =
       if (exists(spark, corpusDir))
         Some(spark.read.parquet(corpusDir).select(col("doc_id")).distinct())

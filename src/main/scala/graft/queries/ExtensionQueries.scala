@@ -3345,13 +3345,24 @@ object ExtensionQueries {
           new org.apache.hadoop.fs.Path(s"$root/.lease"), true)
         lout.write("dead-process|erase|0".getBytes("UTF-8"))
         lout.close()
+        // rights-metadata census (round 12): an admission-log batch and
+        // a subject-resolution capture must both surface to the auditor
+        // — Art. 30 processing records with their own retention clock
+        all.select(col("doc_id")).limit(7)
+          .withColumn("purpose", lit("training"))
+          .withColumn("admitted_at", lit(8L))
+          .write.mode("overwrite").parquet(s"$root/.admissions/batch=0")
+        all.select(col("doc_id")).limit(3)
+          .write.mode("overwrite")
+          .parquet(s"$root/.rights-resolved/req=abc123")
         val checks = graft.operators.Fsck.denseIndex(s, s"$root/dense") ++
           graft.operators.Fsck.shards(s, s"$root/shards") ++
           graft.operators.Fsck.snapshotStore(s, s"$root/snapshot", "doc_id") ++
           graft.operators.Fsck.eventStats(s, s"$root/events") ++
           graft.operators.Fsck.pendingSweepDebt(s, root) ++
           graft.operators.Fsck.dvDebt(s, root) ++
-          graft.operators.Fsck.leaseDebt(s, root)
+          graft.operators.Fsck.leaseDebt(s, root) ++
+          graft.operators.Fsck.recordsCensus(s, root)
         checks.map(c => (c.component, c.check, if (c.ok) 1 else 0))
           .toDF("component", "check", "ok")
           .orderBy("component", "check")
@@ -3376,6 +3387,8 @@ object ExtensionQueries {
           ('events', 'no_retired_tree', 1),
           ('events', 'no_stage_tree', 1),
           ('events', 'rows_unique', 1),
+          ('records', 'admissions_census', 1),
+          ('records', 'rights_resolved_census', 1),
           ('rectify', 'no_pending_sweep', 1),
           ('retention', 'no_pending_sweep', 0),
           ('shards', 'no_swap_debris', 1),

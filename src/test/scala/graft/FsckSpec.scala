@@ -304,4 +304,69 @@ class FsckSpec extends SparkSpec {
     assert(Fsck.snapshotStore(spark, s"$work/snapshot", "doc_id").exists(c =>
       c.check == "manifest_clean" && !c.ok))
   }
+
+  test("rights-metadata records: fsck census sees them, records-expire drops whole aged directories") {
+    // VERDICT r11: the admission log and the .rights-resolved captures
+    // had a retention stance in prose but no mechanism, and fsck had no
+    // census row — the one state the auditor could not see
+    import graft.cli.CurateCli
+    val work = Files.createTempDirectory("fsck_records").toString
+    def adm(batch: String, ids: Seq[Long], at: Long): Unit =
+      ids.toDF("doc_id")
+        .withColumn("purpose", lit("training"))
+        .withColumn("admitted_at", lit(at))
+        .write.mode("overwrite").parquet(s"$work/.admissions/batch=$batch")
+    // batch 0 fully aged; batch 1 fully young; batch s2 (a streaming
+    // epoch) MIXED — its newest row is young, so the whole dir is kept
+    adm("0", Seq(1L, 2L), at = 10L)
+    adm("1", Seq(3L), at = 100L)
+    Seq((4L, 10L), (5L, 100L)).toDF("doc_id", "admitted_at")
+      .withColumn("purpose", lit("training"))
+      .select(col("doc_id"), col("purpose"), col("admitted_at"))
+      .write.mode("overwrite").parquet(s"$work/.admissions/batch=s2")
+    Seq(7L).toDF("doc_id").write.mode("overwrite")
+      .parquet(s"$work/.rights-resolved/req=aa")
+    // census: informational rows, ok by definition, visible in state()
+    val census = Fsck.recordsCensus(spark, work)
+    assert(census.map(_.check).toSet ==
+      Set("admissions_census", "rights_resolved_census"))
+    assert(census.forall(_.ok))
+    assert(census.find(_.check == "admissions_census").get.detail
+      .contains("3 admission batch dir(s), 5 row(s), oldest stamp 10"))
+    assert(Fsck.state(spark, work).map(_.check)
+      .contains("admissions_census"))
+    // expiry at cutoff 50: only the fully-aged batch goes; the resolve
+    // capture (fresh mtime) stays
+    val (nAdm, nRes) = CurateCli.runRecordsExpire(spark, work, cutoffMs = 50L)
+    assert(nAdm == 1 && nRes == 0)
+    val left = spark.read.parquet(s"$work/.admissions")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(left == Set(3L, 4L, 5L),
+      "a directory with any still-young row must be kept whole")
+    // resolve captures expire on directory age: past their mtime they go
+    val (nAdm2, nRes2) = CurateCli.runRecordsExpire(spark, work,
+      cutoffMs = System.currentTimeMillis() + 60_000)
+    assert(nAdm2 == 2 && nRes2 == 1)
+    assert(fsOf(work)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$work/.admissions"))
+      .forall(st => !st.getPath.getName.startsWith("batch=")))
+    // a fully-expired tree still censuses (0 dirs, no crash on the read)
+    assert(Fsck.recordsCensus(spark, work)
+      .find(_.check == "admissions_census").get.detail
+      .contains("0 admission batch dir(s)"))
+    assert(Fsck.recordsCensus(spark, work)
+      .find(_.check == "rights_resolved_census").get.detail
+      .contains("0 resolve capture(s)"))
+    // the verb holds the state lease: a live foreign writer refuses
+    val lout = fsOf(work).create(
+      new org.apache.hadoop.fs.Path(s"$work/.lease"), true)
+    lout.write(s"other|compact|${System.currentTimeMillis()}".getBytes("UTF-8"))
+    lout.close()
+    intercept[IllegalStateException] {
+      CurateCli.runRecordsExpire(spark, work, cutoffMs = 1L)
+    }
+  }
+
+  private def fsOf(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 }
