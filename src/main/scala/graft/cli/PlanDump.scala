@@ -125,7 +125,9 @@ object PlanDump {
     "q_consent_dp_release", // consent gate -> DP release -> ledger charge
     "q_consent_purpose",  // purpose-scoped vs global vector masks, two serves
     "q_consent_asof",     // validity-interval anti-join retro audit
-    "q_erase_by_subject"  // owner-mapping resolve + masked serve
+    "q_erase_by_subject", // owner-mapping resolve + masked serve
+    "q_consent_stream",   // consent-gated streaming admission + retro audit
+    "q_dv_compact"        // compacted vector trees, two masked serves
   )
 
   def main(args: Array[String]): Unit = {

@@ -148,8 +148,20 @@ object Consent {
     * a manual init step ordered before the stream.
     */
   def update(spark: SparkSession, dir: String, events: DataFrame): Unit =
+    update(spark, dir, events, checkPurposes = true)
+
+  /** [[withdraw]]/[[grant]] build their event frame from an
+    * already-validated scalar purpose literal — re-scanning it would be
+    * a pure extra job on the request path.
+    */
+  private def update(
+      spark: SparkSession,
+      dir: String,
+      events: DataFrame,
+      checkPurposes: Boolean
+  ): Unit =
     graft.operators.Lease.withLease(spark, dir, "consent-update") {
-      validatePurposes(events)
+      if (checkPurposes) validatePurposes(events)
       if (!storeExists(spark, dir))
         Snapshot.writeStore(
           Snapshot.initial(keyed(resolved(events)), "consent_key", "updated_at"),
@@ -252,20 +264,31 @@ object Consent {
       mapping: Option[DataFrame]
   ): Unit = graft.operators.Lease
     .withLease(spark, stateDir, "consent-vectors") {
+    // both legs and their emptiness probes reuse these frames, so cache
+    // them — without it every probe re-scans the registry store
     val touched = subs
       .select(col(subs.columns.head).as("subject_id")).distinct()
+      .persist()
     val grantedNow = currentState(spark, consentDir)
       .filter(col("purpose") === purpose && col("granted"))
       .select(col("subject_id"))
       .join(broadcast(touched), Seq("subject_id"), "left_semi")
-    val deniedNow = touched
-      .join(grantedNow, Seq("subject_id"), "left_anti")
-    if (!deniedNow.isEmpty)
-      graft.operators.DeletionVectors.append(spark, stateDir,
-        docKeys(deniedNow, mapping), purpose = Some(purpose))
-    if (!grantedNow.isEmpty)
-      graft.operators.DeletionVectors.subtractPurpose(spark, stateDir,
-        docKeys(grantedNow, mapping), purpose)
+      .persist()
+    try {
+      val nGranted = grantedNow.count()
+      val nTouched = touched.count()
+      val deniedNow = touched
+        .join(grantedNow, Seq("subject_id"), "left_anti")
+      if (nTouched - nGranted > 0)
+        graft.operators.DeletionVectors.append(spark, stateDir,
+          docKeys(deniedNow, mapping), purpose = Some(purpose))
+      if (nGranted > 0)
+        graft.operators.DeletionVectors.subtractPurpose(spark, stateDir,
+          docKeys(grantedNow, mapping), purpose)
+    } finally {
+      grantedNow.unpersist()
+      touched.unpersist()
+    }
   }
 
   /** Art. 7(3) withdrawal, composed end to end: record the withdrawal
@@ -310,7 +333,7 @@ object Consent {
       .withColumn("purpose", lit(purpose))
       .withColumn("granted", lit(false))
       .withColumn("updated_at", lit(updatedAt))
-    update(spark, consentDir, events)
+    update(spark, consentDir, events, checkPurposes = false)
     failpoint("registry-updated")
     // the vector action follows the POST-MERGE verdict, not this event:
     // a withdrawal backdated behind a stored newer grant loses the merge
@@ -349,7 +372,7 @@ object Consent {
       .withColumn("purpose", lit(purpose))
       .withColumn("granted", lit(true))
       .withColumn("updated_at", lit(updatedAt))
-    update(spark, consentDir, events)
+    update(spark, consentDir, events, checkPurposes = false)
     failpoint("registry-updated")
     // post-merge verdict, not this event: a grant backdated behind a
     // stored newer withdrawal loses the merge and must NOT unmask
