@@ -1197,7 +1197,9 @@ object CurateCli {
       nDense: Long,
       nExact: Long,
       nShards: Long,
-      nMaskedPending: Long = 0L)
+      nMaskedPending: Long = 0L,
+      nConsentRows: Long = 0L,
+      nPurposeMasked: Long = 0L)
 
   /** Right-of-access sweep (GDPR Art. 15, the read-side dual of
     * [[runErase]]): for a set of subject document ids, report every
@@ -1206,7 +1208,13 @@ object CurateCli {
     * `<reportDir>/corpus_rows`), plus per-subject presence counts in
     * every serving leg (band index rows, BM25 postings, exact-index
     * sets/postings, dense assignment with its cluster id, shard
-    * locations) written to `<reportDir>/subjects`. A DPO answers "what
+    * locations) written to `<reportDir>/subjects`. With `consentDir`,
+    * the report also answers Art. 15(1)(a)+(b): the subject's FULL
+    * consent history (every purpose/verdict version with its validity
+    * interval — the Art. 7(1) demonstration) to
+    * `<reportDir>/consent_state`, and the Art. 7(3) withdrawals
+    * currently in force (per-purpose masked-key counts over the
+    * requested ids) to `<reportDir>/purpose_masks`. A DPO answers "what
     * do you hold about me" from this report without knowing the store
     * layouts; an erasure sweep followed by an access sweep returning
     * zero rows is the compliance proof pair.
@@ -1332,18 +1340,26 @@ object CurateCli {
       subjectKeysPath: String,
       mappingPath: String,
       outDir: String,
-      reportDir: String
+      reportDir: String,
+      consentDir: Option[String] = None
   ): AccessSummary = {
     val keysPath =
       resolveSubjectKeys(spark, subjectKeysPath, mappingPath, outDir)
-    runAccess(spark, keysPath, outDir, reportDir)
+    // the consent disclosure keys on the PERSONS requested, not the
+    // resolved document ids — the registry is subject-keyed
+    val raw = spark.read.parquet(subjectKeysPath)
+    runAccess(spark, keysPath, outDir, reportDir, consentDir,
+      consentSubjects =
+        Some(raw.select(col(raw.columns.head).as("subject_id")).distinct()))
   }
 
   def runAccess(
       spark: SparkSession,
       keysPath: String,
       outDir: String,
-      reportDir: String
+      reportDir: String,
+      consentDir: Option[String] = None,
+      consentSubjects: Option[DataFrame] = None
   ): AccessSummary = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1421,12 +1437,64 @@ object CurateCli {
     // id sits in a pending deletion vector is logically erased — still
     // physically present (the rows above), but excluded from every
     // masked serve until the settle sweep purges it
-    val nMasked = graft.operators.DeletionVectors.load(spark, outDir) match {
+    // GLOBAL vectors only: purpose-scoped masks are standing consent
+    // state (Art. 7(3) withdrawals, disclosed per purpose below), not
+    // pending erasure — the round-11 settle-scope distinction applies
+    // to the disclosure too
+    val nMasked = graft.operators.DeletionVectors.loadGlobal(spark, outDir) match {
       case None => 0L
       case Some(dv) => dv.join(broadcast(keys), Seq("doc_id"), "left_semi").count()
     }
+    // Art. 15(1)(a)+(b) with Art. 7(1) demonstrability: when the consent
+    // registry is given, disclose the subject's FULL consent history —
+    // every (purpose, granted) version with its validity interval, not
+    // just the current verdict ("the controller shall be able to
+    // demonstrate that the data subject has consented" is a question
+    // about the past) — to `<reportDir>/consent_state`, and the standing
+    // purpose-scoped masks over the requested keys (which purposes
+    // currently exclude the subject from serving, Art. 7(3) withdrawals
+    // in force) to `<reportDir>/purpose_masks`. The registry side is
+    // subject-scale; both joins broadcast the request.
+    var nConsentRows = 0L
+    var nPurposeMasked = 0L
+    consentDir.foreach { cd =>
+      val subjects = consentSubjects.getOrElse(
+        keys.withColumnRenamed("doc_id", "subject_id"))
+      val hist =
+        if (!graft.policy.Consent.storeExists(spark, cd))
+          subjects.limit(0)
+            .withColumn("purpose", lit(null).cast("string"))
+            .withColumn("granted", lit(null).cast("boolean"))
+            .withColumn("updated_at", lit(null).cast("long"))
+            .withColumn("valid_from", lit(null).cast("long"))
+            .withColumn("valid_to", lit(null).cast("long"))
+        else
+          graft.pipeline.Snapshot.loadStore(spark, cd)
+            .join(broadcast(subjects), Seq("subject_id"), "left_semi")
+            .select(col("subject_id"), col("purpose"), col("granted"),
+              col("updated_at"), col("valid_from").cast("long"),
+              col("valid_to").cast("long"))
+      hist.write.mode("overwrite").parquet(s"$reportDir/consent_state")
+      nConsentRows =
+        spark.read.parquet(s"$reportDir/consent_state").count()
+      import spark.implicits._
+      val pm = graft.operators.DeletionVectors.purposes(spark, outDir)
+        .map { pur =>
+          val n = graft.operators.DeletionVectors
+            .loadPurposeTree(spark, outDir, pur) match {
+            case None => 0L
+            case Some(dv) =>
+              dv.join(broadcast(keys), Seq("doc_id"), "left_semi").count()
+          }
+          (pur, n)
+        }
+      pm.toDF("purpose", "n_masked_keys")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$reportDir/purpose_masks")
+      nPurposeMasked = pm.map(_._2).sum
+    }
     val summary = AccessSummary(nKeys, nCorpus, s0(0), s0(1), s0(2), s0(3),
-      s0(4), nMasked)
+      s0(4), nMasked, nConsentRows, nPurposeMasked)
     Files.createDirectories(Paths.get(reportDir))
     Files.writeString(
       Paths.get(s"$reportDir/access_report.json"),
@@ -1435,6 +1503,8 @@ object CurateCli {
         s""""n_dense_rows":${summary.nDense},"n_exact_rows":${summary.nExact},""" +
         s""""n_shard_rows":${summary.nShards},""" +
         s""""n_pending_logical_erasure":${summary.nMaskedPending},""" +
+        s""""n_consent_history_rows":${summary.nConsentRows},""" +
+        s""""n_purpose_masked":${summary.nPurposeMasked},""" +
         """"profile_note":"sketch stores hold aggregates, no per-subject rows"}""" + "\n")
     summary
   }
@@ -1770,22 +1840,29 @@ object CurateCli {
         a == "--exact" || a == "--agg")
     if (args.headOption.contains("access")) {
       require(args.length >= 4,
-        "usage: CurateCli access <keys.parquet> <stateDir> <reportDir>")
+        "usage: CurateCli access <keys.parquet> <stateDir> <reportDir> " +
+          "[--consent <consentDir>]")
+      val ci = args.indexOf("--consent")
+      val cd = if (ci >= 0 && args.length > ci + 1) Some(args(ci + 1)) else None
       val spark = session()
-      val s = runAccess(spark, args(1), args(2), args(3))
+      val s = runAccess(spark, args(1), args(2), args(3), cd)
       println(s"[curate] access keys=${s.nKeys} corpus_rows=${s.nCorpus} " +
         s"band=${s.nBand} search=${s.nSearch} dense=${s.nDense} " +
         s"exact=${s.nExact} shard_rows=${s.nShards} " +
-        s"pending_logical_erasure=${s.nMaskedPending}")
+        s"pending_logical_erasure=${s.nMaskedPending} " +
+        s"consent_history_rows=${s.nConsentRows} " +
+        s"purpose_masked=${s.nPurposeMasked}")
       spark.stop()
       return
     }
     if (args.headOption.contains("access-by-subject")) {
       require(args.length >= 5,
         "usage: CurateCli access-by-subject <subjects.parquet> " +
-          "<mapping.parquet> <stateDir> <reportDir>")
+          "<mapping.parquet> <stateDir> <reportDir> [--consent <consentDir>]")
+      val ci = args.indexOf("--consent")
+      val cd = if (ci >= 0 && args.length > ci + 1) Some(args(ci + 1)) else None
       val spark = session()
-      val s = runAccessBySubject(spark, args(1), args(2), args(3), args(4))
+      val s = runAccessBySubject(spark, args(1), args(2), args(3), args(4), cd)
       println(s"[curate] access-by-subject docs=${s.nKeys} " +
         s"corpus_rows=${s.nCorpus} band=${s.nBand} search=${s.nSearch} " +
         s"dense=${s.nDense} exact=${s.nExact} shard_rows=${s.nShards} " +

@@ -248,6 +248,23 @@ object DeletionVectors {
     else Some(spark.read.parquet(dirs: _*).select(col(idCol)).distinct())
   }
 
+  /** ONE purpose tree's pending keys alone — no global vectors: the
+    * Art. 15 disclosure answers "which purposes currently exclude this
+    * subject" (Art. 7(3) withdrawals in force), and conflating the
+    * global (Art. 17) masks — reported separately as pending logical
+    * erasure — would over-state every purpose.
+    */
+  def loadPurposeTree(
+      spark: SparkSession,
+      outDir: String,
+      purpose: String,
+      idCol: String = "doc_id"
+  ): Option[DataFrame] = {
+    val dirs = liveDirsUnder(spark, purposeRoot(outDir, purpose))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).select(col(idCol)).distinct())
+  }
+
   /** GLOBAL vectors only — what [[graft.cli.CurateCli.runEraseSettle]]
     * snapshots: a purpose-scoped mask must never feed the physical
     * sweep (the subject's data is still lawful for the purposes they
@@ -369,7 +386,8 @@ object DeletionVectors {
   private def compactUnder(
       spark: SparkSession,
       root: String,
-      idCol: String
+      idCol: String,
+      failpoint: String => Unit = _ => ()
   ): (Int, Int) = {
     val fs = fsOf(spark, root)
     val dirs = liveDirsUnder(spark, root)
@@ -399,10 +417,12 @@ object DeletionVectors {
     } else {
       val stage = s"$root/.compact-stage"
       merged.write.mode("overwrite").parquet(stage)
+      failpoint("staged")
       fs.delete(dest, true) // a torn (_SUCCESS-less) leftover is invisible
       require(fs.rename(new org.apache.hadoop.fs.Path(stage), dest),
         s"deletion vectors: compact promote $stage -> $dest failed")
     }
+    failpoint("promoted")
     dirs.map(new org.apache.hadoop.fs.Path(_))
       .filter(_.getName != cname)
       .foreach(p => fs.delete(p, true))
@@ -418,11 +438,12 @@ object DeletionVectors {
   def compact(
       spark: SparkSession,
       outDir: String,
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      failpoint: String => Unit = _ => ()
   ): Seq[(String, Int, Int)] = {
-    val g = compactUnder(spark, dvRoot(outDir), idCol)
+    val g = compactUnder(spark, dvRoot(outDir), idCol, failpoint)
     ("global", g._1, g._2) +: purposes(spark, outDir).map { p =>
-      val r = compactUnder(spark, purposeRoot(outDir, p), idCol)
+      val r = compactUnder(spark, purposeRoot(outDir, p), idCol, failpoint)
       (s"purpose=$p", r._1, r._2)
     }
   }

@@ -128,7 +128,7 @@ object Consent {
     * alone is not a signal (a writer lease or a crashed init may have
     * created the path without any data).
     */
-  private def storeExists(spark: SparkSession, dir: String): Boolean = {
+  private[graft] def storeExists(spark: SparkSession, dir: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(dir)

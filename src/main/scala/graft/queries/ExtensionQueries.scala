@@ -3830,6 +3830,90 @@ object ExtensionQueries {
         where coalesce(state_at_8.g, false) = false
         group by b.source order by b.source""")
     ),
+    // Art. 15(1)(a)+(b) consent disclosure through the access verb
+    // (CurateCli.runAccess with consentDir): the subject-access report
+    // carries the FULL consent history (every purpose/verdict version —
+    // the Art. 7(1) demonstration includes superseded grants) and the
+    // Art. 7(3) withdrawals currently in force (per-purpose masked-key
+    // counts, purpose trees only — global Art. 17 masks are pending
+    // erasure, disclosed separately). The twin replays history, current
+    // verdicts, and masks as predicates over the same event rules, so
+    // the hash match pins registry history + the post-merge vector sync
+    // + the disclosure join end to end. Build jobs bounded (PlanGuardSpec
+    // exemption).
+    "q_access_consent" -> Q(
+      (s, dir) => {
+        import graft.operators.{DeletionVectors, StableHash}
+        import graft.policy.Consent
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_acc_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val consent = s"$root/consent"
+        val all = docs(s, dir)
+        val subs = all.select(col("doc_id").as("subject_id"))
+        // everyone grants training at ts 1; the h3!=0 slice also grants
+        // ads; the h7==0 slice withdraws training at ts 5 (a purpose
+        // mask lands via the post-merge sync); h11==4 files an Art. 17
+        // erasure (a global vector — NOT in the purpose disclosure)
+        Consent.init(s, consent,
+          subs.withColumn("purpose", lit("training"))
+            .withColumn("granted", lit(true))
+            .withColumn("updated_at", lit(1L))
+            .unionByName(subs
+              .filter(StableHash.bucket(col("subject_id"), 3) =!= 0)
+              .withColumn("purpose", lit("ads"))
+              .withColumn("granted", lit(true))
+              .withColumn("updated_at", lit(1L))))
+        Consent.withdraw(s, consent,
+          all.filter(StableHash.bucket(col("doc_id"), 7) === 0)
+            .select(col("doc_id")),
+          "training", updatedAt = 5L, stateDir = Some(root))
+        DeletionVectors.append(s, root,
+          all.filter(StableHash.bucket(col("doc_id"), 11) === 4)
+            .select(col("doc_id")))
+        all.select(col("doc_id"))
+          .write.mode("overwrite").parquet(s"$root/keys")
+        graft.cli.CurateCli.runAccess(s, s"$root/keys", root,
+          s"$root/report", consentDir = Some(consent))
+        val hist = s.read.parquet(s"$root/report/consent_state")
+        val history = hist.groupBy(col("purpose"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("history"))
+        val current = hist
+          .filter(col("valid_to").isNull && col("granted"))
+          .groupBy(col("purpose"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("current_granted"))
+        val masks = s.read.parquet(s"$root/report/purpose_masks")
+          .select(col("purpose"), col("n_masked_keys").as("n"))
+          .withColumn("kind", lit("masked"))
+        history.unionByName(current).unionByName(masks)
+          .select(col("kind"), col("purpose"), col("n"))
+          .orderBy("kind", "purpose")
+      },
+      Some(s"""
+        with b as (
+          select doc_id,
+            ${duckMdBucket(3)} as h3, ${duckMdBucket(7)} as h7
+          from documents
+        )
+        select 'current_granted' as kind, 'ads' as purpose,
+          count(*) as n from b where h3 <> 0
+        union all
+        select 'current_granted', 'training', count(*)
+          from b where h7 <> 0
+        union all
+        select 'history', 'ads', count(*) from b where h3 <> 0
+        union all
+        select 'history', 'training',
+          cast(count(*) + sum(case when h7 = 0 then 1 else 0 end) as bigint)
+          from b
+        union all
+        select 'masked', 'training', count(*) from b where h7 = 0
+        order by kind, purpose""")
+    ),
     // vector-tree compaction (operators/DeletionVectors.compact, the
     // CurateCli compact-vectors verb): many overlapping request-sized
     // vectors — three global (Art. 17) appends and two purpose-scoped

@@ -628,6 +628,60 @@ class ConsentSpec extends SparkSpec {
       "training", s"$work/report2").nAdmissions == 2L)
   }
 
+  test("Art. 15 access discloses the consent history and the purpose masks in force") {
+    val work = tmp("accessconsent")
+    val consent = s"$work/consent"
+    val state = s"$work/state"
+    Consent.init(spark, consent, Seq(
+      (1L, "training", true, 1L),
+      (1L, "ads", true, 1L),
+      (2L, "training", true, 1L)).toDF(
+      "subject_id", "purpose", "granted", "updated_at"))
+    // subject 1 withdraws training (a purpose mask lands); subject 2
+    // files a plain Art. 17 erasure (a global vector)
+    Consent.withdraw(spark, consent, Seq(1L).toDF("subject_id"),
+      "training", updatedAt = 5L, stateDir = Some(state))
+    DeletionVectors.append(spark, state, Seq(2L).toDF("doc_id"))
+    Seq(1L, 2L).toDF("doc_id").write.parquet(s"$work/keys")
+    val s1 = CurateCli.runAccess(spark, s"$work/keys", state,
+      s"$work/report", consentDir = Some(consent))
+    // full history: subject 1 has training v1+v2 and ads v1; subject 2
+    // has training v1 — four rows, including the superseded grant (the
+    // Art. 7(1) demonstration is about the past)
+    assert(s1.nConsentRows == 4L)
+    assert(s1.nPurposeMasked == 1L, "the training withdrawal in force")
+    assert(s1.nMaskedPending == 1L, "the global erasure pending")
+    val hist = spark.read.parquet(s"$work/report/consent_state")
+    assert(hist.filter(col("subject_id") === 1L &&
+      col("purpose") === "training").count() == 2L)
+    assert(hist.filter(col("subject_id") === 1L &&
+      col("purpose") === "training" && !col("granted") &&
+      col("valid_to").isNull).count() == 1L,
+      "the current training verdict for subject 1 must be the withdrawal")
+    val pm = spark.read.parquet(s"$work/report/purpose_masks")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pm == Map("training" -> 1L))
+    // without a registry dir: plain report, zero consent fields
+    val s2 = CurateCli.runAccess(spark, s"$work/keys", state,
+      s"$work/report2")
+    assert(s2.nConsentRows == 0L && s2.nPurposeMasked == 0L)
+    // a missing registry discloses an empty history, not a crash
+    val s3 = CurateCli.runAccess(spark, s"$work/keys", state,
+      s"$work/report3", consentDir = Some(s"$work/never-inited"))
+    assert(s3.nConsentRows == 0L)
+    // by-subject: the disclosure keys on the PERSON, resolved docs on
+    // the stores
+    Seq((1L, 11L), (1L, 12L), (2L, 21L)).toDF("subject_id", "doc_id")
+      .write.parquet(s"$work/mapping")
+    Seq(1L).toDF("subject_id").write.parquet(s"$work/subjects")
+    val s4 = CurateCli.runAccessBySubject(spark, s"$work/subjects",
+      s"$work/mapping", state, s"$work/report4",
+      consentDir = Some(consent))
+    assert(s4.nKeys == 2L, "subject 1 owns two documents")
+    assert(s4.nConsentRows == 3L,
+      "the consent history must be the PERSON's rows (training v1+v2, ads)")
+  }
+
   test("the snapshot-store auditor reaches the registry") {
     val dir = tmp("fsck")
     Consent.init(spark, dir,

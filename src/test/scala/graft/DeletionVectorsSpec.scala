@@ -473,6 +473,41 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(DeletionVectors.pending(spark, work)._1 == 0)
   }
 
+  test("compaction killed at every failpoint never under-masks and converges on replay") {
+    // the crash-safety claim is a protocol argument ("over-masking only");
+    // this matrix pins it: at each kill point the serve mask must be a
+    // SUPERSET-or-equal of the true mask (erasure must never leak), and
+    // the replay must land on the compacted end state byte-identically
+    Seq("staged", "promoted").foreach { fp =>
+      val work = tmp(s"ccrash_$fp")
+      val data = docs.limit(200).select(col("doc_id"), col("source"))
+      data.write.parquet(s"$work/data")
+      (0 until 3).foreach { i =>
+        DeletionVectors.append(spark, work,
+          data.filter(col("doc_id") % 5 === i).select(col("doc_id")))
+      }
+      val trueMask = ids(spark.read.parquet(s"$work/data")
+        .filter(col("doc_id") % 5 <= 2))
+      def servedNow: Set[Long] = ids(DeletionVectors.maskServing(spark, work,
+        spark.read.parquet(s"$work/data")))
+      val full = ids(spark.read.parquet(s"$work/data"))
+      assert(servedNow == full -- trueMask)
+      assert(intercept[Crash] {
+        DeletionVectors.compact(spark, work, failpoint = killAt(fp))
+      }.at == fp)
+      // mid-crash: whatever is live must mask AT LEAST the true mask
+      assert((full -- servedNow).forall(trueMask.contains) &&
+        trueMask.forall(id => !servedNow.contains(id)),
+        s"kill at '$fp' must never serve a masked id")
+      // replay converges: one vector, same mask, same key census
+      val again = CurateCli.runCompactVectors(spark, work)
+      assert(again.head._3 == 1)
+      assert(servedNow == full -- trueMask)
+      assert(DeletionVectors.pending(spark, work)._1 == 1)
+      assert(DeletionVectors.pending(spark, work)._2 == trueMask.size)
+    }
+  }
+
   test("pending load is ONE scan: mask job count is independent of the vector count") {
     val work1 = tmp("scan1")
     val work4 = tmp("scan4")

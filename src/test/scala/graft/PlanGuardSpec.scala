@@ -171,6 +171,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_consent_purpose",
     // registry bootstrap + one withdrawal merge before the as-of audit
     "q_consent_asof",
+    // registry bootstrap + withdrawal merge + post-merge sync, a global
+    // vector append, then the full access sweep (keys/report writes,
+    // leg probes, the consent-history and purpose-mask disclosures)
+    "q_access_consent",
     // five content-addressed vector appends (content-id fold + write +
     // count each), then the two-tree compaction (merged-union agg,
     // content-id fold, stage write + promote per tree) before the two
@@ -282,6 +286,10 @@ class PlanGuardSpec extends SparkSpec {
           // salted content-id fold, stage write each, with AQE sub-jobs)
           // — fixed count, zero iteration (~64 observed)
           else if (name == "q_dv_compact") 75
+          // the q_consent_purpose registry shape + runAccess (report
+          // writes + readbacks, the disclosure joins, per-purpose mask
+          // counts) — fixed verb stage count, zero iteration
+          else if (name == "q_access_consent") 100
           // the registry build again + the ledger's authorize reads,
           // charge write, replay verification, and spend read
           else if (name == "q_consent_dp_release") 70
