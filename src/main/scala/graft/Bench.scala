@@ -47,7 +47,17 @@ object Bench {
     // stable steady-state estimator and the min is kept alongside as the
     // best-case floor.
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // the warmup pass doubles as a load canary: its wall time is pure
+    // repeated work (same queries, same data), so across captures of the
+    // same build it varies only with BOX LOAD — the artifact carries it
+    // (`warmup_sec`) and tools/bench_adjudicate.py flags a capture whose
+    // warmup deviates >1.5x from the best capture as contaminated,
+    // mechanically, instead of arguing from per-sample spread (the r12
+    // driver capture cost a false 1.45x headline that three clean runs
+    // then had to talk down)
+    val warm0 = System.nanoTime()
     names.foreach(runOnce)
+    val warmupSec = (System.nanoTime() - warm0) / 1e9
 
     val results = names.map { name =>
       // three measured passes, then three MORE for sub-second queries:
@@ -109,6 +119,8 @@ object Bench {
     val artifact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_min":$qsMin,"samples":$qsSamples,""" +
+        String.format(java.util.Locale.ROOT, """"warmup_sec":%.1f,""",
+          Double.box(warmupSec)) +
         s""""samples_per_query":"3, 6 when min < 1.5s","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), artifact + "\n")

@@ -301,12 +301,12 @@ object CurateCli {
         // then over-reports admissions the corpus never saw — the safe
         // direction for an audit that exists to FIND unlawful admissions
         consent.foreach { cg =>
-          landed.select(col("doc_id"))
-            .withColumn("purpose", lit(cg.purpose))
-            .withColumn("admitted_at",
-              lit(cg.admittedAt.getOrElse(System.currentTimeMillis())))
-            .write.mode("overwrite")
-            .parquet(s"$outDir/.admissions/batch=$batchId")
+          // replay-stable stamp (Consent.writeAdmissionLog): a crash
+          // after this write replays the batch under the SAME ordinal,
+          // and the record must keep saying when admission first happened
+          graft.policy.Consent.writeAdmissionLog(spark,
+            s"$outDir/.admissions/batch=$batchId",
+            landed.select(col("doc_id")), cg.purpose, cg.admittedAt)
         }
         landed.write.mode("append").parquet(corpusDir)
         if (bootstrap)
@@ -509,6 +509,40 @@ object CurateCli {
       nAdmissions: Long,
       nViolations: Long)
 
+  /** The union of every admission tree under the state root
+    * ([[graft.operators.Fsck.admissionRoots]] — the batch pipeline's
+    * `<state>/.admissions` plus the streaming sinks'
+    * `<indexLeg>/.admissions`), one row per admitted document
+    * (`doc_id`, `purpose`, `admitted_at`, `origin`). The trees are read
+    * separately and unioned by name — a multi-root partitioned read
+    * would fight over the `batch=` ordinal column, whose values differ
+    * in type across trees (`batch=N` batch vs `batch=sN` streaming) —
+    * but the read count is the fixed leg vocabulary, never the batch
+    * count. Empty when no tree holds a batch.
+    */
+  private[graft] def readAdmissions(
+      spark: SparkSession,
+      outDir: String
+  ): DataFrame = {
+    val frames = graft.operators.Fsck.admissionRoots(spark, outDir)
+      .flatMap { case (origin, root) =>
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasBatches = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+          .exists(st => st.isDirectory &&
+            st.getPath.getName.startsWith("batch="))
+        if (!hasBatches) None
+        else Some(spark.read.parquet(root)
+          .select(col("doc_id"), col("purpose"), col("admitted_at"))
+          .withColumn("origin", lit(origin)))
+      }
+    if (frames.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, String, Long, String)]
+        .toDF("doc_id", "purpose", "admitted_at", "origin")
+    } else frames.reduce(_.unionByName(_))
+  }
+
   /** Retention stance of the admission log: `.admissions/` is an
     * Art. 30-style PROCESSING RECORD (pseudonymous keys + purpose +
     * stamp, no content), deliberately outside the erase/retention
@@ -535,17 +569,15 @@ object CurateCli {
       purpose: String,
       reportDir: String
   ): ConsentAuditSummary = {
-    val admRoot = s"$outDir/.admissions"
-    val fs = new org.apache.hadoop.fs.Path(admRoot)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val admissions =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(admRoot))) {
-        import spark.implicits._
-        Seq.empty[(Long, String, Long)]
-          .toDF("doc_id", "purpose", "admitted_at")
-      } else
-        spark.read.parquet(admRoot)
-          .select(col("doc_id"), col("purpose"), col("admitted_at"))
+    // EVERY admission tree under the state root (Fsck.admissionRoots):
+    // the batch pipeline logs under `<state>/.admissions`, the streaming
+    // sinks under `<indexLeg>/.admissions` — an audit that read only the
+    // state root reported zero admissions for a streaming deployment.
+    // One read per tree (the tree count is the fixed leg vocabulary,
+    // never the batch count), projected to the record columns so the
+    // trees' different partition ordinals (`batch=N` vs `batch=sN`)
+    // union cleanly.
+    val admissions = readAdmissions(spark, outDir)
     val ofPurpose = admissions.filter(col("purpose") === purpose)
       .withColumn("subject_id", col("doc_id"))
     val violations = graft.policy.Consent
@@ -935,6 +967,10 @@ object CurateCli {
     import graft.operators.DeletionVectors
     val keys = spark.read.parquet(keysPath).select(col("doc_id"))
     val n = DeletionVectors.append(spark, outDir, keys)
+    // compaction cadence for the global tree (under this verb's lease):
+    // a steady trickle of Art. 17 requests between settles must not grow
+    // dv=* directories without bound
+    DeletionVectors.maybeCompact(spark, outDir, None)
     val (dirs, pendingKeys, _) = DeletionVectors.pending(spark, outDir)
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(
@@ -965,7 +1001,8 @@ object CurateCli {
       spark: SparkSession,
       subjectKeysPath: String,
       mappingPath: String,
-      outDir: String
+      outDir: String,
+      now: Long = System.currentTimeMillis()
   ): String = {
     val raw = spark.read.parquet(subjectKeysPath)
     val subs = raw.select(col(raw.columns.head).as("subject_id")).distinct()
@@ -977,6 +1014,21 @@ object CurateCli {
     val out =
       s"$outDir/.rights-resolved/req=${java.lang.Long.toHexString(rid)}"
     resolved.write.mode("overwrite").parquet(out)
+    // creation marker OUTSIDE the capture directory (an overwrite replay
+    // clears the directory's contents), written once and preserved across
+    // replays: `records-expire` keys expiry on it instead of fs mtime,
+    // which on object stores is upload time — a capture restored from
+    // backup would otherwise look freshly created and never expire, and a
+    // replay's rewrite would reset the clock. Pinnable `now`, the
+    // reproducible-audit convention.
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$out.created")
+    if (!fs.exists(marker)) {
+      val os = fs.create(marker, false)
+      os.write(now.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      os.close()
+    }
     out
   }
 
@@ -1114,17 +1166,24 @@ object CurateCli {
     * not forever: past the controller's record-retention period this
     * verb drops
     *
-    *   - every `.admissions/batch=*` directory whose NEWEST admission
-    *     stamp is before `cutoffMs` (a directory with any still-young
-    *     row is kept whole — expiry is per-directory O(1), never a row
-    *     rewrite), found by ONE partitioned read of the log (`batch`
-    *     comes back as a partition column; job count independent of the
-    *     batch count), and
-    *   - every `.rights-resolved/req=*` capture whose directory
-    *     modification time is before the cutoff (the captures carry no
-    *     stamp column by design — they are content-addressed replay
-    *     anchors; once the sweep they anchored is complete and aged
-    *     out, the fs timestamp is the honest signal).
+    *   - every `batch=*` directory in EVERY admission tree under the
+    *     state root ([[graft.operators.Fsck.admissionRoots]] — the
+    *     batch pipeline's `.admissions/` plus the streaming sinks'
+    *     `<indexLeg>/.admissions/`) whose NEWEST admission stamp is
+    *     before `cutoffMs` (a directory with any still-young row is
+    *     kept whole — expiry is per-directory O(1), never a row
+    *     rewrite), found by ONE partitioned read per tree (`batch`
+    *     comes back as a partition column; job count is the fixed leg
+    *     vocabulary, independent of the batch count), and
+    *   - every `.rights-resolved/req=*` capture whose CREATION STAMP is
+    *     before the cutoff. The stamp is the sibling `req=<id>.created`
+    *     marker [[resolveSubjectKeys]] writes (pinnable `now`,
+    *     preserved across replays); captures from before the marker
+    *     existed fall back to directory modification time — honest on
+    *     HDFS/local FS, but on object stores mtime is upload time, so a
+    *     capture restored from backup would look freshly created and
+    *     never expire (and a replay-rewritten one would reset its
+    *     clock), which is exactly why the marker is the primary key.
     *
     * `cutoffMs` is a pinned epoch stamp (the pipeline's pinnable-`now`
     * convention — reproducible audits need reproducible expiry).
@@ -1139,24 +1198,25 @@ object CurateCli {
       val fs = new org.apache.hadoop.fs.Path(outDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
-      val admRoot = s"$outDir/.admissions"
-      val hasBatches = exists(admRoot) &&
-        fs.listStatus(new org.apache.hadoop.fs.Path(admRoot))
-          .exists(st => st.isDirectory &&
-            st.getPath.getName.startsWith("batch="))
-      val nAdm =
-        if (!hasBatches) 0
-        else {
-          val expired = spark.read.parquet(admRoot)
-            .groupBy(col("batch"))
-            .agg(max(col("admitted_at")).as("newest"))
-            .filter(col("newest") < cutoffMs)
-            .select(col("batch").cast("string"))
-            .collect().map(_.getString(0))
-          expired.foreach(b => fs.delete(
-            new org.apache.hadoop.fs.Path(s"$admRoot/batch=$b"), true))
-          expired.length
-        }
+      val nAdm = graft.operators.Fsck.admissionRoots(spark, outDir)
+        .map { case (_, admRoot) =>
+          val hasBatches = fs
+            .listStatus(new org.apache.hadoop.fs.Path(admRoot))
+            .exists(st => st.isDirectory &&
+              st.getPath.getName.startsWith("batch="))
+          if (!hasBatches) 0
+          else {
+            val expired = spark.read.parquet(admRoot)
+              .groupBy(col("batch"))
+              .agg(max(col("admitted_at")).as("newest"))
+              .filter(col("newest") < cutoffMs)
+              .select(col("batch").cast("string"))
+              .collect().map(_.getString(0))
+            expired.foreach(b => fs.delete(
+              new org.apache.hadoop.fs.Path(s"$admRoot/batch=$b"), true))
+            expired.length
+          }
+        }.sum
       val resRoot = s"$outDir/.rights-resolved"
       val nRes =
         if (!exists(resRoot)) 0
@@ -1164,9 +1224,25 @@ object CurateCli {
           val expired = fs
             .listStatus(new org.apache.hadoop.fs.Path(resRoot))
             .filter(st => st.isDirectory &&
-              st.getPath.getName.startsWith("req=") &&
-              st.getModificationTime < cutoffMs)
-          expired.foreach(st => fs.delete(st.getPath, true))
+              st.getPath.getName.startsWith("req="))
+            .filter { st =>
+              val marker =
+                new org.apache.hadoop.fs.Path(s"${st.getPath}.created")
+              val createdAt =
+                if (!fs.exists(marker)) st.getModificationTime
+                else scala.util.Try {
+                  val in = fs.open(marker)
+                  try new String(in.readAllBytes(),
+                    java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+                  finally in.close()
+                }.getOrElse(st.getModificationTime)
+              createdAt < cutoffMs
+            }
+          expired.foreach { st =>
+            fs.delete(st.getPath, true)
+            fs.delete(
+              new org.apache.hadoop.fs.Path(s"${st.getPath}.created"), false)
+          }
           expired.length
         }
       (nAdm, nRes)
@@ -1199,7 +1275,8 @@ object CurateCli {
       nShards: Long,
       nMaskedPending: Long = 0L,
       nConsentRows: Long = 0L,
-      nPurposeMasked: Long = 0L)
+      nPurposeMasked: Long = 0L,
+      nAdmissionRows: Long = 0L)
 
   /** Right-of-access sweep (GDPR Art. 15, the read-side dual of
     * [[runErase]]): for a set of subject document ids, report every
@@ -1214,10 +1291,14 @@ object CurateCli {
     * interval — the Art. 7(1) demonstration) to
     * `<reportDir>/consent_state`, and the Art. 7(3) withdrawals
     * currently in force (per-purpose masked-key counts over the
-    * requested ids) to `<reportDir>/purpose_masks`. A DPO answers "what
-    * do you hold about me" from this report without knowing the store
-    * layouts; an erasure sweep followed by an access sweep returning
-    * zero rows is the compliance proof pair.
+    * requested ids) to `<reportDir>/purpose_masks`. The report always
+    * carries the subject's ADMISSION HISTORY (Art. 15(1)(a)+(c) — what
+    * processing happened and when): their rows from every admission
+    * tree under the state root, batch and streaming
+    * ([[readAdmissions]]), to `<reportDir>/admissions`. A DPO answers
+    * "what do you hold about me" from this report without knowing the
+    * store layouts; an erasure sweep followed by an access sweep
+    * returning zero rows is the compliance proof pair.
     *
     * Read-only: every leg is probed with a broadcast semi-join (keys
     * are request-sized) and aggregated per subject — no store is
@@ -1493,8 +1574,19 @@ object CurateCli {
         .write.mode("overwrite").parquet(s"$reportDir/purpose_masks")
       nPurposeMasked = pm.map(_._2).sum
     }
+    // Art. 15(1)(a)+(c) — WHAT processing happened and WHEN: the
+    // subject's rows from every admission tree (batch `.admissions/` and
+    // the streaming sinks' `<leg>/.admissions/`, the unified discovery)
+    // — one purpose + stamp + origin row per admission, to
+    // `<reportDir>/admissions`. One broadcast semi-join against the
+    // request per read; the trees are Art. 30 records (pseudonymous
+    // keys, no content), so the disclosure is record-sized.
+    val admitted = readAdmissions(spark, outDir)
+      .join(broadcast(keys), Seq("doc_id"), "left_semi")
+    admitted.write.mode("overwrite").parquet(s"$reportDir/admissions")
+    val nAdmissionRows = spark.read.parquet(s"$reportDir/admissions").count()
     val summary = AccessSummary(nKeys, nCorpus, s0(0), s0(1), s0(2), s0(3),
-      s0(4), nMasked, nConsentRows, nPurposeMasked)
+      s0(4), nMasked, nConsentRows, nPurposeMasked, nAdmissionRows)
     Files.createDirectories(Paths.get(reportDir))
     Files.writeString(
       Paths.get(s"$reportDir/access_report.json"),
@@ -1505,6 +1597,7 @@ object CurateCli {
         s""""n_pending_logical_erasure":${summary.nMaskedPending},""" +
         s""""n_consent_history_rows":${summary.nConsentRows},""" +
         s""""n_purpose_masked":${summary.nPurposeMasked},""" +
+        s""""n_admission_rows":${summary.nAdmissionRows},""" +
         """"profile_note":"sketch stores hold aggregates, no per-subject rows"}""" + "\n")
     summary
   }
@@ -1851,7 +1944,8 @@ object CurateCli {
         s"exact=${s.nExact} shard_rows=${s.nShards} " +
         s"pending_logical_erasure=${s.nMaskedPending} " +
         s"consent_history_rows=${s.nConsentRows} " +
-        s"purpose_masked=${s.nPurposeMasked}")
+        s"purpose_masked=${s.nPurposeMasked} " +
+        s"admission_rows=${s.nAdmissionRows}")
       spark.stop()
       return
     }
@@ -1870,10 +1964,30 @@ object CurateCli {
       spark.stop()
       return
     }
-    if (args.headOption.contains("fsck")) {
-      require(args.length >= 2, "usage: CurateCli fsck <stateDir>")
+    if (args.headOption.contains("consent-expire")) {
+      require(args.length >= 3,
+        "usage: CurateCli consent-expire <consentDir> <cutoffEpochMs>")
       val spark = session()
-      val checks = graft.operators.Fsck.state(spark, args(1))
+      val n = graft.policy.Consent.expireVersions(spark, args(1), args(2).toLong)
+      println(s"[consent-expire] superseded_versions_dropped=$n " +
+        "(current verdicts untouched)")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("fsck")) {
+      require(args.length >= 2,
+        "usage: CurateCli fsck <stateDir> [--consent <consentDir>]")
+      val spark = session()
+      // --consent <dir>: the registry lives NEXT TO the state root, not
+      // under it, so the state walk cannot discover it — the operator
+      // names it and the audit adds the registry census (version bulk,
+      // dead-letter quarantine)
+      val ci = args.indexOf("--consent")
+      val consentChecks =
+        if (ci >= 0 && args.length > ci + 1)
+          graft.operators.Fsck.consentCensus(spark, args(ci + 1))
+        else Seq.empty
+      val checks = graft.operators.Fsck.state(spark, args(1)) ++ consentChecks
       checks.foreach(c => println(
         s"[fsck] ${c.component}.${c.check} " +
           s"${if (c.ok) "OK" else "FAIL"} ${c.detail}"))

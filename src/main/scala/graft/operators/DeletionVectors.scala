@@ -429,6 +429,42 @@ object DeletionVectors {
     (dirs.size, 1)
   }
 
+  /** Auto-compaction threshold: a tree whose live vector count reaches
+    * `graft.dv.compactAt` (default 16, the [[graft.cli.CurateCli
+    * .runIncremental]] `compactAt` convention) is merged in place by the
+    * verb that just appended to it.
+    */
+  def compactAt(spark: SparkSession): Int =
+    spark.conf.getOption("graft.dv.compactAt").map(_.toInt).getOrElse(16)
+
+  /** Compaction CADENCE for one tree — the unattended-deployment half
+    * of [[compact]]: the manual `compact-vectors` verb merges on demand,
+    * but a steady consent stream (or a steady trickle of Art. 17
+    * requests between settles) otherwise grows `dv=*` directories until
+    * an operator notices the census. Called by the appending verbs
+    * (the consent vector sync, `erase-logical`) right after their
+    * append, UNDER the state lease they already hold; a tree below the
+    * threshold costs one fs listing, nothing else. Returns the
+    * (before, after) dir counts when a compaction ran.
+    */
+  def maybeCompact(
+      spark: SparkSession,
+      outDir: String,
+      purpose: Option[String],
+      idCol: String = "doc_id"
+  ): Option[(Int, Int)] = {
+    val root = purpose.fold(dvRoot(outDir))(purposeRoot(outDir, _))
+    val at = compactAt(spark)
+    val n = liveDirsUnder(spark, root).size
+    if (n < at) None
+    else {
+      println(s"[dv] auto-compacting the " +
+        s"${purpose.fold("global")(p => s"purpose=$p")} vector tree " +
+        s"under $outDir ($n live vectors >= graft.dv.compactAt=$at)")
+      Some(compactUnder(spark, root, idCol))
+    }
+  }
+
   /** Compact the whole tree — the global root and every purpose tree,
     * each independently (a purpose's standing masks never mix with the
     * global settle scope). Census and mask results are byte-identical

@@ -317,7 +317,10 @@ object Fsck {
         s"${n("breaks")} superseded versions whose valid_to misses the " +
           "next valid_from"),
       Check("snapshot", "no_stage_tree",
-        !exists(spark, s"$stripped.merge-stage"), s"$stripped.merge-stage"),
+        !exists(spark, s"$stripped.merge-stage") &&
+          !exists(spark, s"$stripped.erase-stage") &&
+          !exists(spark, s"$stripped.expire-stage"),
+        s"$stripped.{merge,erase,expire}-stage"),
       Check("snapshot", "manifest_clean",
         !exists(spark,
           s"$dir/${DataSkipping.ManifestSubdir}__dirty"),
@@ -464,10 +467,34 @@ object Fsck {
     * `records-expire` verb ([[graft.cli.CurateCli.runRecordsExpire]]),
     * per-directory O(1), never a row rewrite.
     */
+  /** Every admission-log tree under one state directory, as
+    * (origin, root) pairs: the state root's own `.admissions/` (the
+    * batch pipeline's log) plus each serving-index leg's
+    * (`search/`, `exact/`, `index/`, `dense/` — the STREAMING sinks
+    * write their epochs under the INDEX directory,
+    * [[graft.streaming.StreamingPipeline]]'s `gateAdmission`, which in
+    * the CLI layout is a leg of the state root). This is the ONE
+    * discovery the census, the `consent-audit` verb, the
+    * `records-expire` verb, and the Art. 15 admission disclosure all
+    * share — before it, a streaming deployment's admission records
+    * lived one directory below where every state-level audit looked:
+    * never censused, never expired, and invisible to
+    * `consent-audit <state>`. Fixed leg list (the layout's own
+    * vocabulary), so discovery is a handful of metadata probes — never
+    * a recursive walk of a corpus-scale tree.
+    */
+  def admissionRoots(
+      spark: SparkSession,
+      outDir: String
+  ): Seq[(String, String)] =
+    (("state", s"$outDir/.admissions") +:
+      Seq("search", "exact", "index", "dense")
+        .map(leg => (leg, s"$outDir/$leg/.admissions")))
+      .filter { case (_, root) => exists(spark, root) }
+
   def recordsCensus(spark: SparkSession, outDir: String): Seq[Check] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Check]
-    val admRoot = s"$outDir/.admissions"
-    if (exists(spark, admRoot)) {
+    admissionRoots(spark, outDir).foreach { case (origin, admRoot) =>
       val fs = new org.apache.hadoop.fs.Path(admRoot)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(admRoot))
@@ -483,7 +510,13 @@ object Fsck {
           (row.getLong(0),
             if (row.isNullAt(1)) "none" else row.getLong(1).toString)
         }
-      out += Check("records", "admissions_census", ok = true,
+      // the state root keeps its round-12 check name; index-leg trees
+      // (stream-written) census under an origin-suffixed name so the
+      // report says WHERE the records live
+      val name =
+        if (origin == "state") "admissions_census"
+        else s"admissions_census_$origin"
+      out += Check("records", name, ok = true,
         s"$dirs admission batch dir(s), $n row(s), oldest " +
           s"stamp $oldest" +
           " (Art. 30 processing record; expire with records-expire)")
@@ -501,6 +534,54 @@ object Fsck {
       out += Check("records", "rights_resolved_census", ok = true,
         s"${reqDirs.length} resolve capture(s), $n resolved key row(s) " +
           "(rights-request audit anchors; expire with records-expire)")
+    }
+    out.toSeq
+  }
+
+  /** Consent-registry census (the registry is its own directory, next
+    * to — not under — the state root, so [[state]] cannot see it; the
+    * fsck verb takes it as `--consent <dir>`):
+    *
+    *   - `version_bulk`: current vs SUPERSEDED version counts and the
+    *     oldest superseded `valid_to`. Superseded versions are the
+    *     Art. 7(1) demonstrability record, but past the controller's
+    *     record-retention period they are retention debt with a
+    *     mechanism (`consent-expire`) — the same stance-needs-census
+    *     rule the admission log got in round 12. Informational (ok by
+    *     definition): how much history is lawful is the controller's
+    *     retention schedule, not an invariant.
+    *   - `dead_letter`: quarantined invalid-purpose events from the
+    *     streaming sink ([[graft.streaming.StreamingPipeline
+    *     .consentSink]]). These are consent indications that never
+    *     reached the registry — rows here mean an operator triage is
+    *     OWED, so any row fails the check.
+    */
+  def consentCensus(spark: SparkSession, consentDir: String): Seq[Check] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Check]
+    if (graft.policy.Consent.storeExists(spark, consentDir)) {
+      val row = graft.pipeline.Snapshot.loadStore(spark, consentDir)
+        .agg(
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("cur"),
+          sum(when(col("valid_to").isNotNull, 1L).otherwise(0L)).as("sup"),
+          min(col("valid_to")).as("oldest"))
+        .head()
+      val oldest = if (row.isNullAt(2)) "none" else row.getLong(2).toString
+      out += Check("consent", "version_bulk", ok = true,
+        s"${row.getLong(0)} current, ${row.getLong(1)} superseded " +
+          s"version(s), oldest superseded valid_to $oldest " +
+          "(Art. 7(1) record; expire with consent-expire)")
+    }
+    // sibling of the store root (the bootstrap overwrite owns the root)
+    val dlRoot = s"${consentDir.stripSuffix("/")}.dead-letter"
+    if (exists(spark, dlRoot)) {
+      val fs = new org.apache.hadoop.fs.Path(dlRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(dlRoot))
+        .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      val n = if (dirs == 0) 0L else spark.read.parquet(dlRoot).count()
+      out += Check("consent", "dead_letter", ok = n == 0L,
+        s"$dirs quarantine batch dir(s), $n event(s) that never reached " +
+          "the registry — triage and re-submit corrected events")
     }
     out.toSeq
   }

@@ -294,6 +294,76 @@ object Snapshot {
     before - after
   }
 
+  /** Record retention for the store's VERSION HISTORY (GDPR Art.
+    * 5(1)(e) applied to the audit trail itself): drop every SUPERSEDED
+    * version whose `valid_to` is before `cutoff` — current versions
+    * (`valid_to` null) are never touched, so every key's present
+    * verdict and every supersede relation among surviving versions is
+    * unchanged; only history older than the controller's
+    * record-retention period leaves. [[asOf]] reads earlier than the
+    * cutoff lose those versions by design — that is what record
+    * retention MEANS — which is why `cutoff` must be a pinned stamp,
+    * not a rolling clock.
+    *
+    * Scale shape, the [[eraseKeys]] protocol: find the buckets that
+    * actually hold expired versions (one column-pruned scan), rewrite
+    * ONLY those buckets through the stage + dirty-marker + dynamic-
+    * overwrite swap, refresh the manifest. `cutoff` compares against
+    * the store's own `valid_to` type (a long epoch stamp in the stores
+    * this serves — the consent registry). Returns the number of
+    * versions dropped.
+    */
+  def expireSuperseded(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      uniqueKey: String,
+      cutoff: Long,
+      buckets: Int
+  ): Long = {
+    require(buckets > 0, s"snapshot store: buckets must be positive, got $buckets")
+    val expired =
+      col("valid_to").isNotNull && col("valid_to").cast("long") < cutoff
+    val touched = spark.read.parquet(dir)
+      .filter(expired)
+      .select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return 0L
+
+    val slice = spark.read.parquet(dir)
+      .filter(col("bucket").isin(touched.toSeq: _*))
+    val before = slice.count()
+    val kept = slice.filter(!expired)
+    val stage = dir.stripSuffix("/") + ".expire-stage"
+    kept
+      .repartition(touched.length, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(uniqueKey))
+      .write.mode("overwrite")
+      .partitionBy("bucket").parquet(stage)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = fs.create(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), true)
+    marker.write(uniqueKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    marker.close()
+    // explicit schema: a bucket holding ONLY expired versions cannot
+    // happen (each key keeps a current row), but the eraseKeys discipline
+    // costs nothing and survives a malformed store
+    val staged = spark.read.schema(slice.schema).parquet(stage)
+    val after = staged.count()
+    staged
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(dir)
+    val survivors = staged.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    touched.filterNot(survivors).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    refreshManifest(spark, dir, uniqueKey, touched.toSeq)
+    fs.delete(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), false)
+    before - after
+  }
+
   private def dirtyMarker(dir: String): String =
     s"$dir/${graft.operators.DataSkipping.ManifestSubdir}__dirty"
 

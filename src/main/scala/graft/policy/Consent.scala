@@ -215,6 +215,47 @@ object Consent {
     input.join(granted, Seq(subjectCol), "left_semi")
   }
 
+  /** Durable admission-log leg of a consent-gated admission (batch and
+    * streaming): one row per admitted document (`doc_id`, `purpose`,
+    * `admitted_at`) under `logDir` (one `batch=<id>` directory — the
+    * epoch/batch ordinal is the address, so a replay overwrites rather
+    * than double-reports). `admitted_at` is `pinnedAt` when given (the
+    * reproducible-audit convention), else the wall clock — but a REPLAY
+    * of an already-written batch KEEPS the prior stamp (the
+    * [[graft.operators.DeletionVectors.append]] rule): a crash between
+    * the log write and the index append replays the epoch, and
+    * re-stamping it LATER would let [[retroAudit]] judge an admission
+    * lawful under a grant that landed in the gap — under-reporting, the
+    * unsafe direction for an audit that exists to find unlawful
+    * admissions.
+    */
+  private[graft] def writeAdmissionLog(
+      spark: SparkSession,
+      logDir: String,
+      admittedKeys: DataFrame,
+      purpose: String,
+      pinnedAt: Option[Long]
+  ): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$logDir/_SUCCESS")))
+        pinnedAt.getOrElse(System.currentTimeMillis())
+      else {
+        val prior = spark.read.parquet(logDir)
+          .agg(min(col("admitted_at"))).head()
+        if (prior.isNullAt(0)) pinnedAt.getOrElse(System.currentTimeMillis())
+        else prior.getLong(0)
+      }
+    // the prior read is materialized into a literal, so overwriting the
+    // directory it came from is safe
+    admittedKeys
+      .select(col(admittedKeys.columns.head).as("doc_id"))
+      .withColumn("purpose", lit(purpose))
+      .withColumn("admitted_at", lit(stamp))
+      .write.mode("overwrite").parquet(logDir)
+  }
+
   /** Resolve subjects to the document ids the doc-keyed stores use:
     * through the owner `mapping` (`subject_id`, `doc_id`) when given —
     * one semi-join, one row per owned document — else 1:1 (subject IS
@@ -269,19 +310,32 @@ object Consent {
     val touched = subs
       .select(col(subs.columns.head).as("subject_id")).distinct()
       .persist()
+    // size-aware hint, not a forced broadcast: `subs` is request-scale in
+    // the steady state, but a MASS withdrawal (the scenario the settle
+    // side already defends against with the same hint) would force a
+    // corpus-scale subject set through the driver mid-compliance-op —
+    // above the threshold the plan degrades to a shuffle join instead
     val grantedNow = currentState(spark, consentDir)
       .filter(col("purpose") === purpose && col("granted"))
       .select(col("subject_id"))
-      .join(broadcast(touched), Seq("subject_id"), "left_semi")
+      .join(graft.operators.DeletionVectors.hinted(touched),
+        Seq("subject_id"), "left_semi")
       .persist()
     try {
       val nGranted = grantedNow.count()
       val nTouched = touched.count()
       val deniedNow = touched
         .join(grantedNow, Seq("subject_id"), "left_anti")
-      if (nTouched - nGranted > 0)
+      if (nTouched - nGranted > 0) {
         graft.operators.DeletionVectors.append(spark, stateDir,
           docKeys(deniedNow, mapping), purpose = Some(purpose))
+        // compaction cadence, under the state lease this block already
+        // holds: a steady withdrawal stream must not grow the purpose
+        // tree's dv=* directories without bound (the manual
+        // compact-vectors verb covers attended deployments only)
+        graft.operators.DeletionVectors
+          .maybeCompact(spark, stateDir, Some(purpose))
+      }
       if (nGranted > 0)
         graft.operators.DeletionVectors.subtractPurpose(spark, stateDir,
           docKeys(grantedNow, mapping), purpose)
@@ -396,6 +450,33 @@ object Consent {
     * never shuffles. A missing registry returns every admission: if
     * nothing was ever lawful, everything is a finding.
     */
+  /** Record retention for the registry's VERSION HISTORY (the Art.
+    * 5(1)(e) x Art. 7(1) tension made mechanical): superseded versions
+    * are the consent demonstrability record — keeping them is a stance
+    * Art. 17(3)(b) supports — but not forever, and a stance with no
+    * mechanism was round 11's finding against the admission log. This
+    * drops every SUPERSEDED version whose `valid_to` is past the
+    * controller's record-retention cutoff
+    * ([[graft.pipeline.Snapshot.expireSuperseded]] — bucket-pruned
+    * rewrite, the eraseKeys protocol); CURRENT rows are never touched,
+    * so the registry's verdict — the gate, the vector sync, every
+    * serve — is unchanged by construction. [[retroAudit]] demonstrations
+    * reaching back past the cutoff lose the expired intervals: that is
+    * what record retention means, so `cutoffMs` must be a pinned stamp
+    * aligned with the retention schedule, never a rolling clock.
+    * Returns the number of versions dropped.
+    */
+  def expireVersions(
+      spark: SparkSession,
+      consentDir: String,
+      cutoffMs: Long
+  ): Long =
+    graft.operators.Lease.withLease(spark, consentDir, "consent-expire") {
+      if (!storeExists(spark, consentDir)) 0L
+      else Snapshot.expireSuperseded(spark, consentDir, "consent_key",
+        cutoffMs, buckets = Buckets)
+    }
+
   def retroAudit(
       spark: SparkSession,
       consentDir: String,

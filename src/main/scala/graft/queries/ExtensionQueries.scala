@@ -3352,6 +3352,16 @@ object ExtensionQueries {
           .withColumn("purpose", lit("training"))
           .withColumn("admitted_at", lit(8L))
           .write.mode("overwrite").parquet(s"$root/.admissions/batch=0")
+        // a STREAMING sink's admission tree lives under the index leg
+        // (StreamingPipeline.gateAdmission writes <indexDir>/.admissions,
+        // and the CLI layout's search index is <state>/search) — round
+        // 12's census was blind to it; the unified discovery
+        // (Fsck.admissionRoots) must census it as its own row
+        all.select(col("doc_id")).limit(5)
+          .withColumn("purpose", lit("training"))
+          .withColumn("admitted_at", lit(9L))
+          .write.mode("overwrite")
+          .parquet(s"$root/search/.admissions/batch=s0")
         all.select(col("doc_id")).limit(3)
           .write.mode("overwrite")
           .parquet(s"$root/.rights-resolved/req=abc123")
@@ -3388,6 +3398,7 @@ object ExtensionQueries {
           ('events', 'no_stage_tree', 1),
           ('events', 'rows_unique', 1),
           ('records', 'admissions_census', 1),
+          ('records', 'admissions_census_search', 1),
           ('records', 'rights_resolved_census', 1),
           ('rectify', 'no_pending_sweep', 1),
           ('retention', 'no_pending_sweep', 0),
@@ -3873,6 +3884,24 @@ object ExtensionQueries {
         DeletionVectors.append(s, root,
           all.filter(StableHash.bucket(col("doc_id"), 11) === 4)
             .select(col("doc_id")))
+        // admission records in BOTH layouts (round 13): a batch-pipeline
+        // tree under the state root and a STREAMING tree under the search
+        // leg — the disclosure must surface both through the unified
+        // discovery (Fsck.admissionRoots; the record layout's writers are
+        // oracled end-to-end by q_consent_stream/q_consent_gate — here
+        // the fixture plants records so what's pinned is the READ side).
+        // Distinct purposes per tree, so a missed tree hash-fails.
+        all.filter(StableHash.bucket(col("doc_id"), 5) === 0)
+          .select(col("doc_id"))
+          .withColumn("purpose", lit("training"))
+          .withColumn("admitted_at", lit(3L))
+          .write.mode("overwrite").parquet(s"$root/.admissions/batch=0")
+        all.filter(StableHash.bucket(col("doc_id"), 5) === 1)
+          .select(col("doc_id"))
+          .withColumn("purpose", lit("ads"))
+          .withColumn("admitted_at", lit(8L))
+          .write.mode("overwrite")
+          .parquet(s"$root/search/.admissions/batch=s0")
         all.select(col("doc_id"))
           .write.mode("overwrite").parquet(s"$root/keys")
         graft.cli.CurateCli.runAccess(s, s"$root/keys", root,
@@ -3889,18 +3918,31 @@ object ExtensionQueries {
         val masks = s.read.parquet(s"$root/report/purpose_masks")
           .select(col("purpose"), col("n_masked_keys").as("n"))
           .withColumn("kind", lit("masked"))
+        // Art. 15(1)(a)+(c): the disclosed admission history, per purpose
+        // — one tree per purpose by construction, so each count pins one
+        // layout's discovery
+        val admitted = s.read.parquet(s"$root/report/admissions")
+          .groupBy(col("purpose"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("kind", lit("admitted"))
         history.unionByName(current).unionByName(masks)
+          .unionByName(admitted)
           .select(col("kind"), col("purpose"), col("n"))
           .orderBy("kind", "purpose")
       },
       Some(s"""
         with b as (
           select doc_id,
-            ${duckMdBucket(3)} as h3, ${duckMdBucket(7)} as h7
+            ${duckMdBucket(3)} as h3, ${duckMdBucket(5)} as h5,
+            ${duckMdBucket(7)} as h7
           from documents
         )
-        select 'current_granted' as kind, 'ads' as purpose,
-          count(*) as n from b where h3 <> 0
+        select 'admitted' as kind, 'ads' as purpose,
+          count(*) as n from b where h5 = 1
+        union all
+        select 'admitted', 'training', count(*) from b where h5 = 0
+        union all
+        select 'current_granted', 'ads', count(*) from b where h3 <> 0
         union all
         select 'current_granted', 'training', count(*)
           from b where h7 <> 0

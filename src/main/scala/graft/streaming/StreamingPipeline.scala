@@ -702,7 +702,12 @@ object StreamingPipeline {
     * colliding with a batch pipeline's admission ordinals on a shared
     * state directory. A replayed epoch overwrites the same log
     * directory (the epoch id is the address), so redelivery cannot
-    * double-report.
+    * double-report — and the overwrite KEEPS the prior batch's stamp
+    * ([[graft.policy.Consent.writeAdmissionLog]]), so a crash between
+    * the log write and the index append cannot re-stamp the admission
+    * later than it happened (a grant landing in the gap would then make
+    * [[graft.policy.Consent.retroAudit]] judge it lawful — the
+    * under-reporting direction).
     */
   private def gateAdmission(
       batch: DataFrame,
@@ -716,12 +721,13 @@ object StreamingPipeline {
       val spark = batch.sparkSession
       val admitted = graft.policy.Consent
         .gate(spark, cg.consentDir, batch, cg.purpose, subjectCol = idCol)
-      admitted.select(col(idCol).as("doc_id"))
-        .withColumn("purpose", lit(cg.purpose))
-        .withColumn("admitted_at",
-          lit(cg.admittedAt.getOrElse(System.currentTimeMillis())))
-        .write.mode("overwrite")
-        .parquet(s"$indexDir/.admissions/batch=s$batchId")
+      // a replayed epoch overwrites the same directory but KEEPS the
+      // prior stamp (writeAdmissionLog) — re-stamping a replay later
+      // would let retroAudit judge it lawful under a grant that landed
+      // between the crash and the replay
+      graft.policy.Consent.writeAdmissionLog(spark,
+        s"$indexDir/.admissions/batch=s$batchId",
+        admitted.select(col(idCol)), cg.purpose, cg.admittedAt)
       admitted
   }
 
@@ -773,18 +779,30 @@ object StreamingPipeline {
         // a cron'd compact/erase interleaving with a live stream refuses
         if (!fs.exists(marker)) graft.operators.Lease
           .withLease(spark, indexDir, "stream-exact-index") {
-          val gated = gateAdmission(batch, indexDir, batchId, idCol, consent)
-          val sets = gated.select(
-            col(idCol),
-            array_distinct(transform(
-              Dedup.wordShingles(col(textCol), shingleK), x => md5(x))).as("_sh"))
           val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-          if (!fs.exists(meta)) {
-            SetSimJoin.writeIndex(sets, idCol, "_sh", num, den, indexDir)
+          // gate BEFORE the empty check (the band/search sinks' rule): a
+          // fully-denied first epoch must not bootstrap — writeIndex over
+          // the empty gated frame would freeze an EMPTY dfreq, giving
+          // every later token df 0 and permanently degrading prefix
+          // pruning until a manual rebuild
+          val gated =
+            if (batch.isEmpty) batch
+            else gateAdmission(batch, indexDir, batchId, idCol, consent)
+          if (gated.isEmpty) {
+            fs.mkdirs(marker.getParent)
             fs.create(marker, true).close()
-          } else
-            SetSimJoin.appendIndex(spark, indexDir, sets, idCol, "_sh",
-              batchId = Some(batchId))
+          } else {
+            val sets = gated.select(
+              col(idCol),
+              array_distinct(transform(
+                Dedup.wordShingles(col(textCol), shingleK), x => md5(x))).as("_sh"))
+            if (!fs.exists(meta)) {
+              SetSimJoin.writeIndex(sets, idCol, "_sh", num, den, indexDir)
+              fs.create(marker, true).close()
+            } else
+              SetSimJoin.appendIndex(spark, indexDir, sets, idCol, "_sh",
+                batchId = Some(batchId))
+          }
         }
       }
       .start()
@@ -1057,6 +1075,16 @@ object StreamingPipeline {
     * the mask over-masks purged ids harmlessly), and a rectification of
     * a masked subject updates content that stays masked until the
     * subject re-grants the purpose.
+    *
+    * Poisoned events: the batch verbs fail-stop on a non-slug purpose
+    * BEFORE any state mutates, but a sink that throws replays the same
+    * micro-batch forever — so invalid-purpose events are QUARANTINED to
+    * `<consentDir>.dead-letter/batch=<epoch>` (a SIBLING of the store
+    * root — the bootstrap's whole-directory overwrite must not be able
+    * to delete the quarantine; loudly logged, censused
+    * by [[graft.operators.Fsck.consentCensus]]) and the valid remainder
+    * processes normally. Null-field events keep their documented
+    * silently-dropped semantics.
     */
   def consentSink(
       stream: DataFrame,
@@ -1070,7 +1098,7 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           // the sink mutates the registry across the merge AND the vector
@@ -1083,28 +1111,68 @@ object StreamingPipeline {
               col("subject_id"), col("purpose"),
               col("granted").cast("boolean").as("granted"),
               col("updated_at").cast("long").as("updated_at"))
-            graft.policy.Consent.update(spark, consentDir, events)
-            stateDir.foreach { sd =>
-              // null-field events never reach the registry (update drops
-              // them); they must not reach the vectors either. The purpose
-              // set of one consent batch is bounded (purposes are a small
-              // vocabulary), so the per-purpose loop is a driver loop over
-              // a handful of slugs, not over subjects. Vector actions
-              // follow the POST-MERGE registry verdict of the touched
-              // subjects ([[graft.policy.Consent.syncVectors]]) — NOT the
-              // raw event split: an intra-batch grant/withdraw conflict,
-              // a same-timestamp tie, or a late-arriving backdated grant
-              // all resolve in the merge, and the mask must land wherever
-              // the registry landed, in every arrival order.
-              val clean = events.filter(col("subject_id").isNotNull &&
-                col("purpose").isNotNull && col("granted").isNotNull)
-              val purposes = clean.select(col("purpose")).distinct()
-                .collect().map(_.getString(0)).sorted
-              purposes.foreach { p =>
-                val touched = clean.filter(col("purpose") === p)
-                  .select(col("subject_id")).distinct()
-                graft.policy.Consent
-                  .syncVectors(spark, consentDir, sd, touched, p, mapping)
+            // fail-stop before mutation is the registry contract for the
+            // batch verbs, but a streaming sink REPLAYS a failed batch
+            // forever: one event with a non-slug purpose would wedge the
+            // whole consent stream (while null-field events are silently
+            // dropped — an inconsistent severity for the same class of
+            // malformed input). The sink therefore quarantines
+            // invalid-purpose events to a durable dead-letter capture
+            // under the registry (`.dead-letter/batch=<id>` — the epoch
+            // is the address, replays overwrite) and processes the rest;
+            // [[graft.operators.Fsck.consentCensus]] surfaces quarantined
+            // rows so the triage is auditable, never silent. The purpose
+            // vocabulary is bounded, so the validity split is one tiny
+            // distinct-collect (the same bound the vector loop uses).
+            val allPurposes = events.filter(col("purpose").isNotNull)
+              .select(col("purpose")).distinct()
+              .collect().map(_.getString(0))
+            val badPurposes = allPurposes
+              .filterNot(graft.operators.DeletionVectors.isSlug)
+            val good =
+              if (badPurposes.isEmpty) events
+              else {
+                // SIBLING directory, not inside the store root: the
+                // registry's bootstrap (Snapshot.writeStore) overwrites
+                // the whole directory, which would silently delete an
+                // in-root quarantine — the merge-stage sibling convention
+                val dl = s"${consentDir.stripSuffix("/")}.dead-letter/" +
+                  s"batch=$batchId"
+                events.filter(col("purpose").isin(badPurposes.toSeq: _*))
+                  .write.mode("overwrite").parquet(dl)
+                System.err.println(s"[consent-sink] QUARANTINED events " +
+                  s"with non-slug purpose(s) " +
+                  badPurposes.sorted.take(5).map(p => s"'$p'").mkString(", ") +
+                  s" to $dl — triage and re-submit corrected events")
+                events.filter(col("purpose").isNull ||
+                  !col("purpose").isin(badPurposes.toSeq: _*))
+              }
+            // an all-quarantined batch must not touch the registry (and an
+            // empty init would stage a zero-row store write)
+            if (!good.isEmpty) {
+              graft.policy.Consent.update(spark, consentDir, good)
+              stateDir.foreach { sd =>
+                // null-field events never reach the registry (update drops
+                // them); they must not reach the vectors either. The purpose
+                // set of one consent batch is bounded (purposes are a small
+                // vocabulary), so the per-purpose loop is a driver loop over
+                // a handful of slugs, not over subjects. Vector actions
+                // follow the POST-MERGE registry verdict of the touched
+                // subjects ([[graft.policy.Consent.syncVectors]]) — NOT the
+                // raw event split: an intra-batch grant/withdraw conflict,
+                // a same-timestamp tie, or a late-arriving backdated grant
+                // all resolve in the merge, and the mask must land wherever
+                // the registry landed, in every arrival order.
+                val clean = good.filter(col("subject_id").isNotNull &&
+                  col("purpose").isNotNull && col("granted").isNotNull)
+                val purposes = clean.select(col("purpose")).distinct()
+                  .collect().map(_.getString(0)).sorted
+                purposes.foreach { p =>
+                  val touched = clean.filter(col("purpose") === p)
+                    .select(col("subject_id")).distinct()
+                  graft.policy.Consent
+                    .syncVectors(spark, consentDir, sd, touched, p, mapping)
+                }
               }
             }
           }

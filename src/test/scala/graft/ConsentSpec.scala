@@ -691,4 +691,132 @@ class ConsentSpec extends SparkSpec {
     assert(checks.nonEmpty && checks.forall(_.ok),
       checks.filterNot(_.ok).mkString("; "))
   }
+
+  test("the streaming sink quarantines invalid-purpose events instead of wedging the stream") {
+    // ADVICE r12: Consent.update fail-stops on a non-slug purpose, which
+    // is right for the batch verbs but wedges a streaming sink forever —
+    // every replay of the poisoned micro-batch re-throws. The sink splits
+    // those events to a durable dead-letter capture and processes the rest.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val work = tmp("deadletter")
+    val consent = s"$work/consent"
+    val input = MemoryStream[(Long, String, Boolean, Long)]
+    val stream = input.toDF()
+      .toDF("subject_id", "purpose", "granted", "updated_at")
+    input.addData((1L, "training", true, 1L), (2L, "bad purpose", true, 1L),
+      (3L, "training", false, 1L))
+    StreamingPipeline.consentSink(stream, consent, s"$work/ckpt")
+      .awaitTermination()
+    // the valid events reached the registry; the poisoned one did not
+    val granted = Consent.grantedSubjects(spark, consent, "training")
+      .collect().map(_.getLong(0)).toSet
+    assert(granted == Set(1L))
+    assert(Consent.currentState(spark, consent)
+      .filter(col("subject_id") === 2L).isEmpty,
+      "a quarantined event must not reach the registry")
+    // ... it landed in the dead-letter capture instead — a SIBLING of
+    // the store root, so the registry bootstrap's whole-directory
+    // overwrite (this was the first batch!) cannot have deleted it —
+    // and the census flags the owed triage
+    val dl = spark.read.parquet(s"$consent.dead-letter")
+    assert(dl.count() == 1 &&
+      dl.head().getAs[Long]("subject_id") == 2L &&
+      dl.head().getAs[String]("purpose") == "bad purpose")
+    val cc = graft.operators.Fsck.consentCensus(spark, consent)
+    assert(cc.exists(c => c.check == "dead_letter" && !c.ok),
+      "quarantined events are owed a triage — the census must fail the check")
+    // the stream is NOT wedged: later batches process normally, including
+    // an ALL-poisoned one (which must not touch the registry at all)
+    input.addData((4L, "training", true, 2L))
+    StreamingPipeline.consentSink(stream, consent, s"$work/ckpt")
+      .awaitTermination()
+    input.addData((9L, "also=bad", true, 3L))
+    StreamingPipeline.consentSink(stream, consent, s"$work/ckpt")
+      .awaitTermination()
+    assert(Consent.grantedSubjects(spark, consent, "training")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(spark.read.parquet(s"$consent.dead-letter").count() == 2)
+    // a clean registry censuses ok: no dead-letter tree, no failed check
+    val clean = tmp("dl_clean")
+    Consent.init(spark, clean, events(Seq(1L), "training", granted = true, 1L))
+    assert(graft.operators.Fsck.consentCensus(spark, clean)
+      .forall(c => c.ok && c.check == "version_bulk"))
+  }
+
+  test("consent-expire drops aged superseded versions; verdicts and younger demonstrations unchanged") {
+    // VERDICT r12 ask #4: superseded versions are the Art. 7(1) record,
+    // but past the controller's record-retention period they need the
+    // same mechanism the admission log got — current rows never touched,
+    // so the registry's verdict cannot change by construction.
+    val dir = tmp("expire")
+    Consent.init(spark, dir, events(Seq(1L, 2L, 3L), "training", granted = true, 1L))
+    Consent.update(spark, dir, events(Seq(1L, 2L), "training", granted = false, 5L))
+    Consent.update(spark, dir, events(Seq(1L), "training", granted = true, 9L))
+    // chains: s1 (1->5, 5->9, 9->null), s2 (1->5, 5->null), s3 (1->null)
+    val before = Consent.currentState(spark, dir)
+      .orderBy(col("subject_id")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    assert(Snapshot.loadStore(spark, dir).count() == 6)
+    val dropped = Consent.expireVersions(spark, dir, cutoffMs = 6L)
+    assert(dropped == 2L, "exactly the two versions with valid_to 5 expire")
+    assert(Snapshot.loadStore(spark, dir).count() == 4)
+    val after = Consent.currentState(spark, dir)
+      .orderBy(col("subject_id")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    assert(after == before, "current verdicts must be untouched")
+    // demonstrations YOUNGER than the cutoff still work: subject 1 was
+    // denied at stamp 7 (the 5->9 version, kept), subject 3 lawful
+    val adm = Seq(1L, 3L).toDF("subject_id")
+      .withColumn("doc_id", col("subject_id"))
+      .withColumn("admitted_at", lit(7L))
+    val viol = Consent.retroAudit(spark, dir, adm, "training")
+      .collect().map(_.getAs[Long]("subject_id")).toSet
+    assert(viol == Set(1L))
+    // the store stays audit-clean (survivor chains intact, manifest fresh)
+    val checks = graft.operators.Fsck.snapshotStore(spark, dir, "consent_key")
+    assert(checks.forall(_.ok), checks.filterNot(_.ok).mkString("; "))
+    // census reflects the drop; a replay expires nothing
+    assert(graft.operators.Fsck.consentCensus(spark, dir)
+      .find(_.check == "version_bulk").get.detail
+      .contains("3 current, 1 superseded"))
+    assert(Consent.expireVersions(spark, dir, cutoffMs = 6L) == 0L)
+    // the verb holds the registry lease: a live foreign writer refuses
+    val lout = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(new org.apache.hadoop.fs.Path(s"$dir/.lease"), true)
+    lout.write(s"other|consent-update|${System.currentTimeMillis()}"
+      .getBytes("UTF-8"))
+    lout.close()
+    intercept[IllegalStateException] {
+      Consent.expireVersions(spark, dir, cutoffMs = 99L)
+    }
+  }
+
+  test("a replayed admission epoch keeps its original stamp") {
+    // ADVICE r12: a crash between the log write and the index append
+    // replays the epoch; re-stamping the overwrite LATER would let a
+    // grant that landed in the gap make retroAudit judge the admission
+    // lawful — the under-reporting direction.
+    val work = tmp("admstamp")
+    val log = s"$work/.admissions/batch=s0"
+    Consent.writeAdmissionLog(spark, log, Seq(1L, 2L).toDF("doc_id"),
+      "training", pinnedAt = Some(10L))
+    Consent.writeAdmissionLog(spark, log, Seq(1L, 2L).toDF("doc_id"),
+      "training", pinnedAt = Some(99L))
+    val stamps = spark.read.parquet(log)
+      .select(col("admitted_at")).distinct().collect().map(_.getLong(0))
+    assert(stamps.toSeq == Seq(10L),
+      "the replay overwrite must keep the prior batch's stamp")
+    // the direction that matters: a grant landing between the crash and
+    // the replay (ts 50) must NOT launder the stamp-10 admission
+    val consent = s"$work/consent"
+    Consent.init(spark, consent, events(Seq(1L, 2L), "training",
+      granted = true, 50L))
+    val adm = spark.read.parquet(log)
+      .withColumn("subject_id", col("doc_id"))
+    assert(Consent.retroAudit(spark, consent, adm, "training").count() == 2L,
+      "both admissions predate the grant and must stay findings")
+  }
 }

@@ -537,4 +537,50 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(j4 == j1,
       s"masked serve must not scale jobs with pending vectors ($j1 vs $j4)")
   }
+
+  test("compaction cadence: appending verbs keep the vector trees bounded under a steady stream") {
+    // VERDICT r12 ask #3: compact-vectors was manual-only — an unattended
+    // deployment with a steady consent stream grows dv=* directories
+    // until an operator notices the census. The appending verbs now
+    // auto-compact a tree whose live count reaches graft.dv.compactAt,
+    // under the state lease they already hold.
+    import graft.policy.Consent
+    spark.conf.set("graft.dv.compactAt", "3")
+    try {
+      val work = tmp("cadence")
+      val state = s"$work/state"
+      val consent = s"$work/consent"
+      val subjects = (1L to 6L)
+      Consent.init(spark, consent, subjects.toDF("subject_id")
+        .withColumn("purpose", lit("training"))
+        .withColumn("granted", lit(true))
+        .withColumn("updated_at", lit(1L)))
+      // six sequential one-subject withdrawals: each appends a distinct
+      // purpose vector; the tree must never hold compactAt live vectors
+      // after a verb returns, and every mask must survive the merges
+      subjects.zipWithIndex.foreach { case (id, i) =>
+        Consent.withdraw(spark, consent, Seq(id).toDF("subject_id"),
+          "training", updatedAt = 2L + i, stateDir = Some(state))
+        val (_, dirs, _) = DeletionVectors
+          .pendingPurposeMasks(spark, state).head
+        assert(dirs < 3,
+          s"after withdrawal ${i + 1}: $dirs live vectors — cadence missed")
+      }
+      // two compactions ran (at counts 3 and 3 again); the final state is
+      // the post-compact vector plus the sixth append, never >= 3
+      val masks = DeletionVectors.pendingPurposeMasks(spark, state)
+      assert(masks.map(m => (m._1, m._3)) == Seq(("training", 6L)),
+        s"all six masks must survive the merges: $masks")
+      assert(masks.head._2 < 3)
+      // the GLOBAL tree gets the same cadence through erase-logical
+      (10L to 12L).foreach { id =>
+        Seq(id).toDF("doc_id").write.mode("overwrite")
+          .parquet(s"$work/keys_$id")
+        CurateCli.runEraseLogical(spark, s"$work/keys_$id", state)
+      }
+      val (gDirs, gKeys, _) = DeletionVectors.pending(spark, state)
+      assert(gDirs == 1 && gKeys == 3L,
+        s"global tree must have auto-compacted: $gDirs dirs, $gKeys keys")
+    } finally spark.conf.unset("graft.dv.compactAt")
+  }
 }

@@ -288,8 +288,13 @@ class PlanGuardSpec extends SparkSpec {
           else if (name == "q_dv_compact") 75
           // the q_consent_purpose registry shape + runAccess (report
           // writes + readbacks, the disclosure joins, per-purpose mask
-          // counts) — fixed verb stage count, zero iteration
-          else if (name == "q_access_consent") 100
+          // counts) — fixed verb stage count, zero iteration. Round 13
+          // adds the Art. 15 admission disclosure: two fixture
+          // admission-tree plants (state root + search leg, one write
+          // each) and the disclosure's per-tree reads + report write +
+          // readback count (~112 observed) — still a fixed tree
+          // vocabulary, zero open iteration
+          else if (name == "q_access_consent") 120
           // the registry build again + the ledger's authorize reads,
           // charge write, replay verification, and spend read
           else if (name == "q_consent_dp_release") 70

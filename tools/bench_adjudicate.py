@@ -42,6 +42,30 @@ def load_samples(path):
     return {}
 
 
+def load_warmup(path):
+    """The capture's warmup-pass wall time (round 13+: graft.Bench emits
+    `warmup_sec`). The warmup is the same work in every capture of one
+    build, so across captures it varies only with box load — the
+    mechanical contamination signal (the r12 driver capture's false 1.45x
+    headline is why this exists)."""
+    try:
+        d = json.load(open(path))
+    except Exception:
+        return None
+    w = d.get("warmup_sec")
+    if isinstance(w, (int, float)):
+        return float(w)
+    parsed = d.get("parsed")
+    if isinstance(parsed, dict) and isinstance(
+            parsed.get("warmup_sec"), (int, float)):
+        return float(parsed["warmup_sec"])
+    return None
+
+
+WARMUP_BAND = 1.5  # warmup ratio vs the best capture beyond which a
+                   # capture is marked load-contaminated
+
+
 def load_queries(path):
     d = json.load(open(path))
     q = d.get("queries_min") or d.get("queries")
@@ -66,6 +90,27 @@ def load_queries(path):
 def main(prev_path, run_paths):
     prev = {k: v for k, v in load_queries(prev_path).items() if v > 0}
     runs = [load_queries(p) for p in run_paths]
+
+    # mechanical contamination check: a capture whose warmup-pass wall
+    # time deviates >WARMUP_BAND from the best capture ran under external
+    # load — marked (not excluded: the per-query MIN is already robust to
+    # inflation, but a marked capture must not drive a regression verdict
+    # on its own)
+    warmups = [(p, load_warmup(p)) for p in run_paths]
+    known = [w for _, w in warmups if w is not None]
+    if known:
+        best = min(known)
+        print("capture warmups (load canary; same work per capture):")
+        for p, w in warmups:
+            if w is None:
+                print(f"  {p}: no warmup_sec (pre-round-13 artifact)")
+            elif w > best * WARMUP_BAND:
+                print(f"  {p}: {w:.1f}s — CONTAMINATED "
+                      f"({w / best:.2f}x the best capture's {best:.1f}s; "
+                      "external load during the run)")
+            else:
+                print(f"  {p}: {w:.1f}s")
+        print()
     cur = {}
     for name in set().union(*[set(r) for r in runs]):
         vals = [r[name] for r in runs if r.get(name, -1) > 0]
