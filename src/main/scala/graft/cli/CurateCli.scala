@@ -1974,6 +1974,58 @@ object CurateCli {
       spark.stop()
       return
     }
+    // dead-letter triage (the mechanism behind Fsck.consentCensus's
+    // failing `dead_letter` check): list what is quarantined, resubmit a
+    // batch under a purpose correction map, or deliberately purge
+    if (args.headOption.contains("dead-letter")) {
+      require(args.length >= 2, "usage: CurateCli dead-letter <consentDir>")
+      val spark = session()
+      val rows = graft.policy.Consent.deadLetter(spark, args(1))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_set(col("purpose"))).as("purposes"))
+        .orderBy("batch")
+        .collect()
+      if (rows.isEmpty) println("[dead-letter] nothing quarantined")
+      else rows.foreach { r =>
+        println(s"[dead-letter] batch=${r.getLong(0)} events=${r.getLong(1)} " +
+          s"purposes=${r.getSeq[String](2).mkString(",")}")
+      }
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("dead-letter-resubmit")) {
+      require(args.length >= 4,
+        "usage: CurateCli dead-letter-resubmit <consentDir> <batch> " +
+          "<badPurpose=slug[,badPurpose=slug...]> [--state <stateDir>]")
+      val si = args.indexOf("--state")
+      val sd = if (si >= 0 && args.length > si + 1) Some(args(si + 1)) else None
+      val remap = args(3).split(',').map { kv =>
+        val i = kv.lastIndexOf('=')
+        require(i > 0 && i < kv.length - 1,
+          s"dead-letter-resubmit: malformed remap entry '$kv' " +
+            "(want badPurpose=slug)")
+        (kv.substring(0, i), kv.substring(i + 1))
+      }.toMap
+      val spark = session()
+      val n = graft.policy.Consent.resubmitDeadLetter(
+        spark, args(1), args(2).toLong, remap, stateDir = sd)
+      println(s"[dead-letter] resubmitted=$n from batch=${args(2)} " +
+        "(quarantine dir dropped)")
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("dead-letter-purge")) {
+      require(args.length >= 3,
+        "usage: CurateCli dead-letter-purge <consentDir> <batch|all>")
+      val spark = session()
+      val b = if (args(2) == "all") None else Some(args(2).toLong)
+      val n = graft.policy.Consent.purgeDeadLetter(spark, args(1), b)
+      println(s"[dead-letter] purged_batch_dirs=$n (deliberate drop — " +
+        "these events never reached the registry)")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("fsck")) {
       require(args.length >= 2,
         "usage: CurateCli fsck <stateDir> [--consent <consentDir>]")

@@ -127,7 +127,9 @@ object PlanDump {
     "q_consent_asof",     // validity-interval anti-join retro audit
     "q_erase_by_subject", // owner-mapping resolve + masked serve
     "q_consent_stream",   // consent-gated streaming admission + retro audit
-    "q_dv_compact"        // compacted vector trees, two masked serves
+    "q_dv_compact",       // compacted vector trees, two masked serves
+    "q_access_consent",   // Art. 15 disclosure: consent history + admissions
+    "q_consent_expire"    // bucket-pruned registry version retention
   )
 
   def main(args: Array[String]): Unit = {

@@ -581,7 +581,8 @@ object Fsck {
       val n = if (dirs == 0) 0L else spark.read.parquet(dlRoot).count()
       out += Check("consent", "dead_letter", ok = n == 0L,
         s"$dirs quarantine batch dir(s), $n event(s) that never reached " +
-          "the registry — triage and re-submit corrected events")
+          "the registry — triage with dead-letter-resubmit (corrected " +
+          "purposes reach the registry) or dead-letter-purge")
     }
     out.toSeq
   }

@@ -477,6 +477,145 @@ object Consent {
         cutoffMs, buckets = Buckets)
     }
 
+  /** The streaming sink's quarantine tree — a SIBLING of the store root
+    * (the bootstrap's whole-directory overwrite must not be able to
+    * delete it), one `batch=<epoch>` directory per poisoned micro-batch
+    * ([[graft.streaming.StreamingPipeline.consentSink]]).
+    */
+  private[graft] def deadLetterRoot(consentDir: String): String =
+    s"${consentDir.stripSuffix("/")}.dead-letter"
+
+  private def deadLetterBatchDirs(
+      spark: SparkSession,
+      consentDir: String
+  ): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(deadLetterRoot(consentDir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st.getPath))
+      .sortBy(_._1)
+  }
+
+  /** Triage view of the quarantine: every dead-lettered consent event
+    * with its batch ordinal (the partition directory). Empty frame —
+    * correct schema, zero rows — when nothing is quarantined, so a
+    * triage dashboard needs no existence probe.
+    */
+  def deadLetter(spark: SparkSession, consentDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("subject_id", LongType), StructField("purpose", StringType),
+      StructField("granted", BooleanType), StructField("updated_at", LongType),
+      StructField("batch", LongType)))
+    if (deadLetterBatchDirs(spark, consentDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.parquet(deadLetterRoot(consentDir))
+        .withColumn("batch", col("batch").cast("long"))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Re-submit one quarantined batch under a purpose CORRECTION map —
+    * the triage path that lets a dead-lettered consent indication
+    * actually reach the registry (GDPR Art. 7(1): the indication
+    * happened; a malformed purpose string must not erase it). Every
+    * distinct quarantined purpose must remap to a valid slug, validated
+    * BEFORE any state mutates (an incomplete or still-invalid map
+    * refuses and the batch stays quarantined — fail-stop, the batch
+    * verbs' contract). The corrected events go through the ordinary
+    * [[update]] merge (same-ts deny-wins, replay-safe) and, when
+    * `stateDir` is given, the post-merge vector sync ([[syncVectors]] —
+    * a corrected WITHDRAWAL masks exactly as if it had never been
+    * quarantined). The batch directory is dropped LAST: a crash after
+    * the merge replays the resubmit, and the merge is idempotent for an
+    * identical batch. Returns the number of events resubmitted.
+    *
+    * Scale shape: a quarantine batch is request-scale (malformed events
+    * of one micro-batch); the purpose vocabulary is the same tiny
+    * distinct-collect every consent verb uses.
+    */
+  def resubmitDeadLetter(
+      spark: SparkSession,
+      consentDir: String,
+      batch: Long,
+      remap: Map[String, String],
+      stateDir: Option[String] = None,
+      mapping: Option[DataFrame] = None
+  ): Long =
+    graft.operators.Lease.withLease(spark, consentDir, "dead-letter-resubmit") {
+      val dir = deadLetterBatchDirs(spark, consentDir).toMap.get(batch)
+        .getOrElse(throw new IllegalArgumentException(
+          s"dead-letter: no quarantined batch=$batch under " +
+            s"${deadLetterRoot(consentDir)}"))
+      val events = spark.read.parquet(dir.toString)
+      val quarantined = events.filter(col("purpose").isNotNull)
+        .select(col("purpose")).distinct()
+        .collect().map(_.getString(0))
+      val unresolved = quarantined
+        .map(p => (p, remap.getOrElse(p, p)))
+        .filterNot { case (_, to) =>
+          graft.operators.DeletionVectors.isSlug(to) }
+      require(unresolved.isEmpty,
+        "dead-letter: every quarantined purpose must remap to a valid " +
+          "slug — refused before any state mutates: " +
+          unresolved.sorted.take(5)
+            .map { case (f, t) => s"'$f' -> '$t'" }.mkString(", "))
+      val fixPurpose = quarantined.foldLeft(col("purpose")) { (acc, p) =>
+        when(col("purpose") === p, lit(remap.getOrElse(p, p))).otherwise(acc)
+      }
+      val corrected = events.withColumn("purpose", fixPurpose)
+      val n = corrected.count()
+      update(spark, consentDir, corrected)
+      stateDir.foreach { sd =>
+        val clean = corrected.filter(col("subject_id").isNotNull &&
+          col("purpose").isNotNull && col("granted").isNotNull)
+        val purposes = clean.select(col("purpose")).distinct()
+          .collect().map(_.getString(0)).sorted
+        purposes.foreach { p =>
+          syncVectors(spark, consentDir, sd,
+            clean.filter(col("purpose") === p)
+              .select(col("subject_id")).distinct(),
+            p, mapping)
+        }
+      }
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true)
+      n
+    }
+
+  /** Acknowledge-and-drop for quarantined batches that will NOT be
+    * resubmitted (spam, test traffic, events superseded by a corrected
+    * re-send at the source): one batch, or all of them. The explicit
+    * verb is the point — quarantined rows fail the census
+    * ([[graft.operators.Fsck.consentCensus]]) until an operator either
+    * resubmits or deliberately purges; nothing expires them silently.
+    * Returns the number of batch directories dropped.
+    */
+  def purgeDeadLetter(
+      spark: SparkSession,
+      consentDir: String,
+      batch: Option[Long] = None
+  ): Int =
+    graft.operators.Lease.withLease(spark, consentDir, "dead-letter-purge") {
+      val dirs = deadLetterBatchDirs(spark, consentDir)
+      val victims = batch match {
+        case Some(b) => dirs.filter(_._1 == b)
+        case None    => dirs
+      }
+      val fs = new org.apache.hadoop.fs.Path(deadLetterRoot(consentDir))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      victims.foreach { case (_, p) => fs.delete(p, true) }
+      // drop the emptied root so a clean registry censuses with no
+      // dead-letter row at all (the tree exists only while triage is owed)
+      if (victims.size == dirs.size && dirs.nonEmpty)
+        fs.delete(new org.apache.hadoop.fs.Path(deadLetterRoot(consentDir)),
+          true)
+      victims.size
+    }
+
   def retroAudit(
       spark: SparkSession,
       consentDir: String,

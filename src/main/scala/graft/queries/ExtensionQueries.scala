@@ -4013,6 +4013,108 @@ object ExtensionQueries {
         group by source
         order by purpose, source""")
     ),
+    // registry version retention (Consent.expireVersions /
+    // Snapshot.expireSuperseded, the `consent-expire` verb — GDPR Art.
+    // 5(1)(e) applied to the Art. 7(1) record itself): every subject
+    // grants at ts 1, one slice withdraws at ts 5 (superseding the
+    // grant), a sub-slice re-grants at ts 9 (superseding the
+    // withdrawal). Expiring at cutoff 6 must drop EXACTLY the versions
+    // whose valid_to is before 6 (the ts-1 grants superseded at 5) while
+    // every current verdict and every younger superseded version
+    // survives byte-identical — record retention that cannot change
+    // what the registry says today. The 'dropped' row pins the verb's
+    // return count; a second expire at the same cutoff must be a no-op
+    // (replay safety). The twin replays the SCD-2 chains as modular
+    // slice arithmetic, so the hash match pins merge + bucket-pruned
+    // expiry + survivor chains end to end. Build jobs bounded
+    // (PlanGuardSpec exemption).
+    "q_consent_expire" -> Q(
+      (s, dir) => {
+        import graft.operators.StableHash
+        import graft.policy.Consent
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_cexp_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val consent = s"$root/consent"
+        val all = docs(s, dir)
+        val subs = all.select(col("doc_id").as("subject_id"))
+        Consent.init(s, consent,
+          subs.withColumn("purpose", lit("training"))
+            .withColumn("granted", lit(true))
+            .withColumn("updated_at", lit(1L))
+            .unionByName(subs
+              .filter(StableHash.bucket(col("subject_id"), 3) =!= 0)
+              .withColumn("purpose", lit("ads"))
+              .withColumn("granted", lit(true))
+              .withColumn("updated_at", lit(1L))))
+        // h7==0 withdraws training at 5 (their ts-1 grant gets
+        // valid_to=5); the h2==0 sub-slice re-grants at 9 (their
+        // withdrawal gets valid_to=9 — young history, must survive)
+        Consent.update(s, consent,
+          subs.filter(StableHash.bucket(col("subject_id"), 7) === 0)
+            .withColumn("purpose", lit("training"))
+            .withColumn("granted", lit(false))
+            .withColumn("updated_at", lit(5L)))
+        Consent.update(s, consent,
+          subs.filter(StableHash.bucket(col("subject_id"), 7) === 0 &&
+              StableHash.bucket(col("subject_id"), 2) === 0)
+            .withColumn("purpose", lit("training"))
+            .withColumn("granted", lit(true))
+            .withColumn("updated_at", lit(9L)))
+        val dropped = Consent.expireVersions(s, consent, cutoffMs = 6L)
+        // replay safety: the same cutoff again touches nothing
+        require(Consent.expireVersions(s, consent, cutoffMs = 6L) == 0L,
+          "q_consent_expire: expiry replay was not a no-op")
+        val st = graft.pipeline.Snapshot.loadStore(s, consent)
+        // scalar counts (not groupBy), so an empty slice still yields
+        // its zero row and both engines emit the same row set
+        def cnt(kind: String, purpose: String, granted: Boolean,
+            f: org.apache.spark.sql.Column): DataFrame =
+          st.filter(f).agg(count(lit(1)).as("n"))
+            .withColumn("kind", lit(kind))
+            .withColumn("purpose", lit(purpose))
+            .withColumn("granted", lit(granted))
+        val cur = col("valid_to").isNull
+        val droppedRow = s.range(1).select(
+          lit(dropped).as("n"), lit("dropped").as("kind"),
+          lit("training").as("purpose"), lit(true).as("granted"))
+        cnt("current", "ads", granted = true,
+            cur && col("purpose") === "ads" && col("granted"))
+          .unionByName(cnt("current", "training", granted = true,
+            cur && col("purpose") === "training" && col("granted")))
+          .unionByName(cnt("current", "training", granted = false,
+            cur && col("purpose") === "training" && !col("granted")))
+          .unionByName(cnt("superseded", "training", granted = false,
+            col("valid_to").isNotNull && col("purpose") === "training" &&
+              !col("granted")))
+          .unionByName(droppedRow)
+          .select(col("kind"), col("purpose"), col("granted"), col("n"))
+          .orderBy("kind", "purpose", "granted")
+      },
+      Some(s"""
+        with b as (
+          select doc_id,
+            ${duckMdBucket(2)} as h2, ${duckMdBucket(3)} as h3,
+            ${duckMdBucket(7)} as h7
+          from documents
+        )
+        select 'current' as kind, 'ads' as purpose, true as granted,
+          count(*) as n from b where h3 <> 0
+        union all
+        select 'current', 'training', false, count(*)
+          from b where h7 = 0 and h2 <> 0
+        union all
+        select 'current', 'training', true, count(*)
+          from b where h7 <> 0 or h2 = 0
+        union all
+        select 'dropped', 'training', true, count(*) from b where h7 = 0
+        union all
+        select 'superseded', 'training', false, count(*)
+          from b where h7 = 0 and h2 = 0
+        order by kind, purpose, granted""")
+    ),
     // consent-gated STREAMING admission (StreamingPipeline
     // .searchIndexSink + ConsentGateCfg, GDPR Art. 6 x 7(1)): a corpus
     // streams into the BM25 index behind the consent gate — subjects

@@ -1143,7 +1143,7 @@ object StreamingPipeline {
                 System.err.println(s"[consent-sink] QUARANTINED events " +
                   s"with non-slug purpose(s) " +
                   badPurposes.sorted.take(5).map(p => s"'$p'").mkString(", ") +
-                  s" to $dl — triage and re-submit corrected events")
+                  s" to $dl — triage with dead-letter-resubmit/-purge")
                 events.filter(col("purpose").isNull ||
                   !col("purpose").isin(badPurposes.toSeq: _*))
               }

@@ -745,6 +745,99 @@ class ConsentSpec extends SparkSpec {
       .forall(c => c.ok && c.check == "version_bulk"))
   }
 
+  test("dead-letter triage: resubmit under a purpose correction, purge the rest, census clean after") {
+    // The quarantine (round 13) made the census FAIL while rows are owed
+    // triage — a stance that needs its mechanism: resubmitDeadLetter
+    // carries a corrected indication into the registry (Art. 7(1): the
+    // indication happened; a malformed purpose string must not erase
+    // it), purgeDeadLetter is the deliberate drop. Nothing expires the
+    // quarantine silently.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingPipeline
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val work = tmp("dltriage")
+    val consent = s"$work/consent"
+    val state = s"$work/state"
+    val input = MemoryStream[(Long, String, Boolean, Long)]
+    val stream = input.toDF()
+      .toDF("subject_id", "purpose", "granted", "updated_at")
+    // batch 0: one valid grant, one poisoned WITHDRAWAL (the case where
+    // a missed resubmit over-serves a subject who opted out)
+    input.addData((1L, "training", true, 1L), (5L, "bad purpose", false, 2L))
+    StreamingPipeline.consentSink(stream, consent, s"$work/ckpt",
+      stateDir = Some(state)).awaitTermination()
+    // batch 1: spam traffic, to be purged deliberately
+    input.addData((9L, "also=bad", true, 3L))
+    StreamingPipeline.consentSink(stream, consent, s"$work/ckpt",
+      stateDir = Some(state)).awaitTermination()
+    val dl = Consent.deadLetter(spark, consent)
+    assert(dl.count() == 2L)
+    assert(dl.select("batch").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L))
+    // an incomplete or still-invalid remap refuses BEFORE any mutation
+    intercept[IllegalArgumentException] {
+      Consent.resubmitDeadLetter(spark, consent, batch = 0L,
+        remap = Map("bad purpose" -> "still bad"))
+    }
+    assert(Consent.deadLetter(spark, consent).count() == 2L,
+      "a refused resubmit must leave the quarantine untouched")
+    assert(Consent.currentState(spark, consent)
+      .filter(col("subject_id") === 5L).isEmpty)
+    // resubmit batch 0 corrected: subject 5's withdrawal reaches the
+    // registry AND (post-merge sync) the purpose mask lands, exactly as
+    // if it had never been quarantined
+    val n = Consent.resubmitDeadLetter(spark, consent, batch = 0L,
+      remap = Map("bad purpose" -> "training"), stateDir = Some(state))
+    assert(n == 1L,
+      s"exactly the quarantined event of the batch resubmits (the valid " +
+        s"grant processed at sink time), got $n")
+    val st5 = Consent.currentState(spark, consent)
+      .filter(col("subject_id") === 5L).collect()
+    assert(st5.length == 1 && !st5.head.getAs[Boolean]("granted"),
+      "the corrected withdrawal must reach the registry")
+    val masked = DeletionVectors
+      .pendingPurposeMasks(spark, state)
+      .find(_._1 == "training")
+    assert(masked.exists(_._3 >= 1L),
+      s"the corrected withdrawal must mask subject 5 for training: $masked")
+    // the resubmitted batch dir is gone; batch 1 still owes triage
+    val afterResubmit = Consent.deadLetter(spark, consent)
+    assert(afterResubmit.count() == 1L &&
+      afterResubmit.head().getAs[Long]("batch") == 1L)
+    assert(graft.operators.Fsck.consentCensus(spark, consent)
+      .exists(c => c.check == "dead_letter" && !c.ok))
+    // resubmitting an unknown batch refuses loudly
+    intercept[IllegalArgumentException] {
+      Consent.resubmitDeadLetter(spark, consent, batch = 7L, remap = Map.empty)
+    }
+    // deliberate purge of the spam batch: quarantine empty, the tree
+    // itself gone, census carries no dead-letter row at all
+    assert(Consent.purgeDeadLetter(spark, consent, Some(1L)) == 1)
+    assert(Consent.deadLetter(spark, consent).isEmpty)
+    assert(!new org.apache.hadoop.fs.Path(s"$consent.dead-letter")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$consent.dead-letter")))
+    assert(graft.operators.Fsck.consentCensus(spark, consent)
+      .forall(c => c.ok && c.check == "version_bulk"))
+    // triage verbs hold the registry lease: a live foreign writer refuses
+    input.addData((11L, "bad again", true, 4L))
+    StreamingPipeline.consentSink(stream, consent, s"$work/ckpt",
+      stateDir = Some(state)).awaitTermination()
+    val lout = new org.apache.hadoop.fs.Path(consent)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(new org.apache.hadoop.fs.Path(s"$consent/.lease"), true)
+    lout.write(s"other|consent-update|${System.currentTimeMillis()}"
+      .getBytes("UTF-8"))
+    lout.close()
+    intercept[IllegalStateException] {
+      Consent.purgeDeadLetter(spark, consent, None)
+    }
+    intercept[IllegalStateException] {
+      Consent.resubmitDeadLetter(spark, consent, batch = 2L,
+        remap = Map("bad again" -> "training"))
+    }
+  }
+
   test("consent-expire drops aged superseded versions; verdicts and younger demonstrations unchanged") {
     // VERDICT r12 ask #4: superseded versions are the Art. 7(1) record,
     // but past the controller's record-retention period they need the

@@ -171,6 +171,11 @@ class PlanGuardSpec extends SparkSpec {
     "q_consent_purpose",
     // registry bootstrap + one withdrawal merge before the as-of audit
     "q_consent_asof",
+    // registry bootstrap + two SCD-2 merges, then the bucket-pruned
+    // version expiry (touched-bucket collect, stage write, dynamic
+    // overwrite, manifest refresh) and its replayed no-op before the
+    // version census counts
+    "q_consent_expire",
     // registry bootstrap + withdrawal merge + post-merge sync, a global
     // vector append, then the full access sweep (keys/report writes,
     // leg probes, the consent-history and purpose-mask disclosures)
@@ -277,6 +282,12 @@ class PlanGuardSpec extends SparkSpec {
           // (~76 observed)
           else if (name == "q_consent_purpose") 85
           else if (name == "q_consent_asof") 55
+          // the q_consent_gate registry shape (bootstrap + two merges)
+          // + expireVersions (expired-bucket collect, staged rewrite,
+          // readbacks, manifest refresh) + the same verb replayed as a
+          // no-op (one pruned probe) + five scalar census counts —
+          // fixed verb stage count, zero iteration
+          else if (name == "q_consent_expire") 90
           // the q_consent_gate registry shape + one full streaming epoch
           // (checkpoint/offset bookkeeping, the gate semi-join, the
           // admission-log write, the BM25 three-leg bootstrap) and the
