@@ -129,7 +129,8 @@ object PlanDump {
     "q_consent_stream",   // consent-gated streaming admission + retro audit
     "q_dv_compact",       // compacted vector trees, two masked serves
     "q_access_consent",   // Art. 15 disclosure: consent history + admissions
-    "q_consent_expire"    // bucket-pruned registry version retention
+    "q_consent_expire",   // bucket-pruned registry version retention
+    "q_dead_letter"       // quarantine split -> corrected resubmit -> serve
   )
 
   def main(args: Array[String]): Unit = {

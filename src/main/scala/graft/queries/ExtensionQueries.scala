@@ -4115,6 +4115,81 @@ object ExtensionQueries {
           from b where h7 = 0 and h2 = 0
         order by kind, purpose, granted""")
     ),
+    // dead-letter triage lifecycle (StreamingPipeline.consentSink
+    // quarantine x Consent.resubmitDeadLetter): a consent stream where
+    // one slice's WITHDRAWALS carry a malformed purpose — the sink must
+    // quarantine them without wedging (the valid grants process), and
+    // the resubmit under a purpose correction must carry them into the
+    // registry AND the purpose masks exactly as if never quarantined
+    // (a missed resubmit over-serves subjects who opted out — the
+    // direction that matters). The twin replays the slice arithmetic,
+    // so the hash match pins quarantine split + corrected merge +
+    // post-merge vector sync + masked serve end to end. Build jobs
+    // bounded (PlanGuardSpec exemption).
+    "q_dead_letter" -> Q(
+      (s, dir) => {
+        import graft.operators.StableHash
+        import graft.policy.Consent
+        val root =
+          s"${sys.props("java.io.tmpdir")}/graft_dlq_${math.abs(dir.hashCode)}"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val consent = s"$root/consent"
+        val all = docs(s, dir)
+        val subs = all.select(col("doc_id").as("subject_id"))
+        // one event per subject: h3==0 WITHDRAWS under a malformed
+        // purpose (quarantined), everyone else grants the valid slug
+        val h3 = StableHash.bucket(col("subject_id"), 3)
+        val events = subs
+          .withColumn("purpose",
+            when(h3 === 0, lit("bad purpose")).otherwise(lit("training")))
+          .withColumn("granted", h3 =!= 0)
+          .withColumn("updated_at", lit(2L))
+        val input = s"$root/events"
+        events.write.mode("overwrite").parquet(input)
+        graft.streaming.StreamingPipeline.consentSink(
+          s.readStream.schema(s.read.parquet(input).schema).parquet(input),
+          consent, s"$root/ckpt", stateDir = Some(root))
+          .awaitTermination()
+        val nQuarantined = Consent.deadLetter(s, consent).count()
+        val nResubmitted = Consent.resubmitDeadLetter(s, consent, batch = 0L,
+          remap = Map("bad purpose" -> "training"), stateDir = Some(root))
+        val nAfter = Consent.deadLetter(s, consent).count()
+        val st = Consent.currentState(s, consent)
+        def cnt(kind: String, f: DataFrame): DataFrame =
+          f.agg(count(lit(1)).as("n")).withColumn("kind", lit(kind))
+        val served = graft.operators.DeletionVectors
+          .maskServing(s, root, all, purpose = Some("training"))
+        cnt("current_denied", st.filter(!col("granted")))
+          .unionByName(cnt("current_granted", st.filter(col("granted"))))
+          .unionByName(s.range(1).select(lit(nQuarantined).as("n"),
+            lit("quarantined").as("kind")))
+          .unionByName(s.range(1).select(lit(nAfter).as("n"),
+            lit("quarantine_after").as("kind")))
+          .unionByName(s.range(1).select(lit(nResubmitted).as("n"),
+            lit("resubmitted").as("kind")))
+          .unionByName(cnt("served_training", served))
+          .select(col("kind"), col("n"))
+          .orderBy("kind")
+      },
+      Some(s"""
+        with b as (
+          select doc_id, ${duckMdBucket(3)} as h3 from documents
+        )
+        select 'current_denied' as kind, count(*) as n from b where h3 = 0
+        union all
+        select 'current_granted', count(*) from b where h3 <> 0
+        union all
+        select 'quarantine_after', 0
+        union all
+        select 'quarantined', count(*) from b where h3 = 0
+        union all
+        select 'resubmitted', count(*) from b where h3 = 0
+        union all
+        select 'served_training', count(*) from b where h3 <> 0
+        order by kind""")
+    ),
     // consent-gated STREAMING admission (StreamingPipeline
     // .searchIndexSink + ConsentGateCfg, GDPR Art. 6 x 7(1)): a corpus
     // streams into the BM25 index behind the consent gate — subjects

@@ -176,6 +176,11 @@ class PlanGuardSpec extends SparkSpec {
     // overwrite, manifest refresh) and its replayed no-op before the
     // version census counts
     "q_consent_expire",
+    // one streaming consent epoch (quarantine split + registry
+    // bootstrap + post-merge vector sync), then the dead-letter
+    // resubmit (remap validation collect, corrected merge, sync, batch
+    // drop) and the masked serve
+    "q_dead_letter",
     // registry bootstrap + withdrawal merge + post-merge sync, a global
     // vector append, then the full access sweep (keys/report writes,
     // leg probes, the consent-history and purpose-mask disclosures)
@@ -288,6 +293,12 @@ class PlanGuardSpec extends SparkSpec {
           // no-op (one pruned probe) + five scalar census counts —
           // fixed verb stage count, zero iteration
           else if (name == "q_consent_expire") 90
+          // one streaming epoch (offset bookkeeping, the quarantine
+          // split's purpose collect, bootstrap merge, per-purpose
+          // post-merge sync) + the resubmit's validation collect +
+          // corrected merge + sync + the masked serve — fixed verb
+          // stage count, zero iteration
+          else if (name == "q_dead_letter") 100
           // the q_consent_gate registry shape + one full streaming epoch
           // (checkpoint/offset bookkeeping, the gate semi-join, the
           // admission-log write, the BM25 three-leg bootstrap) and the
