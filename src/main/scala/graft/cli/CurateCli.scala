@@ -2028,18 +2028,27 @@ object CurateCli {
     }
     if (args.headOption.contains("fsck")) {
       require(args.length >= 2,
-        "usage: CurateCli fsck <stateDir> [--consent <consentDir>]")
+        "usage: CurateCli fsck <stateDir> [--consent <consentDir>] " +
+          "[--ledger <ledgerDir>]")
       val spark = session()
-      // --consent <dir>: the registry lives NEXT TO the state root, not
-      // under it, so the state walk cannot discover it — the operator
-      // names it and the audit adds the registry census (version bulk,
-      // dead-letter quarantine)
+      // --consent <dir> / --ledger <dir>: the registry and the DP
+      // ledger live NEXT TO the state root, not under it, so the state
+      // walk cannot discover them — the operator names them and the
+      // audit adds the registry census (version bulk, dead-letter
+      // quarantine) and the ledger census (per-dataset spend, torn
+      // charges)
       val ci = args.indexOf("--consent")
       val consentChecks =
         if (ci >= 0 && args.length > ci + 1)
           graft.operators.Fsck.consentCensus(spark, args(ci + 1))
         else Seq.empty
-      val checks = graft.operators.Fsck.state(spark, args(1)) ++ consentChecks
+      val li = args.indexOf("--ledger")
+      val ledgerChecks =
+        if (li >= 0 && args.length > li + 1)
+          graft.operators.Fsck.ledgerCensus(spark, args(li + 1))
+        else Seq.empty
+      val checks = graft.operators.Fsck.state(spark, args(1)) ++
+        consentChecks ++ ledgerChecks
       checks.foreach(c => println(
         s"[fsck] ${c.component}.${c.check} " +
           s"${if (c.ok) "OK" else "FAIL"} ${c.detail}"))

@@ -70,6 +70,40 @@ class PrivacyLedgerSpec extends SparkSpec {
     assert(PrivacyLedger.spent(spark, dir, "a") == ((2L, 9.5, 0.0)))
   }
 
+  test("the auditor censuses the ledger: per-dataset spend rows, torn charges counted") {
+    // the budget accountant is durable state — the same stance-needs-
+    // census rule the admission log, registry history, and dead-letter
+    // tree got. Informational rows: whether the spend is lawful is the
+    // release policy's budget, passed per-release.
+    val dir = tmp()
+    assert(graft.operators.Fsck.ledgerCensus(spark, dir).isEmpty,
+      "no ledger, no census rows")
+    PrivacyLedger.charge(spark, dir, "a", "r1", 0.5)
+    PrivacyLedger.charge(spark, dir, "a", "r2", 0.25, delta = 1e-9)
+    PrivacyLedger.charge(spark, dir, "b", "r3", 1.0)
+    // fabricate a crash: a charge whose _SUCCESS never landed
+    PrivacyLedger.charge(spark, dir, "a", "torn", 9.0)
+    val entry = fsOf(dir)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/ledger"))
+      .map(_.getPath)
+      .find(p => spark.read.parquet(p.toString)
+        .filter(org.apache.spark.sql.functions.col("release_id") === "torn")
+        .count() > 0).get
+    fsOf(dir).delete(new org.apache.hadoop.fs.Path(entry, "_SUCCESS"), false)
+    val checks = graft.operators.Fsck.ledgerCensus(spark, dir)
+    assert(checks.forall(_.ok), "census rows are informational")
+    val sa = checks.find(_.check == "spend_a").get
+    assert(sa.detail.contains("2 release(s)") &&
+      sa.detail.contains("0.7500"),
+      s"dataset a spend row wrong: ${sa.detail}")
+    assert(checks.find(_.check == "spend_b").get.detail
+      .contains("1 release(s)"))
+    assert(checks.find(_.check == "torn_charges").get.detail
+      .contains("1 uncommitted"),
+      "the auditor must see crash debris")
+    assert(!checks.exists(_.check == "spend_missing"))
+  }
+
   test("authorizeAndCharge: a crashed release's retry proceeds even at a full budget") {
     val dir = tmp()
     PrivacyLedger.authorizeAndCharge(spark, dir, "a", "r1", eps = 2.0,
