@@ -1879,6 +1879,24 @@ object CurateCli {
     spark
   }
 
+  /** The dead-letter-resubmit remap argument:
+    * `badPurpose=slug[,badPurpose=slug...]`. A quarantined purpose is
+    * malformed BY DEFINITION (that is why it was quarantined), so the
+    * bad side may itself contain `=` — the split takes the LAST `=` of
+    * each entry (the corrected slug can never contain one,
+    * [[graft.operators.DeletionVectors.isSlug]]). A bad purpose
+    * containing a COMMA cannot be expressed through the CLI argument —
+    * use [[graft.policy.Consent.resubmitDeadLetter]] directly.
+    */
+  private[graft] def parseRemap(arg: String): Map[String, String] =
+    arg.split(',').map { kv =>
+      val i = kv.lastIndexOf('=')
+      require(i > 0 && i < kv.length - 1,
+        s"dead-letter-resubmit: malformed remap entry '$kv' " +
+          "(want badPurpose=slug)")
+      (kv.substring(0, i), kv.substring(i + 1))
+    }.toMap
+
   /** Strip an optional `--model <dir> <minScore>` from the arg vector —
     * the stored-distilled-model gate ([[graft.text.LinearTextModel]])
     * applied inside the curation gates on both the batch and the
@@ -2000,13 +2018,7 @@ object CurateCli {
           "<badPurpose=slug[,badPurpose=slug...]> [--state <stateDir>]")
       val si = args.indexOf("--state")
       val sd = if (si >= 0 && args.length > si + 1) Some(args(si + 1)) else None
-      val remap = args(3).split(',').map { kv =>
-        val i = kv.lastIndexOf('=')
-        require(i > 0 && i < kv.length - 1,
-          s"dead-letter-resubmit: malformed remap entry '$kv' " +
-            "(want badPurpose=slug)")
-        (kv.substring(0, i), kv.substring(i + 1))
-      }.toMap
+      val remap = parseRemap(args(3))
       val spark = session()
       val n = graft.policy.Consent.resubmitDeadLetter(
         spark, args(1), args(2).toLong, remap, stateDir = sd)

@@ -838,6 +838,16 @@ class ConsentSpec extends SparkSpec {
     }
   }
 
+  test("the CLI remap argument splits on the LAST '=' — a bad purpose may itself contain one") {
+    assert(CurateCli.parseRemap("bad purpose=training") ==
+      Map("bad purpose" -> "training"))
+    assert(CurateCli.parseRemap("also=bad=training,x y=ads") ==
+      Map("also=bad" -> "training", "x y" -> "ads"))
+    intercept[IllegalArgumentException] { CurateCli.parseRemap("noseparator") }
+    intercept[IllegalArgumentException] { CurateCli.parseRemap("=training") }
+    intercept[IllegalArgumentException] { CurateCli.parseRemap("bad=") }
+  }
+
   test("consent-expire drops aged superseded versions; verdicts and younger demonstrations unchanged") {
     // VERDICT r12 ask #4: superseded versions are the Art. 7(1) record,
     // but past the controller's record-retention period they need the
