@@ -684,18 +684,25 @@ object Dedup {
         .agg(min("label").as("label"))
       val jumpTo = minStep
         .select(col("id").as("_jid"), col("label").as("_jlabel"))
+      // labels only shrink (min semilattice), so "any change?" is the
+      // convergence test — computed IN the checkpoint pass: the old-label
+      // join rides the materialization the round pays anyway, and the
+      // convergence probe is then one aggregate over the in-memory
+      // checkpointed partitions instead of a fresh join+shuffle job
       val jumped = minStep
         .join(jumpTo, col("label") === col("_jid"), "left")
         .select(col("id"),
           coalesce(col("_jlabel"), col("label")).as("label"))
-        .localCheckpoint()
-      // labels only shrink (min semilattice), so "any change?" is the
-      // convergence test; one join + count per round
-      converged = jumped
         .join(labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") =!= col("_old"))
-        .count() == 0
-      labels = jumped
+        .withColumn("_chg",
+          when(col("label") =!= col("_old"), lit(1)).otherwise(lit(0)))
+        .select(col("id"), col("label"), col("_chg"))
+        .localCheckpoint()
+      // coalesce: an empty label frame (no candidate pairs at all) has a
+      // null max and must read as converged, like the old count()==0
+      converged = jumped
+        .agg(coalesce(max(col("_chg")), lit(0))).head().getInt(0) == 0
+      labels = jumped.select(col("id"), col("label"))
       i += 1
     }
     labels

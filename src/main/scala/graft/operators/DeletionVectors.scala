@@ -158,7 +158,17 @@ object DeletionVectors {
   ): Long = {
     val root = purpose.fold(dvRoot(outDir))(purposeRoot(outDir, _))
     val ks = keys.select(col(idCol)).distinct()
-    val id = contentId(ks, idCol)
+    // ONE aggregation computes the content id AND the key count (the
+    // returned value) — the id job, the separate readback-count job, and
+    // contentId's distinct pass used to be three actions over the same
+    // request-sized frame
+    val agg = ks
+      .agg(
+        coalesce(bit_xor(xxhash64(col(idCol).cast("string"))), lit(0L))
+          .as("h"),
+        count(lit(1)).as("n"))
+      .head()
+    val (id, n) = (agg.getLong(0), agg.getLong(1))
     val dir = s"$root/dv=${java.lang.Long.toHexString(id)}"
     val fs = fsOf(spark, dir)
     val stamp =
@@ -172,7 +182,7 @@ object DeletionVectors {
     // directory it came from is safe
     ks.withColumn("_stamp", lit(stamp))
       .write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir).count()
+    n
   }
 
   /** `_SUCCESS`-complete vector directories under one root (a torn
@@ -507,15 +517,24 @@ object DeletionVectors {
       // corpus-scale key set through the driver
       val remainder = spark.read.parquet(dir)
         .join(hinted(keys), Seq(idCol), "left_anti")
-      if (remainder.isEmpty)
+      // ONE aggregation decides emptiness AND names the remainder vector
+      // (vector keys are distinct by construction, so contentId's
+      // distinct pass is redundant here) — isEmpty + contentId used to
+      // run the anti-join twice before the write ran it a third time
+      val agg = remainder
+        .agg(
+          count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(col(idCol).cast("string"))), lit(0L))
+            .as("h"))
+        .head()
+      if (agg.getLong(0) == 0L)
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       else {
-        val rid = contentId(remainder, idCol)
         // compare by directory NAME — liveDirs returns fs-qualified URIs,
         // so a raw-string compare against the rebuilt path never matches
         // and the "untouched vector" case would overwrite the directory
         // its own source is reading
-        val rname = s"dv=${java.lang.Long.toHexString(rid)}"
+        val rname = s"dv=${java.lang.Long.toHexString(agg.getLong(1))}"
         if (rname != new org.apache.hadoop.fs.Path(dir).getName) {
           remainder.select(col(idCol), col("_stamp"))
             .write.mode("overwrite").parquet(s"$root/$rname")

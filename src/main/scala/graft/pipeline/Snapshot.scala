@@ -159,18 +159,25 @@ object Snapshot {
   /** Merge a batch into a stored snapshot, touching ONLY the buckets the
     * batch hashes into: collect the batch's bucket set (bounded by
     * `buckets`), read the store pruned to those partitions, re-run the
-    * timestamp strategy on that slice, and dynamic-partition-overwrite
-    * exactly those bucket directories. Because the supersede window is
-    * per-key and buckets partition keys, the result is row-identical to
+    * timestamp strategy on that slice, and swap exactly those bucket
+    * directories. Because the supersede window is per-key and buckets
+    * partition keys, the result is row-identical to
     * [[applyTimestampStrategy]] over the FULL store (spec-pinned) — at a
     * fraction of the IO once history dwarfs the daily batch.
     *
-    * The merged slice is staged to a sibling directory and read back
-    * before the final overwrite: Spark refuses to overwrite a path its
-    * own plan reads, and deriving the commit from staged files also
-    * keeps it independent of any cached lineage over `dir` (the
-    * CurateCli.runIncremental convention). A crash before the final
-    * write leaves the store untouched.
+    * The merged slice is staged to a sibling directory (Spark refuses to
+    * overwrite a path its own plan reads; staging also keeps the commit
+    * independent of any cached lineage over `dir` — the
+    * CurateCli.runIncremental convention) and then PROMOTED BY RENAME
+    * per touched bucket ([[commitStagedBuckets]]): the staged slice
+    * holds every surviving row of every touched bucket, so replacing the
+    * live directories wholesale is exactly what the previous
+    * dynamic-partition-overwrite commit did — minus a full second write
+    * and read of the slice (the round-13 fewer-passes optimization; the
+    * crash window is the same non-atomic-across-buckets replacement
+    * either way, covered by the dirty marker + idempotent-replay
+    * contract). A crash before the first rename leaves the store
+    * untouched.
     */
   def mergeStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -201,27 +208,52 @@ object Snapshot {
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy("bucket").parquet(stage)
-      // dirty marker BEFORE the data commit: from here until the manifest
-      // refresh completes, `_stats` may be stale (listing files the
-      // dynamic overwrite is about to delete) — readers heal through
-      // healManifest if a crash strands this window
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // the marker carries the stat key, so a reader can heal (rebuild
-      // the manifest from data) even when the crash also took the
-      // manifest directory itself
-      val marker = fs.create(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), true)
-      marker.write(uniqueKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      marker.close()
-      spark.read.parquet(stage)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy("bucket").parquet(dir)
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-      refreshManifest(spark, dir, uniqueKey, touched.toSeq)
-      fs.delete(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), false)
+      commitStagedBuckets(spark, dir, stage, uniqueKey, touched.toSeq)
     }
+  }
+
+  /** Shared commit of a staged bucket rewrite (merge / erase / expire):
+    * dirty marker first, then each touched live `bucket=<b>` directory is
+    * replaced by its staged counterpart VIA RENAME (deleted outright when
+    * the rewrite emptied the bucket — an erase that removed a bucket's
+    * every row stages nothing for it), then the manifest refreshes and
+    * the marker clears. One filesystem pass, zero Spark jobs beyond the
+    * manifest re-stat: the previous protocol re-read the staged slice and
+    * wrote it a second time through dynamic partition overwrite, whose
+    * job commit performs the same per-partition delete+rename this does
+    * directly. Crash behavior is unchanged: the replacement is
+    * non-atomic across buckets under BOTH protocols, the dirty marker
+    * keeps pruned reads honest through the window, and the callers'
+    * replay contracts (idempotent merge / erase) converge the data.
+    */
+  private def commitStagedBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      stage: String,
+      uniqueKey: String,
+      touched: Seq[Int]
+  ): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // dirty marker BEFORE the swap: from here until the manifest refresh
+    // completes, `_stats` may be stale (listing files the renames are
+    // about to delete) — readers heal through healManifest if a crash
+    // strands this window. The marker carries the stat key, so a reader
+    // can heal even when the crash also took the manifest directory.
+    val marker = fs.create(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), true)
+    marker.write(uniqueKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    marker.close()
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")
+      val staged = new org.apache.hadoop.fs.Path(s"$stage/bucket=$b")
+      fs.delete(live, true)
+      if (fs.exists(staged))
+        require(fs.rename(staged, live),
+          s"snapshot store: staged bucket promote $staged -> $live failed")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    refreshManifest(spark, dir, uniqueKey, touched)
+    fs.delete(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), false)
   }
 
   /** Right-to-erasure propagation (GDPR Art. 17) through the bucketed
@@ -266,31 +298,16 @@ object Snapshot {
       .sortWithinPartitions(col("bucket"), col(uniqueKey))
       .write.mode("overwrite")
       .partitionBy("bucket").parquet(stage)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = fs.create(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), true)
-    marker.write(uniqueKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    marker.close()
-    // schema supplied explicitly: a fully-erased slice stages ZERO files
-    // and schema inference would throw where "empty store region" is a
-    // legitimate outcome of erasure
-    val staged = spark.read.schema(slice.schema).parquet(stage)
-    val after = staged.count()
-    staged
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(dir)
-    // a bucket whose EVERY row was erased writes no staged partition, so
-    // the dynamic overwrite leaves its old files in place — delete those
-    // directories explicitly or the erased rows silently survive
-    val survivors = staged.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    touched.filterNot(survivors).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b"), true)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    refreshManifest(spark, dir, uniqueKey, touched.toSeq)
-    fs.delete(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), false)
+    // the erased-row count comes from the staged footers (schema supplied
+    // explicitly: a fully-erased slice stages ZERO files and schema
+    // inference would throw where "empty store region" is a legitimate
+    // outcome of erasure) — a metadata-only count, not a data pass
+    val after = spark.read.schema(slice.schema).parquet(stage).count()
+    // rename-promote: a bucket whose EVERY row was erased stages no
+    // directory and its live one is simply deleted — the explicit
+    // emptied-bucket sweep the old dynamic-overwrite commit needed is
+    // the protocol's default here
+    commitStagedBuckets(spark, dir, stage, uniqueKey, touched.toSeq)
     before - after
   }
 
@@ -339,28 +356,11 @@ object Snapshot {
       .sortWithinPartitions(col("bucket"), col(uniqueKey))
       .write.mode("overwrite")
       .partitionBy("bucket").parquet(stage)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = fs.create(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), true)
-    marker.write(uniqueKey.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    marker.close()
     // explicit schema: a bucket holding ONLY expired versions cannot
     // happen (each key keeps a current row), but the eraseKeys discipline
-    // costs nothing and survives a malformed store
-    val staged = spark.read.schema(slice.schema).parquet(stage)
-    val after = staged.count()
-    staged
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(dir)
-    val survivors = staged.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    touched.filterNot(survivors).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b"), true)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    refreshManifest(spark, dir, uniqueKey, touched.toSeq)
-    fs.delete(new org.apache.hadoop.fs.Path(dirtyMarker(dir)), false)
+    // costs nothing and survives a malformed store; footer-only count
+    val after = spark.read.schema(slice.schema).parquet(stage).count()
+    commitStagedBuckets(spark, dir, stage, uniqueKey, touched.toSeq)
     before - after
   }
 
