@@ -95,18 +95,23 @@ object CurateCli {
     * (min/max alone would accept a duplicated+dropped row pair).
     */
   private def auditShards(spark: SparkSession, shardDir: String, expected: Long): Boolean = {
-    val audit = Shards.readBackAudit(spark, shardDir).cache()
-    val nBack = audit.count()
-    val filesOk = audit.agg(max(col("files_in_shard"))).head().getLong(0) <= 1L
-    val posOk = audit
+    // ONE fused two-level aggregate (r13 optimization round): row count,
+    // files-per-shard max, and the per-shard position checks all fall
+    // out of the same grouped pass — the previous shape cached the
+    // read-back and ran three actions over it
+    val audit = Shards.readBackAudit(spark, shardDir)
+    val row = audit
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n"), countDistinct(col("shard_pos")).as("nd"),
-        min(col("shard_pos")).as("lo"), max(col("shard_pos")).as("hi"))
-      .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1 ||
-        col("nd") =!= col("n"))
-      .isEmpty
-    audit.unpersist()
-    nBack == expected && filesOk && posOk
+        min(col("shard_pos")).as("lo"), max(col("shard_pos")).as("hi"),
+        max(col("files_in_shard")).as("mf"))
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("nback"),
+        coalesce(max(col("mf")), lit(0L)).as("mf"),
+        coalesce(sum(when(col("lo") =!= 0L || col("hi") =!= col("n") - 1 ||
+          col("nd") =!= col("n"), 1L).otherwise(0L)), lit(0L)).as("bad"))
+      .head()
+    row.getLong(0) == expected && row.getLong(1) <= 1L && row.getLong(2) == 0L
   }
 
   final case class IncrementalSummary(
@@ -229,21 +234,36 @@ object CurateCli {
     val bootstrap = !exists(s"$indexDir/meta")
 
     val raw = spark.read.parquet(input)
-    val nIn = raw.count()
     // consent admission gate (Art. 6, opt-in): refused subjects never
     // reach the pipeline — one semi-join against the subject-scale
     // registry, the input batch never shuffles
-    val docs = consent match {
+    val docs0 = consent match {
       case None => raw
       case Some(cg) =>
         graft.policy.Consent.gate(spark, cg.consentDir, raw, cg.purpose)
     }
-    val nConsentDenied = if (consent.isEmpty) 0L else nIn - docs.count()
+    // the admitted-row count rides the kept materialization as an
+    // observed metric (r13 optimization round) — every admitted row
+    // flows through the curation gates' input, so a separate count
+    // action (and, without consent, the separate nIn count) is
+    // redundant. Only attached when the gate output is a real scan or
+    // join: a missing registry gates to `limit(0)`, which the optimizer
+    // folds to an empty local relation where an observation may never
+    // fire.
+    val dObs = new org.apache.spark.sql.Observation()
+    val obsSafe = consent.isEmpty ||
+      graft.policy.Consent.storeExists(spark, consent.get.consentDir)
+    val docs =
+      if (obsSafe) docs0.observe(dObs, count(lit(1)).as("n")) else docs0
     val kept = CorpusPipeline.prepare(docs, cfg = cfg)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         col("quality_score"), col("n_tokens"))
       .cache()
     val nKept = kept.count()
+    val nDocs =
+      if (obsSafe) dObs.get("n").asInstanceOf[Long] else docs0.count()
+    val nIn = if (consent.isEmpty) nDocs else raw.count()
+    val nConsentDenied = if (consent.isEmpty) 0L else nIn - nDocs
 
     // corpus-level dedup: batch bands broadcast onto the STORED index,
     // verify reads stored shingle sets pruned to candidate rows
@@ -578,14 +598,24 @@ object CurateCli {
     // trees' different partition ordinals (`batch=N` vs `batch=sN`)
     // union cleanly.
     val admissions = readAdmissions(spark, outDir)
+    // BOTH counts ride the violations write as observed metrics (r13
+    // optimization round): the admission count observes the audit
+    // anti-join's probe side (every admission row flows through it), the
+    // violation count the written frame — the previous shape re-read the
+    // written report and ran a separate admissions count, two extra
+    // full actions for numbers this one job already knows
+    val aObs = new org.apache.spark.sql.Observation()
+    val vObs = new org.apache.spark.sql.Observation()
     val ofPurpose = admissions.filter(col("purpose") === purpose)
       .withColumn("subject_id", col("doc_id"))
+      .observe(aObs, count(lit(1)).as("n"))
     val violations = graft.policy.Consent
       .retroAudit(spark, consentDir, ofPurpose, purpose)
       .select(col("doc_id"), col("purpose"), col("admitted_at"))
-    violations.write.mode("overwrite").parquet(s"$reportDir/violations")
-    val nV = spark.read.parquet(s"$reportDir/violations").count()
-    val nA = ofPurpose.count()
+    violations.observe(vObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$reportDir/violations")
+    val nV = vObs.get("n").asInstanceOf[Long]
+    val nA = aObs.get("n").asInstanceOf[Long]
     Files.createDirectories(Paths.get(reportDir))
     Files.writeString(
       Paths.get(s"$reportDir/consent_audit.json"),
@@ -709,17 +739,21 @@ object CurateCli {
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
     val corpusDir = s"$outDir/corpus"
     val keys = spark.read.parquet(keysPath).select(col("doc_id")).distinct()
-    val nKeys = keys.count()
 
     Erasure.recoverRetired(spark, corpusDir)
     // content-derived sweep id: a crashed sweep RE-RUN WITH THE SAME KEY
     // SET derives the same id, so its applied per-store commits no-op
     // exactly (the runRectify recipe — a nanoTime id gave a replay no
-    // alreadyApplied protection at all)
-    val eraseBatch = keys
-      .agg(coalesce(bit_xor(xxhash64(col("doc_id").cast("string"))),
-        lit(0L)).as("h"))
-      .head().getAs[Long]("h")
+    // alreadyApplied protection at all). ONE aggregate carries the key
+    // count too (r13 optimization round — the separate count job over
+    // the same request-scale frame was pure overhead).
+    val kAgg = keys
+      .agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("doc_id").cast("string"))),
+          lit(0L)).as("h"))
+      .head()
+    val nKeys = kAgg.getLong(0)
+    val eraseBatch = kAgg.getLong(1)
 
     // erase × pending-rectify interleaving: a crashed rectification's
     // facts capture holds the subject's PRE-rectification facts (doc_id,
@@ -1378,21 +1412,26 @@ object CurateCli {
     val expiredNames = expired.map(_.getPath.getName).toSet
     val dataBearing = Shards.liveBatchDirs(spark, shardsRoot.toString)
       .filter(expiredNames.contains)
-    if (dataBearing.nonEmpty)
-      Shards.readBatches(spark, shardsRoot.toString, dataBearing)
-        .select(col("doc_id"))
-        .distinct()
-        .write.mode("overwrite").parquet(keysPath)
-    else
-      // every expired directory is a flat schema-only husk a prior total
-      // erasure left — zero ids to capture, but the sweep below still
-      // needs a readable keys parquet
-      expired.map(st => spark.read.parquet(st.getPath.toString)
-          .select(col("doc_id")))
-        .reduce(_ unionByName _)
-        .distinct()
-        .write.mode("overwrite").parquet(keysPath)
-    val nDocs = spark.read.parquet(keysPath).count()
+    // the expired-id count rides the capture write as an observed metric
+    // (r13 optimization round) — the readback count re-scanned the file
+    // this same job just wrote
+    val rObs = new org.apache.spark.sql.Observation()
+    val capture =
+      if (dataBearing.nonEmpty)
+        Shards.readBatches(spark, shardsRoot.toString, dataBearing)
+          .select(col("doc_id"))
+          .distinct()
+      else
+        // every expired directory is a flat schema-only husk a prior total
+        // erasure left — zero ids to capture, but the sweep below still
+        // needs a readable keys parquet
+        expired.map(st => spark.read.parquet(st.getPath.toString)
+            .select(col("doc_id")))
+          .reduce(_ unionByName _)
+          .distinct()
+    capture.observe(rObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(keysPath)
+    val nDocs = rObs.get("n").asInstanceOf[Long]
     // age-out is metadata: drop the expired batch directories whole, so
     // the erase sweep below never rewrites a directory that is about to
     // disappear anyway
@@ -1455,13 +1494,20 @@ object CurateCli {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n"))
 
+    // counts of written report legs ride the write jobs as observed
+    // metrics (r13 optimization round): the previous shape re-read every
+    // leg it had just written for a count — one full extra action per
+    // leg, identical values by construction (the metric aggregates the
+    // exact rows the writer receives)
+    val corpusObs = new org.apache.spark.sql.Observation()
     val corpusRows =
       if (exists(s"$outDir/corpus"))
         spark.read.parquet(s"$outDir/corpus")
           .join(broadcast(keys), Seq("doc_id"), "left_semi")
       else keys.limit(0)
-    corpusRows.write.mode("overwrite").parquet(s"$reportDir/corpus_rows")
-    val nCorpus = spark.read.parquet(s"$reportDir/corpus_rows").count()
+    corpusRows.observe(corpusObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$reportDir/corpus_rows")
+    val nCorpus = corpusObs.get("n").asInstanceOf[Long]
 
     def opt(path: String, idExpr: String, name: String): (DataFrame, Boolean) =
       if (exists(path)) (legCount(path, idExpr).withColumnRenamed("n", name), true)
@@ -1505,15 +1551,21 @@ object CurateCli {
       .join(shardLoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_band_rows", "n_postings", "n_exact_sets",
         "n_exact_postings", "n_dense_rows", "n_shard_rows"))
-    subjects.write.mode("overwrite").parquet(s"$reportDir/subjects")
+    // same fold: the per-leg totals are observed on the subjects write
+    // instead of a readback aggregation over the file just written
+    val subjObs = new org.apache.spark.sql.Observation()
+    subjects.observe(subjObs,
+        sum(col("n_band_rows")).as("_s0"), sum(col("n_postings")).as("_s1"),
+        sum(col("n_dense_rows")).as("_s2"),
+        sum(col("n_exact_sets") + col("n_exact_postings")).as("_s3"),
+        sum(col("n_shard_rows")).as("_s4"))
+      .write.mode("overwrite").parquet(s"$reportDir/subjects")
 
-    val tot = spark.read.parquet(s"$reportDir/subjects")
-      .agg(sum(col("n_band_rows")), sum(col("n_postings")),
-        sum(col("n_dense_rows")),
-        sum(col("n_exact_sets") + col("n_exact_postings")),
-        sum(col("n_shard_rows")))
-      .head()
-    def s0(i: Int) = if (tot.isNullAt(i)) 0L else tot.getLong(i)
+    val tot = subjObs.get
+    def s0(i: Int) = tot(s"_s$i") match {
+      case null    => 0L
+      case v: Long => v
+    }
     // Art. 15 discloses processing STATUS too: a requested subject whose
     // id sits in a pending deletion vector is logically erased — still
     // physically present (the rows above), but excluded from every
@@ -1555,20 +1607,30 @@ object CurateCli {
             .select(col("subject_id"), col("purpose"), col("granted"),
               col("updated_at"), col("valid_from").cast("long"),
               col("valid_to").cast("long"))
-      hist.write.mode("overwrite").parquet(s"$reportDir/consent_state")
-      nConsentRows =
-        spark.read.parquet(s"$reportDir/consent_state").count()
+      val histObs = new org.apache.spark.sql.Observation()
+      hist.observe(histObs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$reportDir/consent_state")
+      nConsentRows = histObs.get("n").asInstanceOf[Long]
       import spark.implicits._
-      val pm = graft.operators.DeletionVectors.purposes(spark, outDir)
-        .map { pur =>
-          val n = graft.operators.DeletionVectors
-            .loadPurposeTree(spark, outDir, pur) match {
-            case None => 0L
-            case Some(dv) =>
-              dv.join(broadcast(keys), Seq("doc_id"), "left_semi").count()
-          }
-          (pur, n)
+      // ONE counting job for every purpose tree (r13 optimization round):
+      // the per-purpose masked-key counts union the (fixed-vocabulary)
+      // purpose trees and aggregate once, instead of one count job per
+      // purpose; purposes with no live tree (or no masked request keys)
+      // keep their zero row
+      val purs = graft.operators.DeletionVectors.purposes(spark, outDir)
+      val counted: Map[String, Long] = {
+        val trees = purs.flatMap { pur =>
+          graft.operators.DeletionVectors
+            .loadPurposeTree(spark, outDir, pur)
+            .map(dv => dv.select(lit(pur).as("_pur"), col("doc_id")))
         }
+        if (trees.isEmpty) Map.empty
+        else trees.reduce(_ unionByName _)
+          .join(broadcast(keys), Seq("doc_id"), "left_semi")
+          .groupBy(col("_pur")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      }
+      val pm = purs.map(pur => (pur, counted.getOrElse(pur, 0L)))
       pm.toDF("purpose", "n_masked_keys")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$reportDir/purpose_masks")
@@ -1581,10 +1643,12 @@ object CurateCli {
     // `<reportDir>/admissions`. One broadcast semi-join against the
     // request per read; the trees are Art. 30 records (pseudonymous
     // keys, no content), so the disclosure is record-sized.
+    val admObs = new org.apache.spark.sql.Observation()
     val admitted = readAdmissions(spark, outDir)
       .join(broadcast(keys), Seq("doc_id"), "left_semi")
-    admitted.write.mode("overwrite").parquet(s"$reportDir/admissions")
-    val nAdmissionRows = spark.read.parquet(s"$reportDir/admissions").count()
+    admitted.observe(admObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$reportDir/admissions")
+    val nAdmissionRows = admObs.get("n").asInstanceOf[Long]
     val summary = AccessSummary(nKeys, nCorpus, s0(0), s0(1), s0(2), s0(3),
       s0(4), nMasked, nConsentRows, nPurposeMasked, nAdmissionRows)
     Files.createDirectories(Paths.get(reportDir))
@@ -1683,26 +1747,30 @@ object CurateCli {
     require(correctedRaw.columns.contains("doc_id") &&
       correctedRaw.columns.contains("text"),
       "rectify: corrected parquet must carry doc_id and text")
-    val nRequested = correctedRaw.count()
-    require(correctedRaw.select(col("doc_id")).distinct().count() == nRequested,
+    // ONE fused gate-and-id pass (r13 optimization round): row count,
+    // doc_id uniqueness, the null-text gate, and the content-derived
+    // batch id all come from a single aggregate over the corrected file
+    // — previously four separate actions. The batch hash runs WITHOUT
+    // the defensive distinct of the old shape because the uniqueness
+    // gate in this same row refuses duplicate doc_ids before the hash
+    // value is ever used (over unique (doc_id, text) rows the distinct
+    // was an identity); a future relaxation of that gate must restore
+    // the deduplicated projection (bit_xor cancels pair-duplicated rows).
+    val gate = correctedRaw.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col("doc_id")).as("nd"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("nulls"),
+      coalesce(bit_xor(xxhash64(col("doc_id").cast("string"), col("text"))),
+        lit(0L)).as("h")).head()
+    val nRequested = gate.getLong(0)
+    require(gate.getLong(1) == nRequested,
       "rectify: corrected parquet has duplicate doc_id rows")
-    require(correctedRaw.filter(col("text").isNull).limit(1).count() == 0,
+    require(nRequested == 0L || gate.getLong(2) == 0L,
       "rectify: corrected text must not be null — removal is the erase " +
         "sweep's job, not a null rectification")
     // content-derived batch id: replays of the same corrected file reuse
     // the same commit ids, so applied index/agg legs no-op exactly.
-    // Hash a DEDUPLICATED projection (the runErase keys convention):
-    // bit_xor cancels pair-duplicated rows, so without the distinct a
-    // file holding {A, A, B} would hash identically to {B} and a second,
-    // materially different sweep could no-op on the first one's applied
-    // markers. The duplicate-doc_id require above already refuses such
-    // files today; the distinct keeps the id collision-free even if that
-    // gate is ever relaxed.
-    val batchBase = correctedRaw
-      .select(col("doc_id"), col("text")).distinct()
-      .agg(coalesce(bit_xor(xxhash64(col("doc_id").cast("string"), col("text"))),
-        lit(0L)).as("h"))
-      .head().getAs[Long]("h")
+    val batchBase = gate.getLong(3)
 
     // re-derive EXACTLY as ingest derived the landed rows
     // (CorpusPipeline.prepare): quality/token stats on the RAW corrected

@@ -48,8 +48,19 @@ object Snapshot {
       .withColumn("valid_from", col(updatedAt))
       .withColumn("valid_to", lit(null).cast(newRows.schema(updatedAt).dataType))
 
+    // ONE exchange for the whole pass (r13 optimization round, guide
+    // §2.4): hash-partitioning by the unique key satisfies the clustered
+    // distribution of BOTH the same-ts dedup (keyed by (key, ts) — a
+    // superset of the partitioning) and the supersede window (keyed by
+    // key), so the explicit repartition replaces the two exchanges
+    // Catalyst would otherwise insert back to back ((key, ts) for the
+    // dedup, then (key) for the window); the dedup's sort order is a
+    // prefix-extension of the window's, so the second sort folds away
+    // too. Row-identical by construction — both operations only require
+    // co-location of each key's rows.
     val unioned = snapshot.select(withValidity.columns.map(col): _*)
       .unionByName(withValidity)
+      .repartition(col(uniqueKey))
     // same key + same updated_at re-delivered -> keep one version
     val all =
       if (sameTsTiebreak.isEmpty) unioned.dropDuplicates(uniqueKey, updatedAt)
@@ -192,24 +203,30 @@ object Snapshot {
     require(buckets > 0, s"snapshot store: buckets must be positive, got $buckets")
     require(!newRows.columns.contains("bucket"),
       "snapshot store: batch must not already have a bucket column")
+    // persisted: the touched-bucket collect AND the staged rewrite both
+    // read the batch — uncached, the second action re-ran the caller's
+    // whole event derivation (r13 optimization round)
     val withB = newRows.withColumn("bucket",
       graft.operators.StableHash.bucket(col(uniqueKey), buckets))
-    val touched = withB.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.nonEmpty) {
-      val slice = spark.read.parquet(dir)
-        .filter(col("bucket").isin(touched.toSeq: _*))
-      val merged =
-        applyTimestampStrategy(slice, withB, uniqueKey, updatedAt, sameTsTiebreak)
-      val stage = dir.stripSuffix("/") + ".merge-stage"
-      merged
-        .repartition(touched.length, col("bucket"))
-        .sortWithinPartitions(col("bucket"), col(uniqueKey))
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy("bucket").parquet(stage)
-      commitStagedBuckets(spark, dir, stage, uniqueKey, touched.toSeq)
-    }
+      .persist()
+    try {
+      val touched = withB.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.nonEmpty) {
+        val slice = spark.read.parquet(dir)
+          .filter(col("bucket").isin(touched.toSeq: _*))
+        val merged =
+          applyTimestampStrategy(slice, withB, uniqueKey, updatedAt, sameTsTiebreak)
+        val stage = dir.stripSuffix("/") + ".merge-stage"
+        merged
+          .repartition(touched.length, col("bucket"))
+          .sortWithinPartitions(col("bucket"), col(uniqueKey))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy("bucket").parquet(stage)
+        commitStagedBuckets(spark, dir, stage, uniqueKey, touched.toSeq)
+      }
+    } finally withB.unpersist()
   }
 
   /** Shared commit of a staged bucket rewrite (merge / erase / expire):
@@ -289,7 +306,13 @@ object Snapshot {
 
     val slice = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched.toSeq: _*))
-    val before = slice.count()
+    // the erased-row count is the slice's overlap with the keys — ONE
+    // semi-join count instead of the previous before-count plus staged-
+    // footer-count pair (two extra passes for the same difference; r13
+    // optimization round)
+    val erased = slice
+      .join(keyed.select(col(uniqueKey)), Seq(uniqueKey), "left_semi")
+      .count()
     val kept = slice.join(
       keyed.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
     val stage = dir.stripSuffix("/") + ".erase-stage"
@@ -298,17 +321,12 @@ object Snapshot {
       .sortWithinPartitions(col("bucket"), col(uniqueKey))
       .write.mode("overwrite")
       .partitionBy("bucket").parquet(stage)
-    // the erased-row count comes from the staged footers (schema supplied
-    // explicitly: a fully-erased slice stages ZERO files and schema
-    // inference would throw where "empty store region" is a legitimate
-    // outcome of erasure) — a metadata-only count, not a data pass
-    val after = spark.read.schema(slice.schema).parquet(stage).count()
     // rename-promote: a bucket whose EVERY row was erased stages no
     // directory and its live one is simply deleted — the explicit
     // emptied-bucket sweep the old dynamic-overwrite commit needed is
     // the protocol's default here
     commitStagedBuckets(spark, dir, stage, uniqueKey, touched.toSeq)
-    before - after
+    erased
   }
 
   /** Record retention for the store's VERSION HISTORY (GDPR Art.
@@ -340,15 +358,21 @@ object Snapshot {
     require(buckets > 0, s"snapshot store: buckets must be positive, got $buckets")
     val expired =
       col("valid_to").isNotNull && col("valid_to").cast("long") < cutoff
-    val touched = spark.read.parquet(dir)
+    // ONE column-pruned scan finds the touched buckets AND counts the
+    // expired versions per bucket — the dropped total IS that sum, so
+    // the previous before-count and staged-footer-count jobs (two more
+    // passes over the slice) are redundant by definition (r13
+    // optimization round)
+    val touchedCounts = spark.read.parquet(dir)
       .filter(expired)
-      .select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val touched = touchedCounts.map(_._1).toSeq
     if (touched.isEmpty) return 0L
+    val dropped = touchedCounts.map(_._2).sum
 
     val slice = spark.read.parquet(dir)
-      .filter(col("bucket").isin(touched.toSeq: _*))
-    val before = slice.count()
+      .filter(col("bucket").isin(touched: _*))
     val kept = slice.filter(!expired)
     val stage = dir.stripSuffix("/") + ".expire-stage"
     kept
@@ -356,12 +380,8 @@ object Snapshot {
       .sortWithinPartitions(col("bucket"), col(uniqueKey))
       .write.mode("overwrite")
       .partitionBy("bucket").parquet(stage)
-    // explicit schema: a bucket holding ONLY expired versions cannot
-    // happen (each key keeps a current row), but the eraseKeys discipline
-    // costs nothing and survives a malformed store; footer-only count
-    val after = spark.read.schema(slice.schema).parquet(stage).count()
-    commitStagedBuckets(spark, dir, stage, uniqueKey, touched.toSeq)
-    before - after
+    commitStagedBuckets(spark, dir, stage, uniqueKey, touched)
+    dropped
   }
 
   private def dirtyMarker(dir: String): String =

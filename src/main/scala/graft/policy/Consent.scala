@@ -152,9 +152,12 @@ object Consent {
 
   /** [[withdraw]]/[[grant]] build their event frame from an
     * already-validated scalar purpose literal — re-scanning it would be
-    * a pure extra job on the request path.
+    * a pure extra job on the request path. (private[graft]: the
+    * streaming consent sink and the dead-letter resubmit validate the
+    * purpose vocabulary themselves, so their re-entry skips the
+    * duplicate distinct-collect — r13 optimization round.)
     */
-  private def update(
+  private[graft] def update(
       spark: SparkSession,
       dir: String,
       events: DataFrame,
@@ -303,7 +306,7 @@ object Consent {
       subs: DataFrame,
       purpose: String,
       mapping: Option[DataFrame]
-  ): Unit = graft.operators.Lease
+  ): Long = graft.operators.Lease
     .withLease(spark, stateDir, "consent-vectors") {
     // both legs and their emptiness probes reuse these frames, so cache
     // them — without it every probe re-scans the registry store
@@ -315,17 +318,30 @@ object Consent {
     // side already defends against with the same hint) would force a
     // corpus-scale subject set through the driver mid-compliance-op —
     // above the threshold the plan degrades to a shuffle join instead
-    val grantedNow = currentState(spark, consentDir)
+    val grantedSub = currentState(spark, consentDir)
       .filter(col("purpose") === purpose && col("granted"))
       .select(col("subject_id"))
       .join(graft.operators.DeletionVectors.hinted(touched),
         Seq("subject_id"), "left_semi")
+    // verdict split with ONE materialized frame and ONE counting action:
+    // touched left-joined against its granted subset (request-scale on
+    // both sides, so the build side is hinted the same way) carries the
+    // per-subject verdict, and a single aggregate yields nTouched AND
+    // nGranted — the previous shape persisted two frames and ran two
+    // count jobs plus an anti-join recompute for the denied leg
+    val flagged = touched
+      .join(graft.operators.DeletionVectors.hinted(
+          grantedSub.withColumn("_g", lit(1))),
+        Seq("subject_id"), "left")
       .persist()
     try {
-      val nGranted = grantedNow.count()
-      val nTouched = touched.count()
-      val deniedNow = touched
-        .join(grantedNow, Seq("subject_id"), "left_anti")
+      val cnt = flagged
+        .agg(count(lit(1)).as("t"), count(col("_g")).as("g")).head()
+      val (nTouched, nGranted) = (cnt.getLong(0), cnt.getLong(1))
+      val grantedNow = flagged.filter(col("_g").isNotNull)
+        .select(col("subject_id"))
+      val deniedNow = flagged.filter(col("_g").isNull)
+        .select(col("subject_id"))
       if (nTouched - nGranted > 0) {
         graft.operators.DeletionVectors.append(spark, stateDir,
           docKeys(deniedNow, mapping), purpose = Some(purpose))
@@ -339,8 +355,9 @@ object Consent {
       if (nGranted > 0)
         graft.operators.DeletionVectors.subtractPurpose(spark, stateDir,
           docKeys(grantedNow, mapping), purpose)
+      nTouched
     } finally {
-      grantedNow.unpersist()
+      flagged.unpersist()
       touched.unpersist()
     }
   }
@@ -381,20 +398,29 @@ object Consent {
   ): Long = graft.operators.Lease
     .withLease(spark, consentDir, "consent-withdraw") {
     graft.operators.DeletionVectors.requireSlug(purpose)
+    // persisted: the registry merge, the vector sync, and the returned
+    // count all read this request-scale frame — uncached, each action
+    // re-ran the caller's source scan and the distinct shuffle
     val subs = subjects
       .select(col(subjects.columns.head).as("subject_id")).distinct()
-    val events = subs
-      .withColumn("purpose", lit(purpose))
-      .withColumn("granted", lit(false))
-      .withColumn("updated_at", lit(updatedAt))
-    update(spark, consentDir, events, checkPurposes = false)
-    failpoint("registry-updated")
-    // the vector action follows the POST-MERGE verdict, not this event:
-    // a withdrawal backdated behind a stored newer grant loses the merge
-    // and must NOT mask (and vice versa for grant) — see [[syncVectors]]
-    stateDir.foreach(sd =>
-      syncVectors(spark, consentDir, sd, subs, purpose, mapping))
-    subs.count()
+      .persist()
+    try {
+      val events = subs
+        .withColumn("purpose", lit(purpose))
+        .withColumn("granted", lit(false))
+        .withColumn("updated_at", lit(updatedAt))
+      update(spark, consentDir, events, checkPurposes = false)
+      failpoint("registry-updated")
+      // the vector action follows the POST-MERGE verdict, not this event:
+      // a withdrawal backdated behind a stored newer grant loses the merge
+      // and must NOT mask (and vice versa for grant) — see [[syncVectors]];
+      // its verdict-split count IS |subs| (touched = subs distinct), so the
+      // with-state path returns it without a further job
+      stateDir match {
+        case Some(sd) => syncVectors(spark, consentDir, sd, subs, purpose, mapping)
+        case None     => subs.count()
+      }
+    } finally subs.unpersist()
   }
 
   /** Art. 7 grant (or RE-grant), composed end to end: record the grant
@@ -420,19 +446,24 @@ object Consent {
   ): Long = graft.operators.Lease
     .withLease(spark, consentDir, "consent-grant") {
     graft.operators.DeletionVectors.requireSlug(purpose)
+    // persisted + count-from-sync: see [[withdraw]]
     val subs = subjects
       .select(col(subjects.columns.head).as("subject_id")).distinct()
-    val events = subs
-      .withColumn("purpose", lit(purpose))
-      .withColumn("granted", lit(true))
-      .withColumn("updated_at", lit(updatedAt))
-    update(spark, consentDir, events, checkPurposes = false)
-    failpoint("registry-updated")
-    // post-merge verdict, not this event: a grant backdated behind a
-    // stored newer withdrawal loses the merge and must NOT unmask
-    stateDir.foreach(sd =>
-      syncVectors(spark, consentDir, sd, subs, purpose, mapping))
-    subs.count()
+      .persist()
+    try {
+      val events = subs
+        .withColumn("purpose", lit(purpose))
+        .withColumn("granted", lit(true))
+        .withColumn("updated_at", lit(updatedAt))
+      update(spark, consentDir, events, checkPurposes = false)
+      failpoint("registry-updated")
+      // post-merge verdict, not this event: a grant backdated behind a
+      // stored newer withdrawal loses the merge and must NOT unmask
+      stateDir match {
+        case Some(sd) => syncVectors(spark, consentDir, sd, subs, purpose, mapping)
+        case None     => subs.count()
+      }
+    } finally subs.unpersist()
   }
 
   /** The Art. 7(1) retroactive-lawfulness audit: which admitted rows
@@ -551,9 +582,20 @@ object Consent {
           s"dead-letter: no quarantined batch=$batch under " +
             s"${deadLetterRoot(consentDir)}"))
       val events = spark.read.parquet(dir.toString)
-      val quarantined = events.filter(col("purpose").isNotNull)
-        .select(col("purpose")).distinct()
-        .collect().map(_.getString(0))
+      // ONE grouped collect carries the quarantined vocabulary, the
+      // resubmitted-event count, and which purposes have vector-relevant
+      // rows — the previous shape ran a distinct-collect, a count, the
+      // merge's re-validation collect, and a second distinct-collect for
+      // the same facts (r13 optimization round)
+      val pStats = events
+        .groupBy(col("purpose"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("subject_id").isNotNull &&
+            col("granted").isNotNull, 1L).otherwise(0L)).as("nClean"))
+        .collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+          r.getLong(1), r.getLong(2)))
+      val quarantined = pStats.collect { case (p, _, _) if p != null => p }
       val unresolved = quarantined
         .map(p => (p, remap.getOrElse(p, p)))
         .filterNot { case (_, to) =>
@@ -567,13 +609,20 @@ object Consent {
         when(col("purpose") === p, lit(remap.getOrElse(p, p))).otherwise(acc)
       }
       val corrected = events.withColumn("purpose", fixPurpose)
-      val n = corrected.count()
-      update(spark, consentDir, corrected)
+      val n = pStats.map(_._2).sum
+      // the remap gate above already validated every surviving purpose,
+      // so the merge skips its duplicate validation collect
+      update(spark, consentDir, corrected, checkPurposes = false)
       stateDir.foreach { sd =>
         val clean = corrected.filter(col("subject_id").isNotNull &&
           col("purpose").isNotNull && col("granted").isNotNull)
-        val purposes = clean.select(col("purpose")).distinct()
-          .collect().map(_.getString(0)).sorted
+        // post-remap purpose targets with at least one fully-fielded row
+        // (two quarantined purposes may remap to one slug: their subject
+        // sets sync under that one target)
+        val purposes = pStats.collect {
+          case (p, _, nClean) if p != null && nClean > 0 =>
+            remap.getOrElse(p, p)
+        }.distinct.sorted
         purposes.foreach { p =>
           syncVectors(spark, consentDir, sd,
             clean.filter(col("purpose") === p)

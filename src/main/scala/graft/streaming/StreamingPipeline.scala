@@ -1099,7 +1099,7 @@ object StreamingPipeline {
       .outputMode(OutputMode.Append())
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        {
           val spark = batch.sparkSession
           // the sink mutates the registry across the merge AND the vector
           // legs, so it holds the registry lease for the whole batch (a
@@ -1122,13 +1122,22 @@ object StreamingPipeline {
             // is the address, replays overwrite) and processes the rest;
             // [[graft.operators.Fsck.consentCensus]] surfaces quarantined
             // rows so the triage is auditable, never silent. The purpose
-            // vocabulary is bounded, so the validity split is one tiny
-            // distinct-collect (the same bound the vector loop uses).
-            val allPurposes = events.filter(col("purpose").isNotNull)
-              .select(col("purpose")).distinct()
-              .collect().map(_.getString(0))
-            val badPurposes = allPurposes
-              .filterNot(graft.operators.DeletionVectors.isSlug)
+            // vocabulary is bounded, so ONE grouped collect carries the
+            // whole per-purpose shape of the batch — emptiness, the
+            // validity split, and which purposes have vector-relevant
+            // (fully-fielded) rows; the previous shape ran four separate
+            // driver actions for the same facts (r13 optimization round).
+            val pStats = events
+              .groupBy(col("purpose"))
+              .agg(count(lit(1)).as("n"),
+                sum(when(col("subject_id").isNotNull &&
+                  col("granted").isNotNull, 1L).otherwise(0L)).as("nClean"))
+              .collect()
+              .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+                r.getLong(1), r.getLong(2)))
+            val badPurposes = pStats
+              .collect { case (p, _, _) if p != null &&
+                !graft.operators.DeletionVectors.isSlug(p) => p }
             val good =
               if (badPurposes.isEmpty) events
               else {
@@ -1148,9 +1157,14 @@ object StreamingPipeline {
                   !col("purpose").isin(badPurposes.toSeq: _*))
               }
             // an all-quarantined batch must not touch the registry (and an
-            // empty init would stage a zero-row store write)
-            if (!good.isEmpty) {
-              graft.policy.Consent.update(spark, consentDir, good)
+            // empty init would stage a zero-row store write); the sink's
+            // own pStats already validated the surviving vocabulary, so
+            // the merge skips the duplicate validation collect
+            val goodNonEmpty = pStats.exists { case (p, n, _) =>
+              n > 0 && (p == null || !badPurposes.contains(p)) }
+            if (goodNonEmpty) {
+              graft.policy.Consent
+                .update(spark, consentDir, good, checkPurposes = false)
               stateDir.foreach { sd =>
                 // null-field events never reach the registry (update drops
                 // them); they must not reach the vectors either. The purpose
@@ -1165,8 +1179,10 @@ object StreamingPipeline {
                 // the registry landed, in every arrival order.
                 val clean = good.filter(col("subject_id").isNotNull &&
                   col("purpose").isNotNull && col("granted").isNotNull)
-                val purposes = clean.select(col("purpose")).distinct()
-                  .collect().map(_.getString(0)).sorted
+                val purposes = pStats.collect {
+                  case (p, _, nClean) if p != null && nClean > 0 &&
+                    !badPurposes.contains(p) => p
+                }.sorted
                 purposes.foreach { p =>
                   val touched = clean.filter(col("purpose") === p)
                     .select(col("subject_id")).distinct()
