@@ -101,48 +101,55 @@ object EventStatsStore {
     // so the first NON-empty batch must still take the bootstrap path
     val hasData = dfs.exists(dirPath) &&
       dfs.listStatus(dirPath).exists(_.getPath.getName.startsWith("day="))
-    if (!hasData) {
-      if (batchHourly.isEmpty) {
-        PartitionSwap.markApplied(spark, dir, batchId)
+    // persisted: both paths run two actions over the batch (emptiness
+    // probe + bootstrap write, or touched-day collect + staged merge) —
+    // uncached, each re-ran the caller's whole hourly aggregation (r13
+    // optimization round)
+    val persisted = batchHourly.persist()
+    try {
+      if (!hasData) {
+        if (persisted.isEmpty) {
+          PartitionSwap.markApplied(spark, dir, batchId)
+          return
+        }
+        // first non-empty batch bootstraps the store — THROUGH the stage +
+        // commit protocol, not a direct overwrite of the live tree: a crash
+        // mid-bootstrap would leave a partial set of live day= directories,
+        // hasData would read true on replay, and the replayed batch would
+        // merge into its own partial data (the AggStore bootstrap argument)
+        val stage = stageDir(dir)
+        write(persisted, stage)
+        PartitionSwap.commit(spark, dir, stage,
+          PartitionSwap.listEntries(spark, stage, "day="), batchId)
         return
       }
-      // first non-empty batch bootstraps the store — THROUGH the stage +
-      // commit protocol, not a direct overwrite of the live tree: a crash
-      // mid-bootstrap would leave a partial set of live day= directories,
-      // hasData would read true on replay, and the replayed batch would
-      // merge into its own partial data (the AggStore bootstrap argument)
-      val stage = stageDir(dir)
-      write(batchHourly, stage)
-      PartitionSwap.commit(spark, dir, stage,
-        PartitionSwap.listEntries(spark, stage, "day="), batchId)
-      return
-    }
 
-    val batch = withDay(batchHourly)
-    val touched = batch.select(col("day")).distinct()
-      .collect().map(_.getString(0)).sorted
-    if (touched.nonEmpty) {
-      val slice = load(spark, dir).filter(col("day").isin(touched.toSeq: _*))
-      val merged = slice
-        .unionByName(batch)
-        .groupBy((keyCols.map(col) :+ col("hour") :+ col("day")): _*)
-        .agg(sum(col("n")).as("n"))
-      val stage = stageDir(dir)
-      merged
-        .repartition(touched.length, col("day"))
-        .sortWithinPartitions(col("day"), col("hour"))
-        .write.mode("overwrite")
-        .partitionBy("day").parquet(stage)
-      // commit by retire/promote rename, not dynamic partition overwrite
-      // — the [[PartitionSwap]] protocol: overwrite replaces the touched
-      // day directories NON-atomically at job commit, and a crash
-      // mid-commit would leave some days merged and others not while the
-      // replay re-added the batch to the already-rewritten days
-      PartitionSwap.commit(spark, dir, stage,
-        touched.toSeq.map(d => s"day=$d"), batchId)
-    } else {
-      PartitionSwap.markApplied(spark, dir, batchId)
-    }
+      val batch = withDay(persisted)
+      val touched = batch.select(col("day")).distinct()
+        .collect().map(_.getString(0)).sorted
+      if (touched.nonEmpty) {
+        val slice = load(spark, dir).filter(col("day").isin(touched.toSeq: _*))
+        val merged = slice
+          .unionByName(batch)
+          .groupBy((keyCols.map(col) :+ col("hour") :+ col("day")): _*)
+          .agg(sum(col("n")).as("n"))
+        val stage = stageDir(dir)
+        merged
+          .repartition(touched.length, col("day"))
+          .sortWithinPartitions(col("day"), col("hour"))
+          .write.mode("overwrite")
+          .partitionBy("day").parquet(stage)
+        // commit by retire/promote rename, not dynamic partition overwrite
+        // — the [[PartitionSwap]] protocol: overwrite replaces the touched
+        // day directories NON-atomically at job commit, and a crash
+        // mid-commit would leave some days merged and others not while the
+        // replay re-added the batch to the already-rewritten days
+        PartitionSwap.commit(spark, dir, stage,
+          touched.toSeq.map(d => s"day=$d"), batchId)
+      } else {
+        PartitionSwap.markApplied(spark, dir, batchId)
+      }
+    } finally persisted.unpersist()
   }
 
   /** Right-to-erasure through the hourly-count store: subtract the
