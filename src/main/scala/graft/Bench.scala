@@ -18,19 +18,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // Scale-adaptive parallelism floor (r13 optimization round, guide
-      // §2.2/§2.5): AQE coalescing with the default
-      // minPartitionSize=1m serializes CPU-heavy stages whenever a
-      // query's shuffle volume is below ~1 MB/core — with
-      // parallelismFirst (default true) the coalesce target is
-      // max(bytes/parallelism, minPartitionSize), so the 1 MB floor, a
-      // CONSTANT, caps small shuffles at 1-5 partitions and md5/shingle
-      // stages ran at 3x parallelism on 32 cores (measured: q_ssjoin
-      // _indexed 10.8s -> 4.0s with the floor at 64k). At production
-      // shuffle sizes bytes/parallelism >> 1 MB, so this floor is inert
-      // — it only restores the parallelism-first behavior AQE already
-      // promises. Overridable via SPARK_GRAFT_CONF below.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // r14: the r13 session-level minPartitionSize=64k floor is REMOVED.
+      // The driver's full-registry r13 bench showed it regressing 9 queries
+      // 2-10x at local[32] (q_substring_dedup 1.1->11.5s, q_ssjoin 4->13s,
+      // q_topk_revenue 0.8->3.7s): keeping 32 micro-partitions alive per
+      // stage on sub-MB sf0.1 shuffles compounds per-task overhead across
+      // multi-stage queries. Parallelism-sensitive operators tune
+      // partitioning internally where plans can prove it, not here.
       .config("spark.ui.enabled", "false")
     // ad-hoc experiment overrides: SPARK_GRAFT_CONF="key=value;key=value"
     sys.env.get("SPARK_GRAFT_CONF").foreach {

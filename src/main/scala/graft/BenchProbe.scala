@@ -19,7 +19,6 @@ object BenchProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // keep the probe's session identical to Bench's (see Bench.scala)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").foreach {
       _.split(';').filter(_.contains('=')).foreach { kv =>
