@@ -1485,7 +1485,6 @@ object CurateCli {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
     val keys = spark.read.parquet(keysPath).select(col("doc_id")).distinct()
-    val nKeys = keys.count()
 
     def legCount(path: String, idExpr: String): DataFrame =
       spark.read.parquet(path)
@@ -1499,15 +1498,17 @@ object CurateCli {
     // leg it had just written for a count — one full extra action per
     // leg, identical values by construction (the metric aggregates the
     // exact rows the writer receives)
-    val corpusObs = new org.apache.spark.sql.Observation()
-    val corpusRows =
-      if (exists(s"$outDir/corpus"))
-        spark.read.parquet(s"$outDir/corpus")
-          .join(broadcast(keys), Seq("doc_id"), "left_semi")
-      else keys.limit(0)
-    corpusRows.observe(corpusObs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$reportDir/corpus_rows")
-    val nCorpus = corpusObs.get("n").asInstanceOf[Long]
+    def corpusLeg(): Long = {
+      val corpusObs = new org.apache.spark.sql.Observation()
+      val corpusRows =
+        if (exists(s"$outDir/corpus"))
+          spark.read.parquet(s"$outDir/corpus")
+            .join(broadcast(keys), Seq("doc_id"), "left_semi")
+        else keys.limit(0)
+      corpusRows.observe(corpusObs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$reportDir/corpus_rows")
+      corpusObs.get("n").asInstanceOf[Long]
+    }
 
     def opt(path: String, idExpr: String, name: String): (DataFrame, Boolean) =
       if (exists(path)) (legCount(path, idExpr).withColumnRenamed("n", name), true)
@@ -1542,29 +1543,30 @@ object CurateCli {
         .agg(count(lit(1)).as("n_shard_rows"))
     }
 
-    val subjects = keys
-      .join(band, Seq("doc_id"), "left")
-      .join(search, Seq("doc_id"), "left")
-      .join(exactSets, Seq("doc_id"), "left")
-      .join(exactPost, Seq("doc_id"), "left")
-      .join(denseInfo, Seq("doc_id"), "left")
-      .join(shardLoc, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_band_rows", "n_postings", "n_exact_sets",
-        "n_exact_postings", "n_dense_rows", "n_shard_rows"))
-    // same fold: the per-leg totals are observed on the subjects write
-    // instead of a readback aggregation over the file just written
-    val subjObs = new org.apache.spark.sql.Observation()
-    subjects.observe(subjObs,
-        sum(col("n_band_rows")).as("_s0"), sum(col("n_postings")).as("_s1"),
-        sum(col("n_dense_rows")).as("_s2"),
-        sum(col("n_exact_sets") + col("n_exact_postings")).as("_s3"),
-        sum(col("n_shard_rows")).as("_s4"))
-      .write.mode("overwrite").parquet(s"$reportDir/subjects")
-
-    val tot = subjObs.get
-    def s0(i: Int) = tot(s"_s$i") match {
-      case null    => 0L
-      case v: Long => v
+    def subjectsLeg(): Seq[Long] = {
+      val subjects = keys
+        .join(band, Seq("doc_id"), "left")
+        .join(search, Seq("doc_id"), "left")
+        .join(exactSets, Seq("doc_id"), "left")
+        .join(exactPost, Seq("doc_id"), "left")
+        .join(denseInfo, Seq("doc_id"), "left")
+        .join(shardLoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_band_rows", "n_postings", "n_exact_sets",
+          "n_exact_postings", "n_dense_rows", "n_shard_rows"))
+      // same fold: the per-leg totals are observed on the subjects write
+      // instead of a readback aggregation over the file just written
+      val subjObs = new org.apache.spark.sql.Observation()
+      subjects.observe(subjObs,
+          sum(col("n_band_rows")).as("_s0"), sum(col("n_postings")).as("_s1"),
+          sum(col("n_dense_rows")).as("_s2"),
+          sum(col("n_exact_sets") + col("n_exact_postings")).as("_s3"),
+          sum(col("n_shard_rows")).as("_s4"))
+        .write.mode("overwrite").parquet(s"$reportDir/subjects")
+      val tot = subjObs.get
+      (0 to 4).map(i => tot(s"_s$i") match {
+        case null    => 0L
+        case v: Long => v
+      })
     }
     // Art. 15 discloses processing STATUS too: a requested subject whose
     // id sits in a pending deletion vector is logically erased — still
@@ -1574,10 +1576,11 @@ object CurateCli {
     // state (Art. 7(3) withdrawals, disclosed per purpose below), not
     // pending erasure — the round-11 settle-scope distinction applies
     // to the disclosure too
-    val nMasked = graft.operators.DeletionVectors.loadGlobal(spark, outDir) match {
-      case None => 0L
-      case Some(dv) => dv.join(broadcast(keys), Seq("doc_id"), "left_semi").count()
-    }
+    def maskedLeg(): Long =
+      graft.operators.DeletionVectors.loadGlobal(spark, outDir) match {
+        case None => 0L
+        case Some(dv) => dv.join(broadcast(keys), Seq("doc_id"), "left_semi").count()
+      }
     // Art. 15(1)(a)+(b) with Art. 7(1) demonstrability: when the consent
     // registry is given, disclose the subject's FULL consent history —
     // every (purpose, granted) version with its validity interval, not
@@ -1588,9 +1591,7 @@ object CurateCli {
     // currently exclude the subject from serving, Art. 7(3) withdrawals
     // in force) to `<reportDir>/purpose_masks`. The registry side is
     // subject-scale; both joins broadcast the request.
-    var nConsentRows = 0L
-    var nPurposeMasked = 0L
-    consentDir.foreach { cd =>
+    def consentLeg(): Seq[Long] = consentDir.fold(Seq(0L, 0L)) { cd =>
       val subjects = consentSubjects.getOrElse(
         keys.withColumnRenamed("doc_id", "subject_id"))
       val hist =
@@ -1610,7 +1611,7 @@ object CurateCli {
       val histObs = new org.apache.spark.sql.Observation()
       hist.observe(histObs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"$reportDir/consent_state")
-      nConsentRows = histObs.get("n").asInstanceOf[Long]
+      val nConsentRows = histObs.get("n").asInstanceOf[Long]
       import spark.implicits._
       // ONE counting job for every purpose tree (r13 optimization round):
       // the per-purpose masked-key counts union the (fixed-vocabulary)
@@ -1634,7 +1635,7 @@ object CurateCli {
       pm.toDF("purpose", "n_masked_keys")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$reportDir/purpose_masks")
-      nPurposeMasked = pm.map(_._2).sum
+      Seq(nConsentRows, pm.map(_._2).sum)
     }
     // Art. 15(1)(a)+(c) — WHAT processing happened and WHEN: the
     // subject's rows from every admission tree (batch `.admissions/` and
@@ -1643,12 +1644,32 @@ object CurateCli {
     // `<reportDir>/admissions`. One broadcast semi-join against the
     // request per read; the trees are Art. 30 records (pseudonymous
     // keys, no content), so the disclosure is record-sized.
-    val admObs = new org.apache.spark.sql.Observation()
-    val admitted = readAdmissions(spark, outDir)
-      .join(broadcast(keys), Seq("doc_id"), "left_semi")
-    admitted.observe(admObs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$reportDir/admissions")
-    val nAdmissionRows = admObs.get("n").asInstanceOf[Long]
+    def admissionsLeg(): Long = {
+      val admObs = new org.apache.spark.sql.Observation()
+      val admitted = readAdmissions(spark, outDir)
+        .join(broadcast(keys), Seq("doc_id"), "left_semi")
+      admitted.observe(admObs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$reportDir/admissions")
+      admObs.get("n").asInstanceOf[Long]
+    }
+    // r14 (guide §2.6): the report legs write disjoint `<reportDir>/...`
+    // outputs from read-only store scans — each is a short chain of small
+    // jobs, so the serial form paid one scheduling latency after another.
+    // Overlapped, the summary and every leg's bytes are identical.
+    Files.createDirectories(Paths.get(reportDir))
+    val legResults = graft.operators.Par.run[Seq[Long]](Seq(
+      () => Seq(keys.count()),
+      () => Seq(corpusLeg()),
+      () => subjectsLeg(),
+      () => Seq(maskedLeg()),
+      () => consentLeg(),
+      () => Seq(admissionsLeg())))
+    val nKeys = legResults(0).head
+    val nCorpus = legResults(1).head
+    val s0 = legResults(2)
+    val nMasked = legResults(3).head
+    val Seq(nConsentRows, nPurposeMasked) = legResults(4)
+    val nAdmissionRows = legResults(5).head
     val summary = AccessSummary(nKeys, nCorpus, s0(0), s0(1), s0(2), s0(3),
       s0(4), nMasked, nConsentRows, nPurposeMasked, nAdmissionRows)
     Files.createDirectories(Paths.get(reportDir))

@@ -78,6 +78,60 @@ object Snapshot {
       .drop("_next_from")
   }
 
+  /** Bucketed variant of [[applyTimestampStrategy]] (r14, guide §2.4):
+    * both inputs already carry the store's `bucket` column — a pure
+    * function of the unique key, so hash-partitioning by `bucket` also
+    * co-locates every key's full history — and the result comes out
+    * partitioned by bucket and sorted (bucket, key, ts), which is
+    * exactly the layout the bucket-partitioned store write needs. ONE
+    * exchange therefore serves the same-ts dedup (grouped by
+    * (bucket, key, ts) ⊇ {bucket}), the supersede window (clustered by
+    * (bucket, key) ⊇ {bucket}) AND the write; the write's
+    * sortWithinPartitions(bucket, key) is a prefix of the window's
+    * (bucket, key, ts) sort and folds away. The non-bucketed path
+    * needed three: (key) for dedup+window, then (bucket) for the write,
+    * whose sort re-ran from scratch. Row-identical: every operation
+    * here only requires each key's rows co-located, and bucket adds no
+    * grouping power beyond the key it is derived from.
+    */
+  private def applyTimestampStrategyBucketed(
+      snapshot: DataFrame,
+      newRows: DataFrame,
+      nPartitions: Int,
+      uniqueKey: String,
+      updatedAt: String,
+      sameTsTiebreak: Seq[Column]
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val dataCols = newRows.columns.toSeq
+    val withValidity = newRows
+      .select(dataCols.map(col): _*)
+      .withColumn("valid_from", col(updatedAt))
+      .withColumn("valid_to", lit(null).cast(newRows.schema(updatedAt).dataType))
+
+    val unioned = snapshot.select(withValidity.columns.map(col): _*)
+      .unionByName(withValidity)
+      .repartition(nPartitions, col("bucket"))
+    val deduped =
+      if (sameTsTiebreak.isEmpty)
+        unioned.dropDuplicates("bucket", uniqueKey, updatedAt)
+      else {
+        val w = Window
+          .partitionBy(col("bucket"), col(uniqueKey), col(updatedAt))
+          .orderBy(sameTsTiebreak: _*)
+        unioned.withColumn("_ts_rk", row_number().over(w))
+          .filter(col("_ts_rk") === 1).drop("_ts_rk")
+      }
+
+    val byKey = Window.partitionBy(col("bucket"), col(uniqueKey))
+      .orderBy(col(updatedAt))
+    deduped
+      .withColumn("_next_from", lead(col(updatedAt), 1).over(byKey))
+      .withColumn("valid_to", col("_next_from"))
+      .drop("_next_from")
+  }
+
   /** Start a snapshot from scratch. */
   def initial(newRows: DataFrame, uniqueKey: String, updatedAt: String): DataFrame =
     applyTimestampStrategy(
@@ -126,6 +180,42 @@ object Snapshot {
       .partitionBy("bucket").parquet(dir)
     graft.operators.DataSkipping.writeManifest(
       snapshot.sparkSession, dir, Seq(uniqueKey),
+      s"$dir/${graft.operators.DataSkipping.ManifestSubdir}")
+  }
+
+  /** Fused bootstrap: [[initial]] + [[writeStore]] in ONE exchange (r14,
+    * guide §2.4). The two-call form exchanges by key for the SCD-2 pass
+    * and again by bucket for the store layout; since bucket is derived
+    * from the key, the bucketed pass serves both. Store content is
+    * row-identical to `writeStore(initial(rows, key, ts), key, dir, b)`.
+    */
+  def initStore(
+      rows: DataFrame,
+      uniqueKey: String,
+      updatedAt: String,
+      dir: String,
+      buckets: Int,
+      maxRecordsPerFile: Long = 0L,
+      sameTsTiebreak: Seq[Column] = Seq.empty
+  ): Unit = {
+    require(buckets > 0, s"snapshot store: buckets must be positive, got $buckets")
+    require(!rows.columns.contains("bucket"),
+      "snapshot store: input must not already have a bucket column")
+    val withB = rows.withColumn("bucket",
+      graft.operators.StableHash.bucket(col(uniqueKey), buckets))
+    val empty = withB.limit(0)
+    val snap = applyTimestampStrategyBucketed(
+      empty
+        .withColumn("valid_from", col(updatedAt))
+        .withColumn("valid_to", lit(null).cast(rows.schema(updatedAt).dataType)),
+      withB, buckets, uniqueKey, updatedAt, sameTsTiebreak)
+    snap
+      .sortWithinPartitions(col("bucket"), col(uniqueKey))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket").parquet(dir)
+    graft.operators.DataSkipping.writeManifest(
+      rows.sparkSession, dir, Seq(uniqueKey),
       s"$dir/${graft.operators.DataSkipping.ManifestSubdir}")
   }
 
@@ -215,11 +305,14 @@ object Snapshot {
       if (touched.nonEmpty) {
         val slice = spark.read.parquet(dir)
           .filter(col("bucket").isin(touched.toSeq: _*))
-        val merged =
-          applyTimestampStrategy(slice, withB, uniqueKey, updatedAt, sameTsTiebreak)
+        // bucketed SCD-2 pass (r14): one exchange serves dedup, window
+        // and the bucket-partitioned staged write; the write's sort is a
+        // prefix of the window's and folds away (was: (key) exchange +
+        // (bucket) exchange + a second full sort of the slice)
+        val merged = applyTimestampStrategyBucketed(
+          slice, withB, touched.length, uniqueKey, updatedAt, sameTsTiebreak)
         val stage = dir.stripSuffix("/") + ".merge-stage"
         merged
-          .repartition(touched.length, col("bucket"))
           .sortWithinPartitions(col("bucket"), col(uniqueKey))
           .write.mode("overwrite")
           .option("maxRecordsPerFile", maxRecordsPerFile)

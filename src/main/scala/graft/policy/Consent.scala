@@ -76,9 +76,8 @@ object Consent {
   def init(spark: SparkSession, dir: String, events: DataFrame): Unit =
     graft.operators.Lease.withLease(spark, dir, "consent-init") {
       validatePurposes(events)
-      Snapshot.writeStore(
-        Snapshot.initial(keyed(resolved(events)), "consent_key", "updated_at"),
-        "consent_key", dir, buckets = Buckets)
+      Snapshot.initStore(keyed(resolved(events)), "consent_key", "updated_at",
+        dir, buckets = Buckets)
     }
 
   /** Refuse an event batch carrying a purpose that is not a mask-tree
@@ -166,9 +165,8 @@ object Consent {
     graft.operators.Lease.withLease(spark, dir, "consent-update") {
       if (checkPurposes) validatePurposes(events)
       if (!storeExists(spark, dir))
-        Snapshot.writeStore(
-          Snapshot.initial(keyed(resolved(events)), "consent_key", "updated_at"),
-          "consent_key", dir, buckets = Buckets)
+        Snapshot.initStore(keyed(resolved(events)), "consent_key", "updated_at",
+          dir, buckets = Buckets)
       else
         Snapshot.mergeStore(spark, dir, keyed(resolved(events)), "consent_key",
           "updated_at", buckets = Buckets, sameTsTiebreak = denyWins)

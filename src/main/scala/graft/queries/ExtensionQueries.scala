@@ -3247,13 +3247,22 @@ object ExtensionQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
         val all = docs(s, dir)
-        graft.text.Bm25.writeSearchIndex(all, "doc_id", col("text"), s"$root/search")
-        val sets = all.select(col("doc_id"),
-          array_distinct(transform(
-            graft.dedup.Dedup.wordShingles(col("text"), 3), x => md5(x))).as("sh"))
-        graft.dedup.SetSimJoin.writeIndex(sets, "doc_id", "sh", 2, 5, s"$root/exact")
-        val checks = graft.operators.Fsck.searchIndex(s, s"$root/search") ++
-          graft.operators.Fsck.exactIndex(s, s"$root/exact")
+        // r14 (guide §2.6): the two index builds are independent store
+        // trees, and the two census legs each read only their own tree —
+        // overlap them so one chain's small jobs back-fill the other's
+        // scheduling gaps. Same checks, same order, same output.
+        graft.operators.Par.unit(
+          () => graft.text.Bm25.writeSearchIndex(
+            all, "doc_id", col("text"), s"$root/search"),
+          () => {
+            val sets = all.select(col("doc_id"),
+              array_distinct(transform(
+                graft.dedup.Dedup.wordShingles(col("text"), 3), x => md5(x))).as("sh"))
+            graft.dedup.SetSimJoin.writeIndex(sets, "doc_id", "sh", 2, 5, s"$root/exact")
+          })
+        val checks = graft.operators.Par.run[Seq[graft.operators.Fsck.Check]](Seq(
+          () => graft.operators.Fsck.searchIndex(s, s"$root/search"),
+          () => graft.operators.Fsck.exactIndex(s, s"$root/exact"))).flatten
         checks.map(c => (c.component, c.check, if (c.ok) 1 else 0))
           .toDF("component", "check", "ok")
           .orderBy("component", "check")
@@ -3290,89 +3299,112 @@ object ExtensionQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
         val all = docs(s, dir)
-        graft.operators.Shards.write(
-          all.filter(col("doc_id") % 2 === 0), "doc_id",
-          s"$root/shards/batch=0", 4, orderCols = Seq("source"))
-        graft.operators.Shards.write(
-          all.filter(col("doc_id") % 2 === 1), "doc_id",
-          s"$root/shards/batch=1", 4, orderCols = Seq("source"))
-        val e = emb(s, dir)
-        val (centroids, assigned) =
-          graft.similarity.Ivf.build(e, "vec_id", "embedding", k = 8, iters = 2)
-        graft.similarity.Ivf.writeIndex(
-          centroids, assigned, "vec_id", "embedding", s"$root/dense")
+        // r14 (guide §2.6): the five store fixtures live in disjoint
+        // subtrees and the census legs each read only their own tree —
+        // this flow is ~125 small jobs whose cost is scheduling latency,
+        // not compute, so independent chains overlap. Chains with real
+        // ordering stay sequential INSIDE their thunk (snapshot
+        // write->merge, events merge 1->2, dv-append before the fake
+        // dead lease lands at the same root). Same checks, same order.
         import graft.pipeline.Snapshot
-        val b0 = all.select(col("doc_id"), col("source"), col("n_chars"),
-          lit(1).as("updated_at"))
-        Snapshot.writeStore(Snapshot.initial(b0, "doc_id", "updated_at"),
-          "doc_id", s"$root/snapshot", buckets = 4)
-        val b1 = all.filter(col("doc_id") % 3 === 0)
-          .select(col("doc_id"), col("source"),
-            (col("n_chars") + 7).as("n_chars"), lit(2).as("updated_at"))
-        Snapshot.mergeStore(s, s"$root/snapshot", b1, "doc_id", "updated_at",
-          buckets = 4)
-        // hourly-count store: a bootstrap merge then a second-day merge,
-        // so the audited tree holds real multi-batch day partitions
         import graft.operators.EventStatsStore
-        val hourly = all.groupBy(col("source"),
-            timestamp_seconds((col("doc_id") % 48) * 3600L).as("hour"))
-          .agg(count(lit(1)).as("n"))
-        EventStatsStore.merge(s, s"$root/events", hourly, Seq("source"),
-          batchId = 1L)
-        val hourly2 = all.filter(col("doc_id") % 3 === 0)
-          .groupBy(col("source"),
-            timestamp_seconds((col("doc_id") % 48) * 3600L + 86400L * 2)
-              .as("hour"))
-          .agg(count(lit(1)).as("n"))
-        EventStatsStore.merge(s, s"$root/events", hourly2, Seq("source"),
-          batchId = 2L)
-        // pending-sweep debt surface: a leftover .retention-keys capture
-        // (a retention that dropped its batch directories and crashed
-        // before the erase) must surface as debt — the round-9 audit
-        // blind spot — while the erase/rectify captures read clean
-        all.select(col("doc_id")).limit(5)
-          .write.mode("overwrite").parquet(s"$root/.retention-keys")
-        // logical-erasure debt: a pending deletion vector is serving-safe
-        // (reads mask it) but still outstanding physical-purge work, so
-        // the auditor must report it not-settled — while the crashed-
-        // settle capture check reads clean
-        graft.operators.DeletionVectors.append(s, root,
-          all.select(col("doc_id")).filter(col("doc_id") % 97 === 0))
-        // writer-lease debt: a dead process's leftover lease (epoch
-        // stamp 0 = held forever, holder is not this JVM) must surface
-        // as stale — mutating verbs refuse until break-lease runs
-        val lout = fs.create(
-          new org.apache.hadoop.fs.Path(s"$root/.lease"), true)
-        lout.write("dead-process|erase|0".getBytes("UTF-8"))
-        lout.close()
-        // rights-metadata census (round 12): an admission-log batch and
-        // a subject-resolution capture must both surface to the auditor
-        // — Art. 30 processing records with their own retention clock
-        all.select(col("doc_id")).limit(7)
-          .withColumn("purpose", lit("training"))
-          .withColumn("admitted_at", lit(8L))
-          .write.mode("overwrite").parquet(s"$root/.admissions/batch=0")
-        // a STREAMING sink's admission tree lives under the index leg
-        // (StreamingPipeline.gateAdmission writes <indexDir>/.admissions,
-        // and the CLI layout's search index is <state>/search) — round
-        // 12's census was blind to it; the unified discovery
-        // (Fsck.admissionRoots) must census it as its own row
-        all.select(col("doc_id")).limit(5)
-          .withColumn("purpose", lit("training"))
-          .withColumn("admitted_at", lit(9L))
-          .write.mode("overwrite")
-          .parquet(s"$root/search/.admissions/batch=s0")
-        all.select(col("doc_id")).limit(3)
-          .write.mode("overwrite")
-          .parquet(s"$root/.rights-resolved/req=abc123")
-        val checks = graft.operators.Fsck.denseIndex(s, s"$root/dense") ++
-          graft.operators.Fsck.shards(s, s"$root/shards") ++
-          graft.operators.Fsck.snapshotStore(s, s"$root/snapshot", "doc_id") ++
-          graft.operators.Fsck.eventStats(s, s"$root/events") ++
-          graft.operators.Fsck.pendingSweepDebt(s, root) ++
-          graft.operators.Fsck.dvDebt(s, root) ++
-          graft.operators.Fsck.leaseDebt(s, root) ++
-          graft.operators.Fsck.recordsCensus(s, root)
+        graft.operators.Par.unit(
+          () => graft.operators.Shards.write(
+            all.filter(col("doc_id") % 2 === 0), "doc_id",
+            s"$root/shards/batch=0", 4, orderCols = Seq("source")),
+          () => graft.operators.Shards.write(
+            all.filter(col("doc_id") % 2 === 1), "doc_id",
+            s"$root/shards/batch=1", 4, orderCols = Seq("source")),
+          () => {
+            val e = emb(s, dir)
+            val (centroids, assigned) =
+              graft.similarity.Ivf.build(e, "vec_id", "embedding", k = 8, iters = 2)
+            graft.similarity.Ivf.writeIndex(
+              centroids, assigned, "vec_id", "embedding", s"$root/dense")
+          },
+          () => {
+            val b0 = all.select(col("doc_id"), col("source"), col("n_chars"),
+              lit(1).as("updated_at"))
+            Snapshot.initStore(b0, "doc_id", "updated_at",
+              s"$root/snapshot", buckets = 4)
+            val b1 = all.filter(col("doc_id") % 3 === 0)
+              .select(col("doc_id"), col("source"),
+                (col("n_chars") + 7).as("n_chars"), lit(2).as("updated_at"))
+            Snapshot.mergeStore(s, s"$root/snapshot", b1, "doc_id", "updated_at",
+              buckets = 4)
+          },
+          () => {
+            // hourly-count store: a bootstrap merge then a second-day
+            // merge, so the audited tree holds real multi-batch day
+            // partitions
+            val hourly = all.groupBy(col("source"),
+                timestamp_seconds((col("doc_id") % 48) * 3600L).as("hour"))
+              .agg(count(lit(1)).as("n"))
+            EventStatsStore.merge(s, s"$root/events", hourly, Seq("source"),
+              batchId = 1L)
+            val hourly2 = all.filter(col("doc_id") % 3 === 0)
+              .groupBy(col("source"),
+                timestamp_seconds((col("doc_id") % 48) * 3600L + 86400L * 2)
+                  .as("hour"))
+              .agg(count(lit(1)).as("n"))
+            EventStatsStore.merge(s, s"$root/events", hourly2, Seq("source"),
+              batchId = 2L)
+          },
+          () => {
+            // pending-sweep debt surface: a leftover .retention-keys
+            // capture (a retention that dropped its batch directories and
+            // crashed before the erase) must surface as debt — the
+            // round-9 audit blind spot — while the erase/rectify captures
+            // read clean
+            all.select(col("doc_id")).limit(5)
+              .write.mode("overwrite").parquet(s"$root/.retention-keys")
+            // logical-erasure debt: a pending deletion vector is
+            // serving-safe (reads mask it) but still outstanding
+            // physical-purge work, so the auditor must report it
+            // not-settled — while the crashed-settle capture check reads
+            // clean
+            graft.operators.DeletionVectors.append(s, root,
+              all.select(col("doc_id")).filter(col("doc_id") % 97 === 0))
+            // writer-lease debt: a dead process's leftover lease (epoch
+            // stamp 0 = held forever, holder is not this JVM) must
+            // surface as stale — mutating verbs refuse until break-lease
+            // runs
+            val lout = fs.create(
+              new org.apache.hadoop.fs.Path(s"$root/.lease"), true)
+            lout.write("dead-process|erase|0".getBytes("UTF-8"))
+            lout.close()
+            // rights-metadata census (round 12): an admission-log batch
+            // and a subject-resolution capture must both surface to the
+            // auditor — Art. 30 processing records with their own
+            // retention clock
+            all.select(col("doc_id")).limit(7)
+              .withColumn("purpose", lit("training"))
+              .withColumn("admitted_at", lit(8L))
+              .write.mode("overwrite").parquet(s"$root/.admissions/batch=0")
+            // a STREAMING sink's admission tree lives under the index leg
+            // (StreamingPipeline.gateAdmission writes
+            // <indexDir>/.admissions, and the CLI layout's search index
+            // is <state>/search) — round 12's census was blind to it; the
+            // unified discovery (Fsck.admissionRoots) must census it as
+            // its own row
+            all.select(col("doc_id")).limit(5)
+              .withColumn("purpose", lit("training"))
+              .withColumn("admitted_at", lit(9L))
+              .write.mode("overwrite")
+              .parquet(s"$root/search/.admissions/batch=s0")
+            all.select(col("doc_id")).limit(3)
+              .write.mode("overwrite")
+              .parquet(s"$root/.rights-resolved/req=abc123")
+          })
+        val checks = graft.operators.Par.run[Seq[graft.operators.Fsck.Check]](Seq(
+          () => graft.operators.Fsck.denseIndex(s, s"$root/dense"),
+          () => graft.operators.Fsck.shards(s, s"$root/shards"),
+          () => graft.operators.Fsck.snapshotStore(s, s"$root/snapshot", "doc_id"),
+          () => graft.operators.Fsck.eventStats(s, s"$root/events"),
+          () => graft.operators.Fsck.pendingSweepDebt(s, root),
+          () => graft.operators.Fsck.dvDebt(s, root),
+          () => graft.operators.Fsck.leaseDebt(s, root),
+          () => graft.operators.Fsck.recordsCensus(s, root))).flatten
         checks.map(c => (c.component, c.check, if (c.ok) 1 else 0))
           .toDF("component", "check", "ok")
           .orderBy("component", "check")
@@ -3729,20 +3761,25 @@ object ExtensionQueries {
         val all = docs(s, dir)
         val consent = s"$root/consent"
         val subs = all.select(col("doc_id").as("subject_id"))
-        Consent.init(s, consent,
-          subs.withColumn("purpose", lit("training"))
-            .withColumn("granted", lit(true))
-            .withColumn("updated_at", lit(1L))
-            .unionByName(subs.withColumn("purpose", lit("analytics"))
-              .withColumn("granted", lit(true))
-              .withColumn("updated_at", lit(1L))))
-        Consent.withdraw(s, consent,
-          all.filter(StableHash.bucket(col("doc_id"), 7) === 0)
-            .select(col("doc_id")),
-          "training", updatedAt = 2L, stateDir = Some(root))
-        DeletionVectors.append(s, root,
-          all.filter(StableHash.bucket(col("doc_id"), 11) === 4)
-            .select(col("doc_id")))
+        // r14 (guide §2.6): registry chain and the global vector append
+        // touch disjoint subtrees — overlap them (q_access_consent note)
+        graft.operators.Par.unit(
+          () => {
+            Consent.init(s, consent,
+              subs.withColumn("purpose", lit("training"))
+                .withColumn("granted", lit(true))
+                .withColumn("updated_at", lit(1L))
+                .unionByName(subs.withColumn("purpose", lit("analytics"))
+                  .withColumn("granted", lit(true))
+                  .withColumn("updated_at", lit(1L))))
+            Consent.withdraw(s, consent,
+              all.filter(StableHash.bucket(col("doc_id"), 7) === 0)
+                .select(col("doc_id")),
+              "training", updatedAt = 2L, stateDir = Some(root))
+          },
+          () => { DeletionVectors.append(s, root,
+            all.filter(StableHash.bucket(col("doc_id"), 11) === 4)
+              .select(col("doc_id"))); () })
         def serve(purpose: String): DataFrame =
           DeletionVectors
             .maskServing(s, root, all, purpose = Some(purpose))
@@ -3868,42 +3905,51 @@ object ExtensionQueries {
         // ads; the h7==0 slice withdraws training at ts 5 (a purpose
         // mask lands via the post-merge sync); h11==4 files an Art. 17
         // erasure (a global vector — NOT in the purpose disclosure)
-        Consent.init(s, consent,
-          subs.withColumn("purpose", lit("training"))
-            .withColumn("granted", lit(true))
-            .withColumn("updated_at", lit(1L))
-            .unionByName(subs
-              .filter(StableHash.bucket(col("subject_id"), 3) =!= 0)
-              .withColumn("purpose", lit("ads"))
-              .withColumn("granted", lit(true))
-              .withColumn("updated_at", lit(1L))))
-        Consent.withdraw(s, consent,
-          all.filter(StableHash.bucket(col("doc_id"), 7) === 0)
-            .select(col("doc_id")),
-          "training", updatedAt = 5L, stateDir = Some(root))
-        DeletionVectors.append(s, root,
-          all.filter(StableHash.bucket(col("doc_id"), 11) === 4)
-            .select(col("doc_id")))
-        // admission records in BOTH layouts (round 13): a batch-pipeline
-        // tree under the state root and a STREAMING tree under the search
-        // leg — the disclosure must surface both through the unified
-        // discovery (Fsck.admissionRoots; the record layout's writers are
-        // oracled end-to-end by q_consent_stream/q_consent_gate — here
-        // the fixture plants records so what's pinned is the READ side).
-        // Distinct purposes per tree, so a missed tree hash-fails.
-        all.filter(StableHash.bucket(col("doc_id"), 5) === 0)
-          .select(col("doc_id"))
-          .withColumn("purpose", lit("training"))
-          .withColumn("admitted_at", lit(3L))
-          .write.mode("overwrite").parquet(s"$root/.admissions/batch=0")
-        all.filter(StableHash.bucket(col("doc_id"), 5) === 1)
-          .select(col("doc_id"))
-          .withColumn("purpose", lit("ads"))
-          .withColumn("admitted_at", lit(8L))
-          .write.mode("overwrite")
-          .parquet(s"$root/search/.admissions/batch=s0")
-        all.select(col("doc_id"))
-          .write.mode("overwrite").parquet(s"$root/keys")
+        // r14 (guide §2.6): the registry chain (init before withdraw),
+        // the GLOBAL vector append (its own content-addressed dv= dir,
+        // disjoint from the withdraw's purpose tree), and the three
+        // fixture writes below are independent store subtrees — overlap
+        // them; runAccess reads only after the barrier.
+        graft.operators.Par.unit(
+          () => {
+            Consent.init(s, consent,
+              subs.withColumn("purpose", lit("training"))
+                .withColumn("granted", lit(true))
+                .withColumn("updated_at", lit(1L))
+                .unionByName(subs
+                  .filter(StableHash.bucket(col("subject_id"), 3) =!= 0)
+                  .withColumn("purpose", lit("ads"))
+                  .withColumn("granted", lit(true))
+                  .withColumn("updated_at", lit(1L))))
+            Consent.withdraw(s, consent,
+              all.filter(StableHash.bucket(col("doc_id"), 7) === 0)
+                .select(col("doc_id")),
+              "training", updatedAt = 5L, stateDir = Some(root))
+          },
+          () => { DeletionVectors.append(s, root,
+            all.filter(StableHash.bucket(col("doc_id"), 11) === 4)
+              .select(col("doc_id"))); () },
+          // admission records in BOTH layouts (round 13): a
+          // batch-pipeline tree under the state root and a STREAMING
+          // tree under the search leg — the disclosure must surface both
+          // through the unified discovery (Fsck.admissionRoots; the
+          // record layout's writers are oracled end-to-end by
+          // q_consent_stream/q_consent_gate — here the fixture plants
+          // records so what's pinned is the READ side). Distinct
+          // purposes per tree, so a missed tree hash-fails.
+          () => all.filter(StableHash.bucket(col("doc_id"), 5) === 0)
+            .select(col("doc_id"))
+            .withColumn("purpose", lit("training"))
+            .withColumn("admitted_at", lit(3L))
+            .write.mode("overwrite").parquet(s"$root/.admissions/batch=0"),
+          () => all.filter(StableHash.bucket(col("doc_id"), 5) === 1)
+            .select(col("doc_id"))
+            .withColumn("purpose", lit("ads"))
+            .withColumn("admitted_at", lit(8L))
+            .write.mode("overwrite")
+            .parquet(s"$root/search/.admissions/batch=s0"),
+          () => all.select(col("doc_id"))
+            .write.mode("overwrite").parquet(s"$root/keys"))
         graft.cli.CurateCli.runAccess(s, s"$root/keys", root,
           s"$root/report", consentDir = Some(consent))
         val hist = s.read.parquet(s"$root/report/consent_state")
@@ -3975,12 +4021,17 @@ object ExtensionQueries {
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
         val all = docs(s, dir)
-        (0 until 3).foreach(i => DeletionVectors.append(s, root,
-          all.filter(StableHash.bucket(col("doc_id"), 11) === i)
-            .select(col("doc_id"))))
-        (0 until 2).foreach(i => DeletionVectors.append(s, root,
-          all.filter(StableHash.bucket(col("doc_id"), 7) === i)
-            .select(col("doc_id")), purpose = Some("training")))
+        // r14 (guide §2.6): each append lands in its own content-
+        // addressed dv= directory (distinct key sets, two distinct
+        // trees), and five appends cannot reach the auto-compact
+        // threshold — all five overlap safely
+        graft.operators.Par.unit(
+          ((0 until 3).map[() => Unit](i => () => { DeletionVectors.append(s, root,
+            all.filter(StableHash.bucket(col("doc_id"), 11) === i)
+              .select(col("doc_id"))); () }) ++
+          (0 until 2).map[() => Unit](i => () => { DeletionVectors.append(s, root,
+            all.filter(StableHash.bucket(col("doc_id"), 7) === i)
+              .select(col("doc_id")), purpose = Some("training")); () })): _*)
         val trees = graft.cli.CurateCli.runCompactVectors(s, root).toSet
         require(trees == Set(("global", 3, 1), ("purpose=training", 2, 1)),
           s"q_dv_compact: compaction did not merge the trees: $trees")

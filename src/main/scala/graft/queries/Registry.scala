@@ -998,10 +998,9 @@ object Registry {
           .agg(max(col("o_totalprice")).as("payload"))
         val cut = to_timestamp(lit("1996-01-01"))
         val store = s"${sys.props("java.io.tmpdir")}/graft_scd2_${math.abs(dir.hashCode)}"
-        graft.pipeline.Snapshot.writeStore(
-          graft.pipeline.Snapshot.initial(
-            src.filter(col("updated_at") < cut), "record_id", "updated_at"),
-          "record_id", store, buckets = 8)
+        graft.pipeline.Snapshot.initStore(
+          src.filter(col("updated_at") < cut), "record_id", "updated_at",
+          store, buckets = 8)
         graft.pipeline.Snapshot.mergeStore(
           s, store, src.filter(col("updated_at") >= cut),
           "record_id", "updated_at", buckets = 8)

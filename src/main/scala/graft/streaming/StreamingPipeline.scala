@@ -676,9 +676,7 @@ object StreamingPipeline {
               .exists(st => st.getPath.getName.startsWith("bucket=") ||
                 st.getPath.getName == "_stats")
             if (!hasStore)
-              Snapshot.writeStore(
-                Snapshot.initial(batch, uniqueKey, updatedAt),
-                uniqueKey, storeDir, buckets)
+              Snapshot.initStore(batch, uniqueKey, updatedAt, storeDir, buckets)
             else
               Snapshot.mergeStore(spark, storeDir, batch, uniqueKey, updatedAt, buckets)
           }
