@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity self-join at a Jaccard threshold via prefix
@@ -94,11 +94,8 @@ object SetSimJoin {
         count(lit(1)).cast("int").as("sz"))
     assembled.write.mode("overwrite").parquet(s"$dir/sets")
 
-    val prefixLen =
-      (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
     spark.read.parquet(s"$dir/sets")
-      .select(col("id"), col("sz"),
-        explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
+      .transform(prefixOf(_, num, den))
       // co-locate a key's postings so the probe join shuffles the BATCH
       // side only at scale (sort keeps row groups key-contiguous)
       .repartition(col("key"))
@@ -199,13 +196,58 @@ object SetSimJoin {
         count(lit(1)).cast("int").as("sz"))
   }
 
-  /** Explode an assembled frame's prefix postings at threshold num/den. */
+  /** Explode an assembled frame's prefix postings at threshold num/den.
+    * `pos` is the key's 0-based position in the set's sorted key order —
+    * the PPJoin positional filter's input (Xiao/Wang/Lin/Yu, "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW'08): for a
+    * candidate pair, every shared token sits at or after the FIRST
+    * shared token in the common global order, so the exact overlap is
+    * bounded by `1 + min(sz_a - p_a, sz_b - p_b)` at that token's
+    * 1-based positions — a reject-only prune computed from ints already
+    * in flight, applied before the verify legs ship full key arrays.
+    */
   private def prefixOf(assembled: DataFrame, num: Int, den: Int): DataFrame = {
     val prefixLen =
       (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
     assembled
       .select(col("id"), col("sz"),
-        explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
+        posexplode(slice(col("keys"), lit(1), prefixLen)).as(Seq("pos", "key")))
+      .select(col("id"), col("sz"), col("pos"), col("key"))
+  }
+
+  /** Candidate pairs from two (id, sz, pos, key) prefix frames: the
+    * equi-key join with the two-sided length filter, reduced to one row
+    * per pair carrying the FIRST shared token's positions (the pairwise
+    * minimum in both coordinates, since both sides order by the same
+    * global key order), then positionally pruned: a pair whose overlap
+    * upper bound `1 + min(sz_l - p_l, sz_r - p_r)` cannot reach the
+    * accept threshold `inter*(num+den) >= num*(sz_l+sz_r)` is dropped
+    * before the verify join ships any key array. Reject-only by the
+    * bound above — the accepted pair set is untouched.
+    */
+  private def candidatesOf(
+      prefL: DataFrame,
+      prefR: DataFrame,
+      num: Int,
+      den: Int,
+      extraCond: Column = lit(true)
+  ): DataFrame = {
+    val a = prefL.as("a")
+    val b = prefR.as("b")
+    a.join(
+        b,
+        col("a.key") === col("b.key") && extraCond &&
+          col("a.sz") * den >= col("b.sz") * num &&
+          col("b.sz") * den >= col("a.sz") * num)
+      .groupBy(
+        col("a.id").as("id_l"), col("a.sz").as("_szl"),
+        col("b.id").as("id_r"), col("b.sz").as("_szr"))
+      .agg(min(col("a.pos")).as("_pl"), min(col("b.pos")).as("_pr"))
+      .filter(
+        (lit(1L) + least(col("_szl") - (col("_pl") + 1),
+          col("_szr") - (col("_pr") + 1)).cast("long")) * lit((num + den).toLong) >=
+          lit(num.toLong) * (col("_szl").cast("long") + col("_szr")))
+      .select(col("id_l"), col("id_r"))
   }
 
   /** Right-to-rectification (GDPR Art. 16) through the stored prefix
@@ -380,22 +422,26 @@ object SetSimJoin {
       .agg(
         sort_array(collect_list(col("key"))).as("keys"),
         count(lit(1)).cast("int").as("sz"))
-    val prefixLen =
-      (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
-    val prefB = asmB.select(
-      col("id"), col("sz"),
-      explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
+    val prefB = prefixOf(asmB, num, den)
 
-    val postings = guardPrefix(
-      spark.read.parquet(s"$dir/postings"), "searchIndex/stored", maxPostingsPerKey)
-    val cand = guardPrefix(prefB, "searchIndex/batch", maxPostingsPerKey).as("a")
-      .join(
-        postings.as("b"),
-        col("a.key") === col("b.key") &&
-          col("a.sz") * den >= col("b.sz") * num &&
-          col("b.sz") * den >= col("a.sz") * num)
-      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
-      .distinct()
+    // a pre-r14 index stores postings without `pos`; the positional
+    // filter is pure pruning, so those indexes fall back to the plain
+    // distinct-candidates path (same accept set, more verify work)
+    val postingsRaw = spark.read.parquet(s"$dir/postings")
+    val postings = guardPrefix(postingsRaw, "searchIndex/stored", maxPostingsPerKey)
+    val prefGuarded = guardPrefix(prefB, "searchIndex/batch", maxPostingsPerKey)
+    val cand =
+      if (postingsRaw.columns.contains("pos"))
+        candidatesOf(prefGuarded, postings, num, den)
+      else
+        prefGuarded.as("a")
+          .join(
+            postings.as("b"),
+            col("a.key") === col("b.key") &&
+              col("a.sz") * den >= col("b.sz") * num &&
+              col("b.sz") * den >= col("a.sz") * num)
+          .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
+          .distinct()
 
     val setsStored = spark.read.parquet(s"$dir/sets")
     cand
@@ -453,24 +499,14 @@ object SetSimJoin {
         sort_array(collect_list(col("key"))).as("keys"),
         count(lit(1)).cast("int").as("sz"))
 
-    def prefix(assembled: DataFrame) = {
-      val prefixLen =
-        (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
-      assembled.select(
-        col("id"), col("sz"),
-        explode(slice(col("keys"), lit(1), prefixLen)).as("key"))
-    }
-
     val aL = assemble(exL)
     val aR = assemble(exR)
-    val cand = guardPrefix(prefix(aL), "join/left", maxPostingsPerKey).as("a")
-      .join(
-        guardPrefix(prefix(aR), "join/right", maxPostingsPerKey).as("b"),
-        col("a.key") === col("b.key") &&
-          col("a.sz") * den >= col("b.sz") * num &&
-          col("b.sz") * den >= col("a.sz") * num)
-      .select(col("a.id").as("id_l"), col("b.id").as("id_r"))
-      .distinct()
+    // candidate pairs: shared prefix key + two-sided length filter +
+    // the positional overlap bound (candidatesOf) — all reject-only
+    val cand = candidatesOf(
+      guardPrefix(prefixOf(aL, num, den), "join/left", maxPostingsPerKey),
+      guardPrefix(prefixOf(aR, num, den), "join/right", maxPostingsPerKey),
+      num, den)
 
     cand
       .join(
@@ -613,33 +649,15 @@ object SetSimJoin {
         count(lit(1)).cast("int").as("sz")
       )
 
-    // prefix length p = s - ceil(num*s/den) + 1, all-integer:
-    // ceil(a/b) = (a + b - 1) div b
-    val prefixLen =
-      (col("sz") - expr(s"(($num * sz + ${den - 1}) div $den)") + lit(1)).cast("int")
-
-    val pref = guardPrefix(
-      assembled.select(
-        col("id"),
-        col("sz"),
-        explode(slice(col("keys"), lit(1), prefixLen)).as("key")
-      ),
+    // prefix length p = s - ceil(num*s/den) + 1, all-integer inside
+    // prefixOf; candidate pairs: shared prefix token + two-sided length
+    // filter (jaccard >= num/den forces den*min >= num*max) + the
+    // positional overlap bound (candidatesOf) — all reject-only
+    val pref = guardPrefix(prefixOf(assembled, num, den),
       "selfJoin", maxPostingsPerKey)
-
-    // candidate pairs: shared prefix token + two-sided length filter
-    // (jaccard >= num/den forces den*min >= num*max)
-    val a = pref.as("a")
-    val b = pref.as("b")
-    val cand = a
-      .join(
-        b,
-        col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id") &&
-          col("a.sz") * den >= col("b.sz") * num &&
-          col("b.sz") * den >= col("a.sz") * num
-      )
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cand = candidatesOf(pref, pref, num, den,
+      extraCond = col("a.id") < col("b.id"))
+      .select(col("id_l").as("id_a"), col("id_r").as("id_b"))
 
     // exact verify: integer threshold test, no float tau
     val withA = assembled.select(col("id").as("id_a"), col("keys").as("keys_a"), col("sz").as("sz_a"))
