@@ -78,33 +78,37 @@ object SetSimJoin {
   ): Unit = {
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
     val spark = corpus.sparkSession
-    val ex = corpus.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
-    val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
-    dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
-
-    val keyed = ex
-      .join(spark.read.parquet(s"$dir/dfreq"), "tok")
-      .select(
-        col("id"),
-        concat(lpad(col("df").cast("string"), 10, "0"), col("tok")).as("key"))
-    val assembled = keyed
-      .groupBy("id")
-      .agg(
-        sort_array(collect_list(col("key"))).as("keys"),
-        count(lit(1)).cast("int").as("sz"))
-    assembled.write.mode("overwrite").parquet(s"$dir/sets")
-
-    spark.read.parquet(s"$dir/sets")
-      .transform(prefixOf(_, num, den))
-      // co-locate a key's postings so the probe join shuffles the BATCH
-      // side only at scale (sort keeps row groups key-contiguous)
-      .repartition(col("key"))
-      .sortWithinPartitions(col("key"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
-
     import spark.implicits._
-    Seq((num, den)).toDF("num", "den")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    graft.operators.Par.unit(
+      // the meta leg is independent of the data legs — overlap it (§2.6)
+      () => Seq((num, den)).toDF("num", "den")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta"),
+      () => {
+        val ex = corpus.select(col(idCol).as("id"), explode(col(setCol)).as("tok"))
+        val dfreq = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+        dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+
+        val keyed = ex
+          .join(spark.read.parquet(s"$dir/dfreq"), "tok")
+          .select(
+            col("id"),
+            concat(lpad(col("df").cast("string"), 10, "0"), col("tok")).as("key"))
+        val assembled = keyed
+          .groupBy("id")
+          .agg(
+            sort_array(collect_list(col("key"))).as("keys"),
+            count(lit(1)).cast("int").as("sz"))
+        assembled.write.mode("overwrite").parquet(s"$dir/sets")
+
+        spark.read.parquet(s"$dir/sets")
+          .transform(prefixOf(_, num, den))
+          // co-locate a key's postings so the probe join shuffles the
+          // BATCH side only at scale (sort keeps row groups
+          // key-contiguous)
+          .repartition(col("key"))
+          .sortWithinPartitions(col("key"))
+          .write.mode("overwrite").parquet(s"$dir/postings")
+      })
   }
 
   /** Crash recovery for the stored index: replays any pending

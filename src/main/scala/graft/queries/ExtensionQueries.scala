@@ -3523,13 +3523,18 @@ object ExtensionQueries {
         // leg, fused with RRF; corpus text and raw vectors are never read
         // at query time
         val idx = s"${sys.props("java.io.tmpdir")}/graft_hybrid_idx_${math.abs(dir.hashCode)}"
-        graft.text.Bm25
-          .writeSearchIndex(docs(s, dir), "doc_id", col("text"), s"$idx/bm25")
         val e = emb(s, dir)
-        val (centroids, assigned) =
-          graft.similarity.Ivf.build(e, "vec_id", "embedding", k = 16, iters = 2)
-        graft.similarity.Ivf
-          .writeIndex(centroids, assigned, "vec_id", "embedding", s"$idx/ivf")
+        // r14 (guide §2.6): the sparse and dense index builds read
+        // different tables and write disjoint trees — overlap them
+        graft.operators.Par.unit(
+          () => graft.text.Bm25
+            .writeSearchIndex(docs(s, dir), "doc_id", col("text"), s"$idx/bm25"),
+          () => {
+            val (centroids, assigned) =
+              graft.similarity.Ivf.build(e, "vec_id", "embedding", k = 16, iters = 2)
+            graft.similarity.Ivf
+              .writeIndex(centroids, assigned, "vec_id", "embedding", s"$idx/ivf")
+          })
         // dense query vectors are embeddings 0/1/2 serving query ids
         // 1/2/3 — aligned with the sparse Bm25QuerySet ids
         val vecQ = e.filter(col("vec_id") < 3)

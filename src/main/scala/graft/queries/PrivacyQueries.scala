@@ -413,29 +413,37 @@ object PrivacyQueries {
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
         val all = Tables.read(s, dir, "documents")
         val consent = s"$root/consent"
-        Consent.init(s, consent, all
-          .select(col("doc_id").as("subject_id"))
-          .withColumn("purpose", lit("stats"))
-          .withColumn("granted", StableHash.bucket(col("subject_id"), 3) =!= 0)
-          .withColumn("updated_at", lit(1L)))
-        Consent.withdraw(s, consent,
-          all.filter(StableHash.bucket(col("doc_id"), 7) === 0)
-            .select(col("doc_id")),
-          "stats", updatedAt = 2L)
-        Consent.update(s, consent, all
-          .filter(StableHash.bucket(col("doc_id"), 11) === 3 &&
-            StableHash.bucket(col("doc_id"), 7) =!= 0)
-          .select(col("doc_id").as("subject_id"))
-          .withColumn("purpose", lit("stats"))
-          .withColumn("granted", lit(true))
-          .withColumn("updated_at", lit(2L)))
-        val gated = Consent.gate(s, consent, all, "stats")
         val ledger = s"$root/ledger"
-        PrivacyLedger.authorizeAndCharge(s, ledger, "documents",
-          "rel-stats-source-counts", eps = DpEps, budgetEps = 2.0)
-        // a crashed release's retry: the charge must not double-count
-        PrivacyLedger.authorizeAndCharge(s, ledger, "documents",
-          "rel-stats-source-counts", eps = DpEps, budgetEps = 2.0)
+        // r14 (guide §2.6): the registry chain (ordered verbs, its own
+        // tree) and the ledger charge + crash-retry (ordered pair, its
+        // own tree) are disjoint stores — overlap the two chains
+        graft.operators.Par.unit(
+          () => {
+            Consent.init(s, consent, all
+              .select(col("doc_id").as("subject_id"))
+              .withColumn("purpose", lit("stats"))
+              .withColumn("granted", StableHash.bucket(col("subject_id"), 3) =!= 0)
+              .withColumn("updated_at", lit(1L)))
+            Consent.withdraw(s, consent,
+              all.filter(StableHash.bucket(col("doc_id"), 7) === 0)
+                .select(col("doc_id")),
+              "stats", updatedAt = 2L)
+            Consent.update(s, consent, all
+              .filter(StableHash.bucket(col("doc_id"), 11) === 3 &&
+                StableHash.bucket(col("doc_id"), 7) =!= 0)
+              .select(col("doc_id").as("subject_id"))
+              .withColumn("purpose", lit("stats"))
+              .withColumn("granted", lit(true))
+              .withColumn("updated_at", lit(2L)))
+          },
+          () => {
+            PrivacyLedger.authorizeAndCharge(s, ledger, "documents",
+              "rel-stats-source-counts", eps = DpEps, budgetEps = 2.0)
+            // a crashed release's retry: the charge must not double-count
+            PrivacyLedger.authorizeAndCharge(s, ledger, "documents",
+              "rel-stats-source-counts", eps = DpEps, budgetEps = 2.0)
+          })
+        val gated = Consent.gate(s, consent, all, "stats")
         val (nRel, spentE, _) = PrivacyLedger.spent(s, ledger, "documents")
         DpRelease
           .noisyCounts(gated, col("source"), keyName = "source",

@@ -252,9 +252,15 @@ object Bm25 {
   ): Unit = {
     require(!Reserved.contains(idCol),
       s"bm25: idCol '$idCol' collides with a working column")
-    writePostings(docsDf, idCol, textCol, s"$dir/postings")
-    writeDocsLeg(docsDf, idCol, textCol, s"$dir/docs")
-    writeStatsFromDocs(docsDf.sparkSession, s"$dir/docs", s"$dir/stats")
+    // r14 (guide §2.6): the postings leg and the docs->stats chain derive
+    // independently from the corpus and write disjoint subtrees — overlap
+    // them so the light legs' jobs back-fill the postings shuffle's tail
+    graft.operators.Par.unit(
+      () => writePostings(docsDf, idCol, textCol, s"$dir/postings"),
+      () => {
+        writeDocsLeg(docsDf, idCol, textCol, s"$dir/docs")
+        writeStatsFromDocs(docsDf.sparkSession, s"$dir/docs", s"$dir/stats")
+      })
   }
 
   /** The postings write shared by build, append staging, and the rectify

@@ -9,6 +9,19 @@ re-runs showed was box noise) is the reason this is a standing artifact.
 Usage:
   python3 tools/bench_adjudicate.py PREV.json RUN1.json [RUN2.json ...]
 
+ANCHORING RULE (r14, VERDICT r13 ask #7): cross-round comparisons anchor on
+the DRIVER's artifacts — PREV.json is the previous round's driver
+BENCH_rNN.json (or the bench_results.json the driver's run wrote), and the
+primary RUN is the current round's driver capture when one exists. Builder
+captures may ride along as extra RUNx evidence, but they supplement the
+driver baseline, never replace it. A capture whose warmup canary deviates
+>1.5x from the best capture is FLAGGED as load-contaminated — flagged, not
+excluded and not substituted: a regression verdict must not rest on a
+contaminated capture alone, and an improvement claim must not rest on
+discarding the driver's numbers (the r13 adjudication substituted a
+builder-chosen baseline and headlined "zero regressions" while the driver's
+HEAD run regressed 9 queries — this rule exists so that cannot recur).
+
 PREV.json may be a prior round's bench_results.json / raw graft.Bench line
 (with a `queries_min` or `queries` dict) or a driver BENCH_rNN.json wrapper
 whose truncated `tail` string still carries per-query numbers. RUNx.json are
@@ -101,13 +114,19 @@ def main(prev_path, run_paths):
     if known:
         best = min(known)
         print("capture warmups (load canary; same work per capture):")
+        pw = load_warmup(prev_path)
+        if pw is not None:
+            # context only, never flagged: the prev anchor ran a DIFFERENT
+            # build, so its warmup is not the same work as this round's
+            print(f"  {prev_path}: {pw:.1f}s (prev anchor — different "
+                  "build, not judged)")
         for p, w in warmups:
             if w is None:
                 print(f"  {p}: no warmup_sec (pre-round-13 artifact)")
             elif w > best * WARMUP_BAND:
                 print(f"  {p}: {w:.1f}s — CONTAMINATED "
                       f"({w / best:.2f}x the best capture's {best:.1f}s; "
-                      "external load during the run)")
+                      "external load during the run; flagged, not excluded)")
             else:
                 print(f"  {p}: {w:.1f}s")
         print()
