@@ -35,3 +35,32 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// r14 (VERDICT r13 ask #8 — the serial suite ran ~27 min and the driver's
+// test budget killed the r13 run mid-suite): run the suites in FOUR forked
+// JVMs, each with its own local[4] SparkSession. Safe to parallelize
+// because every spec isolates its state under Files.createTempDirectory
+// (unique path per call) and only BucketingSpec touches the shared
+// warehouse dir (it is alone in that). Round-robin over sorted names
+// spreads the alphabetically-adjacent heavy store suites (ConsentSpec,
+// CurationOpsSpec, DeletionVectorsSpec, EraseCrashSpec) across groups.
+// 4 JVMs x 8g heap x local[4] fits the 128 GiB / 32-core sandbox.
+// sbt caps concurrently-running forked test groups at 1 unless told
+// otherwise — without this the groups run back to back and the split
+// buys nothing
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(8),
+  Tags.limit(Tags.ForkedTestGroup, 4)
+)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val opts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars((Test / envVars).value)
+  val nGroups = 4
+  (0 until nGroups).map { g =>
+    Tests.Group(
+      s"group$g",
+      tests.zipWithIndex.collect { case (t, i) if i % nGroups == g => t },
+      Tests.SubProcess(opts))
+  }
+}
