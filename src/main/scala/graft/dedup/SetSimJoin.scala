@@ -307,12 +307,21 @@ object SetSimJoin {
       spark.read.parquet(s"$dir/$leg")
         .join(broadcast(k), Seq("id"), "left_anti")
         .write.mode("overwrite").parquet(s"$stage/$leg")
-    stageKept("sets")
-    stageKept("postings")
+    // r14 (guide §2.6): the two staged legs are independent chains
+    // (kept overwrite, then corrected append, ordered INSIDE each leg);
+    // the shared assembled cache is thread-safe and the single commit
+    // below stays the promotion point
     val assembled = assembleFrozen(spark, dir, hits, idCol, setCol).cache()
-    assembled.write.mode("append").parquet(s"$stage/sets")
-    prefixOf(assembled, num, den)
-      .write.mode("append").parquet(s"$stage/postings")
+    graft.operators.Par.unit(
+      () => {
+        stageKept("sets")
+        assembled.write.mode("append").parquet(s"$stage/sets")
+      },
+      () => {
+        stageKept("postings")
+        prefixOf(assembled, num, den)
+          .write.mode("append").parquet(s"$stage/postings")
+      })
     assembled.unpersist()
     PartitionSwap.commit(spark, dir, stage, Seq("sets", "postings"),
       batchId.getOrElse(System.nanoTime()))

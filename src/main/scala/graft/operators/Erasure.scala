@@ -245,7 +245,10 @@ object Erasure {
     val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(stagePath, true)
 
-    val removed = legs.map { leg =>
+    // r14 (guide §2.6): each leg stages under its own subtree from a
+    // read-only scan — independent chains, overlapped; `removed` keeps
+    // `legs` order and the single commit below stays the promotion point
+    val removed = Par.run[Long](legs.map(leg => () => {
       val k = keys.select(col(leg.idCol)).distinct()
       val seen = Observation()
       val keptObs = Observation()
@@ -266,7 +269,7 @@ object Erasure {
           .write.mode("overwrite").parquet(s"$stage/${leg.name}")
       }
       hit
-    }
+    }))
     if (removed.forall(_ == 0L)) {
       fs.delete(stagePath, true)
       return removed

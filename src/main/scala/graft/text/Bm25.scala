@@ -388,11 +388,16 @@ object Bm25 {
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    writePostings(docsDf, idCol, textCol, s"$stage/postings")
-    writeDocsLeg(docsDf, idCol, textCol, s"$stage/docs")
+    // r14 (guide §2.6): the staged postings leg, the staged docs leg and
+    // the OLD stats read are independent — overlap them; the batch-stats
+    // read below waits on the staged docs write inside its thunk
+    var old: org.apache.spark.sql.Row = null
+    graft.operators.Par.unit(
+      () => writePostings(docsDf, idCol, textCol, s"$stage/postings"),
+      () => writeDocsLeg(docsDf, idCol, textCol, s"$stage/docs"),
+      () => { old = statsFromDocs(spark, s"$dir/docs").head() })
     // merged stats: old + batch, integer-valued doubles, so the merge is
     // bit-identical to a recompute over the combined docs leg
-    val old = statsFromDocs(spark, s"$dir/docs").head()
     val batch = statsFromDocs(spark, s"$stage/docs").head()
     val n = old.getAs[Double]("_n_docs") + batch.getAs[Double]("_n_docs")
     val tot = old.getAs[Double]("_tot_tokens") + batch.getAs[Double]("_tot_tokens")
@@ -463,8 +468,12 @@ object Bm25 {
         graft.operators.Erasure.observedOr(
           kept, graft.operators.Erasure.stagedCount(spark, s"$stage/$leg"))
     }
-    val removedPostings = stageKept("postings")
-    val removedDocs = stageKept("docs")
+    // r14 (guide §2.6): the two kept-leg stagings are independent —
+    // overlap them (the stats recompute below waits on the staged docs)
+    val Seq(removedPostings, removedDocs) =
+      graft.operators.Par.run[Long](Seq(
+        () => stageKept("postings"),
+        () => stageKept("docs")))
     if (removedPostings == 0L && removedDocs == 0L) {
       // no-match sweep: discard the stage, live files stay byte-identical
       fs.delete(new org.apache.hadoop.fs.Path(stage), true)
@@ -582,13 +591,23 @@ object Bm25 {
       spark.read.parquet(s"$dir/$leg")
         .join(broadcast(k), Seq(idCol), "left_anti")
         .write.mode("overwrite").parquet(s"$stage/$leg")
-    stageKept("postings")
-    stageKept("docs")
     // corrected rows re-derive through the SAME writers as build/append,
-    // appended into the staged legs (fresh job UUIDs — no collisions)
-    writePostings(hits, idCol, textCol, s"$stage/postings", mode = "append")
-    writeDocsLeg(hits, idCol, textCol, s"$stage/docs", mode = "append")
-    writeStatsFromDocs(spark, s"$stage/docs", s"$stage/stats")
+    // appended into the staged legs (fresh job UUIDs — no collisions).
+    // r14 (guide §2.6): the postings chain and the docs->stats chain
+    // stage independent legs — overlap them; ordering INSIDE each leg
+    // (kept overwrite, then corrected append, then stats off the staged
+    // docs) is preserved, and the single commit below stays the
+    // promotion point, so crash semantics are unchanged.
+    graft.operators.Par.unit(
+      () => {
+        stageKept("postings")
+        writePostings(hits, idCol, textCol, s"$stage/postings", mode = "append")
+      },
+      () => {
+        stageKept("docs")
+        writeDocsLeg(hits, idCol, textCol, s"$stage/docs", mode = "append")
+        writeStatsFromDocs(spark, s"$stage/docs", s"$stage/stats")
+      })
     PartitionSwap.commit(spark, dir, stage,
       Seq("postings", "docs", "stats"),
       batchId.getOrElse(System.nanoTime()))
